@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tag-state maintenance (SURVEY.md §2 A9/A10, B5).
+  *
+  * Tags live in a table keyed `(asset_uri, column, template_id, field_id)`
+  * with a string-typed `field_value` (the typed form is reconstructed via
+  * Coerce at read time, mirroring the reference's protobuf field map,
+  * DataCatalogController.py:133–150). The reference mutates the catalog one
+  * RPC at a time with retry/backoff (:1608–1652); here every operation is a
+  * set-based transform producing the next state — on a real lake this is a
+  * Delta/Iceberg `MERGE` (ACID makes the 429-retry machinery moot); the
+  * transforms below are exactly the MERGE semantics expressed as joins so
+  * they run anywhere parquet does.
+  *
+  * Scale notes: both joins are equi-joins on the tag key; with the tags table
+  * bucketed by `asset_uri` the shuffle on the existing side disappears, and
+  * incoming batches are typically tiny relative to state → broadcast.
+  */
+object TagStore {
+
+  val keyCols: Seq[String] = Seq("asset_uri", "column", "template_id", "field_id")
+
+  /** Upsert (create-or-update, DataCatalogController.py:1608–1652): incoming
+    * rows win over existing on the same key; existing rows without a match
+    * survive. Equivalent MERGE: `whenMatched.update whenNotMatched.insert`.
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val cols = existing.columns.toSeq
+    val valueCols = cols.filterNot(keyCols.contains)
+    val ex = cols.foldLeft(existing)((d, c) => d.withColumnRenamed(c, s"ex_$c"))
+    val joinCond = keyCols.map(k => incoming(k) <=> ex(s"ex_$k")).reduce(_ && _)
+    incoming.join(ex, joinCond, "full_outer")
+      .select(cols.map { c =>
+        coalesce(incoming(c), ex(s"ex_$c")).as(c)
+      }: _*)
+  }
+
+  /** Delete-when-all-empty (DataCatalogController.py:1581–1592): if every
+    * field of an incoming tag instance is empty, the whole tag
+    * `(asset_uri, column, template_id)` is deleted rather than written.
+    * Returns incoming minus the all-empty tag instances.
+    */
+  def dropAllEmptyTags(incoming: DataFrame): DataFrame = {
+    val tagKey = Seq("asset_uri", "column", "template_id")
+    val empties = incoming
+      .groupBy(tagKey.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+           count(when(coalesce(col("field_value"), lit("")) === "", 1)).as("n_empty"))
+      .filter(col("n") === col("n_empty"))
+      .select(tagKey.map(col): _*)
+    incoming.join(empties, tagKey, "left_anti")
+  }
+
+  /** Reconcile (`ReconcileTagsRequest`, DataCatalogController.py:455–473):
+    * atomically replace the set of tags for the touched
+    * `(asset_uri, template_id)` scopes with the incoming set — the MERGE
+    * `whenNotMatchedBySource.delete` scoped to the assets present in
+    * `incoming`. Existing tags on untouched assets survive.
+    */
+  def reconcile(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val scope = Seq("asset_uri", "template_id")
+    val untouched = existing.join(
+      incoming.select(scope.map(col): _*).distinct(), scope, "left_anti")
+    untouched.unionByName(incoming)
+  }
+}
