@@ -1,13 +1,13 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, CoreQueries2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   private def allDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    CoreQueries.defs
+    CoreQueries.defs ++ CoreQueries2.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** History / report sinks (SURVEY.md §2 A11–A13).
+  *
+  * The reference lazily creates day-partitioned BigQuery tables and appends
+  * JSON rows (BigQueryUtils.py:263–305, 344–474). Here both are plain
+  * partitioned parquet appends: `partitionBy(<day>)` buys partition pruning
+  * on every downstream read, and append-mode writes scale linearly — no
+  * per-row insert RPCs.
+  */
+object Sinks {
+
+  /** Tag-history rows (BigQueryUtils.py:344–440; FIXTURES.md §3.1): the
+    * standard prefix columns + one column per template field, plus the
+    * `event_date` day-partition column derived from `event_time`.
+    */
+  def withHistoryPartition(rows: DataFrame): DataFrame =
+    rows.withColumn("event_date", to_date(col("event_time")))
+
+  /** Append-mode day-partitioned history write (the A11 sink). */
+  def writeHistory(rows: DataFrame, path: String): Unit =
+    withHistoryPartition(rows)
+      .write.mode("append").partitionBy("event_date").parquet(path)
+
+  /** Flatten a tags table to the report shape (BigQueryUtils.py:263–305;
+    * FIXTURES.md §3.2): everything stringified except `export_time`.
+    * `tags` must carry (project, dataset, table, tag_template, tag_field,
+    * tag_value).
+    */
+  def reportRows(tags: DataFrame, exportTime: Column): DataFrame =
+    tags.select(
+      col("project"), col("dataset"), col("table"), col("tag_template"),
+      col("tag_field"), col("tag_value").cast("string").as("tag_value"),
+      exportTime.as("export_time"))
+
+  /** Report write: `write_option` truncate vs append
+    * (BigQueryUtils.py:35–50) → overwrite vs append mode, day-partitioned.
+    */
+  def writeReport(rows: DataFrame, path: String, truncate: Boolean): Unit =
+    rows.withColumn("export_date", to_date(col("export_time")))
+      .write.mode(if (truncate) "overwrite" else "append")
+      .partitionBy("export_date").parquet(path)
+}

@@ -54,6 +54,24 @@ object TagStore {
     incoming.join(empties, tagKey, "left_anti")
   }
 
+  /** Full upsert-with-deletes lifecycle (`create_update_delete_tag`,
+    * DataCatalogController.py:1468–1605): an incoming tag whose fields are
+    * ALL empty deletes the existing tag on that key (:1584–1586); non-empty
+    * incoming rows upsert over existing; untouched existing rows survive.
+    */
+  def applyWithDeletes(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val tagKey = Seq("asset_uri", "column", "template_id")
+    val emptyKeys = incoming
+      .groupBy(tagKey.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+           count(when(coalesce(col("field_value"), lit("")) === "", 1)).as("__ne"))
+      .filter(col("__n") === col("__ne"))
+      .select(tagKey.map(col): _*)
+    val nonEmpty = incoming.join(emptyKeys, tagKey, "left_anti")
+    val kept = existing.join(emptyKeys, tagKey, "left_anti")
+    upsert(kept, nonEmpty)
+  }
+
   /** Reconcile (`ReconcileTagsRequest`, DataCatalogController.py:455–473):
     * atomically replace the set of tags for the touched
     * `(asset_uri, template_id)` scopes with the incoming set — the MERGE
