@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline operators
+  * (dedup shingling, language ID, quality scoring, token counting,
+  * fingerprinting). All pure `Column` composition — codegen-friendly, no
+  * UDFs — and every definition has an exact DuckDB-SQL mirror for the
+  * oracle.
+  */
+object TextFns {
+
+  /** Whitespace tokens, empties dropped (split keeps empty strings on
+    * consecutive separators in both Spark and DuckDB, so filter them).
+    */
+  def words(c: Column): Column =
+    filter(split(c, " "), w => length(w) > 0)
+
+  /** Character k-gram shingles at every position (length < k → empty array).
+    * The `when` guard matters: Spark's `sequence(1, n)` with n ≤ 0 produces
+    * a DESCENDING sequence, not an empty one.
+    */
+  def charShingles(c: Column, k: Int): Column =
+    when(length(c) >= k,
+      transform(sequence(lit(1), length(c) - (k - 1)),
+        i => c.substr(i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+
+  /** A 60-bit integer hash from md5 — the deterministic, engine-portable
+    * token hash used by simhash (DuckDB mirror:
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT`). 15 hex chars keep the
+    * value < 2^60, safely inside BIGINT for both engines.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Small per-language stopword lists for the n-gram/language heuristic.
+    * Deterministic and mirrored verbatim in the oracle SQL.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un"))
+
+  /** Count of tokens (with multiplicity) that belong to `list`. */
+  def stopwordHits(ws: Column, list: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(list)))
+
+  /** Language-ID by stopword-hit argmax with a fixed tie order
+    * (de < en < es < fr); all-zero → "und". The oracle mirrors the exact
+    * CASE chain, so parity holds by construction.
+    */
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val s = Seq("de", "en", "es", "fr").map(l => l -> stopwordHits(ws, stopwords(l))).toMap
+    when(s("de") + s("en") + s("es") + s("fr") === 0, lit("und"))
+      .when(s("de") >= s("en") && s("de") >= s("es") && s("de") >= s("fr"), lit("de"))
+      .when(s("en") >= s("es") && s("en") >= s("fr"), lit("en"))
+      .when(s("es") >= s("fr"), lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct token set — a
+    * canonical-form hash that is invariant to token order and repetition.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus per-partition batch feature extraction.
+  *
+  * The container has no media codecs, so `decode` is a pluggable function
+  * and the default is a clearly-marked deterministic FAKE — the Spark-side
+  * contract (schema, partitioning, batch shape) is real and tested. In
+  * production `decode` is the codec call and the partition size is tuned so
+  * one batch of decoded frames fits executor memory.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata (FIXTURES-style). */
+  final case class MediaRecord(doc_id: Long, media_type: String,
+                               content: Array[Byte], width: Int, height: Int)
+
+  final case class MediaFeatures(doc_id: Long, media_type: String,
+                                 n_bytes: Int, feature: Array[Double])
+
+  /** Build the media table from documents: payload = utf-8 bytes of the
+    * text (stand-in for real image bytes), metadata derived
+    * deterministically.
+    */
+  def toMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("image/png").as("media_type"),
+      encode(col("text"), "UTF-8").as("content"),
+      (col("n_chars") % 640).cast("int").as("width"),
+      (col("n_chars") % 480).cast("int").as("height"))
+
+  /** STUB decoder — deterministic fake: "decodes" the payload to a 4-dim
+    * feature from byte prefixes. Replace with a real codec in production.
+    */
+  val fakeDecode: Array[Byte] => Array[Double] = bytes => {
+    val n = bytes.length
+    Array(
+      n.toDouble,
+      if (n > 0) bytes(0).toDouble else 0.0,
+      if (n > 1) bytes(n / 2).toDouble else 0.0,
+      if (n > 0) bytes(n - 1).toDouble else 0.0)
+  }
+
+  /** Per-partition batch feature extraction — the Scala analogue of a
+    * Pandas-UDF `mapInPandas` stage: the decoder amortizes setup per
+    * partition, rows stream through without driver involvement.
+    */
+  def extractFeatures(media: Dataset[MediaRecord],
+                      decode: Array[Byte] => Array[Double] = fakeDecode)
+                     (implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here (codec handles, model load)
+      it.map(r => MediaFeatures(r.doc_id, r.media_type, r.content.length,
+        decode(r.content)))
+    }
+  }
+}

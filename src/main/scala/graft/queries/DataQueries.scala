@@ -1,0 +1,395 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Lake
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.Streams
+import graft.queries.CoreQueries.Q
+
+/** Training-data pipeline operators (dedup / similarity / text analysis /
+  * multimodal / streaming) with DuckDB oracles. All hashing is md5-derived
+  * so both engines compute identical values; all float math mirrors the
+  * oracle's operation order bit-for-bit (verified: sequential double
+  * accumulation == DuckDB list_dot_product).
+  */
+object DataQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "documents")
+
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    VectorFns.register(spark)
+    Lake.table(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("vec"))
+  }
+
+  // ---------------------------------------------------------------- dedup
+
+  def d01DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir), "doc_id", "text").orderBy("content_hash")
+
+  val d01Oracle: String =
+    """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+      |       min(doc_id) AS keeper_id
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  /** Shared oracle CTEs: distinct char-5 shingles and the 8-hash minhash
+    * signature (salted md5, min lexicographic).
+    */
+  private val shingleCtes: String =
+    """pos AS (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
+      |        FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle FROM pos)"""
+      .stripMargin
+
+  private val sigCte: String = {
+    val mins = (0 until 8)
+      .map(i => s"min(md5('$i|' || shingle)) AS mh_$i").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  def d02MinhashSig(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(docs(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val d02Oracle: String =
+    s"""WITH $shingleCtes, $sigCte
+       |SELECT doc_id, mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7,
+       |  md5(mh_0 || mh_1 || mh_2 || mh_3) AS band_0,
+       |  md5(mh_4 || mh_5 || mh_6 || mh_7) AS band_1
+       |FROM sig ORDER BY doc_id""".stripMargin
+
+  /** Full LSH pipeline: band-bucket candidates → exact-Jaccard verify. */
+  def d03LshPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text")
+    val cands = Dedup.lshCandidates(sigs, "doc_id")
+    Dedup.jaccardVerify(cands, Dedup.shingleTable(d, "doc_id", "text", 5), "doc_id")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val jaccardVerifyCtes: String =
+    """sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS inter
+      |          FROM sh l JOIN sh r
+      |            ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      |          GROUP BY 1, 2)""".stripMargin
+
+  val d03Oracle: String =
+    s"""WITH $shingleCtes, $sigCte,
+       |bands AS (
+       |  SELECT doc_id, 0 AS band_idx, md5(mh_0 || mh_1 || mh_2 || mh_3) AS band_hash FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1, md5(mh_4 || mh_5 || mh_6 || mh_7) FROM sig),
+       |cand AS (SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+       |         FROM bands l JOIN bands r
+       |           ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       |              AND l.doc_id < r.doc_id),
+       |$jaccardVerifyCtes
+       |SELECT c.a_id, c.b_id, i.inter,
+       |  round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+       |FROM cand c JOIN inter i USING (a_id, b_id)
+       |JOIN sizes sa ON sa.doc_id = c.a_id
+       |JOIN sizes sb ON sb.doc_id = c.b_id
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** N-gram Jaccard near-dups via rare-shingle candidate pruning. */
+  def d04JaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docs(spark, dir), "doc_id", "text",
+        k = 5, maxDf = 50, minJaccard = 0.8)
+      .orderBy("a_id", "b_id")
+
+  val d04Oracle: String =
+    s"""WITH $shingleCtes,
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+       |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |cand AS (SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+       |         FROM shr l JOIN shr r
+       |           ON l.shingle = r.shingle AND l.doc_id < r.doc_id),
+       |$jaccardVerifyCtes
+       |SELECT c.a_id, c.b_id, i.inter,
+       |  round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+       |FROM cand c JOIN inter i USING (a_id, b_id)
+       |JOIN sizes sa ON sa.doc_id = c.a_id
+       |JOIN sizes sb ON sb.doc_id = c.b_id
+       |WHERE round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+
+  def d05Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(spark, dir), "doc_id", "text").orderBy("doc_id")
+
+  private val simhashCtes: String = {
+    val bitSums = (0 until 60)
+      .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s_$j").mkString(", ")
+    val assemble = (0 until 60)
+      .map(j => s"CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""toks AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0),
+       |bitsums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id),
+       |sims AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bitsums)"""
+      .stripMargin
+  }
+
+  val d05Oracle: String =
+    s"""WITH $simhashCtes
+       |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin
+
+  def d06SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Dedup.simhash(docs(spark, dir), "doc_id", "text"),
+        "doc_id", maxHamming = 8)
+      .orderBy("a_id", "b_id")
+
+  val d06Oracle: String =
+    s"""WITH $simhashCtes
+       |SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+       |  bit_count(xor(l.simhash, r.simhash)) AS hamming
+       |FROM sims l JOIN sims r ON l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.simhash, r.simhash)) <= 8
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ----------------------------------------------------------- similarity
+
+  /** DuckDB cosine between two `array<double>` expressions, mirroring
+    * CosineSimilarity's accumulation exactly.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  private val embCte: String =
+    "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)"
+
+  def e01EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(emb(spark, dir), threshold = 0.4)
+      .orderBy("a_id", "b_id")
+
+  val e01Oracle: String =
+    s"""WITH $embCte
+       |SELECT l.vec_id AS a_id, r.vec_id AS b_id,
+       |  round(${cosSql("l.v", "r.v")}, 6) AS cosine
+       |FROM e l JOIN e r ON l.vec_id < r.vec_id
+       |WHERE ${cosSql("l.v", "r.v")} >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+
+  def s01AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val query = e.filter(col("vec_id") === 0).select(col("vec").as("qvec"))
+    Similarity.bruteForceTopK(e, query, k = 10, excludeId = Some(0L))
+      .orderBy("rank")
+  }
+
+  val s01Oracle: String =
+    s"""WITH $embCte, q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT * FROM (
+       |  SELECT row_number() OVER (ORDER BY ${cosSql("e.v", "q.qv")} DESC, vec_id) AS rank,
+       |         vec_id, round(${cosSql("e.v", "q.qv")}, 6) AS cosine
+       |  FROM e, q WHERE e.vec_id <> 0)
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  /** IVF: assign to nearest of 8 fixed centroids; probe top-2 buckets. */
+  def s02AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val assigned = Similarity.ivfAssign(e, centroids)
+    val query = e.filter(col("vec_id") === 0).select(col("vec").as("qvec"))
+    Similarity.ivfTopK(assigned, centroids, query, k = 10, nprobe = 2,
+        excludeId = Some(0L))
+      .orderBy("rank")
+  }
+
+  val s02Oracle: String =
+    s"""WITH $embCte,
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |assign AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.centroid_id) AS rn
+       |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |probed AS (SELECT centroid_id FROM (
+       |  SELECT c.centroid_id,
+       |    row_number() OVER (ORDER BY ${cosSql("c.cv", "q.qv")} DESC, c.centroid_id) AS crank
+       |  FROM cent c, q) WHERE crank <= 2),
+       |cand AS (SELECT a.vec_id FROM assign a JOIN probed p USING (centroid_id)
+       |         WHERE a.vec_id <> 0)
+       |SELECT * FROM (
+       |  SELECT row_number() OVER (ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id) AS rank,
+       |         e.vec_id, round(${cosSql("e.v", "q.qv")}, 6) AS cosine
+       |  FROM e JOIN cand USING (vec_id), q)
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------- text analysis
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def t01LangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+        col("doc_id"), TextFns.langId(col("text")).as("pred_lang"),
+        col("lang").as("labeled_lang"))
+      .withColumn("is_match", col("pred_lang") === col("labeled_lang"))
+      .orderBy("doc_id")
+
+  val t01Oracle: String = {
+    val scores = Seq("de", "en", "es", "fr").map { l =>
+      s"len(list_filter(string_split(text, ' '), w -> list_contains(${sqlList(TextFns.stopwords(l))}, w))) AS s_$l"
+    }.mkString(", ")
+    s"""WITH s AS (SELECT doc_id, lang, $scores FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+       |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+       |  lang AS labeled_lang,
+       |  (CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+       |        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |        WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = lang AS is_match
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  def t02Quality(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextFns.words(col("text"))
+    val allStop = TextFns.stopwords.values.flatten.toSeq.distinct.sorted
+    val nTokens = size(ws)
+    val sumLen = aggregate(ws, lit(0), (acc, w) => acc + length(w))
+    val hits = TextFns.stopwordHits(ws, allStop)
+    val stopRatioRaw = hits * lit(1.0) / nTokens
+    docs(spark, dir).select(
+        col("doc_id"), nTokens.as("n_tokens"),
+        round(sumLen * lit(1.0) / nTokens, 4).as("avg_token_len"),
+        round(stopRatioRaw, 4).as("stop_ratio"),
+        round(least(nTokens / lit(100.0), lit(1.0)) * lit(0.5) +
+              stopRatioRaw * lit(0.5), 4).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val t02Oracle: String = {
+    val allStop = sqlList(TextFns.stopwords.values.flatten.toSeq.distinct.sorted)
+    s"""WITH t AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+       |  FROM documents),
+       |m AS (SELECT doc_id, len(ws) AS n_tokens,
+       |  list_sum(list_transform(ws, w -> length(w))) AS sum_len,
+       |  len(list_filter(ws, w -> list_contains($allStop, w))) AS hits FROM t)
+       |SELECT doc_id, n_tokens,
+       |  round(sum_len * 1.0 / n_tokens, 4) AS avg_token_len,
+       |  round(hits * 1.0 / n_tokens, 4) AS stop_ratio,
+       |  round(least(n_tokens / 100.0, 1.0) * 0.5 + (hits * 1.0 / n_tokens) * 0.5, 4)
+       |    AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation marks).
+    */
+  def t03Tokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+        col("doc_id"),
+        size(TextFns.words(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("n_bpe_tokens"),
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).as("n_punct"))
+      .orderBy("doc_id")
+
+  val t03Oracle: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+      |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+        col("doc_id"), TextFns.fingerprint(col("text")).as("fingerprint"),
+        size(array_distinct(TextFns.words(col("text")))).as("n_distinct_words"))
+      .orderBy("doc_id")
+
+  val t04Oracle: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0))), ' '))
+      |    AS fingerprint,
+      |  len(list_distinct(list_filter(string_split(text, ' '), w -> length(w) > 0)))
+      |    AS n_distinct_words
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- multimodal
+
+  /** Multimodal plumbing: opaque binary payload + typed metadata + cheap
+    * deterministic "features" (byte length, content hash, head bytes). The
+    * decode stage itself is [[Multimodal.extractFeatures]] (mapPartitions,
+    * stubbed decoder) covered by ScalaTest.
+    */
+  def m01Multimodal(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+        col("doc_id"),
+        lit("image/png").as("media_type"),
+        octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        md5(col("text")).as("content_md5"),
+        lower(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("head_hex"))
+      .orderBy("doc_id")
+
+  val m01Oracle: String =
+    """SELECT doc_id, 'image/png' AS media_type,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  CAST(n_chars % 640 AS INT) AS width,
+      |  CAST(n_chars % 480 AS INT) AS height,
+      |  md5(text) AS content_md5,
+      |  lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ streaming
+
+  def st01StreamWindow(spark: SparkSession, dir: String): DataFrame =
+    Streams.windowedEventCounts(Lake.table(spark, dir, "events"))
+      .orderBy("window_start", "event_type")
+
+  val st01Oracle: String =
+    """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  def st02Sessionize(spark: SparkSession, dir: String): DataFrame =
+    Streams.sessionize(Lake.table(spark, dir, "events"), gapMinutes = 30)
+      .orderBy("user_id", "session_id")
+
+  val st02Oracle: String =
+    """WITH x AS (SELECT user_id, event_id, ts,
+      |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |y AS (SELECT user_id, event_id, ts,
+      |  CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000
+      |       THEN 1 ELSE 0 END AS new_sess FROM x),
+      |z AS (SELECT user_id, ts,
+      |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM y)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM z GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("d01_dedup_exact", d01DedupExact _, Some(d01Oracle)),
+    ("d02_minhash_sig", d02MinhashSig _, Some(d02Oracle)),
+    ("d03_lsh_pipeline", d03LshPipeline _, Some(d03Oracle)),
+    ("d04_jaccard_pairs", d04JaccardPairs _, Some(d04Oracle)),
+    ("d05_simhash", d05Simhash _, Some(d05Oracle)),
+    ("d06_simhash_pairs", d06SimhashPairs _, Some(d06Oracle)),
+    ("e01_embed_neardup", e01EmbedNearDup _, Some(e01Oracle)),
+    ("s01_ann_topk", s01AnnBruteForce _, Some(s01Oracle)),
+    ("s02_ann_ivf", s02AnnIvf _, Some(s02Oracle)),
+    ("t01_langid", t01LangId _, Some(t01Oracle)),
+    ("t02_quality", t02Quality _, Some(t02Oracle)),
+    ("t03_tokens", t03Tokens _, Some(t03Oracle)),
+    ("t04_fingerprint", t04Fingerprint _, Some(t04Oracle)),
+    ("m01_multimodal", m01Multimodal _, Some(m01Oracle)),
+    ("st01_stream_window", st01StreamWindow _, Some(st01Oracle)),
+    ("st02_sessionize", st02Sessionize _, Some(st02Oracle)))
+}

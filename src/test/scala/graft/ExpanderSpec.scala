@@ -1,0 +1,51 @@
+package graft
+
+import graft.expand.Expander
+import graft.model.AssetUri
+
+/** URI algebra + wildcard expansion semantics (Resources.py:165–269). */
+class ExpanderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val catalog = Seq(
+    ("p", "sales", "orders"), ("p", "sales", "orders_archive"),
+    ("p", "salesops", "leads"), ("p", "hr", "people"),
+    ("q", "sales", "orders")).toDF("project", "dataset", "table")
+
+  test("exact table uri matches one row") {
+    val out = Expander.expand(catalog,
+      Seq("bigquery/project/p/dataset/sales/orders"), Nil).collect()
+    assert(out.map(_.getString(2)).toSet === Set("orders"))
+    assert(out.length === 1)
+  }
+
+  test("star wildcard = substring containment of fragments") {
+    val out = Expander.expand(catalog,
+      Seq("bigquery/project/p/dataset/sales*/orders*"), Nil)
+    assert(out.count() === 2) // sales+salesops datasets, orders/orders_archive
+  }
+
+  test("project-level uri expands all datasets and tables") {
+    assert(Expander.expand(catalog, Seq("bigquery/project/p"), Nil).count() === 4)
+  }
+
+  test("exclusion removes matching subset") {
+    val out = Expander.expand(catalog,
+      Seq("bigquery/project/p"), Seq("bigquery/project/p/dataset/hr/*"))
+    assert(out.count() === 3)
+  }
+
+  test("minusExisting drops already-tagged work (overwrite=false)") {
+    val work = Seq(("a", 1), ("b", 2)).toDF("t", "v")
+    val tagged = Seq(Tuple1("a")).toDF("t")
+    val out = Expander.minusExisting(work, tagged, Seq("t")).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("b"))
+  }
+
+  test("AssetUri parse/render round-trips and history path is singular") {
+    val u = AssetUri.parseBq("bigquery/project/p/dataset/d/t")
+    assert(u.render === "bigquery/project/p/dataset/d/t")
+    assert(u.copy(column = Some("c")).historyAssetName === "p/dataset/d/table/t/column/c")
+    intercept[IllegalArgumentException](AssetUri.parseBq("nonsense/x"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Streams
+
+/** Structured-Streaming path: the same windowed transform must produce the
+  * batch answer when fed the batch data incrementally.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming windowed counts (AvailableNow) == batch windowed counts") {
+    val events = Lake.table(spark, sf, "events")
+    val stage = Files.createTempDirectory("graft_stream").toString
+    // stage the batch table as two incremental files
+    events.filter(org.apache.spark.sql.functions.col("event_id") % 2 === 0)
+      .write.mode("append").parquet(stage)
+    events.filter(org.apache.spark.sql.functions.col("event_id") % 2 === 1)
+      .write.mode("append").parquet(stage)
+
+    val stream = spark.readStream.schema(events.schema).parquet(stage)
+    val agg = Streams.windowedEventCounts(stream.withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("wincounts")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("wincounts")
+      .orderBy("window_start", "event_type").collect()
+    val batch = Streams.windowedEventCounts(events)
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("sessionize: gaps under threshold merge, over threshold split") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-01 00:10:00")),  // +10min → same session
+      (3L, 1L, ts("2024-01-01 01:00:00")),  // +50min → new session
+      (4L, 2L, ts("2024-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = Streams.sessionize(df, gapMinutes = 30)
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+}
