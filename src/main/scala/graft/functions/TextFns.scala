@@ -35,6 +35,14 @@ object TextFns {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** 28-bit md5-derived hash — small enough that an affine permutation
+    * `(a*h + b) mod P` with a,b < 2^24, P < 2^30 stays inside exact BIGINT
+    * arithmetic in both engines (max product ≈ 2^52 < 2^63). Base hash for
+    * the minhash permutation family.
+    */
+  def hash28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
   /** Small per-language stopword lists for the n-gram/language heuristic.
     * Deterministic and mirrored verbatim in the oracle SQL.
     */

@@ -28,32 +28,62 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
-  /** Distinct (id, shingle) pairs — the shared front end of the
-    * MinHash/Jaccard family.
+  /** (id, h) rows: char-k-gram shingles hashed to 28-bit ints AT the
+    * explode — the shared front end of the MinHash/Jaccard family.
+    * Hashing early shrinks every downstream shuffle/set ~3× vs carrying
+    * shingle strings (standard shingle-hashing; the md5-derived hash is
+    * engine-portable so the oracle mirrors collisions exactly).
+    * Deliberately NOT deduplicated: every consumer is
+    * duplicate-insensitive (`min` aggregates, `collect_set`,
+    * `countDistinct`), and a narrow explode recomputes for free while a
+    * distinct costs a full-width shuffle of the doc×shingle blow-up.
     */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs.select(col(idCol),
         explode(TextFns.charShingles(col(textCol), k)).as("shingle"))
-      .distinct()
+      .select(col(idCol), TextFns.hash28(col("shingle")).as("h"))
 
-  private def minhashCol(i: Int): Column =
-    min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"mh_$i")
+  /** The affine minhash permutation family: h_i(s) = (a_i·h28(s) + b_i)
+    * mod P. Exactly mirrored in the oracle SQL — pure BIGINT arithmetic in
+    * both engines. One md5 per shingle total (the 28-bit base hash); the 8
+    * permutations are integer ops, ~8× cheaper than salted-md5 minhashing.
+    */
+  val MinhashP: Long = 1073741789L // largest prime < 2^30
+  val MinhashA: Seq[Long] = Seq(1299721L, 2750159L, 4256233L, 5800079L,
+    7368787L, 8960453L, 10570841L, 12195257L)
+  val MinhashB: Seq[Long] = Seq(15485863L, 32452843L, 49979687L, 67867967L,
+    86028121L, 104395301L, 122949823L, 141650939L)
 
-  /** MinHash signatures: `numHashes` permutations simulated by salted md5
-    * (hash_i(s) = md5(i ‖ '|' ‖ s)), min taken lexicographically over the
-    * doc's shingles, then grouped into `numBands` band hashes. 1 row/doc.
+  /** MinHash signatures: `numHashes` affine permutations of the 28-bit
+    * shingle hash, min per doc, grouped into `numBands` band hashes.
+    * 1 row/doc out; the `min()` aggregates combine map-side, so the
+    * doc×shingle blow-up never crosses the shuffle.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, numHashes: Int = 8,
-                        numBands: Int = 2): DataFrame = {
-    require(numHashes % numBands == 0)
+                        numBands: Int = 2): DataFrame =
+    minhashFromShingles(shingleTable(docs, idCol, textCol, k), idCol,
+      numHashes, numBands)
+
+  /** Same, over an existing (possibly cached) shingle table — pipelines
+    * that need both signatures and raw shingles (LSH + verify) persist the
+    * shingle table ONCE and feed it to every stage; recomputing the
+    * explode+distinct per DAG reference is the dominant cost otherwise
+    * (at 100 TB: checkpoint the shingle/signature tables).
+    */
+  def minhashFromShingles(shingles: DataFrame, idCol: String,
+                          numHashes: Int = 8, numBands: Int = 2): DataFrame = {
+    require(numHashes % numBands == 0 && numHashes <= MinhashA.length)
     val rowsPerBand = numHashes / numBands
-    val sh = shingleTable(docs, idCol, textCol, k)
-    val aggs = (0 until numHashes).map(minhashCol)
+    val sh = shingles
+    val aggs = (0 until numHashes).map(i =>
+      min((lit(MinhashA(i)) * col("h") + lit(MinhashB(i))) % lit(MinhashP))
+        .as(s"mh_$i"))
     val sigs = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     (0 until numBands).foldLeft(sigs) { (df, b) =>
-      val parts = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
-      df.withColumn(s"band_$b", md5(concat(parts: _*)))
+      val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh_$i").cast("string"))
+      df.withColumn(s"band_$b", md5(concat_ws("|", parts: _*)))
     }
   }
 
@@ -75,26 +105,56 @@ object Dedup {
   }
 
   /** Exact Jaccard over a given candidate pair set — verification stage of
-    * the LSH pipeline. Shingle join is restricted (semi-join) to docs that
-    * appear in `candidates` first, so cost scales with candidates, not
-    * corpus.
+    * the LSH pipeline. Intersections are computed PAIR-BOUNDED: candidates
+    * ⋈ shingles(a) ⋈ shingles(b on shingle), so cost is
+    * O(|candidates| × shingles/doc). A global shingle self-join is Σ df²
+    * over the corpus — ~1.5e9 rows on the test lake at sf0.1 alone because
+    * a small vocabulary makes most shingles near-universal — and is exactly
+    * what LSH exists to avoid.
     */
   def jaccardVerify(candidates: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
-    val candDocs = candidates.select(col("a_id").as(idCol))
-      .union(candidates.select(col("b_id"))).distinct()
-    val shc = sh.join(candDocs, idCol, "left_semi")
-    val sizes = shc.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = shc.as("l").join(shc.as("r"),
-        col("l.shingle") === col("r.shingle") &&
-        col(s"l.$idCol") < col(s"r.$idCol"))
-      .groupBy(col(s"l.$idCol").as("a_id"), col(s"r.$idCol").as("b_id"))
+    val shd = sh.distinct()
+    val a = shd.select(col(idCol).as("a_id"), col("h"))
+    val b = shd.select(col(idCol).as("b_id"), col("h"))
+    val sizes = shd.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(a, "a_id")
+      .join(b, Seq("b_id", "h"))
+      .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"))
-    candidates.join(inter, Seq("a_id", "b_id"), "inner")
+    inter
       .join(sizes.withColumnRenamed(idCol, "a_id").withColumnRenamed("sz", "sz_a"), "a_id")
       .join(sizes.withColumnRenamed(idCol, "b_id").withColumnRenamed("sz", "sz_b"), "b_id")
       .withColumn("jaccard",
         round(col("inter") * lit(1.0) /
           (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .select("a_id", "b_id", "inter", "jaccard")
+  }
+
+  /** Jaccard verify via per-doc shingle-set arrays: one `collect_set` per
+    * doc (map-side combinable), then candidates join the two small set
+    * tables (AQE broadcasts them when they fit) and `array_intersect`
+    * scores each pair with NO wide shuffle — the pair×shingle join row
+    * blow-up of [[jaccardVerify]] never materializes. Preferred when doc
+    * shingle sets fit in a row (true for typical web documents); fall back
+    * to [[jaccardVerify]] for pathologically large docs. Pairs with an
+    * empty intersection are dropped (same as the join form).
+    */
+  def jaccardVerifyArrays(candidates: DataFrame, sh: DataFrame,
+                          idCol: String): DataFrame = {
+    // persisted: referenced twice (a and b sides); 1 row/doc, tiny — without
+    // this Spark recomputes the full explode+aggregate chain per side
+    val sets = sh.groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("h"))).as("s"))
+      .persist()
+    val a = sets.select(col(idCol).as("a_id"), col("s").as("sa"))
+    val b = sets.select(col(idCol).as("b_id"), col("s").as("sb"))
+    candidates.join(a, "a_id").join(b, "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("inter") > 0)
+      .withColumn("jaccard",
+        round(col("inter") * lit(1.0) /
+          (size(col("sa")) + size(col("sb")) - col("inter")), 6))
       .select("a_id", "b_id", "inter", "jaccard")
   }
 
@@ -106,16 +166,22 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, maxDf: Int = 50,
                    minJaccard: Double = 0.8): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, k)
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("shingle")
-    val shr = sh.join(rare, "shingle", "left_semi")
+    // persisted: three consumers (df-agg, semi-join, set-agg); post-hash
+    // rows are two longs, so the cache is tiny relative to re-running the
+    // explode+md5 per consumer
+    val sh = shingleTable(docs, idCol, textCol, k).persist()
+    val rare = sh.groupBy("h").agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    // persisted: the candidate self-join references shr on both sides, and
+    // shr's lineage (explode → df-agg → semi-join → distinct) is the
+    // expensive part of the pipeline; materialized it is a few k rows
+    val shr = sh.join(rare, "h", "left_semi").distinct().persist()
     val cands = shr.as("l").join(shr.as("r"),
-        col("l.shingle") === col("r.shingle") &&
+        col("l.h") === col("r.h") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("a_id"), col(s"r.$idCol").as("b_id"))
       .distinct()
-    jaccardVerify(cands, sh, idCol).filter(col("jaccard") >= minJaccard)
+    jaccardVerifyArrays(cands, sh, idCol).filter(col("jaccard") >= minJaccard)
   }
 
   /** SimHash: 60-bit signature over whitespace tokens (with multiplicity).
@@ -135,13 +201,40 @@ object Dedup {
     agg.select(col(idCol), sig.as("simhash"))
   }
 
-  /** Hamming-distance near-dup pairs over simhash signatures. Exact
-    * all-pairs here; at corpus scale the candidate step is chunked banding
-    * ((d+1)-way pigeonhole on the signature) before `bit_count(xor)`.
+  /** Hamming-distance near-dup pairs over simhash signatures via
+    * (maxHamming+1)-way pigeonhole banding: split the signature into
+    * `maxHamming+1` bit chunks — any pair within `maxHamming` flips must
+    * agree on at least one whole chunk — equi-join candidates on
+    * (chunk_idx, chunk_value), then exact `bit_count(xor)` verify. Output
+    * is IDENTICAL to the all-pairs cross join (banding is a lossless
+    * candidate filter for this threshold), so the oracle stays the naive
+    * form; the plan swaps an O(n²) nested-loop for a shuffled equi-join.
     */
-  def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame =
-    sigs.as("l").join(sigs.as("r"), col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("a_id"), col(s"r.$idCol").as("b_id"),
+  def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int,
+                   bits: Int = 60): DataFrame = {
+    val nChunks = maxHamming + 1
+    val base = bits / nChunks
+    val rem = bits % nChunks
+    // chunk c covers [off(c), off(c)+width(c)) with widths base(+1 for first rem)
+    val offsets = (0 until nChunks).scanLeft(0)((acc, c) =>
+      acc + base + (if (c < rem) 1 else 0)).init
+    val widths = (0 until nChunks).map(c => base + (if (c < rem) 1 else 0))
+    // persisted: chunk rows feed both sides of the candidate self-join
+    val sigsP = sigs.persist()
+    val chunks = sigsP.select(col(idCol).as("id"), col("simhash"),
+      explode(array((0 until nChunks).map { c =>
+        struct(lit(c).as("chunk_idx"),
+          shiftright(col("simhash"), offsets(c))
+            .bitwiseAND(lit((1L << widths(c)) - 1)).as("chunk_val"))
+      }: _*)).as("ch"))
+      .select(col("id"), col("simhash"), col("ch.chunk_idx"), col("ch.chunk_val"))
+    chunks.as("l").join(chunks.as("r"),
+        col("l.chunk_idx") === col("r.chunk_idx") &&
+        col("l.chunk_val") === col("r.chunk_val") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

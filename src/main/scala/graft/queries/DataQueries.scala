@@ -35,20 +35,27 @@ object DataQueries {
       |       min(doc_id) AS keeper_id
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
-  /** Shared oracle CTEs: distinct char-5 shingles and the 8-hash minhash
-    * signature (salted md5, min lexicographic).
+  /** Shared oracle CTEs, mirroring Dedup.shingleTable exactly: char-5
+    * shingles hashed to 28-bit ints at the explode (hash-then-distinct
+    * order matters under collisions), plus the affine-minhash signature.
     */
   private val shingleCtes: String =
     """pos AS (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
       |        FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle FROM pos)"""
-      .stripMargin
+      |sh AS (SELECT doc_id,
+      |         ('0x' || substr(md5(substr(text, i, 5)), 1, 7))::BIGINT AS h
+      |       FROM pos),
+      |shd AS (SELECT DISTINCT doc_id, h FROM sh)""".stripMargin
 
   private val sigCte: String = {
-    val mins = (0 until 8)
-      .map(i => s"min(md5('$i|' || shingle)) AS mh_$i").mkString(", ")
+    val mins = (0 until 8).map(i =>
+      s"min((${Dedup.MinhashA(i)} * h + ${Dedup.MinhashB(i)}) % ${Dedup.MinhashP}) AS mh_$i")
+      .mkString(", ")
     s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
   }
+
+  private def bandSql(b: Int): String =
+    (b * 4 until (b + 1) * 4).map(i => s"mh_$i::VARCHAR").mkString(" || '|' || ")
 
   def d02MinhashSig(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(docs(spark, dir), "doc_id", "text")
@@ -57,42 +64,47 @@ object DataQueries {
   val d02Oracle: String =
     s"""WITH $shingleCtes, $sigCte
        |SELECT doc_id, mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7,
-       |  md5(mh_0 || mh_1 || mh_2 || mh_3) AS band_0,
-       |  md5(mh_4 || mh_5 || mh_6 || mh_7) AS band_1
+       |  md5(${bandSql(0)}) AS band_0,
+       |  md5(${bandSql(1)}) AS band_1
        |FROM sig ORDER BY doc_id""".stripMargin
 
   /** Full LSH pipeline: band-bucket candidates → exact-Jaccard verify. */
   def d03LshPipeline(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val sigs = Dedup.minhashSignatures(d, "doc_id", "text")
+    val sh = Dedup.shingleTable(d, "doc_id", "text", 5).persist()
+    // 1 row/doc; the LSH band join references it twice
+    val sigs = Dedup.minhashFromShingles(sh, "doc_id").persist()
     val cands = Dedup.lshCandidates(sigs, "doc_id")
-    Dedup.jaccardVerify(cands, Dedup.shingleTable(d, "doc_id", "text", 5), "doc_id")
-      .orderBy("a_id", "b_id")
+    Dedup.jaccardVerifyArrays(cands, sh, "doc_id").orderBy("a_id", "b_id")
   }
 
+  /** Pair-bounded intersection (expects a `cand(a_id, b_id)` CTE) —
+    * mirrors Dedup.jaccardVerify's candidates ⋈ shingles ⋈ shingles shape.
+    */
   private val jaccardVerifyCtes: String =
-    """sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-      |inter AS (SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS inter
-      |          FROM sh l JOIN sh r
-      |            ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+    """sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+      |inter AS (SELECT c.a_id, c.b_id, count(*) AS inter
+      |          FROM cand c
+      |          JOIN shd sa ON sa.doc_id = c.a_id
+      |          JOIN shd sb ON sb.doc_id = c.b_id AND sb.h = sa.h
       |          GROUP BY 1, 2)""".stripMargin
 
   val d03Oracle: String =
     s"""WITH $shingleCtes, $sigCte,
        |bands AS (
-       |  SELECT doc_id, 0 AS band_idx, md5(mh_0 || mh_1 || mh_2 || mh_3) AS band_hash FROM sig
+       |  SELECT doc_id, 0 AS band_idx, md5(${bandSql(0)}) AS band_hash FROM sig
        |  UNION ALL
-       |  SELECT doc_id, 1, md5(mh_4 || mh_5 || mh_6 || mh_7) FROM sig),
+       |  SELECT doc_id, 1, md5(${bandSql(1)}) FROM sig),
        |cand AS (SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
        |         FROM bands l JOIN bands r
        |           ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
        |              AND l.doc_id < r.doc_id),
        |$jaccardVerifyCtes
-       |SELECT c.a_id, c.b_id, i.inter,
+       |SELECT i.a_id, i.b_id, i.inter,
        |  round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
-       |FROM cand c JOIN inter i USING (a_id, b_id)
-       |JOIN sizes sa ON sa.doc_id = c.a_id
-       |JOIN sizes sb ON sb.doc_id = c.b_id
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.a_id
+       |JOIN sizes sb ON sb.doc_id = i.b_id
        |ORDER BY a_id, b_id""".stripMargin
 
   /** N-gram Jaccard near-dups via rare-shingle candidate pruning. */
@@ -103,17 +115,17 @@ object DataQueries {
 
   val d04Oracle: String =
     s"""WITH $shingleCtes,
-       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
-       |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |rare AS (SELECT h FROM shd GROUP BY h HAVING count(*) <= 50),
+       |shr AS (SELECT shd.doc_id, shd.h FROM shd JOIN rare USING (h)),
        |cand AS (SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
        |         FROM shr l JOIN shr r
-       |           ON l.shingle = r.shingle AND l.doc_id < r.doc_id),
+       |           ON l.h = r.h AND l.doc_id < r.doc_id),
        |$jaccardVerifyCtes
-       |SELECT c.a_id, c.b_id, i.inter,
+       |SELECT i.a_id, i.b_id, i.inter,
        |  round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
-       |FROM cand c JOIN inter i USING (a_id, b_id)
-       |JOIN sizes sa ON sa.doc_id = c.a_id
-       |JOIN sizes sb ON sb.doc_id = c.b_id
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.a_id
+       |JOIN sizes sb ON sb.doc_id = i.b_id
        |WHERE round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
 
