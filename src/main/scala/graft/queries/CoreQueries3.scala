@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Lake
+import graft.operators.TagOps
+import graft.sched.Scheduler
+import graft.sources.FileScan
+import graft.queries.CoreQueries.Q
+
+/** Tag-engine-parity queries, part 3: scheduler/config store, tag copy,
+  * policy tags, rollup, file scan (SURVEY.md §2 H1–H2, A14, C7, C8, D8,
+  * A2).
+  */
+object CoreQueries3 {
+
+  /** Inline config-store fixture (A14/B6 shapes), realized identically as
+    * Scala rows and oracle VALUES.
+    */
+  private val configRows = Seq(
+    ("c1", "DYNAMIC_TAG_TABLE", "ACTIVE", "AUTO", "READY", 5L, "2024-03-01 11:00:00", 3L),
+    ("c2", "DYNAMIC_TAG_TABLE", "ACTIVE", "AUTO", "READY", 60L, "2024-03-01 13:00:00", 1L),
+    ("c3", "STATIC_TAG_ASSET", "ACTIVE", "AUTO", "PAUSED", 5L, "2024-03-01 10:00:00", 7L),
+    ("c4", "GLOSSARY_TAG_ASSET", "INACTIVE", "AUTO", "READY", 5L, "2024-03-01 10:00:00", 2L),
+    ("c5", "DYNAMIC_TAG_COLUMN", "ACTIVE", "ON_DEMAND", "READY", 0L, "2024-03-01 09:00:00", 1L),
+    ("c6", "EXPORT_TAGS", "ACTIVE", "AUTO", "READY", 1440L, "2024-03-01 12:00:00", 9L))
+
+  private val nowLit = "2024-03-01 12:00:00"
+
+  private def configsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    configRows.toDF("config_uuid", "config_type", "config_status",
+        "refresh_mode", "scheduling_status", "refresh_frequency_minutes",
+        "next_run_s", "version")
+      .withColumn("next_run", to_timestamp(col("next_run_s")))
+      .drop("next_run_s")
+  }
+
+  private val configsCte: String = {
+    val values = configRows.map { case (u, t, s, m, ss, f, nr, v) =>
+      s"('$u','$t','$s','$m','$ss',$f,TIMESTAMP '$nr',$v)"
+    }.mkString(", ")
+    s"""configs(config_uuid, config_type, config_status, refresh_mode,
+       |        scheduling_status, refresh_frequency_minutes, next_run, version)
+       |  AS (VALUES $values)""".stripMargin
+  }
+
+  /** H1: the AUTO scheduler's due-config selection. */
+  def q19ReadyConfigs(spark: SparkSession, dir: String): DataFrame =
+    Scheduler.readReadyConfigs(configsDf(spark),
+        to_timestamp(lit(nowLit)))
+      .select("config_uuid", "config_type", "next_run", "version")
+      .orderBy("config_uuid")
+
+  val q19Oracle: String =
+    s"""WITH $configsCte
+       |SELECT config_uuid, config_type, next_run, version FROM configs
+       |WHERE refresh_mode = 'AUTO' AND config_status = 'ACTIVE'
+       |  AND scheduling_status = 'READY' AND next_run <= TIMESTAMP '$nowLit'
+       |ORDER BY config_uuid""".stripMargin
+
+  /** H2: next_run += frequency, version += 1 for launched configs only. */
+  def q20NextRunAdvance(spark: SparkSession, dir: String): DataFrame = {
+    val configs = configsDf(spark)
+    val launched = Scheduler.readReadyConfigs(configs, to_timestamp(lit(nowLit)))
+    Scheduler.advanceNextRun(configs, launched)
+      .select("config_uuid", "next_run", "version")
+      .orderBy("config_uuid")
+  }
+
+  val q20Oracle: String =
+    s"""WITH $configsCte
+       |SELECT config_uuid,
+       |  CASE WHEN refresh_mode = 'AUTO' AND config_status = 'ACTIVE'
+       |            AND scheduling_status = 'READY'
+       |            AND next_run <= TIMESTAMP '$nowLit'
+       |       THEN next_run + refresh_frequency_minutes * INTERVAL 1 MINUTE
+       |       ELSE next_run END AS next_run,
+       |  CASE WHEN refresh_mode = 'AUTO' AND config_status = 'ACTIVE'
+       |            AND scheduling_status = 'READY'
+       |            AND next_run <= TIMESTAMP '$nowLit'
+       |       THEN version + 1 ELSE version END AS version
+       |FROM configs ORDER BY config_uuid""".stripMargin
+
+  /** Derived tags fixture for the copy test: entry-level + column-level
+    * tags over the first documents.
+    */
+  private def tagsDf(spark: SparkSession, dir: String): DataFrame = {
+    val d = Lake.table(spark, dir, "documents").filter(col("doc_id") < 6)
+    val entry = d.select(
+      concat(lit("doc_"), col("doc_id")).as("asset_uri"),
+      lit("").as("column"), lit("t").as("template_id"),
+      lit("owner").as("field_id"), col("lang").as("field_value"))
+    val column = d.select(
+      concat(lit("doc_"), col("doc_id")).as("asset_uri"),
+      concat(lit("c"), col("doc_id") % 3).as("column"),
+      lit("t").as("template_id"),
+      lit("pii").as("field_id"), col("source").as("field_value"))
+    entry.unionByName(column)
+  }
+
+  private val tagsCte: String =
+    """tags AS (
+      |  SELECT 'doc_' || doc_id AS asset_uri, '' AS "column", 't' AS template_id,
+      |         'owner' AS field_id, lang AS field_value
+      |  FROM documents WHERE doc_id < 6
+      |  UNION ALL
+      |  SELECT 'doc_' || doc_id, 'c' || (doc_id % 3), 't', 'pii', source
+      |  FROM documents WHERE doc_id < 6)""".stripMargin
+
+  /** C7: copy doc_3's tags onto doc_1 — column-level tags only where the
+    * target has the column; copied tags override same-key existing ones.
+    */
+  def q21TagCopy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tgtCols = Seq("c0", "c1").toDF("column_name")
+    TagOps.copyTags(tagsDf(spark, dir), "doc_3", "doc_1", tgtCols)
+      .filter(col("asset_uri").isin("doc_1", "doc_3"))
+      .orderBy("asset_uri", "column", "field_id")
+  }
+
+  val q21Oracle: String =
+    s"""WITH $tagsCte,
+       |src AS (
+       |  SELECT 'doc_1' AS asset_uri, "column", template_id, field_id, field_value
+       |  FROM tags WHERE asset_uri = 'doc_3'
+       |    AND ("column" = '' OR "column" IN ('c0', 'c1'))),
+       |kept AS (
+       |  SELECT t.* FROM tags t WHERE NOT EXISTS (
+       |    SELECT 1 FROM src s WHERE s.asset_uri = t.asset_uri
+       |      AND s."column" = t."column" AND s.template_id = t.template_id
+       |      AND s.field_id = t.field_id))
+       |SELECT * FROM (SELECT * FROM kept UNION ALL SELECT * FROM src)
+       |WHERE asset_uri IN ('doc_1', 'doc_3')
+       |ORDER BY asset_uri, "column", field_id""".stripMargin
+
+  /** C8: policy-tag schema annotation over the real lineitem schema
+    * (schema from parquet footers; requests inline; unknown request
+    * columns dropped by the existence check).
+    */
+  def q22PolicyTags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schemaCols = Lake.table(spark, dir, "lineitem").schema.fields
+      .map(f => (f.name, f.dataType.simpleString)).toSeq
+      .toDF("column_name", "data_type")
+    val requests = Seq(
+      ("l_extendedprice", "taxonomies/1/policyTags/financial"),
+      ("l_discount", "taxonomies/1/policyTags/financial"),
+      ("no_such_column", "taxonomies/1/policyTags/orphan"))
+      .toDF("column_name", "policy_tag")
+    TagOps.annotatePolicyTags(schemaCols, requests).orderBy("column_name")
+  }
+
+  val q22Oracle: String =
+    """WITH sc(column_name, data_type) AS (VALUES
+      |  ('l_orderkey','bigint'), ('l_partkey','bigint'), ('l_suppkey','bigint'),
+      |  ('l_linenumber','int'), ('l_quantity','double'),
+      |  ('l_extendedprice','double'), ('l_discount','double'), ('l_tax','double'),
+      |  ('l_returnflag','string'), ('l_linestatus','string'),
+      |  ('l_shipdate','timestamp_ntz')),
+      |req(column_name, policy_tag) AS (VALUES
+      |  ('l_extendedprice','taxonomies/1/policyTags/financial'),
+      |  ('l_discount','taxonomies/1/policyTags/financial'),
+      |  ('no_such_column','taxonomies/1/policyTags/orphan'))
+      |SELECT sc.column_name, sc.data_type,
+      |       coalesce(req.policy_tag, '') AS policy_tag
+      |FROM sc LEFT OUTER JOIN req USING (column_name)
+      |ORDER BY column_name""".stripMargin
+
+  /** D8: rollup aggregation (permitted by the query_expression surface;
+    * free via Catalyst).
+    */
+  def q23Rollup(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "orders")
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"))
+      .orderBy("priority", "status")
+
+  val q23Oracle: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(o_orderstatus, 'ALL') AS status,
+      |       count(*) AS n
+      |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
+  /** A2: filesystem glob scan — the lake manifest recovered from the store
+    * itself (Hadoop FS; same path works against gs:// with the connector).
+    */
+  def q24FileScan(spark: SparkSession, dir: String): DataFrame =
+    FileScan.listFiles(spark, s"$dir/*.parquet")
+      .select("name").orderBy("name")
+
+  val q24Oracle: String = {
+    val values = Lake.tableNames.sorted.map(t => s"('$t.parquet')").mkString(", ")
+    s"""SELECT name FROM (VALUES $values) AS t(name) ORDER BY name"""
+  }
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("q19_ready_configs", q19ReadyConfigs _, Some(q19Oracle)),
+    ("q20_next_run_advance", q20NextRunAdvance _, Some(q20Oracle)),
+    ("q21_tag_copy", q21TagCopy _, Some(q21Oracle)),
+    ("q22_policy_tags", q22PolicyTags _, Some(q22Oracle)),
+    ("q23_rollup", q23Rollup _, Some(q23Oracle)),
+    ("q24_file_scan", q24FileScan _, Some(q24Oracle)))
+}

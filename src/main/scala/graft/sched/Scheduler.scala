@@ -1,0 +1,69 @@
+package graft.sched
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** AUTO-refresh scheduling + job/config state (SURVEY.md §2 H1–H4, A14,
+  * B6, D7).
+  *
+  * The reference polls Firestore for due configs (Cloud Scheduler →
+  * `read_ready_configs`, TagEngineStoreHandler.py:1374–1392), bumps
+  * `next_run += refresh_frequency` and `version += 1` per launch
+  * (:290–309, 623–646), and fans jobs out over two Cloud Tasks queues with
+  * per-shard counters (TaskManager.py, JobManager.py). Here config state is
+  * a DataFrame (backing table: the `configs` lake table); selection is a
+  * filter, the next-run advance is a MERGE-shaped transform, and the job
+  * fan-in is one groupBy (see CoreQueries2.q12JobRollup). Driven either by
+  * a plain driver loop or a Structured Streaming `Trigger.AvailableNow`
+  * batch — no stateful streaming operators are required for parity.
+  *
+  * `configs` schema: (config_uuid, config_type, config_status, refresh_mode,
+  * scheduling_status, refresh_frequency_minutes, next_run timestamp,
+  * version).
+  */
+object Scheduler {
+
+  /** H1: configs due to run at `now` (TagEngineStoreHandler.py:1374–1392):
+    * `refresh_mode='AUTO' ∧ config_status='ACTIVE' ∧
+    * scheduling_status='READY' ∧ next_run <= now`.
+    */
+  def readReadyConfigs(configs: DataFrame, now: Column): DataFrame =
+    configs.filter(
+      col("refresh_mode") === "AUTO" &&
+      col("config_status") === "ACTIVE" &&
+      col("scheduling_status") === "READY" &&
+      col("next_run") <= now)
+
+  /** H2: advance launched configs — `next_run += frequency`, `version += 1`,
+    * scheduling_status back to READY (TagEngineStoreHandler.py:290–309).
+    * MERGE semantics: only rows present in `launched` (by config_uuid)
+    * change.
+    */
+  def advanceNextRun(configs: DataFrame, launched: DataFrame): DataFrame = {
+    val hit = launched.select(col("config_uuid")).distinct()
+      .withColumn("__launched", lit(true))
+    configs.join(hit, Seq("config_uuid"), "left_outer")
+      .withColumn("next_run",
+        when(col("__launched"),
+          timestamp_seconds(unix_timestamp(col("next_run")) +
+            col("refresh_frequency_minutes") * 60))
+          .otherwise(col("next_run")))
+      .withColumn("version",
+        when(col("__launched"), col("version") + 1).otherwise(col("version")))
+      .drop("__launched")
+  }
+
+  /** Config identity for idempotence: md5 over the semantic content
+    * (TagEngineStoreHandler.py:366–392 uses md5(uris)+template to INACTIVE
+    * duplicate configs). New duplicate configs supersede old ones.
+    */
+  def deactivateSuperseded(configs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("content_md5").orderBy(col("version").desc,
+      col("config_uuid").asc)
+    configs.withColumn("__rn", row_number().over(w))
+      .withColumn("config_status",
+        when(col("__rn") > 1, lit("INACTIVE")).otherwise(col("config_status")))
+      .drop("__rn")
+  }
+}
