@@ -199,7 +199,88 @@ object CoreQueries3 {
     s"""SELECT name FROM (VALUES $values) AS t(name) ORDER BY name"""
   }
 
+  /** §3.1/§3.2 end-to-end: dynamic-table config over TWO assets (orders,
+    * lineitem) — expand → combined-query eval with `$table` substitution +
+    * a static field → melt to tag rows.
+    */
+  def q25E2eDynamic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.model.{FieldSpec, TagConfig}
+    import graft.operators.TagEngine
+    Lake.registerAll(spark, dir)
+    val catalog = {
+      import spark.implicits._
+      Lake.tableNames.map(t => ("p", "lake", t))
+        .toDF("project", "dataset", "table")
+    }
+    val config = TagConfig(
+      configType = "DYNAMIC_TAG_TABLE", templateId = "gov",
+      fields = Seq(
+        FieldSpec("n_rows", "double", Some("select count(*) from $table")),
+        FieldSpec("env", "enum", None, Some("PROD")),
+        FieldSpec("asset_label", "string",
+          Some("select concat('$dataset', '.', '$table')"))),
+      includedUris = Seq("bigquery/project/p/dataset/lake/orders",
+        "bigquery/project/p/dataset/lake/lineitem"))
+    TagEngine.applyDynamicTableConfig(spark, config, catalog)
+      .orderBy("asset_uri", "field_id")
+  }
+
+  val q25Oracle: String = {
+    def asset(t: String): String =
+      s"""SELECT 'bigquery/project/p/dataset/lake/$t' AS asset_uri, '' AS "column",
+         |  'gov' AS template_id, 'n_rows' AS field_id, 'double' AS field_type,
+         |  CAST((SELECT count(*) FROM $t) AS VARCHAR) AS field_value
+         |UNION ALL
+         |SELECT 'bigquery/project/p/dataset/lake/$t', '', 'gov', 'env', 'enum', 'PROD'
+         |UNION ALL
+         |SELECT 'bigquery/project/p/dataset/lake/$t', '', 'gov', 'asset_label',
+         |  'string', 'lake.$t'""".stripMargin
+    s"""${asset("orders")}
+       |UNION ALL
+       |${asset("lineitem")}
+       |ORDER BY asset_uri, field_id""".stripMargin
+  }
+
+  /** Dynamic-column config: `included_columns_query` + `$column`
+    * substitution (FIXTURES.md §1.2) over lineitem.
+    */
+  def q26DynamicColumn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.model.{AssetUri, FieldSpec, TagConfig}
+    import graft.operators.TagEngine
+    Lake.registerAll(spark, dir)
+    val config = TagConfig(
+      configType = "DYNAMIC_TAG_COLUMN", templateId = "profile",
+      fields = Seq(
+        FieldSpec("ndv", "double",
+          Some("select count(distinct $column) from $table")),
+        FieldSpec("min_value", "string",
+          Some("select cast(cast(min($column) as decimal(18,2)) as string) from $table"))),
+      includedColumnsQuery = Some("select 'l_quantity', 'l_discount'"))
+    val uri = AssetUri("bigquery", "p", Some("lake"), Some("lineitem"), None)
+    TagEngine.applyDynamicColumnConfig(spark, config, uri)
+      .orderBy("column", "field_id")
+  }
+
+  val q26Oracle: String = {
+    def one(c: String): String =
+      s"""SELECT 'bigquery/project/p/dataset/lake/lineitem' AS asset_uri,
+         |  '$c' AS "column", 'profile' AS template_id, 'ndv' AS field_id,
+         |  'double' AS field_type,
+         |  CAST((SELECT count(DISTINCT $c) FROM lineitem) AS VARCHAR) AS field_value
+         |UNION ALL
+         |SELECT 'bigquery/project/p/dataset/lake/lineitem', '$c', 'profile',
+         |  'min_value', 'string',
+         |  CAST(CAST((SELECT min($c) FROM lineitem) AS DECIMAL(18,2)) AS VARCHAR)"""
+        .stripMargin
+    s"""${one("l_quantity")}
+       |UNION ALL
+       |${one("l_discount")}
+       |ORDER BY "column", field_id""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("q25_e2e_dynamic", q25E2eDynamic _, Some(q25Oracle)),
+    ("q26_dynamic_column", q26DynamicColumn _, Some(q26Oracle)),
     ("q19_ready_configs", q19ReadyConfigs _, Some(q19Oracle)),
     ("q20_next_run_advance", q20NextRunAdvance _, Some(q20Oracle)),
     ("q21_tag_copy", q21TagCopy _, Some(q21Oracle)),

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.expand.Expander
+import graft.functions.Coerce
+import graft.model.AssetUri
+
+/** Property tests promised by SURVEY.md §5: the coercion type rules (§1.2)
+  * and the URI wildcard algebra (A1/B2). Raw ScalaCheck generators with a
+  * fixed seed (no scalatestplus bridge in the offline cache); each property
+  * is evaluated as ONE batched Spark job over all samples — a per-sample
+  * Spark action would take minutes.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("glob fragments semantics == contains-all reference model") {
+    val name = Gen.listOfN(6, Gen.oneOf('a', 'b', 'c', '*')).map(_.mkString)
+    val exprs = samples(name, 30)
+    val candidates = samples(name, 30).filterNot(_.contains("*"))
+    val pairs = for (e <- exprs; c <- candidates) yield (e, c)
+    val df = pairs.toDF("expr", "cand")
+    // evaluate all (expr, cand) pairs in one job: build a per-expr predicate
+    val results = exprs.distinct.map { e =>
+      val got = df.filter(col("expr") === e)
+        .filter(Expander.globPredicate(col("cand"), e))
+        .select("cand").as[String].collect().toSet
+      val expected = candidates.filter { c =>
+        AssetUri.globFragments(e) match {
+          case None        => c == e
+          case Some(frags) => frags.forall(c.contains)
+        }
+      }.toSet
+      (e, got, expected)
+    }
+    results.foreach { case (e, got, expected) =>
+      assert(got === expected, s"expr=$e")
+    }
+  }
+
+  test("timestamp heuristic: valid len-10 dates parse to midnight, garbage nulls") {
+    val dates = samples(for {
+      y <- Gen.choose(1990, 2030); m <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+    } yield f"$y%04d-$m%02d-$d%02d", 40)
+    val parsed = dates.toDF("v")
+      .select(col("v"), Coerce.timestamp(col("v")).cast("string").as("t"))
+      .as[(String, String)].collect()
+    parsed.foreach { case (v, t) => assert(t === v + " 00:00:00") }
+
+    val garbage = samples(Gen.alphaStr, 60)
+      .filter(g => g.length != 10 && g.length != 19 && g.nonEmpty)
+    val nulls = garbage.toDF("v").select(Coerce.timestamp(col("v"))).collect()
+    nulls.foreach(r => assert(r.isNullAt(0)))
+  }
+
+  test("bool coercion: exactly case-insensitive 'true' variants are true") {
+    val strs = samples(Gen.oneOf(Gen.alphaStr,
+      Gen.oneOf("TRUE", "true", "True", " TRUE ", "truely", "false")), 60)
+    val out = strs.toDF("v")
+      .select(col("v"), Coerce.bool(col("v")).as("b"))
+      .as[(String, Boolean)].collect()
+    out.foreach { case (v, b) =>
+      assert(b === v.trim.equalsIgnoreCase("true"), s"input='$v'")
+    }
+  }
+
+  test("affine minhash permutations stay in [0, P) and are injective-ish on samples") {
+    import graft.operators.Dedup
+    val hs = samples(Gen.choose(0L, (1L << 28) - 1), 200)
+    val perms = for (i <- 0 until 8; h <- hs)
+      yield (Dedup.MinhashA(i) * h + Dedup.MinhashB(i)) % Dedup.MinhashP
+    assert(perms.forall(p => p >= 0 && p < Dedup.MinhashP))
+    // distinct inputs map to distinct outputs per permutation (mod-prime affine)
+    val p0 = hs.map(h => (Dedup.MinhashA.head * h + Dedup.MinhashB.head) % Dedup.MinhashP)
+    assert(p0.distinct.size === hs.distinct.size)
+  }
+}
