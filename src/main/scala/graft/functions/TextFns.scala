@@ -27,13 +27,19 @@ object TextFns {
         i => c.substr(i, lit(k))))
       .otherwise(array().cast("array<string>"))
 
+  import org.apache.spark.sql.graft.{Bridge => ExpressionUtils}
+  import graft.plans.Md5PrefixLong
+
   /** A 60-bit integer hash from md5 — the deterministic, engine-portable
     * token hash used by simhash (DuckDB mirror:
     * `('0x' || substr(md5(t), 1, 15))::BIGINT`). 15 hex chars keep the
-    * value < 2^60, safely inside BIGINT for both engines.
+    * value < 2^60, safely inside BIGINT for both engines. Evaluated by the
+    * native [[graft.plans.Md5PrefixLong]] expression (digest bytes → long,
+    * no hex-string round trip); value identical to
+    * `conv(substring(md5(c), 1, 15), 16, 10)`.
     */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    ExpressionUtils.column(Md5PrefixLong(ExpressionUtils.expression(c), 15))
 
   /** 28-bit md5-derived hash — small enough that an affine permutation
     * `(a*h + b) mod P` with a,b < 2^24, P < 2^30 stays inside exact BIGINT
@@ -41,7 +47,7 @@ object TextFns {
     * the minhash permutation family.
     */
   def hash28(c: Column): Column =
-    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+    ExpressionUtils.column(Md5PrefixLong(ExpressionUtils.expression(c), 7))
 
   /** Small per-language stopword lists for the n-gram/language heuristic.
     * Deterministic and mirrored verbatim in the oracle SQL.

@@ -15,17 +15,20 @@ object VectorFns {
   private val cosineFn = "graft_cosine_sim"
 
   /** Register the native cosine expression in the session's function
-    * registry so it is usable from both the Column API (via
-    * `call_function`) and `spark.sql`.
+    * registry so `spark.sql` text can call it too (the Column API below
+    * does not need this).
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       cosineFn, exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
 
   /** Cosine similarity via the codegen'd Catalyst expression
-    * ([[graft.plans.CosineSimilarity]]). Requires [[register]] first.
+    * ([[graft.plans.CosineSimilarity]]).
     */
-  def cosine(a: Column, b: Column): Column = call_function(cosineFn, a, b)
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+  }
 
   /** Reference implementation with Spark built-ins only (higher-order
     * functions). Same left-to-right accumulation order — used by tests to
