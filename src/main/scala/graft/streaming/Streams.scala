@@ -37,6 +37,66 @@ object Streams {
     windowedEventCounts(stream.withWatermark("ts", "10 minutes"))
   }
 
+  /** One closed session emitted by the stateful streaming sessionizer. */
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Event shape for the stateful sessionizer. */
+  final case class SessionEvent(user_id: Long, event_id: Long,
+                                ts: java.sql.Timestamp)
+
+  /** TRUE stateful streaming sessionization via `flatMapGroupsWithState`:
+    * per-user state holds the open session; each micro-batch merges its
+    * events (sorted — batch iterators are unordered), emits every session
+    * CLOSED by a ≥gap silence observed in the data, and keeps the open
+    * tail in state. An event-time timeout flushes the open session once
+    * the watermark passes it. The batch equivalent (same session
+    * boundaries) is [[sessionize]] — StreamingSpec checks they agree on
+    * closed sessions.
+    */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[SessionEvent],
+                       gapMinutes: Int): org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def fn(userId: Long, it: Iterator[SessionEvent],
+           state: GroupState[Session]): Iterator[Session] = {
+      if (it.isEmpty && state.hasTimedOut) {
+        val out = state.getOption.iterator.toList
+        state.remove()
+        return out.iterator
+      }
+      val incoming = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var open = state.getOption
+      val closed = scala.collection.mutable.ListBuffer.empty[Session]
+      incoming.foreach { e =>
+        open match {
+          case Some(s) if e.ts.getTime - s.session_end.getTime < gapMs =>
+            open = Some(s.copy(session_end = e.ts, n_events = s.n_events + 1))
+          case Some(s) =>
+            closed += s
+            open = Some(Session(userId, e.ts, e.ts, 1))
+          case None =>
+            open = Some(Session(userId, e.ts, e.ts, 1))
+        }
+      }
+      open match {
+        case Some(s) =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.session_end.getTime + gapMs)
+        case None => ()
+      }
+      closed.iterator
+    }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Batch sessionization: a new session starts after a ≥ `gapMinutes`
     * silence per user (lag + running sum — the batch-equivalent of the
     * `flatMapGroupsWithState` session operator). Deterministic: events

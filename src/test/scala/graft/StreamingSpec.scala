@@ -33,6 +33,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stateful streaming sessionize emits the sessions closed by observed gaps") {
+    import spark.implicits._
+    import graft.streaming.Streams.{Session, SessionEvent}
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val stage = Files.createTempDirectory("graft_sess").toString
+    Seq(
+      SessionEvent(1L, 1L, ts("2024-01-01 00:00:00")),
+      SessionEvent(1L, 2L, ts("2024-01-01 00:10:00")),  // same session
+      SessionEvent(1L, 3L, ts("2024-01-01 02:00:00")),  // gap → closes first
+      SessionEvent(2L, 4L, ts("2024-01-01 00:00:00")))
+      .toDF().write.mode("append").parquet(stage)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(stage).schema).parquet(stage)
+      .as[SessionEvent]
+    val q = graft.streaming.Streams.sessionizeStream(stream, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val closed = spark.table("sessions").as[Session].collect().toSet
+    // user 1's first session closes via the observed gap; user 2's closes
+    // via the event-time TIMEOUT once the watermark (max ts - 30min = 01:30)
+    // passes its end+gap (00:30). User 1's 02:00 session stays open (its
+    // timeout 02:30 is beyond the watermark) and is correctly NOT emitted.
+    assert(closed === Set(
+      Session(1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2L),
+      Session(2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), 1L)))
+  }
+
   test("sessionize: gaps under threshold merge, over threshold split") {
     import spark.implicits._
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
