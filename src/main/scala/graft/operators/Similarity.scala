@@ -69,6 +69,41 @@ object Similarity {
       .select(col("rank"), col("vec_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Random-hyperplane LSH signature: bit i = sign(v · hyperplane_i).
+    * `hyperplanes(hp_id, hvec)` is tiny (broadcast); one narrow pass over
+    * the corpus yields an integer bucket signature — Hamming-close
+    * signatures ≈ cosine-close vectors, so equal-signature bucketing is
+    * the candidate filter for cosine search at corpus scale (the
+    * alternative to IVF when no centroids exist).
+    */
+  def hyperplaneSignatures(emb: DataFrame, hyperplanes: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(hyperplanes))
+      .withColumn("bit",
+        when(VectorFns.cosine(col("vec"), col("hvec")) >= 0,
+          expr("shiftleft(1L, cast(hp_id as int))")).otherwise(0L))
+      .groupBy("vec_id")
+      .agg(sum(col("bit")).as("bucket_sig"))
+
+  /** LSH-bucketed top-k: score only vectors in the query's signature
+    * bucket.
+    */
+  def lshTopK(emb: DataFrame, hyperplanes: DataFrame, queryId: Long,
+              k: Int): DataFrame = {
+    val sigs = hyperplaneSignatures(emb, hyperplanes)
+    val withSig = emb.join(sigs, "vec_id")
+    val qSig = sigs.filter(col("vec_id") === queryId)
+      .select(col("bucket_sig").as("q_sig"))
+    val query = emb.filter(col("vec_id") === queryId)
+      .select(col("vec").as("qvec"))
+    withSig.crossJoin(broadcast(qSig)).crossJoin(broadcast(query))
+      .filter(col("bucket_sig") === col("q_sig") && col("vec_id") =!= queryId)
+      .withColumn("cos", VectorFns.cosine(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
     * Brute force locally; at scale the candidate step is LSH (random
     * hyperplane) or the IVF assignment itself (only intra-bucket pairs).

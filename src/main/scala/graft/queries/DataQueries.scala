@@ -234,6 +234,35 @@ object DataQueries {
        |  FROM e JOIN cand USING (vec_id), q)
        |WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  /** Random-hyperplane LSH ANN: 4 hyperplanes (vectors 1–4) → 16 buckets;
+    * query 0 scores only its own bucket.
+    */
+  def s03AnnHyperplane(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val hyperplanes = e.filter(col("vec_id").between(1, 4))
+      .select((col("vec_id") - 1).as("hp_id"), col("vec").as("hvec"))
+    Similarity.lshTopK(e, hyperplanes, queryId = 0L, k = 10).orderBy("rank")
+  }
+
+  val s03Oracle: String =
+    s"""WITH $embCte,
+       |hp AS (SELECT vec_id - 1 AS hp_id, v AS hvec FROM e
+       |       WHERE vec_id BETWEEN 1 AND 4),
+       |sigs AS (SELECT e.vec_id,
+       |    CAST(sum(CASE WHEN ${cosSql("e.v", "hp.hvec")} >= 0
+       |                  THEN (1::BIGINT << CAST(hp.hp_id AS INT)) ELSE 0 END)
+       |         AS BIGINT) AS bucket_sig
+       |  FROM e CROSS JOIN hp GROUP BY e.vec_id),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |qsig AS (SELECT bucket_sig AS q_sig FROM sigs WHERE vec_id = 0),
+       |cand AS (SELECT s.vec_id FROM sigs s, qsig
+       |         WHERE s.bucket_sig = qsig.q_sig AND s.vec_id <> 0)
+       |SELECT * FROM (
+       |  SELECT row_number() OVER (ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id) AS rank,
+       |         e.vec_id, round(${cosSql("e.v", "q.qv")}, 6) AS cosine
+       |  FROM e JOIN cand USING (vec_id), q)
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   // -------------------------------------------------------- text analysis
 
   private def sqlList(ws: Seq[String]): String =
@@ -369,6 +398,25 @@ object DataQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Streaming-dedup semantics, batch form: exact duplicate drop by key
+    * over a doubled input (the streaming variant —
+    * `dropDuplicatesWithinWatermark` — is covered by StreamingSpec).
+    */
+  def st03StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Lake.table(spark, dir, "events").select("event_id", "event_type")
+    ev.union(ev).dropDuplicates("event_id")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val st03Oracle: String =
+    """SELECT event_type, count(*) AS n FROM (
+      |  SELECT DISTINCT event_id, event_type FROM (
+      |    SELECT event_id, event_type FROM events
+      |    UNION ALL
+      |    SELECT event_id, event_type FROM events))
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   def st02Sessionize(spark: SparkSession, dir: String): DataFrame =
     Streams.sessionize(Lake.table(spark, dir, "events"), gapMinutes = 30)
       .orderBy("user_id", "session_id")
@@ -397,11 +445,13 @@ object DataQueries {
     ("e01_embed_neardup", e01EmbedNearDup _, Some(e01Oracle)),
     ("s01_ann_topk", s01AnnBruteForce _, Some(s01Oracle)),
     ("s02_ann_ivf", s02AnnIvf _, Some(s02Oracle)),
+    ("s03_ann_hyperplane", s03AnnHyperplane _, Some(s03Oracle)),
     ("t01_langid", t01LangId _, Some(t01Oracle)),
     ("t02_quality", t02Quality _, Some(t02Oracle)),
     ("t03_tokens", t03Tokens _, Some(t03Oracle)),
     ("t04_fingerprint", t04Fingerprint _, Some(t04Oracle)),
     ("m01_multimodal", m01Multimodal _, Some(m01Oracle)),
     ("st01_stream_window", st01StreamWindow _, Some(st01Oracle)),
-    ("st02_sessionize", st02Sessionize _, Some(st02Oracle)))
+    ("st02_sessionize", st02Sessionize _, Some(st02Oracle)),
+    ("st03_stream_dedup", st03StreamDedup _, Some(st03Oracle)))
 }

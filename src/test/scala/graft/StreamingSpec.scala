@@ -64,6 +64,24 @@ class StreamingSpec extends SparkSpec {
       Session(2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), 1L)))
   }
 
+  test("dropDuplicatesWithinWatermark dedups repeated events across micro-batches") {
+    import spark.implicits._
+    val events = Lake.table(spark, sf, "events")
+      .select("event_id", "event_type", "ts")
+    val stage = Files.createTempDirectory("graft_dedup").toString
+    events.write.mode("append").parquet(stage)   // batch 1
+    events.limit(200).write.mode("append").parquet(stage) // batch 2: dupes
+
+    val stream = spark.readStream.schema(events.schema).parquet(stage)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("deduped")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("deduped").count() === events.count())
+  }
+
   test("sessionize: gaps under threshold merge, over threshold split") {
     import spark.implicits._
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
