@@ -1,0 +1,96 @@
+package graft.model
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Config JSON decoding (SURVEY.md §1.1: "case classes decoded from JSON").
+  *
+  * Accepts the reference's config document shapes (FIXTURES.md §1 /
+  * examples/configs/): `fields` with `field_id`/`field_type` and either
+  * `query_expression` (dynamic) or `field_value` (static);
+  * `included_*_uris` as a comma-separated string or array;
+  * `refresh_mode/frequency/unit`; `overwrite`; `tag_history`. Unknown keys
+  * are ignored (the reference's documents carry service metadata we don't
+  * need). json4s ships with Spark — no extra dependency.
+  */
+object ConfigIO {
+
+  private def str(v: JValue): Option[String] = v match {
+    case JString(s) => Some(s)
+    case JInt(i)    => Some(i.toString)
+    case JDouble(d) => Some(d.toString)
+    case JBool(b)   => Some(b.toString)
+    case _          => None
+  }
+
+  private def uris(v: JValue): Seq[String] = v match {
+    case JString(s)  => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    case JArray(els) => els.flatMap(str)
+    case _           => Nil
+  }
+
+  /** Minutes multiplier for the reference's refresh units
+    * (TagEngineStoreHandler.py:623–646).
+    */
+  private def unitMinutes(unit: String): Long = unit.toLowerCase match {
+    case "minutes" => 1L
+    case "hours"   => 60L
+    case "days"    => 1440L
+    case _         => 1L
+  }
+
+  def parse(json: String): TagConfig = {
+    val j = JsonMethods.parse(json)
+    val fields = (j \ "fields") match {
+      case JArray(els) => els.map { f =>
+        FieldSpec(
+          fieldId = str(f \ "field_id").getOrElse(
+            throw new IllegalArgumentException("field without field_id")),
+          fieldType = str(f \ "field_type").getOrElse("string"),
+          queryExpression = str(f \ "query_expression"),
+          fieldValue = str(f \ "field_value"))
+      }
+      case _ => Nil
+    }
+    val included = uris(j \ "included_tables_uris") ++
+      uris(j \ "included_assets_uris")
+    val excluded = uris(j \ "excluded_tables_uris") ++
+      uris(j \ "excluded_assets_uris")
+    val freq = (j \ "refresh_frequency") match {
+      case JInt(i)    => i.toLong
+      case JString(s) => s.trim.toLongOption.getOrElse(0L)
+      case _          => 0L
+    }
+    TagConfig(
+      configType = str(j \ "config_type").getOrElse("DYNAMIC_TAG_TABLE"),
+      templateId = str(j \ "template_id").getOrElse(""),
+      fields = fields,
+      includedUris = included,
+      excludedUris = excluded,
+      includedColumnsQuery = str(j \ "included_columns_query"),
+      overwrite = (j \ "overwrite") match {
+        case JBool(b) => b
+        case _        => true
+      },
+      refreshMode = str(j \ "refresh_mode").getOrElse("ON_DEMAND"),
+      refreshFrequencyMinutes =
+        freq * unitMinutes(str(j \ "refresh_unit").getOrElse("minutes")),
+      tagHistory = (j \ "tag_history") match {
+        case JBool(b) => b
+        case _        => false
+      })
+  }
+
+  /** Import-CSV asset-type inference from header keys (main.py:3445–3461):
+    * `dataset` → bigquery; `entry_group`+`fileset` → fileset;
+    * `instance`+`database` → spanner.
+    */
+  def inferAssetType(header: Seq[String]): String = {
+    val h = header.map(_.trim.toLowerCase).toSet
+    if (h.contains("entry_group") && h.contains("fileset")) "fileset"
+    else if (h.contains("instance") && h.contains("database")) "spanner"
+    else if (h.contains("dataset")) "bigquery"
+    else throw new IllegalArgumentException(
+      s"cannot infer asset type from header: ${header.mkString(",")}")
+  }
+}

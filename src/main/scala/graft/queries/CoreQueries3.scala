@@ -278,8 +278,39 @@ object CoreQueries3 {
        |ORDER BY "column", field_id""".stripMargin
   }
 
+  /** Same pipeline as q25 but driven from a reference-shaped JSON config
+    * document (FIXTURES.md §1.1) through ConfigIO — a user of the
+    * reference can feed their config files unchanged.
+    */
+  def q27ConfigJson(spark: SparkSession, dir: String): DataFrame = {
+    import graft.model.ConfigIO
+    import graft.operators.TagEngine
+    Lake.registerAll(spark, dir)
+    val catalog = {
+      import spark.implicits._
+      Lake.tableNames.map(t => ("p", "lake", t))
+        .toDF("project", "dataset", "table")
+    }
+    val config = ConfigIO.parse(
+      """{
+        | "config_type": "DYNAMIC_TAG_TABLE", "template_id": "gov",
+        | "fields": [
+        |   {"field_id": "n_rows", "field_type": "double",
+        |    "query_expression": "select count(*) from $table"},
+        |   {"field_id": "env", "field_type": "enum", "field_value": "PROD"},
+        |   {"field_id": "asset_label", "field_type": "string",
+        |    "query_expression": "select concat('$dataset', '.', '$table')"}
+        | ],
+        | "included_tables_uris": "bigquery/project/p/dataset/lake/orders, bigquery/project/p/dataset/lake/lineitem",
+        | "refresh_mode": "ON_DEMAND"
+        |}""".stripMargin)
+    TagEngine.applyDynamicTableConfig(spark, config, catalog)
+      .orderBy("asset_uri", "field_id")
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q25_e2e_dynamic", q25E2eDynamic _, Some(q25Oracle)),
+    ("q27_config_json", q27ConfigJson _, Some(q25Oracle)),
     ("q26_dynamic_column", q26DynamicColumn _, Some(q26Oracle)),
     ("q19_ready_configs", q19ReadyConfigs _, Some(q19Oracle)),
     ("q20_next_run_advance", q20NextRunAdvance _, Some(q20Oracle)),

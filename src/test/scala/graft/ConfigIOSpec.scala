@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.ConfigIO
+
+/** Reference-shaped config JSON decoding (FIXTURES.md §1). */
+class ConfigIOSpec extends AnyFunSuite {
+
+  test("dynamic_table_auto.json shape parses") {
+    val cfg = ConfigIO.parse(
+      """{
+        |  "template_id": "cities_311", "template_project": "p", "template_region": "r",
+        |  "fields": [
+        |    {"field_id": "sum_total_requests", "field_type": "double",
+        |     "query_expression": "select count(*) from $table"},
+        |    {"field_id": "tag_snapshot_time", "field_type": "datetime",
+        |     "query_expression": "select current_datetime"}
+        |  ],
+        |  "included_tables_uris": "bigquery/project/p/dataset/d/*",
+        |  "excluded_tables_uris": "",
+        |  "refresh_mode": "AUTO", "refresh_frequency": 5, "refresh_unit": "minutes",
+        |  "tag_history": false
+        |}""".stripMargin)
+    assert(cfg.templateId === "cities_311")
+    assert(cfg.fields.map(_.fieldId) ===
+      Seq("sum_total_requests", "tag_snapshot_time"))
+    assert(cfg.fields.head.queryExpression.get === "select count(*) from $table")
+    assert(cfg.includedUris === Seq("bigquery/project/p/dataset/d/*"))
+    assert(cfg.excludedUris === Nil)
+    assert(cfg.refreshMode === "AUTO" && cfg.refreshFrequencyMinutes === 5L)
+  }
+
+  test("static asset config: field_value literals, hours unit, overwrite") {
+    val cfg = ConfigIO.parse(
+      """{"config_type": "STATIC_TAG_ASSET", "template_id": "gov",
+        | "fields": [{"field_id": "env", "field_type": "enum", "field_value": "PROD"}],
+        | "included_assets_uris": "gs://b/f1, gs://b/f2",
+        | "overwrite": false,
+        | "refresh_mode": "AUTO", "refresh_frequency": 2, "refresh_unit": "hours"}"""
+        .stripMargin)
+    assert(cfg.fields.head.fieldValue === Some("PROD"))
+    assert(cfg.includedUris === Seq("gs://b/f1", "gs://b/f2"))
+    assert(!cfg.overwrite)
+    assert(cfg.refreshFrequencyMinutes === 120L)
+  }
+
+  test("import header asset-type inference (main.py:3445-3461)") {
+    assert(ConfigIO.inferAssetType(
+      Seq("project", "dataset", "table", "column", "x")) === "bigquery")
+    assert(ConfigIO.inferAssetType(
+      Seq("project", "entry_group", "fileset", "f")) === "fileset")
+    assert(ConfigIO.inferAssetType(
+      Seq("project", "instance", "database", "table")) === "spanner")
+    intercept[IllegalArgumentException](ConfigIO.inferAssetType(Seq("x")))
+  }
+}
