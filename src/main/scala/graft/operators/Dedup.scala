@@ -147,15 +147,27 @@ object Dedup {
     val sets = sh.groupBy(col(idCol))
       .agg(sort_array(collect_set(col("h"))).as("s"))
       .persist()
+    // eager materialization: the a/b sides below consume `sets` from two
+    // concurrently-scheduled stages; without a barrier both race to compute
+    // the cold cache and the lineage runs twice in parallel
+    sets.count()
     val a = sets.select(col(idCol).as("a_id"), col("s").as("sa"))
     val b = sets.select(col(idCol).as("b_id"), col("s").as("sb"))
+    // Optimization barrier: persisted BEFORE any inter/jaccard predicate.
+    // Without it Catalyst pushes this filter and any caller threshold INTO
+    // the broadcast-join condition, where `array_intersect` is re-evaluated
+    // per conjunct per probed row (observed 7× slowdown); a projection
+    // barrier gets column-pruned away, but filters cannot be pushed into a
+    // cached relation's plan. The verified pair set is also the natural
+    // thing to materialize — it is the pipeline's output state.
     candidates.join(a, "a_id").join(b, "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .filter(col("inter") > 0)
       .withColumn("jaccard",
         round(col("inter") * lit(1.0) /
           (size(col("sa")) + size(col("sb")) - col("inter")), 6))
       .select("a_id", "b_id", "inter", "jaccard")
+      .persist()
+      .filter(col("inter") > 0)
   }
 
   /** N-gram Jaccard near-dup pairs WITHOUT LSH: candidates are pairs sharing
@@ -170,12 +182,17 @@ object Dedup {
     // rows are two longs, so the cache is tiny relative to re-running the
     // explode+md5 per consumer
     val sh = shingleTable(docs, idCol, textCol, k).persist()
+    // eager: downstream stages (df-agg, semi-join, set-agg) are scheduled
+    // concurrently within one job and would otherwise all compute the cold
+    // explode+hash lineage in parallel before the cache exists
+    sh.count()
     val rare = sh.groupBy("h").agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") <= maxDf).select("h")
     // persisted: the candidate self-join references shr on both sides, and
     // shr's lineage (explode → df-agg → semi-join → distinct) is the
     // expensive part of the pipeline; materialized it is a few k rows
     val shr = sh.join(rare, "h", "left_semi").distinct().persist()
+    shr.count() // barrier before the two-sided self-join (same race)
     val cands = shr.as("l").join(shr.as("r"),
         col("l.h") === col("r.h") &&
         col(s"l.$idCol") < col(s"r.$idCol"))

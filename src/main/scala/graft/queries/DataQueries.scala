@@ -72,8 +72,10 @@ object DataQueries {
   def d03LshPipeline(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val sh = Dedup.shingleTable(d, "doc_id", "text", 5).persist()
+    sh.count() // barrier: sigs + verify both read sh (see Dedup scaladoc)
     // 1 row/doc; the LSH band join references it twice
     val sigs = Dedup.minhashFromShingles(sh, "doc_id").persist()
+    sigs.count()
     val cands = Dedup.lshCandidates(sigs, "doc_id")
     Dedup.jaccardVerifyArrays(cands, sh, "doc_id").orderBy("a_id", "b_id")
   }

@@ -64,6 +64,30 @@ class StreamingSpec extends SparkSpec {
       Session(2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), 1L)))
   }
 
+  test("stream-static join enriches streaming events with a dimension table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = Lake.table(spark, sf, "events")
+    val stage = Files.createTempDirectory("graft_enrich").toString
+    events.write.mode("append").parquet(stage)
+    val dim = (0L to 4L).map(i => (i, s"segment_$i")).toDF("seg_key", "segment")
+
+    val stream = spark.readStream.schema(events.schema).parquet(stage)
+      .withColumn("seg_key", col("user_id") % 5)
+      .join(broadcast(dim), "seg_key") // stream-static broadcast join
+      .groupBy("segment").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("enriched")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("enriched").as[(String, Long)].collect().toMap
+    val batch = events.withColumn("seg_key", col("user_id") % 5)
+      .join(dim, "seg_key").groupBy("segment").count()
+      .as[(String, Long)].collect().toMap
+    assert(streamed === batch)
+  }
+
   test("dropDuplicatesWithinWatermark dedups repeated events across micro-batches") {
     import spark.implicits._
     val events = Lake.table(spark, sf, "events")
