@@ -308,9 +308,41 @@ object CoreQueries3 {
       .orderBy("asset_uri", "field_id")
   }
 
+  /** Skew-salted join under the correctness gate: 90% of lineitem rows
+    * share one hot key; the salted plan must produce EXACTLY the plain
+    * join's result — the oracle is the plain join.
+    */
+  def q28SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Skew
+    val big = Lake.table(spark, dir, "lineitem")
+      .withColumn("k", when(col("l_orderkey") % 10 < 9, lit(1L))
+        .otherwise(col("l_suppkey")))
+      .select("k", "l_quantity")
+    val dim = Seq((1L, "hot"), (2L, "cold"), (7L, "warm")).toDF("k", "v")
+    Skew.saltedJoin(big, dim, Seq("k"), salts = 8,
+        bigUnique = col("l_quantity") * 100)
+      .groupBy("v")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy("v")
+  }
+
+  val q28Oracle: String =
+    """WITH big AS (
+      |  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1 ELSE l_suppkey END AS k,
+      |         l_quantity
+      |  FROM lineitem),
+      |dim(k, v) AS (VALUES (1, 'hot'), (2, 'cold'), (7, 'warm'))
+      |SELECT v, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM big JOIN dim USING (k)
+      |GROUP BY v ORDER BY v""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q25_e2e_dynamic", q25E2eDynamic _, Some(q25Oracle)),
     ("q27_config_json", q27ConfigJson _, Some(q25Oracle)),
+    ("q28_salted_join", q28SaltedJoin _, Some(q28Oracle)),
     ("q26_dynamic_column", q26DynamicColumn _, Some(q26Oracle)),
     ("q19_ready_configs", q19ReadyConfigs _, Some(q19Oracle)),
     ("q20_next_run_advance", q20NextRunAdvance _, Some(q20Oracle)),

@@ -361,6 +361,71 @@ object DataQueries {
       |    AS n_distinct_words
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Statistical LM scoring: corpus-unigram negative log-likelihood per
+    * document (the perplexity-style quality signal of training-data
+    * pipelines). The frequency table is built from the corpus itself
+    * (map-side-combined groupBy, broadcast back); per-term −ln p is
+    * rounded into decimal(18,10) BEFORE summing so the aggregation is
+    * order-independent and engine-exact.
+    */
+  def t05UnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val words = d.select(col("doc_id"),
+      explode(TextFns.words(col("text"))).as("w"))
+    val freq = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = words.count()
+    words.join(broadcast(freq), "w")
+      .withColumn("nll",
+        (-log(col("cnt") * lit(1.0) / lit(total.toDouble)))
+          .cast("decimal(18,10)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("nll")).cast("double") / count(lit(1))).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  val t05Oracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |                                    w -> length(w) > 0)) AS w
+      |  FROM documents),
+      |freq AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+      |total AS (SELECT count(*) AS t FROM words)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CAST(-ln(cnt * 1.0 / t) AS DECIMAL(18,10))) AS DOUBLE)
+      |    / count(*) AS avg_nll
+      |FROM words JOIN freq USING (w), total
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Corpus length-distribution stats per source: exact decimal moments
+    * (mean/stddev from exact sums — no fp-order dependence) + interpolated
+    * median.
+    */
+  def t06LengthStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).groupBy("source")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars").cast("decimal(18,0)")).as("s1"),
+        sum((col("n_chars") * col("n_chars")).cast("decimal(28,0)")).as("s2"),
+        expr("percentile(n_chars, 0.5)").as("median_chars"))
+      .select(col("source"), col("n"),
+        (col("s1").cast("double") / col("n")).as("mean_chars"),
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+          (col("n") - 1)).as("stddev_chars"),
+        col("median_chars"))
+      .orderBy("source")
+
+  val t06Oracle: String =
+    """SELECT source, count(*) AS n,
+      |  CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS mean_chars,
+      |  sqrt((CAST(sum(CAST(n_chars * n_chars AS DECIMAL(28,0))) AS DOUBLE)
+      |        - CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE)
+      |          * CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / count(*))
+      |       / (count(*) - 1)) AS stddev_chars,
+      |  quantile_cont(n_chars, 0.5) AS median_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------- multimodal
 
   /** Multimodal plumbing: opaque binary payload + typed metadata + cheap
@@ -452,6 +517,8 @@ object DataQueries {
     ("t02_quality", t02Quality _, Some(t02Oracle)),
     ("t03_tokens", t03Tokens _, Some(t03Oracle)),
     ("t04_fingerprint", t04Fingerprint _, Some(t04Oracle)),
+    ("t05_unigram_logprob", t05UnigramLogprob _, Some(t05Oracle)),
+    ("t06_length_stats", t06LengthStats _, Some(t06Oracle)),
     ("m01_multimodal", m01Multimodal _, Some(m01Oracle)),
     ("st01_stream_window", st01StreamWindow _, Some(st01Oracle)),
     ("st02_sessionize", st02Sessionize _, Some(st02Oracle)),
