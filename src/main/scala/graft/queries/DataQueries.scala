@@ -361,6 +361,62 @@ object DataQueries {
       |    AS n_distinct_words
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Deterministic hash-based train/validation/test split — the standard
+    * reshuffle-proof dataset partitioning (split = f(content), not
+    * f(row order)): md5-derived 28-bit hash mod 100 → 80/10/10.
+    */
+  def d07SplitAssign(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("bucket", TextFns.hash28(col("text")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+
+  val d07Oracle: String =
+    """WITH assigned AS (
+      |  SELECT lang,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT lang,
+      |          ('0x' || substr(md5(text), 1, 7))::BIGINT % 100 AS b
+      |        FROM documents))
+      |SELECT split, lang, count(*) AS n FROM assigned
+      |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  /** Cross-split contamination check: test documents whose canonical
+    * fingerprint (order/repetition-invariant token-set hash) also appears
+    * in train — the leakage detector run before training. Semi-join on the
+    * fingerprint.
+    */
+  def d08Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("fp", TextFns.fingerprint(col("text")))
+      .withColumn("split",
+        when(TextFns.hash28(col("text")) % 100 < 80, "train").otherwise("held_out"))
+    val train = d.filter(col("split") === "train").select("fp").distinct()
+    val heldOut = d.filter(col("split") === "held_out")
+    heldOut.join(broadcast(train), Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
+  val d08Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      list_filter(string_split(text, ' '), w -> length(w) > 0))), ' ')) AS fp,
+      |    CASE WHEN ('0x' || substr(md5(text), 1, 7))::BIGINT % 100 < 80
+      |         THEN 'train' ELSE 'held_out' END AS split
+      |  FROM documents)
+      |SELECT doc_id, fp FROM d
+      |WHERE split = 'held_out'
+      |  AND fp IN (SELECT fp FROM d WHERE split = 'train')
+      |ORDER BY doc_id""".stripMargin
+
   /** Statistical LM scoring: corpus-unigram negative log-likelihood per
     * document (the perplexity-style quality signal of training-data
     * pipelines). The frequency table is built from the corpus itself
@@ -509,6 +565,8 @@ object DataQueries {
     ("d04_jaccard_pairs", d04JaccardPairs _, Some(d04Oracle)),
     ("d05_simhash", d05Simhash _, Some(d05Oracle)),
     ("d06_simhash_pairs", d06SimhashPairs _, Some(d06Oracle)),
+    ("d07_split_assign", d07SplitAssign _, Some(d07Oracle)),
+    ("d08_contamination", d08Contamination _, Some(d08Oracle)),
     ("e01_embed_neardup", e01EmbedNearDup _, Some(e01Oracle)),
     ("s01_ann_topk", s01AnnBruteForce _, Some(s01Oracle)),
     ("s02_ann_ivf", s02AnnIvf _, Some(s02Oracle)),
