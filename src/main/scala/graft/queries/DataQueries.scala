@@ -540,6 +540,37 @@ object DataQueries {
       |    SELECT event_id, event_type FROM events))
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** As-of join (temporal): for each purchase, the latest PRECEDING view
+    * by the same user — composed from built-ins as a sorted window with
+    * `last(..., ignoreNulls)` over an unbounded-preceding frame (preference
+    * order (a) of the build brief: compose before custom operators). One
+    * shuffle on user_id; no range join blow-up.
+    */
+  def st04AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Lake.table(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("prev_view_ts",
+        last(when(col("event_type") === "view", col("ts")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "prev_view_ts")
+      .orderBy("event_id")
+  }
+
+  val st04Oracle: String =
+    """SELECT event_id, user_id, ts, prev_view_ts FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prev_view_ts
+      |  FROM events WHERE event_type IN ('view', 'purchase'))
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
   def st02Sessionize(spark: SparkSession, dir: String): DataFrame =
     Streams.sessionize(Lake.table(spark, dir, "events"), gapMinutes = 30)
       .orderBy("user_id", "session_id")
@@ -580,5 +611,6 @@ object DataQueries {
     ("m01_multimodal", m01Multimodal _, Some(m01Oracle)),
     ("st01_stream_window", st01StreamWindow _, Some(st01Oracle)),
     ("st02_sessionize", st02Sessionize _, Some(st02Oracle)),
-    ("st03_stream_dedup", st03StreamDedup _, Some(st03Oracle)))
+    ("st03_stream_dedup", st03StreamDedup _, Some(st03Oracle)),
+    ("st04_asof_join", st04AsofJoin _, Some(st04Oracle)))
 }
