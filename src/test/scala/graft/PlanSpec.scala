@@ -1,0 +1,42 @@
+package graft
+
+import graft.queries.{CoreQueries, CoreQueries2, DataQueries}
+
+/** Plan-quality assertions: the properties that matter at 100 TB must hold
+  * in the physical plan, not just produce correct rows — pushdown reaching
+  * the scan, reference joins broadcasting, top-k avoiding global sorts.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: wildcard predicates push into the parquet scan") {
+    val p = planOf(CoreQueries.q02UriExpand(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("StringContains"), p)
+  }
+
+  test("q07: glossary match is a broadcast semi join") {
+    val p = planOf(CoreQueries2.q07Glossary(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("q08: smallest-superset uses a broadcast containment join") {
+    val p = planOf(CoreQueries2.q08SmallestSuperset(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("s01: ANN top-k plans as TakeOrderedAndProject with the native cosine") {
+    val p = planOf(DataQueries.s01AnnBruteForce(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("cosine_sim"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d02: minhash aggregation is partial (map-side combine)") {
+    val p = planOf(DataQueries.d02MinhashSig(spark, sf))
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+    assert(p.contains("md5_prefix_long"), p)
+  }
+}
