@@ -203,6 +203,9 @@ object CoreQueries2 {
         round(col("tasks_ran") * lit(100.0) / col("task_count"), 1))
       .withColumn("job_status",
         when(col("tasks_failed") > 0, lit("ERROR")).otherwise(lit("SUCCESS")))
+      // A13: job-metadata JSON payload (BigQueryUtils.py:504–557 `to_json`)
+      .withColumn("metadata",
+        to_json(struct(col("task_count"), col("job_status"))))
       .orderBy("job_uuid")
 
   val q12Oracle: String =
@@ -214,7 +217,11 @@ object CoreQueries2 {
       |  round(count(CASE WHEN event_type <> 'view' THEN 1 END) * 100.0 / count(*), 1)
       |    AS pct_complete,
       |  CASE WHEN count(CASE WHEN event_type = 'error' THEN 1 END) > 0
-      |       THEN 'ERROR' ELSE 'SUCCESS' END AS job_status
+      |       THEN 'ERROR' ELSE 'SUCCESS' END AS job_status,
+      |  to_json(struct_pack(
+      |    task_count := count(*),
+      |    job_status := CASE WHEN count(CASE WHEN event_type = 'error' THEN 1 END) > 0
+      |                       THEN 'ERROR' ELSE 'SUCCESS' END)) AS metadata
       |FROM events
       |GROUP BY 1 ORDER BY job_uuid""".stripMargin
 
