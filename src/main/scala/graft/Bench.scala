@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR, ONE JSON line on stdout.
+  *
+  * Each query is timed best-of-2 with the SQL cache cleared between runs:
+  * the build box is multi-tenant (observed 3× swings run-to-run for
+  * identical code), so a single cold sample conflates external load with
+  * query cost; the min of two cold runs is a far tighter estimator. The
+  * second run is skipped once a query exceeds 20 s — the repeat exists to
+  * de-noise, not to double the wall-clock of the slowest entries.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,10 +28,16 @@ object Bench {
       graft.Lake.tableNames.foreach(t =>
         graft.Lake.table(spark, sfDir, t).limit(1).count())
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache() // keep every run cold
+      t
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t1 = once(fn)
+      name -> (if (t1 < 20.0) math.min(t1, once(fn)) else t1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -28,20 +28,27 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
-  /** (id, h) rows: char-k-gram shingles hashed to 28-bit ints AT the
-    * explode — the shared front end of the MinHash/Jaccard family.
-    * Hashing early shrinks every downstream shuffle/set ~3× vs carrying
-    * shingle strings (standard shingle-hashing; the md5-derived hash is
-    * engine-portable so the oracle mirrors collisions exactly).
-    * Deliberately NOT deduplicated: every consumer is
-    * duplicate-insensitive (`min` aggregates, `collect_set`,
-    * `countDistinct`), and a narrow explode recomputes for free while a
-    * distinct costs a full-width shuffle of the doc×shingle blow-up.
+  /** Per-doc distinct shingle-hash set as a ROW-LOCAL array
+    * `(id, hs: array<long>)` — the shared front end of the MinHash/Jaccard
+    * family. Char-k-gram shingles are hashed to 28-bit ints inside the
+    * `transform` (engine-portable md5-derived hash, so the oracle mirrors
+    * collisions exactly) and deduplicated with `array_distinct` without
+    * ever leaving the row.
+    *
+    * This shape is the scale win of the whole family: the doc×shingle
+    * blow-up (~300× the corpus row count) exists only transiently inside
+    * a narrow projection — it is never exploded into rows, never
+    * persisted, and never crosses a shuffle. Minhash signatures become
+    * per-row `array_min(transform(...))` (zero shuffle, vs an
+    * explode+groupBy over the blow-up), and Jaccard verification joins
+    * these 1-row/doc arrays directly. Web documents are a few KB → arrays
+    * of a few thousand longs, well inside row limits; for pathologically
+    * large docs fall back to the exploded form ([[jaccardVerify]]).
     */
-  def shingleTable(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs.select(col(idCol),
-        explode(TextFns.charShingles(col(textCol), k)).as("shingle"))
-      .select(col(idCol), TextFns.hash28(col("shingle")).as("h"))
+      array_distinct(transform(TextFns.charShingles(col(textCol), k),
+        s => TextFns.hash28(s))).as("hs"))
 
   /** The affine minhash permutation family: h_i(s) = (a_i·h28(s) + b_i)
     * mod P. Exactly mirrored in the oracle SQL — pure BIGINT arithmetic in
@@ -56,30 +63,30 @@ object Dedup {
 
   /** MinHash signatures: `numHashes` affine permutations of the 28-bit
     * shingle hash, min per doc, grouped into `numBands` band hashes.
-    * 1 row/doc out; the `min()` aggregates combine map-side, so the
-    * doc×shingle blow-up never crosses the shuffle.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, numHashes: Int = 8,
                         numBands: Int = 2): DataFrame =
-    minhashFromShingles(shingleTable(docs, idCol, textCol, k), idCol,
+    minhashFromSets(shingleSets(docs, idCol, textCol, k), idCol,
       numHashes, numBands)
 
-  /** Same, over an existing (possibly cached) shingle table — pipelines
-    * that need both signatures and raw shingles (LSH + verify) persist the
-    * shingle table ONCE and feed it to every stage; recomputing the
-    * explode+distinct per DAG reference is the dominant cost otherwise
-    * (at 100 TB: checkpoint the shingle/signature tables).
+  /** Signatures from a (possibly cached) shingle-set table: each mh_i is a
+    * per-row `array_min` over the permuted hash array — a NARROW projection
+    * with zero shuffle (the explode+groupBy formulation shuffles the
+    * doc×shingle blow-up even with map-side combine). Docs with no
+    * shingles (text shorter than k) are dropped, matching the exploded
+    * form where they simply produce no rows.
     */
-  def minhashFromShingles(shingles: DataFrame, idCol: String,
-                          numHashes: Int = 8, numBands: Int = 2): DataFrame = {
+  def minhashFromSets(sets: DataFrame, idCol: String,
+                      numHashes: Int = 8, numBands: Int = 2): DataFrame = {
     require(numHashes % numBands == 0 && numHashes <= MinhashA.length)
     val rowsPerBand = numHashes / numBands
-    val sh = shingles
-    val aggs = (0 until numHashes).map(i =>
-      min((lit(MinhashA(i)) * col("h") + lit(MinhashB(i))) % lit(MinhashP))
+    val mins = (0 until numHashes).map(i =>
+      array_min(transform(col("hs"),
+        h => (lit(MinhashA(i)) * h + lit(MinhashB(i))) % lit(MinhashP)))
         .as(s"mh_$i"))
-    val sigs = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sigs = sets.filter(size(col("hs")) > 0)
+      .select((col(idCol) +: mins): _*)
     (0 until numBands).foldLeft(sigs) { (df, b) =>
       val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => col(s"mh_$i").cast("string"))
@@ -131,28 +138,18 @@ object Dedup {
       .select("a_id", "b_id", "inter", "jaccard")
   }
 
-  /** Jaccard verify via per-doc shingle-set arrays: one `collect_set` per
-    * doc (map-side combinable), then candidates join the two small set
-    * tables (AQE broadcasts them when they fit) and `array_intersect`
-    * scores each pair with NO wide shuffle — the pair×shingle join row
-    * blow-up of [[jaccardVerify]] never materializes. Preferred when doc
-    * shingle sets fit in a row (true for typical web documents); fall back
-    * to [[jaccardVerify]] for pathologically large docs. Pairs with an
-    * empty intersection are dropped (same as the join form).
+  /** Jaccard verify via the per-doc shingle-set arrays of [[shingleSets]]:
+    * candidates join the 1-row/doc set table on each side (AQE broadcasts
+    * when it fits) and `array_intersect` scores each pair with NO wide
+    * shuffle — the pair×shingle join row blow-up of [[jaccardVerify]]
+    * never materializes. Fall back to [[jaccardVerify]] for
+    * pathologically large docs. Pairs with an empty intersection are
+    * dropped (same as the join form).
     */
-  def jaccardVerifyArrays(candidates: DataFrame, sh: DataFrame,
-                          idCol: String): DataFrame = {
-    // persisted: referenced twice (a and b sides); 1 row/doc, tiny — without
-    // this Spark recomputes the full explode+aggregate chain per side
-    val sets = sh.groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("h"))).as("s"))
-      .persist()
-    // eager materialization: the a/b sides below consume `sets` from two
-    // concurrently-scheduled stages; without a barrier both race to compute
-    // the cold cache and the lineage runs twice in parallel
-    sets.count()
-    val a = sets.select(col(idCol).as("a_id"), col("s").as("sa"))
-    val b = sets.select(col(idCol).as("b_id"), col("s").as("sb"))
+  def jaccardVerifySets(candidates: DataFrame, sets: DataFrame,
+                        idCol: String): DataFrame = {
+    val a = sets.select(col(idCol).as("a_id"), col("hs").as("sa"))
+    val b = sets.select(col(idCol).as("b_id"), col("hs").as("sb"))
     // Optimization barrier: persisted BEFORE any inter/jaccard predicate.
     // Without it Catalyst pushes this filter and any caller threshold INTO
     // the broadcast-join condition, where `array_intersect` is re-evaluated
@@ -178,27 +175,29 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, maxDf: Int = 50,
                    minJaccard: Double = 0.8): DataFrame = {
-    // persisted: three consumers (df-agg, semi-join, set-agg); post-hash
-    // rows are two longs, so the cache is tiny relative to re-running the
-    // explode+md5 per consumer
-    val sh = shingleTable(docs, idCol, textCol, k).persist()
-    // eager: downstream stages (df-agg, semi-join, set-agg) are scheduled
-    // concurrently within one job and would otherwise all compute the cold
-    // explode+hash lineage in parallel before the cache exists
-    sh.count()
-    val rare = sh.groupBy("h").agg(countDistinct(col(idCol)).as("df"))
+    // persisted: three consumers (df-agg via explode, candidate semi-join,
+    // verify); 1 row/doc, so the cache is tiny relative to re-running the
+    // shingle+md5 projection per consumer
+    val sets = shingleSets(docs, idCol, textCol, k).persist()
+    // eager: downstream stages are scheduled concurrently within one job
+    // and would otherwise all compute the cold shingle+hash lineage in
+    // parallel before the cache exists
+    sets.count()
+    // (id, h) rows already distinct per doc — explode of the cached sets
+    val sh = sets.select(col(idCol), explode(col("hs")).as("h"))
+    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
     // persisted: the candidate self-join references shr on both sides, and
-    // shr's lineage (explode → df-agg → semi-join → distinct) is the
-    // expensive part of the pipeline; materialized it is a few k rows
-    val shr = sh.join(rare, "h", "left_semi").distinct().persist()
+    // shr's lineage (explode → df-agg → semi-join) is the expensive part
+    // of the pipeline; materialized it is a few k rows
+    val shr = sh.join(rare, "h", "left_semi").persist()
     shr.count() // barrier before the two-sided self-join (same race)
     val cands = shr.as("l").join(shr.as("r"),
         col("l.h") === col("r.h") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("a_id"), col(s"r.$idCol").as("b_id"))
       .distinct()
-    jaccardVerifyArrays(cands, sh, idCol).filter(col("jaccard") >= minJaccard)
+    jaccardVerifySets(cands, sets, idCol).filter(col("jaccard") >= minJaccard)
   }
 
   /** SimHash: 60-bit signature over whitespace tokens (with multiplicity).

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives for dedup pipelines.
+  *
+  * Near-duplicate detection yields PAIRS; acting on them (keep one doc per
+  * duplicate group) needs the transitive closure — connected components.
+  * At 100 TB the component structure is exactly what union-find on a
+  * single machine cannot hold, so this is the canonical "genuinely
+  * distributed" dedup stage (cf. the alternating-star CC algorithms of
+  * Kiveris et al., "Connected Components in MapReduce and Beyond").
+  */
+object Graph {
+
+  /** Connected components by iterative min-label propagation: every vertex
+    * repeatedly adopts the smallest label among itself and its neighbors
+    * until fixpoint. Output: `(id, component)` with `component` = the
+    * minimum vertex id of the component — a deterministic canonical
+    * representative (the "keeper" under a min-id survivor rule).
+    *
+    * Scale shape: each iteration is one equi-join (edges ⨝ labels, keyed
+    * on vertex id) plus one map-side-combined `min` aggregation — both
+    * shuffle-partitioned by vertex id, so a cluster co-partitions them
+    * and the per-iteration cost is linear in |E|. Iteration count is the
+    * graph diameter; near-dup clusters are dense (diameter 2–4), so the
+    * loop converges in a handful of rounds. For adversarial long-chain
+    * graphs switch to the alternating large-star/small-star contraction,
+    * which converges in O(log n) rounds; plain propagation is the right
+    * trade for dedup workloads.
+    *
+    * The driver loop is orchestration only (no data on the driver): each
+    * round materializes the new label table EAGERLY with
+    * `localCheckpoint()` and probes convergence with a `limit(1)`
+    * existence join. The checkpoint is load-bearing, not an optimization:
+    * `next` references `labels` twice (union + join), so without lineage
+    * truncation the logical plan doubles per round and Catalyst analysis
+    * goes exponential by iteration ~10 — the standard iterative-DataFrame
+    * trap (GraphX/ML checkpoint for the same reason). On a real cluster
+    * use `spark.sparkContext.setCheckpointDir` + `checkpoint()` for
+    * executor-loss resilience; local mode has no such failure domain.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25,
+                          verbose: Boolean = false): DataFrame = {
+    val sym = edges.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .union(edges.select(col(bCol).cast("long").as("u"),
+        col(aCol).cast("long").as("v")))
+      .persist()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    // pointer jumping: adopt the label OF one's label (labels are always
+    // vertex ids, so the self-join resolves; identical subplans share one
+    // exchange via ReuseExchange)
+    def jump(df: DataFrame): DataFrame =
+      df.as("p").join(
+          df.select(col("id").as("lid"), col("label").as("llabel")).as("pl"),
+          col("p.label") === col("pl.lid"), "left")
+        .select(col("p.id").as("id"),
+          coalesce(col("pl.llabel"), col("p.label")).as("label"))
+    // labels decrease monotonically per element, so the exact decimal SUM
+    // of labels is a fixpoint detector: unchanged sum ⇔ unchanged labels —
+    // one narrow aggregation per round instead of a change-probe join
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var converged = labels.head(1).isEmpty // no edges → nothing to do
+    var prevSum = if (converged) null else labelSum(labels)
+    var it = 0
+    var e = sym
+    while (!converged && it < maxIter) {
+      // neighbor minima first, then a left join back onto labels (`least`
+      // skips nulls for isolated-this-round vertices). Formulated WITHOUT
+      // a self-referencing union: Union children sharing a checkpointed
+      // relation trip a Catalyst constraint-rewrite bug ("key not found"
+      // in UnionBase.rewriteConstraints).
+      val nmin = e.join(
+          labels.select(col("id").as("nid"), col("label").as("nlabel")),
+          e("v") === col("nid"))
+        .groupBy(e("u").as("id")).agg(min("nlabel").as("nmin"))
+      // materialized BEFORE the jumps: jump(jump(prop)) references prop 4×
+      // and exchange reuse does not always deduplicate the copies — without
+      // this the edge⨝label join recomputes 4× per round
+      val prop = labels.as("l")
+        .join(nmin.as("nm"), col("l.id") === col("nm.id"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), col("nm.nmin")).as("label"))
+        .localCheckpoint()
+      // neighbor-min + two jumps ≈ 4× the propagation distance per round:
+      // O(log diameter) rounds
+      val next = jump(jump(prop))
+        .localCheckpoint() // eager: materializes AND truncates lineage
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      if (!converged) {
+        // contract the edge set through the new labels: intra-cluster
+        // edges (the vast majority once dense near-dup cliques collapse)
+        // vanish, so later rounds join against a rapidly-shrinking
+        // super-graph instead of the full |E|
+        val lmU = next.select(col("id").as("cu"), col("label").as("lu"))
+        val lmV = next.select(col("id").as("cv"), col("label").as("lv"))
+        val newE = e.join(lmU, e("u") === col("cu"))
+          .join(lmV, e("v") === col("cv"))
+          .select(col("lu").as("u"), col("lv").as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+          .persist()
+        newE.count()
+        if (e ne sym) e.unpersist()
+        e = newE
+      }
+      labels = next
+      it += 1
+      if (verbose) System.err.println(s"[cc] round $it sum=$s")
+    }
+    if (e ne sym) e.unpersist()
+    sym.unpersist()
+    require(converged, s"connectedComponents: no fixpoint after $maxIter iterations")
+    labels
+  }
+}

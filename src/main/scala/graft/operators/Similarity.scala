@@ -21,17 +21,53 @@ import graft.functions.VectorFns
   */
 object Similarity {
 
-  /** Nearest-centroid assignment: broadcast `centroids(centroid_id, cvec)`
-    * against `emb(vec_id, vec)`; argmax cosine, ties → smaller centroid_id.
+  /** Nearest-centroid assignment: argmax cosine, ties → smaller
+    * centroid_id. The centroid set is driver-resident by IVF contract
+    * (it is the trained "model", like a Spark ML KMeans model — k ≪
+    * corpus), so assignment is a NARROW per-row argmax — `greatest` over
+    * one codegen'd cosine per centroid — with zero shuffle and zero join.
+    * The crossJoin+window alternative materializes k× the corpus through
+    * a corpus-wide shuffle just to immediately collapse it back.
     */
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = emb.crossJoin(broadcast(centroids))
-      .withColumn("cos", VectorFns.cosine(col("vec"), col("cvec")))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("centroid_id").asc)
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("vec"))
+    val cents = centroids.select(col("centroid_id").cast("long"), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    // struct max-ordering is lexicographic (cos, then -centroid_id), so the
+    // max struct is highest cosine with ties to the SMALLEST centroid_id
+    val scored = cents.map { case (id, v) =>
+      struct(VectorFns.cosine(col("vec"), lit(v)).as("cos"),
+        lit(-id).as("neg_id"))
+    }
+    val best =
+      if (scored.length == 1) scored.head
+      else greatest(scored.toIndexedSeq: _*)
+    emb.select(col("vec_id"),
+        (-best.getField("neg_id")).as("centroid_id"), col("vec"))
   }
+
+  /** Rank the top-k of a scored corpus WITHOUT a global window: the
+    * `orderBy().limit(k)` plans as `TakeOrderedAndProject` — each input
+    * partition keeps its local top-k and only k×partitions candidate rows
+    * ever leave the scan stage — then `row_number` labels the k survivors
+    * on one (intentional, k-row) partition. The naive global
+    * `row_number().over(Window.orderBy(...))` form instead funnels every
+    * scored row through a single-partition WindowExec — the #1 scale trap
+    * for top-k on a 100 TB corpus.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.orderBy(col("cos").desc, col("vec_id").asc).limit(k)
+      // rank the k survivors without a window: a global window (even over k
+      // rows) plans as an unpartitioned WindowExec (Spark 4's
+      // EliminateWindowPartitions folds away constant partition keys);
+      // collecting k rows into one sorted array is explicit about the
+      // driver-scale cardinality instead
+      .agg(sort_array(collect_list(
+        struct((-col("cos")).as("nc"), col("vec_id").as("vec_id")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).as("rank"), col("s.vec_id").as("vec_id"),
+        round(-col("s.nc"), 6).as("cosine"))
 
   /** Brute-force top-k for one query vector (DataFrame `query(qvec)` with
     * exactly one row). Deterministic order: cosine desc, vec_id asc.
@@ -41,11 +77,7 @@ object Similarity {
     val base = excludeId.map(id => emb.filter(col("vec_id") =!= id)).getOrElse(emb)
     val scored = base.crossJoin(broadcast(query))
       .withColumn("cos", VectorFns.cosine(col("vec"), col("qvec")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cos").desc, col("vec_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("rank"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** IVF top-k: probe the `nprobe` centroids closest to the query, score
@@ -55,18 +87,14 @@ object Similarity {
               k: Int, nprobe: Int, excludeId: Option[Long] = None): DataFrame = {
     val probed = centroids.crossJoin(broadcast(query))
       .withColumn("ccos", VectorFns.cosine(col("cvec"), col("qvec")))
-      .withColumn("crank", row_number().over(
-        Window.orderBy(col("ccos").desc, col("centroid_id").asc)))
-      .filter(col("crank") <= nprobe)
+      .orderBy(col("ccos").desc, col("centroid_id").asc).limit(nprobe)
       .select("centroid_id")
     val base = excludeId.map(id => assigned.filter(col("vec_id") =!= id)).getOrElse(assigned)
     val bucket = base.join(broadcast(probed), "centroid_id")
-    bucket.crossJoin(broadcast(query))
-      .withColumn("cos", VectorFns.cosine(col("vec"), col("qvec")))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cos").desc, col("vec_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("rank"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+    rankTopK(
+      bucket.crossJoin(broadcast(query))
+        .withColumn("cos", VectorFns.cosine(col("vec"), col("qvec"))),
+      k)
   }
 
   /** Random-hyperplane LSH signature: bit i = sign(v · hyperplane_i).
@@ -95,13 +123,11 @@ object Similarity {
       .select(col("bucket_sig").as("q_sig"))
     val query = emb.filter(col("vec_id") === queryId)
       .select(col("vec").as("qvec"))
-    withSig.crossJoin(broadcast(qSig)).crossJoin(broadcast(query))
-      .filter(col("bucket_sig") === col("q_sig") && col("vec_id") =!= queryId)
-      .withColumn("cos", VectorFns.cosine(col("vec"), col("qvec")))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cos").desc, col("vec_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("rank"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+    rankTopK(
+      withSig.crossJoin(broadcast(qSig)).crossJoin(broadcast(query))
+        .filter(col("bucket_sig") === col("q_sig") && col("vec_id") =!= queryId)
+        .withColumn("cos", VectorFns.cosine(col("vec"), col("qvec"))),
+      k)
   }
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.

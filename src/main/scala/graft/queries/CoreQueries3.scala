@@ -187,6 +187,30 @@ object CoreQueries3 {
       |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin
 
+  /** D8 (cube): full grouping-set lattice over two dims with an exact
+    * decimal measure — the other half of the grouping-sets surface next to
+    * q23's rollup, equally free via Catalyst's Expand operator.
+    */
+  def q29Cube(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "orders")
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_price"))
+      .orderBy("priority", "status")
+
+  val q29Oracle: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(o_orderstatus, 'ALL') AS status,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
   /** A2: filesystem glob scan — the lake manifest recovered from the store
     * itself (Hadoop FS; same path works against gs:// with the connector).
     */
@@ -349,5 +373,6 @@ object CoreQueries3 {
     ("q21_tag_copy", q21TagCopy _, Some(q21Oracle)),
     ("q22_policy_tags", q22PolicyTags _, Some(q22Oracle)),
     ("q23_rollup", q23Rollup _, Some(q23Oracle)),
+    ("q29_cube", q29Cube _, Some(q29Oracle)),
     ("q24_file_scan", q24FileScan _, Some(q24Oracle)))
 }

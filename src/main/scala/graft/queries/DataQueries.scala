@@ -35,8 +35,8 @@ object DataQueries {
       |       min(doc_id) AS keeper_id
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
-  /** Shared oracle CTEs, mirroring Dedup.shingleTable exactly: char-5
-    * shingles hashed to 28-bit ints at the explode (hash-then-distinct
+  /** Shared oracle CTEs, mirroring Dedup.shingleSets exactly: char-5
+    * shingles hashed to 28-bit ints then deduplicated (hash-then-distinct
     * order matters under collisions), plus the affine-minhash signature.
     */
   private val shingleCtes: String =
@@ -68,16 +68,20 @@ object DataQueries {
        |  md5(${bandSql(1)}) AS band_1
        |FROM sig ORDER BY doc_id""".stripMargin
 
-  /** Full LSH pipeline: band-bucket candidates → exact-Jaccard verify. */
+  /** Full LSH pipeline: band-bucket candidates → exact-Jaccard verify.
+    * One narrow pass builds the row-local shingle sets; signatures are a
+    * per-row projection of them; the only shuffles are the band self-join
+    * and the candidate⨝sets verify joins.
+    */
   def d03LshPipeline(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val sh = Dedup.shingleTable(d, "doc_id", "text", 5).persist()
-    sh.count() // barrier: sigs + verify both read sh (see Dedup scaladoc)
+    val sets = Dedup.shingleSets(d, "doc_id", "text", 5).persist()
+    sets.count() // barrier: sigs + verify both read sets (see Dedup scaladoc)
     // 1 row/doc; the LSH band join references it twice
-    val sigs = Dedup.minhashFromShingles(sh, "doc_id").persist()
+    val sigs = Dedup.minhashFromSets(sets, "doc_id").persist()
     sigs.count()
     val cands = Dedup.lshCandidates(sigs, "doc_id")
-    Dedup.jaccardVerifyArrays(cands, sh, "doc_id").orderBy("a_id", "b_id")
+    Dedup.jaccardVerifySets(cands, sets, "doc_id").orderBy("a_id", "b_id")
   }
 
   /** Pair-bounded intersection (expects a `cand(a_id, b_id)` CTE) —
@@ -134,7 +138,7 @@ object DataQueries {
   def d05Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(spark, dir), "doc_id", "text").orderBy("doc_id")
 
-  private val simhashCtes: String = {
+  private[queries] val simhashCtes: String = {
     val bitSums = (0 until 60)
       .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s_$j").mkString(", ")
     val assemble = (0 until 60)

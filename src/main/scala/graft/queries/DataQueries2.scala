@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Lake
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Graph, Similarity}
+import graft.queries.CoreQueries.Q
+
+/** Round-2 training-data pipeline operators: dedup clustering (connected
+  * components), Gopher-style repetition quality, embedding quantization,
+  * nearest-centroid classification, stratified sampling, vocabulary
+  * building, per-window trending. Same parity discipline as DataQueries:
+  * md5-derived hashing, exact decimal sums, IEEE-identical float chains.
+  */
+object DataQueries2 {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "documents")
+
+  // ---------------------------------------------------- dedup clustering
+
+  /** Connected components over simhash near-dup pairs: the transitive
+    * closure that turns pairwise near-dup hits into duplicate GROUPS with
+    * a deterministic min-id keeper — the step between "find near-dups"
+    * and "drop them" in a dedup pipeline.
+    */
+  def d09DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhash(docs(spark, dir), "doc_id", "text"), "doc_id",
+      maxHamming = 8)
+    Graph.connectedComponents(pairs, "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
+  }
+
+  val d09Oracle: String =
+    s"""WITH RECURSIVE ${DataQueries.simhashCtes},
+       |pairs AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b
+       |  FROM sims l JOIN sims r ON l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 8),
+       |edges AS (SELECT a AS u, b AS v FROM pairs
+       |          UNION SELECT b, a FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |         FROM reach GROUP BY u)
+       |SELECT doc_id, cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |FROM comp ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- repetition quality
+
+  /** Gopher-style repetition signals, all ROW-LOCAL (zero shuffle):
+    * distinct-token fraction, top-token fraction, duplicate-2-gram
+    * fraction. The per-doc O(distinct×tokens) top-token count trades
+    * asymptotics for narrowness — at 100 TB a shuffle per doc-token is
+    * the cost that matters, not 10^4 in-row comparisons.
+    */
+  def t07Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextFns.words(col("text"))
+    val n = size(ws)
+    val grams = when(n >= lit(2),
+      transform(sequence(lit(1), n - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val topCnt = array_max(transform(array_distinct(ws),
+      d => size(filter(ws, x => x === d))))
+    docs(spark, dir).select(
+        col("doc_id"), n.as("n_tokens"),
+        round(size(array_distinct(ws)) * lit(1.0) / n, 4).as("distinct_frac"),
+        round(topCnt * lit(1.0) / n, 4).as("top_word_frac"),
+        round(when(size(grams) > 0,
+            lit(1.0) - size(array_distinct(grams)) * lit(1.0) / size(grams))
+          .otherwise(lit(0.0)), 4).as("dup_2gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val t07Oracle: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+      |  FROM documents),
+      |g AS (SELECT doc_id, ws, len(ws) AS n,
+      |  CASE WHEN len(ws) >= 2
+      |       THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+      |       ELSE [] END AS grams
+      |  FROM t)
+      |SELECT doc_id, n AS n_tokens,
+      |  round(len(list_distinct(ws)) * 1.0 / n, 4) AS distinct_frac,
+      |  round(list_max(list_transform(list_distinct(ws),
+      |    d -> len(list_filter(ws, x -> x = d)))) * 1.0 / n, 4) AS top_word_frac,
+      |  round(CASE WHEN len(grams) > 0
+      |    THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+      |    ELSE 0.0 END, 4) AS dup_2gram_frac
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ embedding quantization
+
+  /** Int8 scalar quantization of the embedding column (per-vector min/max
+    * affine code), entirely row-local, with integer-exact checksums: the
+    * quantized-code sum and the reconstruction error in femto units
+    * (floor(err·10^12) summed as BIGINT) — both engine-portable without
+    * any float-accumulation-order concern.
+    */
+  def s04Quantize(spark: SparkSession, dir: String): DataFrame = {
+    VectorFns.register(spark)
+    val e = Lake.table(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("v"))
+    val mn = array_min(col("v"))
+    val mx = array_max(col("v"))
+    val scale = (mx - mn) / lit(255.0)
+    def qOf(x: Column): Column =
+      least(floor((x - mn) * lit(255.0) / (mx - mn)), lit(255.0)).cast("long")
+    val qSum = aggregate(transform(col("v"), x => qOf(x)), lit(0L), _ + _)
+    val errE12 = aggregate(
+      transform(col("v"),
+        x => floor(abs(x - (mn + qOf(x).cast("double") * scale)) * lit(1e12)).cast("long")),
+      lit(0L), _ + _)
+    e.select(col("vec_id"), size(col("v")).as("n_dims"),
+        round(mn, 6).as("v_min"), round(mx, 6).as("v_max"),
+        qSum.as("q_sum"), errE12.as("err_e12"))
+      .orderBy("vec_id")
+  }
+
+  val s04Oracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+      |        (list_max(v) - list_min(v)) / 255.0 AS scale FROM e)
+      |SELECT vec_id, len(v) AS n_dims,
+      |  round(mn, 6) AS v_min, round(mx, 6) AS v_max,
+      |  CAST(list_sum(list_transform(v,
+      |    x -> CAST(least(floor((x - mn) * 255.0 / (mx - mn)), 255) AS BIGINT)))
+      |    AS BIGINT) AS q_sum,
+      |  CAST(list_sum(list_transform(v,
+      |    x -> CAST(floor(abs(x - (mn + CAST(least(floor((x - mn) * 255.0 / (mx - mn)), 255) AS BIGINT) * scale)) * 1e12) AS BIGINT)))
+      |    AS BIGINT) AS err_e12
+      |FROM m ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------- nearest-centroid classification
+
+  /** Nearest-centroid classification over the labeled embeddings: per-label
+    * mean vectors (exact decimal per-dimension sums → identical doubles in
+    * both engines), then every vector is assigned to its cosine-nearest
+    * centroid ([[Similarity.ivfAssign]]'s narrow argmax) and the confusion
+    * matrix is one keyed aggregation.
+    */
+  def s05CentroidClassify(spark: SparkSession, dir: String): DataFrame = {
+    VectorFns.register(spark)
+    val ev = Lake.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        VectorFns.toDoubleArray(col("embedding")).as("vec"))
+    val cent = ev.select(col("label"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("m"))
+    val carr = cent.groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cvec"))
+      .select(col("label").cast("long").as("centroid_id"), col("cvec"))
+    Similarity.ivfAssign(ev.select(col("vec_id"), col("vec")), carr)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(ev.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("label").cast("int").as("label"),
+        col("centroid_id").cast("int").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred_label")
+  }
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  val s05Oracle: String =
+    s"""WITH e AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |dims AS (SELECT label, i AS pos, v[i] AS x
+       |         FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+       |cent AS (SELECT label, pos,
+       |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+       |  FROM dims GROUP BY 1, 2),
+       |carr AS (SELECT label, list(m ORDER BY pos) AS cv FROM cent GROUP BY label),
+       |best AS (SELECT vec_id, label, pred FROM (
+       |    SELECT e.vec_id, e.label, c.label AS pred,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.label ASC) AS rn
+       |    FROM e CROSS JOIN carr c) WHERE rn = 1)
+       |SELECT CAST(label AS INT) AS label, CAST(pred AS INT) AS pred_label,
+       |  count(*) AS n
+       |FROM best GROUP BY 1, 2 ORDER BY label, pred_label""".stripMargin
+
+  // ----------------------------------------------- stratified sampling
+
+  /** Deterministic stratified sampling: per-language keep rates applied
+    * via the content hash (reshuffle-proof, like d07's split) — the
+    * standard "rebalance the language mix" step. Pure narrow filter.
+    */
+  def d10StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 500)
+      .when(col("lang") === "de", 250).otherwise(100)
+    docs(spark, dir)
+      .withColumn("keep", TextFns.hash28(col("text")) % 1000 < rate)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("keep"), 1)).as("n_sampled"))
+      .withColumn("sampled_frac",
+        round(col("n_sampled") * lit(1.0) / col("n_total"), 4))
+      .orderBy("lang")
+  }
+
+  val d10Oracle: String =
+    """WITH d AS (SELECT lang,
+      |  ('0x' || substr(md5(text), 1, 7))::BIGINT % 1000 <
+      |    CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END AS keep
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_total,
+      |  count(CASE WHEN keep THEN 1 END) AS n_sampled,
+      |  round(count(CASE WHEN keep THEN 1 END) * 1.0 / count(*), 4)
+      |    AS sampled_frac
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ----------------------------------------------- vocabulary building
+
+  /** Tokenizer-vocab building: corpus word frequencies, top 20 by
+    * (count desc, word asc). Map-side-combined groupBy + distributed
+    * top-k (TakeOrderedAndProject) — no global sort.
+    */
+  def t09VocabTopK(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(TextFns.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(20)
+
+  val t09Oracle: String =
+    """SELECT w, cnt FROM (
+      |  SELECT w, count(*) AS cnt,
+      |    row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rn
+      |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+      |                                  w -> length(w) > 0)) AS w
+      |        FROM documents)
+      |  GROUP BY w)
+      |WHERE rn <= 20""".stripMargin
+
+  // ------------------------------------------------- per-window top-k
+
+  /** Trending events: top-3 event types per 5-minute window — the keyed
+    * top-k shape (rank window PARTITIONED by the time bucket, so it scales
+    * with the window count, never a global sort).
+    */
+  def st05Trending(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Lake.table(spark, dir, "events")
+      .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("window_start"), col("event_type"), col("n"))
+    val w = Window.partitionBy("window_start")
+      .orderBy(col("n").desc, col("event_type").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("window_start", "rn")
+  }
+
+  val st05Oracle: String =
+    """SELECT window_start, event_type, n, rn FROM (
+      |  SELECT window_start, event_type, n,
+      |    row_number() OVER (PARTITION BY window_start
+      |                       ORDER BY n DESC, event_type ASC) AS rn
+      |  FROM (SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
+      |          event_type, count(*) AS n
+      |        FROM events GROUP BY 1, 2))
+      |WHERE rn <= 3 ORDER BY window_start, rn""".stripMargin
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("d09_dedup_clusters", d09DedupClusters _, Some(d09Oracle)),
+    ("d10_stratified_sample", d10StratifiedSample _, Some(d10Oracle)),
+    ("t07_repetition", t07Repetition _, Some(t07Oracle)),
+    ("t09_vocab_topk", t09VocabTopK _, Some(t09Oracle)),
+    ("s04_quantize", s04Quantize _, Some(s04Oracle)),
+    ("s05_centroid_classify", s05CentroidClassify _, Some(s05Oracle)),
+    ("st05_trending", st05Trending _, Some(st05Oracle)))
+}

@@ -34,9 +34,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("d02: minhash aggregation is partial (map-side combine)") {
+  test("d02: minhash signatures are a narrow projection (zero shuffle)") {
+    // row-local shingle sets + per-row array_min permutations: the ONLY
+    // allowed exchange is the final presentation orderBy's range partition
     val p = planOf(DataQueries.d02MinhashSig(spark, sf))
-    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+    assert(!p.contains("hashpartitioning"), p)
     assert(p.contains("md5_prefix_long"), p)
   }
 }
