@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, CoreQueries2, DataQueries}
+import graft.queries.{CoreQueries, CoreQueries2, DataQueries, DataQueries2}
 
 /** Plan-quality assertions: the properties that matter at 100 TB must hold
   * in the physical plan, not just produce correct rows — pushdown reaching
@@ -40,5 +40,21 @@ class PlanSpec extends SparkSpec {
     val p = planOf(DataQueries.d02MinhashSig(spark, sf))
     assert(!p.contains("hashpartitioning"), p)
     assert(p.contains("md5_prefix_long"), p)
+  }
+
+  test("s04: int8 quantization is row-local (zero shuffle)") {
+    val p = planOf(DataQueries2.s04Quantize(spark, sf))
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("t07: repetition quality is row-local (zero shuffle)") {
+    val p = planOf(DataQueries2.t07Repetition(spark, sf))
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("t09: vocab top-k plans as TakeOrderedAndProject over a partial agg") {
+    val p = planOf(DataQueries2.t09VocabTopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
   }
 }
