@@ -275,6 +275,130 @@ object DataQueries2 {
       |        FROM events GROUP BY 1, 2))
       |WHERE rn <= 3 ORDER BY window_start, rn""".stripMargin
 
+  // ------------------------------------------------ stream-stream join
+
+  /** Purchases with the count of preceding views by the same user within
+    * 10 minutes — batch form of the watermarked stream-stream interval
+    * join ([[graft.streaming.Streams.viewsBeforePurchases]]; streaming
+    * parity in StreamingSpec).
+    */
+  def st06IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Lake.table(spark, dir, "events")
+    graft.streaming.Streams.viewsBeforePurchases(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"), minutes = 10)
+      .select("event_id", "user_id", "n_prior_views")
+      .orderBy("event_id")
+  }
+
+  val st06Oracle: String =
+    """SELECT p.event_id AS event_id, p.user_id AS user_id,
+      |       count(*) AS n_prior_views
+      |FROM events p JOIN events v
+      |  ON v.user_id = p.user_id
+      | AND v.ts >= p.ts - INTERVAL 10 MINUTE AND v.ts < p.ts
+      |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+      |GROUP BY 1, 2 ORDER BY p.event_id""".stripMargin
+
+  // ------------------------------------------------------------ TF-IDF
+
+  /** Top TF-IDF term per document: corpus df table (map-side-combined,
+    * broadcast back), per-doc tf, score = tf·ln(N/df), keyed top-1
+    * window. The word explode is the only corpus-wide shuffle.
+    */
+  def t10TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val nDocs = d.count()
+    val words = d.select(col("doc_id"), explode(TextFns.words(col("text"))).as("w"))
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = words.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("w").asc)
+    tf.join(broadcast(dfreq), "w")
+      .withColumn("score", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("w").as("top_term"),
+        round(col("score"), 6).as("tfidf"))
+      .orderBy("doc_id")
+  }
+
+  val t10Oracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |                                    w -> length(w) > 0)) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+      |dfreq AS (SELECT w, count(*) AS df
+      |          FROM (SELECT DISTINCT doc_id, w FROM words) GROUP BY w),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (SELECT doc_id, w, tf * ln(n_docs / df) AS score
+      |           FROM tf JOIN dfreq USING (w), n)
+      |SELECT doc_id, w AS top_term, round(score, 6) AS tfidf FROM (
+      |  SELECT doc_id, w, score, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, w ASC) AS rn FROM scored)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------- sequence packing
+
+  /** Concatenate-and-chunk sequence packing per source: documents in
+    * doc_id order are laid end-to-end and cut into 2048-token bins;
+    * a doc's bin = floor(start_offset / 2048). Keyed running sum —
+    * partition-parallel by source, never a global window. 2048 is a
+    * power of two, so the double division is EXACT at bin boundaries
+    * (engine-portable floor).
+    */
+  def t11SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextFns.words(col("text"))).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")) / lit(2048.0)).cast("long"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("source", "pack_id")
+  }
+
+  val t11Oracle: String =
+    """WITH t AS (SELECT source, doc_id,
+      |    len(list_filter(string_split(text, ' '), w -> length(w) > 0))
+      |      AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, n_tokens,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM t)
+      |SELECT source,
+      |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
+
+  // ------------------------------------------------- per-source quota
+
+  /** Domain-quota capping (crawl-style): keep at most 20 docs per source
+    * by doc_id order; report kept/total per source. Keyed rank window.
+    */
+  def d11SourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("rn") <= 20, 1)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val d11Oracle: String =
+    """SELECT source, count(*) AS n_total,
+      |  count(CASE WHEN rn <= 20 THEN 1 END) AS n_kept
+      |FROM (SELECT source, row_number() OVER (PARTITION BY source
+      |        ORDER BY doc_id) AS rn FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("d09_dedup_clusters", d09DedupClusters _, Some(d09Oracle)),
     ("d10_stratified_sample", d10StratifiedSample _, Some(d10Oracle)),
@@ -282,5 +406,9 @@ object DataQueries2 {
     ("t09_vocab_topk", t09VocabTopK _, Some(t09Oracle)),
     ("s04_quantize", s04Quantize _, Some(s04Oracle)),
     ("s05_centroid_classify", s05CentroidClassify _, Some(s05Oracle)),
-    ("st05_trending", st05Trending _, Some(st05Oracle)))
+    ("st05_trending", st05Trending _, Some(st05Oracle)),
+    ("st06_interval_join", st06IntervalJoin _, Some(st06Oracle)),
+    ("t10_tfidf", t10TfIdf _, Some(t10Oracle)),
+    ("t11_sequence_pack", t11SequencePack _, Some(t11Oracle)),
+    ("d11_source_cap", d11SourceCap _, Some(d11Oracle)))
 }

@@ -37,6 +37,24 @@ object Streams {
     windowedEventCounts(stream.withWatermark("ts", "10 minutes"))
   }
 
+  /** Stream-stream interval-join shape: for each purchase, the count of
+    * views by the same user in the preceding `minutes`. Written once,
+    * runs in batch (the DuckDB-checked query) and as a watermarked
+    * stream-stream inner join (StreamingSpec): the equi user_id key routes
+    * both sides to the same partition, the time bound lets the state store
+    * evict rows once the watermark passes — state is O(events in window),
+    * the scale-safe form of a stream-stream join.
+    */
+  def viewsBeforePurchases(views: DataFrame, purchases: DataFrame,
+                           minutes: Int): DataFrame =
+    purchases.as("p").join(views.as("v"),
+        col("v.user_id") === col("p.user_id") &&
+        col("v.ts") >= col("p.ts") - expr(s"INTERVAL $minutes MINUTES") &&
+        col("v.ts") < col("p.ts"))
+      .groupBy(col("p.event_id").as("event_id"),
+        col("p.user_id").as("user_id"), col("p.ts").as("ts"))
+      .agg(count(lit(1)).as("n_prior_views"))
+
   /** One closed session emitted by the stateful streaming sessionizer. */
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long)

@@ -106,6 +106,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("deduped").count() === events.count())
   }
 
+  test("stream-stream interval join (views before purchases) == batch") {
+    import org.apache.spark.sql.functions._
+    val events = Lake.table(spark, sf, "events")
+    val stage = Files.createTempDirectory("graft_ivj").toString
+    events.write.mode("append").parquet(stage)
+
+    def side(tpe: String) = spark.readStream.schema(events.schema)
+      .parquet(stage).filter(col("event_type") === tpe)
+      .withWatermark("ts", "30 minutes")
+    val joined = Streams.viewsBeforePurchases(
+      side("view"), side("purchase"), minutes = 10)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ivjoin")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("event_id", "n_prior_views").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = pairs(spark.table("ivjoin"))
+    val batch = pairs(Streams.viewsBeforePurchases(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "purchase"), minutes = 10))
+    assert(streamed === batch)
+  }
+
   test("sessionize: gaps under threshold merge, over threshold split") {
     import spark.implicits._
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
