@@ -52,6 +52,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p)
   }
 
+  test("st06: interval join is equi-keyed on user_id (never nested-loop)") {
+    // the range predicate must ride on a hash/sort-merge equi join — a
+    // BroadcastNestedLoopJoin here would be O(|views|·|purchases|) at scale
+    val p = planOf(DataQueries2.st06IntervalJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("t09: vocab top-k plans as TakeOrderedAndProject over a partial agg") {
     val p = planOf(DataQueries2.t09VocabTopK(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
