@@ -399,6 +399,77 @@ object DataQueries2 {
       |        ORDER BY doc_id) AS rn FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------- k-NN join
+
+  /** Similarity-graph construction: each vector's top-3 cosine neighbors
+    * within its IVF bucket — the bucketed k-NN JOIN (vs s01's single-query
+    * lookup). The self-join is keyed by centroid_id, so work is
+    * Σ bucket², never corpus²; ranking is a keyed window per vector.
+    */
+  def s06KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    VectorFns.register(spark)
+    val e = Lake.table(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("vec"))
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val assigned = Similarity.ivfAssign(e, centroids)
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos").desc, col("b_id").asc)
+    assigned.as("l").join(assigned.as("r"),
+        col("l.centroid_id") === col("r.centroid_id") &&
+        col("l.vec_id") =!= col("r.vec_id"))
+      .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"),
+        VectorFns.cosine(col("l.vec"), col("r.vec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("a_id"), col("rank"), col("b_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("a_id", "rank")
+  }
+
+  val s06Oracle: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+       |assign AS (SELECT vec_id, v, centroid_id FROM (
+       |  SELECT e.vec_id, e.v, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.centroid_id) AS rn
+       |  FROM e CROSS JOIN cent c) WHERE rn = 1)
+       |SELECT a_id, rank, b_id, cosine FROM (
+       |  SELECT l.vec_id AS a_id, r.vec_id AS b_id,
+       |    round(${cosSql("l.v", "r.v")}, 6) AS cosine,
+       |    row_number() OVER (PARTITION BY l.vec_id
+       |      ORDER BY ${cosSql("l.v", "r.v")} DESC, r.vec_id ASC) AS rank
+       |  FROM assign l JOIN assign r
+       |    ON l.centroid_id = r.centroid_id AND l.vec_id <> r.vec_id)
+       |WHERE rank <= 3 ORDER BY a_id, rank""".stripMargin
+
+  // ---------------------------------------------------- dedup filtering
+
+  /** APPLY the exact dedup: keep one doc per content hash (min doc_id
+    * survivor), report per-language before/after counts — the filter step
+    * that turns d01's duplicate census into the deduplicated corpus.
+    * One keyed window, no join back.
+    */
+  def d12DedupFilter(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+      .orderBy(col("doc_id").asc)
+    docs(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_before"),
+        count(when(col("rn") === 1, 1)).as("n_after"))
+      .orderBy("lang")
+  }
+
+  val d12Oracle: String =
+    """SELECT lang, count(*) AS n_before,
+      |  count(CASE WHEN rn = 1 THEN 1 END) AS n_after
+      |FROM (SELECT lang, row_number() OVER (PARTITION BY md5(text)
+      |        ORDER BY doc_id ASC) AS rn FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("d09_dedup_clusters", d09DedupClusters _, Some(d09Oracle)),
     ("d10_stratified_sample", d10StratifiedSample _, Some(d10Oracle)),
@@ -410,5 +481,7 @@ object DataQueries2 {
     ("st06_interval_join", st06IntervalJoin _, Some(st06Oracle)),
     ("t10_tfidf", t10TfIdf _, Some(t10Oracle)),
     ("t11_sequence_pack", t11SequencePack _, Some(t11Oracle)),
-    ("d11_source_cap", d11SourceCap _, Some(d11Oracle)))
+    ("d11_source_cap", d11SourceCap _, Some(d11Oracle)),
+    ("s06_knn_join", s06KnnJoin _, Some(s06Oracle)),
+    ("d12_dedup_filter", d12DedupFilter _, Some(d12Oracle)))
 }
