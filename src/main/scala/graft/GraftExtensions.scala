@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.plans.{CosineSimilarity, Md5PrefixLong}
+
+/** Library entry point for `spark.sql.extensions`: installs the engine's
+  * native expressions into every session's function registry, so SQL-only
+  * users get them with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` and zero code:
+  *
+  *   SELECT graft_cosine_sim(a.vec, b.vec)   -- codegen'd fused loop
+  *   SELECT graft_md5_prefix(text, 7)        -- digest-bytes → BIGINT hash
+  *
+  * (The Column API in [[graft.functions.VectorFns]]/[[graft.functions.TextFns]]
+  * does not need this — it builds the expressions directly.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_sim"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_cosine_sim(arrayA, arrayB)")
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_prefix"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName, "graft_md5_prefix"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_md5_prefix(col, nibbles)")
+        val nibbles = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case Literal(v: Integer, _) => v.intValue
+          case other => throw new IllegalArgumentException(
+            s"graft_md5_prefix nibbles must be an integer literal, got $other")
+        }
+        Md5PrefixLong(exprs.head, nibbles)
+      }))
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The spark.sql.extensions entry point must make the native functions
+  * available to a pure-SQL session (no Scala registration calls).
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft.GraftExtensions registers the native functions for SQL use") {
+    val prev = spark // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // new SparkSession over the SAME SparkContext, with extensions applied
+      // (the spark.sql.extensions STATIC conf only takes effect on a fresh
+      // SparkContext — spark-submit's case; withExtensions exercises the
+      // identical injection path in-process)
+      val s = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val row = s.sql(
+        """SELECT graft_cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+          |       graft_md5_prefix('abc', 7) AS h""".stripMargin).head()
+      assert(row.getDouble(0) === 1.0)
+      // substr(md5('abc'), 1, 7) = "9001509" (md5 'abc' = 900150983cd24fb0...)
+      assert(row.getLong(1) === java.lang.Long.parseLong("9001509", 16))
+      // codegen path too, not just eval
+      assert(s.sql("SELECT graft_md5_prefix(cast(id AS string), 5) FROM range(10)")
+        .collect().length == 10)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+}
