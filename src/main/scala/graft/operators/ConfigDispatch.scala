@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expand.Expander
+import graft.model.{AssetUri, TagConfig, TagTemplate}
+import graft.sources.BackupParser
+
+/** External inputs for config types whose data does not come from the
+  * asset catalog itself (mirrors what the reference fetches from DLP
+  * tables, mapping tables, CSV files, and backup files at task time).
+  */
+final case class EngineInputs(
+    catalog: DataFrame,
+    existingTags: DataFrame,
+    /** (source_name, canonical_name) — glossary configs. */
+    glossaryMapping: Option[DataFrame] = None,
+    /** (asset_uri, column_name) — the schema columns of each asset. */
+    schemaColumns: Option[DataFrame] = None,
+    /** (asset_uri, column, infotypes: array<string>) — DLP findings. */
+    dlpFindings: Option[DataFrame] = None,
+    /** (field_infotypes: array<string>, classification_result). */
+    infotypeSelection: Option[DataFrame] = None,
+    /** Header-driven CSV rows: (project, dataset, table[, column], f...). */
+    importRows: Option[DataFrame] = None,
+    /** Template for import typing. */
+    template: Option[TagTemplate] = None,
+    /** BackupParser.read output — restore configs. */
+    backup: Option[DataFrame] = None,
+    /** Source project filter for restore. */
+    backupProjectId: Option[String] = None)
+
+/** The reference's config-type dispatch (main.py:3597–3628: one
+  * `apply_*_config` per ConfigType) as a single entry point. Every
+  * tagging config type produces the UNIFIED tag-row shape
+  * `(asset_uri, column, template_id, field_id, field_type, field_value)`
+  * ready for [[TagStore.applyWithDeletes]]; export produces the report
+  * shape ([[Sinks.reportRows]]).
+  */
+object ConfigDispatch {
+
+  private val TagRowCols = Seq("asset_uri", "column", "template_id",
+    "field_id", "field_type", "field_value")
+
+  /** Route a config to its pipeline (ConfigType.py:3–12 names). */
+  def applyConfig(spark: SparkSession, config: TagConfig,
+                  in: EngineInputs): DataFrame =
+    config.configType.toUpperCase match {
+      case "DYNAMIC_TAG_TABLE" =>
+        TagEngine.applyDynamicTableConfig(spark, config, in.catalog)
+      case "DYNAMIC_TAG_COLUMN" =>
+        expandedUris(config, in.catalog)
+          .map(uri => TagEngine.applyDynamicColumnConfig(spark, config, uri))
+          .reduce(_ unionByName _)
+      case "STATIC_TAG_ASSET"  => staticAsset(spark, config, in)
+      case "GLOSSARY_TAG_ASSET" => glossary(config, in)
+      case "SENSITIVE_TAG_ASSET" => sensitive(config, in)
+      case "TAG_IMPORT" => importCsv(spark, config, in)
+      case "TAG_RESTORE" => restore(config, in)
+      case "TAG_EXPORT" =>
+        Sinks.reportRows(exportableTags(in.existingTags), current_timestamp())
+      case other => throw new IllegalArgumentException(
+        s"unknown config_type: $other")
+    }
+
+  private def expandedUris(config: TagConfig, catalog: DataFrame): Seq[AssetUri] =
+    Expander.expand(catalog, config.includedUris, config.excludedUris)
+      .select("project", "dataset", "table").collect()
+      .map(r => AssetUri("bigquery", r.getString(0), Some(r.getString(1)),
+        Some(r.getString(2)), None)).toSeq
+
+  /** Static fields fanned over the expanded asset set, honoring
+    * `overwrite=false` (anti-join skip, DataCatalogController.py:230–243).
+    */
+  private def staticAsset(spark: SparkSession, config: TagConfig,
+                          in: EngineInputs): DataFrame = {
+    val assets = Expander
+      .expand(in.catalog, config.includedUris, config.excludedUris)
+      .select(concat_ws("/", lit("bigquery/project"), col("project"),
+        lit("dataset"), col("dataset"), col("table")).as("asset_uri"))
+    val work =
+      if (config.overwrite) assets
+      else Expander.minusExisting(assets,
+        in.existingTags.filter(col("template_id") === config.templateId)
+          .select("asset_uri").distinct(), Seq("asset_uri"))
+    val fields = config.fields.map(f =>
+      struct(lit(f.fieldId).as("field_id"), lit(f.fieldType).as("field_type"),
+        lit(f.fieldValue.getOrElse("")).as("field_value")))
+    work.select(col("asset_uri"), lit("").as("column"),
+        lit(config.templateId).as("template_id"),
+        explode(array(fields: _*)).as("f"))
+      .select(col("asset_uri"), col("column"), col("template_id"),
+        col("f.field_id"), col("f.field_type"), col("f.field_value"))
+  }
+
+  /** Glossary: per asset, mapping terms present among its columns become
+    * bool=true fields (DataCatalogController.py:768–799) — broadcast the
+    * tiny mapping against the schema-column table.
+    */
+  private def glossary(config: TagConfig, in: EngineInputs): DataFrame =
+    in.schemaColumns.getOrElse(sys.error("glossary config needs schemaColumns"))
+      .join(broadcast(in.glossaryMapping.getOrElse(
+          sys.error("glossary config needs glossaryMapping"))),
+        col("column_name") === col("source_name"))
+      .select(col("asset_uri"), lit("").as("column"),
+        lit(config.templateId).as("template_id"),
+        col("canonical_name").as("field_id"),
+        lit("bool").as("field_type"), lit("true").as("field_value"))
+      .distinct()
+
+  /** Sensitive: smallest-superset classification of each column's DLP
+    * infotype set (DataCatalogController.py:909–984).
+    */
+  private def sensitive(config: TagConfig, in: EngineInputs): DataFrame = {
+    val findings = in.dlpFindings.getOrElse(
+      sys.error("sensitive config needs dlpFindings"))
+      .withColumn("__key", concat_ws(":", col("asset_uri"), col("column")))
+    val sel = in.infotypeSelection.getOrElse(
+      sys.error("sensitive config needs infotypeSelection"))
+    Classify.smallestSuperset(findings, sel, "__key", "infotypes",
+        "field_infotypes", "classification_result")
+      .select(col("asset_uri"), col("column"),
+        lit(config.templateId).as("template_id"),
+        lit("classification_result").as("field_id"),
+        lit("string").as("field_type"),
+        col("classification_result").as("field_value"))
+  }
+
+  /** Import: melt the header-driven CSV rows against the template's field
+    * types (DataCatalogController.py:1340–1368). Unknown CSV columns (not
+    * in the template) error, mirroring the reference.
+    */
+  private def importCsv(spark: SparkSession, config: TagConfig,
+                        in: EngineInputs): DataFrame = {
+    import spark.implicits._
+    val rows = in.importRows.getOrElse(sys.error("import config needs importRows"))
+    val template = in.template.getOrElse(sys.error("import config needs template"))
+    val keyCols = Seq("project", "dataset", "table", "column")
+      .filter(rows.columns.contains)
+    val fieldCols = rows.columns.filterNot(keyCols.contains).toSeq
+    val unknown = fieldCols.filterNot(template.byId.contains)
+    require(unknown.isEmpty, s"unknown fields in import: ${unknown.mkString(",")}")
+    val melted = rows.unpivot(keyCols.map(col).toArray,
+      fieldCols.map(col).toArray, "field_id", "field_value")
+    val types = template.fields.map(f => (f.fieldId, f.fieldType))
+      .toDF("field_id", "field_type")
+    melted.join(broadcast(types), "field_id")
+      .select(concat_ws("/", lit("bigquery/project"), col("project"),
+          lit("dataset"), col("dataset"), col("table")).as("asset_uri"),
+        (if (keyCols.contains("column")) col("column") else lit(""))
+          .as("column"),
+        lit(config.templateId).as("template_id"),
+        col("field_id"), col("field_type"),
+        rtrim(col("field_value")).as("field_value"))
+  }
+
+  /** Restore: backup JSONL → template-filtered tag rows
+    * (BackupFileParser.py:54–126).
+    */
+  private def restore(config: TagConfig, in: EngineInputs): DataFrame = {
+    val backup = in.backup.getOrElse(sys.error("restore config needs backup"))
+    val filtered = BackupParser.filterByTemplate(backup, config.templateId,
+      in.backupProjectId.getOrElse(""))
+    BackupParser.toTagRows(filtered)
+      .select(concat_ws("/", col("projectId"), col("entryGroupId"),
+          col("entry_id")).as("asset_uri"),
+        col("column"), lit(config.templateId).as("template_id"),
+        col("field_id"), col("field_type"), col("field_value"))
+  }
+
+  /** Tags keyed by `bigquery/project/P/dataset/D/T` URIs → the report
+    * input shape (project, dataset, table, tag_template, tag_field,
+    * tag_value).
+    */
+  private def exportableTags(tags: DataFrame): DataFrame = {
+    val parts = split(col("asset_uri"), "/")
+    tags.select(
+      element_at(parts, 3).as("project"),
+      element_at(parts, 5).as("dataset"),
+      element_at(parts, 6).as("table"),
+      col("template_id").as("tag_template"),
+      col("field_id").as("tag_field"),
+      col("field_value").cast("string").as("tag_value"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.model.{FieldSpec, TagConfig, TagTemplate, TemplateField}
+import graft.operators.{ConfigDispatch, EngineInputs}
+import graft.sources.BackupParser
+
+/** One dispatcher, nine reference config types (main.py:3597–3628): each
+  * branch routes to the right operator pipeline and lands in the unified
+  * tag-row (or report) shape.
+  */
+class ConfigDispatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def catalog = Lake.tableNames.map(t => ("p", "lake", t))
+    .toDF("project", "dataset", "table")
+
+  private def noTags = Seq.empty[(String, String, String, String, String)]
+    .toDF("asset_uri", "column", "template_id", "field_id", "field_value")
+
+  private def base = EngineInputs(catalog, noTags)
+
+  test("DYNAMIC_TAG_TABLE routes to the combined-query pipeline") {
+    Lake.registerAll(spark, sf)
+    val cfg = TagConfig("DYNAMIC_TAG_TABLE", "gov",
+      Seq(FieldSpec("n_rows", "double", Some("select count(*) from $table"))),
+      includedUris = Seq("bigquery/project/p/dataset/lake/region"))
+    val out = ConfigDispatch.applyConfig(spark, cfg, base)
+      .select("asset_uri", "field_id", "field_value")
+      .as[(String, String, String)].collect()
+    assert(out.toSeq === Seq(
+      ("bigquery/project/p/dataset/lake/region", "n_rows", "5")))
+  }
+
+  test("STATIC_TAG_ASSET fans static fields over the expanded assets") {
+    val cfg = TagConfig("STATIC_TAG_ASSET", "gov",
+      Seq(FieldSpec("env", "enum", None, Some("PROD")),
+        FieldSpec("owner", "string", None, Some("core"))),
+      includedUris = Seq("bigquery/project/p/dataset/lake/nation",
+        "bigquery/project/p/dataset/lake/region"))
+    val out = ConfigDispatch.applyConfig(spark, cfg, base)
+    assert(out.count() === 4) // 2 assets × 2 fields
+    val skip = ConfigDispatch.applyConfig(spark, cfg.copy(overwrite = false),
+      base.copy(existingTags = Seq(
+        ("bigquery/project/p/dataset/lake/region", "", "gov", "env", "DEV"))
+        .toDF("asset_uri", "column", "template_id", "field_id", "field_value")))
+    assert(skip.count() === 2) // region skipped
+  }
+
+  test("GLOSSARY_TAG_ASSET marks mapped columns as bool fields") {
+    val cfg = TagConfig("GLOSSARY_TAG_ASSET", "gloss", Nil)
+    val out = ConfigDispatch.applyConfig(spark, cfg, base.copy(
+      schemaColumns = Some(Seq(("a1", "email"), ("a1", "cust_id"), ("a2", "email"))
+        .toDF("asset_uri", "column_name")),
+      glossaryMapping = Some(Seq(("email", "Email Address"))
+        .toDF("source_name", "canonical_name"))))
+      .select("asset_uri", "field_id", "field_value")
+      .as[(String, String, String)].collect().toSet
+    assert(out === Set(("a1", "Email Address", "true"),
+      ("a2", "Email Address", "true")))
+  }
+
+  test("SENSITIVE_TAG_ASSET picks the smallest-superset classification") {
+    val cfg = TagConfig("SENSITIVE_TAG_ASSET", "dlp", Nil)
+    val out = ConfigDispatch.applyConfig(spark, cfg, base.copy(
+      dlpFindings = Some(Seq(("a1", "c1", Seq("EMAIL")))
+        .toDF("asset_uri", "column", "infotypes")),
+      infotypeSelection = Some(Seq(
+        (Seq("EMAIL", "PHONE"), "PII_WIDE"), (Seq("EMAIL"), "EMAIL_ONLY"))
+        .toDF("field_infotypes", "classification_result"))))
+      .select("asset_uri", "column", "field_value")
+      .as[(String, String, String)].collect()
+    assert(out.toSeq === Seq(("a1", "c1", "EMAIL_ONLY")))
+  }
+
+  test("TAG_IMPORT melts CSV rows against the template (unknown field errors)") {
+    val cfg = TagConfig("TAG_IMPORT", "gov", Nil)
+    val rows = Seq(("p", "d", "t1", "pii_col", "TRUE "))
+      .toDF("project", "dataset", "table", "column", "is_pii")
+    val tpl = TagTemplate("gov", Seq(TemplateField("is_pii", "bool")))
+    val out = ConfigDispatch.applyConfig(spark, cfg,
+        base.copy(importRows = Some(rows), template = Some(tpl)))
+      .select("asset_uri", "column", "field_id", "field_type", "field_value")
+      .as[(String, String, String, String, String)].collect()
+    assert(out.toSeq === Seq(("bigquery/project/p/dataset/d/t1", "pii_col",
+      "is_pii", "bool", "TRUE"))) // rtrim'd (CsvParser.py rstrip)
+    val bad = rows.withColumnRenamed("is_pii", "mystery")
+    intercept[IllegalArgumentException] {
+      ConfigDispatch.applyConfig(spark, cfg,
+        base.copy(importRows = Some(bad), template = Some(tpl)))
+    }
+  }
+
+  test("TAG_RESTORE rebuilds tag rows from a JSONL backup") {
+    val cfg = TagConfig("TAG_RESTORE", "gov", Nil)
+    val line = """{"entryGroupId":"eg","id":"t1","locationId":"us","projectId":"p1","createTime":"x","updateTime":"y","tags":[{"template":"gov","templateProject":"p1","fields":[{"name":"env","type":"string","value":"PROD"}]},{"template":"other","templateProject":"p1","fields":[{"name":"zz","type":"string","value":"drop-me"}]}],"columns":[]}"""
+    val f = Files.createTempDirectory("graft_restore").resolve("b.jsonl")
+    Files.writeString(f, line)
+    val out = ConfigDispatch.applyConfig(spark, cfg, base.copy(
+        backup = Some(BackupParser.read(spark, f.toString)),
+        backupProjectId = Some("p1")))
+      .select("asset_uri", "field_id", "field_value")
+      .as[(String, String, String)].collect()
+    assert(out.toSeq === Seq(("p1/eg/t1", "env", "PROD")))
+  }
+
+  test("TAG_EXPORT flattens the tag state into report rows") {
+    val cfg = TagConfig("TAG_EXPORT", "", Nil)
+    val tags = Seq(("bigquery/project/p/dataset/d1/t1", "", "gov", "env", "PROD"))
+      .toDF("asset_uri", "column", "template_id", "field_id", "field_value")
+    val out = ConfigDispatch.applyConfig(spark, cfg,
+        base.copy(existingTags = tags))
+      .select("project", "dataset", "table", "tag_template", "tag_field",
+        "tag_value")
+      .as[(String, String, String, String, String, String)].collect()
+    assert(out.toSeq === Seq(("p", "d1", "t1", "gov", "env", "PROD")))
+  }
+
+  test("unknown config_type is rejected") {
+    intercept[IllegalArgumentException] {
+      ConfigDispatch.applyConfig(spark,
+        TagConfig("NOT_A_TYPE", "", Nil), base)
+    }
+  }
+}
