@@ -69,6 +69,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components == union-find reference on random graphs") {
+    import graft.operators.Graph
+    val edgeGen = for {
+      n <- Gen.choose(5, 24)                    // vertices 0..n-1
+      m <- Gen.choose(1, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield es.filter { case (a, b) => a != b }
+    samples(edgeGen, 4).filter(_.nonEmpty).foreach { edges =>
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      // find() roots are the min id of each set because unions always
+      // attach the larger root under the smaller one
+      val got = Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"edges=$edges")
+    }
+  }
+
   test("affine minhash permutations stay in [0, P) and are injective-ish on samples") {
     import graft.operators.Dedup
     val hs = samples(Gen.choose(0L, (1L << 28) - 1), 200)
