@@ -59,4 +59,55 @@ object Multimodal {
         decode(r.content)))
     }
   }
+
+  /** STUB resize kernel — deterministic fake: resamples the payload bytes
+    * by even-spaced index mapping to the target pixel budget. Replace with
+    * the real scaler in production; the signature (payload + source dims +
+    * target dims → payload) is the real contract.
+    */
+  val fakeResize: (Array[Byte], Int, Int, Int, Int) => Array[Byte] =
+    (bytes, w, h, tw, th) => {
+      val srcPixels = math.max(1, w * h)
+      val outLen = math.max(1,
+        (bytes.length.toLong * (tw * th) / srcPixels).toInt.min(bytes.length))
+      Array.tabulate(outLen)(i =>
+        bytes((i.toLong * bytes.length / outLen).toInt))
+    }
+
+  /** Batch resize — 1 row in, 1 row out, payload and dims rewritten.
+    * Same mapPartitions shape as [[extractFeatures]].
+    */
+  def resize(media: Dataset[MediaRecord], targetW: Int, targetH: Int,
+             resizer: (Array[Byte], Int, Int, Int, Int) => Array[Byte] = fakeResize)
+            (implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(r => r.copy(
+      content = resizer(r.content, r.width, r.height, targetW, targetH),
+      width = targetW, height = targetH)))
+  }
+
+  /** One sampled frame of a video payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** STUB frame extractor — deterministic fake: a 16-byte window around
+    * the even-spaced position of frame i of n. In production this is the
+    * demuxer seek + decode at timestamp i·duration/n.
+    */
+  val fakeFrame: (Array[Byte], Int, Int) => Array[Byte] =
+    (bytes, i, n) => {
+      val pos = (i.toLong * bytes.length / math.max(1, n)).toInt
+      bytes.slice(pos, math.min(bytes.length, pos + 16))
+    }
+
+  /** Even-spaced frame sampling — 1 row in, `nFrames` rows out (the row
+    * EXPANSION plumbing of video pipelines; partition sizing must budget
+    * for the fan-out).
+    */
+  def sampleFrames(media: Dataset[MediaRecord], nFrames: Int,
+                   frame: (Array[Byte], Int, Int) => Array[Byte] = fakeFrame)
+                  (implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    media.flatMap(r =>
+      (0 until nFrames).map(i => Frame(r.doc_id, i, frame(r.content, i, nFrames))))
+  }
 }

@@ -24,4 +24,38 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(0L).feature(0) === byId(0L).n_bytes.toDouble)
     assert(feats.forall(_.feature.length === 4))
   }
+
+  test("resize rewrites dims and shrinks payload to the pixel budget") {
+    implicit val s = spark
+    import s.implicits._
+    val media = Multimodal
+      .toMediaTable(Lake.table(spark, sf, "documents"))
+      .as[MediaRecord].filter(_.width > 0)
+    val resized = Multimodal.resize(media, targetW = 8, targetH = 8).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(r => r.width === 8 && r.height === 8))
+    val src = media.collect().map(r => r.doc_id -> r).toMap
+    resized.foreach { r =>
+      assert(r.content.length <= src(r.doc_id).content.length)
+      assert(r.content.length > 0)
+    }
+    // deterministic: same input → same bytes
+    val again = Multimodal.resize(media, 8, 8).collect()
+      .map(r => r.doc_id -> r.content.toSeq).toMap
+    resized.foreach(r => assert(again(r.doc_id) === r.content.toSeq))
+  }
+
+  test("frame sampling fans each video into n evenly-spaced frames") {
+    implicit val s = spark
+    import s.implicits._
+    val media = Multimodal.toMediaTable(Lake.table(spark, sf, "documents"))
+      .as[MediaRecord].limit(10)
+    val frames = Multimodal.sampleFrames(media, nFrames = 4).collect()
+    assert(frames.length === 40) // 10 videos × 4 frames
+    val per = frames.groupBy(_.doc_id)
+    per.values.foreach { fs =>
+      assert(fs.map(_.frame_idx).sorted.toSeq === Seq(0, 1, 2, 3))
+      assert(fs.forall(_.frame_bytes.length <= 16))
+    }
+  }
 }
