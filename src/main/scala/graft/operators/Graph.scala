@@ -44,10 +44,13 @@ object Graph {
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
                           verbose: Boolean = false): DataFrame = {
-    val sym = edges.select(col(aCol).cast("long").as("u"),
-        col(bCol).cast("long").as("v"))
-      .union(edges.select(col(bCol).cast("long").as("u"),
-        col(aCol).cast("long").as("v")))
+    // persist the edge input BEFORE symmetrizing: the union's two branches
+    // would otherwise each evaluate the (often expensive) upstream pair
+    // pipeline; the count() barrier stops the branches racing the cold cache
+    val e0 = edges.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v")).persist()
+    e0.count()
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .persist()
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
@@ -116,6 +119,7 @@ object Graph {
     }
     if (e ne sym) e.unpersist()
     sym.unpersist()
+    e0.unpersist()
     require(converged, s"connectedComponents: no fixpoint after $maxIter iterations")
     labels
   }
