@@ -399,6 +399,36 @@ object DataQueries2 {
       |        ORDER BY doc_id) AS rn FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------- heavy hitters (UDAF sketch)
+
+  /** Top-10 corpus words through the custom Space-Saving sketch Aggregator
+    * ([[graft.functions.HeavyHitters]]) — the typed-UDAF surface. Capacity
+    * 4096 ≫ the corpus vocabulary, so the sketch is provably exact here
+    * and the DuckDB oracle checks it like any exact query; at open-corpus
+    * scale the same code degrades gracefully to bounded-error counts with
+    * only capacity-sized buffers crossing the shuffle.
+    */
+  def t12HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = docs(spark, dir)
+      .select(explode(TextFns.words(col("text"))).as("w")).as[String]
+    val sketch = words.select(
+      new graft.functions.HeavyHitters(4096).toColumn) // Dataset[Seq[(w, cnt)]]
+    sketch.toDF("sketch").select(explode(col("sketch")).as("e"))
+      .select(col("e._1").as("w"), col("e._2").as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(10)
+  }
+
+  val t12Oracle: String =
+    """SELECT w, cnt FROM (
+      |  SELECT w, count(*) AS cnt,
+      |    row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rn
+      |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+      |                                  w -> length(w) > 0)) AS w
+      |        FROM documents)
+      |  GROUP BY w)
+      |WHERE rn <= 10""".stripMargin
+
   // ------------------------------------------------------- k-NN join
 
   /** Similarity-graph construction: each vector's top-3 cosine neighbors
@@ -483,5 +513,6 @@ object DataQueries2 {
     ("t11_sequence_pack", t11SequencePack _, Some(t11Oracle)),
     ("d11_source_cap", d11SourceCap _, Some(d11Oracle)),
     ("s06_knn_join", s06KnnJoin _, Some(s06Oracle)),
-    ("d12_dedup_filter", d12DedupFilter _, Some(d12Oracle)))
+    ("d12_dedup_filter", d12DedupFilter _, Some(d12Oracle)),
+    ("t12_heavy_hitters", t12HeavyHitters _, Some(t12Oracle)))
 }
