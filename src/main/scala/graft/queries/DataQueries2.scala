@@ -399,6 +399,43 @@ object DataQueries2 {
       |        ORDER BY doc_id) AS rn FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------- document chunking
+
+  /** Sliding-window token chunking (window 40, stride 20) — the canonical
+    * LLM preprocessing step. Entirely row-local: chunk starts come from a
+    * `sequence`, the chunk itself from `slice`, its identity from an md5
+    * over the joined tokens; 1 doc row explodes to ceil(n/stride) chunk
+    * rows with no shuffle.
+    */
+  def t13ChunkStats(spark: SparkSession, dir: String): DataFrame = {
+    val win = 40
+    val stride = 20
+    val ws = TextFns.words(col("text"))
+    val n = size(ws)
+    val starts = sequence(lit(1), greatest(n - 1, lit(1)), lit(stride))
+    docs(spark, dir)
+      .select(col("doc_id"), ws.as("ws"), n.as("n"),
+        posexplode(starts).as(Seq("chunk_idx", "s")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(slice(col("ws"), col("s"), lit(win))).as("chunk_tokens"),
+        md5(concat_ws(" ", slice(col("ws"), col("s"), lit(win)))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val t13Oracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+      |  FROM documents),
+      |c AS (SELECT doc_id, ws,
+      |    unnest(range(1, greatest(len(ws) - 1, 1) + 1, 20)) AS s,
+      |    generate_subscripts(range(1, greatest(len(ws) - 1, 1) + 1, 20), 1) - 1
+      |      AS chunk_idx
+      |  FROM t)
+      |SELECT doc_id, chunk_idx,
+      |  len(ws[s:least(s + 39, len(ws))]) AS chunk_tokens,
+      |  md5(array_to_string(ws[s:least(s + 39, len(ws))], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ------------------------------------------- heavy hitters (UDAF sketch)
 
   /** Top-10 corpus words through the custom Space-Saving sketch Aggregator
@@ -514,5 +551,6 @@ object DataQueries2 {
     ("d11_source_cap", d11SourceCap _, Some(d11Oracle)),
     ("s06_knn_join", s06KnnJoin _, Some(s06Oracle)),
     ("d12_dedup_filter", d12DedupFilter _, Some(d12Oracle)),
-    ("t12_heavy_hitters", t12HeavyHitters _, Some(t12Oracle)))
+    ("t12_heavy_hitters", t12HeavyHitters _, Some(t12Oracle)),
+    ("t13_chunk_stats", t13ChunkStats _, Some(t13Oracle)))
 }
