@@ -30,7 +30,11 @@ object Bench {
     } catch { case _: Throwable => () }
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // noop sink: fully evaluates every output column. A bare count()
+      // would let Catalyst PRUNE the computed projections of narrow
+      // row-local queries and time little more than the scan.
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
       val t = (System.nanoTime() - t0) / 1e9
       spark.sharedState.cacheManager.clearCache() // keep every run cold
       t

@@ -64,7 +64,11 @@ object DataQueries2 {
     * the cost that matters, not 10^4 in-row comparisons.
     */
   def t07Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val ws = TextFns.words(col("text"))
+    // materialize the token array ONCE per row: referenced from inside the
+    // per-element lambdas below, an inline `words(text)` expression would
+    // be recomputed for EVERY outer array element (observed 25× slowdown);
+    // CollapseProject keeps a non-cheap multi-referenced alias materialized
+    val ws = col("ws")
     val n = size(ws)
     val grams = when(n >= lit(2),
       transform(sequence(lit(1), n - 1),
@@ -72,7 +76,9 @@ object DataQueries2 {
       .otherwise(array().cast("array<string>"))
     val topCnt = array_max(transform(array_distinct(ws),
       d => size(filter(ws, x => x === d))))
-    docs(spark, dir).select(
+    docs(spark, dir)
+      .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      .select(
         col("doc_id"), n.as("n_tokens"),
         round(size(array_distinct(ws)) * lit(1.0) / n, 4).as("distinct_frac"),
         round(topCnt * lit(1.0) / n, 4).as("top_word_frac"),
@@ -110,10 +116,15 @@ object DataQueries2 {
     */
   def s04Quantize(spark: SparkSession, dir: String): DataFrame = {
     VectorFns.register(spark)
+    // mn/mx materialized as columns: referenced inside the per-element
+    // transform lambdas, inline array_min/array_max would be recomputed
+    // for every element (same trap as t07's inline token array)
     val e = Lake.table(spark, dir, "embeddings")
       .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("v"))
-    val mn = array_min(col("v"))
-    val mx = array_max(col("v"))
+      .select(col("vec_id"), col("v"),
+        array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
+    val mn = col("mn")
+    val mx = col("mx")
     val scale = (mx - mn) / lit(255.0)
     def qOf(x: Column): Column =
       least(floor((x - mn) * lit(255.0) / (mx - mn)), lit(255.0)).cast("long")

@@ -26,7 +26,9 @@ object Profile {
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // noop sink evaluates ALL output columns (count() would let
+        // Catalyst prune the computed projections of narrow queries)
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         spark.sharedState.cacheManager.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
