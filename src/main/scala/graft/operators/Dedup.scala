@@ -45,10 +45,16 @@ object Dedup {
     * of a few thousand longs, well inside row limits; for pathologically
     * large docs fall back to the exploded form ([[jaccardVerify]]).
     */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge => B}
+    import graft.plans.ShingleHashSet
+    // native one-loop-per-row expression; bit-identical to
+    // array_distinct(transform(charShingles(text,k), hash28)) up to set
+    // order (ShingleExprsSpec) — the HOF form pays interpreter overhead
+    // per shingle
     docs.select(col(idCol),
-      array_distinct(transform(TextFns.charShingles(col(textCol), k),
-        s => TextFns.hash28(s))).as("hs"))
+      B.column(ShingleHashSet(B.expression(col(textCol)), k)).as("hs"))
+  }
 
   /** The affine minhash permutation family: h_i(s) = (a_i·h28(s) + b_i)
     * mod P. Exactly mirrored in the oracle SQL — pure BIGINT arithmetic in
@@ -66,9 +72,23 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, numHashes: Int = 8,
-                        numBands: Int = 2): DataFrame =
-    minhashFromSets(shingleSets(docs, idCol, textCol, k), idCol,
-      numHashes, numBands)
+                        numBands: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge => B}
+    import graft.plans.ShingleMinHash
+    require(numHashes % numBands == 0 && numHashes <= MinhashA.length)
+    // single-pass native minhash straight from the text — no intermediate
+    // shingle array at all (min over non-distinct == min over the set)
+    val mh = B.column(ShingleMinHash(B.expression(col(textCol)), k,
+      MinhashA.take(numHashes), MinhashB.take(numHashes), MinhashP))
+    // no-shingle docs are excluded by the CHEAP length precondition (which
+    // pushes to the scan); an isNotNull on __mh instead gets pushed below
+    // the projection and re-derives the minhash per row (observed 2× eval)
+    val sigs = docs.filter(length(col(textCol)) >= k)
+      .select(col(idCol), mh.as("__mh"))
+      .select((col(idCol) +: (0 until numHashes)
+        .map(i => element_at(col("__mh"), i + 1).as(s"mh_$i"))): _*)
+    withBands(sigs, numHashes, numBands)
+  }
 
   /** Signatures from a (possibly cached) shingle-set table: each mh_i is a
     * per-row `array_min` over the permuted hash array — a NARROW projection
@@ -79,14 +99,24 @@ object Dedup {
     */
   def minhashFromSets(sets: DataFrame, idCol: String,
                       numHashes: Int = 8, numBands: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge => B}
+    import graft.plans.MinhashFromSet
     require(numHashes % numBands == 0 && numHashes <= MinhashA.length)
-    val rowsPerBand = numHashes / numBands
-    val mins = (0 until numHashes).map(i =>
-      array_min(transform(col("hs"),
-        h => (lit(MinhashA(i)) * h + lit(MinhashB(i))) % lit(MinhashP)))
-        .as(s"mh_$i"))
+    val mh = B.column(MinhashFromSet(B.expression(col("hs")),
+      MinhashA.take(numHashes), MinhashB.take(numHashes), MinhashP))
+    // cheap emptiness precondition instead of isNotNull on the computed
+    // column (same pushdown double-eval trap as minhashSignatures)
     val sigs = sets.filter(size(col("hs")) > 0)
-      .select((col(idCol) +: mins): _*)
+      .select(col(idCol), mh.as("__mh"))
+      .select((col(idCol) +: (0 until numHashes)
+        .map(i => element_at(col("__mh"), i + 1).as(s"mh_$i"))): _*)
+    withBands(sigs, numHashes, numBands)
+  }
+
+  /** Group `mh_0..mh_{numHashes-1}` into `numBands` md5 band hashes. */
+  private def withBands(sigs: DataFrame, numHashes: Int,
+                        numBands: Int): DataFrame = {
+    val rowsPerBand = numHashes / numBands
     (0 until numBands).foldLeft(sigs) { (df, b) =>
       val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => col(s"mh_$i").cast("string"))

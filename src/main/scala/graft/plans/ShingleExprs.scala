@@ -1,0 +1,152 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native front end of the MinHash/Jaccard shingle family.
+  *
+  * The Column-composed form (`array_distinct(transform(charShingles(text),
+  * hash28))` and 8 × `array_min(transform(hs, affine_i))`) runs through
+  * interpreted higher-order-function lambdas — several µs of expression
+  * interpreter overhead PER SHINGLE, which dominates the actual md5 work
+  * at ~300 shingles/doc. These expressions do the identical arithmetic in
+  * one tight JVM loop per row. Values are bit-identical to the HOF forms
+  * (ShingleExprsSpec asserts equality), so the DuckDB oracles are
+  * unchanged — swapping them in is a pure plan optimization.
+  */
+object ShingleOps {
+
+  /** All `a.length` affine-permutation minima of the k-gram 28-bit shingle
+    * hashes of `s`, in one pass. min over non-distinct == min over the
+    * distinct set, so no set is materialized. Returns null when the text
+    * is shorter than k (the HOF form yields an empty array → no minima).
+    */
+  def minhash(s: UTF8String, k: Int, a: Array[Long], b: Array[Long],
+              p: Long): ArrayData = {
+    val n = s.numChars()
+    if (n < k) return null
+    val mins = Array.fill(a.length)(Long.MaxValue)
+    var i = 1
+    while (i <= n - k + 1) {
+      val h = Md5.prefixLong(s.substringSQL(i, k), 7)
+      var j = 0
+      while (j < a.length) {
+        val v = (a(j) * h + b(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** The DISTINCT 28-bit shingle-hash set of `s`, ascending. Consumers are
+    * set-semantic (sizes, intersections), so sort order is free to choose;
+    * ascending is deterministic and merge-friendly.
+    */
+  def hashSet(s: UTF8String, k: Int): ArrayData = {
+    val n = s.numChars()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val set = new java.util.HashSet[java.lang.Long](256)
+    var i = 1
+    while (i <= n - k + 1) {
+      set.add(Md5.prefixLong(s.substringSQL(i, k), 7))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  /** All affine minima over an existing hash array (the cached shingle-set
+    * path of the LSH pipeline).
+    */
+  def minhashFromSet(hs: ArrayData, a: Array[Long], b: Array[Long],
+                     p: Long): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(a.length)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < a.length) {
+        val v = (a(j) * h + b(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** text → array<long> of affine-minhash minima (one per permutation). */
+case class ShingleMinHash(child: Expression, k: Int, a: Seq[Long],
+                          b: Seq[Long], p: Long) extends UnaryExpression {
+  require(k > 0 && a.length == b.length && a.nonEmpty)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_minhash"
+  private lazy val aArr = a.toArray
+  private lazy val bArr = b.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.minhash(input.asInstanceOf[UTF8String], k, aArr, bArr, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("aArr", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("bArr", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.ShingleOps.minhash($c, $k, $aRef, $bRef, ${p}L);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** text → sorted array<long> of DISTINCT 28-bit shingle hashes. */
+case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_set"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.hashSet(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleOps.hashSet($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<long> of hashes → array<long> of affine-minhash minima. */
+case class MinhashFromSet(child: Expression, a: Seq[Long], b: Seq[Long],
+                          p: Long) extends UnaryExpression {
+  require(a.length == b.length && a.nonEmpty)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_set"
+  private lazy val aArr = a.toArray
+  private lazy val bArr = b.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.minhashFromSet(input.asInstanceOf[ArrayData], aArr, bArr, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("aArr", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("bArr", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.ShingleOps.minhashFromSet($c, $aRef, $bRef, ${p}L);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

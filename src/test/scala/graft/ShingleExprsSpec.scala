@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{Bridge => B}
+import graft.functions.TextFns
+import graft.operators.Dedup
+import graft.plans.{MinhashFromSet, ShingleHashSet, ShingleMinHash}
+
+/** The native shingle expressions must be value-identical to the
+  * Column-composed HOF forms they replace (up to set order for the hash
+  * set) — swapping them in is then a pure plan optimization and the
+  * DuckDB oracles stay valid.
+  */
+class ShingleExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def texts = Lake.table(spark, sf, "documents")
+    .select("doc_id", "text").union(Seq(
+      (9001L, "abc"), (9002L, "abcd"), (9003L, "abcde"), (9004L, "aaaaaaa"))
+      .toDF("doc_id", "text"))
+
+  test("ShingleHashSet == sorted array_distinct(transform(charShingles, hash28))") {
+    val hof = array_sort(array_distinct(
+      transform(TextFns.charShingles(col("text"), 5), s => TextFns.hash28(s))))
+    val native = B.column(ShingleHashSet(B.expression(col("text")), 5))
+    val diff = texts.select(hof.as("a"), native.as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diff === 0)
+  }
+
+  test("ShingleMinHash == per-permutation array_min of the HOF form") {
+    val mins = array((0 until 8).map(i =>
+      array_min(transform(TextFns.charShingles(col("text"), 5),
+        s => (lit(Dedup.MinhashA(i)) * TextFns.hash28(s) +
+          lit(Dedup.MinhashB(i))) % lit(Dedup.MinhashP)))): _*)
+    val native = B.column(ShingleMinHash(B.expression(col("text")), 5,
+      Dedup.MinhashA, Dedup.MinhashB, Dedup.MinhashP))
+    // HOF form yields array(null,...) for len<5; native yields null — both
+    // mean "no shingles", normalize via the same guard
+    val hofNorm = when(length(col("text")) >= 5, mins)
+    val diff = texts.select(hofNorm.as("a"), native.as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diff === 0)
+  }
+
+  test("MinhashFromSet over the hash set == ShingleMinHash over the text") {
+    val fromText = B.column(ShingleMinHash(B.expression(col("text")), 5,
+      Dedup.MinhashA, Dedup.MinhashB, Dedup.MinhashP))
+    val fromSet = B.column(MinhashFromSet(
+      B.expression(B.column(ShingleHashSet(B.expression(col("text")), 5))),
+      Dedup.MinhashA, Dedup.MinhashB, Dedup.MinhashP))
+    val diff = texts.select(fromText.as("a"), fromSet.as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diff === 0)
+  }
+}
