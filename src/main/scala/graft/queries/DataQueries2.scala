@@ -64,26 +64,23 @@ object DataQueries2 {
     * the cost that matters, not 10^4 in-row comparisons.
     */
   def t07Repetition(spark: SparkSession, dir: String): DataFrame = {
-    // materialize the token array ONCE per row: referenced from inside the
-    // per-element lambdas below, an inline `words(text)` expression would
-    // be recomputed for EVERY outer array element (observed 25× slowdown);
-    // CollapseProject keeps a non-cheap multi-referenced alias materialized
-    val ws = col("ws")
-    val n = size(ws)
-    val grams = when(n >= lit(2),
-      transform(sequence(lit(1), n - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val topCnt = array_max(transform(array_distinct(ws),
-      d => size(filter(ws, x => x === d))))
+    // all five counters come from ONE native O(tokens) hash-count pass
+    // (plans.TokenStats); the Column-composed form is O(distinct×tokens)
+    // interpreted lambdas per doc — 6× growth at 10× corpus. The struct is
+    // materialized in its own projection, then the fractions read its
+    // fields (non-cheap multi-referenced aliases stay materialized).
+    import org.apache.spark.sql.graft.{Bridge => B}
+    import graft.plans.TokenStats
+    val n = col("ts.n_tokens")
     docs(spark, dir)
-      .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        B.column(TokenStats(B.expression(col("text")))).as("ts"))
       .select(
         col("doc_id"), n.as("n_tokens"),
-        round(size(array_distinct(ws)) * lit(1.0) / n, 4).as("distinct_frac"),
-        round(topCnt * lit(1.0) / n, 4).as("top_word_frac"),
-        round(when(size(grams) > 0,
-            lit(1.0) - size(array_distinct(grams)) * lit(1.0) / size(grams))
+        round(col("ts.n_distinct") * lit(1.0) / n, 4).as("distinct_frac"),
+        round(col("ts.top_count") * lit(1.0) / n, 4).as("top_word_frac"),
+        round(when(col("ts.n_grams") > 0,
+            lit(1.0) - col("ts.n_distinct_grams") * lit(1.0) / col("ts.n_grams"))
           .otherwise(lit(0.0)), 4).as("dup_2gram_frac"))
       .orderBy("doc_id")
   }
