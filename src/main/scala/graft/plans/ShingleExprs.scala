@@ -91,6 +91,13 @@ object ShingleOps {
 case class ShingleMinHash(child: Expression, k: Int, a: Seq[Long],
                           b: Seq[Long], p: Long) extends UnaryExpression {
   require(k > 0 && a.length == b.length && a.nonEmpty)
+  // Returns null for text shorter than k EVEN when the input is non-null,
+  // so nullability must not be inherited from the child: with a
+  // non-nullable child the default would make `ev.isNull` the literal
+  // `false` in codegen (assignment to it is a Janino compile error →
+  // silent interpreter fallback) and would let Catalyst elide null checks
+  // a caller without a length pre-filter still needs.
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_minhash"
   private lazy val aArr = a.toArray
@@ -131,6 +138,9 @@ case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
 case class MinhashFromSet(child: Expression, a: Seq[Long], b: Seq[Long],
                           p: Long) extends UnaryExpression {
   require(a.length == b.length && a.nonEmpty)
+  // Null on an EMPTY hash array regardless of input nullability — same
+  // contract rationale as [[ShingleMinHash.nullable]].
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_from_set"
   private lazy val aArr = a.toArray

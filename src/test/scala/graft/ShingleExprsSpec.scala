@@ -43,6 +43,40 @@ class ShingleExprsSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("codegen compiles with a NON-nullable input (no interpreter fallback)") {
+    // concat(lit, cast(id)) is non-nullable; CODEGEN_ONLY turns the silent
+    // interpreter fallback into a hard failure, so this test proves the
+    // generated code actually compiles (round-2 defect: nullable inherited
+    // from the child made `ev.isNull` the literal `false`, an invalid
+    // assignment target).
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val nn = spark.range(100)
+        .select(concat(lit("document body text "), col("id")).as("text"),
+          // also exercise the null-producing branch: short non-null text
+          concat(lit("ab"), lit("")).as("short_text"))
+      assert(!nn.schema("text").nullable)
+      val mh = B.column(ShingleMinHash(B.expression(col("text")), 5,
+        Dedup.MinhashA, Dedup.MinhashB, Dedup.MinhashP))
+      val mhShort = B.column(ShingleMinHash(B.expression(col("short_text")), 5,
+        Dedup.MinhashA, Dedup.MinhashB, Dedup.MinhashP))
+      val hs = B.column(ShingleHashSet(B.expression(col("text")), 5))
+      val mfs = B.column(MinhashFromSet(B.expression(
+        B.column(ShingleHashSet(B.expression(col("short_text")), 5))),
+        Dedup.MinhashA, Dedup.MinhashB, Dedup.MinhashP))
+      val out = nn.select(mh.as("mh"), mhShort.as("mh_short"), hs.as("hs"),
+        mfs.as("mfs")).collect()
+      assert(out.forall(r => !r.isNullAt(0) && r.isNullAt(1) && !r.isNullAt(2)
+        && r.isNullAt(3)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("MinhashFromSet over the hash set == ShingleMinHash over the text") {
     val fromText = B.column(ShingleMinHash(B.expression(col("text")), 5,
       Dedup.MinhashA, Dedup.MinhashB, Dedup.MinhashP))
