@@ -49,9 +49,8 @@ object ConfigDispatch {
       case "DYNAMIC_TAG_TABLE" =>
         TagEngine.applyDynamicTableConfig(spark, config, in.catalog)
       case "DYNAMIC_TAG_COLUMN" =>
-        expandedUris(config, in.catalog)
-          .map(uri => TagEngine.applyDynamicColumnConfig(spark, config, uri))
-          .reduce(_ unionByName _)
+        TagEngine.balancedUnion(expandedUris(config, in.catalog)
+          .map(uri => TagEngine.applyDynamicColumnConfig(spark, config, uri)))
       case "STATIC_TAG_ASSET"  => staticAsset(spark, config, in)
       case "GLOSSARY_TAG_ASSET" => glossary(config, in)
       case "SENSITIVE_TAG_ASSET" => sensitive(config, in)

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expand.Expander
+import graft.model.{FieldSpec, TagConfig}
+
+/** Set-based evaluation of dynamic-table configs over a SHARDED asset
+  * family — the scale path for the reference's largest demonstrated
+  * envelope (examples/load/configs/static_asset_1m.json: 10⁶ assets per
+  * config, sharded into 1000-task batches by TaskManager.py:49).
+  *
+  * The reference evaluates `query_expression` once per asset — 10⁶
+  * BigQuery round-trips. A driver-side translation (collect the asset
+  * list, build one plan per asset, `unionByName` the lot) explodes the
+  * plan tree long before that point. The Spark-first form used here:
+  * every per-asset scalar query IS a correlated scalar subquery over the
+  * asset key, so the whole config compiles to ONE statement
+  *
+  * {{{
+  *   SELECT __a.asset_uri, (q1') AS f1, …, (qN') AS fN
+  *   FROM assets __a
+  * }}}
+  *
+  * where each `qi'` is the field's expression with `from \$table`
+  * rewritten to a correlated slice of the shared source
+  * (`WHERE src.__graft_shard = __a.table`). Catalyst DECORRELATES the
+  * subqueries into plain aggregate+join operators — plan size is
+  * O(#fields), independent of asset count, and the heavy lifting is
+  * data-side shuffles on the shard key, exactly what survives a
+  * 1000-executor cluster. Empty assets keep per-asset scalar semantics
+  * (count→0, avg→null) because Spark's scalar-subquery rewrite handles
+  * the COUNT-bug case natively.
+  *
+  * Applicability contract: all assets of the group live in one physical
+  * source (a sharded/templated table family — BigQuery `events_YYYYMMDD`
+  * style — or a partitioned lake table), and `shardExpr` maps each source
+  * row to its asset's table name. Heterogeneous-schema catalogs fall back
+  * to [[TagEngine.applyDynamicTableConfig]] (per DISTINCT table, balanced
+  * union — bounded by the number of physical tables, which is catalog
+  * metadata, not asset cardinality).
+  */
+object GroupedEval {
+
+  private val SrcView = "__graft_src"
+  private val AssetView = "__graft_assets"
+  private val OuterAlias = "__a"
+
+  /** Split SQL text into alternating non-literal / single-quoted-literal
+    * segments (literals keep their quotes; `''` escapes stay inside one
+    * literal).
+    */
+  private[operators] def segments(sql: String): Seq[(String, Boolean)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    val cur = new StringBuilder
+    var inLit = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inLit && c == '\'') {
+        if (cur.nonEmpty) { out += ((cur.toString, false)); cur.clear() }
+        inLit = true; cur.append(c)
+      } else if (inLit && c == '\'') {
+        if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+          cur.append("''"); i += 1
+        } else {
+          cur.append(c); out += ((cur.toString, true)); cur.clear(); inLit = false
+        }
+      } else cur.append(c)
+      i += 1
+    }
+    if (cur.nonEmpty) out += ((cur.toString, inLit))
+    out.toSeq
+  }
+
+  private def assetRef(v: String): String =
+    if (v == "table") s"$OuterAlias.`table`" else s"$OuterAlias.$v"
+
+  /** A quoted literal containing `\$vars` becomes a concat of its constant
+    * parts and the asset row's columns: `'\$dataset.x'` →
+    * `concat(__a.dataset, '.x')` (the reference substitutes values into
+    * the literal text, DataCatalogController.py:1685–1772).
+    */
+  private def bindLiteral(lit: String): String = {
+    val body = lit.substring(1, lit.length - 1)
+    if (!body.contains("$")) return lit
+    val varPat = "\\$(project|dataset|table|column)".r
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var last = 0
+    for (m <- varPat.findAllMatchIn(body)) {
+      if (m.start > last) parts += s"'${body.substring(last, m.start)}'"
+      parts += assetRef(m.group(1))
+      last = m.end
+    }
+    if (last < body.length) parts += s"'${body.substring(last)}'"
+    if (parts.length == 1) parts.head else parts.mkString("concat(", ", ", ")")
+  }
+
+  /** Rewrite one field expression into grouped (correlated) form. The
+    * `query_expression` surface (SURVEY.md §2 G) references the asset's
+    * data only as `from \$table`; scalar `\$project/\$dataset/\$table`
+    * (bare or inside literals) become asset-row columns.
+    */
+  private[operators] def rewriteCorrelated(expr: String): String = {
+    val fromTable = "(?i)\\bfrom\\s+\\$table\\b".r
+    segments(expr).map {
+      case (text, true)  => bindLiteral(text)
+      case (text, false) =>
+        val f = fromTable.replaceAllIn(text,
+          _ => s"FROM (SELECT * FROM $SrcView WHERE " +
+            s"$SrcView.__graft_shard = ${assetRef("table")})")
+        "\\$(project|dataset|table)".r
+          .replaceAllIn(f, m => scala.util.matching.Regex
+            .quoteReplacement(assetRef(m.group(1))))
+    }.mkString
+  }
+
+  /** True when the expression reads no table at all (a pure function of
+    * the URI, e.g. `select concat('\$dataset','.','\$table')`,
+    * DataCatalogController.py:1760–1762) — inlined as a plain projection
+    * instead of a scalar subquery.
+    */
+  private[operators] def isConstantQuery(expr: String): Boolean =
+    !segments(expr).exists { case (t, isLit) =>
+      !isLit && "(?i)\\bfrom\\b".r.findFirstIn(t).isDefined
+    }
+
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** One SELECT item per config field. */
+  private[operators] def fieldItem(f: FieldSpec): String = f.queryExpression match {
+    case Some(q) if isConstantQuery(q) =>
+      val body = rewriteCorrelated(q).trim.replaceAll("(?i)^select\\s+", "")
+      s"($body) AS `${f.fieldId}`"
+    case Some(q) => s"(${rewriteCorrelated(q)}) AS `${f.fieldId}`"
+    case None    => s"${sq(f.fieldValue.getOrElse(""))} AS `${f.fieldId}`"
+  }
+
+  /** Evaluate a dynamic-table config over a sharded family in ONE
+    * statement. `catalog` rows are `(project, dataset, table)`; `source`
+    * holds every asset's data; `shardExpr` maps a source row to its
+    * asset's table name. Output: one row per expanded asset with
+    * `asset_uri` + one column per field (pre-melt shape).
+    */
+  def evalSharded(spark: SparkSession, config: TagConfig, catalog: DataFrame,
+                  source: DataFrame, shardExpr: Column): DataFrame = {
+    source.withColumn("__graft_shard", shardExpr)
+      .createOrReplaceTempView(SrcView)
+    Expander.expand(catalog, config.includedUris, config.excludedUris)
+      .select(col("project"), col("dataset"), col("table"),
+        concat_ws("/", lit("bigquery/project"), col("project"),
+          lit("dataset"), col("dataset"), col("table")).as("asset_uri"))
+      .createOrReplaceTempView(AssetView)
+    val items = config.fields.map(fieldItem).mkString(",\n  ")
+    spark.sql(
+      s"SELECT $OuterAlias.asset_uri,\n  $items\nFROM $AssetView $OuterAlias")
+  }
+
+  /** Sharded config → unified tag rows (the set-based replacement for the
+    * per-asset loop).
+    */
+  def applyDynamicTableConfigSharded(spark: SparkSession, config: TagConfig,
+                                     catalog: DataFrame, source: DataFrame,
+                                     shardExpr: Column): DataFrame =
+    TagEngine.meltToTagRows(
+      evalSharded(spark, config, catalog, source, shardExpr), config)
+}

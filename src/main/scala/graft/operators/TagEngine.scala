@@ -8,22 +8,59 @@ import graft.model.{AssetUri, TagConfig}
 /** The end-to-end config pipeline (SURVEY.md §3.1/§3.2): what the reference
   * runs as HTTP hops (`trigger_job` → `_split_work` → N×`_run_task`) is one
   * driver program here — expansion builds the asset work set, evaluation is
-  * a union of combined-query DataFrames (one per asset TABLE — each query
-  * itself distributed), and the terminal MERGE + history append is the
-  * fan-in.
+  * set-based, and the terminal MERGE + history append is the fan-in.
   *
-  * Collecting the expanded asset list to the driver is deliberate: it is
-  * catalog METADATA (table names — thousands at the reference's largest
-  * load test), not data. Row-level fan-out (static/import/glossary configs)
-  * never collects — those paths stay fully set-based (see Expander /
-  * TagStore / Classify).
+  * Two evaluation strategies by catalog shape:
+  *  - SHARDED family (the reference's 1M-asset load-test shape): all assets
+  *    live in one physical source → [[GroupedEval]] compiles the whole
+  *    config to ONE statement of correlated scalar subqueries; plan size is
+  *    O(#fields), independent of asset count.
+  *  - HETEROGENEOUS tables (each asset its own table/view, distinct
+  *    schemas): per DISTINCT substituted statement — bounded by the number
+  *    of physical tables, which is catalog METADATA (thousands), not asset
+  *    cardinality — assembled with a BALANCED union (log-depth tree; the
+  *    left-deep `reduce(_ union _)` chain makes Catalyst analysis quadratic
+  *    in width).
   */
 object TagEngine {
 
-  /** Apply a dynamic-table config: expand → substitute+evaluate each
-    * field's query per asset (combined into ONE statement per asset,
-    * DataCatalogController.py:488–495) → melt to tag rows
+  /** Balanced unionByName: O(log n) tree depth instead of the O(n)
+    * left-deep chain a `reduce` builds.
+    */
+  private[operators] def balancedUnion(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "balancedUnion of zero frames")
+    var layer = dfs
+    while (layer.length > 1)
+      layer = layer.grouped(2).map {
+        case Seq(a, b) => a.unionByName(b)
+        case Seq(a)    => a
+      }.toSeq
+    layer.head
+  }
+
+  /** Melt the 1-row-per-asset evaluated shape (`asset_uri` + one column
+    * per field) into unified tag rows
     * `(asset_uri, column, template_id, field_id, field_type, field_value)`.
+    */
+  private[operators] def meltToTagRows(evaluated: DataFrame,
+                                       config: TagConfig): DataFrame = {
+    val fieldCols = config.fields.map { f =>
+      struct(lit(f.fieldId).as("field_id"), lit(f.fieldType).as("field_type"),
+        col(f.fieldId).cast("string").as("field_value"))
+    }
+    evaluated.select(col("asset_uri"), explode(array(fieldCols: _*)).as("f"))
+      .select(col("asset_uri"), lit("").as("column"),
+        lit(config.templateId).as("template_id"),
+        col("f.field_id"), col("f.field_type"), col("f.field_value"))
+  }
+
+  /** Apply a dynamic-table config over a heterogeneous catalog: expand →
+    * substitute+evaluate each field's query per asset TABLE (combined into
+    * ONE statement per distinct table, DataCatalogController.py:488–495) →
+    * melt to tag rows. Collecting the expanded asset list is deliberate:
+    * it is catalog METADATA (distinct table names), and identical
+    * substituted statements are evaluated once. For asset counts beyond
+    * metadata scale use [[GroupedEval.applyDynamicTableConfigSharded]].
     */
   def applyDynamicTableConfig(spark: SparkSession, config: TagConfig,
                               catalog: DataFrame): DataFrame = {
@@ -35,30 +72,36 @@ object TagEngine {
         Some(r.getString(2)), None))
     val (queryFields, staticFields) =
       config.fields.partition(_.queryExpression.isDefined)
-    val perAsset = assets.map { uri =>
-      val evaluated =
-        if (queryFields.nonEmpty) ConfigEval.evalCombined(spark, queryFields, uri)
-        else spark.range(1).select(lit(uri.render).as("asset_uri"))
-      val withStatics = staticFields.foldLeft(evaluated) { (df, f) =>
+    // Assets whose substituted statements coincide share one evaluation —
+    // the per-asset work is keyed by the distinct statement, not the URI.
+    val byStatement = assets.map { uri =>
+      val key =
+        if (queryFields.nonEmpty) ConfigEval.combinedQuery(queryFields, uri)
+        else ""
+      (key, uri)
+    }.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val perStatement = byStatement.map { uris =>
+      val head = uris.head
+      val evaluatedOne =
+        if (queryFields.nonEmpty) ConfigEval.evalCombined(spark, queryFields, head)
+        else spark.range(1).select(lit(head.render).as("asset_uri"))
+      // same statement → same values for every URI in the group
+      val evaluated = balancedUnion(uris.toSeq.map(u =>
+        evaluatedOne.withColumn("asset_uri", lit(u.render))))
+      staticFields.foldLeft(evaluated) { (df, f) =>
         df.withColumn(f.fieldId, lit(f.fieldValue.getOrElse("")))
       }
-      val fieldCols = config.fields.map { f =>
-        struct(lit(f.fieldId).as("field_id"), lit(f.fieldType).as("field_type"),
-          col(f.fieldId).cast("string").as("field_value"))
-      }
-      withStatics.select(col("asset_uri"),
-          explode(array(fieldCols: _*)).as("f"))
-        .select(col("asset_uri"), lit("").as("column"),
-          lit(config.templateId).as("template_id"),
-          col("f.field_id"), col("f.field_type"), col("f.field_value"))
     }
-    perAsset.reduce(_ unionByName _)
+    meltToTagRows(balancedUnion(perStatement), config)
   }
 
   /** Apply a dynamic-column config (DataCatalogController.py:363–485):
     * `included_columns_query` yields the target columns (a 1-row query —
-    * driver metadata), then each column gets the combined field evaluation
-    * with `$column` substitution; output is column-level tag rows.
+    * driver metadata), then ALL (column × field) cells evaluate in ONE
+    * combined statement — each cell a scalar subquery with
+    * `\$column`/`\$table` substituted — which Catalyst merges into shared
+    * scans (MergeScalarSubqueries). Plan width is O(columns × fields),
+    * bounded by the table's schema width; job count is O(1).
     */
   def applyDynamicColumnConfig(spark: SparkSession, config: TagConfig,
                                uri: AssetUri): DataFrame = {
@@ -67,19 +110,26 @@ object TagEngine {
         throw new IllegalArgumentException("included_columns_query required")),
       uri)
     val columns = spark.sql(colsQuery).first().toSeq.map(_.toString)
-    val perColumn = columns.map { c =>
-      ConfigEval.evalCombined(spark, config.fields, uri, Some(c))
-        .select(col("asset_uri"), lit(c).as("column"),
-          lit(config.templateId).as("template_id"),
-          explode(array(config.fields.map { f =>
-            struct(lit(f.fieldId).as("field_id"),
-              lit(f.fieldType).as("field_type"),
-              col(f.fieldId).cast("string").as("field_value"))
-          }: _*)).as("f"))
-        .select(col("asset_uri"), col("column"), col("template_id"),
-          col("f.field_id"), col("f.field_type"), col("f.field_value"))
+    val cells = for {
+      (c, i) <- columns.zipWithIndex
+      (f, j) <- config.fields.zipWithIndex
+    } yield {
+      val q = f.queryExpression.map(e =>
+          s"(${ConfigEval.substitute(e, uri, Some(c))})")
+        .getOrElse(s"'${f.fieldValue.getOrElse("")}'")
+      s"CAST($q AS STRING) AS `__v_${i}_$j`"
     }
-    perColumn.reduce(_ unionByName _)
+    val evaluated = spark.sql(cells.mkString("SELECT ", ", ", ""))
+    val structs = for {
+      (c, i) <- columns.zipWithIndex
+      (f, j) <- config.fields.zipWithIndex
+    } yield struct(lit(c).as("column"), lit(f.fieldId).as("field_id"),
+      lit(f.fieldType).as("field_type"),
+      col(s"__v_${i}_$j").as("field_value"))
+    evaluated.select(explode(array(structs: _*)).as("f"))
+      .select(lit(uri.render).as("asset_uri"), col("f.column"),
+        lit(config.templateId).as("template_id"),
+        col("f.field_id"), col("f.field_type"), col("f.field_value"))
   }
 
   /** Full job: evaluate + MERGE into the existing tag state, honoring

@@ -363,7 +363,98 @@ object CoreQueries3 {
       |FROM big JOIN dim USING (k)
       |GROUP BY v ORDER BY v""".stripMargin
 
+  /** H3 at load-test scale (examples/load/configs/static_asset_1m.json,
+    * TaskManager.py:49 1000-task shards): a dynamic-table config over a
+    * 1000-asset SHARDED family — the events table as 1000 BQ-style shard
+    * assets `events_0000…events_0999` — evaluated set-based by
+    * [[graft.operators.GroupedEval]]: ONE statement of correlated scalar
+    * subqueries, O(#fields) Spark jobs regardless of asset count
+    * (TagEngineSpec asserts the job-count invariance; the round-2 form
+    * built 1000 driver-side plans).
+    */
+  def q30BulkDynamic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.model.{FieldSpec, TagConfig}
+    import graft.operators.GroupedEval
+    import spark.implicits._
+    val catalog = spark.range(0, 1000)
+      .select(lit("p").as("project"), lit("lake").as("dataset"),
+        concat(lit("events_"), lpad(col("id").cast("string"), 4, "0"))
+          .as("table"))
+    val config = TagConfig(
+      configType = "DYNAMIC_TAG_TABLE", templateId = "gov",
+      fields = Seq(
+        FieldSpec("n_rows", "double", Some("select count(*) from $table")),
+        FieldSpec("n_users", "double",
+          Some("select count(distinct user_id) from $table")),
+        FieldSpec("total_value", "string",
+          Some("select cast(sum(cast(value as decimal(18,2))) as string) " +
+            "from $table")),
+        FieldSpec("clicks", "double",
+          Some("select count(*) from $table where event_type = 'click'")),
+        FieldSpec("avg_daily", "string",
+          Some("select cast(ifnull(round(avg(daily), 2), 0) as decimal(18,2)) " +
+            "from (select cast(ts as date) as d, count(*) as daily " +
+            "from $table group by d)")),
+        FieldSpec("asset_label", "string",
+          Some("select concat('$dataset', '.', '$table')")),
+        FieldSpec("env", "enum", None, Some("PROD"))),
+      includedUris = Seq("bigquery/project/p/dataset/lake/events_*"))
+    GroupedEval.applyDynamicTableConfigSharded(spark, config, catalog,
+        Lake.table(spark, dir, "events"),
+        concat(lit("events_"),
+          lpad((col("event_id") % 1000).cast("string"), 4, "0")))
+      .orderBy("asset_uri", "field_id")
+  }
+
+  val q30Oracle: String =
+    """WITH shards AS (
+      |  SELECT 'events_' || lpad(CAST(r.range AS VARCHAR), 4, '0') AS shard
+      |  FROM range(0, 1000) r),
+      |agg AS (
+      |  SELECT 'events_' || lpad(CAST(event_id % 1000 AS VARCHAR), 4, '0') AS shard,
+      |         count(*) AS n_rows,
+      |         count(DISTINCT user_id) AS n_users,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total_value,
+      |         count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks
+      |  FROM events GROUP BY 1),
+      |daily AS (
+      |  SELECT shard, CAST(ifnull(round(avg(daily), 2), 0) AS DECIMAL(18,2)) AS avg_daily
+      |  FROM (
+      |    SELECT 'events_' || lpad(CAST(event_id % 1000 AS VARCHAR), 4, '0') AS shard,
+      |           CAST(ts AS DATE) AS d, count(*) AS daily
+      |    FROM events GROUP BY 1, 2)
+      |  GROUP BY shard),
+      |assets AS (
+      |  SELECT 'bigquery/project/p/dataset/lake/' || s.shard AS asset_uri,
+      |         coalesce(a.n_rows, 0) AS n_rows,
+      |         coalesce(a.n_users, 0) AS n_users,
+      |         a.total_value,
+      |         coalesce(a.clicks, 0) AS clicks,
+      |         coalesce(d.avg_daily, CAST(0 AS DECIMAL(18,2))) AS avg_daily,
+      |         'lake.' || s.shard AS asset_label
+      |  FROM shards s
+      |  LEFT JOIN agg a USING (shard) LEFT JOIN daily d ON d.shard = s.shard)
+      |SELECT asset_uri, '' AS "column", 'gov' AS template_id, field_id,
+      |       field_type, field_value
+      |FROM (
+      |  SELECT asset_uri, 'n_rows' AS field_id, 'double' AS field_type,
+      |         CAST(n_rows AS VARCHAR) AS field_value FROM assets
+      |  UNION ALL
+      |  SELECT asset_uri, 'n_users', 'double', CAST(n_users AS VARCHAR) FROM assets
+      |  UNION ALL
+      |  SELECT asset_uri, 'total_value', 'string', total_value FROM assets
+      |  UNION ALL
+      |  SELECT asset_uri, 'clicks', 'double', CAST(clicks AS VARCHAR) FROM assets
+      |  UNION ALL
+      |  SELECT asset_uri, 'avg_daily', 'string', CAST(avg_daily AS VARCHAR) FROM assets
+      |  UNION ALL
+      |  SELECT asset_uri, 'asset_label', 'string', asset_label FROM assets
+      |  UNION ALL
+      |  SELECT asset_uri, 'env', 'enum', 'PROD' FROM assets)
+      |ORDER BY asset_uri, field_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("q30_bulk_dynamic", q30BulkDynamic _, Some(q30Oracle)),
     ("q25_e2e_dynamic", q25E2eDynamic _, Some(q25Oracle)),
     ("q27_config_json", q27ConfigJson _, Some(q25Oracle)),
     ("q28_salted_join", q28SaltedJoin _, Some(q28Oracle)),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.model.{FieldSpec, TagConfig}
-import graft.operators.TagEngine
+import graft.operators.{GroupedEval, TagEngine}
 
 /** §3.1 end-to-end job semantics: overwrite gate + merge into state. */
 class TagEngineSpec extends SparkSpec {
@@ -39,5 +39,89 @@ class TagEngineSpec extends SparkSpec {
     val out = TagEngine.runJob(spark, config, catalog, existing)
       .select("asset_uri", "field_value").as[(String, String)].collect().toMap
     assert(out("bigquery/project/p/dataset/lake/region") === "5")
+  }
+
+  // ------------------------------------------------ sharded (set-based) eval
+
+  private val shardedFields = Seq(
+    FieldSpec("n_rows", "double", Some("select count(*) from $table")),
+    FieldSpec("n_users", "double",
+      Some("select count(distinct user_id) from $table")),
+    FieldSpec("total_value", "string",
+      Some("select cast(sum(cast(value as decimal(18,2))) as string) from $table")),
+    FieldSpec("avg_daily", "string",
+      Some("select cast(ifnull(round(avg(daily), 2), 0) as decimal(18,2)) " +
+        "from (select cast(ts as date) as d, count(*) as daily " +
+        "from $table group by d)")),
+    FieldSpec("asset_label", "string",
+      Some("select concat('$dataset', '.', '$table')")),
+    FieldSpec("env", "enum", None, Some("PROD")))
+
+  private def shardCatalog(n: Int) = spark.range(0, n)
+    .select(lit("p").as("project"), lit("lake").as("dataset"),
+      concat(lit("ev_"), col("id").cast("string")).as("table"))
+
+  private def shardConfig(n: Int) = TagConfig(
+    configType = "DYNAMIC_TAG_TABLE", templateId = "gov",
+    fields = shardedFields,
+    includedUris = Seq("bigquery/project/p/dataset/lake/ev_*"))
+
+  test("sharded grouped eval == per-asset loop eval") {
+    // 7 shards of events, each ALSO registered as its own view so the
+    // per-asset path can evaluate the identical semantics
+    val ev = Lake.table(spark, sf, "events")
+    val n = 7
+    (0 until n).foreach(i => ev.filter(col("event_id") % n === i)
+      .createOrReplaceTempView(s"ev_$i"))
+    val catalog = shardCatalog(n)
+    val perAsset = TagEngine.applyDynamicTableConfig(spark, shardConfig(n), catalog)
+    val grouped = GroupedEval.applyDynamicTableConfigSharded(spark,
+      shardConfig(n), catalog, ev,
+      concat(lit("ev_"), (col("event_id") % n).cast("string")))
+    assert(grouped.count() === n.toLong * shardedFields.length)
+    assert(perAsset.exceptAll(grouped).count() === 0)
+    assert(grouped.exceptAll(perAsset).count() === 0)
+  }
+
+  test("sharded eval keeps per-asset scalar semantics on EMPTY assets") {
+    // shards 5..9 have no rows: count-style fields must still yield 0
+    // (the scalar-subquery COUNT-bug case), sum null, ifnull-avg 0
+    val ev = Lake.table(spark, sf, "events").filter(col("event_id") % 10 < 5)
+    val out = GroupedEval.applyDynamicTableConfigSharded(spark,
+        shardConfig(10), shardCatalog(10), ev,
+        concat(lit("ev_"), (col("event_id") % 10).cast("string")))
+      .filter(col("asset_uri") === "bigquery/project/p/dataset/lake/ev_7")
+      .select("field_id", "field_value").as[(String, String)].collect().toMap
+    assert(out("n_rows") === "0")
+    assert(out("n_users") === "0")
+    assert(out("total_value") === null)
+    assert(out("avg_daily") === "0.00")
+    assert(out("asset_label") === "lake.ev_7")
+    assert(out("env") === "PROD")
+  }
+
+  test("sharded eval job count does NOT grow with asset count") {
+    def jobsFor(n: Int): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        GroupedEval.applyDynamicTableConfigSharded(spark, shardConfig(n),
+            shardCatalog(n), Lake.table(spark, sf, "events"),
+            concat(lit("ev_"), (col("event_id") % n).cast("string")))
+          .write.mode("overwrite").format("noop").save()
+        // listener events are async; give the bus a moment to drain
+        Thread.sleep(500)
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val j100 = jobsFor(100)
+    val j1000 = jobsFor(1000)
+    assert(j1000 === j100,
+      s"plan/job count must be independent of asset count ($j100 vs $j1000)")
   }
 }
