@@ -130,9 +130,12 @@ object Similarity {
       k)
   }
 
-  /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
-    * Brute force locally; at scale the candidate step is LSH (random
-    * hyperplane) or the IVF assignment itself (only intra-bucket pairs).
+  /** EXACT embedding near-duplicate pairs: all pairs with cosine ≥
+    * threshold. The `a<b` theta self-join is an O(n²)
+    * BroadcastNestedLoopJoin — correct as the small-corpus oracle
+    * baseline, NOT the scale path. At corpus scale use
+    * [[bucketedNearDupPairs]] (candidates from an equi-join, no
+    * nested-loop anywhere in the plan).
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame =
     emb.as("l").join(emb.as("r"), col("l.vec_id") < col("r.vec_id"))
@@ -140,4 +143,29 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"),
         round(col("cos"), 6).as("cosine"))
+
+  /** IVF-BUCKETED near-duplicate pairs — the 100 TB form of
+    * [[cosineNearDupPairs]]. Semantics are bucketed-exact (the FAISS-IVF
+    * contract): candidate pairs are vectors assigned to the SAME nearest
+    * centroid (deterministic argmax, ties → smaller id — [[ivfAssign]]);
+    * each candidate is verified with the exact codegen'd cosine. The
+    * candidate step is a hash equi-join on `centroid_id`, so total work is
+    * Σ bucket², not n² — and the physical plan contains no
+    * BroadcastNestedLoopJoin (PlanSpec asserts this). Dense embeddings
+    * admit no lossless pigeonhole on cosine (unlike d06's Hamming
+    * banding), so cross-bucket recall is a semantic parameter of the
+    * operator, tuned via the centroid count/quality — identical to how
+    * IVF trades recall for probe cost in s02.
+    */
+  def bucketedNearDupPairs(emb: DataFrame, centroids: DataFrame,
+                           threshold: Double): DataFrame = {
+    val assigned = ivfAssign(emb, centroids)
+    assigned.as("l").join(assigned.as("r"),
+        col("l.centroid_id") === col("r.centroid_id") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cos", VectorFns.cosine(col("l.vec"), col("r.vec")))
+      .filter(col("cos") >= threshold)
+      .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
 }

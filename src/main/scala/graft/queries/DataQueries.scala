@@ -192,6 +192,35 @@ object DataQueries {
        |WHERE ${cosSql("l.v", "r.v")} >= 0.4
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** IVF-bucketed near-dup (the scale form of e01): nearest-of-8-centroids
+    * assignment → intra-bucket equi-join candidates → exact cosine verify.
+    * The plan contains no BroadcastNestedLoopJoin (PlanSpec).
+    */
+  def e02EmbedNearDupBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    Similarity.bucketedNearDupPairs(e, centroids, threshold = 0.4)
+      .orderBy("a_id", "b_id")
+  }
+
+  val e02Oracle: String =
+    s"""WITH $embCte,
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+       |assign AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.centroid_id) AS rn
+       |  FROM e CROSS JOIN cent c) WHERE rn = 1)
+       |SELECT l.vec_id AS a_id, r.vec_id AS b_id,
+       |  round(${cosSql("le.v", "re.v")}, 6) AS cosine
+       |FROM assign l JOIN assign r
+       |  ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+       |JOIN e le ON le.vec_id = l.vec_id
+       |JOIN e re ON re.vec_id = r.vec_id
+       |WHERE ${cosSql("le.v", "re.v")} >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+
   def s01AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val query = e.filter(col("vec_id") === 0).select(col("vec").as("qvec"))
@@ -603,6 +632,7 @@ object DataQueries {
     ("d07_split_assign", d07SplitAssign _, Some(d07Oracle)),
     ("d08_contamination", d08Contamination _, Some(d08Oracle)),
     ("e01_embed_neardup", e01EmbedNearDup _, Some(e01Oracle)),
+    ("e02_embed_neardup_bucketed", e02EmbedNearDupBucketed _, Some(e02Oracle)),
     ("s01_ann_topk", s01AnnBruteForce _, Some(s01Oracle)),
     ("s02_ann_ivf", s02AnnIvf _, Some(s02Oracle)),
     ("s03_ann_hyperplane", s03AnnHyperplane _, Some(s03Oracle)),

@@ -34,6 +34,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("e02: bucketed near-dup candidates come from an equi-join (no BNLJ)") {
+    // the scale contract of the IVF-bucketed variant: assignment is a
+    // narrow argmax, candidates a hash equi-join on centroid_id — a
+    // BroadcastNestedLoopJoin anywhere means the O(n^2) fallback came back
+    val p = planOf(DataQueries.e02EmbedNearDupBucketed(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("cosine_sim"), p)
+  }
+
   test("d02: minhash signatures are a narrow projection (zero shuffle)") {
     // row-local shingle sets + per-row array_min permutations: the ONLY
     // allowed exchange is the final presentation orderBy's range partition
