@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.expand.Expander
+import graft.functions.Coerce
 import graft.model.{AssetUri, TagConfig}
 
 /** The end-to-end config pipeline (SURVEY.md §3.1/§3.2): what the reference
@@ -132,12 +133,50 @@ object TagEngine {
         col("f.field_id"), col("f.field_type"), col("f.field_value"))
   }
 
+  /** The tag-history rows one job appends (DataCatalogController.py:324–327
+    * → BigQueryUtils.py:391–440): one row per written tag instance with the
+    * singular-segment asset name ([[AssetUri.historyAssetName]] expressed
+    * set-based over the URI column), the template's fields PIVOTED to typed
+    * columns (history tables are created from the template,
+    * BigQueryUtils.py:344–387), plus the `event_date` day partition.
+    */
+  def historyRows(incoming: DataFrame, config: TagConfig, eventTime: Column,
+                  jobUuid: Column): DataFrame = {
+    val parts = split(col("asset_uri"), "/")
+    val tableName = concat_ws("/",
+      element_at(parts, 3), lit("dataset"), element_at(parts, 5),
+      lit("table"), element_at(parts, 6))
+    val assetName = when(col("column") =!= "",
+      concat(tableName, lit("/column/"), col("column"))).otherwise(tableName)
+    // pivot over the KNOWN field list (no extra distinct-values job); enum
+    // and richtext store their string form in history, like the reference
+    def typed(f: graft.model.FieldSpec, v: Column): Column = f.fieldType match {
+      case "enum" | "richtext" => v.cast("string")
+      case t                   => Coerce.coerce(t, v)
+    }
+    val pivoted = incoming
+      .groupBy(col("asset_uri"), col("column"))
+      .pivot("field_id", config.fields.map(_.fieldId))
+      .agg(first("field_value"))
+    Sinks.withHistoryPartition(pivoted.select(
+      Seq(eventTime.as("event_time"), assetName.as("asset_name"),
+        jobUuid.as("job_uuid")) ++
+        config.fields.map(f => typed(f, col(f.fieldId)).as(f.fieldId)): _*))
+  }
+
   /** Full job: evaluate + MERGE into the existing tag state, honoring
     * `overwrite=false` (skip assets already tagged with this template,
-    * DataCatalogController.py:230–243) and delete-when-all-empty.
+    * DataCatalogController.py:230–243) and delete-when-all-empty. When the
+    * config asks for tag history and a sink path is given, the written tag
+    * instances are ALSO appended to the day-partitioned history table
+    * (DataCatalogController.py:324–327) — the reference writes history on
+    * every create/update, so history rows are the post-overwrite-filter
+    * incoming set.
     */
   def runJob(spark: SparkSession, config: TagConfig, catalog: DataFrame,
-             existingTags: DataFrame): DataFrame = {
+             existingTags: DataFrame, historyPath: Option[String] = None,
+             eventTime: Column = current_timestamp(),
+             jobUuid: Column = lit("")): DataFrame = {
     val computed = applyDynamicTableConfig(spark, config, catalog)
     val incoming =
       if (config.overwrite) computed
@@ -145,6 +184,9 @@ object TagEngine {
         existingTags.filter(col("template_id") === config.templateId)
           .select("asset_uri").distinct(),
         Seq("asset_uri"))
+    if (config.tagHistory)
+      historyPath.foreach(p =>
+        Sinks.writeHistory(historyRows(incoming, config, eventTime, jobUuid), p))
     TagStore.applyWithDeletes(existingTags, incoming)
   }
 }

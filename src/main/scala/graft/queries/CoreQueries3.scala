@@ -453,8 +453,60 @@ object CoreQueries3 {
       |  SELECT asset_uri, 'env', 'enum', 'PROD' FROM assets)
       |ORDER BY asset_uri, field_id""".stripMargin
 
+  /** A11 wired through the job lifecycle (DataCatalogController.py:324–327
+    * → BigQueryUtils.py:391–440): a tag_history=true dynamic config run via
+    * `TagEngine.runJob` appends day-partitioned history rows — this query
+    * reads BACK what the sink wrote (singular-segment asset name, typed
+    * field columns, event_date partition), so the append + partition layout
+    * themselves are under the oracle gate.
+    */
+  def q31JobHistory(spark: SparkSession, dir: String): DataFrame = {
+    import graft.model.{FieldSpec, TagConfig}
+    import graft.operators.TagEngine
+    Lake.registerAll(spark, dir)
+    val catalog = {
+      import spark.implicits._
+      Lake.tableNames.map(t => ("p", "lake", t))
+        .toDF("project", "dataset", "table")
+    }
+    val config = TagConfig(
+      configType = "DYNAMIC_TAG_TABLE", templateId = "gov",
+      fields = Seq(
+        FieldSpec("n_rows", "double", Some("select count(*) from $table")),
+        FieldSpec("env", "enum", None, Some("PROD"))),
+      includedUris = Seq("bigquery/project/p/dataset/lake/region",
+        "bigquery/project/p/dataset/lake/nation"),
+      tagHistory = true)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "asset_uri string, column string, template_id string, " +
+        "field_id string, field_value string"))
+    // unique dir per invocation: the sink is append-mode by contract
+    val histDir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    TagEngine.runJob(spark, config, catalog, empty, Some(histDir),
+      lit("2024-03-01 12:00:00").cast("timestamp"), lit("job-1"))
+    spark.read.parquet(histDir)
+      .select("event_time", "asset_name", "job_uuid", "n_rows", "env",
+        "event_date")
+      .orderBy("asset_name")
+  }
+
+  val q31Oracle: String =
+    """SELECT TIMESTAMP '2024-03-01 12:00:00' AS event_time,
+      |       'p/dataset/lake/table/nation' AS asset_name,
+      |       'job-1' AS job_uuid,
+      |       CAST((SELECT count(*) FROM nation) AS DOUBLE) AS n_rows,
+      |       'PROD' AS env, DATE '2024-03-01' AS event_date
+      |UNION ALL
+      |SELECT TIMESTAMP '2024-03-01 12:00:00', 'p/dataset/lake/table/region',
+      |       'job-1', CAST((SELECT count(*) FROM region) AS DOUBLE), 'PROD',
+      |       DATE '2024-03-01'
+      |ORDER BY asset_name""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q30_bulk_dynamic", q30BulkDynamic _, Some(q30Oracle)),
+    ("q31_job_history", q31JobHistory _, Some(q31Oracle)),
     ("q25_e2e_dynamic", q25E2eDynamic _, Some(q25Oracle)),
     ("q27_config_json", q27ConfigJson _, Some(q25Oracle)),
     ("q28_salted_join", q28SaltedJoin _, Some(q28Oracle)),

@@ -41,6 +41,24 @@ class TagEngineSpec extends SparkSpec {
     assert(out("bigquery/project/p/dataset/lake/region") === "5")
   }
 
+  test("historyRows: column-level tags get the /column/ asset-name segment") {
+    val cfg = TagConfig(configType = "DYNAMIC_TAG_COLUMN", templateId = "t",
+      fields = Seq(FieldSpec("ndv", "double"), FieldSpec("note", "string")))
+    val incoming = Seq(
+      ("bigquery/project/p/dataset/lake/orders", "o_custkey", "t", "ndv", "42"),
+      ("bigquery/project/p/dataset/lake/orders", "o_custkey", "t", "note", "x"),
+      ("bigquery/project/p/dataset/lake/orders", "", "t", "ndv", "7"),
+      ("bigquery/project/p/dataset/lake/orders", "", "t", "note", "y"))
+      .toDF("asset_uri", "column", "template_id", "field_id", "field_value")
+    val out = TagEngine.historyRows(incoming, cfg,
+        lit("2024-03-01 00:00:00").cast("timestamp"), lit("j"))
+      .select("asset_name", "ndv", "note").as[(String, Double, String)]
+      .collect().toSet
+    assert(out === Set(
+      ("p/dataset/lake/table/orders/column/o_custkey", 42.0, "x"),
+      ("p/dataset/lake/table/orders", 7.0, "y")))
+  }
+
   // ------------------------------------------------ sharded (set-based) eval
 
   private val shardedFields = Seq(
