@@ -125,9 +125,28 @@ object ConfigDispatch {
         col("classification_result").as("field_value"))
   }
 
+  /** The key of assets whose import row leaves a REQUIRED template field
+    * empty (DataCatalogController.py:1347–1355: the reference raises per
+    * entry, failing that task). Exposed so callers can surface the ERROR
+    * task rows the reference would log.
+    */
+  def requiredViolations(rows: DataFrame, template: TagTemplate): DataFrame = {
+    val keyCols = Seq("project", "dataset", "table", "column")
+      .filter(rows.columns.contains)
+    val required = template.fields.filter(_.isRequired).map(_.fieldId)
+      .filter(rows.columns.contains)
+    val anyEmpty = required.map(f =>
+        coalesce(trim(col(f).cast("string")), lit("")) === "")
+      .reduceOption(_ || _).getOrElse(lit(false))
+    rows.filter(anyEmpty).select(keyCols.map(col): _*)
+  }
+
   /** Import: melt the header-driven CSV rows against the template's field
     * types (DataCatalogController.py:1340–1368). Unknown CSV columns (not
-    * in the template) error, mirroring the reference.
+    * in the template) error, mirroring the reference; a required field
+    * missing from the header errors the whole config, and rows with an
+    * EMPTY required value drop their asset's tags (the per-entry exception
+    * path, :1347–1355 — see [[requiredViolations]] for the ERROR rows).
     */
   private def importCsv(spark: SparkSession, config: TagConfig,
                         in: EngineInputs): DataFrame = {
@@ -139,7 +158,12 @@ object ConfigDispatch {
     val fieldCols = rows.columns.filterNot(keyCols.contains).toSeq
     val unknown = fieldCols.filterNot(template.byId.contains)
     require(unknown.isEmpty, s"unknown fields in import: ${unknown.mkString(",")}")
-    val melted = rows.unpivot(keyCols.map(col).toArray,
+    val missingRequired = template.fields.filter(_.isRequired)
+      .map(_.fieldId).filterNot(fieldCols.contains)
+    require(missingRequired.isEmpty,
+      s"required fields absent from import header: ${missingRequired.mkString(",")}")
+    val valid = rows.join(requiredViolations(rows, template), keyCols, "left_anti")
+    val melted = valid.unpivot(keyCols.map(col).toArray,
       fieldCols.map(col).toArray, "field_id", "field_value")
     val types = template.fields.map(f => (f.fieldId, f.fieldType))
       .toDF("field_id", "field_type")
@@ -169,16 +193,22 @@ object ConfigDispatch {
 
   /** Tags keyed by `bigquery/project/P/dataset/D/T` URIs → the report
     * input shape (project, dataset, table, tag_template, tag_field,
-    * tag_value).
+    * tag_value[, tag_type]). The type rides along when present so
+    * [[Sinks.reportRows]] can apply the richtext export swap.
     */
   private def exportableTags(tags: DataFrame): DataFrame = {
     val parts = split(col("asset_uri"), "/")
-    tags.select(
+    val base = Seq(
       element_at(parts, 3).as("project"),
       element_at(parts, 5).as("dataset"),
       element_at(parts, 6).as("table"),
       col("template_id").as("tag_template"),
       col("field_id").as("tag_field"),
       col("field_value").cast("string").as("tag_value"))
+    val withType =
+      if (tags.columns.contains("field_type"))
+        base :+ col("field_type").as("tag_type")
+      else base
+    tags.select(withType: _*)
   }
 }

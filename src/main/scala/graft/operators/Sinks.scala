@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Coerce
 
 /** History / report sinks (SURVEY.md §2 A11–A13).
   *
@@ -28,13 +29,22 @@ object Sinks {
   /** Flatten a tags table to the report shape (BigQueryUtils.py:263–305;
     * FIXTURES.md §3.2): everything stringified except `export_time`.
     * `tags` must carry (project, dataset, table, tag_template, tag_field,
-    * tag_value).
+    * tag_value); an optional `tag_type` column is consumed here —
+    * richtext values leave the catalog in EXPORT form, `<br>` swapped for
+    * `', '` (DataCatalogController.py:1177) — and is not exported.
     */
-  def reportRows(tags: DataFrame, exportTime: Column): DataFrame =
+  def reportRows(tags: DataFrame, exportTime: Column): DataFrame = {
+    val value =
+      if (tags.columns.contains("tag_type"))
+        when(col("tag_type") === "richtext",
+          Coerce.richtextExport(col("tag_value").cast("string")))
+          .otherwise(col("tag_value").cast("string"))
+      else col("tag_value").cast("string")
     tags.select(
       col("project"), col("dataset"), col("table"), col("tag_template"),
-      col("tag_field"), col("tag_value").cast("string").as("tag_value"),
+      col("tag_field"), value.as("tag_value"),
       exportTime.as("export_time"))
+  }
 
   /** Report write: `write_option` truncate vs append
     * (BigQueryUtils.py:35–50) → overwrite vs append mode, day-partitioned.

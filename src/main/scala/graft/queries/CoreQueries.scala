@@ -141,9 +141,20 @@ object CoreQueries {
 
   def q05ImportMelt(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import graft.model.{TagTemplate, TemplateField}
+    import graft.operators.ConfigDispatch
     val csv = importRows.toDF(
       "project", "dataset", "table", "column",
       "is_compliant", "reason", "env", "eval_time")
+    // is_compliant + reason are REQUIRED: a row leaving one empty fails its
+    // task (DataCatalogController.py:1347–1355) — surfaced as task_status
+    val tmpl = TagTemplate("imp", Seq(
+      TemplateField("is_compliant", "bool", isRequired = true),
+      TemplateField("reason", "string", isRequired = true),
+      TemplateField("env", "enum"), TemplateField("eval_time", "timestamp")))
+    val keys = Seq("project", "dataset", "table", "column")
+    val errored = ConfigDispatch.requiredViolations(csv, tmpl)
+      .withColumn("task_status", lit("ERROR"))
     val melted = csv.unpivot(
       Array(col("project"), col("dataset"), col("table"), col("column")),
       Array(col("is_compliant"), col("reason"), col("env"), col("eval_time")),
@@ -153,8 +164,10 @@ object CoreQueries {
       ("env", "enum"), ("eval_time", "timestamp"))
       .toDF("field_id", "field_type")
     melted.join(broadcast(template), "field_id")
+      .join(broadcast(errored), keys, "left_outer")
       .select(col("project"), col("dataset"), col("table"), col("column"),
         col("field_id"), col("field_type"),
+        coalesce(col("task_status"), lit("SUCCESS")).as("task_status"),
         when(col("field_type") === "bool", Coerce.bool(col("raw_value")))
           .as("v_bool"),
         when(col("field_type") === "string", col("raw_value"))
@@ -175,8 +188,13 @@ object CoreQueries {
        |m AS (SELECT project, dataset, "table", "column", field_id, raw_value FROM csv
        |      UNPIVOT (raw_value FOR field_id IN (is_compliant, reason, env, eval_time))),
        |t(field_id, field_type) AS (VALUES ('is_compliant','bool'), ('reason','string'),
-       |                                   ('env','enum'), ('eval_time','timestamp'))
+       |                                   ('env','enum'), ('eval_time','timestamp')),
+       |s AS (SELECT project, dataset, "table", "column",
+       |        CASE WHEN trim(is_compliant) = '' OR trim(reason) = ''
+       |             THEN 'ERROR' ELSE 'SUCCESS' END AS task_status
+       |      FROM csv)
        |SELECT m.project, m.dataset, m."table", m."column", m.field_id, t.field_type,
+       | s.task_status,
        | CASE WHEN field_type = 'bool' THEN upper(trim(raw_value)) = 'TRUE' END AS v_bool,
        | CASE WHEN field_type = 'string' THEN raw_value
        |      WHEN field_type = 'enum' THEN
@@ -188,7 +206,9 @@ object CoreQueries {
        |         ELSE try_cast(raw_value AS TIMESTAMP) END)
        | END AS v_ts
        |FROM m JOIN t USING (field_id)
-       |ORDER BY "table", field_id""".stripMargin
+       |JOIN s ON s.project = m.project AND s.dataset = m.dataset
+       |      AND s."table" = m."table" AND s."column" = m."column"
+       |ORDER BY m."table", field_id""".stripMargin
   }
 
   /** §1.2 type-system sweep over real data: every coercion rule (bool,

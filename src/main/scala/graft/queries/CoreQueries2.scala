@@ -86,16 +86,27 @@ object CoreQueries2 {
     */
   def q09ExportReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Lake.table(spark, dir, "documents")
+    // the richtext `keywords` field is stored in catalog form
+    // (`<br>`-joined) and must leave in EXPORT form (`, `-joined,
+    // DataCatalogController.py:1177) — reportRows consumes tag_type
     val tags = docs.select(
       lit("p").as("project"), col("source").as("dataset"),
       concat(lit("doc_"), col("doc_id")).as("table"),
       lit("doc_quality").as("tag_template"),
       explode(array(
-        struct(lit("lang").as("tag_field"), col("lang").cast("string").as("tag_value")),
-        struct(lit("n_chars").as("tag_field"), col("n_chars").cast("string").as("tag_value"))
+        struct(lit("lang").as("tag_field"),
+          col("lang").cast("string").as("tag_value"),
+          lit("string").as("tag_type")),
+        struct(lit("n_chars").as("tag_field"),
+          col("n_chars").cast("string").as("tag_value"),
+          lit("string").as("tag_type")),
+        struct(lit("keywords").as("tag_field"),
+          concat_ws("<br>", col("lang"), col("source")).as("tag_value"),
+          lit("richtext").as("tag_type"))
       )).as("f"))
       .select(col("project"), col("dataset"), col("table"),
-              col("tag_template"), col("f.tag_field"), col("f.tag_value"))
+              col("tag_template"), col("f.tag_field"), col("f.tag_value"),
+              col("f.tag_type"))
     Sinks.reportRows(tags, lit("2024-02-01 00:00:00").cast("timestamp"))
       .orderBy("dataset", "table", "tag_field")
   }
@@ -108,6 +119,10 @@ object CoreQueries2 {
       |UNION ALL
       |SELECT 'p', source, 'doc_' || doc_id, 'doc_quality', 'n_chars',
       |  CAST(n_chars AS VARCHAR), TIMESTAMP '2024-02-01 00:00:00'
+      |FROM documents
+      |UNION ALL
+      |SELECT 'p', source, 'doc_' || doc_id, 'doc_quality', 'keywords',
+      |  lang || ', ' || source, TIMESTAMP '2024-02-01 00:00:00'
       |FROM documents
       |ORDER BY dataset, "table", tag_field""".stripMargin
 

@@ -92,6 +92,28 @@ class ConfigDispatchSpec extends SparkSpec {
     }
   }
 
+  test("TAG_IMPORT enforces required fields (header + per-row)") {
+    val cfg = TagConfig("TAG_IMPORT", "gov", Nil)
+    val tpl = TagTemplate("gov", Seq(
+      TemplateField("is_pii", "bool", isRequired = true),
+      TemplateField("note", "string")))
+    // per-row: t2 leaves required is_pii empty → its tags are dropped
+    // (the reference raises per entry, failing that task)
+    val rows = Seq(
+      ("p", "d", "t1", "c", "TRUE", "x"),
+      ("p", "d", "t2", "c", " ", "y"))
+      .toDF("project", "dataset", "table", "column", "is_pii", "note")
+    val out = ConfigDispatch.applyConfig(spark, cfg,
+        base.copy(importRows = Some(rows), template = Some(tpl)))
+      .select("asset_uri").distinct().as[String].collect()
+    assert(out.toSeq === Seq("bigquery/project/p/dataset/d/t1"))
+    // header-level: required field absent from the CSV errors the config
+    intercept[IllegalArgumentException] {
+      ConfigDispatch.applyConfig(spark, cfg,
+        base.copy(importRows = Some(rows.drop("is_pii")), template = Some(tpl)))
+    }
+  }
+
   test("TAG_RESTORE rebuilds tag rows from a JSONL backup") {
     val cfg = TagConfig("TAG_RESTORE", "gov", Nil)
     val line = """{"entryGroupId":"eg","id":"t1","locationId":"us","projectId":"p1","createTime":"x","updateTime":"y","tags":[{"template":"gov","templateProject":"p1","fields":[{"name":"env","type":"string","value":"PROD"}]},{"template":"other","templateProject":"p1","fields":[{"name":"zz","type":"string","value":"drop-me"}]}],"columns":[]}"""
