@@ -31,13 +31,25 @@ object Expander {
 
   /** Predicate for one URI pattern against catalog columns. A project-level
     * URI (no dataset) matches every dataset and table (Resources.py:77–101).
+    * On a TYPED catalog (carrying `asset_type`, and `instance` for Spanner
+    * rows) the fileset/spanner shapes match their own rows — the container
+    * segment (entry_group / database) lives in the `dataset` column, the
+    * leaf (fileset / table) in `table` (see [[AssetUri]]).
     */
-  def uriPredicate(uri: String): Column = {
-    val u = AssetUri.parseBq(uri)
+  def uriPredicate(uri: String): Column = uriPredicate(uri, Set.empty)
+
+  def uriPredicate(uri: String, catalogCols: Set[String]): Column = {
+    val u = AssetUri.parse(uri)
+    val ty =
+      if (catalogCols.contains("asset_type"))
+        col("asset_type") === lit(u.assetType)
+      else lit(u.assetType == "bigquery")
     val p = col("project") === lit(u.project)
+    val i = u.instance.filter(_ => catalogCols.contains("instance"))
+      .map(globPredicate(col("instance"), _)).getOrElse(lit(true))
     val d = u.dataset.map(globPredicate(col("dataset"), _)).getOrElse(lit(true))
     val t = u.table.map(globPredicate(col("table"), _)).getOrElse(lit(true))
-    p && d && t
+    ty && p && i && d && t
   }
 
   private def orChain(preds: Seq[Column]): Column =
@@ -48,9 +60,24 @@ object Expander {
     */
   def expand(catalog: DataFrame, included: Seq[String],
              excluded: Seq[String]): DataFrame = {
-    val inc = orChain(included.filter(_.nonEmpty).map(uriPredicate))
-    val exc = orChain(excluded.filter(_.nonEmpty).map(uriPredicate))
+    val cols = catalog.columns.toSet
+    val inc = orChain(included.filter(_.nonEmpty).map(uriPredicate(_, cols)))
+    val exc = orChain(excluded.filter(_.nonEmpty).map(uriPredicate(_, cols)))
     catalog.filter(inc && !exc)
+  }
+
+  /** Set-based [[AssetUri.render]] over typed catalog columns: builds the
+    * slashed URI per row from `asset_type` (+ `instance` for Spanner).
+    */
+  def renderUri(assetType: Column, project: Column, dataset: Column,
+                table: Column, instance: Column): Column = {
+    val label = when(assetType === "fileset", lit("entry_group"))
+      .when(assetType === "spanner", lit("database"))
+      .otherwise(lit("dataset"))
+    val base = concat_ws("/", assetType, lit("project"), project)
+    val withInst = when(assetType === "spanner",
+      concat_ws("/", base, lit("instance"), instance)).otherwise(base)
+    concat_ws("/", withInst, label, dataset, table)
   }
 
   /** Incremental-skip semantics (`overwrite=false`,

@@ -151,10 +151,18 @@ object ConfigDispatch {
   private def importCsv(spark: SparkSession, config: TagConfig,
                         in: EngineInputs): DataFrame = {
     import spark.implicits._
+    import graft.model.ConfigIO
     val rows = in.importRows.getOrElse(sys.error("import config needs importRows"))
     val template = in.template.getOrElse(sys.error("import config needs template"))
-    val keyCols = Seq("project", "dataset", "table", "column")
-      .filter(rows.columns.contains)
+    // asset type from the header keys (main.py:3445–3461): dataset →
+    // bigquery; entry_group+fileset → fileset; instance+database → spanner
+    val assetType = ConfigIO.inferAssetType(rows.columns.toSeq)
+    val keyCols = (assetType match {
+      case "fileset" => Seq("project", "entry_group", "fileset", "column")
+      case "spanner" => Seq("project", "instance", "database", "schema",
+        "table", "column")
+      case _         => Seq("project", "dataset", "table", "column")
+    }).filter(rows.columns.contains)
     val fieldCols = rows.columns.filterNot(keyCols.contains).toSeq
     val unknown = fieldCols.filterNot(template.byId.contains)
     require(unknown.isEmpty, s"unknown fields in import: ${unknown.mkString(",")}")
@@ -167,9 +175,23 @@ object ConfigDispatch {
       fieldCols.map(col).toArray, "field_id", "field_value")
     val types = template.fields.map(f => (f.fieldId, f.fieldType))
       .toDF("field_id", "field_type")
+    // typed URI per asset kind (DataCatalogController.py:1272–1292); a
+    // Spanner schema qualifies the leaf as `schema.table` (:1265–1269)
+    val uriCol = assetType match {
+      case "fileset" => concat_ws("/", lit("fileset/project"), col("project"),
+        lit("entry_group"), col("entry_group"), col("fileset"))
+      case "spanner" =>
+        val leaf = if (keyCols.contains("schema"))
+          concat(lit("`"), col("schema"), lit("."), col("table"), lit("`"))
+        else col("table")
+        concat_ws("/", lit("spanner/project"), col("project"),
+          lit("instance"), col("instance"), lit("database"), col("database"),
+          leaf)
+      case _ => concat_ws("/", lit("bigquery/project"), col("project"),
+        lit("dataset"), col("dataset"), col("table"))
+    }
     melted.join(broadcast(types), "field_id")
-      .select(concat_ws("/", lit("bigquery/project"), col("project"),
-          lit("dataset"), col("dataset"), col("table")).as("asset_uri"),
+      .select(uriCol.as("asset_uri"),
         (if (keyCols.contains("column")) col("column") else lit(""))
           .as("column"),
         lit(config.templateId).as("template_id"),

@@ -504,9 +504,73 @@ object CoreQueries3 {
       |       DATE '2024-03-01'
       |ORDER BY asset_name""".stripMargin
 
+  /** Mixed-type catalog fixture shared by the Spark query and the oracle
+    * VALUES (A1 extended to fileset/spanner entries, constants.py:17–23,
+    * DataCatalogController.py:1240–1292).
+    */
+  private val mixedCatalogRows = Seq(
+    ("bigquery", "p", "lake", "orders", ""),
+    ("bigquery", "p", "lake", "lineitem", ""),
+    ("fileset", "p", "sakila_eg", "staff", ""),
+    ("fileset", "p", "sakila_eg", "film", ""),
+    ("fileset", "p", "other_eg", "logs", ""),
+    ("spanner", "p", "salesdb", "accounts", "prod"),
+    ("spanner", "p", "salesdb", "orders_s", "prod"),
+    ("spanner", "p", "testdb", "accounts", "dev"))
+
+  /** Expansion over a TYPED catalog: bigquery + fileset + spanner URI
+    * shapes (incl. a fileset wildcard and a spanner exclusion) resolved in
+    * one narrow filter, URIs rendered set-based per type.
+    */
+  def q32MixedCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expand.Expander
+    import spark.implicits._
+    val cat = mixedCatalogRows
+      .toDF("asset_type", "project", "dataset", "table", "instance")
+    Expander.expand(cat,
+        included = Seq(
+          "bigquery/project/p/dataset/lake/orders",
+          "fileset/project/p/entry_group/sakila_eg/*",
+          "spanner/project/p/instance/prod/database/salesdb/*"),
+        excluded = Seq(
+          "spanner/project/p/instance/prod/database/salesdb/orders_s"))
+      .select(Expander.renderUri(col("asset_type"), col("project"),
+          col("dataset"), col("table"), col("instance")).as("asset_uri"),
+        col("asset_type"))
+      .orderBy("asset_uri")
+  }
+
+  val q32Oracle: String = {
+    val values = mixedCatalogRows.map { case (ty, p, d, t, i) =>
+      s"('$ty','$p','$d','$t','$i')"
+    }.mkString(", ")
+    s"""WITH cat(asset_type, project, dataset, "table", instance) AS (
+       |  VALUES $values)
+       |SELECT CASE asset_type
+       |  WHEN 'bigquery' THEN 'bigquery/project/' || project || '/dataset/'
+       |    || dataset || '/' || "table"
+       |  WHEN 'fileset' THEN 'fileset/project/' || project || '/entry_group/'
+       |    || dataset || '/' || "table"
+       |  ELSE 'spanner/project/' || project || '/instance/' || instance
+       |    || '/database/' || dataset || '/' || "table" END AS asset_uri,
+       |  asset_type
+       |FROM cat
+       |WHERE ((asset_type = 'bigquery' AND project = 'p'
+       |        AND dataset = 'lake' AND "table" = 'orders')
+       |   OR (asset_type = 'fileset' AND project = 'p'
+       |       AND dataset = 'sakila_eg')
+       |   OR (asset_type = 'spanner' AND project = 'p'
+       |       AND instance = 'prod' AND dataset = 'salesdb'))
+       |  AND NOT (asset_type = 'spanner' AND project = 'p'
+       |       AND instance = 'prod' AND dataset = 'salesdb'
+       |       AND "table" = 'orders_s')
+       |ORDER BY asset_uri""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q30_bulk_dynamic", q30BulkDynamic _, Some(q30Oracle)),
     ("q31_job_history", q31JobHistory _, Some(q31Oracle)),
+    ("q32_mixed_catalog", q32MixedCatalog _, Some(q32Oracle)),
     ("q25_e2e_dynamic", q25E2eDynamic _, Some(q25Oracle)),
     ("q27_config_json", q27ConfigJson _, Some(q25Oracle)),
     ("q28_salted_join", q28SaltedJoin _, Some(q28Oracle)),

@@ -48,4 +48,19 @@ class ExpanderSpec extends SparkSpec {
     assert(u.copy(column = Some("c")).historyAssetName === "p/dataset/d/table/t/column/c")
     intercept[IllegalArgumentException](AssetUri.parseBq("nonsense/x"))
   }
+
+  test("fileset and spanner URI shapes parse, render, and history-name") {
+    val f = AssetUri.parse("fileset/project/p/entry_group/sakila_eg/staff")
+    assert(f.assetType === "fileset" && f.dataset === Some("sakila_eg")
+      && f.table === Some("staff"))
+    assert(f.render === "fileset/project/p/entry_group/sakila_eg/staff")
+    assert(f.historyAssetName === "p/entry_group/sakila_eg/fileset/staff")
+    val s = AssetUri.parse("spanner/project/p/instance/prod/database/sales/accounts")
+    assert(s.instance === Some("prod") && s.dataset === Some("sales")
+      && s.table === Some("accounts"))
+    assert(s.render === "spanner/project/p/instance/prod/database/sales/accounts")
+    assert(s.historyAssetName === "p/instance/prod/database/sales/table/accounts")
+    intercept[IllegalArgumentException](
+      AssetUri.parse("spanner/project/p/database/sales"))
+  }
 }
