@@ -567,10 +567,101 @@ object CoreQueries3 {
        |ORDER BY asset_uri""".stripMargin
   }
 
+  /** A14 store round trip: write configs → md5-identity dedupe/supersede →
+    * read_ready. Fixture shared with the oracle as VALUES; c3 re-creates
+    * c1's content (same template+type+uris ⇒ same md5 ⇒ c1 flips INACTIVE,
+    * c3 lands at version 2), c4 is novel content.
+    */
+  private val storeRows = Seq(
+    // uuid, type, template, uris, status, mode, sched, freq, next_run, ver
+    ("c1", "DYNAMIC_TAG_TABLE", "gov", "bigquery/project/p/dataset/lake/orders",
+      "ACTIVE", "AUTO", "READY", 60L, "2024-03-01 10:00:00", 1L),
+    ("c2", "STATIC_TAG_ASSET", "ops", "bigquery/project/p/dataset/lake/*",
+      "ACTIVE", "AUTO", "READY", 60L, "2024-03-01 13:00:00", 1L))
+
+  private val incomingRows = Seq(
+    ("c3", "DYNAMIC_TAG_TABLE", "gov", "bigquery/project/p/dataset/lake/orders",
+      "ACTIVE", "AUTO", "READY", 60L, "2024-03-01 11:00:00", 0L),
+    ("c4", "DYNAMIC_TAG_COLUMN", "profile", "bigquery/project/p/dataset/lake/lineitem",
+      "ACTIVE", "ON_DEMAND", "READY", 0L, "2024-03-01 09:00:00", 0L))
+
+  private val storeNow = "2024-03-01 12:00:00"
+
+  private def storeDf(spark: SparkSession,
+                      rows: Seq[(String, String, String, String, String,
+                        String, String, Long, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("config_uuid", "config_type", "template_id", "included_uris",
+        "config_status", "refresh_mode", "scheduling_status",
+        "refresh_frequency_minutes", "next_run_s", "version")
+      .withColumn("next_run", to_timestamp(col("next_run_s")))
+      .drop("next_run_s")
+  }
+
+  def q33ConfigStore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sched.ConfigStore
+    val created = ConfigStore.create(storeDf(spark, storeRows),
+      storeDf(spark, incomingRows))
+    val ready = Scheduler.readReadyConfigs(created,
+        to_timestamp(lit(storeNow)))
+      .select(col("config_uuid")).withColumn("is_ready", lit(true))
+    created.join(ready, Seq("config_uuid"), "left_outer")
+      .select(col("config_uuid"), col("config_type"), col("content_md5"),
+        col("version"), col("config_status"),
+        coalesce(col("is_ready"), lit(false)).as("is_ready"))
+      .orderBy("config_uuid")
+  }
+
+  val q33Oracle: String = {
+    def values(rows: Seq[(String, String, String, String, String, String,
+        String, Long, String, Long)]): String =
+      rows.map { case (u, t, tm, uri, s, m, ss, f, nr, v) =>
+        s"('$u','$t','$tm','$uri','$s','$m','$ss',$f,TIMESTAMP '$nr',$v)"
+      }.mkString(", ")
+    s"""WITH store(config_uuid, config_type, template_id, included_uris,
+       |           config_status, refresh_mode, scheduling_status,
+       |           refresh_frequency_minutes, next_run, version) AS (
+       |  VALUES ${values(storeRows)}),
+       |inc(config_uuid, config_type, template_id, included_uris,
+       |    config_status, refresh_mode, scheduling_status,
+       |    refresh_frequency_minutes, next_run, version) AS (
+       |  VALUES ${values(incomingRows)}),
+       |store_m AS (SELECT *, md5(template_id || '|' || config_type || '|'
+       |  || included_uris) AS content_md5 FROM store),
+       |inc_m AS (SELECT *, md5(template_id || '|' || config_type || '|'
+       |  || included_uris) AS content_md5 FROM inc),
+       |maxv AS (SELECT content_md5, max(version) AS mv FROM store_m GROUP BY 1),
+       |inc_v AS (SELECT i.config_uuid, i.config_type, i.template_id,
+       |    i.included_uris, i.config_status, i.refresh_mode,
+       |    i.scheduling_status, i.refresh_frequency_minutes, i.next_run,
+       |    coalesce(m.mv, 0) + 1 AS version, i.content_md5
+       |  FROM inc_m i LEFT JOIN maxv m USING (content_md5)),
+       |allrows AS (
+       |  SELECT config_uuid, config_type, config_status, refresh_mode,
+       |         scheduling_status, next_run, version, content_md5
+       |  FROM store_m
+       |  UNION ALL
+       |  SELECT config_uuid, config_type, config_status, refresh_mode,
+       |         scheduling_status, next_run, version, content_md5
+       |  FROM inc_v),
+       |sup AS (SELECT *, row_number() OVER (PARTITION BY content_md5
+       |    ORDER BY version DESC, config_uuid) AS rn FROM allrows),
+       |final AS (SELECT config_uuid, config_type, content_md5, version,
+       |    CASE WHEN rn > 1 THEN 'INACTIVE' ELSE config_status END
+       |      AS config_status,
+       |    refresh_mode, scheduling_status, next_run FROM sup)
+       |SELECT config_uuid, config_type, content_md5, version, config_status,
+       |  (refresh_mode = 'AUTO' AND config_status = 'ACTIVE'
+       |   AND scheduling_status = 'READY'
+       |   AND next_run <= TIMESTAMP '$storeNow') AS is_ready
+       |FROM final ORDER BY config_uuid""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q30_bulk_dynamic", q30BulkDynamic _, Some(q30Oracle)),
     ("q31_job_history", q31JobHistory _, Some(q31Oracle)),
     ("q32_mixed_catalog", q32MixedCatalog _, Some(q32Oracle)),
+    ("q33_config_store", q33ConfigStore _, Some(q33Oracle)),
     ("q25_e2e_dynamic", q25E2eDynamic _, Some(q25Oracle)),
     ("q27_config_json", q27ConfigJson _, Some(q25Oracle)),
     ("q28_salted_join", q28SaltedJoin _, Some(q28Oracle)),
