@@ -335,16 +335,19 @@ object CoreQueries2 {
       |ORDER BY op, source""".stripMargin
 
   /** A6: parquet-footer schema + row-count stats per file (the entry
-    * config's source, DataCatalogController.py:543–582). Schema widths come
-    * from the footers; counts are distributed.
+    * config's source, DataCatalogController.py:543–582). Schema widths are
+    * driver metadata (footers, no job); the counts are ONE Spark job — a
+    * union of per-table aggregates evaluated together — not one driver
+    * action per table (the r2 form ran a blocking `count()` per entry,
+    * which serializes at a real entry-config's table count).
     */
-  def q17EntryStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def q17EntryStats(spark: SparkSession, dir: String): DataFrame =
     Seq("region", "nation", "supplier").map { t =>
       val df = Lake.table(spark, dir, t)
-      (t, df.columns.length, df.count())
-    }.toDF("table_name", "num_cols", "num_rows").orderBy("table_name")
-  }
+      df.agg(count(lit(1)).as("num_rows"))
+        .select(lit(t).as("table_name"),
+          lit(df.columns.length).as("num_cols"), col("num_rows"))
+    }.reduce(_ unionByName _).orderBy("table_name")
 
   val q17Oracle: String =
     """SELECT 'region' AS table_name, 2 AS num_cols,
