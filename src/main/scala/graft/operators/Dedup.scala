@@ -180,20 +180,22 @@ object Dedup {
                         idCol: String): DataFrame = {
     val a = sets.select(col(idCol).as("a_id"), col("hs").as("sa"))
     val b = sets.select(col(idCol).as("b_id"), col("hs").as("sb"))
-    // Optimization barrier: persisted BEFORE any inter/jaccard predicate.
-    // Without it Catalyst pushes this filter and any caller threshold INTO
-    // the broadcast-join condition, where `array_intersect` is re-evaluated
-    // per conjunct per probed row (observed 7× slowdown); a projection
-    // barrier gets column-pruned away, but filters cannot be pushed into a
-    // cached relation's plan. The verified pair set is also the natural
-    // thing to materialize — it is the pipeline's output state.
+    // Optimization barrier: lineage is cut BEFORE any inter/jaccard
+    // predicate. Without it Catalyst pushes this filter and any caller
+    // threshold INTO the broadcast-join condition, where `array_intersect`
+    // is re-evaluated per conjunct per probed row (observed 7× slowdown);
+    // a projection barrier gets column-pruned away, but filters cannot be
+    // pushed into a LogicalRDD. localCheckpoint (not persist) so the
+    // materialized pair set is GC-released with the DataFrame instead of
+    // leaking a CacheManager entry per call on a long-running driver
+    // (lazy: it is the pipeline's output state, evaluated on first use).
     candidates.join(a, "a_id").join(b, "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         round(col("inter") * lit(1.0) /
           (size(col("sa")) + size(col("sb")) - col("inter")), 6))
       .select("a_id", "b_id", "inter", "jaccard")
-      .persist()
+      .localCheckpoint(false)
       .filter(col("inter") > 0)
   }
 
@@ -205,23 +207,21 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, maxDf: Int = 50,
                    minJaccard: Double = 0.8): DataFrame = {
-    // persisted: three consumers (df-agg via explode, candidate semi-join,
-    // verify); 1 row/doc, so the cache is tiny relative to re-running the
-    // shingle+md5 projection per consumer
-    val sets = shingleSets(docs, idCol, textCol, k).persist()
-    // eager: downstream stages are scheduled concurrently within one job
-    // and would otherwise all compute the cold shingle+hash lineage in
-    // parallel before the cache exists
-    sets.count()
+    // materialized once: three consumers (df-agg via explode, candidate
+    // semi-join, verify); 1 row/doc, so it is tiny relative to re-running
+    // the shingle+md5 projection per consumer. Eager localCheckpoint (not
+    // persist+count): same barrier against the downstream stages racing a
+    // cold cache, but the blocks are GC-released with the DataFrame —
+    // no CacheManager entry leaks per operator call
+    val sets = shingleSets(docs, idCol, textCol, k).localCheckpoint()
     // (id, h) rows already distinct per doc — explode of the cached sets
     val sh = sets.select(col(idCol), explode(col("hs")).as("h"))
     val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
-    // persisted: the candidate self-join references shr on both sides, and
-    // shr's lineage (explode → df-agg → semi-join) is the expensive part
-    // of the pipeline; materialized it is a few k rows
-    val shr = sh.join(rare, "h", "left_semi").persist()
-    shr.count() // barrier before the two-sided self-join (same race)
+    // materialized: the candidate self-join references shr on both sides,
+    // and shr's lineage (explode → df-agg → semi-join) is the expensive
+    // part of the pipeline; a few k rows
+    val shr = sh.join(rare, "h", "left_semi").localCheckpoint()
     val cands = shr.as("l").join(shr.as("r"),
         col("l.h") === col("r.h") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
@@ -265,12 +265,12 @@ object Dedup {
     val offsets = (0 until nChunks).scanLeft(0)((acc, c) =>
       acc + base + (if (c < rem) 1 else 0)).init
     val widths = (0 until nChunks).map(c => base + (if (c < rem) 1 else 0))
-    // persisted: chunk rows feed both sides of the candidate self-join
-    val sigsP = sigs.persist()
-    // eager barrier: the self-join's two sides are scheduled concurrently
-    // and would otherwise both compute the cold simhash aggregation
-    // (observed as a bimodal 1.2 s / 9.8 s runtime) before the cache exists
-    sigsP.count()
+    // materialized: chunk rows feed both sides of the candidate self-join.
+    // Eager localCheckpoint = the persist+count barrier (the self-join's
+    // two sides otherwise both compute the cold simhash aggregation —
+    // observed as a bimodal 1.2 s / 9.8 s runtime) without leaking a
+    // CacheManager entry per call
+    val sigsP = sigs.localCheckpoint()
     val chunks = sigsP.select(col(idCol).as("id"), col("simhash"),
       explode(array((0 until nChunks).map { c =>
         struct(lit(c).as("chunk_idx"),

@@ -75,11 +75,11 @@ object DataQueries {
     */
   def d03LshPipeline(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val sets = Dedup.shingleSets(d, "doc_id", "text", 5).persist()
-    sets.count() // barrier: sigs + verify both read sets (see Dedup scaladoc)
-    // 1 row/doc; the LSH band join references it twice
-    val sigs = Dedup.minhashFromSets(sets, "doc_id").persist()
-    sigs.count()
+    // eager localCheckpoint = the materialize-before-fan-out barrier
+    // (sigs + verify both read sets; the band join reads sigs twice)
+    // without leaking CacheManager entries — see Dedup scaladoc
+    val sets = Dedup.shingleSets(d, "doc_id", "text", 5).localCheckpoint()
+    val sigs = Dedup.minhashFromSets(sets, "doc_id").localCheckpoint()
     val cands = Dedup.lshCandidates(sigs, "doc_id")
     Dedup.jaccardVerifySets(cands, sets, "doc_id").orderBy("a_id", "b_id")
   }
