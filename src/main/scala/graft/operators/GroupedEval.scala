@@ -136,11 +136,60 @@ object GroupedEval {
     case None    => s"${sq(f.fieldValue.getOrElse(""))} AS `${f.fieldId}`"
   }
 
+  /** The expression with literal bodies masked (same length, so match
+    * offsets carry back to the original text) — structure probes must not
+    * see keywords inside string literals.
+    */
+  private def maskLiterals(expr: String): String =
+    segments(expr).map { case (t, isLit) =>
+      if (isLit && t.length >= 2) "'" + "x" * (t.length - 2) + "'" else t
+    }.mkString
+
+  /** A "flat" aggregate field: `select <scalar-agg> from \$table
+    * [where <pred>]` with no further FROM anywhere. Flat fields sharing a
+    * WHERE clause fuse into ONE struct-returning subquery — one scan of
+    * the source per distinct filter instead of one per field (the
+    * decorrelated subqueries do not merge on their own, and at 100 TB
+    * each extra subquery is a full re-scan).
+    */
+  private[operators] case class Flat(selectList: String, where: Option[String])
+
+  private val FlatPat =
+    "(?is)^\\s*select\\s+(.+?)\\s+from\\s+\\$table(?:\\s+where\\s+(.+?))?\\s*$".r
+
+  private[operators] def classifyFlat(expr: String): Option[Flat] = {
+    val masked = maskLiterals(expr)
+    FlatPat.findFirstMatchIn(masked).flatMap { m =>
+      val selMasked = m.group(1)
+      val whereMasked = Option(m.group(2))
+      val noFrom = !"(?i)\\bfrom\\b".r.findFirstIn(
+        selMasked + whereMasked.getOrElse("")).isDefined
+      val noTable = !(selMasked + whereMasked.getOrElse("")).contains("$table")
+      if (noFrom && noTable)
+        Some(Flat(expr.substring(m.start(1), m.end(1)),
+          whereMasked.map(_ => expr.substring(m.start(2), m.end(2)))))
+      else None
+    }
+  }
+
+  /** Bind `\$vars` in a scalar fragment (select list / where text): literal
+    * bodies via [[bindLiteral]], bare refs to asset columns.
+    */
+  private def bindScalar(text: String): String =
+    segments(text).map {
+      case (t, true)  => bindLiteral(t)
+      case (t, false) =>
+        "\\$(project|dataset|table)".r.replaceAllIn(t,
+          m => scala.util.matching.Regex.quoteReplacement(assetRef(m.group(1))))
+    }.mkString
+
   /** Evaluate a dynamic-table config over a sharded family in ONE
     * statement. `catalog` rows are `(project, dataset, table)`; `source`
     * holds every asset's data; `shardExpr` maps a source row to its
     * asset's table name. Output: one row per expanded asset with
-    * `asset_uri` + one column per field (pre-melt shape).
+    * `asset_uri` + one column per field (pre-melt shape). Scan count is
+    * O(#distinct filters among flat fields + #non-flat query fields), not
+    * O(#fields).
     */
   def evalSharded(spark: SparkSession, config: TagConfig, catalog: DataFrame,
                   source: DataFrame, shardExpr: Column): DataFrame = {
@@ -151,9 +200,46 @@ object GroupedEval {
         concat_ws("/", lit("bigquery/project"), col("project"),
           lit("dataset"), col("dataset"), col("table")).as("asset_uri"))
       .createOrReplaceTempView(AssetView)
-    val items = config.fields.map(fieldItem).mkString(",\n  ")
+    val flatOf: Map[String, Flat] = config.fields.flatMap(f =>
+      f.queryExpression.filterNot(isConstantQuery)
+        .flatMap(classifyFlat).map(f.fieldId -> _)).toMap
+    val flatFields = config.fields.filter(f => flatOf.contains(f.fieldId))
+    // group by the BOUND where text: identical filters share one subquery
+    val groups = flatFields.zipWithIndex
+      .groupBy { case (f, _) => flatOf(f.fieldId).where.map(bindScalar) }
+      .toSeq.sortBy(_._2.head._2).map(_._1).zipWithIndex
+      .map { case (w, i) => (w, i) }
+    val groupIdx = groups.toMap
+    val slice = s"(SELECT * FROM $SrcView WHERE " +
+      s"$SrcView.__graft_shard = ${assetRef("table")})"
+    val groupItems = groups.map { case (where, i) =>
+      val members = flatFields.filter(f =>
+        flatOf(f.fieldId).where.map(bindScalar) == where)
+      val entries = members.map(f =>
+        s"'${f.fieldId}', (${bindScalar(flatOf(f.fieldId).selectList)})")
+        .mkString(", ")
+      s"(SELECT named_struct($entries) FROM $slice" +
+        where.map(w => s" WHERE $w").getOrElse("") + s") AS `__g$i`"
+    }
+    val otherItems = config.fields.filterNot(f => flatOf.contains(f.fieldId))
+      .map(fieldItem)
+    val innerItems = (groupItems ++ otherItems).mkString(",\n  ")
+    val outerItems = config.fields.map { f =>
+      flatOf.get(f.fieldId) match {
+        case Some(fl) =>
+          val g = groupIdx(fl.where.map(bindScalar))
+          s"`__g$g`.`${f.fieldId}` AS `${f.fieldId}`"
+        case None => s"`${f.fieldId}`"
+      }
+    }.mkString(",\n  ")
     spark.sql(
-      s"SELECT $OuterAlias.asset_uri,\n  $items\nFROM $AssetView $OuterAlias")
+      s"""SELECT asset_uri,
+         |  $outerItems
+         |FROM (
+         |  SELECT $OuterAlias.asset_uri,
+         |  $innerItems
+         |  FROM $AssetView $OuterAlias
+         |)""".stripMargin)
   }
 
   /** Sharded config → unified tag rows (the set-based replacement for the

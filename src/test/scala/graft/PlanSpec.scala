@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, CoreQueries2, DataQueries, DataQueries2}
+import graft.queries.{CoreQueries, CoreQueries2, CoreQueries3, DataQueries, DataQueries2}
 
 /** Plan-quality assertions: the properties that matter at 100 TB must hold
   * in the physical plan, not just produce correct rows — pushdown reaching
@@ -41,6 +41,15 @@ class PlanSpec extends SparkSpec {
     val p = planOf(DataQueries.e02EmbedNearDupBucketed(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("cosine_sim"), p)
+  }
+
+  test("q30: sharded eval scans the source once per FILTER GROUP, not per field") {
+    // 5 data-reading fields but only 3 scans: {n_rows, n_users, total_value}
+    // fuse into one struct subquery (no filter), clicks has its own WHERE,
+    // avg_daily is nested; asset_label/env read nothing. No nested loops.
+    val p = planOf(CoreQueries3.q30BulkDynamic(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).length === 3, p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
   test("q17: entry stats are ONE SQL execution (no per-table driver loop)") {
