@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The set-based rewrite is string surgery over the query_expression
+  * surface — every branch (literal masking, quoted-variable binding,
+  * FROM-clause correlation, flat classification) needs direct coverage
+  * beyond the end-to-end oracles.
+  */
+class GroupedEvalSpec extends AnyFunSuite {
+
+  test("segments split literals and keep '' escapes inside one literal") {
+    val s = GroupedEval.segments("a = 'it''s' and b = 'x'")
+    assert(s === Seq(("a = ", false), ("'it''s'", true), (" and b = ", false),
+      ("'x'", true)))
+  }
+
+  test("rewriteCorrelated binds FROM $table to the correlated slice") {
+    val out = GroupedEval.rewriteCorrelated("select count(*) from $table")
+    assert(out.contains("FROM (SELECT * FROM __graft_src WHERE " +
+      "__graft_src.__graft_shard = __a.`table`)"))
+  }
+
+  test("rewriteCorrelated binds quoted and bare variables to asset columns") {
+    val out = GroupedEval.rewriteCorrelated(
+      "select concat('$dataset', '.', '$table')")
+    assert(out === "select concat(__a.dataset, '.', __a.`table`)")
+    val mixed = GroupedEval.rewriteCorrelated("select 'env=$project/x'")
+    assert(mixed === "select concat('env=', __a.project, '/x')")
+  }
+
+  test("keywords inside string literals do not confuse classification") {
+    // 'from' inside a literal must not make this look table-reading
+    assert(GroupedEval.isConstantQuery("select 'came from $dataset'"))
+    assert(!GroupedEval.isConstantQuery("select count(*) from $table"))
+    // ...nor break flat classification when in the select list
+    assert(GroupedEval.classifyFlat(
+      "select concat('from ', count(*)) from $table").isDefined)
+  }
+
+  test("classifyFlat extracts select list and where; rejects nesting") {
+    val f = GroupedEval.classifyFlat(
+      "select count(*) from $table where event_type = 'click'").get
+    assert(f.selectList === "count(*)")
+    assert(f.where === Some("event_type = 'click'"))
+    assert(GroupedEval.classifyFlat(
+      "select avg(n) from (select count(*) n from $table group by d)").isEmpty)
+    assert(GroupedEval.classifyFlat("select concat('$dataset')").isEmpty)
+  }
+}
