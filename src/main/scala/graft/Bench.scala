@@ -58,7 +58,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadEnd = loadAvg
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"samples":$samplesJson}""")
+    // The raw-sample blob goes to a SIDE FILE, not the stdout line: the
+    // driver captures only a bounded tail of stdout, and a 74-query samples
+    // map pushed the round-3 JSON line past that window — the driver then
+    // failed to parse any bench result at all. The stdout contract line
+    // stays small (per-query best times only).
+    val sideFile = java.nio.file.Paths.get("BENCH_SAMPLES.json")
+    java.nio.file.Files.write(sideFile,
+      s"""{"sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"samples":$samplesJson}""".getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"samples_file":"BENCH_SAMPLES.json"}""")
     spark.stop()
   }
 }
