@@ -21,30 +21,54 @@ import graft.functions.VectorFns
   */
 object Similarity {
 
+  /** Centroid counts up to this bound are inlined as literals into one
+    * narrow argmax projection; beyond it the generated code (k cosine
+    * expressions per row) and the driver-resident literal set stop being
+    * cheap, so assignment falls back to a broadcast join + keyed max.
+    */
+  private val MaxInlineCentroids = 64
+
   /** Nearest-centroid assignment: argmax cosine, ties → smaller
-    * centroid_id. The centroid set is driver-resident by IVF contract
-    * (it is the trained "model", like a Spark ML KMeans model — k ≪
-    * corpus), so assignment is a NARROW per-row argmax — `greatest` over
-    * one codegen'd cosine per centroid — with zero shuffle and zero join.
-    * The crossJoin+window alternative materializes k× the corpus through
-    * a corpus-wide shuffle just to immediately collapse it back.
+    * centroid_id. The centroid set is small by IVF contract (it is the
+    * trained "model", like a Spark ML KMeans model — k ≪ corpus), so for
+    * k ≤ [[MaxInlineCentroids]] assignment is a NARROW per-row argmax —
+    * `greatest` over one codegen'd cosine per centroid — with zero shuffle
+    * and zero join. The crossJoin+window alternative materializes k× the
+    * corpus through a corpus-wide shuffle just to immediately collapse it
+    * back. Larger centroid sets degrade gracefully: a broadcast cross-join
+    * scores k candidates per row and a map-side-combined `max(struct)` per
+    * vec_id collapses them — bounded driver memory (`take`, never a full
+    * collect) and no generated-code blowup.
     */
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = centroids.select(col("centroid_id").cast("long"), col("cvec"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    // struct max-ordering is lexicographic (cos, then -centroid_id), so the
-    // max struct is highest cosine with ties to the SMALLEST centroid_id
-    val scored = cents.map { case (id, v) =>
-      struct(VectorFns.cosine(col("vec"), lit(v)).as("cos"),
-        lit(-id).as("neg_id"))
+    val centsDf = centroids.select(col("centroid_id").cast("long"), col("cvec"))
+    val head = centsDf.take(MaxInlineCentroids + 1)
+    require(head.nonEmpty,
+      "ivfAssign: centroid set is empty — provide at least one trained centroid")
+    if (head.length <= MaxInlineCentroids) {
+      val cents = head
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      // struct max-ordering is lexicographic (cos, then -centroid_id), so the
+      // max struct is highest cosine with ties to the SMALLEST centroid_id
+      val scored = cents.map { case (id, v) =>
+        struct(VectorFns.cosine(col("vec"), lit(v)).as("cos"),
+          lit(-id).as("neg_id"))
+      }
+      val best =
+        if (scored.length == 1) scored.head
+        else greatest(scored.toIndexedSeq: _*)
+      emb.select(col("vec_id"),
+          (-best.getField("neg_id")).as("centroid_id"), col("vec"))
+    } else {
+      emb.crossJoin(broadcast(centsDf))
+        .select(col("vec_id"), col("vec"),
+          struct(VectorFns.cosine(col("vec"), col("cvec")).as("cos"),
+            (-col("centroid_id")).as("neg_id")).as("s"))
+        .groupBy("vec_id", "vec")
+        .agg(max(col("s")).as("m"))
+        .select(col("vec_id"), (-col("m.neg_id")).as("centroid_id"), col("vec"))
     }
-    val best =
-      if (scored.length == 1) scored.head
-      else greatest(scored.toIndexedSeq: _*)
-    emb.select(col("vec_id"),
-        (-best.getField("neg_id")).as("centroid_id"), col("vec"))
   }
 
   /** Rank the top-k of a scored corpus WITHOUT a global window: the

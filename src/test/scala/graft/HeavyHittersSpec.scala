@@ -32,4 +32,30 @@ class HeavyHittersSpec extends SparkSpec {
       assert(c >= 1000L && c <= 1250L, s"H$i -> $c")
     }
   }
+
+  test("mergeable guarantee: a key evicted on one side is never undercounted") {
+    // Partition A: H appears 5 times then is evicted by 8 heavier local
+    // keys (capacity 8). Partition B: H appears 100 times and survives.
+    // True total = 105. A merge that just sums per-key counts reports
+    // H = 100 — an undercount that can demote the true heaviest key. The
+    // mergeable merge charges H with A's absent-key bound (its min
+    // counter, ≥ H's true count there), so stored ≥ true must hold for
+    // every reported key.
+    val partA = Seq.fill(5)("H") ++
+      (1 to 7).flatMap(i => Seq.fill(52 - 2 * i)(s"a$i")) ++ Seq.fill(20)("a8")
+    val partB = Seq.fill(100)("H") ++ (1 to 7).flatMap(i => Seq.fill(30)(s"b$i"))
+    val rdd = spark.sparkContext
+      .parallelize(Seq(partA, partB), 2).flatMap(identity)
+    val out = spark.createDataset(rdd)
+      .select(new HeavyHitters(8).toColumn)
+      .head()
+    val truth = (partA ++ partB).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    assert(out.nonEmpty && out.length <= 8)
+    out.foreach { case (k, c) =>
+      assert(c >= truth(k), s"$k stored $c undercounts true ${truth(k)}")
+    }
+    val h = out.toMap.getOrElse("H", 0L)
+    assert(h >= 105L, s"split hitter H must be >= its true 105, got $h")
+  }
 }

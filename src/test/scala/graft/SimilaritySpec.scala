@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** ivfAssign contract: empty centroid sets fail fast with a clear message,
+  * and the broadcast-join fallback above the inline bound assigns the same
+  * (vec_id → centroid_id) map as the literal-inlined argmax.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Lake.table(spark, sf, "embeddings")
+    .select(col("vec_id"),
+      graft.functions.VectorFns.toDoubleArray(col("embedding")).as("vec"))
+
+  test("empty centroid set fails fast, not with scored.head on Array()") {
+    val empty = Seq.empty[(Long, Array[Double])].toDF("centroid_id", "cvec")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(emb, empty)
+    }
+    assert(e.getMessage.contains("centroid set is empty"))
+  }
+
+  test("large centroid set takes the broadcast-join path and matches inline") {
+    // 100 centroids (> MaxInlineCentroids = 64) derived from the corpus
+    // itself so the argmax has realistic ties-to-smaller-id cases; the
+    // inline path is checked against it on the first 64 of the same set by
+    // restricting both paths to an identical 50-centroid subset.
+    val base = emb.limit(100).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val small = base.take(50).toSeq.toDF("centroid_id", "cvec")
+    val large = base.toSeq.toDF("centroid_id", "cvec")
+
+    val inline = Similarity.ivfAssign(emb, small)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    // force the fallback by feeding >64 centroids, then compare only
+    // assignments that land in the shared 50-centroid prefix both ways
+    val joined = Similarity.ivfAssign(emb, large)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(joined.size === inline.size)
+    // every vector whose best-of-100 centroid is within the first 50 must
+    // agree with the best-of-50 inline assignment
+    val smallIds = base.take(50).map(_._1).toSet
+    joined.foreach { case (v, c) =>
+      if (smallIds.contains(c)) assert(inline(v) === c, s"vec $v")
+    }
+  }
+
+  test("fallback path is an equi-free broadcast + keyed max, no sort/window") {
+    val cents = emb.limit(70).select(col("vec_id").as("centroid_id"),
+      col("vec").as("cvec"))
+    val plan = Similarity.ivfAssign(emb, cents).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "expected a broadcast of the centroid side")
+    assert(!plan.contains("Window"), "no window in the fallback argmax")
+  }
+}
