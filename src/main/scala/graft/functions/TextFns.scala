@@ -17,6 +17,28 @@ object TextFns {
   def words(c: Column): Column =
     filter(split(c, " "), w => length(w) > 0)
 
+  /** Word n-gram shingles (space-joined) at every token position; fewer
+    * than n tokens → empty array. Reference HOF form — same `when` guard
+    * as [[charShingles]]: `sequence(1, n)` with n ≤ 0 descends instead of
+    * emptying. Production queries use [[wordNgramsNative]] (identical
+    * values, one tokenize pass instead of three + no per-position lambda
+    * overhead); WordNgramsSpec holds the two equal.
+    */
+  def wordNgramsBuiltin(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Native one-pass word n-grams over the raw text column
+    * ([[graft.plans.WordNgrams]]); `distinct` dedups to first occurrence
+    * inside the row.
+    */
+  def wordNgramsNative(text: Column, n: Int, distinct: Boolean = false): Column = {
+    import org.apache.spark.sql.graft.{Bridge => B}
+    B.column(graft.plans.WordNgrams(B.expression(text), n, distinct))
+  }
+
   /** Character k-gram shingles at every position (length < k → empty array).
     * The `when` guard matters: Spark's `sequence(1, n)` with n ≤ 0 produces
     * a DESCENDING sequence, not an empty one.

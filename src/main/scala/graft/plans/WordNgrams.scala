@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass word n-gram shingling.
+  *
+  * The Column-composed form (`transform(sequence(1, size(ws)-n+1),
+  * i => array_join(slice(ws, i, n), " "))` over `filter(split(text))`)
+  * evaluates the split THREE times per row (size guard, sequence bound,
+  * lambda body) and pays interpreted higher-order-function overhead per
+  * position — ~10× slower than the single-node DuckDB mirror on the same
+  * corpus. This expression tokenizes once and emits every n-gram in one
+  * tight loop. Values are identical to the HOF form (WordNgramsSpec
+  * asserts equality), so the DuckDB oracles are unchanged — swapping it
+  * in is a pure plan optimization, the same move round 2 made for
+  * character-shingle minhash ([[ShingleOps]]).
+  */
+object WordNgramOps {
+
+  /** Space-separated word n-grams of `s` (split on ' ', empty tokens
+    * dropped — the [[graft.functions.TextFns.words]] contract). Fewer than
+    * n tokens → empty array. `distinct` keeps the first occurrence of each
+    * gram (order is set-semantic for every consumer; first-occurrence is
+    * deterministic).
+    */
+  def wordNgrams(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    // token boundaries on the raw UTF-8 bytes: ' ' is a single byte and
+    // never part of a multi-byte sequence, so byte-splitting == char-splitting
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nw = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) != ' ') {
+        val st = i
+        while (i < bytes.length && bytes(i) != ' ') i += 1
+        if (nw == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nw * 2)
+          ends = java.util.Arrays.copyOf(ends, nw * 2)
+        }
+        starts(nw) = st; ends(nw) = i; nw += 1
+      } else i += 1
+    }
+    if (nw < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nw - n + 1)
+    val seen = if (distinct) new java.util.HashSet[UTF8String](64) else null
+    var k = 0
+    var g = 0
+    while (g <= nw - n) {
+      // one copy per gram: bytes [starts(g), ends(g+n-1)) with the
+      // original single-space separators — but tokens may be separated by
+      // RUNS of spaces, so rebuild with exactly one space between tokens
+      var len = n - 1
+      var t = g
+      while (t < g + n) { len += ends(t) - starts(t); t += 1 }
+      val buf = new Array[Byte](len)
+      var pos = 0
+      t = g
+      while (t < g + n) {
+        if (t > g) { buf(pos) = ' '; pos += 1 }
+        val w = ends(t) - starts(t)
+        System.arraycopy(bytes, starts(t), buf, pos, w)
+        pos += w
+        t += 1
+      }
+      val gram = UTF8String.fromBytes(buf)
+      if (seen == null || seen.add(gram)) { out(k) = gram; k += 1 }
+      g += 1
+    }
+    new GenericArrayData(if (k == out.length) out
+      else java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], k))
+  }
+}
+
+/** text → array<string> of space-joined word n-grams (optionally distinct,
+  * first-occurrence order). Empty array when the text has fewer than n
+  * tokens — never null beyond a null input, so default nullability holds.
+  */
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n > 0)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgramOps.wordNgrams(input.asInstanceOf[UTF8String], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.WordNgramOps.wordNgrams($c, $n, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

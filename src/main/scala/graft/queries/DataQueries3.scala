@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Lake
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.Similarity
+import graft.queries.CoreQueries.Q
+
+/** Round-4 training-data pipeline operators: benchmark decontamination by
+  * word-n-gram overlap (the GPT-3-appendix-C / PaLM procedure), bigram
+  * Shannon entropy as a text-diversity quality signal, and ANN recall
+  * evaluation (the measurement loop every approximate index needs).
+  * Parity discipline as elsewhere: md5-derived splits, decimal-rounded
+  * double sums, deterministic ORDER BY everywhere.
+  */
+object DataQueries3 {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "documents")
+
+  // ----------------------------------------- n-gram decontamination (d13)
+
+  /** Benchmark decontamination: for every held-out document, the fraction
+    * of its DISTINCT word 5-grams that occur anywhere in the train split
+    * (GPT-3 appendix C measures 13-gram overlap the same way; 5 here so
+    * the short synthetic docs produce usable signal). Train membership is
+    * the d08 content-hash split — reshuffle-proof. Scale shape: the train
+    * side collapses to a DISTINCT n-gram set (map-side-combined), the
+    * held-out side explodes and probes it with one hash equi-join on the
+    * gram — no all-pairs doc comparison anywhere; at 100 TB the join key
+    * could drop to [[TextFns.hash60]] of the gram to shrink shuffle width
+    * without changing semantics.
+    */
+  def d13DecontamNgram(spark: SparkSession, dir: String): DataFrame = {
+    val n = 5
+    val d = docs(spark, dir).select(
+      col("doc_id"),
+      when(TextFns.hash28(col("text")) % 100 < 80, "train")
+        .otherwise("held").as("split"),
+      TextFns.wordNgramsNative(col("text"), n, distinct = true).as("grams"))
+    val train = d.filter(col("split") === "train")
+      .select(explode(col("grams")).as("gm")).distinct()
+    d.filter(col("split") === "held")
+      .select(col("doc_id"), explode(col("grams")).as("gm"))
+      .join(train.withColumn("hit", lit(1)), Seq("gm"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_matched"))
+      .select(col("doc_id"), col("n_shingles"), col("n_matched"),
+        round(col("n_matched") * lit(1.0) / col("n_shingles"), 4)
+          .as("overlap_frac"),
+        (col("n_matched") * lit(1.0) / col("n_shingles") >= 0.2)
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val d13Oracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    list_filter(string_split(text,' '), w -> length(w)>0) AS ws,
+      |    CASE WHEN ('0x'||substr(md5(text),1,7))::BIGINT % 100 < 80
+      |         THEN 'train' ELSE 'held' END AS split FROM documents),
+      |g AS (SELECT doc_id, split,
+      |    CASE WHEN len(ws) >= 5 THEN list_distinct(
+      |      [array_to_string(ws[i:i+4], ' ') FOR i IN range(1, len(ws)-3)])
+      |    ELSE [] END AS grams FROM d),
+      |tr AS (SELECT DISTINCT unnest(grams) AS gm FROM g WHERE split='train'),
+      |he AS (SELECT doc_id, unnest(grams) AS gm FROM g WHERE split='held'),
+      |m AS (SELECT doc_id, count(*) AS n_shingles, count(tr.gm) AS n_matched
+      |      FROM he LEFT JOIN tr ON he.gm = tr.gm GROUP BY doc_id)
+      |SELECT doc_id, n_shingles, n_matched,
+      |  round(n_matched*1.0/n_shingles, 4) AS overlap_frac,
+      |  n_matched*1.0/n_shingles >= 0.2 AS contaminated
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- bigram entropy (t08)
+
+  /** Per-document Shannon entropy over word bigrams — the text-diversity
+    * quality signal (low entropy = templated/repetitive text, a standard
+    * pretraining filter axis alongside t07's Gopher repetition ratios).
+    * H = ln T − (Σ c·ln c)/T from one keyed count; each c·ln c term is
+    * rounded into decimal(18,10) BEFORE the sum so the aggregation is
+    * order-independent and engine-exact (the t05 discipline). Two
+    * map-side-combined aggregations on (doc_id[, gram]) — no windows, no
+    * driver state; partitions by doc hash at any scale.
+    */
+  def t08BigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(TextFns.wordNgramsNative(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        (log(sum(col("c"))) -
+          sum((col("c") * log(col("c"))).cast("decimal(18,10)"))
+            .cast("double") / sum(col("c"))).as("entropy"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        round(col("entropy"), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  val t08Oracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    list_filter(string_split(text,' '), w -> length(w)>0) AS ws
+      |  FROM documents),
+      |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+      |       FROM d, unnest(generate_series(1, len(ws)-1)) AS t(i)),
+      |c AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  count(*) AS n_distinct,
+      |  round(ln(sum(c)) -
+      |    CAST(sum(CAST(c*ln(c) AS DECIMAL(18,10))) AS DOUBLE)/sum(c), 6)
+      |    AS entropy
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- ANN recall eval (s07)
+
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    VectorFns.register(spark)
+    Lake.table(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("vec"))
+  }
+
+  /** ANN index evaluation: recall@10 of the IVF (s02 configuration,
+    * nprobe=2) and hyperplane-LSH (s03 configuration) indexes against the
+    * brute-force ground truth for query 0 — the measurement loop that
+    * makes an approximate index tunable (FAISS-style recall/probes
+    * curves). Every side reuses the production operators; the truth set
+    * is 10 rows, so the comparison joins are broadcasts by size.
+    */
+  def s07AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val query = e.filter(col("vec_id") === 0).select(col("vec").as("qvec"))
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val hyperplanes = e.filter(col("vec_id").between(1, 4))
+      .select((col("vec_id") - 1).as("hp_id"), col("vec").as("hvec"))
+    val truth = Similarity.bruteForceTopK(e, query, k = 10, excludeId = Some(0L))
+      .select(col("vec_id"))
+    val ivf = Similarity.ivfTopK(Similarity.ivfAssign(e, centroids), centroids,
+      query, k = 10, nprobe = 2, excludeId = Some(0L))
+    val lsh = Similarity.lshTopK(e, hyperplanes, queryId = 0L, k = 10)
+    def scoreOf(name: String, got: DataFrame): DataFrame =
+      got.select(col("vec_id"))
+        .join(truth.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_retrieved"), count(col("hit")).as("n_hits"))
+        .select(lit(name).as("method"), col("n_retrieved"), col("n_hits"),
+          round(col("n_hits") * lit(1.0) / lit(10.0), 4).as("recall_at_10"))
+    scoreOf("brute", truth).unionByName(scoreOf("ivf", ivf))
+      .unionByName(scoreOf("lsh", lsh))
+      .orderBy("method")
+  }
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  val s07Oracle: String = {
+    val embCte =
+      """e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)""".stripMargin
+    s"""WITH $embCte,
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |truth AS (SELECT vec_id FROM (
+       |  SELECT vec_id, row_number() OVER (
+       |    ORDER BY ${cosSql("e.v", "q.qv")} DESC, vec_id) AS rank
+       |  FROM e, q WHERE e.vec_id <> 0) WHERE rank <= 10),
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+       |assign AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.centroid_id) AS rn
+       |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |probed AS (SELECT centroid_id FROM (
+       |  SELECT c.centroid_id, row_number() OVER (
+       |    ORDER BY ${cosSql("c.cv", "q.qv")} DESC, c.centroid_id) AS crank
+       |  FROM cent c, q) WHERE crank <= 2),
+       |ivf AS (SELECT vec_id FROM (
+       |  SELECT e.vec_id, row_number() OVER (
+       |    ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id) AS rank
+       |  FROM e JOIN (SELECT a.vec_id FROM assign a JOIN probed p
+       |               USING (centroid_id) WHERE a.vec_id <> 0) cand
+       |    USING (vec_id), q) WHERE rank <= 10),
+       |hp AS (SELECT vec_id - 1 AS hp_id, v AS hvec FROM e
+       |       WHERE vec_id BETWEEN 1 AND 4),
+       |sigs AS (SELECT e.vec_id,
+       |    CAST(sum(CASE WHEN ${cosSql("e.v", "hp.hvec")} >= 0
+       |                  THEN (1::BIGINT << CAST(hp.hp_id AS INT)) ELSE 0 END)
+       |         AS BIGINT) AS bucket_sig
+       |  FROM e CROSS JOIN hp GROUP BY e.vec_id),
+       |lsh AS (SELECT vec_id FROM (
+       |  SELECT e.vec_id, row_number() OVER (
+       |    ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id) AS rank
+       |  FROM e JOIN (SELECT s.vec_id FROM sigs s,
+       |                 (SELECT bucket_sig AS q_sig FROM sigs WHERE vec_id = 0) qs
+       |               WHERE s.bucket_sig = qs.q_sig AND s.vec_id <> 0) cand
+       |    USING (vec_id), q) WHERE rank <= 10),
+       |scored AS (
+       |  SELECT 'brute' AS method, count(*) AS n_retrieved,
+       |    count(t.vec_id) AS n_hits
+       |  FROM truth g LEFT JOIN truth t ON g.vec_id = t.vec_id
+       |  UNION ALL
+       |  SELECT 'ivf', count(*), count(t.vec_id)
+       |  FROM ivf g LEFT JOIN truth t ON g.vec_id = t.vec_id
+       |  UNION ALL
+       |  SELECT 'lsh', count(*), count(t.vec_id)
+       |  FROM lsh g LEFT JOIN truth t ON g.vec_id = t.vec_id)
+       |SELECT method, n_retrieved, n_hits,
+       |  round(n_hits*1.0/10.0, 4) AS recall_at_10
+       |FROM scored ORDER BY method""".stripMargin
+  }
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("d13_decontam_ngram", d13DecontamNgram _, Some(d13Oracle)),
+    ("t08_bigram_entropy", t08BigramEntropy _, Some(t08Oracle)),
+    ("s07_ann_recall", s07AnnRecall _, Some(s07Oracle)))
+}

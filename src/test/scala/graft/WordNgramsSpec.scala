@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Native WordNgrams expression vs the Column/HOF reference form: equal on
+  * real corpus text and on the edge shapes (multi-space runs, too-short
+  * text, empty string), plus the distinct variant's set semantics.
+  */
+class WordNgramsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native == HOF reference on the real corpus, n = 2 and 5") {
+    val d = Lake.table(spark, sf, "documents")
+    Seq(2, 5).foreach { n =>
+      val diff = d.select(
+          TextFns.wordNgramsNative(col("text"), n).as("nat"),
+          TextFns.wordNgramsBuiltin(TextFns.words(col("text")), n).as("hof"))
+        .filter(not(col("nat") === col("hof")))
+        .count()
+      assert(diff === 0, s"n=$n")
+    }
+  }
+
+  test("edge shapes: space runs, short text, empty, null") {
+    val df = Seq("a  b   c d", "one two", "single", "", "  ")
+      .toDF("t")
+    val rows = df.select(
+        TextFns.wordNgramsNative(col("t"), 3).as("nat"),
+        TextFns.wordNgramsBuiltin(TextFns.words(col("t")), 3).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    // multi-space runs collapse to single-space joins
+    assert(rows(0).getSeq[String](0) === Seq("a b c", "b c d"))
+    val n = df.limit(1).select(
+      TextFns.wordNgramsNative(lit(null).cast("string"), 2)).first()
+    assert(n.isNullAt(0))
+  }
+
+  test("distinct variant keeps first occurrence of each gram") {
+    val out = Seq("x y x y x y")
+      .toDF("t")
+      .select(TextFns.wordNgramsNative(col("t"), 2, distinct = true))
+      .first().getSeq[String](0)
+    assert(out === Seq("x y", "y x"))
+  }
+}
