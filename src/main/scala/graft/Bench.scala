@@ -22,7 +22,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: repeated session-level WARNs (function re-register,
+    // nanos-timestamp notes) land on stdout and compete with the contract
+    // line for the consumer's bounded tail window
+    spark.sparkContext.setLogLevel("ERROR")
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage

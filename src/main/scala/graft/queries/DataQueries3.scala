@@ -135,11 +135,17 @@ object DataQueries3 {
       .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
     val hyperplanes = e.filter(col("vec_id").between(1, 4))
       .select((col("vec_id") - 1).as("hp_id"), col("vec").as("hvec"))
+    // each result is ≤ k rows but drags a full-corpus lineage; without a
+    // barrier every comparison join below re-runs the index scan (truth
+    // alone is referenced three times → 3 brute-force passes). One
+    // localCheckpoint per k-row result caps the whole eval at one pass
+    // per index regardless of how many comparisons consume it.
     val truth = Similarity.bruteForceTopK(e, query, k = 10, excludeId = Some(0L))
-      .select(col("vec_id"))
+      .select(col("vec_id")).localCheckpoint()
     val ivf = Similarity.ivfTopK(Similarity.ivfAssign(e, centroids), centroids,
-      query, k = 10, nprobe = 2, excludeId = Some(0L))
+      query, k = 10, nprobe = 2, excludeId = Some(0L)).localCheckpoint()
     val lsh = Similarity.lshTopK(e, hyperplanes, queryId = 0L, k = 10)
+      .localCheckpoint()
     def scoreOf(name: String, got: DataFrame): DataFrame =
       got.select(col("vec_id"))
         .join(truth.withColumn("hit", lit(1)), Seq("vec_id"), "left")
