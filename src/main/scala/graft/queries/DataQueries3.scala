@@ -215,8 +215,89 @@ object DataQueries3 {
        |FROM scored ORDER BY method""".stripMargin
   }
 
+  // ------------------------------------------- semantic dedup (d14)
+
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate removal in
+    * EMBEDDING space — IVF-bucketed cosine pairs (e02's equi-join
+    * candidates, no nested-loop join anywhere), connected components to
+    * close the pair set transitively (d09's pointer-jumping machinery),
+    * min-id keeper per cluster. Output is the apply decision: every
+    * clustered vector with its cluster, size, and whether it survives.
+    * The min-label CC labels a component with its minimum vertex id, so
+    * the keeper test is label equality — no extra window over the corpus.
+    */
+  def d14SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val pairs = Similarity.bucketedNearDupPairs(e, centroids, threshold = 0.4)
+    graft.operators.Graph.connectedComponents(pairs, "a_id", "b_id")
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+      .withColumn("is_keeper", col("vec_id") === col("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")))
+      .orderBy("vec_id")
+  }
+
+  val d14Oracle: String = {
+    val embCte =
+      """e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)""".stripMargin
+    s"""WITH RECURSIVE $embCte,
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+       |assign AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.centroid_id) AS rn
+       |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |pairs AS (SELECT l.vec_id AS a, r.vec_id AS b
+       |  FROM assign l JOIN assign r
+       |    ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+       |  JOIN e le ON le.vec_id = l.vec_id
+       |  JOIN e re ON re.vec_id = r.vec_id
+       |  WHERE ${cosSql("le.v", "re.v")} >= 0.4),
+       |edges AS (SELECT a AS u, b AS v FROM pairs
+       |          UNION SELECT b, a FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+       |comp AS (SELECT u AS vec_id, least(u, min(v)) AS cluster_id
+       |         FROM reach GROUP BY u)
+       |SELECT vec_id, cluster_id, vec_id = cluster_id AS is_keeper,
+       |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+       |    AS cluster_size
+       |FROM comp ORDER BY vec_id""".stripMargin
+  }
+
+  // --------------------------------- stream-static enrichment (st07)
+
+  /** Stream-static enrichment, batch form: events joined to the customer
+    * dimension (broadcast — the stream partitioning is untouched), then
+    * the shared 5-minute window aggregation per market segment. The
+    * streaming form of the identical transform is exercised by
+    * StreamingSpec (dimension re-read per micro-batch).
+    */
+  def st07EnrichedWindow(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Lake.table(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    graft.streaming.Streams
+      .enrichedWindowCounts(Lake.table(spark, dir, "events"), dim)
+      .orderBy("window_start", "segment")
+  }
+
+  val st07Oracle: String =
+    """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
+      |  c_mktsegment AS segment, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("d13_decontam_ngram", d13DecontamNgram _, Some(d13Oracle)),
     ("t08_bigram_entropy", t08BigramEntropy _, Some(t08Oracle)),
-    ("s07_ann_recall", s07AnnRecall _, Some(s07Oracle)))
+    ("s07_ann_recall", s07AnnRecall _, Some(s07Oracle)),
+    ("d14_semantic_dedup", d14SemanticDedup _, Some(d14Oracle)),
+    ("st07_enriched_window", st07EnrichedWindow _, Some(st07Oracle)))
 }

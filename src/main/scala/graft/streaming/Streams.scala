@@ -37,6 +37,22 @@ object Streams {
     windowedEventCounts(stream.withWatermark("ts", "10 minutes"))
   }
 
+  /** Stream-static enrichment: events joined to a broadcast dimension
+    * (re-read per micro-batch under streaming — the supported
+    * stream-static join), then the shared windowed aggregation. One
+    * definition serves the DuckDB-checked batch query (st07) and the
+    * streaming form (StreamingSpec): at scale the dimension broadcast
+    * means the stream partitioning is untouched — no shuffle added to
+    * the hot path.
+    */
+  def enrichedWindowCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), "user_id")
+      .groupBy(window(col("ts"), "5 minutes"), col("segment"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("segment"),
+              col("n"), col("sum_value"))
+
   /** Stream-stream interval-join shape: for each purchase, the count of
     * views by the same user in the preceding `minutes`. Written once,
     * runs in batch (the DuckDB-checked query) and as a watermarked

@@ -88,6 +88,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("enrichedWindowCounts (st07 transform) streaming == batch") {
+    import org.apache.spark.sql.functions._
+    val events = Lake.table(spark, sf, "events")
+    val dim = Lake.table(spark, sf, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val stage = Files.createTempDirectory("graft_enrichwin").toString
+    events.write.mode("append").parquet(stage)
+
+    val stream = spark.readStream.schema(events.schema).parquet(stage)
+      .withWatermark("ts", "10 minutes")
+    val q = Streams.enrichedWindowCounts(stream, dim)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrichwin")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("enrichwin")
+      .orderBy("window_start", "segment").collect()
+    val batch = Streams.enrichedWindowCounts(events, dim)
+      .orderBy("window_start", "segment").collect()
+    assert(streamed.length === batch.length && streamed.toSeq === batch.toSeq)
+  }
+
   test("dropDuplicatesWithinWatermark dedups repeated events across micro-batches") {
     import spark.implicits._
     val events = Lake.table(spark, sf, "events")
