@@ -294,10 +294,117 @@ object DataQueries3 {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin
 
+  // ------------------------------------ composite quality filter (t14)
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** The C4/Gopher-style filter STACK as one verdict operator: language
+    * (t01's stopword-argmax langid must say 'en'), length bounds, mean
+    * word length, distinct-token fraction (repetition), stopword
+    * fraction — each rule a flag, keep = every rule passes. All ratio
+    * rules use cross-multiplied INTEGER arithmetic (e.g. `10·distinct ≥
+    * 3·wc` instead of `distinct/wc ≥ 0.3`) — exact in both engines and no
+    * division-by-zero edge. Entirely row-local: one narrow pass at any
+    * corpus size, the filter stack a pretraining pipeline runs before any
+    * dedup stage.
+    */
+  def t14FilterPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextFns.words(col("text"))
+    val en = TextFns.stopwords("en")
+    docs(spark, dir)
+      .select(col("doc_id"),
+        TextFns.langId(col("text")).as("pred_lang"),
+        size(ws).as("wc"),
+        aggregate(transform(ws, w => length(w)), lit(0L), _ + _).as("wchars"),
+        size(array_distinct(ws)).as("wdistinct"),
+        TextFns.stopwordHits(ws, en).cast("long").as("stophits"))
+      .select(col("doc_id"),
+        (col("pred_lang") === "en").as("r_lang"),
+        col("wc").between(20, 1000).as("r_len"),
+        (lit(2) * col("wc") <= col("wchars") &&
+          col("wchars") <= lit(12) * col("wc")).as("r_wordlen"),
+        (lit(10) * col("wdistinct") >= lit(3) * col("wc")).as("r_distinct"),
+        (lit(20) * col("stophits") >= col("wc")).as("r_stopword"))
+      .withColumn("keep",
+        col("r_lang") && col("r_len") && col("r_wordlen") &&
+          col("r_distinct") && col("r_stopword"))
+      .orderBy("doc_id")
+  }
+
+  val t14Oracle: String = {
+    val scores = Seq("de", "en", "es", "fr").map { l =>
+      s"len(list_filter(ws, w -> list_contains(${sqlList(TextFns.stopwords(l))}, w))) AS s_$l"
+    }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+       |  FROM documents),
+       |s AS (SELECT doc_id, ws, len(ws) AS wc,
+       |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+       |      AS wchars,
+       |    len(list_distinct(ws)) AS wdistinct, $scores
+       |  FROM d),
+       |f AS (SELECT doc_id,
+       |    (CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+       |          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |          WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = 'en' AS r_lang,
+       |    wc BETWEEN 20 AND 1000 AS r_len,
+       |    2 * wc <= wchars AND wchars <= 12 * wc AS r_wordlen,
+       |    10 * wdistinct >= 3 * wc AS r_distinct,
+       |    20 * CAST(s_en AS BIGINT) >= wc AS r_stopword
+       |  FROM s)
+       |SELECT doc_id, r_lang, r_len, r_wordlen, r_distinct, r_stopword,
+       |  r_lang AND r_len AND r_wordlen AND r_distinct AND r_stopword AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------- incremental-ingest dedup (d15)
+
+  /** Incremental ingestion dedup: an incoming batch (doc_id ≡ 8,9 mod 10 —
+    * a deterministic ~20% slice) is checked against the EXISTING corpus's
+    * content-fingerprint store, then within itself. Status per incoming
+    * doc: dup_of_existing (fingerprint already in the store — an anti-join
+    * miss), dup_within_batch (repeat inside the increment, min-doc_id
+    * survivor), new_unique. The existing side collapses to a distinct
+    * fingerprint set probed by ONE hash equi-join — the daily-crawl
+    * ingestion shape: the store is keyed state, the increment is small,
+    * nothing rescans the historical corpus text.
+    */
+  def d15IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("fp", md5(col("text")))
+    val existing = d.filter(col("doc_id") % 10 < 8).select("fp").distinct()
+    val incoming = d.filter(col("doc_id") % 10 >= 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    incoming.join(existing.withColumn("seen", lit(1)), Seq("fp"), "left")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"),
+        when(col("seen") === 1, "dup_of_existing")
+          .when(col("rn") > 1, "dup_within_batch")
+          .otherwise("new_unique").as("status"))
+      .orderBy("doc_id")
+  }
+
+  val d15Oracle: String =
+    """WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |ex AS (SELECT DISTINCT fp FROM d WHERE doc_id % 10 < 8),
+      |inc AS (SELECT doc_id, fp,
+      |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |  FROM d WHERE doc_id % 10 >= 8)
+      |SELECT doc_id,
+      |  CASE WHEN ex.fp IS NOT NULL THEN 'dup_of_existing'
+      |       WHEN rn > 1 THEN 'dup_within_batch'
+      |       ELSE 'new_unique' END AS status
+      |FROM inc LEFT JOIN ex ON inc.fp = ex.fp
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("d13_decontam_ngram", d13DecontamNgram _, Some(d13Oracle)),
     ("t08_bigram_entropy", t08BigramEntropy _, Some(t08Oracle)),
     ("s07_ann_recall", s07AnnRecall _, Some(s07Oracle)),
     ("d14_semantic_dedup", d14SemanticDedup _, Some(d14Oracle)),
-    ("st07_enriched_window", st07EnrichedWindow _, Some(st07Oracle)))
+    ("st07_enriched_window", st07EnrichedWindow _, Some(st07Oracle)),
+    ("t14_filter_pipeline", t14FilterPipeline _, Some(t14Oracle)),
+    ("d15_incremental_dedup", d15IncrementalDedup _, Some(d15Oracle)))
 }

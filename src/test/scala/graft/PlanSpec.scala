@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, CoreQueries2, CoreQueries3, DataQueries, DataQueries2}
+import graft.queries.{CoreQueries, CoreQueries2, CoreQueries3, DataQueries, DataQueries2, DataQueries3}
 
 /** Plan-quality assertions: the properties that matter at 100 TB must hold
   * in the physical plan, not just produce correct rows — pushdown reaching
@@ -107,5 +107,34 @@ class PlanSpec extends SparkSpec {
     val p = planOf(DataQueries2.t09VocabTopK(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
+  test("d13: decontamination probes the train set with a hash equi-join") {
+    // held-out grams ⨝ distinct train grams must be an equi-join on the
+    // gram — a nested-loop join here is an all-pairs doc comparison
+    val p = planOf(DataQueries3.d13DecontamNgram(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("word_ngrams"), p)
+  }
+
+  test("t08: bigram entropy uses the native one-pass ngram expression") {
+    val p = planOf(DataQueries3.t08BigramEntropy(spark, sf))
+    assert(p.contains("word_ngrams"), p)
+    // two keyed aggregations, both map-side combined
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("d14: semantic-dedup candidates stay equi-join (no BNLJ), CC excluded") {
+    // the pair stage inherits e02's contract; CC runs before this plan is
+    // built (the operator materializes the loop), so the final plan must
+    // contain no nested-loop join at all
+    val p = planOf(DataQueries3.d14SemanticDedup(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("st07: dimension side of the enrichment join broadcasts") {
+    val p = planOf(DataQueries3.st07EnrichedWindow(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 }
