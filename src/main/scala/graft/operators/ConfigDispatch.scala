@@ -49,8 +49,11 @@ object ConfigDispatch {
       case "DYNAMIC_TAG_TABLE" =>
         TagEngine.applyDynamicTableConfig(spark, config, in.catalog)
       case "DYNAMIC_TAG_COLUMN" =>
-        TagEngine.balancedUnion(expandedUris(config, in.catalog)
-          .map(uri => TagEngine.applyDynamicColumnConfig(spark, config, uri)))
+        expandedUris(config, in.catalog) match {
+          case Seq() => TagEngine.emptyTagRows(spark) // empty expansion = no-op job
+          case uris => TagEngine.balancedUnion(
+            uris.map(uri => TagEngine.applyDynamicColumnConfig(spark, config, uri)))
+        }
       case "STATIC_TAG_ASSET"  => staticAsset(spark, config, in)
       case "GLOSSARY_TAG_ASSET" => glossary(config, in)
       case "SENSITIVE_TAG_ASSET" => sensitive(config, in)

@@ -25,6 +25,18 @@ import graft.model.{AssetUri, TagConfig}
   */
 object TagEngine {
 
+  /** The unified tag-row shape, empty — what a config whose include −
+    * exclude expansion matches NOTHING must produce (the reference's
+    * no-op job), instead of `empty.reduce` / `balancedUnion of zero
+    * frames` blowing up the whole run.
+    */
+  private[operators] def emptyTagRows(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq("asset_uri", "column", "template_id", "field_id",
+        "field_type", "field_value").map(StructField(_, StringType))))
+  }
+
   /** Balanced unionByName: O(log n) tree depth instead of the O(n)
     * left-deep chain a `reduce` builds.
     */
@@ -71,6 +83,7 @@ object TagEngine {
       .collect()
       .map(r => AssetUri("bigquery", r.getString(0), Some(r.getString(1)),
         Some(r.getString(2)), None))
+    if (assets.isEmpty) return emptyTagRows(spark)
     val (queryFields, staticFields) =
       config.fields.partition(_.queryExpression.isDefined)
     // Assets whose substituted statements coincide share one evaluation —

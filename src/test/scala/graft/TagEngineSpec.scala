@@ -18,6 +18,16 @@ class TagEngineSpec extends SparkSpec {
     includedUris = Seq("bigquery/project/p/dataset/lake/region",
       "bigquery/project/p/dataset/lake/nation"))
 
+  test("empty include-exclude expansion yields an empty tag-row frame, not a crash") {
+    Lake.registerAll(spark, sf)
+    val noMatch = config.copy(
+      includedUris = Seq("bigquery/project/p/dataset/lake/no_such_table"))
+    val out = TagEngine.applyDynamicTableConfig(spark, noMatch, catalog)
+    assert(out.columns.toSeq === Seq("asset_uri", "column", "template_id",
+      "field_id", "field_type", "field_value"))
+    assert(out.count() === 0)
+  }
+
   test("runJob with overwrite=false skips already-tagged assets") {
     Lake.registerAll(spark, sf)
     val existing = Seq(
