@@ -46,6 +46,11 @@ object GroupedEval {
   private val AssetView = "__graft_assets"
   private val OuterAlias = "__a"
 
+  /** Per-call suffix so concurrent configs on one session can't clobber
+    * each other's views between registration and statement analysis.
+    */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Split SQL text into alternating non-literal / single-quoted-literal
     * segments (literals keep their quotes; `''` escapes stay inside one
     * literal).
@@ -193,13 +198,20 @@ object GroupedEval {
     */
   def evalSharded(spark: SparkSession, config: TagConfig, catalog: DataFrame,
                   source: DataFrame, shardExpr: Column): DataFrame = {
+    // the rewrite machinery emits the BASE view names; register this call's
+    // views under unique names and rename in the final SQL text, so two
+    // configs evaluating concurrently on one session can't clobber each
+    // other between view registration and (eager) statement analysis
+    val callId = viewSeq.incrementAndGet()
+    val srcView = s"${SrcView}_$callId"
+    val assetView = s"${AssetView}_$callId"
     source.withColumn("__graft_shard", shardExpr)
-      .createOrReplaceTempView(SrcView)
+      .createOrReplaceTempView(srcView)
     Expander.expand(catalog, config.includedUris, config.excludedUris)
       .select(col("project"), col("dataset"), col("table"),
         concat_ws("/", lit("bigquery/project"), col("project"),
           lit("dataset"), col("dataset"), col("table")).as("asset_uri"))
-      .createOrReplaceTempView(AssetView)
+      .createOrReplaceTempView(assetView)
     val flatOf: Map[String, Flat] = config.fields.flatMap(f =>
       f.queryExpression.filterNot(isConstantQuery)
         .flatMap(classifyFlat).map(f.fieldId -> _)).toMap
@@ -232,14 +244,19 @@ object GroupedEval {
         case None => s"`${f.fieldId}`"
       }
     }.mkString(",\n  ")
-    spark.sql(
+    val stmt =
       s"""SELECT asset_uri,
          |  $outerItems
          |FROM (
          |  SELECT $OuterAlias.asset_uri,
          |  $innerItems
          |  FROM $AssetView $OuterAlias
-         |)""".stripMargin)
+         |)""".stripMargin
+        .replace(SrcView, srcView).replace(AssetView, assetView)
+    val out = spark.sql(stmt) // Dataset.ofRows analyzes eagerly — views
+    spark.catalog.dropTempView(srcView) // resolved; safe to drop now
+    spark.catalog.dropTempView(assetView)
+    out
   }
 
   /** Sharded config → unified tag rows (the set-based replacement for the

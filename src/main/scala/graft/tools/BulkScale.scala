@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.model.{FieldSpec, TagConfig}
+import graft.operators.GroupedEval
+
+/** Measures the set-based dynamic-config path at the reference's load-test
+  * asset counts (examples/load/configs/static_asset_1m.json scales to 10⁶
+  * assets/config): q30's 7-field config over the sf0.1 events family at
+  * 1k / 10k / 100k / 1M expanded assets. Reports wall time and the SQL
+  * execution count — the invariant that makes the path survive the load
+  * point is ONE execution regardless of asset cardinality (plan size is
+  * O(#fields); the asset dimension lives in DATA, not in the plan).
+  */
+object BulkScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            counter.incrementAndGet()
+          case _ => ()
+        }
+    })
+    val fields = Seq(
+      FieldSpec("n_rows", "double", Some("select count(*) from $table")),
+      FieldSpec("n_users", "double",
+        Some("select count(distinct user_id) from $table")),
+      FieldSpec("total_value", "string",
+        Some("select cast(sum(cast(value as decimal(18,2))) as string) from $table")),
+      FieldSpec("clicks", "double",
+        Some("select count(*) from $table where event_type = 'click'")),
+      FieldSpec("asset_label", "string",
+        Some("select concat('$dataset', '.', '$table')")),
+      FieldSpec("env", "enum", None, Some("PROD")))
+    val events = graft.Lake.table(spark, sfDir, "events")
+    Seq(1000, 10000, 100000, 1000000).foreach { n =>
+      val pad = math.max(4, n.toString.length)
+      val catalog = spark.range(0, n)
+        .select(lit("p").as("project"), lit("lake").as("dataset"),
+          concat(lit("events_"), lpad(col("id").cast("string"), pad, "0"))
+            .as("table"))
+      val config = TagConfig(configType = "DYNAMIC_TAG_TABLE",
+        templateId = "gov", fields = fields,
+        includedUris = Seq("bigquery/project/p/dataset/lake/events_*"))
+      val shard = concat(lit("events_"),
+        lpad((col("event_id") % n).cast("string"), pad, "0"))
+      counter.set(0)
+      val t0 = System.nanoTime()
+      val out = GroupedEval.applyDynamicTableConfigSharded(
+        spark, config, catalog, events, shard)
+      out.write.mode("overwrite").format("noop").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener events are async
+      println(f"BULKSCALE assets=$n%7d rows=${n * fields.length}%8d " +
+        f"wall=$dt%6.1fs sql_executions=${counter.get()}")
+    }
+    spark.stop()
+  }
+}
