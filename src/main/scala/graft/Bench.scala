@@ -65,11 +65,15 @@ object Bench {
     // driver captures only a bounded tail of stdout, and a 74-query samples
     // map pushed the round-3 JSON line past that window — the driver then
     // failed to parse any bench result at all. The stdout contract line
-    // stays small (per-query best times only).
-    val sideFile = java.nio.file.Paths.get("BENCH_SAMPLES.json")
-    java.nio.file.Files.write(sideFile,
-      s"""{"sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"samples":$samplesJson}""".getBytes("UTF-8"))
+    // stays small (per-query best times only) and prints FIRST: a failed
+    // side-file write must never cost the contract line a full bench run
+    // already paid for.
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"samples_file":"BENCH_SAMPLES.json"}""")
+    try
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SAMPLES.json"),
+        s"""{"sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"samples":$samplesJson}""".getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"BENCH_SAMPLES.json write failed: $e") }
     spark.stop()
   }
 }

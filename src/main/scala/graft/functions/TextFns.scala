@@ -25,9 +25,10 @@ object TextFns {
     * overhead); WordNgramsSpec holds the two equal.
     */
   def wordNgramsBuiltin(ws: Column, n: Int): Column =
-    when(size(ws) >= n,
-      transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => array_join(slice(ws, i, lit(n)), " ")))
+    when(ws.isNull, lit(null).cast("array<string>")) // align with native: null in → null out
+      .when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => array_join(slice(ws, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
   /** Native one-pass word n-grams over the raw text column

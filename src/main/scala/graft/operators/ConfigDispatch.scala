@@ -39,8 +39,7 @@ final case class EngineInputs(
   */
 object ConfigDispatch {
 
-  private val TagRowCols = Seq("asset_uri", "column", "template_id",
-    "field_id", "field_type", "field_value")
+  private val TagRowCols = TagEngine.TagRowCols
 
   /** Route a config to its pipeline (ConfigType.py:3–12 names). */
   def applyConfig(spark: SparkSession, config: TagConfig,

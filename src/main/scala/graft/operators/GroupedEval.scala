@@ -253,10 +253,15 @@ object GroupedEval {
          |  FROM $AssetView $OuterAlias
          |)""".stripMargin
         .replace(SrcView, srcView).replace(AssetView, assetView)
-    val out = spark.sql(stmt) // Dataset.ofRows analyzes eagerly — views
-    spark.catalog.dropTempView(srcView) // resolved; safe to drop now
-    spark.catalog.dropTempView(assetView)
-    out
+    // Dataset.ofRows analyzes eagerly, so the views are resolved by the
+    // time spark.sql returns; drop them in finally so a malformed field
+    // expression (AnalysisException) can't leak per-call views into the
+    // session catalog across retries.
+    try spark.sql(stmt)
+    finally {
+      spark.catalog.dropTempView(srcView)
+      spark.catalog.dropTempView(assetView)
+    }
   }
 
   /** Sharded config → unified tag rows (the set-based replacement for the

@@ -61,13 +61,21 @@ object Similarity {
       emb.select(col("vec_id"),
           (-best.getField("neg_id")).as("centroid_id"), col("vec"))
     } else {
+      // group by vec_id ONLY (it is the vector's unique key by operator
+      // contract): grouping by the vec array would both collapse duplicate
+      // rows the inline path preserves and run the float array through
+      // NormalizeFloatingNumbers (-0.0/NaN canonicalization), changing the
+      // emitted vec bytes on this path only. vec rides inside the max
+      // struct — (cos, neg_id) is already unique per centroid, so it never
+      // decides the ordering — and the shuffle key stays narrow.
       emb.crossJoin(broadcast(centsDf))
-        .select(col("vec_id"), col("vec"),
+        .select(col("vec_id"),
           struct(VectorFns.cosine(col("vec"), col("cvec")).as("cos"),
-            (-col("centroid_id")).as("neg_id")).as("s"))
-        .groupBy("vec_id", "vec")
+            (-col("centroid_id")).as("neg_id"), col("vec").as("vec")).as("s"))
+        .groupBy("vec_id")
         .agg(max(col("s")).as("m"))
-        .select(col("vec_id"), (-col("m.neg_id")).as("centroid_id"), col("vec"))
+        .select(col("vec_id"), (-col("m.neg_id")).as("centroid_id"),
+          col("m.vec").as("vec"))
     }
   }
 

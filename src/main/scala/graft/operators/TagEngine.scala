@@ -25,6 +25,13 @@ import graft.model.{AssetUri, TagConfig}
   */
 object TagEngine {
 
+  /** The canonical unified tag-row column list — every tagging pipeline
+    * lands in this shape (single definition so the empty frame and the
+    * dispatch projections can't drift apart).
+    */
+  private[operators] val TagRowCols = Seq("asset_uri", "column",
+    "template_id", "field_id", "field_type", "field_value")
+
   /** The unified tag-row shape, empty — what a config whose include −
     * exclude expansion matches NOTHING must produce (the reference's
     * no-op job), instead of `empty.reduce` / `balancedUnion of zero
@@ -33,8 +40,7 @@ object TagEngine {
   private[operators] def emptyTagRows(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq("asset_uri", "column", "template_id", "field_id",
-        "field_type", "field_value").map(StructField(_, StringType))))
+      StructType(TagRowCols.map(StructField(_, StringType))))
   }
 
   /** Balanced unionByName: O(log n) tree depth instead of the O(n)

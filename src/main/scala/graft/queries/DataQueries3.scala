@@ -340,8 +340,8 @@ object DataQueries3 {
        |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
        |  FROM documents),
        |s AS (SELECT doc_id, ws, len(ws) AS wc,
-       |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
-       |      AS wchars,
+       |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+       |      AS BIGINT) AS wchars,
        |    len(list_distinct(ws)) AS wdistinct, $scores
        |  FROM d),
        |f AS (SELECT doc_id,

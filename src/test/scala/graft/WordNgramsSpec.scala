@@ -13,10 +13,12 @@ class WordNgramsSpec extends SparkSpec {
   test("native == HOF reference on the real corpus, n = 2 and 5") {
     val d = Lake.table(spark, sf, "documents")
     Seq(2, 5).foreach { n =>
+      // null-safe inequality: a null-blind `not(a === b)` filters out the
+      // rows where exactly one side is null — the divergence it must catch
       val diff = d.select(
           TextFns.wordNgramsNative(col("text"), n).as("nat"),
           TextFns.wordNgramsBuiltin(TextFns.words(col("text")), n).as("hof"))
-        .filter(not(col("nat") === col("hof")))
+        .filter(not(col("nat") <=> col("hof")))
         .count()
       assert(diff === 0, s"n=$n")
     }
@@ -32,9 +34,10 @@ class WordNgramsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
     // multi-space runs collapse to single-space joins
     assert(rows(0).getSeq[String](0) === Seq("a b c", "b c d"))
-    val n = df.limit(1).select(
-      TextFns.wordNgramsNative(lit(null).cast("string"), 2)).first()
-    assert(n.isNullAt(0))
+    val nulls = df.limit(1).select(
+      TextFns.wordNgramsNative(lit(null).cast("string"), 2),
+      TextFns.wordNgramsBuiltin(lit(null).cast("array<string>"), 2)).first()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
   test("distinct variant keeps first occurrence of each gram") {
