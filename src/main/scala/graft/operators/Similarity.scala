@@ -144,12 +144,13 @@ object Similarity {
       .groupBy("vec_id")
       .agg(sum(col("bit")).as("bucket_sig"))
 
-  /** LSH-bucketed top-k: score only vectors in the query's signature
-    * bucket.
+  /** LSH-bucketed top-k against a PRECOMPUTED signature table — the
+    * at-scale form: the index (`sigs`) is built once ([[hyperplaneSignatures]],
+    * persisted/partitioned by `bucket_sig`) and probed by many queries,
+    * so a query costs one bucket's worth of scoring, not a corpus pass.
     */
-  def lshTopK(emb: DataFrame, hyperplanes: DataFrame, queryId: Long,
-              k: Int): DataFrame = {
-    val sigs = hyperplaneSignatures(emb, hyperplanes)
+  def lshTopKIndexed(emb: DataFrame, sigs: DataFrame, queryId: Long,
+                     k: Int): DataFrame = {
     val withSig = emb.join(sigs, "vec_id")
     val qSig = sigs.filter(col("vec_id") === queryId)
       .select(col("bucket_sig").as("q_sig"))
@@ -161,6 +162,15 @@ object Similarity {
         .withColumn("cos", VectorFns.cosine(col("vec"), col("qvec"))),
       k)
   }
+
+  /** Convenience form: derives the signature table inline (two corpus
+    * passes — sigs for the index AND the query's own signature). Use
+    * [[lshTopKIndexed]] with a persisted signature table when more than
+    * one query probes the same corpus.
+    */
+  def lshTopK(emb: DataFrame, hyperplanes: DataFrame, queryId: Long,
+              k: Int): DataFrame =
+    lshTopKIndexed(emb, hyperplaneSignatures(emb, hyperplanes), queryId, k)
 
   /** EXACT embedding near-duplicate pairs: all pairs with cosine ≥
     * threshold. The `a<b` theta self-join is an O(n²)

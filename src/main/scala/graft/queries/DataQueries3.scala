@@ -399,6 +399,43 @@ object DataQueries3 {
       |FROM inc LEFT JOIN ex ON inc.fp = ex.fp
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------- matryoshka truncation energy (s08)
+
+  /** Matryoshka-style dimensionality reduction (Kusupati et al. 2022):
+    * truncate each embedding to its 16-dim prefix and report the retained
+    * L2 energy — the quality signal that decides how far an MRL index can
+    * cut storage. Entirely row-local (one narrow pass, zero shuffle
+    * besides the presentation sort); the dot products accumulate
+    * left-to-right exactly like DuckDB's `list_dot_product`, the parity
+    * discipline every cosine in this repo already relies on.
+    */
+  def s08MatryoshkaEnergy(spark: SparkSession, dir: String): DataFrame = {
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val e = emb(spark, dir)
+    val t = slice(col("vec"), 1, 16)
+    e.select(col("vec_id"), size(col("vec")).as("n_dims"),
+        sqrt(dot(col("vec"), col("vec"))).as("fn"),
+        sqrt(dot(t, t)).as("tn"))
+      .select(col("vec_id"), col("n_dims"), lit(16).as("trunc_dims"),
+        round(col("fn"), 6).as("full_norm"),
+        round(col("tn"), 6).as("trunc_norm"),
+        round(col("tn") / col("fn"), 6).as("energy_retained"))
+      .orderBy("vec_id")
+  }
+
+  val s08Oracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |n AS (SELECT vec_id, len(v) AS n_dims,
+      |    sqrt(list_dot_product(v, v)) AS fn,
+      |    sqrt(list_dot_product(v[1:16], v[1:16])) AS tn
+      |  FROM e)
+      |SELECT vec_id, n_dims, 16 AS trunc_dims,
+      |  round(fn, 6) AS full_norm, round(tn, 6) AS trunc_norm,
+      |  round(tn / fn, 6) AS energy_retained
+      |FROM n ORDER BY vec_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("d13_decontam_ngram", d13DecontamNgram _, Some(d13Oracle)),
     ("t08_bigram_entropy", t08BigramEntropy _, Some(t08Oracle)),
@@ -406,5 +443,6 @@ object DataQueries3 {
     ("d14_semantic_dedup", d14SemanticDedup _, Some(d14Oracle)),
     ("st07_enriched_window", st07EnrichedWindow _, Some(st07Oracle)),
     ("t14_filter_pipeline", t14FilterPipeline _, Some(t14Oracle)),
-    ("d15_incremental_dedup", d15IncrementalDedup _, Some(d15Oracle)))
+    ("d15_incremental_dedup", d15IncrementalDedup _, Some(d15Oracle)),
+    ("s08_matryoshka_energy", s08MatryoshkaEnergy _, Some(s08Oracle)))
 }
