@@ -152,4 +152,35 @@ class TagEngineSpec extends SparkSpec {
     assert(j1000 === j100,
       s"plan/job count must be independent of asset count ($j100 vs $j1000)")
   }
+
+  test("concurrent sharded evals on one session do not clobber each other") {
+    // per-call view names: config A must see ONLY source A even when B
+    // registers its views between A's registration and A's analysis
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ev = Lake.table(spark, sf, "events")
+    val srcA = ev.filter(col("event_id") % 2 === 0)
+    val srcB = ev.filter(col("event_id") % 2 =!= 0)
+    val expA = srcA.count()
+    val expB = srcB.count()
+    val cfg = TagConfig(
+      configType = "DYNAMIC_TAG_TABLE", templateId = "gov",
+      fields = Seq(FieldSpec("n_rows", "int",
+        Some("select count(*) from $table"))),
+      includedUris = Seq("bigquery/project/p/dataset/lake/ev_*"))
+    val catalog = shardCatalog(1)
+    def total(src: org.apache.spark.sql.DataFrame): Long = {
+      val out = GroupedEval.applyDynamicTableConfigSharded(
+        spark, cfg, catalog, src, lit("ev_0"))
+      out.filter(col("field_id") === "n_rows")
+        .select(col("field_value").cast("long")).as[Long].collect().sum
+    }
+    (1 to 5).foreach { _ =>
+      val fa = Future(total(srcA))
+      val fb = Future(total(srcB))
+      assert(Await.result(fa, 120.seconds) === expA)
+      assert(Await.result(fb, 120.seconds) === expB)
+    }
+  }
 }
