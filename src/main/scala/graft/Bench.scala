@@ -54,26 +54,49 @@ object Bench {
       val samples = if (two.min > 20.0) two :+ once(fn) else two
       (name, samples.min, samples)
     }
-    val qs = results.map { case (k, v, _) => s"\"$k\":${fmt(v)}" }
-      .mkString("{", ",", "}")
     val samplesJson = results
       .map { case (k, _, s) => s"\"$k\":[${s.map(fmt).mkString(",")}]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadEnd = loadAvg
-    // The raw-sample blob goes to a SIDE FILE, not the stdout line: the
-    // driver captures only a bounded tail of stdout, and a 74-query samples
-    // map pushed the round-3 JSON line past that window — the driver then
-    // failed to parse any bench result at all. The stdout contract line
-    // stays small (per-query best times only) and prints FIRST: a failed
-    // side-file write must never cost the contract line a full bench run
-    // already paid for.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"samples_file":"BENCH_SAMPLES.json"}""")
-    try
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SAMPLES.json"),
-        s"""{"sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"samples":$samplesJson}""".getBytes("UTF-8"))
-    catch { case e: java.io.IOException =>
-      System.err.println(s"BENCH_SAMPLES.json write failed: $e") }
+    // The driver captures only the LAST ~2000 chars of sbt stdout and
+    // json-parses the contract line out of that tail. With 80+ queries a
+    // full per-query map is ~2.4 KB — the line's HEAD scrolls out of the
+    // window and the driver parses nothing (observed rounds 1–4). So the
+    // stdout line carries the total plus per-query times for as many of
+    // the SLOWEST queries as fit a hard 1700-char budget (sbt appends a
+    // ~75-char "[success]" trailer inside the same window); the complete
+    // per-query map and raw samples go to side files at ABSOLUTE paths
+    // under the repo root, referenced from the line itself.
+    val repoRoot: java.nio.file.Path = {
+      var p = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+      while (p.getParent != null && !java.nio.file.Files.exists(p.resolve("build.sbt")))
+        p = p.getParent
+      if (java.nio.file.Files.exists(p.resolve("build.sbt"))) p
+      else java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+    }
+    val fullPath = repoRoot.resolve("BENCH_FULL.json")
+    val samplesPath = repoRoot.resolve("BENCH_SAMPLES.json")
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"n_queries":${results.size},"queries_file":"$fullPath","queries":{"""
+    val tail = "}}"
+    val budget = 1700 - head.length - tail.length
+    val bySlowest = results.sortBy(-_._2).map { case (k, v, _) => s"\"$k\":${fmt(v)}" }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    for (e <- bySlowest if used + e.length + 1 <= budget) { picked += e; used += e.length + 1 }
+    val line = head + picked.mkString(",") + tail
+    // Contract line prints FIRST: a failed side-file write must never cost
+    // the contract line a full bench run already paid for.
+    println(line)
+    def writeJson(p: java.nio.file.Path, body: String): Unit =
+      try java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+      catch { case e: java.io.IOException => System.err.println(s"$p write failed: $e") }
+    val qsFull = results.map { case (k, v, _) => s"\"$k\":${fmt(v)}" }
+      .mkString("{", ",", "}")
+    writeJson(fullPath,
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"queries":$qsFull}""")
+    writeJson(samplesPath,
+      s"""{"sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"samples":$samplesJson}""")
     spark.stop()
   }
 }

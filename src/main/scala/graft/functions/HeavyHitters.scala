@@ -45,11 +45,14 @@ final class SSBuf(val counts: mutable.HashMap[String, Long], var err: Long)
   * shuffle, the whole point of a sketch at 100 TB (exact word counts
   * shuffle the full vocabulary instead).
   *
-  * Exactness regime: when `capacity` ≥ the true distinct count, no
+  * Exactness regime: when `capacity` > the true distinct count, no
   * eviction or truncation ever fires, `err` stays 0, and results are
-  * EXACT — which is how the DuckDB oracle can check the operator
-  * end-to-end on the test corpus while the same code runs approximate
-  * (overestimate ≤ `err`) on an open vocabulary.
+  * EXACT. (At the boundary `capacity` == distinct count, a full buffer
+  * merged with a partition that missed some key sets `err` > 0 via the
+  * absent-key bound, but every full buffer necessarily holds all keys, so
+  * the emitted counts are still exact.) This is how the DuckDB oracle can
+  * check the operator end-to-end on the test corpus while the same code
+  * runs approximate (overestimate ≤ `err`) on an open vocabulary.
   */
 final class HeavyHitters(capacity: Int)
     extends Aggregator[String, SSBuf, Seq[(String, Long)]] {

@@ -244,7 +244,7 @@ object GroupedEval {
         case None => s"`${f.fieldId}`"
       }
     }.mkString(",\n  ")
-    val stmt =
+    val assembled =
       s"""SELECT asset_uri,
          |  $outerItems
          |FROM (
@@ -252,7 +252,14 @@ object GroupedEval {
          |  $innerItems
          |  FROM $AssetView $OuterAlias
          |)""".stripMargin
-        .replace(SrcView, srcView).replace(AssetView, assetView)
+    // Rename base→per-call view names only OUTSIDE single-quoted literals:
+    // a user literal that happens to contain '__graft_src' must pass
+    // through untouched (segments() is the same splitter the rewrite
+    // machinery uses, so literal boundaries agree).
+    val stmt = segments(assembled).map {
+      case (t, false) => t.replace(SrcView, srcView).replace(AssetView, assetView)
+      case (t, true)  => t
+    }.mkString
     // Dataset.ofRows analyzes eagerly, so the views are resolved by the
     // time spark.sql returns; drop them in finally so a malformed field
     // expression (AnalysisException) can't leak per-call views into the

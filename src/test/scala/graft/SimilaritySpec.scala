@@ -23,10 +23,11 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("large centroid set takes the broadcast-join path and matches inline") {
-    // 100 centroids (> MaxInlineCentroids = 64) derived from the corpus
-    // itself so the argmax has realistic ties-to-smaller-id cases; the
-    // inline path is checked against it on the first 64 of the same set by
-    // restricting both paths to an identical 50-centroid subset.
+    // 100 centroids (> MaxInlineCentroids = 64) force the broadcast-join
+    // fallback; the inline path runs on the first 50 of the same set. The
+    // two paths are then compared only on vectors whose best-of-100 winner
+    // lands inside the shared 50-centroid prefix — on those the best-of-50
+    // answer must agree exactly (same argmax, same tie rule).
     val base = emb.limit(100).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val small = base.take(50).toSeq.toDF("centroid_id", "cvec")

@@ -128,6 +128,34 @@ class TagEngineSpec extends SparkSpec {
     assert(out("env") === "PROD")
   }
 
+  test("sharded eval leaves user literals containing view names intact") {
+    // the per-call view rename is applied only outside single-quoted
+    // literals: a field value (or literal in a query expression) that
+    // happens to contain the base view name must pass through verbatim
+    val ev = Lake.table(spark, sf, "events")
+    val cfg = TagConfig(
+      configType = "DYNAMIC_TAG_TABLE", templateId = "gov",
+      fields = Seq(
+        FieldSpec("n_rows", "int", Some("select count(*) from $table")),
+        FieldSpec("note", "string", None,
+          Some("see __graft_src and __graft_assets docs")),
+        FieldSpec("tag", "string",
+          Some("select concat('__graft_src=', count(*)) from $table"))),
+      includedUris = Seq("bigquery/project/p/dataset/lake/ev_*"))
+    val out = GroupedEval.applyDynamicTableConfigSharded(spark, cfg,
+        shardCatalog(2), ev,
+        concat(lit("ev_"), (col("event_id") % 2).cast("string")))
+      .filter(col("field_id") =!= "n_rows")
+      .select("field_id", "field_value").as[(String, String)].collect()
+    assert(out.length === 4)
+    out.foreach {
+      case ("note", v) => assert(v === "see __graft_src and __graft_assets docs")
+      case ("tag", v)  => assert(v.startsWith("__graft_src=") &&
+        v.drop("__graft_src=".length).forall(_.isDigit))
+      case other       => fail(s"unexpected row $other")
+    }
+  }
+
   test("sharded eval job count does NOT grow with asset count") {
     def jobsFor(n: Int): Int = {
       val counter = new java.util.concurrent.atomic.AtomicInteger(0)
