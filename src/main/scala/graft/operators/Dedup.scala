@@ -230,6 +230,46 @@ object Dedup {
     jaccardVerifySets(cands, sets, idCol).filter(col("jaccard") >= minJaccard)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs (Broder's "containment" measure,
+    * "On the resemblance and containment of documents", 1997): for a pair
+    * (A, B), c(A,B) = |A∩B| / |A| over the distinct k-char shingle sets —
+    * the signal Jaccard misses when one document quotes or subsumes a much
+    * larger/smaller one (|A∩B|/|A∪B| stays low while |A∩B|/|min| ≈ 1).
+    * Candidate generation and plan shape are identical to [[jaccardPairs]]
+    * (rare-shingle equi-join, set-array verify behind a pushdown barrier);
+    * only the verdict column changes, so the operator inherits the same
+    * 100 TB posture — no all-pairs comparison anywhere.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 5, maxDf: Int = 50,
+                       minContainment: Double = 0.7): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, k).localCheckpoint()
+    val sh = sets.select(col(idCol), explode(col("hs")).as("h"))
+    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val shr = sh.join(rare, "h", "left_semi").localCheckpoint()
+    val cands = shr.as("l").join(shr.as("r"),
+        col("l.h") === col("r.h") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a_id"), col(s"r.$idCol").as("b_id"))
+      .distinct()
+    val a = sets.select(col(idCol).as("a_id"), col("hs").as("sa"))
+    val b = sets.select(col(idCol).as("b_id"), col("hs").as("sb"))
+    // same barrier discipline as jaccardVerifySets: cut lineage BEFORE the
+    // threshold filter so Catalyst can't push greatest(...) >= t into the
+    // join condition and re-evaluate array_intersect per probed row
+    cands.join(a, "a_id").join(b, "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("cont_a",
+        round(col("inter") * lit(1.0) / size(col("sa")), 6))
+      .withColumn("cont_b",
+        round(col("inter") * lit(1.0) / size(col("sb")), 6))
+      .select("a_id", "b_id", "inter", "cont_a", "cont_b")
+      .localCheckpoint(false)
+      .filter(col("inter") > 0 &&
+        greatest(col("cont_a"), col("cont_b")) >= minContainment)
+  }
+
   /** SimHash: 60-bit signature over whitespace tokens (with multiplicity).
     * Computed as 60 per-bit ±1 sums in ONE aggregation (no per-bit row
     * explosion) — map-side combinable, 1 row/doc out.

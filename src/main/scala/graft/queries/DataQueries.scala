@@ -39,7 +39,7 @@ object DataQueries {
     * shingles hashed to 28-bit ints then deduplicated (hash-then-distinct
     * order matters under collisions), plus the affine-minhash signature.
     */
-  private val shingleCtes: String =
+  private[queries] val shingleCtes: String =
     """pos AS (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
       |        FROM documents),
       |sh AS (SELECT doc_id,
