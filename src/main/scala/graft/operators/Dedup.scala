@@ -207,6 +207,20 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, maxDf: Int = 50,
                    minJaccard: Double = 0.8): DataFrame = {
+    val (sets, cands) = rareShingleCandidates(docs, idCol, textCol, k, maxDf)
+    jaccardVerifySets(cands, sets, idCol).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Shared candidate front end of [[jaccardPairs]] and
+    * [[containmentPairs]]: per-doc shingle-set arrays plus the (a_id, b_id)
+    * pairs sharing at least one *rare* shingle (document frequency ≤
+    * maxDf — the classic prefix/rare-token pruning that keeps the
+    * self-join from exploding on stopword-like shingles). Returns
+    * `(sets, candidates)`; both are safe to consume more than once.
+    */
+  private def rareShingleCandidates(docs: DataFrame, idCol: String,
+                                    textCol: String, k: Int,
+                                    maxDf: Int): (DataFrame, DataFrame) = {
     // materialized once: three consumers (df-agg via explode, candidate
     // semi-join, verify); 1 row/doc, so it is tiny relative to re-running
     // the shingle+md5 projection per consumer. Eager localCheckpoint (not
@@ -227,7 +241,7 @@ object Dedup {
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("a_id"), col(s"r.$idCol").as("b_id"))
       .distinct()
-    jaccardVerifySets(cands, sets, idCol).filter(col("jaccard") >= minJaccard)
+    (sets, cands)
   }
 
   /** Asymmetric CONTAINMENT near-dup pairs (Broder's "containment" measure,
@@ -243,16 +257,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 5, maxDf: Int = 50,
                        minContainment: Double = 0.7): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, k).localCheckpoint()
-    val sh = sets.select(col(idCol), explode(col("hs")).as("h"))
-    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("h")
-    val shr = sh.join(rare, "h", "left_semi").localCheckpoint()
-    val cands = shr.as("l").join(shr.as("r"),
-        col("l.h") === col("r.h") &&
-        col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("a_id"), col(s"r.$idCol").as("b_id"))
-      .distinct()
+    val (sets, cands) = rareShingleCandidates(docs, idCol, textCol, k, maxDf)
     val a = sets.select(col(idCol).as("a_id"), col("hs").as("sa"))
     val b = sets.select(col(idCol).as("b_id"), col("hs").as("sb"))
     // same barrier discipline as jaccardVerifySets: cut lineage BEFORE the

@@ -135,6 +135,32 @@ object DataQueries {
        |WHERE round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Asymmetric containment near-dups (quote/subsume detection) — same
+    * rare-shingle candidates as d04, verdict is |A∩B|/|A| per side.
+    */
+  def d16ContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(spark, dir), "doc_id", "text",
+        k = 5, maxDf = 50, minContainment = 0.7)
+      .orderBy("a_id", "b_id")
+
+  val d16Oracle: String =
+    s"""WITH $shingleCtes,
+       |rare AS (SELECT h FROM shd GROUP BY h HAVING count(*) <= 50),
+       |shr AS (SELECT shd.doc_id, shd.h FROM shd JOIN rare USING (h)),
+       |cand AS (SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+       |         FROM shr l JOIN shr r
+       |           ON l.h = r.h AND l.doc_id < r.doc_id),
+       |$jaccardVerifyCtes
+       |SELECT i.a_id, i.b_id, i.inter,
+       |  round(i.inter * 1.0 / sa.sz, 6) AS cont_a,
+       |  round(i.inter * 1.0 / sb.sz, 6) AS cont_b
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.a_id
+       |JOIN sizes sb ON sb.doc_id = i.b_id
+       |WHERE greatest(round(i.inter * 1.0 / sa.sz, 6),
+       |               round(i.inter * 1.0 / sb.sz, 6)) >= 0.7
+       |ORDER BY a_id, b_id""".stripMargin
+
   def d05Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(spark, dir), "doc_id", "text").orderBy("doc_id")
 
@@ -627,6 +653,7 @@ object DataQueries {
     ("d02_minhash_sig", d02MinhashSig _, Some(d02Oracle)),
     ("d03_lsh_pipeline", d03LshPipeline _, Some(d03Oracle)),
     ("d04_jaccard_pairs", d04JaccardPairs _, Some(d04Oracle)),
+    ("d16_containment", d16ContainmentPairs _, Some(d16Oracle)),
     ("d05_simhash", d05Simhash _, Some(d05Oracle)),
     ("d06_simhash_pairs", d06SimhashPairs _, Some(d06Oracle)),
     ("d07_split_assign", d07SplitAssign _, Some(d07Oracle)),

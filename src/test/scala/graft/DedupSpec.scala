@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Containment vs Jaccard semantics on a quote/subsume pair: when a short
+  * document is a verbatim excerpt of a long one, Jaccard stays low (the
+  * union is dominated by the long doc) while containment of the short
+  * side is ~1. The operator exists precisely for this case, so the spec
+  * pins it: jaccardPairs at 0.8 misses the pair, containmentPairs at 0.7
+  * reports it with cont(short) ≈ 1.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val long =
+    "the quick brown fox jumps over the lazy dog while the rain in spain " +
+      "falls mainly on the plain and the cat sat on the mat watching"
+  private val quote = "the rain in spain falls mainly on the plain"
+  private val other = "completely unrelated content about database engines"
+
+  private def docs = Seq(
+    (1L, long), (2L, quote), (3L, other)
+  ).toDF("doc_id", "text")
+
+  test("containmentPairs finds the quote pair jaccardPairs misses") {
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text",
+      k = 5, maxDf = 50, minJaccard = 0.8).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "quote pair should fall below the Jaccard threshold")
+
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+      k = 5, maxDf = 50, minContainment = 0.7)
+      .filter(col("a_id") === 1L && col("b_id") === 2L).collect()
+    assert(cont.length == 1, "quote pair must pass the containment gate")
+    val r = cont.head
+    val contA = r.getAs[Double]("cont_a")
+    val contB = r.getAs[Double]("cont_b")
+    // B (the quote) is fully inside A: containment of the smaller side ~1
+    assert(contB > 0.95, s"cont_b=$contB should be ~1 for a verbatim quote")
+    assert(contA < 0.7, s"cont_a=$contA: the long side is mostly unshared")
+  }
+
+  test("unrelated docs produce no containment pair") {
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+      k = 5, maxDf = 50, minContainment = 0.7)
+      .filter(col("b_id") === 3L || col("a_id") === 3L).collect()
+    assert(cont.isEmpty)
+  }
+}
