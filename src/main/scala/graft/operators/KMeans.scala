@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's K-Means over an embedding column — the training
+  * loop that produces the centroid "model" the IVF family
+  * ([[Similarity.ivfAssign]]/`ivfTopK`, `bucketedNearDupPairs`) probes.
+  * The reference has no trainer (its classification models are static
+  * lookup tables); an ANN index at 100 TB needs one, and this is the
+  * canonical Spark shape for it:
+  *
+  *  - **assign**: nearest-centroid by cosine via [[Similarity.ivfAssign]]
+  *    — centroids are model-sized (k ≪ corpus), so assignment is a narrow
+  *    per-row argmax with zero shuffle.
+  *  - **update**: per-(centroid, dimension) mean via posexplode +
+  *    map-side-combined sum/count — the only shuffle per iteration, keyed
+  *    on k×d tiny keys. Sums run through `decimal(18,12)` so the
+  *    aggregation is order-independent and bit-identical in the DuckDB
+  *    oracle; means are rounded to 9 decimals to pin the new model
+  *    exactly.
+  *
+  * Per-iteration cost is one corpus pass + one k×d-key aggregation;
+  * iteration count is a small constant — the 1000-executor cost profile
+  * of Spark ML's own KMeans, expressed over DataFrames. Clusters that
+  * lose every member disappear (standard Lloyd drop semantics).
+  */
+object KMeans {
+
+  /** One Lloyd iteration: returns the updated centroid table
+    * `(centroid_id, n_members, cvec)`.
+    */
+  def lloydIteration(emb: DataFrame, centroids: DataFrame): DataFrame =
+    Similarity.ivfAssign(emb, centroids)
+      .select(col("centroid_id"), posexplode(col("vec")).as(Seq("dim", "v")))
+      .groupBy("centroid_id", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,12)")).as("s"))
+      .withColumn("m", round(col("s").cast("double") / col("n"), 9))
+      .groupBy("centroid_id")
+      .agg(max(col("n")).as("n_members"),
+        transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          _.getField("m")).as("cvec"))
+
+  /** `iters` Lloyd iterations from `init(centroid_id, cvec)`. Each
+    * iteration's centroid table is localCheckpoint-ed: the next assign
+    * embeds the (k ≪ corpus) centroids as literals, and the barrier keeps
+    * the plan from re-deriving iteration N−1 per downstream reference —
+    * the iterative-DataFrame discipline the CC operator established.
+    */
+  def train(emb: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "train: need at least one Lloyd iteration")
+    var cents = init
+    var out: DataFrame = null
+    for (_ <- 1 to iters) {
+      out = lloydIteration(emb, cents).localCheckpoint()
+      cents = out.select(col("centroid_id"), col("cvec"))
+    }
+    out
+  }
+}
