@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graft.{Bridge => B}
+import org.apache.spark.sql.types.BinaryType
+
+/** Broadcast Bloom-filter membership pruning — the runtime-filter shape
+  * Spark's own `InjectRuntimeFilter` rule builds for shuffle-heavy joins,
+  * exposed as an operator for incremental dedup pipelines.
+  *
+  * Scale rationale: probing a 100 TB incoming batch against an indexed
+  * fingerprint corpus with a plain anti-join shuffles the ENTIRE batch on
+  * the fingerprint key. A Bloom filter of the corpus is O(bits) — megabytes
+  * for billions of keys — and ships to every executor as a literal, so the
+  * overwhelmingly-novel majority of the batch is resolved scan-side with
+  * zero shuffle; only Bloom-positive candidates (true dups + the fpp tail)
+  * reach the exact verify join. No false negatives ⇒ the two-phase result
+  * is exactly the anti-join's (BloomSpec holds them equal).
+  *
+  * Built on Spark's native `BloomFilterAggregate` /
+  * `BloomFilterMightContain` expressions (codegen'd, XxHash64-keyed) rather
+  * than `DataFrameStatFunctions.bloomFilter`, whose sketch only probes on
+  * the driver.
+  */
+object Bloom {
+
+  /** Build a Bloom filter over `key` (hashed with XxHash64, matching the
+    * probe side) and return its serialized bytes. The sketch is model
+    * data by contract — O(numBits), independent of row count — the same
+    * driver-sized footprint as a broadcast join's build side, collected
+    * through one map-side-combined aggregation.
+    */
+  def build(df: DataFrame, key: Column, expectedItems: Long,
+            numBits: Long): Array[Byte] = {
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(B.expression(key))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    df.select(B.column(agg).as("bf")).head.getAs[Array[Byte]]("bf")
+  }
+
+  /** Membership probe: true ⇒ key MAY be in the indexed set (verify
+    * exactly); false ⇒ key is DEFINITELY absent. Row-local, codegen'd,
+    * pushes to the scan like any other predicate.
+    */
+  def mightContain(filter: Array[Byte], key: Column): Column =
+    B.column(BloomFilterMightContain(Literal(filter, BinaryType),
+      new XxHash64(Seq(B.expression(key)))))
+}

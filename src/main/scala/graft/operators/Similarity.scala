@@ -210,4 +210,47 @@ object Similarity {
       .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"),
         round(col("cos"), 6).as("cosine"))
   }
+
+  /** Product-quantization encode (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): split each vector into
+    * `numSub` contiguous subspaces and replace every subvector with the id
+    * of its nearest codebook entry (squared-L2, ties → smaller code id).
+    * Output: `(vec_id, code_0..code_{numSub-1}, recon_err)` where
+    * `recon_err` is the total squared reconstruction error — the memory
+    * step that makes 100 TB of embeddings searchable: 64 floats (256 B)
+    * compress to `numSub` small ints, so a billion-vector index fits in
+    * executor memory while IVF (s02) prunes which codes get scored.
+    *
+    * The codebook is model data by the same contract as [[ivfAssign]]'s
+    * centroids (trained offline, k ≪ corpus); it is inlined as literals,
+    * so encoding is ONE narrow codegen'd projection — per-row arithmetic
+    * only, zero shuffle, zero join at any corpus size. Distances compare
+    * rounded to 6 dp (argmin stability across summation orders); the
+    * chosen subspace errors accumulate unrounded.
+    */
+  def pqEncode(emb: DataFrame, codebook: Seq[Array[Double]],
+               numSub: Int): DataFrame = {
+    val dim = codebook.head.length
+    require(dim % numSub == 0, s"pqEncode: dim $dim not divisible by $numSub")
+    val subDim = dim / numSub
+    val perSub = (0 until numSub).map { m =>
+      val dists = codebook.map { cv =>
+        (0 until subDim).map { i =>
+          val d = element_at(col("vec"), m * subDim + i + 1) -
+            lit(cv(m * subDim + i))
+          d * d
+        }.reduce(_ + _)
+      }
+      val rounded = array(dists.map(d => round(d, 6)): _*)
+      // 1-based position of the FIRST minimum == argmin with ties to the
+      // smallest code id; both the code and the chosen raw error derive
+      // from the same position expression
+      val pos = array_position(rounded, array_min(rounded))
+      ((pos - 1).as(s"code_$m"),
+        element_at(array(dists: _*), pos.cast("int")))
+    }
+    emb.select(
+      (col("vec_id") +: perSub.map(_._1)) :+
+        round(perSub.map(_._2).reduce(_ + _), 6).as("recon_err"): _*)
+  }
 }

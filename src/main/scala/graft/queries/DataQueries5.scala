@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Lake
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Bloom, Clean, Similarity}
+import graft.queries.CoreQueries.Q
+
+/** Round-6 training-data pipeline operators: Bloom-filter incremental
+  * dedup (the broadcast-sketch scale path for batch-vs-corpus novelty),
+  * C4-style boilerplate removal, product-quantization encoding, and the
+  * deterministic shard shuffle that materializes a training run's input
+  * order. Parity discipline as elsewhere: md5-derived portable hashing,
+  * rounded float comparisons, deterministic ORDER BY everywhere.
+  */
+object DataQueries5 {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "documents")
+
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    VectorFns.register(spark)
+    Lake.table(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("vec"))
+  }
+
+  // ------------------------------------ Bloom incremental dedup (d18)
+
+  /** Incoming batch (doc_id ≡ 8,9 mod 10) probed for novelty against the
+    * indexed corpus (the rest), resolved in two phases: a broadcast Bloom
+    * probe settles Bloom-NEGATIVE docs scan-side with zero shuffle (no
+    * false negatives ⇒ definitely novel), and only Bloom-positive
+    * candidates reach the exact verify join. The output is provably
+    * identical to the plain anti-join — the Bloom stage is a lossless
+    * pre-filter — so the oracle stays the exact form while the plan
+    * swaps a batch-wide shuffle for a sketch probe ([[graft.operators.Bloom]]).
+    */
+  def d18BloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), md5(col("text")).as("fp"))
+    val existing = d.filter(col("doc_id") % 10 < 8).select("fp")
+    val incoming = d.filter(col("doc_id") % 10 >= 8)
+    val bf = Bloom.build(existing, col("fp"),
+      expectedItems = 1000000L, numBits = 8L * 1000000L)
+    val flagged = incoming.withColumn("cand", Bloom.mightContain(bf, col("fp")))
+    val novelByBloom = flagged.filter(!col("cand"))
+      .select(col("doc_id"), lit(true).as("is_novel"))
+    val checked = flagged.filter(col("cand"))
+      .join(existing.dropDuplicates("fp").withColumn("seen", lit(true)),
+        Seq("fp"), "left")
+      .select(col("doc_id"), col("seen").isNull.as("is_novel"))
+    novelByBloom.union(checked).orderBy("doc_id")
+  }
+
+  val d18Oracle: String =
+    """WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |ex AS (SELECT DISTINCT fp FROM d WHERE doc_id % 10 < 8),
+      |inc AS (SELECT doc_id, fp FROM d WHERE doc_id % 10 >= 8)
+      |SELECT doc_id, fp NOT IN (SELECT fp FROM ex) AS is_novel
+      |FROM inc ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------- boilerplate removal (t16)
+
+  /** C4-style boilerplate removal. The synthetic corpus is headerless
+    * word soup, so the query plants the segment structure a crawled page
+    * would have (both engines derive identical strings): the body text,
+    * two per-source boilerplate segments (nav/footer — repeated across
+    * every doc of the source), and one unique archive footer. The REAL
+    * operator ([[graft.operators.Clean.removeBoilerplate]]) then finds
+    * segments whose corpus df ≥ 10 and reassembles the survivors —
+    * per-source boilerplate dies, body + unique footer survive.
+    */
+  def t16Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val segs = docs(spark, dir).select(col("doc_id"),
+      posexplode(array(
+        col("text"),
+        concat(lit("subscribe to "), col("source"), lit(" newsletter today")),
+        concat(lit("visit "), col("source"), lit(" dot com")),
+        concat(lit("doc "), col("doc_id").cast("string"),
+          lit(" archive id "), md5(col("text"))))).as(Seq("pos", "seg")))
+    Clean.removeBoilerplate(segs, "doc_id", "pos", "seg", minDf = 10)
+      .orderBy("doc_id")
+  }
+
+  val t16Oracle: String =
+    """WITH segs AS (
+      |  SELECT doc_id, 0 AS pos, text AS seg FROM documents
+      |  UNION ALL SELECT doc_id, 1,
+      |    'subscribe to ' || source || ' newsletter today' FROM documents
+      |  UNION ALL SELECT doc_id, 2,
+      |    'visit ' || source || ' dot com' FROM documents
+      |  UNION ALL SELECT doc_id, 3,
+      |    'doc ' || CAST(doc_id AS VARCHAR) || ' archive id ' || md5(text)
+      |  FROM documents),
+      |bp AS (SELECT md5(seg) AS h FROM segs
+      |       GROUP BY md5(seg) HAVING count(DISTINCT doc_id) >= 10)
+      |SELECT doc_id,
+      |  string_agg(seg, ' ' ORDER BY pos)
+      |    FILTER (WHERE md5(seg) NOT IN (SELECT h FROM bp)) AS clean_text,
+      |  count(*) FILTER (WHERE md5(seg) NOT IN (SELECT h FROM bp)) AS n_kept,
+      |  count(*) FILTER (WHERE md5(seg) IN (SELECT h FROM bp)) AS n_dropped
+      |FROM segs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------- product quantization (s10)
+
+  /** PQ-encode the embedding corpus: 8 subspaces × 8 dims, codebook = the
+    * subvectors of seed vectors 0–3 (the same fixed-"model" convention as
+    * the IVF family). One narrow codegen'd projection — see
+    * [[graft.operators.Similarity.pqEncode]].
+    */
+  def s10PqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val codebook = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("vec").collect()
+      .map(_.getSeq[Double](0).toArray).toSeq
+    Similarity.pqEncode(e, codebook, numSub = 8).orderBy("vec_id")
+  }
+
+  val s10Oracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |seeds AS (SELECT vec_id AS code_id, v AS cv FROM e WHERE vec_id < 4),
+      |sub AS (SELECT e.vec_id, m.m, s.code_id,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (e.v[m.m * 8 + i] - s.cv[m.m * 8 + i]) ^ 2)) AS dist2
+      |  FROM e
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) m
+      |  CROSS JOIN seeds s),
+      |best AS (SELECT vec_id, m, code_id, dist2,
+      |    row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY round(dist2, 6), code_id) AS rn
+      |  FROM sub)
+      |SELECT vec_id,
+      |  max(CASE WHEN m = 0 THEN code_id END) AS code_0,
+      |  max(CASE WHEN m = 1 THEN code_id END) AS code_1,
+      |  max(CASE WHEN m = 2 THEN code_id END) AS code_2,
+      |  max(CASE WHEN m = 3 THEN code_id END) AS code_3,
+      |  max(CASE WHEN m = 4 THEN code_id END) AS code_4,
+      |  max(CASE WHEN m = 5 THEN code_id END) AS code_5,
+      |  max(CASE WHEN m = 6 THEN code_id END) AS code_6,
+      |  max(CASE WHEN m = 7 THEN code_id END) AS code_7,
+      |  round(sum(dist2), 6) AS recon_err
+      |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------- shard shuffle (d19)
+
+  /** Deterministic training-shard shuffle: every doc hashes to one of 8
+    * shards (content-independent doc_id hash — reshuffle-proof like d07's
+    * split assignment) and receives its position within the shard under a
+    * pseudo-random md5 order. This is the pipeline's LAST op — the
+    * materialized (shard, pos) order is exactly what a
+    * `repartition(shard).sortWithinPartitions(ord)` write produces on a
+    * cluster: one hash shuffle, per-partition sort, no global order.
+    */
+  def d19ShardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("shard", TextFns.hash28(col("doc_id").cast("string")) % 8)
+    val w = Window.partitionBy("shard")
+      .orderBy(md5(concat(col("text"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    d.withColumn("pos", row_number().over(w))
+      .select("doc_id", "shard", "pos").orderBy("doc_id")
+  }
+
+  val d19Oracle: String =
+    """WITH s AS (SELECT doc_id, text,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 8
+      |      AS shard
+      |  FROM documents)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard
+      |    ORDER BY md5(text || CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+      |    AS pos
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("d18_bloom_dedup", d18BloomDedup _, Some(d18Oracle)),
+    ("d19_shard_shuffle", d19ShardShuffle _, Some(d19Oracle)),
+    ("s10_pq_encode", s10PqEncode _, Some(s10Oracle)),
+    ("t16_boilerplate", t16Boilerplate _, Some(t16Oracle)))
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bloom
+
+/** Bloom-filter membership pruning: lossless two-phase novelty check. */
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no false negatives: bloom-negative keys are truly absent") {
+    val corpus = (0L until 2000L).map(i => s"key_$i").toDF("k")
+    val bf = Bloom.build(corpus, col("k"), expectedItems = 10000L,
+      numBits = 80000L)
+    val probes = (1500L until 3000L).map(i => s"key_$i").toDF("k")
+    val negatives = probes.filter(!Bloom.mightContain(bf, col("k")))
+    // a bloom-negative must never be in the corpus
+    assert(negatives.join(corpus, Seq("k"), "left_semi").count() === 0)
+    // every true member must probe positive (no false negatives)
+    val members = probes.join(corpus, Seq("k"), "left_semi")
+    assert(members.filter(!Bloom.mightContain(bf, col("k"))).count() === 0)
+  }
+
+  test("two-phase novelty == exact anti-join") {
+    val corpus = (0L until 1000L).filter(_ % 3 != 0).map(i => s"v$i").toDF("k")
+    val batch = (0L until 1000L).map(i => s"v$i").toDF("k")
+    val bf = Bloom.build(corpus, col("k"), 10000L, 80000L)
+    val flagged = batch.withColumn("cand", Bloom.mightContain(bf, col("k")))
+    val novel = flagged.filter(!col("cand")).select("k")
+      .union(flagged.filter(col("cand"))
+        .join(corpus, Seq("k"), "left_anti").select("k"))
+    val exact = batch.join(corpus, Seq("k"), "left_anti")
+    assert(novel.exceptAll(exact).count() === 0)
+    assert(exact.exceptAll(novel).count() === 0)
+  }
+
+  test("the probe is a scan-side predicate, not a join") {
+    // parquet-backed input: a local relation would be constant-folded
+    // through the probe by ConvertToLocalRelation and prove nothing
+    val docs = Lake.table(spark, sf, "documents")
+    val corpus = (0L until 100L).map(i => s"c$i").toDF("k")
+    val bf = Bloom.build(corpus, col("k"), 1000L, 8000L)
+    val plan = docs.filter(!Bloom.mightContain(bf, md5(col("text"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"))
+    assert(!plan.toLowerCase.contains("join"))
+  }
+}

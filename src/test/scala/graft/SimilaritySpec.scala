@@ -56,4 +56,35 @@ class SimilaritySpec extends SparkSpec {
       "expected a broadcast of the centroid side")
     assert(!plan.contains("Window"), "no window in the fallback argmax")
   }
+
+  test("pqEncode picks the argmin code per subspace and sums chosen errors") {
+    // 4-dim vectors, 2 subspaces of 2; codebook of two 4-dim entries
+    val cb = Seq(Array(0.0, 0.0, 10.0, 10.0), Array(5.0, 5.0, 0.0, 0.0))
+    val vs = Seq(
+      (1L, Array(0.1, 0.1, 0.2, 0.1)),  // sub0 → code0, sub1 → code1
+      (2L, Array(5.0, 5.0, 10.0, 10.0)) // sub0 → code1 (exact), sub1 → code0 (exact)
+    ).toDF("vec_id", "vec")
+    val out = Similarity.pqEncode(vs, cb, numSub = 2).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) === ((1L, 0L, 1L, 0.1 * 0.1 + 0.1 * 0.1 + 0.2 * 0.2 + 0.1 * 0.1)))
+    assert(out(1) === ((2L, 1L, 0L, 0.0)))
+  }
+
+  test("pqEncode tie breaks to the smaller code id") {
+    val cb = Seq(Array(1.0, 1.0), Array(3.0, 1.0))
+    // vec equidistant from both codes in the single subspace
+    val vs = Seq((7L, Array(2.0, 1.0))).toDF("vec_id", "vec")
+    val out = Similarity.pqEncode(vs, cb, numSub = 1).head
+    assert(out.getLong(1) === 0L)
+    assert(out.getDouble(2) === 1.0)
+  }
+
+  test("pqEncode is one narrow projection: no join, no exchange") {
+    val cb = (0 until 4).map(j =>
+      Array.tabulate(64)(i => (i * (j + 1)).toDouble / 64))
+    val plan = Similarity.pqEncode(emb, cb, numSub = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "PQ encode must not shuffle")
+    assert(!plan.toLowerCase.contains("join"), "PQ encode must not join")
+  }
 }
