@@ -275,12 +275,31 @@ object Dedup {
         greatest(col("cont_a"), col("cont_b")) >= minContainment)
   }
 
-  /** SimHash: 60-bit signature over whitespace tokens (with multiplicity).
-    * Computed as 60 per-bit ±1 sums in ONE aggregation (no per-bit row
-    * explosion) — map-side combinable, 1 row/doc out.
+  /** SimHash: 60-bit signature over whitespace tokens (with multiplicity),
+    * computed by the native one-pass [[graft.plans.Simhash60]] expression —
+    * a NARROW projection with zero shuffle at any corpus size. The
+    * token-less filter (`trim` = empty) matches the exploded reference
+    * form ([[simhashAgg]]), where such docs simply produce no rows; it is
+    * a cheap scan-side predicate, never a recompute of the signature.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 60): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge => B}
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        B.column(graft.plans.Simhash60(B.expression(col(textCol)), bits))
+          .as("simhash"))
+  }
+
+  /** Reference formulation of [[simhash]] with built-ins only: explode
+    * tokens, hash each, 60 per-bit ±1 sums in one map-side-combinable
+    * aggregation. Kept as the cross-check for SimhashSpec (bit-identical
+    * output) and as the fallback shape for engines without the native
+    * expression; the doc×token row blow-up crosses an exchange here,
+    * which is exactly what the native form eliminates.
+    */
+  def simhashAgg(docs: DataFrame, idCol: String, textCol: String,
+                 bits: Int = 60): DataFrame = {
     val toks = docs
       .select(col(idCol), explode(TextFns.words(col(textCol))).as("w"))
       .select(col(idCol), TextFns.hash60(col("w")).as("h"))

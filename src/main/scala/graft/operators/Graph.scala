@@ -72,6 +72,13 @@ object Graph {
     var prevSum = if (converged) null else labelSum(labels)
     var it = 0
     var e = sym
+    def phase[T](label: String)(f: => T): T =
+      if (!verbose) f else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(f"[cc]   $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
     while (!converged && it < maxIter) {
       // neighbor minima first, then a left join back onto labels (`least`
       // skips nulls for isolated-this-round vertices). Formulated WITHOUT
@@ -85,18 +92,25 @@ object Graph {
       // materialized BEFORE the jumps: jump(jump(prop)) references prop 4×
       // and exchange reuse does not always deduplicate the copies — without
       // this the edge⨝label join recomputes 4× per round
-      val prop = labels.as("l")
+      val prop = phase("prop-ckpt")(labels.as("l")
         .join(nmin.as("nm"), col("l.id") === col("nm.id"), "left")
         .select(col("l.id").as("id"),
           least(col("l.label"), col("nm.nmin")).as("label"))
-        .localCheckpoint()
-      // neighbor-min + two jumps ≈ 4× the propagation distance per round:
-      // O(log diameter) rounds
-      val next = jump(jump(prop))
-        .localCheckpoint() // eager: materializes AND truncates lineage
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+        .localCheckpoint())
+      // convergence is decided on PROP: a neighbor-min fixpoint means every
+      // edge joins equal labels ⇒ labels are constant per component, and the
+      // component-min vertex always keeps its own id ⇒ prop == labels ==
+      // the final answer. Testing here lets the confirm round skip both
+      // pointer jumps entirely (labels monotonically decrease, so equal
+      // decimal sums ⇔ equal label tables).
+      val sProp = phase("labelSum")(labelSum(prop))
+      converged = sProp.compareTo(prevSum) == 0
+      val next = if (converged) prop else
+        // neighbor-min + two jumps ≈ 4× the propagation distance per round:
+        // O(log diameter) rounds
+        phase("jump-ckpt")(jump(jump(prop))
+          .localCheckpoint()) // eager: materializes AND truncates lineage
+      prevSum = if (converged) sProp else phase("labelSum")(labelSum(next))
       if (!converged) {
         // contract the edge set through the new labels: intra-cluster
         // edges (the vast majority once dense near-dup cliques collapse)
@@ -109,13 +123,13 @@ object Graph {
           .select(col("lu").as("u"), col("lv").as("v"))
           .filter(col("u") =!= col("v")).distinct()
           .persist()
-        newE.count()
+        phase("contract")(newE.count())
         if (e ne sym) e.unpersist()
         e = newE
       }
       labels = next
       it += 1
-      if (verbose) System.err.println(s"[cc] round $it sum=$s")
+      if (verbose) System.err.println(s"[cc] round $it sum=$prevSum")
     }
     if (e ne sym) e.unpersist()
     sym.unpersist()

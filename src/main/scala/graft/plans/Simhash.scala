@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared eval for interpreted and generated code paths. */
+object SimhashOps {
+  /** One-pass simhash over whitespace tokens (empties dropped, with
+    * multiplicity): per bit j, sum ±1 by bit j of the token's 60-bit md5
+    * hash ([[Md5.prefixLong]]); signature bit j is set iff the sum is
+    * positive. Bit-identical to the explode → hash60 → 60-column
+    * `sum(shiftright&1 * 2 - 1)` aggregation (SimhashSpec holds them
+    * equal), computed without leaving the row.
+    */
+  def eval(s: UTF8String, bits: Int): Long = {
+    val counts = new Array[Int](bits)
+    val toks = s.split(UTF8String.fromString(" "), -1)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.numBytes() > 0) {
+        val h = Md5.prefixLong(t, 15)
+        var j = 0
+        while (j < bits) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (counts(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+}
+
+/** Native one-pass simhash signature.
+  *
+  * The Column-composed form explodes every token into a row (doc × tokens
+  * blow-up — millions of rows per million docs), hashes each, and shuffles
+  * a 60-column partial-sum aggregate back to one row per doc. This
+  * expression computes the identical signature in ONE narrow projection —
+  * zero explode, zero shuffle, at any corpus size. The md5-per-token cost
+  * is unchanged (it is the algorithm); what disappears is the row blow-up
+  * and the aggregation exchange. Cf. the same trade in
+  * [[ShingleMinHash]] / [[TokenStats]].
+  *
+  * Returns 0 for token-less text (the exploded form produces no row at
+  * all there — callers gate on `length(trim(text)) > 0` to match, as
+  * [[graft.operators.Dedup.simhash]] does).
+  */
+case class Simhash60(child: Expression, bits: Int = 60)
+    extends UnaryExpression {
+  require(bits > 0 && bits <= 60, "bits must be in [1, 60]")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(input: Any): Any =
+    SimhashOps.eval(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimhashOps.eval($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
