@@ -168,36 +168,88 @@ object Dedup {
       .select("a_id", "b_id", "inter", "jaccard")
   }
 
+  /** Shared verify core of [[jaccardVerifySets]] and [[containmentPairs]]:
+    * score every candidate pair's exact shingle-set intersection, emitting
+    * `(a_id, b_id, sz_a, sz_b, inter)` behind an optimization barrier.
+    *
+    * Plan shape, in order of what it saves at scale:
+    *  - **Size-ratio pruning** (when `ratio = Some((num, den))`): Jaccard
+    *    ≤ min(|A|,|B|)/max(|A|,|B|), so a pair with `min·den < max·num`
+    *    can never reach threshold num/den — it is dropped after two cheap
+    *    size joins (1-row/doc, no arrays attached), before any
+    *    intersection work or array-carrying join. Exact integer
+    *    arithmetic; provably lossless for a ≥-threshold. When no
+    *    threshold exists the size joins are skipped entirely — the
+    *    machinery must not tax the unthresholded callers.
+    *  - **Native intersect count** ([[graft.plans.LongSetIntersectSize]]):
+    *    a primitive-long open-addressing probe, vs the built-in
+    *    `size(array_intersect)`'s generic nullable path + result-array
+    *    materialization — the dominant per-pair cost of a verify stage.
+    *
+    * The trailing `localCheckpoint(false)` is the same optimization
+    * barrier as before: lineage is cut BEFORE any caller threshold, so
+    * Catalyst cannot push a jaccard/containment predicate into the join
+    * condition and re-evaluate the intersection per conjunct (observed 7×
+    * slowdown); lazy, so the pair table is GC-released with the DataFrame
+    * instead of leaking a CacheManager entry.
+    */
+  private def scoredPairs(candidates: DataFrame, sets: DataFrame,
+                          idCol: String,
+                          ratio: Option[(Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge => B}
+    import graft.plans.LongSetIntersectSize
+    val pruned = ratio match {
+      case Some((num, den)) =>
+        // materialized once: the pair set feeds the size joins and then
+        // the array joins
+        val cand = candidates.localCheckpoint(false)
+        val sizes = sets.select(col(idCol), size(col("hs")).as("sz"))
+        cand
+          .join(sizes.toDF("a_id", "sz_a"), "a_id")
+          .join(sizes.toDF("b_id", "sz_b"), "b_id")
+          .filter(least(col("sz_a"), col("sz_b")) * den >=
+            greatest(col("sz_a"), col("sz_b")) * num)
+          .select("a_id", "b_id")
+      case None => candidates
+    }
+    pruned
+      .join(sets.select(col(idCol).as("a_id"), col("hs").as("sa")), "a_id")
+      .join(sets.select(col(idCol).as("b_id"), col("hs").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(col("sa")).as("sz_a"), size(col("sb")).as("sz_b"),
+        B.column(LongSetIntersectSize(
+          B.expression(col("sa")), B.expression(col("sb")))).as("inter"))
+      .localCheckpoint(false)
+  }
+
+  /** Exact numerator/denominator of a decimal threshold (0.8 → 4/5-style
+    * 8/10) so ratio pruning never suffers float rounding at the margin.
+    */
+  private def thresholdRatio(t: Double): (Long, Long) = {
+    val bd = BigDecimal(t)
+    val den = BigDecimal(10).pow(math.max(bd.scale, 0)).toLongExact
+    ((bd * BigDecimal(den)).toLongExact, den)
+  }
+
   /** Jaccard verify via the per-doc shingle-set arrays of [[shingleSets]]:
     * candidates join the 1-row/doc set table on each side (AQE broadcasts
-    * when it fits) and `array_intersect` scores each pair with NO wide
-    * shuffle — the pair×shingle join row blow-up of [[jaccardVerify]]
+    * when it fits) and the native intersect count scores each pair with NO
+    * wide shuffle — the pair×shingle join row blow-up of [[jaccardVerify]]
     * never materializes. Fall back to [[jaccardVerify]] for
     * pathologically large docs. Pairs with an empty intersection are
-    * dropped (same as the join form).
+    * dropped (same as the join form). `minJaccard` enables the lossless
+    * size-ratio pruning of [[scoredPairs]] — pass it whenever the caller
+    * thresholds the result.
     */
   def jaccardVerifySets(candidates: DataFrame, sets: DataFrame,
-                        idCol: String): DataFrame = {
-    val a = sets.select(col(idCol).as("a_id"), col("hs").as("sa"))
-    val b = sets.select(col(idCol).as("b_id"), col("hs").as("sb"))
-    // Optimization barrier: lineage is cut BEFORE any inter/jaccard
-    // predicate. Without it Catalyst pushes this filter and any caller
-    // threshold INTO the broadcast-join condition, where `array_intersect`
-    // is re-evaluated per conjunct per probed row (observed 7× slowdown);
-    // a projection barrier gets column-pruned away, but filters cannot be
-    // pushed into a LogicalRDD. localCheckpoint (not persist) so the
-    // materialized pair set is GC-released with the DataFrame instead of
-    // leaking a CacheManager entry per call on a long-running driver
-    // (lazy: it is the pipeline's output state, evaluated on first use).
-    candidates.join(a, "a_id").join(b, "b_id")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+                        idCol: String,
+                        minJaccard: Option[Double] = None): DataFrame =
+    scoredPairs(candidates, sets, idCol, minJaccard.map(thresholdRatio))
       .withColumn("jaccard",
         round(col("inter") * lit(1.0) /
-          (size(col("sa")) + size(col("sb")) - col("inter")), 6))
+          (col("sz_a") + col("sz_b") - col("inter")), 6))
       .select("a_id", "b_id", "inter", "jaccard")
-      .localCheckpoint(false)
       .filter(col("inter") > 0)
-  }
 
   /** N-gram Jaccard near-dup pairs WITHOUT LSH: candidates are pairs sharing
     * at least one *rare* shingle (document frequency ≤ maxDf — the classic
@@ -208,7 +260,8 @@ object Dedup {
                    k: Int = 5, maxDf: Int = 50,
                    minJaccard: Double = 0.8): DataFrame = {
     val (sets, cands) = rareShingleCandidates(docs, idCol, textCol, k, maxDf)
-    jaccardVerifySets(cands, sets, idCol).filter(col("jaccard") >= minJaccard)
+    jaccardVerifySets(cands, sets, idCol, Some(minJaccard))
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** Shared candidate front end of [[jaccardPairs]] and
@@ -258,19 +311,16 @@ object Dedup {
                        k: Int = 5, maxDf: Int = 50,
                        minContainment: Double = 0.7): DataFrame = {
     val (sets, cands) = rareShingleCandidates(docs, idCol, textCol, k, maxDf)
-    val a = sets.select(col(idCol).as("a_id"), col("hs").as("sa"))
-    val b = sets.select(col(idCol).as("b_id"), col("hs").as("sb"))
-    // same barrier discipline as jaccardVerifySets: cut lineage BEFORE the
-    // threshold filter so Catalyst can't push greatest(...) >= t into the
-    // join condition and re-evaluate array_intersect per probed row
-    cands.join(a, "a_id").join(b, "b_id")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+    // no ratio pruning: containment has no size-ratio bound (a tiny doc
+    // fully contained in a huge one is exactly the signal), so every
+    // candidate is scored; the [[scoredPairs]] barrier still keeps the
+    // threshold out of the join condition
+    scoredPairs(cands, sets, idCol, None)
       .withColumn("cont_a",
-        round(col("inter") * lit(1.0) / size(col("sa")), 6))
+        round(col("inter") * lit(1.0) / col("sz_a"), 6))
       .withColumn("cont_b",
-        round(col("inter") * lit(1.0) / size(col("sb")), 6))
+        round(col("inter") * lit(1.0) / col("sz_b"), 6))
       .select("a_id", "b_id", "inter", "cont_a", "cont_b")
-      .localCheckpoint(false)
       .filter(col("inter") > 0 &&
         greatest(col("cont_a"), col("cont_b")) >= minContainment)
   }

@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Shared eval for interpreted and generated code paths. */
+object InterOps {
+  private final val Empty = Long.MinValue
+
+  /** |a ∩ b| for two long arrays that are SETS (distinct elements, no
+    * nulls) — the per-pair verify kernel of the Jaccard/containment
+    * dedup family. Open-addressing probe over the smaller side: no
+    * per-element boxing, no output array materialization, no generic
+    * null handling — the three costs that make the built-in
+    * `size(array_intersect(...))` the dominant stage of a verify pass
+    * over tens of thousands of candidate pairs.
+    */
+  def interSize(aRaw: ArrayData, bRaw: ArrayData): Int = {
+    var a = aRaw
+    var b = bRaw
+    if (a.numElements() > b.numElements()) { val t = a; a = b; b = t }
+    val n = a.numElements()
+    if (n == 0) return 0
+    var cap = 4
+    while (cap < n * 2) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[Long](cap)
+    java.util.Arrays.fill(table, Empty)
+    @inline def slot(v: Long): Int =
+      ((v * 0x9e3779b97f4a7c15L) >>> 40).toInt & mask
+    var hasSentinel = false // Long.MinValue as a real element (not in our
+    var i = 0               // md5-derived domain, handled for correctness)
+    while (i < n) {
+      val v = a.getLong(i)
+      if (v == Empty) hasSentinel = true
+      else {
+        var idx = slot(v)
+        while (table(idx) != Empty && table(idx) != v) idx = (idx + 1) & mask
+        table(idx) = v
+      }
+      i += 1
+    }
+    var count = 0
+    val m = b.numElements()
+    i = 0
+    while (i < m) {
+      val v = b.getLong(i)
+      if (v == Empty) { if (hasSentinel) count += 1 }
+      else {
+        var idx = slot(v)
+        while (table(idx) != Empty && table(idx) != v) idx = (idx + 1) & mask
+        if (table(idx) == v) count += 1
+      }
+      i += 1
+    }
+    count
+  }
+}
+
+/** Native |A ∩ B| over two long-array SETS; value identical to
+  * `size(array_intersect(a, b))` for distinct-element inputs
+  * (SetIntersectSpec holds them equal, including the empty and
+  * sentinel-value edges).
+  */
+case class LongSetIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "long_set_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    InterOps.interSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.InterOps.interSize($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

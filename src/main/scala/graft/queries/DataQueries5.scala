@@ -38,7 +38,11 @@ object DataQueries5 {
     * swaps a batch-wide shuffle for a sketch probe ([[graft.operators.Bloom]]).
     */
   def d18BloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    // one scan + md5 pass for all three consumers (bloom build, existing
+    // verify side, incoming probe): the 2-column fingerprint table is
+    // lazily checkpointed, so the text column is read and hashed ONCE
     val d = docs(spark, dir).select(col("doc_id"), md5(col("text")).as("fp"))
+      .localCheckpoint(false)
     val existing = d.filter(col("doc_id") % 10 < 8).select("fp")
     val incoming = d.filter(col("doc_id") % 10 >= 8)
     val bf = Bloom.build(existing, col("fp"),
