@@ -124,15 +124,22 @@ object Dedup {
     }
   }
 
+  /** One row per (doc, band): the exploded band table both candidate
+    * joins key on.
+    */
+  private def bandRows(sigs: DataFrame, idCol: String,
+                       numBands: Int): DataFrame =
+    sigs.select(col(idCol).as("id"),
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band_idx"), col(s"band_$b").as("band_hash"))): _*)).as("b"))
+      .select(col("id"), col("b.band_idx"), col("b.band_hash"))
+
   /** LSH candidate pairs: docs sharing any band hash (a < b). The join is
     * keyed on (band_idx, band_hash) — at scale this is the only shuffle, and
     * AQE handles hot buckets.
     */
   def lshCandidates(sigs: DataFrame, idCol: String, numBands: Int = 2): DataFrame = {
-    val bands = sigs.select(col(idCol).as("id"),
-      explode(array((0 until numBands).map(b =>
-        struct(lit(b).as("band_idx"), col(s"band_$b").as("band_hash"))): _*)).as("b"))
-      .select(col("id"), col("b.band_idx"), col("b.band_hash"))
+    val bands = bandRows(sigs, idCol, numBands)
     bands.as("l").join(bands.as("r"),
         col("l.band_idx") === col("r.band_idx") &&
         col("l.band_hash") === col("r.band_hash") &&
@@ -140,6 +147,23 @@ object Dedup {
       .select(col("l.id").as("a_id"), col("r.id").as("b_id"))
       .distinct()
   }
+
+  /** Cross-side LSH candidates: `left` docs sharing any band hash with
+    * `right` docs — the probe shape of an INCREMENTAL near-dup index
+    * (new batch vs persisted signature table). Same (band_idx, band_hash)
+    * equi-join as [[lshCandidates]]; no `a < b` ordering because the
+    * sides are disjoint by contract, and at scale the (small) batch side
+    * broadcasts against the bucketed index instead of self-joining the
+    * corpus.
+    */
+  def lshCandidatesBetween(left: DataFrame, right: DataFrame, idCol: String,
+                           numBands: Int = 2): DataFrame =
+    bandRows(left, idCol, numBands).as("l")
+      .join(bandRows(right, idCol, numBands).as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_hash") === col("r.band_hash"))
+      .select(col("l.id").as("a_id"), col("r.id").as("b_id"))
+      .distinct()
 
   /** Exact Jaccard over a given candidate pair set — verification stage of
     * the LSH pipeline. Intersections are computed PAIR-BOUNDED: candidates

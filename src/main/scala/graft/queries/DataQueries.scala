@@ -47,14 +47,14 @@ object DataQueries {
       |       FROM pos),
       |shd AS (SELECT DISTINCT doc_id, h FROM sh)""".stripMargin
 
-  private val sigCte: String = {
+  private[queries] val sigCte: String = {
     val mins = (0 until 8).map(i =>
       s"min((${Dedup.MinhashA(i)} * h + ${Dedup.MinhashB(i)}) % ${Dedup.MinhashP}) AS mh_$i")
       .mkString(", ")
     s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
   }
 
-  private def bandSql(b: Int): String =
+  private[queries] def bandSql(b: Int): String =
     (b * 4 until (b + 1) * 4).map(i => s"mh_$i::VARCHAR").mkString(" || '|' || ")
 
   def d02MinhashSig(spark: SparkSession, dir: String): DataFrame =
@@ -87,7 +87,7 @@ object DataQueries {
   /** Pair-bounded intersection (expects a `cand(a_id, b_id)` CTE) —
     * mirrors Dedup.jaccardVerify's candidates ⋈ shingles ⋈ shingles shape.
     */
-  private val jaccardVerifyCtes: String =
+  private[queries] val jaccardVerifyCtes: String =
     """sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
       |inter AS (SELECT c.a_id, c.b_id, count(*) AS inter
       |          FROM cand c

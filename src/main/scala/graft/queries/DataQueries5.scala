@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Lake
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Bloom, Clean, Similarity}
+import graft.operators.{Bloom, Clean, Dedup, Similarity}
 import graft.queries.CoreQueries.Q
 
 /** Round-6 training-data pipeline operators: Bloom-filter incremental
@@ -178,9 +178,97 @@ object DataQueries5 {
       |    AS pos
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // --------------------------- incremental near-dup index probe (d20)
+
+  /** Incremental NEAR-dup: the batch (doc_id ≡ 8,9 mod 10) probes the
+    * persisted LSH signature index of the corpus (the rest) — the fuzzy
+    * counterpart of d15 (exact fingerprints) and d18 (Bloom novelty).
+    * Candidates come from the cross-side band equi-join
+    * ([[graft.operators.Dedup.lshCandidatesBetween]]): at scale the small
+    * batch side broadcasts against the bucketed index, so probing costs
+    * one batch-sized pass, not a corpus self-join. Verification is the
+    * exact-Jaccard stage with its lossless size-ratio pruning.
+    */
+  def d20IncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sets = Dedup.shingleSets(d, "doc_id", "text", 5).localCheckpoint()
+    val sigs = Dedup.minhashFromSets(sets, "doc_id").localCheckpoint()
+    val idx = sigs.filter(col("doc_id") % 10 < 8)
+    val batch = sigs.filter(col("doc_id") % 10 >= 8)
+    val cands = Dedup.lshCandidatesBetween(batch, idx, "doc_id")
+    Dedup.jaccardVerifySets(cands, sets, "doc_id", Some(0.5))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id").as("new_id"), col("b_id").as("dup_of"),
+        col("jaccard"))
+      .orderBy("new_id", "dup_of")
+  }
+
+  val d20Oracle: String =
+    s"""WITH ${DataQueries.shingleCtes}, ${DataQueries.sigCte},
+       |bands AS (
+       |  SELECT doc_id, 0 AS band_idx, md5(${DataQueries.bandSql(0)}) AS band_hash FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1, md5(${DataQueries.bandSql(1)}) FROM sig),
+       |cand AS (SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+       |         FROM bands l JOIN bands r
+       |           ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       |         WHERE l.doc_id % 10 >= 8 AND r.doc_id % 10 < 8),
+       |${DataQueries.jaccardVerifyCtes}
+       |SELECT i.a_id AS new_id, i.b_id AS dup_of,
+       |  round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.a_id
+       |JOIN sizes sb ON sb.doc_id = i.b_id
+       |WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+       |ORDER BY new_id, dup_of""".stripMargin
+
+  // ------------------------------ perplexity-band filtering (t17)
+
+  /** CCNet-style perplexity-band filter: score every doc with the t05
+    * unigram NLL, then keep the middle of the distribution — docs below
+    * the 10th percentile (suspiciously templated) or above the 90th
+    * (garbage) are cut. The band edges come from ONE exact-percentile
+    * aggregation broadcast back as a 2-value model row, so the filter
+    * itself is row-local — no global sort, no single-partition ntile
+    * window at any corpus size (at 100 TB swap `percentile` for
+    * `approx_percentile`, same plan shape).
+    */
+  def t17PerplexityBand(spark: SparkSession, dir: String): DataFrame = {
+    val nll = DataQueries.t05UnigramLogprob(spark, dir)
+      .select("doc_id", "n_tokens", "avg_nll")
+      .localCheckpoint(false) // scored once: percentile agg + band filter
+    val edges = nll.agg(
+      expr("percentile(avg_nll, 0.1)").as("p10"),
+      expr("percentile(avg_nll, 0.9)").as("p90"))
+    nll.crossJoin(broadcast(edges))
+      .withColumn("keep", col("avg_nll") >= col("p10") &&
+        col("avg_nll") <= col("p90"))
+      .select("doc_id", "n_tokens", "avg_nll", "keep")
+      .orderBy("doc_id")
+  }
+
+  val t17Oracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |                                    w -> length(w) > 0)) AS w
+      |  FROM documents),
+      |freq AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+      |total AS (SELECT count(*) AS t FROM words),
+      |nll AS (SELECT doc_id, count(*) AS n_tokens,
+      |    CAST(sum(CAST(-ln(cnt * 1.0 / t) AS DECIMAL(18,10))) AS DOUBLE)
+      |      / count(*) AS avg_nll
+      |  FROM words JOIN freq USING (w), total GROUP BY doc_id),
+      |edges AS (SELECT quantile_cont(avg_nll, 0.1) AS p10,
+      |                 quantile_cont(avg_nll, 0.9) AS p90 FROM nll)
+      |SELECT doc_id, n_tokens, avg_nll,
+      |  avg_nll >= p10 AND avg_nll <= p90 AS keep
+      |FROM nll, edges ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("d18_bloom_dedup", d18BloomDedup _, Some(d18Oracle)),
     ("d19_shard_shuffle", d19ShardShuffle _, Some(d19Oracle)),
+    ("d20_incremental_neardup", d20IncrementalNeardup _, Some(d20Oracle)),
     ("s10_pq_encode", s10PqEncode _, Some(s10Oracle)),
-    ("t16_boilerplate", t16Boilerplate _, Some(t16Oracle)))
+    ("t16_boilerplate", t16Boilerplate _, Some(t16Oracle)),
+    ("t17_perplexity_band", t17PerplexityBand _, Some(t17Oracle)))
 }

@@ -47,4 +47,26 @@ class DedupSpec extends SparkSpec {
       .filter(col("b_id") === 3L || col("a_id") === 3L).collect()
     assert(cont.isEmpty)
   }
+
+  test("lshCandidatesBetween == side-filtered self-join candidates") {
+    val lake = Lake.table(spark, sf, "documents")
+    val sigs = Dedup.minhashSignatures(lake, "doc_id", "text")
+      .localCheckpoint()
+    val idx = sigs.filter(col("doc_id") % 10 < 8)
+    val batch = sigs.filter(col("doc_id") % 10 >= 8)
+    val between = Dedup.lshCandidatesBetween(batch, idx, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    // reference: full self-join candidates, keep cross-side pairs, orient
+    // them (batch id, index id)
+    val self = Dedup.lshCandidates(sigs, "doc_id")
+      .as[(Long, Long)].collect()
+    val expected = self.flatMap { case (a, b) =>
+      (a % 10 >= 8, b % 10 >= 8) match {
+        case (true, false) => Some((a, b))
+        case (false, true) => Some((b, a))
+        case _ => None
+      }
+    }.toSet
+    assert(between === expected)
+  }
 }
