@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Lake
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Bloom, Clean, Dedup, Similarity}
+import graft.operators.{Bloom, Clean, Dedup, Multimodal, Similarity}
 import graft.queries.CoreQueries.Q
 
 /** Round-6 training-data pipeline operators: Bloom-filter incremental
@@ -264,10 +264,45 @@ object DataQueries5 {
       |  avg_nll >= p10 AND avg_nll <= p90 AS keep
       |FROM nll, edges ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------ video frame sampling (m02)
+
+  /** Frame-sampling row expansion through the REAL typed `flatMap`
+    * plumbing ([[graft.operators.Multimodal.sampleFrames]], 1 media row →
+    * 4 frame rows, stub extractor): the payload is the utf-8 text bytes
+    * (ASCII word soup ⇒ byte offsets == char offsets), so the
+    * deterministic fake frame — a 16-byte window at the even-spaced seek
+    * position — is exactly a substring both engines can derive. The
+    * oracle checks frame identity via md5, making the fan-out contract
+    * (row count, seek arithmetic, boundary truncation) oracle-gated, not
+    * just spec-covered.
+    */
+  def m02FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = Multimodal.toMediaTable(docs(spark, dir))
+      .as[Multimodal.MediaRecord]
+    Multimodal.sampleFrames(media, nFrames = 4).toDF()
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(col("frame_bytes")).as("n_frame_bytes"),
+        md5(col("frame_bytes")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val m02Oracle: String =
+    """SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
+      |  CAST(octet_length(encode(substr(text,
+      |    CAST(t.i * length(text) // 4 AS BIGINT) + 1, 16))) AS INT)
+      |    AS n_frame_bytes,
+      |  md5(substr(text,
+      |    CAST(t.i * length(text) // 4 AS BIGINT) + 1, 16)) AS frame_md5
+      |FROM documents, unnest(generate_series(0, 3)) AS t(i)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("d18_bloom_dedup", d18BloomDedup _, Some(d18Oracle)),
     ("d19_shard_shuffle", d19ShardShuffle _, Some(d19Oracle)),
     ("d20_incremental_neardup", d20IncrementalNeardup _, Some(d20Oracle)),
+    ("m02_frame_sample", m02FrameSample _, Some(m02Oracle)),
     ("s10_pq_encode", s10PqEncode _, Some(s10Oracle)),
     ("t16_boilerplate", t16Boilerplate _, Some(t16Oracle)),
     ("t17_perplexity_band", t17PerplexityBand _, Some(t17Oracle)))
