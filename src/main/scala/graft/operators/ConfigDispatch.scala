@@ -60,9 +60,62 @@ object ConfigDispatch {
       case "TAG_RESTORE" => restore(config, in)
       case "TAG_EXPORT" =>
         Sinks.reportRows(exportableTags(in.existingTags), current_timestamp())
+      case "ENTRY_CREATE" => entryCreate(spark, config)
       case other => throw new IllegalArgumentException(
         s"unknown config_type: $other")
     }
+
+  /** ENTRY_CREATE / apply_entry_config (DataCatalogController.py:498–640):
+    * expand the config's file globs (A2) and read each parquet FOOTER —
+    * schema field count and record count are footer metadata, exactly what
+    * the reference reads via `parquet.ParquetFile(tmp).metadata.num_rows`
+    * (:578) — then emit the file-metadata tag the reference attaches to
+    * the created entry. Pure driver-side metadata, zero Spark jobs,
+    * bounded by physical file count like the reference's per-blob loop.
+    * Entry id = file base name minus extension, '/'→'_' (reference :518);
+    * files whose footer does not parse are skipped like the reference's
+    * not-a-parquet ERROR path (:547–556). Emitted fields
+    * (name/type/size/num_rows/num_cols) follow the reference's field loop
+    * (:589–640); a non-empty `config.fields` restricts to the requested
+    * ids, matching the `fields` parameter.
+    */
+  private def entryCreate(spark: SparkSession, config: TagConfig): DataFrame = {
+    import graft.sources.FileScan
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = config.includedUris
+      .flatMap(g => FileScan.listFiles(spark, g).collect().map(r =>
+        (r.getAs[String]("path"), r.getAs[String]("name"),
+          r.getAs[Long]("size"))))
+      .flatMap { case (path, name, size) =>
+        // the footer read doubles as the is-it-parquet validation
+        scala.util.Try {
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
+          try (name, size, reader.getRecordCount,
+            reader.getFileMetaData.getSchema.getFieldCount)
+          finally reader.close()
+        }.toOption
+      }
+      .sortBy(_._1)
+    if (rows.isEmpty) return TagEngine.emptyTagRows(spark)
+    val wanted = config.fields.map(_.fieldId).toSet
+    import spark.implicits._
+    rows.flatMap { case (name, size, nRows, nCols) =>
+      val entryId = name.split('.').head.replace("/", "_")
+      Seq(
+        ("name", "string", name),
+        ("type", "enum", "PARQUET"),
+        ("size", "double", size.toString),
+        ("num_rows", "double", nRows.toString),
+        ("num_cols", "double", nCols.toString))
+        .filter { case (fid, _, _) => wanted.isEmpty || wanted.contains(fid) }
+        .map { case (fid, ftype, v) =>
+          (s"fileset/$entryId", "", config.templateId, fid, ftype, v)
+        }
+    }.toDF(TagRowCols: _*)
+  }
 
   private def expandedUris(config: TagConfig, catalog: DataFrame): Seq[AssetUri] =
     Expander.expand(catalog, config.includedUris, config.excludedUris)

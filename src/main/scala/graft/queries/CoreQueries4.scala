@@ -136,8 +136,58 @@ object CoreQueries4 {
       |  AS t(field_id, field_type, field_order)
       |ORDER BY apply_rank""".stripMargin
 
+  /** ENTRY_CREATE config end-to-end through the dispatch (A6 +
+    * apply_entry_config): three parquet files expand from their globs;
+    * schema field counts AND record counts come from driver-side parquet
+    * FOOTER reads (zero Spark jobs — the same metadata the reference
+    * reads via `ParquetFile(tmp).metadata`), and the output is the
+    * unified tag-row shape every other config type produces. The `size`
+    * field is restricted away by `config.fields` — file byte size is
+    * writer-dependent, which an engine-independent oracle cannot pin.
+    */
+  def q37EntryConfig(spark: SparkSession, dir: String): DataFrame = {
+    import graft.model.{FieldSpec, TagConfig}
+    import graft.operators.{ConfigDispatch, EngineInputs}
+    val config = TagConfig(
+      configType = "ENTRY_CREATE",
+      templateId = "file_metadata",
+      fields = Seq("name", "type", "num_rows", "num_cols")
+        .map(f => FieldSpec(f)),
+      includedUris = Seq(s"$dir/region.parquet", s"$dir/nation.parquet",
+        s"$dir/supplier.parquet"))
+    val none = spark.emptyDataFrame
+    ConfigDispatch.applyConfig(spark, config, EngineInputs(none, none))
+      .orderBy("asset_uri", "field_id")
+  }
+
+  val q37Oracle: String =
+    """WITH f AS (
+      |  SELECT 'fileset/region' AS asset_uri, 'region.parquet' AS name,
+      |         (SELECT count(*) FROM region) AS num_rows, 2 AS num_cols
+      |  UNION ALL
+      |  SELECT 'fileset/nation', 'nation.parquet',
+      |         (SELECT count(*) FROM nation), 3
+      |  UNION ALL
+      |  SELECT 'fileset/supplier', 'supplier.parquet',
+      |         (SELECT count(*) FROM supplier), 4),
+      |m AS (
+      |  SELECT asset_uri, 'name' AS field_id, 'string' AS field_type,
+      |         name AS field_value FROM f
+      |  UNION ALL
+      |  SELECT asset_uri, 'type', 'enum', 'PARQUET' FROM f
+      |  UNION ALL
+      |  SELECT asset_uri, 'num_rows', 'double',
+      |         CAST(num_rows AS VARCHAR) FROM f
+      |  UNION ALL
+      |  SELECT asset_uri, 'num_cols', 'double',
+      |         CAST(num_cols AS VARCHAR) FROM f)
+      |SELECT asset_uri, '' AS "column", 'file_metadata' AS template_id,
+      |       field_id, field_type, field_value
+      |FROM m ORDER BY asset_uri, field_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q34_backup_restore", q34BackupRestore _, Some(q34Oracle)),
     ("q35_reconcile", q35Reconcile _, Some(q35Oracle)),
-    ("q36_field_ordering", q36FieldOrdering _, Some(q36Oracle)))
+    ("q36_field_ordering", q36FieldOrdering _, Some(q36Oracle)),
+    ("q37_entry_config", q37EntryConfig _, Some(q37Oracle)))
 }

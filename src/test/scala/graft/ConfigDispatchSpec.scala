@@ -145,4 +145,28 @@ class ConfigDispatchSpec extends SparkSpec {
         TagConfig("NOT_A_TYPE", "", Nil), base)
     }
   }
+
+  test("ENTRY_CREATE emits file-metadata tag rows; non-parquet skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("entrycfg")
+    java.nio.file.Files.writeString(dir.resolve("junk.parquet"), "not parquet")
+    val out = ConfigDispatch.applyConfig(spark,
+      TagConfig("ENTRY_CREATE", "file_metadata", Nil,
+        includedUris = Seq(s"$sf/region.parquet", s"$dir/junk.parquet")),
+      base)
+    val rows = out.collect().map(r => (r.getString(0), r.getString(3), r.getString(5)))
+    // the invalid file is skipped (reference's not-a-parquet ERROR path);
+    // all five default fields emitted for the valid one
+    assert(rows.map(_._1).distinct.toSeq === Seq("fileset/region"))
+    assert(rows.map(_._2).sorted.toSeq ===
+      Seq("name", "num_cols", "num_rows", "size", "type"))
+    assert(rows.collectFirst { case (_, "num_cols", v) => v }.get === "2")
+    assert(rows.collectFirst { case (_, "name", v) => v }.get === "region.parquet")
+  }
+
+  test("ENTRY_CREATE over an empty glob is a no-op frame, not a crash") {
+    val out = ConfigDispatch.applyConfig(spark,
+      TagConfig("ENTRY_CREATE", "t", Nil,
+        includedUris = Seq("/no/such/dir/*.parquet")), base)
+    assert(out.isEmpty)
+  }
 }
