@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.plans.{CosineSimilarity, Md5PrefixLong}
+import graft.plans.{CosineSimilarity, LongSetIntersectSize, Md5PrefixLong, Simhash60}
 
 /** Library entry point for `spark.sql.extensions`: installs the engine's
   * native expressions into every session's function registry, so SQL-only
@@ -12,6 +12,8 @@ import graft.plans.{CosineSimilarity, Md5PrefixLong}
   *
   *   SELECT graft_cosine_sim(a.vec, b.vec)   -- codegen'd fused loop
   *   SELECT graft_md5_prefix(text, 7)        -- digest-bytes → BIGINT hash
+  *   SELECT graft_simhash(text)              -- one-pass 60-bit simhash
+  *   SELECT graft_set_intersect_size(a, b)   -- |A∩B| over long-array sets
   *
   * (The Column API in [[graft.functions.VectorFns]]/[[graft.functions.TextFns]]
   * does not need this — it builds the expressions directly.)
@@ -38,6 +40,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_md5_prefix nibbles must be an integer literal, got $other")
         }
         Md5PrefixLong(exprs.head, nibbles)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[Simhash60].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_simhash(text)")
+        Simhash60(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_set_intersect_size"),
+      new ExpressionInfo(classOf[LongSetIntersectSize].getName,
+        "graft_set_intersect_size"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_set_intersect_size(arrayA, arrayB)")
+        LongSetIntersectSize(exprs.head, exprs(1))
       }))
   }
 }

@@ -28,6 +28,13 @@ class ExtensionsSpec extends SparkSpec {
       // codegen path too, not just eval
       assert(s.sql("SELECT graft_md5_prefix(cast(id AS string), 5) FROM range(10)")
         .collect().length == 10)
+      // round-6 registrations: simhash + set-intersect size
+      val r6 = s.sql(
+        """SELECT graft_simhash('a b c') AS sh,
+          |       graft_set_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i
+          |""".stripMargin).head()
+      assert(r6.getLong(0) != 0L)
+      assert(r6.getInt(1) === 2)
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
