@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, CoreQueries2, CoreQueries3, DataQueries, DataQueries2, DataQueries3}
+import graft.queries.{CoreQueries, CoreQueries2, CoreQueries3, DataQueries, DataQueries2, DataQueries3, DataQueries5}
 
 /** Plan-quality assertions: the properties that matter at 100 TB must hold
   * in the physical plan, not just produce correct rows — pushdown reaching
@@ -136,5 +136,27 @@ class PlanSpec extends SparkSpec {
     val p = planOf(DataQueries3.st07EnrichedWindow(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d18: Bloom probe is a scan-side predicate in the novelty plan") {
+    val p = planOf(DataQueries5.d18BloomDedup(spark, sf))
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d20: incremental near-dup probe stays equi-join (no BNLJ/cartesian)") {
+    val p = planOf(DataQueries5.d20IncrementalNeardup(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t16: boilerplate removal reassembles row-locally (no window)") {
+    val p = planOf(DataQueries5.t16Boilerplate(spark, sf))
+    assert(!p.contains("Window"), p)
+  }
+
+  test("t17: the perplexity band filter has no global-sort window") {
+    val p = planOf(DataQueries5.t17PerplexityBand(spark, sf))
+    assert(!p.contains("Window"), p)
   }
 }
