@@ -264,6 +264,72 @@ object DataQueries5 {
       |  avg_nll >= p10 AND avg_nll <= p90 AS keep
       |FROM nll, edges ORDER BY doc_id""".stripMargin
 
+  // --------------------------- cluster survivorship by quality (d21)
+
+  /** Near-dup cluster SURVIVORSHIP: real pipelines don't keep the
+    * minimum-id doc of a duplicate cluster (d09/d12's deterministic
+    * baseline rule) — they keep the BEST one. Clusters come from the
+    * simhash pairs + connected components of d09; the survivor is the
+    * cluster's argmax of the t02 quality score (4-dp rounded, so the
+    * comparison is engine-exact; ties → smaller doc_id). Unclustered docs
+    * are their own singleton cluster and keep themselves. The keeper
+    * window partitions by cluster_id — near-dup clusters are small by
+    * construction, so no skewed/global window at any corpus size.
+    */
+  def d21ClusterKeeper(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhash(d, "doc_id", "text"), "doc_id", maxHamming = 8)
+    val cc = graft.operators.Graph.connectedComponents(pairs, "a_id", "b_id")
+    val ws = TextFns.words(col("text"))
+    val nTokens = size(ws)
+    val allStop = TextFns.stopwords.values.flatten.toSeq.distinct.sorted
+    val q = round(
+      least(nTokens / lit(100.0), lit(1.0)) * lit(0.5) +
+        TextFns.stopwordHits(ws, allStop) * lit(1.0) / nTokens * lit(0.5), 4)
+    val scored = d.select(col("doc_id"), q.as("quality_score"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    scored.withColumn("is_keeper", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "quality_score", "is_keeper")
+      .orderBy("doc_id")
+  }
+
+  val d21Oracle: String = {
+    val allStop = TextFns.stopwords.values.flatten.toSeq.distinct.sorted
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE ${DataQueries.simhashCtes},
+       |pairs AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b
+       |  FROM sims l JOIN sims r ON l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 8),
+       |edges AS (SELECT a AS u, b AS v FROM pairs
+       |          UNION SELECT b, a FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |         FROM reach GROUP BY u),
+       |t AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+       |  FROM documents),
+       |q AS (SELECT doc_id,
+       |  round(least(len(ws) / 100.0, 1.0) * 0.5 +
+       |    len(list_filter(ws, w -> list_contains($allStop, w))) * 1.0
+       |      / len(ws) * 0.5, 4) AS quality_score
+       |  FROM t),
+       |f AS (SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
+       |             q.quality_score
+       |      FROM q LEFT JOIN comp c USING (doc_id))
+       |SELECT doc_id, cluster_id, quality_score,
+       |  row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY quality_score DESC, doc_id) = 1 AS is_keeper
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------ video frame sampling (m02)
 
   /** Frame-sampling row expansion through the REAL typed `flatMap`
@@ -302,6 +368,7 @@ object DataQueries5 {
     ("d18_bloom_dedup", d18BloomDedup _, Some(d18Oracle)),
     ("d19_shard_shuffle", d19ShardShuffle _, Some(d19Oracle)),
     ("d20_incremental_neardup", d20IncrementalNeardup _, Some(d20Oracle)),
+    ("d21_cluster_keeper", d21ClusterKeeper _, Some(d21Oracle)),
     ("m02_frame_sample", m02FrameSample _, Some(m02Oracle)),
     ("s10_pq_encode", s10PqEncode _, Some(s10Oracle)),
     ("t16_boilerplate", t16Boilerplate _, Some(t16Oracle)),
