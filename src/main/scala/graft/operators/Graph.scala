@@ -92,6 +92,10 @@ object Graph {
       // materialized BEFORE the jumps: jump(jump(prop)) references prop 4×
       // and exchange reuse does not always deduplicate the copies — without
       // this the edge⨝label join recomputes 4× per round
+      // materialized BEFORE the convergence probe and the jumps:
+      // jump(jump(prop)) references prop 4×, and each re-derivation would
+      // repeat the nmin edge-join aggregation — measured 2× the whole
+      // query when this checkpoint is dropped
       val prop = phase("prop-ckpt")(labels.as("l")
         .join(nmin.as("nm"), col("l.id") === col("nm.id"), "left")
         .select(col("l.id").as("id"),

@@ -268,18 +268,20 @@ object DataQueries5 {
 
   /** Near-dup cluster SURVIVORSHIP: real pipelines don't keep the
     * minimum-id doc of a duplicate cluster (d09/d12's deterministic
-    * baseline rule) — they keep the BEST one. Clusters come from the
-    * simhash pairs + connected components of d09; the survivor is the
-    * cluster's argmax of the t02 quality score (4-dp rounded, so the
-    * comparison is engine-exact; ties → smaller doc_id). Unclustered docs
-    * are their own singleton cluster and keep themselves. The keeper
-    * window partitions by cluster_id — near-dup clusters are small by
-    * construction, so no skewed/global window at any corpus size.
+    * baseline rule) — they keep the BEST one. Clusters come from simhash
+    * pairs + connected components as in d09 but at a TIGHTER radius
+    * (hamming ≤ 4): survivorship wants confident duplicates, not the
+    * exploratory candidates d09 surfaces. The survivor is the cluster's
+    * argmax of the t02 quality score (4-dp rounded, so the comparison is
+    * engine-exact; ties → smaller doc_id). Unclustered docs are their own
+    * singleton cluster and keep themselves. The keeper window partitions
+    * by cluster_id — near-dup clusters are small by construction, so no
+    * skewed/global window at any corpus size.
     */
   def d21ClusterKeeper(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val pairs = Dedup.simhashPairs(
-      Dedup.simhash(d, "doc_id", "text"), "doc_id", maxHamming = 8)
+      Dedup.simhash(d, "doc_id", "text"), "doc_id", maxHamming = 4)
     val cc = graft.operators.Graph.connectedComponents(pairs, "a_id", "b_id")
     val ws = TextFns.words(col("text"))
     val nTokens = size(ws)
@@ -304,7 +306,7 @@ object DataQueries5 {
        |pairs AS (
        |  SELECT l.doc_id AS a, r.doc_id AS b
        |  FROM sims l JOIN sims r ON l.doc_id < r.doc_id
-       |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 8),
+       |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 4),
        |edges AS (SELECT a AS u, b AS v FROM pairs
        |          UNION SELECT b, a FROM pairs),
        |reach AS (
