@@ -50,8 +50,11 @@ object Graph {
     val e0 = edges.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v")).persist()
     e0.count()
+    // lazy over the persisted input: sym is only consumed through round 1
+    // (nmin + the first contraction), and each consumption is a narrow
+    // in-memory concat — a second persist would just buy an extra
+    // materialization pass
     val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .persist()
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     // pointer jumping: adopt the label OF one's label (labels are always
@@ -84,14 +87,15 @@ object Graph {
       // skips nulls for isolated-this-round vertices). Formulated WITHOUT
       // a self-referencing union: Union children sharing a checkpointed
       // relation trip a Catalyst constraint-rewrite bug ("key not found"
-      // in UnionBase.rewriteConstraints).
-      val nmin = e.join(
-          labels.select(col("id").as("nid"), col("label").as("nlabel")),
-          e("v") === col("nid"))
-        .groupBy(e("u").as("id")).agg(min("nlabel").as("nmin"))
-      // materialized BEFORE the jumps: jump(jump(prop)) references prop 4×
-      // and exchange reuse does not always deduplicate the copies — without
-      // this the edge⨝label join recomputes 4× per round
+      // in UnionBase.rewriteConstraints). Round 1 skips the join: labels
+      // are the identity map there, so neighbor-min is a plain groupBy
+      // over the symmetrized edges.
+      val nmin =
+        if (it == 0) e.groupBy(col("u").as("id")).agg(min("v").as("nmin"))
+        else e.join(
+            labels.select(col("id").as("nid"), col("label").as("nlabel")),
+            e("v") === col("nid"))
+          .groupBy(e("u").as("id")).agg(min("nlabel").as("nmin"))
       // materialized BEFORE the convergence probe and the jumps:
       // jump(jump(prop)) references prop 4×, and each re-derivation would
       // repeat the nmin edge-join aggregation — measured 2× the whole
