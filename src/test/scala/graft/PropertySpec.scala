@@ -108,4 +108,38 @@ class PropertySpec extends SparkSpec {
     val p0 = hs.map(h => (Dedup.MinhashA.head * h + Dedup.MinhashB.head) % Dedup.MinhashP)
     assert(p0.distinct.size === hs.distinct.size)
   }
+
+  test("native intersect count == Set intersection on random long sets") {
+    import org.apache.spark.sql.graft.{Bridge => B}
+    import graft.plans.LongSetIntersectSize
+    val setGen = for {
+      n <- Gen.choose(0, 60)
+      vs <- Gen.listOfN(n, Gen.oneOf(Gen.choose(-50L, 50L), Gen.long))
+    } yield vs.distinct
+    val pairs = samples(Gen.zip(setGen, setGen), 120)
+    val out = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), B.column(LongSetIntersectSize(
+        B.expression(col("a")), B.expression(col("b")))).as("n"))
+      .as[(Seq[Long], Seq[Long], Int)].collect()
+    out.foreach { case (a, b, n) =>
+      assert(n === a.toSet.intersect(b.toSet).size, s"a=$a b=$b")
+    }
+  }
+
+  test("native simhash == exploded aggregation on random token strings") {
+    import graft.operators.Dedup
+    val word = Gen.oneOf("data", "spark", "the", "café", "0", "x",
+      "zzz", "ému", "a b".trim)
+    val docGen = for {
+      n <- Gen.choose(1, 30)
+      ws <- Gen.listOfN(n, word)
+      pad <- Gen.oneOf("", " ", "  ") // extra separators must not matter
+    } yield ws.mkString(" " + pad)
+    val docs = samples(docGen, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = Dedup.simhash(docs, "doc_id", "text")
+    val agg = Dedup.simhashAgg(docs, "doc_id", "text")
+    assert(native.exceptAll(agg).count() === 0)
+    assert(agg.exceptAll(native).count() === 0)
+  }
 }
