@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Byte-pair-encoding merge training (Sennrich et al., "Neural Machine
+  * Translation of Rare Words with Subword Units", ACL 2016 — the
+  * tokenizer-training loop of every modern LLM data pipeline).
+  *
+  * Scale shape: the corpus is touched ONCE — a word-frequency aggregation
+  * (map-side combined) whose output is bounded by word TYPES, not corpus
+  * size. Every subsequent iteration runs on that vocab table: pair counts
+  * are a freq-weighted aggregation over adjacent symbol pairs, the argmax
+  * pair is one `orderBy().limit(1)` (TakeOrderedAndProject — the learned
+  * merge rule is model data, like a centroid), and the merge applies as a
+  * row-local left-to-right fold over each word's symbol array. Iteration
+  * state is localCheckpointed per step — the same iterative-DataFrame
+  * lineage discipline as [[Graph.connectedComponents]].
+  */
+object Bpe {
+
+  /** Learn `steps` merge rules over whitespace-tokenized text. Returns
+    * `(step, merge_left, merge_right, merged, pair_freq)` — the ordered
+    * merge table that IS the trained tokenizer. Determinism: best pair =
+    * max summed frequency, ties to the lexicographically smallest
+    * (left, right).
+    */
+  def train(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
+    require(steps >= 1, "bpe: steps must be >= 1")
+    val spark = docs.sparkSession
+    var cur = docs
+      .select(explode(TextFns.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("s"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val top = cur.filter(size(col("s")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("s")) - 1),
+            i => struct(element_at(col("s"), i).as("ml"),
+              element_at(col("s"), i + 1).as("mr")))).as("p"))
+        .groupBy(col("p.ml").as("ml"), col("p.mr").as("mr"))
+        .agg(sum("freq").as("f"))
+        .orderBy(col("f").desc, col("ml").asc, col("mr").asc)
+        .head(1)
+      if (top.isEmpty) exhausted = true // every word fully merged: done
+      else {
+        val best = top.head
+        val (ml, mr, f) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((step, ml, mr, ml + mr, f))
+        if (step < steps) {
+        // left-to-right non-overlapping merge as a row-local fold: append
+        // each symbol unless the accumulated tail is exactly (ml, mr) —
+        // then the tail collapses into the merged symbol. A just-merged
+        // symbol can never re-merge in the same pass (standard BPE).
+          cur = cur.withColumn("s",
+            when(size(col("s")) < 2, col("s")).otherwise(
+              aggregate(col("s"), array().cast("array<string>"),
+                (acc, x) =>
+                  when(try_element_at(acc, lit(-1)) === ml && x === mr,
+                    concat(slice(acc, lit(1), size(acc) - 1),
+                      array(lit(ml + mr))))
+                    .otherwise(concat(acc, array(x))))))
+            .localCheckpoint()
+        }
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.result()
+      .toDF("step", "merge_left", "merge_right", "merged", "pair_freq")
+  }
+}

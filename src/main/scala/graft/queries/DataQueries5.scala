@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Lake
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Bloom, Clean, Dedup, Multimodal, Similarity}
+import graft.operators.{Bloom, Bpe, Clean, Dedup, Multimodal, Similarity}
 import graft.queries.CoreQueries.Q
 
 /** Round-6 training-data pipeline operators: Bloom-filter incremental
@@ -366,6 +366,50 @@ object DataQueries5 {
       |FROM documents, unnest(generate_series(0, 3)) AS t(i)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // -------------------------------------- BPE merge training (t18)
+
+  /** Three BPE merge steps over the corpus vocabulary — see
+    * [[graft.operators.Bpe.train]]. The oracle unrolls the identical
+    * fold in DuckDB (`list_reduce` over singleton lists — the
+    * struct-state form hits a DuckDB 1.0 accumulator bug, so both sides
+    * use the tail-collapse formulation).
+    */
+  def t18BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    Bpe.train(docs(spark, dir), "text", steps = 3)
+
+  val t18Oracle: String = {
+    def pairCte(i: Int): String =
+      s"""p$i AS (SELECT s[i] AS ml, s[i+1] AS mr, sum(freq) AS f
+         |  FROM s${i - 1}, unnest(generate_series(1, len(s) - 1)) t(i)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT ml, mr, f FROM p$i ORDER BY f DESC, ml, mr LIMIT 1)""".stripMargin
+    def mergeCte(i: Int): String =
+      s"""s$i AS (SELECT s${i - 1}.freq,
+         |    CASE WHEN len(s) = 1 THEN s
+         |    ELSE list_reduce(list_transform(s, x -> [x]),
+         |      (a, b) -> CASE WHEN a[-1] = b$i.ml AND b[1] = b$i.mr
+         |        THEN a[1:len(a)-1] || [b$i.ml || b$i.mr]
+         |        ELSE a || b END) END AS s
+         |  FROM s${i - 1} CROSS JOIN b$i)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '),
+       |                            w -> length(w) > 0)) AS w
+       |  FROM documents),
+       |v AS (SELECT w, count(*) AS freq FROM words GROUP BY w),
+       |s0 AS (SELECT freq,
+       |    list_transform(generate_series(1, length(w)),
+       |                   i -> substr(w, i, 1)) AS s
+       |  FROM v),
+       |${pairCte(1)}, ${mergeCte(1)},
+       |${pairCte(2)}, ${mergeCte(2)},
+       |${pairCte(3)}
+       |SELECT 1 AS step, ml AS merge_left, mr AS merge_right,
+       |       ml || mr AS merged, CAST(f AS BIGINT) AS pair_freq FROM b1
+       |UNION ALL SELECT 2, ml, mr, ml || mr, CAST(f AS BIGINT) FROM b2
+       |UNION ALL SELECT 3, ml, mr, ml || mr, CAST(f AS BIGINT) FROM b3
+       |ORDER BY step""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("d18_bloom_dedup", d18BloomDedup _, Some(d18Oracle)),
     ("d19_shard_shuffle", d19ShardShuffle _, Some(d19Oracle)),
@@ -374,5 +418,6 @@ object DataQueries5 {
     ("m02_frame_sample", m02FrameSample _, Some(m02Oracle)),
     ("s10_pq_encode", s10PqEncode _, Some(s10Oracle)),
     ("t16_boilerplate", t16Boilerplate _, Some(t16Oracle)),
-    ("t17_perplexity_band", t17PerplexityBand _, Some(t17Oracle)))
+    ("t17_perplexity_band", t17PerplexityBand _, Some(t17Oracle)),
+    ("t18_bpe_train", t18BpeTrain _, Some(t18Oracle)))
 }
