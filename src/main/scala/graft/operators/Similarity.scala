@@ -228,6 +228,45 @@ object Similarity {
     * rounded to 6 dp (argmin stability across summation orders); the
     * chosen subspace errors accumulate unrounded.
     */
+  /** PQ asymmetric-distance top-k (ADC — Jégou 2011 §III): the query
+    * stays full-precision; every corpus vector is represented ONLY by its
+    * PQ codes, and the approximate squared L2 distance is a sum of
+    * per-subspace table lookups. The lookup tables (numSub × |codebook|
+    * query-to-code distances) are computed on the driver from the query
+    * and codebook — model data — and inlined as literals, so scoring a
+    * vector is `numSub` array lookups + adds in one codegen'd narrow
+    * projection over the (tiny) code table: the plan never touches the
+    * original vectors. This is the memory story of PQ at 100 TB — the
+    * index scanned per query is codes (bytes/vector), not floats.
+    * Deterministic: distances rounded to 6 dp, ties → smaller vec_id.
+    */
+  def pqTopK(codes: DataFrame, codebook: Seq[Array[Double]], numSub: Int,
+             query: Array[Double], k: Int,
+             excludeId: Option[Long] = None): DataFrame = {
+    val subDim = codebook.head.length / numSub
+    // lookup[m][j] = ||query_sub(m) - codebook(j)_sub(m)||^2
+    val lookup = (0 until numSub).map { m =>
+      codebook.map { cv =>
+        (0 until subDim).map { i =>
+          val d = query(m * subDim + i) - cv(m * subDim + i)
+          d * d
+        }.sum
+      }.toArray
+    }
+    val approx = (0 until numSub).map(m =>
+      element_at(lit(lookup(m)), col(s"code_$m").cast("int") + 1))
+      .reduce(_ + _)
+    val base = excludeId.map(id => codes.filter(col("vec_id") =!= id))
+      .getOrElse(codes)
+    base.select(col("vec_id"), round(approx, 6).as("approx_d2"))
+      .orderBy(col("approx_d2").asc, col("vec_id").asc).limit(k)
+      .agg(sort_array(collect_list(
+        struct(col("approx_d2"), col("vec_id")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).as("rank"), col("s.vec_id").as("vec_id"),
+        col("s.approx_d2").as("approx_d2"))
+  }
+
   def pqEncode(emb: DataFrame, codebook: Seq[Array[Double]],
                numSub: Int): DataFrame = {
     val dim = codebook.head.length

@@ -366,6 +366,54 @@ object DataQueries5 {
       |FROM documents, unnest(generate_series(0, 3)) AS t(i)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ----------------------------------- PQ asymmetric search (s11)
+
+  /** ADC top-k over the s10 PQ codes: query vec 0 (full precision)
+    * against code-only vectors — see
+    * [[graft.operators.Similarity.pqTopK]]. Same fixed codebook
+    * convention as s10 (seed vectors 0–3).
+    */
+  def s11PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val codebook = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("vec").collect().map(_.getSeq[Double](0).toArray).toSeq
+    val query = e.filter(col("vec_id") === 0)
+      .select("vec").head.getSeq[Double](0).toArray
+    val codes = Similarity.pqEncode(e, codebook, numSub = 8)
+    Similarity.pqTopK(codes, codebook, numSub = 8, query, k = 10,
+      excludeId = Some(0L)).orderBy("rank")
+  }
+
+  val s11Oracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |seeds AS (SELECT vec_id AS code_id, v AS cv FROM e WHERE vec_id < 4),
+      |sub AS (SELECT e.vec_id, m.m, s.code_id,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (e.v[m.m * 8 + i] - s.cv[m.m * 8 + i]) ^ 2)) AS dist2
+      |  FROM e
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) m
+      |  CROSS JOIN seeds s),
+      |best AS (SELECT vec_id, m, code_id, dist2,
+      |    row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY round(dist2, 6), code_id) AS rn
+      |  FROM sub),
+      |q AS (SELECT v FROM e WHERE vec_id = 0),
+      |qd AS (SELECT m.m, s.code_id,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (q.v[m.m * 8 + i] - s.cv[m.m * 8 + i]) ^ 2)) AS d2
+      |  FROM q
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) m
+      |  CROSS JOIN seeds s),
+      |ad AS (SELECT b.vec_id, round(sum(qd.d2), 6) AS approx_d2
+      |  FROM best b JOIN qd ON qd.m = b.m AND qd.code_id = b.code_id
+      |  WHERE b.rn = 1 AND b.vec_id <> 0
+      |  GROUP BY b.vec_id)
+      |SELECT * FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY approx_d2, vec_id) AS INT)
+      |           AS rank, vec_id, approx_d2
+      |  FROM ad) WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   // -------------------------------------- BPE merge training (t18)
 
   /** Three BPE merge steps over the corpus vocabulary — see
@@ -417,6 +465,7 @@ object DataQueries5 {
     ("d21_cluster_keeper", d21ClusterKeeper _, Some(d21Oracle)),
     ("m02_frame_sample", m02FrameSample _, Some(m02Oracle)),
     ("s10_pq_encode", s10PqEncode _, Some(s10Oracle)),
+    ("s11_pq_adc", s11PqAdc _, Some(s11Oracle)),
     ("t16_boilerplate", t16Boilerplate _, Some(t16Oracle)),
     ("t17_perplexity_band", t17PerplexityBand _, Some(t17Oracle)),
     ("t18_bpe_train", t18BpeTrain _, Some(t18Oracle)))
