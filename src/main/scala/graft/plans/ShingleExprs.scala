@@ -29,9 +29,17 @@ object ShingleOps {
     val n = s.numChars()
     if (n < k) return null
     val mins = Array.fill(a.length)(Long.MaxValue)
-    var i = 1
-    while (i <= n - k + 1) {
-      val h = Md5.prefixLong(s.substringSQL(i, k), 7)
+    // ASCII fast path: byte offsets == char offsets, so every shingle is a
+    // window over the document's backing bytes — hashed in place via the
+    // single-block md5, zero per-shingle allocation. Non-ASCII falls back
+    // to codepoint-correct substring slicing (identical values).
+    val bytes = s.getBytes
+    val ascii = bytes.length == n && k <= 55
+    var i = 0
+    while (i <= n - k) {
+      val h =
+        if (ascii) Md5.singleBlockPrefix(bytes, i, k, 7)
+        else Md5.prefixLong(s.substringSQL(i + 1, k), 7)
       var j = 0
       while (j < a.length) {
         val v = (a(j) * h + b(j)) % p
@@ -50,10 +58,15 @@ object ShingleOps {
   def hashSet(s: UTF8String, k: Int): ArrayData = {
     val n = s.numChars()
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    // same ASCII window fast path as [[minhash]]
+    val bytes = s.getBytes
+    val ascii = bytes.length == n && k <= 55
     val set = new java.util.HashSet[java.lang.Long](256)
-    var i = 1
-    while (i <= n - k + 1) {
-      set.add(Md5.prefixLong(s.substringSQL(i, k), 7))
+    var i = 0
+    while (i <= n - k) {
+      set.add(
+        if (ascii) Md5.singleBlockPrefix(bytes, i, k, 7)
+        else Md5.prefixLong(s.substringSQL(i + 1, k), 7))
       i += 1
     }
     val out = new Array[Long](set.size)

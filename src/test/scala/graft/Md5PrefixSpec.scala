@@ -20,4 +20,17 @@ class Md5PrefixSpec extends SparkSpec {
     assert(cmp.filter(col("fast28") =!= col("ref28") ||
       col("fast60") =!= col("ref60")).count() === 0)
   }
+
+  test("single-block fast path sweeps the 55/56-byte boundary and multibyte") {
+    import spark.implicits._
+    // every length 0..80 (covers fast->MessageDigest switch at 55 bytes),
+    // plus multibyte strings where byte length != char length
+    val inputs =
+      (0 to 80).map(n => "ab7".*(27).substring(0, n)) ++
+        Seq("café", "日本語テキスト", "aé" * 30, "ü" * 28)
+    val cmp = inputs.toDF("w").select(
+      TextFns.hash60(col("w")).as("fast"),
+      conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("ref"))
+    assert(cmp.filter(col("fast") =!= col("ref")).count() === 0)
+  }
 }
