@@ -366,6 +366,62 @@ object DataQueries5 {
       |FROM documents, unnest(generate_series(0, 3)) AS t(i)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------- minhash estimate accuracy eval (d22)
+
+  /** Sketch-accuracy evaluation for the MinHash family (the d-side
+    * counterpart of s07's ANN recall): over the LSH candidate pairs,
+    * compare the signature-agreement Jaccard ESTIMATE (fraction of the 8
+    * minhash permutations that collide — the E[agree] = J identity behind
+    * MinHash) against the exact set Jaccard, reporting the absolute
+    * error. This is the measurement that justifies sizing the signature
+    * at 8/16/64 permutations before spending a corpus pass; everything
+    * reuses the persisted signature/set tables, so the eval costs one
+    * candidate-bounded join round.
+    */
+  def d22MinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sets = Dedup.shingleSets(d, "doc_id", "text", 5).localCheckpoint()
+    val sigs = Dedup.minhashFromSets(sets, "doc_id").localCheckpoint()
+    val cands = Dedup.lshCandidates(sigs, "doc_id")
+    val exact = Dedup.jaccardVerifySets(cands, sets, "doc_id")
+    val agree = (0 until 8).map(i =>
+      when(col(s"l.mh_$i") === col(s"r.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    exact.join(sigs.as("l"), col("a_id") === col("l.doc_id"))
+      .join(sigs.as("r"), col("b_id") === col("r.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        round(agree * lit(1.0) / 8, 6).as("est_jaccard"), col("jaccard"))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 6))
+      .orderBy("a_id", "b_id")
+  }
+
+  val d22Oracle: String = {
+    val agreeSql = (0 until 8)
+      .map(i => s"CASE WHEN l.mh_$i = r.mh_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${DataQueries.shingleCtes}, ${DataQueries.sigCte},
+       |bands AS (
+       |  SELECT doc_id, 0 AS band_idx, md5(${DataQueries.bandSql(0)}) AS band_hash FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1, md5(${DataQueries.bandSql(1)}) FROM sig),
+       |cand AS (SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+       |         FROM bands l JOIN bands r
+       |           ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       |              AND l.doc_id < r.doc_id),
+       |${DataQueries.jaccardVerifyCtes}
+       |SELECT i.a_id, i.b_id,
+       |  round(($agreeSql) / 8.0, 6) AS est_jaccard,
+       |  round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard,
+       |  round(abs(round(($agreeSql) / 8.0, 6) -
+       |    round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6)), 6) AS abs_err
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.a_id
+       |JOIN sizes sb ON sb.doc_id = i.b_id
+       |JOIN sig l ON l.doc_id = i.a_id
+       |JOIN sig r ON r.doc_id = i.b_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ----------------------------------- PQ asymmetric search (s11)
 
   /** ADC top-k over the s10 PQ codes: query vec 0 (full precision)
@@ -463,6 +519,7 @@ object DataQueries5 {
     ("d19_shard_shuffle", d19ShardShuffle _, Some(d19Oracle)),
     ("d20_incremental_neardup", d20IncrementalNeardup _, Some(d20Oracle)),
     ("d21_cluster_keeper", d21ClusterKeeper _, Some(d21Oracle)),
+    ("d22_minhash_estimate", d22MinhashEstimate _, Some(d22Oracle)),
     ("m02_frame_sample", m02FrameSample _, Some(m02Oracle)),
     ("s10_pq_encode", s10PqEncode _, Some(s10Oracle)),
     ("s11_pq_adc", s11PqAdc _, Some(s11Oracle)),
