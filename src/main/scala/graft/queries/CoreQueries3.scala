@@ -657,8 +657,40 @@ object CoreQueries3 {
        |FROM final ORDER BY config_uuid""".stripMargin
   }
 
+  /** H1+H2+JobManager.create_job as ONE set-based statement — the whole
+    * `/scheduled_auto_updates` tick (main.py:3075–3110): due configs each
+    * produce a PENDING job row (deterministic job identity =
+    * md5(config_uuid|version) — the md5-identity convention of
+    * TaskManager.py:66–80) alongside the advanced next_run/version state
+    * the MERGE writes back. One filter + one projection; no per-config
+    * loop at any config-store size.
+    */
+  def q38SchedulerTick(spark: SparkSession, dir: String): DataFrame =
+    Scheduler.readReadyConfigs(configsDf(spark), to_timestamp(lit(nowLit)))
+      .select(col("config_uuid"), col("config_type"),
+        md5(concat_ws("|", col("config_uuid"), col("version"))).as("job_uuid"),
+        lit("PENDING").as("job_status"),
+        timestamp_seconds(unix_timestamp(col("next_run")) +
+          col("refresh_frequency_minutes") * 60).as("next_run"),
+        (col("version") + 1).as("version"))
+      .orderBy("config_uuid")
+
+  val q38Oracle: String =
+    s"""WITH $configsCte
+       |SELECT config_uuid, config_type,
+       |  md5(config_uuid || '|' || CAST(version AS VARCHAR)) AS job_uuid,
+       |  'PENDING' AS job_status,
+       |  next_run + refresh_frequency_minutes * INTERVAL 1 MINUTE AS next_run,
+       |  version + 1 AS version
+       |FROM configs
+       |WHERE refresh_mode = 'AUTO' AND config_status = 'ACTIVE'
+       |  AND scheduling_status = 'READY'
+       |  AND next_run <= TIMESTAMP '$nowLit'
+       |ORDER BY config_uuid""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q30_bulk_dynamic", q30BulkDynamic _, Some(q30Oracle)),
+    ("q38_scheduler_tick", q38SchedulerTick _, Some(q38Oracle)),
     ("q31_job_history", q31JobHistory _, Some(q31Oracle)),
     ("q32_mixed_catalog", q32MixedCatalog _, Some(q32Oracle)),
     ("q33_config_store", q33ConfigStore _, Some(q33Oracle)),
