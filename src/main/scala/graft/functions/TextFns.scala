@@ -104,4 +104,17 @@ object TextFns {
     */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+
+  /** The t02 composite quality score, 4-dp rounded (engine-exact for
+    * argmax/threshold comparisons): half length saturation at 100 tokens,
+    * half all-language stopword ratio. Shared by the quality query (t02)
+    * and cluster survivorship (d21) so the formula cannot drift.
+    */
+  def qualityScore(text: Column): Column = {
+    val ws = words(text)
+    val nTokens = size(ws)
+    val allStop = stopwords.values.flatten.toSeq.distinct.sorted
+    round(least(nTokens / lit(100.0), lit(1.0)) * lit(0.5) +
+      stopwordHits(ws, allStop) * lit(1.0) / nTokens * lit(0.5), 4)
+  }
 }

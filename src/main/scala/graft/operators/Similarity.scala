@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
@@ -88,18 +88,27 @@ object Similarity {
     * scored row through a single-partition WindowExec — the #1 scale trap
     * for top-k on a 100 TB corpus.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.orderBy(col("cos").desc, col("vec_id").asc).limit(k)
-      // rank the k survivors without a window: a global window (even over k
-      // rows) plans as an unpartitioned WindowExec (Spark 4's
-      // EliminateWindowPartitions folds away constant partition keys);
-      // collecting k rows into one sorted array is explicit about the
-      // driver-scale cardinality instead
+  /** Rank k pre-limited survivors without a window: a global window (even
+    * over k rows) plans as an unpartitioned WindowExec (Spark 4's
+    * EliminateWindowPartitions folds away constant partition keys);
+    * collecting k rows into one sorted array is explicit about the
+    * driver-scale cardinality instead. `sortKey` must order ASCENDING =
+    * better; `score(sortKey)` recovers the output score column.
+    */
+  private def rankCollected(limited: DataFrame, sortKey: Column,
+                            scoreName: String,
+                            score: Column => Column): DataFrame =
+    limited
       .agg(sort_array(collect_list(
-        struct((-col("cos")).as("nc"), col("vec_id").as("vec_id")))).as("a"))
+        struct(sortKey.as("k"), col("vec_id").as("vec_id")))).as("a"))
       .select(posexplode(col("a")).as(Seq("pos", "s")))
       .select((col("pos") + 1).as("rank"), col("s.vec_id").as("vec_id"),
-        round(-col("s.nc"), 6).as("cosine"))
+        score(col("s.k")).as(scoreName))
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    rankCollected(
+      scored.orderBy(col("cos").desc, col("vec_id").asc).limit(k),
+      -col("cos"), "cosine", kc => round(-kc, 6))
 
   /** Brute-force top-k for one query vector (DataFrame `query(qvec)` with
     * exactly one row). Deterministic order: cosine desc, vec_id asc.
@@ -258,13 +267,10 @@ object Similarity {
       .reduce(_ + _)
     val base = excludeId.map(id => codes.filter(col("vec_id") =!= id))
       .getOrElse(codes)
-    base.select(col("vec_id"), round(approx, 6).as("approx_d2"))
-      .orderBy(col("approx_d2").asc, col("vec_id").asc).limit(k)
-      .agg(sort_array(collect_list(
-        struct(col("approx_d2"), col("vec_id")))).as("a"))
-      .select(posexplode(col("a")).as(Seq("pos", "s")))
-      .select((col("pos") + 1).as("rank"), col("s.vec_id").as("vec_id"),
-        col("s.approx_d2").as("approx_d2"))
+    rankCollected(
+      base.select(col("vec_id"), round(approx, 6).as("approx_d2"))
+        .orderBy(col("approx_d2").asc, col("vec_id").asc).limit(k),
+      col("approx_d2"), "approx_d2", identity)
   }
 
   def pqEncode(emb: DataFrame, codebook: Seq[Array[Double]],

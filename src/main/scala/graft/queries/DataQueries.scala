@@ -365,8 +365,7 @@ object DataQueries {
         col("doc_id"), nTokens.as("n_tokens"),
         round(sumLen * lit(1.0) / nTokens, 4).as("avg_token_len"),
         round(stopRatioRaw, 4).as("stop_ratio"),
-        round(least(nTokens / lit(100.0), lit(1.0)) * lit(0.5) +
-              stopRatioRaw * lit(0.5), 4).as("quality_score"))
+        TextFns.qualityScore(col("text")).as("quality_score"))
       .orderBy("doc_id")
   }
 

@@ -283,13 +283,8 @@ object DataQueries5 {
     val pairs = Dedup.simhashPairs(
       Dedup.simhash(d, "doc_id", "text"), "doc_id", maxHamming = 4)
     val cc = graft.operators.Graph.connectedComponents(pairs, "a_id", "b_id")
-    val ws = TextFns.words(col("text"))
-    val nTokens = size(ws)
-    val allStop = TextFns.stopwords.values.flatten.toSeq.distinct.sorted
-    val q = round(
-      least(nTokens / lit(100.0), lit(1.0)) * lit(0.5) +
-        TextFns.stopwordHits(ws, allStop) * lit(1.0) / nTokens * lit(0.5), 4)
-    val scored = d.select(col("doc_id"), q.as("quality_score"))
+    val scored = d.select(col("doc_id"),
+        TextFns.qualityScore(col("text")).as("quality_score"))
       .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
     val w = Window.partitionBy("cluster_id")
