@@ -37,4 +37,55 @@ class BpeSpec extends SparkSpec {
     assert(m.length === 1)
     assert(m(0).getString(3) === "ab")
   }
+
+  test("matches a driver-side reference BPE on random corpora") {
+    // in-memory reference: same algorithm, plain Scala collections
+    def refTrain(texts: Seq[String], steps: Int): Seq[(String, String, Long)] = {
+      var vocab = texts.flatMap(_.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, ws) =>
+          (w.map(_.toString).toVector, ws.size.toLong) }.toVector
+      val out = Vector.newBuilder[(String, String, Long)]
+      var continue = true
+      var step = 0
+      while (step < steps && continue) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, f) =>
+          syms.sliding(2).foreach {
+            case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+            case _ => ()
+          }
+        }
+        if (counts.isEmpty) continue = false
+        else {
+          val ((a, b), f) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+          out += ((a, b, f))
+          vocab = vocab.map { case (syms, fr) =>
+            val merged = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                merged += a + b; i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            (merged.result(), fr)
+          }
+          step += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcde"
+    (1 to 3).foreach { trial =>
+      val texts = (1 to 12).map(_ => (1 to rnd.nextInt(8) + 1)
+        .map(_ => (1 to rnd.nextInt(5) + 1)
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+        .mkString(" "))
+      val expected = refTrain(texts, steps = 4)
+      val got = Bpe.train(texts.toDF("text"), "text", steps = 4)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      assert(got === expected, s"trial $trial corpus=$texts")
+    }
+  }
 }

@@ -36,4 +36,33 @@ class CleanSpec extends SparkSpec {
     assert(out.filter(col("doc_id") === 1)
       .head.getString(1) === "alpha body one shared footer tail one")
   }
+
+  test("matches a driver-side reference on random segment tables") {
+    val rnd = new scala.util.Random(23)
+    val pool = Vector("nav", "footer", "body one", "body two", "unique x",
+      "ad block", "menu", "content")
+    (1 to 3).foreach { trial =>
+      val rows = (1L to 10L).flatMap { doc =>
+        (0 until rnd.nextInt(6) + 1).map(p =>
+          (doc, p, pool(rnd.nextInt(pool.length))))
+      }
+      val minDf = rnd.nextInt(4) + 2
+      // reference: df per distinct segment (distinct docs), drop >= minDf,
+      // reassemble by pos
+      val df = rows.groupBy(_._3).map { case (s, rs) =>
+        s -> rs.map(_._1).distinct.size }
+      val expected = rows.groupBy(_._1).map { case (doc, rs) =>
+        val sorted = rs.sortBy(_._2)
+        val kept = sorted.filter(r => df(r._3) < minDf)
+        (doc, kept.map(_._3).mkString(" "),
+          kept.size.toLong, (sorted.size - kept.size).toLong)
+      }.toSet
+      val got = Clean.removeBoilerplate(
+        rows.toDF("doc_id", "pos", "seg"), "doc_id", "pos", "seg", minDf)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === expected, s"trial $trial minDf=$minDf")
+    }
+  }
 }
