@@ -43,13 +43,14 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
-                          verbose: Boolean = false): DataFrame = {
+                          verbose: Boolean = false,
+                          contractMinEdges: Long = 500000L): DataFrame = {
     // persist the edge input BEFORE symmetrizing: the union's two branches
     // would otherwise each evaluate the (often expensive) upstream pair
     // pipeline; the count() barrier stops the branches racing the cold cache
     val e0 = edges.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v")).persist()
-    e0.count()
+    var eSize = e0.count() * 2
     // lazy over the persisted input: sym is only consumed through round 1
     // (nmin + the first contraction), and each consumption is a narrow
     // in-memory concat — a second persist would just buy an extra
@@ -75,6 +76,7 @@ object Graph {
     var prevSum = if (converged) null else labelSum(labels)
     var it = 0
     var e = sym
+    var hasContracted = false
     def phase[T](label: String)(f: => T): T =
       if (!verbose) f else {
         val t0 = System.nanoTime()
@@ -105,25 +107,46 @@ object Graph {
         .select(col("l.id").as("id"),
           least(col("l.label"), col("nm.nmin")).as("label"))
         .localCheckpoint())
-      // convergence is decided on PROP: a neighbor-min fixpoint means every
-      // edge joins equal labels ⇒ labels are constant per component, and the
+      // Convergence detection depends on whether the edges have been
+      // contracted. UNCONTRACTED (e is the original graph): a neighbor-min
+      // fixpoint over the FULL edge set means every edge joins equal
+      // labels ⇒ labels are constant per true component, and the
       // component-min vertex always keeps its own id ⇒ prop == labels ==
-      // the final answer. Testing here lets the confirm round skip both
-      // pointer jumps entirely (labels monotonically decrease, so equal
-      // decimal sums ⇔ equal label tables).
-      val sProp = phase("labelSum")(labelSum(prop))
-      converged = sProp.compareTo(prevSum) == 0
-      val next = if (converged) prop else
+      // the final answer — so the test runs on PROP and the confirm round
+      // skips both pointer jumps. CONTRACTED: prop only proves stability
+      // on the SUPER-graph; non-representative vertices may still hold
+      // stale pointers that exactly the jumps resolve (a 41-node path
+      // under forced contraction returns labels like 24→4 with
+      // label(4)=0 if the loop stops at prop — GraphSpec pins this), so
+      // the test must run on the post-jump labels, where an unchanged
+      // sum additionally proves pointer self-consistency. Labels decrease
+      // monotonically, so equal decimal sums ⇔ equal label tables.
+      var next: DataFrame = null
+      if (!hasContracted) {
+        val sProp = phase("labelSum")(labelSum(prop))
+        converged = sProp.compareTo(prevSum) == 0
+        if (converged) { next = prop; prevSum = sProp }
+      }
+      if (!converged) {
         // neighbor-min + two jumps ≈ 4× the propagation distance per round:
         // O(log diameter) rounds
-        phase("jump-ckpt")(jump(jump(prop))
+        next = phase("jump-ckpt")(jump(jump(prop))
           .localCheckpoint()) // eager: materializes AND truncates lineage
-      prevSum = if (converged) sProp else phase("labelSum")(labelSum(next))
-      if (!converged) {
+        val sNext = phase("labelSum")(labelSum(next))
+        if (hasContracted) converged = sNext.compareTo(prevSum) == 0
+        prevSum = sNext
+      }
+      if (!converged && eSize >= contractMinEdges) {
         // contract the edge set through the new labels: intra-cluster
         // edges (the vast majority once dense near-dup cliques collapse)
         // vanish, so later rounds join against a rapidly-shrinking
-        // super-graph instead of the full |E|
+        // super-graph instead of the full |E|. ADAPTIVE: below
+        // `contractMinEdges` the per-round rewrite-join + materialization
+        // costs more than the full-|E| nmin join it saves — fixed job
+        // overhead dominates small graphs — so contraction engages only
+        // when the edge volume is what the rounds actually pay for (the
+        // 100 TB regime; the label evolution and fixpoint are identical
+        // either way, GraphSpec covers both sides of the threshold).
         val lmU = next.select(col("id").as("cu"), col("label").as("lu"))
         val lmV = next.select(col("id").as("cv"), col("label").as("lv"))
         val newE = e.join(lmU, e("u") === col("cu"))
@@ -131,9 +154,10 @@ object Graph {
           .select(col("lu").as("u"), col("lv").as("v"))
           .filter(col("u") =!= col("v")).distinct()
           .persist()
-        phase("contract")(newE.count())
+        eSize = phase("contract")(newE.count())
         if (e ne sym) e.unpersist()
         e = newE
+        hasContracted = true
       }
       labels = next
       it += 1

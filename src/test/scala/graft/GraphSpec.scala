@@ -34,4 +34,16 @@ class GraphSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)]
     assert(cc(empty).isEmpty)
   }
+
+  test("contraction on and off produce identical labels") {
+    val edges = ((0L until 40L).map(i => (i, i + 1)) ++       // path
+      Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 300L))).toDF("a", "b")
+    val always = Graph.connectedComponents(edges, "a", "b",
+        contractMinEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val never = Graph.connectedComponents(edges, "a", "b",
+        contractMinEdges = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(always === never)
+  }
 }

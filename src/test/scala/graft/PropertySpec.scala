@@ -95,6 +95,12 @@ class PropertySpec extends SparkSpec {
       val got = Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === expected, s"edges=$edges")
+      // forced per-round contraction must agree (the at-scale path; its
+      // convergence test runs post-jump, not at the neighbor-min stage)
+      val contracted = Graph.connectedComponents(edges.toDF("a", "b"),
+          "a", "b", contractMinEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(contracted === expected, s"contracted: edges=$edges")
     }
   }
 
