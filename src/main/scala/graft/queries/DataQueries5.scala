@@ -8,12 +8,14 @@ import graft.functions.{TextFns, VectorFns}
 import graft.operators.{Bloom, Bpe, Clean, Dedup, Multimodal, Similarity}
 import graft.queries.CoreQueries.Q
 
-/** Round-6 training-data pipeline operators: Bloom-filter incremental
-  * dedup (the broadcast-sketch scale path for batch-vs-corpus novelty),
-  * C4-style boilerplate removal, product-quantization encoding, and the
-  * deterministic shard shuffle that materializes a training run's input
-  * order. Parity discipline as elsewhere: md5-derived portable hashing,
-  * rounded float comparisons, deterministic ORDER BY everywhere.
+/** Round-6 training-data pipeline operators: incremental novelty probes
+  * (Bloom sketch d18, LSH index d20), C4-style boilerplate removal (t16),
+  * deterministic shard shuffle (d19), cluster survivorship by quality
+  * (d21), MinHash estimate-accuracy eval (d22), product quantization —
+  * encode (s10) and ADC code-only search (s11) — perplexity-band
+  * filtering (t17), BPE tokenizer training (t18), and frame-sampling
+  * fan-out (m02). Parity discipline as elsewhere: md5-derived portable
+  * hashing, rounded float comparisons, deterministic ORDER BY everywhere.
   */
 object DataQueries5 {
 
