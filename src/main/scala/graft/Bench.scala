@@ -51,7 +51,15 @@ object Bench {
     def fmt(d: Double): String = f"$d%.3f"
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val two = Seq(once(fn), once(fn))
-      val samples = if (two.min > 20.0) two :+ once(fn) else two
+      // third sample when the best is slow in absolute terms OR the two
+      // samples disagree strongly: back-to-back samples are CORRELATED
+      // under a minutes-long external load spike on this multi-tenant box
+      // (observed: four identical runs, different queries inflated each
+      // time), and a >2× spread is the cheap tell that both samples may
+      // be dirty.
+      val noisy = two.min > 20.0 ||
+        (two.min > 0.3 && two.max / two.min > 2.0)
+      val samples = if (noisy) two :+ once(fn) else two
       (name, samples.min, samples)
     }
     val samplesJson = results
