@@ -349,6 +349,45 @@ object Dedup {
         greatest(col("cont_a"), col("cont_b")) >= minContainment)
   }
 
+  /** Cross-document DUPLICATE SPANS (the ExactSubstr idea of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022, re-expressed relationally): every word n-gram occurring in ≥
+    * `minDocs` distinct docs is a duplicated gram; runs of consecutive
+    * duplicated gram positions merge into maximal spans per doc — the
+    * unit a span-level dedup pass would cut, where doc-level Jaccard
+    * (d04) sees nothing. Output: `(id, span_start, n_grams, span_tokens)`.
+    *
+    * Scale shape: grams travel as 60-bit md5 hashes (shuffle width
+    * independent of gram text; collisions are deterministic and mirrored
+    * by the oracle), the df aggregation map-side combines, the dup
+    * semi-join returns only duplicated positions, and the island merge is
+    * a per-doc window — partition-parallel, no global sort.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 5, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // materialized once: feeds the df aggregation AND the dup semi-join
+    val grams = docs.select(col(idCol),
+        posexplode(TextFns.wordNgramsNative(col(textCol), n))
+          .as(Seq("pos", "g")))
+      .select(col(idCol), col("pos"), TextFns.hash60(col("g")).as("h"))
+      .localCheckpoint(false)
+    val dup = grams.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs).select("h")
+    val hits = grams.join(dup, Seq("h"), "left_semi")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) === 1, 0).otherwise(1))
+      .withColumn("island", sum("brk").over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg(min("pos").as("span_start"), count(lit(1)).as("n_grams"))
+      .withColumn("span_tokens", col("n_grams") + (n - 1))
+      .select(col(idCol), col("span_start"), col("n_grams"),
+        col("span_tokens"))
+  }
+
   /** SimHash: 60-bit signature over whitespace tokens (with multiplicity),
     * computed by the native one-pass [[graft.plans.Simhash60]] expression —
     * a NARROW projection with zero shuffle at any corpus size. The

@@ -363,6 +363,39 @@ object DataQueries5 {
       |FROM documents, unnest(generate_series(0, 3)) AS t(i)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ------------------------------- duplicate span detection (d23)
+
+  /** Maximal cross-document repeated word-5-gram spans — see
+    * [[graft.operators.Dedup.duplicateSpans]]. Span-level dedup signal:
+    * the near-dup copies in the corpus surface as long from-position-0
+    * spans, quotes and shared boilerplate as short interior ones.
+    */
+  def d23DupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(docs(spark, dir), "doc_id", "text",
+        n = 5, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+
+  val d23Oracle: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+      |  FROM documents),
+      |g AS (SELECT doc_id, i - 1 AS pos,
+      |    ('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15))::BIGINT
+      |      AS h
+      |  FROM w, unnest(generate_series(1, len(ws) - 4)) t(i)
+      |  WHERE len(ws) >= 5),
+      |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+      |isl AS (SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM hits),
+      |isl2 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+      |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl)
+      |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+      |  count(*) AS n_grams, count(*) + 4 AS span_tokens
+      |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
+
   // ---------------------- minhash estimate accuracy eval (d22)
 
   /** Sketch-accuracy evaluation for the MinHash family (the d-side
@@ -517,6 +550,7 @@ object DataQueries5 {
     ("d20_incremental_neardup", d20IncrementalNeardup _, Some(d20Oracle)),
     ("d21_cluster_keeper", d21ClusterKeeper _, Some(d21Oracle)),
     ("d22_minhash_estimate", d22MinhashEstimate _, Some(d22Oracle)),
+    ("d23_dup_spans", d23DupSpans _, Some(d23Oracle)),
     ("m02_frame_sample", m02FrameSample _, Some(m02Oracle)),
     ("s10_pq_encode", s10PqEncode _, Some(s10Oracle)),
     ("s11_pq_adc", s11PqAdc _, Some(s11Oracle)),

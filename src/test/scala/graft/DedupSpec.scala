@@ -48,6 +48,19 @@ class DedupSpec extends SparkSpec {
     assert(cont.isEmpty)
   }
 
+  test("duplicateSpans merges consecutive shared grams into maximal spans") {
+    // docs 1 and 2 share "p q r s t u v" (7 tokens → 3 shared 5-grams at
+    // positions 2..4 in doc 1, 0..2 in doc 2); doc 3 is unrelated
+    val corpus = Seq(
+      (1L, "a1 b1 p q r s t u v c1 d1"),
+      (2L, "p q r s t u v x2 y2"),
+      (3L, "m n o zz ww vv uu tt ss")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(spans === Array((1L, 2, 3L, 7L), (2L, 0, 3L, 7L)))
+  }
+
   test("lshCandidatesBetween == side-filtered self-join candidates") {
     val lake = Lake.table(spark, sf, "documents")
     val sigs = Dedup.minhashSignatures(lake, "doc_id", "text")
