@@ -159,4 +159,11 @@ class PlanSpec extends SparkSpec {
     val p = planOf(DataQueries5.t17PerplexityBand(spark, sf))
     assert(!p.contains("Window"), p)
   }
+
+  test("d23: duplicate spans — equi-joins only, doc-partitioned island window") {
+    val p = planOf(DataQueries5.d23DupSpans(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+  }
 }
