@@ -37,14 +37,23 @@ object Bloom {
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(B.expression(key))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    // an EMPTY corpus aggregates to a null sketch; [[mightContain]] maps
+    // that back to "definitely absent" rather than letting the SQL NULL
+    // swallow both branches of a cand / !cand split
     df.select(B.column(agg).as("bf")).head.getAs[Array[Byte]]("bf")
   }
 
   /** Membership probe: true ⇒ key MAY be in the indexed set (verify
     * exactly); false ⇒ key is DEFINITELY absent. Row-local, codegen'd,
-    * pushes to the scan like any other predicate.
+    * pushes to the scan like any other predicate. A null sketch (empty
+    * indexed corpus — [[build]]) means NO key is present: the probe is a
+    * constant false, so `!cand` correctly classifies everything as novel
+    * and the two-phase == anti-join contract holds on the empty edge too
+    * (`BloomFilterMightContain(null, …)` would instead return SQL NULL
+    * and silently drop every row from BOTH branches).
     */
   def mightContain(filter: Array[Byte], key: Column): Column =
-    B.column(BloomFilterMightContain(Literal(filter, BinaryType),
+    if (filter == null) org.apache.spark.sql.functions.lit(false)
+    else B.column(BloomFilterMightContain(Literal(filter, BinaryType),
       new XxHash64(Seq(B.expression(key)))))
 }

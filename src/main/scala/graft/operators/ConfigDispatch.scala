@@ -74,10 +74,17 @@ object ConfigDispatch {
     * bounded by physical file count like the reference's per-blob loop.
     * Entry id = file base name minus extension, '/'→'_' (reference :518);
     * files whose footer does not parse are skipped like the reference's
-    * not-a-parquet ERROR path (:547–556). Emitted fields
-    * (name/type/size/num_rows/num_cols) follow the reference's field loop
-    * (:589–640); a non-empty `config.fields` restricts to the requested
-    * ids, matching the `fields` parameter.
+    * not-a-parquet ERROR path (:547–556). Emitted fields follow the
+    * reference's field loop (:589–640): name/bucket/path/type/size/
+    * num_rows/created_time/updated_time — `bucket` is the parent URI
+    * (the GCS bucket's generic-filesystem analogue), `path` the full URI,
+    * and both timestamps come from the file status (the reference uses
+    * `blob.time_created` for both, :629–640). `storage_class` /
+    * `content_encoding` are GCS blob metadata with no generic-Hadoop
+    * equivalent and are NOT supported; `num_cols` (schema field count
+    * from the same footer read) is an extension beyond the reference
+    * loop. A non-empty `config.fields` restricts to the requested ids,
+    * matching the `fields` parameter.
     */
   private def entryCreate(spark: SparkSession, config: TagConfig): DataFrame = {
     import graft.sources.FileScan
@@ -87,13 +94,13 @@ object ConfigDispatch {
     val rows = config.includedUris
       .flatMap(g => FileScan.listFiles(spark, g).collect().map(r =>
         (r.getAs[String]("path"), r.getAs[String]("name"),
-          r.getAs[Long]("size"))))
-      .flatMap { case (path, name, size) =>
+          r.getAs[Long]("size"), r.getAs[Long]("modification_time"))))
+      .flatMap { case (path, name, size, mtime) =>
         // the footer read doubles as the is-it-parquet validation
         scala.util.Try {
           val reader = ParquetFileReader.open(
             HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
-          try (name, size, reader.getRecordCount,
+          try (path, name, size, mtime, reader.getRecordCount,
             reader.getFileMetaData.getSchema.getFieldCount)
           finally reader.close()
         }.toOption
@@ -102,14 +109,20 @@ object ConfigDispatch {
     if (rows.isEmpty) return TagEngine.emptyTagRows(spark)
     val wanted = config.fields.map(_.fieldId).toSet
     import spark.implicits._
-    rows.flatMap { case (name, size, nRows, nCols) =>
+    rows.flatMap { case (path, name, size, mtime, nRows, nCols) =>
       val entryId = name.split('.').head.replace("/", "_")
+      val parent = new org.apache.hadoop.fs.Path(path).getParent
+      val ts = java.time.Instant.ofEpochMilli(mtime).toString
       Seq(
         ("name", "string", name),
+        ("bucket", "string", if (parent == null) "" else parent.toString),
+        ("path", "string", path),
         ("type", "enum", "PARQUET"),
         ("size", "double", size.toString),
         ("num_rows", "double", nRows.toString),
-        ("num_cols", "double", nCols.toString))
+        ("num_cols", "double", nCols.toString),
+        ("created_time", "datetime", ts),
+        ("updated_time", "datetime", ts))
         .filter { case (fid, _, _) => wanted.isEmpty || wanted.contains(fid) }
         .map { case (fid, ftype, v) =>
           (s"fileset/$entryId", "", config.templateId, fid, ftype, v)

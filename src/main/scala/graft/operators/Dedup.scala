@@ -134,15 +134,40 @@ object Dedup {
         struct(lit(b).as("band_idx"), col(s"band_$b").as("band_hash"))): _*)).as("b"))
       .select(col("id"), col("b.band_idx"), col("b.band_hash"))
 
-  /** LSH candidate pairs: docs sharing any band hash (a < b). The join is
-    * keyed on (band_idx, band_hash) — at scale this is the only shuffle, and
-    * AQE handles hot buckets.
+  /** Salted SELF-pair join sides (the [[Skew.saltedJoin]] technique
+    * specialized to pair generation): the left side takes ONE
+    * deterministic salt per row, the right side replicates ×salts, and the
+    * caller adds `l.__salt === r.__salt` to its join condition — every
+    * (l, r) pair meets exactly once, at the LEFT row's salt, so the pair
+    * set is IDENTICAL to the plain self-join (SkewSpec) while the hottest
+    * key's rows spread over `salts` reducers. The trade: the right side
+    * shuffles ×salts — the explicit mitigation for corpora where one
+    * band/chunk value dominates (boilerplate-heavy lakes) beyond what
+    * AQE's skew split can rebalance.
     */
-  def lshCandidates(sigs: DataFrame, idCol: String, numBands: Int = 2): DataFrame = {
+  private def saltedSides(rows: DataFrame, salts: Int,
+                          unique: Column): (DataFrame, DataFrame, Column) =
+    if (salts <= 1) (rows, rows, lit(true))
+    else (
+      rows.withColumn("__salt", pmod(xxhash64(unique), lit(salts.toLong))),
+      rows.withColumn("__salt",
+        explode(sequence(lit(0L), lit(salts.toLong - 1)))),
+      col("l.__salt") === col("r.__salt"))
+
+  /** LSH candidate pairs: docs sharing any band hash (a < b). The join is
+    * keyed on (band_idx, band_hash) — at scale this is the only shuffle;
+    * AQE's skew split handles moderately hot buckets, and `salts > 1`
+    * engages the lossless salted form ([[saltedSides]]) for the
+    * pathological boilerplate-heavy case.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String, numBands: Int = 2,
+                    salts: Int = 0): DataFrame = {
     val bands = bandRows(sigs, idCol, numBands)
-    bands.as("l").join(bands.as("r"),
+    val (lS, rS, saltCond) = saltedSides(bands, salts, col("id"))
+    lS.as("l").join(rS.as("r"),
         col("l.band_idx") === col("r.band_idx") &&
         col("l.band_hash") === col("r.band_hash") &&
+        saltCond &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("a_id"), col("r.id").as("b_id"))
       .distinct()
@@ -248,11 +273,17 @@ object Dedup {
 
   /** Exact numerator/denominator of a decimal threshold (0.8 → 4/5-style
     * 8/10) so ratio pruning never suffers float rounding at the margin.
+    * Thresholds with a long decimal expansion (e.g. 1.0/3) are FLOORED at
+    * 9 decimal places: num/den ≤ t keeps the prune lossless (the keep-set
+    * `min/max ≥ num/den` is a superset of `min/max ≥ t`), where the old
+    * `toLongExact` over an uncapped scale simply threw.
     */
   private def thresholdRatio(t: Double): (Long, Long) = {
     val bd = BigDecimal(t)
-    val den = BigDecimal(10).pow(math.max(bd.scale, 0)).toLongExact
-    ((bd * BigDecimal(den)).toLongExact, den)
+    val capped =
+      if (bd.scale <= 9) bd else bd.setScale(9, BigDecimal.RoundingMode.FLOOR)
+    val den = BigDecimal(10).pow(math.max(capped.scale, 0)).toLongExact
+    ((capped * BigDecimal(den)).toLongExact, den)
   }
 
   /** Jaccard verify via the per-doc shingle-set arrays of [[shingleSets]]:
@@ -434,7 +465,7 @@ object Dedup {
     * form; the plan swaps an O(n²) nested-loop for a shuffled equi-join.
     */
   def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int,
-                   bits: Int = 60): DataFrame = {
+                   bits: Int = 60, salts: Int = 0): DataFrame = {
     val nChunks = maxHamming + 1
     val base = bits / nChunks
     val rem = bits % nChunks
@@ -455,9 +486,14 @@ object Dedup {
             .bitwiseAND(lit((1L << widths(c)) - 1)).as("chunk_val"))
       }: _*)).as("ch"))
       .select(col("id"), col("simhash"), col("ch.chunk_idx"), col("ch.chunk_val"))
-    chunks.as("l").join(chunks.as("r"),
+    // `salts > 1` = the lossless salted self-join ([[saltedSides]]) for
+    // boilerplate-heavy corpora whose hottest (chunk_idx, chunk_val)
+    // outgrows AQE's skew split; default relies on AQE
+    val (lS, rS, saltCond) = saltedSides(chunks, salts, col("id"))
+    lS.as("l").join(rS.as("r"),
         col("l.chunk_idx") === col("r.chunk_idx") &&
         col("l.chunk_val") === col("r.chunk_val") &&
+        saltCond &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))

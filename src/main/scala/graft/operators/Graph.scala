@@ -164,8 +164,7 @@ object Graph {
       if (verbose) System.err.println(s"[cc] round $it sum=$prevSum")
     }
     if (e ne sym) e.unpersist()
-    sym.unpersist()
-    e0.unpersist()
+    e0.unpersist() // sym itself was never persisted — only e0 is
     require(converged, s"connectedComponents: no fixpoint after $maxIter iterations")
     labels
   }

@@ -23,13 +23,20 @@ object InterOps {
     if (a.numElements() > b.numElements()) { val t = a; a = b; b = t }
     val n = a.numElements()
     if (n == 0) return 0
-    var cap = 4
-    while (cap < n * 2) cap <<= 1
+    // power-of-two table ≥ 2n, computed in LONG space (n is bounded by the
+    // Int array length, but n*2 in Int would overflow for n > 2^30)
+    var capL = 4L
+    while (capL < n.toLong * 2) capL <<= 1
+    val cap = capL.toInt
     val mask = cap - 1
+    // take the TOP log2(cap) bits of the multiplicative hash — a fixed
+    // ">>> 40" keeps only 24 bits, so any table beyond 2^24 slots would
+    // cluster every initial probe into its low quarter
+    val shift = 64 - java.lang.Long.numberOfTrailingZeros(capL).toInt
     val table = new Array[Long](cap)
     java.util.Arrays.fill(table, Empty)
     @inline def slot(v: Long): Int =
-      ((v * 0x9e3779b97f4a7c15L) >>> 40).toInt & mask
+      ((v * 0x9e3779b97f4a7c15L) >>> shift).toInt & mask
     var hasSentinel = false // Long.MinValue as a real element (not in our
     var i = 0               // md5-derived domain, handled for correctness)
     while (i < n) {

@@ -8,12 +8,19 @@ import org.apache.spark.sql.functions._
   * unique) for scale-stress runs of the dedup/similarity pipelines.
   * Correctness still runs only on the driver-generated lake; this exists
   * to measure how the pair-generating operators grow with corpus size.
+  *
+  * 4th arg `mode`: "perturb" (default — 9 of 10 copies get a suffix, so
+  * the growth is in NEAR-dup density) or "exact" (all copies
+  * byte-identical — the crawl-shaped lake where exact-dup density grows
+  * 10×, used to measure how d24's exact-first collapse bounds the
+  * near-dup stages vs running them raw).
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/sf1_synth")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val exact = args.lift(3).contains("exact")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -23,7 +30,7 @@ object ScaleUp {
     (0 until copies).map(i => docs
         .withColumn("doc_id", col("doc_id") + lit(i * nDocs))
         .withColumn("text", // perturb 9 of 10 copies so exact dups don't explode 10×
-          when(lit(i) === 0, col("text"))
+          when(lit(exact) || lit(i) === 0, col("text"))
             .otherwise(concat(col("text"), lit(" v" + i)))))
       .reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")

@@ -33,6 +33,22 @@ class BloomSpec extends SparkSpec {
     assert(exact.exceptAll(novel).count() === 0)
   }
 
+  test("empty corpus: null sketch probes false, everything is novel") {
+    val corpus = Seq.empty[String].toDF("k")
+    val bf = Bloom.build(corpus, col("k"), 1000L, 8000L)
+    assert(bf === null) // the aggregate yields a null sketch on zero rows
+    val batch = (0L until 100L).map(i => s"v$i").toDF("k")
+    val flagged = batch.withColumn("cand", Bloom.mightContain(bf, col("k")))
+    // two-phase == anti-join must hold on the empty edge too: no
+    // candidates, every row novel (a raw might_contain(null,…) probe
+    // would return SQL NULL and drop every row from both branches)
+    assert(flagged.filter(col("cand")).count() === 0)
+    val novel = flagged.filter(!col("cand")).select("k")
+      .union(flagged.filter(col("cand"))
+        .join(corpus, Seq("k"), "left_anti").select("k"))
+    assert(novel.count() === batch.count())
+  }
+
   test("the probe is a scan-side predicate, not a join") {
     // parquet-backed input: a local relation would be constant-folded
     // through the probe by ConvertToLocalRelation and prove nothing

@@ -155,12 +155,20 @@ class ConfigDispatchSpec extends SparkSpec {
       base)
     val rows = out.collect().map(r => (r.getString(0), r.getString(3), r.getString(5)))
     // the invalid file is skipped (reference's not-a-parquet ERROR path);
-    // all five default fields emitted for the valid one
+    // the full reference field loop (plus the num_cols extension) emitted
+    // for the valid one
     assert(rows.map(_._1).distinct.toSeq === Seq("fileset/region"))
     assert(rows.map(_._2).sorted.toSeq ===
-      Seq("name", "num_cols", "num_rows", "size", "type"))
+      Seq("bucket", "created_time", "name", "num_cols", "num_rows", "path",
+        "size", "type", "updated_time"))
     assert(rows.collectFirst { case (_, "num_cols", v) => v }.get === "2")
     assert(rows.collectFirst { case (_, "name", v) => v }.get === "region.parquet")
+    assert(rows.collectFirst { case (_, "path", v) => v }.get.endsWith("/region.parquet"))
+    assert(rows.collectFirst { case (_, "bucket", v) => v }.get.nonEmpty)
+    // both timestamps come from the same file status, like the reference's
+    // blob.time_created
+    assert(rows.collectFirst { case (_, "created_time", v) => v } ===
+      rows.collectFirst { case (_, "updated_time", v) => v })
   }
 
   test("ENTRY_CREATE over an empty glob is a no-op frame, not a crash") {

@@ -49,4 +49,19 @@ class SetIntersectSpec extends SparkSpec {
     assert(pruned.exceptAll(unpruned).count() === 0)
     assert(unpruned.exceptAll(pruned).count() === 0)
   }
+
+  test("thresholds with a long decimal expansion prune losslessly too") {
+    // 1.0/3 has scale ≫ 18 as a BigDecimal — the uncapped toLongExact
+    // conversion threw ArithmeticException; the floored 9-dp ratio must
+    // instead prune losslessly (keep-set ⊇ the exact-threshold keep-set)
+    val docs = Lake.table(spark, sf, "documents")
+    val t = 1.0 / 3
+    val pruned = Dedup.jaccardPairs(docs, "doc_id", "text",
+      k = 5, maxDf = 50, minJaccard = t)
+    val unpruned = Dedup.jaccardPairs(docs, "doc_id", "text",
+      k = 5, maxDf = 50, minJaccard = 0.0)
+      .filter(col("jaccard") >= t)
+    assert(pruned.exceptAll(unpruned).count() === 0)
+    assert(unpruned.exceptAll(pruned).count() === 0)
+  }
 }
