@@ -279,4 +279,66 @@ object GroupedEval {
                                      shardExpr: Column): DataFrame =
     TagEngine.meltToTagRows(
       evalSharded(spark, config, catalog, source, shardExpr), config)
+
+  /** Bind `\$column` in a field expression to one CONCRETE column name:
+    * outside string literals it becomes the quoted identifier, inside
+    * literals the bare name text (the reference substitutes the name into
+    * literal text the same way it does `\$table`,
+    * DataCatalogController.py:462–476). Runs BEFORE the correlated
+    * rewrite, so the remaining `\$project/\$dataset/\$table` tokens still
+    * bind to the asset row.
+    */
+  private[operators] def bindColumn(expr: String, column: String): String =
+    segments(expr).map {
+      case (t, true)  => t.replace("$column", column)
+      case (t, false) => t.replace("$column", s"`$column`")
+    }.mkString
+
+  /** Separator for the synthetic (column × field) grid ids — must not
+    * collide with user field ids.
+    */
+  private val GridSep = "__gc__"
+
+  /** Dynamic-COLUMN config over a sharded family, set-based (SURVEY.md §2
+    * G + H3 for DYNAMIC_TAG_COLUMN): the reference fans column configs
+    * across assets one job per asset like any other config type
+    * (main.py:3597–3628), and [[TagEngine.applyDynamicColumnConfig]]
+    * evaluates ONE asset per call. Here the whole (asset × column × field)
+    * grid compiles to ONE statement: each (column, field) cell is the
+    * field expression with `\$column` bound to the concrete identifier
+    * ([[bindColumn]]) and `from \$table` correlated to the asset's shard
+    * slice — so flat cells sharing a WHERE fuse into one struct-returning
+    * subquery per distinct filter ([[Flat]] machinery), scan count is
+    * O(#distinct filters), plan width O(#columns × #fields) (bounded by
+    * the table's schema width — catalog metadata), and the Spark JOB count
+    * is O(1) at ANY asset count (TagEngineSpec pins the invariance).
+    *
+    * `columns` is the resolved included-column list — the 1-row
+    * `included_columns_query` result, driver metadata by the same
+    * contract as the reference (:374–377).
+    */
+  def applyDynamicColumnConfigSharded(spark: SparkSession, config: TagConfig,
+                                      catalog: DataFrame, source: DataFrame,
+                                      shardExpr: Column,
+                                      columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty,
+      "applyDynamicColumnConfigSharded: empty column list")
+    val gridFields = for {
+      (c, i) <- columns.zipWithIndex
+      f <- config.fields
+    } yield f.copy(fieldId = s"__c$i$GridSep${f.fieldId}",
+      queryExpression = f.queryExpression.map(bindColumn(_, c)))
+    val gridConfig = config.copy(fields = gridFields)
+    val evaluated = evalSharded(spark, gridConfig, catalog, source, shardExpr)
+    val cells = for {
+      (c, i) <- columns.zipWithIndex
+      f <- config.fields
+    } yield struct(lit(c).as("column"), lit(f.fieldId).as("field_id"),
+      lit(f.fieldType).as("field_type"),
+      col(s"__c$i$GridSep${f.fieldId}").cast("string").as("field_value"))
+    evaluated.select(col("asset_uri"), explode(array(cells: _*)).as("f"))
+      .select(col("asset_uri"), col("f.column"),
+        lit(config.templateId).as("template_id"),
+        col("f.field_id"), col("f.field_type"), col("f.field_value"))
+  }
 }

@@ -184,16 +184,71 @@ object Similarity {
   /** EXACT embedding near-duplicate pairs: all pairs with cosine ≥
     * threshold. The `a<b` theta self-join is an O(n²)
     * BroadcastNestedLoopJoin — correct as the small-corpus oracle
-    * baseline, NOT the scale path. At corpus scale use
-    * [[bucketedNearDupPairs]] (candidates from an equi-join, no
-    * nested-loop anywhere in the plan).
+    * baseline / ground truth for recall evaluation, NOT the scale path.
+    * GUARDED: callers must opt in with `allowQuadratic = true`, so no
+    * pipeline reaches the nested-loop plan by accident — at corpus scale
+    * use [[bucketedNearDupPairs]] (candidates from an equi-join, no
+    * nested-loop anywhere in the plan; e03 measures its recall against
+    * this exact form).
     */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame =
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double,
+                         allowQuadratic: Boolean = false): DataFrame = {
+    require(allowQuadratic,
+      "cosineNearDupPairs is the O(n²) exact baseline (BroadcastNestedLoop" +
+        "Join): pass allowQuadratic=true to opt in on a small corpus, or " +
+        "use bucketedNearDupPairs for the scale path")
     emb.as("l").join(emb.as("r"), col("l.vec_id") < col("r.vec_id"))
       .withColumn("cos", VectorFns.cosine(col("l.vec"), col("r.vec")))
       .filter(col("cos") >= threshold)
       .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"),
         round(col("cos"), 6).as("cosine"))
+  }
+
+  /** MULTI-PROBE assignment: each vector lands in its `nprobe` nearest
+    * centroid buckets (cosine desc, ties → smaller centroid_id; rank 1
+    * equals [[ivfAssign]]'s argmax). One broadcast of the tiny centroid
+    * set + a per-vector window rank — the window partitions by `vec_id`,
+    * so it is partition-parallel with no global sort, and the output is
+    * `nprobe` rows per vector. This is the recall lever of the bucketed
+    * near-dup path: a pair straddling a centroid boundary meets in the
+    * straddled neighbor's bucket (FAISS's IVF multi-probe trade — probe
+    * cost ×nprobe for recall), and e03 measures exactly that lift.
+    */
+  def ivfAssignMulti(emb: DataFrame, centroids: DataFrame,
+                     nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"ivfAssignMulti: nprobe $nprobe must be >= 1")
+    val centsDf = centroids.select(col("centroid_id").cast("long"), col("cvec"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    emb.crossJoin(broadcast(centsDf))
+      .withColumn("cos", VectorFns.cosine(col("vec"), col("cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
+  /** Multi-probe variant of [[bucketedNearDupPairs]]: candidates are pairs
+    * sharing ANY of their `nprobe` assigned buckets (distinct'd — a pair
+    * can co-occur in up to `nprobe` buckets), then the exact cosine
+    * verify. Still equi-join candidates only — Σ(nprobe·bucket)² work, no
+    * BroadcastNestedLoopJoin — with strictly higher recall than the
+    * single-probe form at ×nprobe candidate cost.
+    */
+  def bucketedNearDupPairsMulti(emb: DataFrame, centroids: DataFrame,
+                                threshold: Double, nprobe: Int): DataFrame = {
+    val assigned = ivfAssignMulti(emb, centroids, nprobe)
+    val cands = assigned.as("l").join(assigned.as("r"),
+        col("l.centroid_id") === col("r.centroid_id") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"))
+      .distinct()
+    cands
+      .join(emb.select(col("vec_id").as("a_id"), col("vec").as("va")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("vec").as("vb")), "b_id")
+      .withColumn("cos", VectorFns.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+  }
 
   /** IVF-BUCKETED near-duplicate pairs — the 100 TB form of
     * [[cosineNearDupPairs]]. Semantics are bucketed-exact (the FAISS-IVF

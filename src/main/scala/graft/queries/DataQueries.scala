@@ -164,19 +164,24 @@ object DataQueries {
   def d05Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(spark, dir), "doc_id", "text").orderBy("doc_id")
 
-  private[queries] val simhashCtes: String = {
+  /** The simhash CTE chain over an arbitrary `(doc_id, text)` source
+    * relation — d24 re-runs it over the exact-dedup representatives.
+    */
+  private[queries] def simhashCtesOver(src: String): String = {
     val bitSums = (0 until 60)
       .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s_$j").mkString(", ")
     val assemble = (0 until 60)
       .map(j => s"CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
     s"""toks AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $src)
        |  WHERE length(w) > 0),
        |bitsums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id),
        |sims AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bitsums)"""
       .stripMargin
   }
+
+  private[queries] val simhashCtes: String = simhashCtesOver("documents")
 
   val d05Oracle: String =
     s"""WITH $simhashCtes
@@ -206,8 +211,13 @@ object DataQueries {
   private val embCte: String =
     "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)"
 
+  /** Exact all-pairs baseline, kept under the oracle gate as ground truth
+    * for e03's recall eval — the O(n²) plan is behind an EXPLICIT opt-in
+    * (`allowQuadratic`), so no consumer reaches the BNLJ by accident.
+    */
   def e01EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(emb(spark, dir), threshold = 0.4)
+    Similarity.cosineNearDupPairs(emb(spark, dir), threshold = 0.4,
+        allowQuadratic = true)
       .orderBy("a_id", "b_id")
 
   val e01Oracle: String =

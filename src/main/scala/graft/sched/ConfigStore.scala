@@ -65,13 +65,64 @@ object ConfigStore {
   def purge(store: DataFrame, configType: String): DataFrame =
     store.filter(col("config_type") =!= configType)
 
-  /** Persist / recover the store as a lake table. On a real lake this is a
-    * Delta/Iceberg MERGE; plain parquet overwrite keeps the same contract
-    * locally.
+  /** Persist / recover the store as a full SNAPSHOT (the compaction form —
+    * see [[appendDelta]] for the incremental path; this overwrite is what
+    * [[compact]] periodically folds the delta log back into).
     */
   def write(store: DataFrame, path: String): Unit =
     store.write.mode("overwrite").parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  // ------------------------------------------------ append-log persistence
+
+  /** APPEND-LOG persistence — the scale path for config/tag state: each
+    * write APPENDS only the DELTA batch (stamped with a caller-supplied
+    * monotonic `batchId`); the current state is the latest-wins compaction
+    * view of [[readLatest]]. Persisted bytes scale with the change set,
+    * not the table — a whole-table overwrite rewrites the full state per
+    * job, which at 100 TB of tag state is the write amplification that
+    * kills the job cadence. On a real lake the identical contract is a
+    * Delta/Iceberg `MERGE INTO` (the log here is exactly a manual delta
+    * log); [[compact]] is the checkpoint analogue. Deletes are full-schema
+    * TOMBSTONE rows (`config_status = 'DELETED'`, [[tombstone]]), so the
+    * log keeps ONE schema and the reference's hard-delete
+    * (TagEngineStoreHandler.py delete path) becomes latest-wins filtering.
+    */
+  def appendDelta(delta: DataFrame, path: String, batchId: Long): Unit =
+    delta.withColumn("__batch", lit(batchId))
+      .write.mode("append").parquet(path)
+
+  /** Tombstone rows for a config — appended, never rewritten. */
+  def tombstone(current: DataFrame, configUuid: String): DataFrame =
+    current.filter(col("config_uuid") === configUuid)
+      .withColumn("config_status", lit("DELETED"))
+
+  /** Latest-wins compaction view: newest batch (ties: highest version) per
+    * config_uuid; tombstones dropped. One window over the log — and the
+    * log is the store's CHANGE VOLUME, periodically folded into a snapshot
+    * by [[compact]], so the window never scans unbounded history.
+    */
+  def readLatest(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("config_uuid")
+      .orderBy(col("__batch").desc, col("version").desc)
+    spark.read.parquet(path)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("config_status") =!= "DELETED")
+      .drop("__rn", "__batch")
+  }
+
+  /** Fold the delta log into a fresh snapshot + empty log (checkpoint):
+    * after compaction the log restarts from the snapshot as batch 0.
+    */
+  def compact(spark: SparkSession, logPath: String,
+              snapshotPath: String): Unit = {
+    write(readLatest(spark, logPath), snapshotPath)
+    val fs = new org.apache.hadoop.fs.Path(logPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(logPath), true)
+    appendDelta(read(spark, snapshotPath), logPath, batchId = 0L)
+  }
 }

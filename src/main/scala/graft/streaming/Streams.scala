@@ -131,6 +131,27 @@ object Streams {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Event-driven INCREMENTAL re-tag (the Spark form of the reference's
+    * orchestration extension,
+    * extensions/orchestration/dynamic_tag_update.py — an Airflow DAG that
+    * re-triggers dynamic tag updates when upstream data changes): a batch
+    * of change events naming the TOUCHED asset tables restricts the
+    * config's catalog with a left-semi join, and ONLY the affected assets
+    * re-evaluate through the set-based GroupedEval path — work scales with
+    * the change set, not the catalog. Batch==stream by construction: st08
+    * gates this batch form against the DuckDB oracle, and StreamingSpec
+    * drives the SAME function from a `Trigger.AvailableNow` foreachBatch
+    * over a change-event stream and proves output equality.
+    */
+  def retagTouched(spark: SparkSession, config: graft.model.TagConfig,
+                   catalog: DataFrame, source: DataFrame,
+                   shardExpr: org.apache.spark.sql.Column,
+                   touched: DataFrame): DataFrame =
+    graft.operators.GroupedEval.applyDynamicTableConfigSharded(spark, config,
+      catalog.join(touched.select("table").distinct(), Seq("table"),
+        "left_semi"),
+      source, shardExpr)
+
   /** Batch sessionization: a new session starts after a ≥ `gapMinutes`
     * silence per user (lag + running sum — the batch-equivalent of the
     * `flatMapGroupsWithState` session operator). Deterministic: events

@@ -36,6 +36,45 @@ class ConfigStoreSpec extends SparkSpec {
       .select("config_uuid").as[String].collect().toSeq === Seq("c1"))
   }
 
+  test("append-log: deltas append (existing files untouched), latest wins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg_log").toString
+    def files: Map[String, (Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => s.getPath.getName -> ((s.getLen, s.getModificationTime)))
+        .toMap
+    }
+    ConfigStore.appendDelta(store, dir, batchId = 0L)
+    val batch0Files = files
+    assert(batch0Files.nonEmpty)
+    // batch 1: update c1, create c3, tombstone c2 — ONLY the delta rows
+    val delta = mk(Seq(("c1", "DYNAMIC_TAG_TABLE", "gov", "u1b", "ACTIVE", 2L)))
+      .unionByName(mk(Seq(("c3", "DYNAMIC_TAG_COLUMN", "prof", "u3", "ACTIVE", 1L))))
+      .unionByName(ConfigStore.tombstone(store, "c2"))
+    ConfigStore.appendDelta(delta, dir, batchId = 1L)
+    // append-only contract: every batch-0 file is byte-identical in place
+    val after = files
+    batch0Files.foreach { case (name, sig) => assert(after(name) === sig) }
+    assert(after.size > batch0Files.size)
+    // latest-wins view: c1 at version 2 with the new uris, c3 present,
+    // c2 tombstoned away
+    val latest = ConfigStore.readLatest(spark, dir)
+      .select("config_uuid", "included_uris", "version")
+      .as[(String, String, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(latest === Map("c1" -> (("u1b", 2L)), "c3" -> (("u3", 1L))))
+    // compact folds the log into a snapshot + batch-0 log, same view
+    val snap = java.nio.file.Files.createTempDirectory("graft_cfg_snap").toString
+    ConfigStore.compact(spark, dir, snap)
+    val compacted = ConfigStore.readLatest(spark, dir)
+      .select("config_uuid", "included_uris", "version")
+      .as[(String, String, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(compacted === latest)
+  }
+
   test("write/read round-trips the store as a lake table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cfg").toString
     ConfigStore.write(ConfigStore.withIdentity(store), dir)

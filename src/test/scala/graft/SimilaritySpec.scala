@@ -87,4 +87,28 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "PQ encode must not shuffle")
     assert(!plan.toLowerCase.contains("join"), "PQ encode must not join")
   }
+
+  test("the quadratic exact baseline is opt-in only") {
+    // the BNLJ plan must be unreachable by accident: default call throws
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(emb, threshold = 0.4)
+    }
+    assert(e.getMessage.contains("allowQuadratic"))
+    // the opt-in keeps the oracle-baseline contract intact
+    assert(Similarity.cosineNearDupPairs(emb, 0.4, allowQuadratic = true)
+      .columns.toSeq === Seq("a_id", "b_id", "cosine"))
+  }
+
+  test("multi-probe near-dup: nprobe=1 == single-probe; nprobe=2 ⊇ nprobe=1") {
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val single = Similarity.bucketedNearDupPairs(emb, centroids, 0.4)
+    val multi1 = Similarity.bucketedNearDupPairsMulti(emb, centroids, 0.4, 1)
+    assert(multi1.exceptAll(single).count() === 0)
+    assert(single.exceptAll(multi1).count() === 0)
+    // more probes only ADD recall: the pair set grows monotonically
+    val multi2 = Similarity.bucketedNearDupPairsMulti(emb, centroids, 0.4, 2)
+    assert(multi1.exceptAll(multi2).count() === 0)
+    assert(multi2.count() >= multi1.count())
+  }
 }

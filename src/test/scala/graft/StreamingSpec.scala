@@ -155,6 +155,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("event-driven re-tag (st08 transform): streaming change events == batch") {
+    import org.apache.spark.sql.functions._
+    import graft.model.{FieldSpec, TagConfig}
+    val events = Lake.table(spark, sf, "events")
+    val n = 100
+    val shardExpr = concat(lit("events_"),
+      lpad((col("event_id") % n).cast("string"), 4, "0"))
+    val catalog = spark.range(0, n)
+      .select(lit("p").as("project"), lit("lake").as("dataset"),
+        concat(lit("events_"), lpad(col("id").cast("string"), 4, "0"))
+          .as("table"))
+    val config = TagConfig(
+      configType = "DYNAMIC_TAG_TABLE", templateId = "gov",
+      fields = Seq(
+        FieldSpec("n_rows", "double", Some("select count(*) from $table")),
+        FieldSpec("n_clicks", "double",
+          Some("select count(*) from $table where event_type = 'click'"))),
+      includedUris = Seq("bigquery/project/p/dataset/lake/events_*"))
+    val touched = events
+      .filter(col("event_type") === "purchase" && col("value") >= 100)
+      .select(shardExpr.as("table"))
+    // change events arrive over TWO micro-batches
+    val stage = Files.createTempDirectory("graft_retag").toString
+    touched.filter(xxhash64(col("table")) % 2 === 0)
+      .write.mode("append").parquet(stage)
+    touched.filter(xxhash64(col("table")) % 2 =!= 0)
+      .write.mode("append").parquet(stage)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stream = spark.readStream.schema(touched.schema).parquet(stage)
+    val q = stream.writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Streams.retagTouched(spark, config, catalog, events, shardExpr, batch)
+          .collect().foreach(r => out += r.mkString("|"))
+      }
+      .start()
+    q.awaitTermination(120000)
+    // a shard touched in both micro-batches re-tags twice — idempotent
+    // under the MERGE sink, so compare the DISTINCT row sets
+    val batchRows = Streams
+      .retagTouched(spark, config, catalog, events, shardExpr, touched)
+      .collect().map(_.mkString("|")).toSet
+    assert(batchRows.nonEmpty)
+    assert(out.toSet === batchRows)
+  }
+
   test("sessionize: gaps under threshold merge, over threshold split") {
     import spark.implicits._
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)

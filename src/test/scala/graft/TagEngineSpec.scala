@@ -181,6 +181,64 @@ class TagEngineSpec extends SparkSpec {
       s"plan/job count must be independent of asset count ($j100 vs $j1000)")
   }
 
+  // ---------------------------- sharded dynamic-COLUMN grid (q39 machinery)
+
+  private val colGridConfig = TagConfig(
+    configType = "DYNAMIC_TAG_COLUMN", templateId = "profile",
+    fields = Seq(
+      FieldSpec("ndv", "double",
+        Some("select count(distinct $column) from $table")),
+      FieldSpec("max_v", "string",
+        Some("select cast(cast(max($column) as decimal(18,2)) as string) " +
+          "from $table"))),
+    includedUris = Seq("bigquery/project/p/dataset/lake/ev_*"))
+
+  test("sharded dynamic-COLUMN grid == per-asset applyDynamicColumnConfig") {
+    val ev = Lake.table(spark, sf, "events")
+    val n = 5
+    (0 until n).foreach(i => ev.filter(col("event_id") % n === i)
+      .createOrReplaceTempView(s"ev_$i"))
+    val cols = Seq("user_id", "value")
+    val grid = GroupedEval.applyDynamicColumnConfigSharded(spark,
+      colGridConfig, shardCatalog(n), ev,
+      concat(lit("ev_"), (col("event_id") % n).cast("string")), cols)
+    val perAsset = (0 until n).map { i =>
+      TagEngine.applyDynamicColumnConfig(spark,
+        colGridConfig.copy(
+          includedColumnsQuery = Some("select 'user_id', 'value'")),
+        graft.model.AssetUri("bigquery", "p", Some("lake"), Some(s"ev_$i"),
+          None))
+    }.reduce(_ unionByName _)
+    assert(grid.count() === n.toLong * cols.length * colGridConfig.fields.length)
+    assert(grid.exceptAll(perAsset).count() === 0)
+    assert(perAsset.exceptAll(grid).count() === 0)
+  }
+
+  test("dynamic-COLUMN grid job count does NOT grow with asset count") {
+    def jobsFor(n: Int): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        GroupedEval.applyDynamicColumnConfigSharded(spark, colGridConfig,
+            shardCatalog(n), Lake.table(spark, sf, "events"),
+            concat(lit("ev_"), (col("event_id") % n).cast("string")),
+            Seq("user_id", "value"))
+          .write.mode("overwrite").format("noop").save()
+        Thread.sleep(500)
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val j100 = jobsFor(100)
+    val j1000 = jobsFor(1000)
+    assert(j1000 === j100,
+      s"grid plan/job count must be independent of asset count ($j100 vs $j1000)")
+  }
+
   test("concurrent sharded evals on one session do not clobber each other") {
     // per-call view names: config A must see ONLY source A even when B
     // registers its views between A's registration and A's analysis
