@@ -1,0 +1,336 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Lake
+import graft.model.{FieldSpec, TagConfig}
+import graft.operators.{GroupedEval, TagEngine, UsageTracking}
+import graft.sched.Scheduler
+import graft.streaming.Streams
+import graft.queries.CoreQueries.Q
+
+/** Tag-engine-parity queries, part 5 (round 7): set-based dynamic-COLUMN
+  * configs (q39), the composed scheduler-tick → job → rollup flow (q40),
+  * usage-tracking extension parity (q41), and event-driven incremental
+  * re-tag (st08).
+  */
+object CoreQueries5 {
+
+  private def eventsShardCatalog(spark: SparkSession, n: Int): DataFrame =
+    spark.range(0, n)
+      .select(lit("p").as("project"), lit("lake").as("dataset"),
+        concat(lit("events_"), lpad(col("id").cast("string"), 4, "0"))
+          .as("table"))
+
+  private def eventsShardExpr(n: Int) =
+    concat(lit("events_"),
+      lpad((col("event_id") % n).cast("string"), 4, "0"))
+
+  // --------------- set-based dynamic-COLUMN config (q39)
+
+  /** DYNAMIC_TAG_COLUMN at load-test scale: 200 sharded assets × 2 columns
+    * × 2 fields through [[GroupedEval.applyDynamicColumnConfigSharded]] —
+    * the whole grid is ONE statement whose flat cells fuse into one
+    * struct subquery (one source scan), with `\$column` bound per cell and
+    * `from \$table` correlated per asset; Spark job count is O(1)
+    * regardless of asset count (TagEngineSpec pins the invariance), where
+    * the reference runs one job per asset (main.py:3597–3628) and
+    * [[TagEngine.applyDynamicColumnConfig]] evaluates one asset per call.
+    */
+  def q39BulkDynamicColumn(spark: SparkSession, dir: String): DataFrame = {
+    val config = TagConfig(
+      configType = "DYNAMIC_TAG_COLUMN", templateId = "profile",
+      fields = Seq(
+        FieldSpec("ndv", "double",
+          Some("select count(distinct $column) from $table")),
+        FieldSpec("max_v", "string",
+          Some("select cast(cast(max($column) as decimal(18,2)) as string) " +
+            "from $table"))),
+      includedUris = Seq("bigquery/project/p/dataset/lake/events_*"),
+      includedColumnsQuery = Some("select 'user_id', 'value'"))
+    // the included-columns query is driver metadata (a 1-row statement),
+    // exactly the reference's :374–377 contract
+    val columns = spark.sql(config.includedColumnsQuery.get)
+      .first().toSeq.map(_.toString)
+    GroupedEval.applyDynamicColumnConfigSharded(spark, config,
+        eventsShardCatalog(spark, 200), Lake.table(spark, dir, "events"),
+        eventsShardExpr(200), columns)
+      .orderBy("asset_uri", "column", "field_id")
+  }
+
+  val q39Oracle: String =
+    """WITH shards AS (
+      |  SELECT 'events_' || lpad(CAST(r.range AS VARCHAR), 4, '0') AS shard
+      |  FROM range(0, 200) r),
+      |agg AS (
+      |  SELECT 'events_' || lpad(CAST(event_id % 200 AS VARCHAR), 4, '0') AS shard,
+      |         count(DISTINCT user_id) AS ndv_user,
+      |         CAST(CAST(max(user_id) AS DECIMAL(18,2)) AS VARCHAR) AS max_user,
+      |         count(DISTINCT value) AS ndv_value,
+      |         CAST(CAST(max(value) AS DECIMAL(18,2)) AS VARCHAR) AS max_value
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT 'bigquery/project/p/dataset/lake/' || s.shard AS asset_uri,
+      |         coalesce(ndv_user, 0) AS ndv_user, max_user,
+      |         coalesce(ndv_value, 0) AS ndv_value, max_value
+      |  FROM shards s LEFT JOIN agg USING (shard))
+      |SELECT asset_uri, "column", 'profile' AS template_id, field_id,
+      |       field_type, field_value
+      |FROM (
+      |  SELECT asset_uri, 'user_id' AS "column", 'ndv' AS field_id,
+      |         'double' AS field_type, CAST(ndv_user AS VARCHAR) AS field_value
+      |  FROM a
+      |  UNION ALL
+      |  SELECT asset_uri, 'user_id', 'max_v', 'string', max_user FROM a
+      |  UNION ALL
+      |  SELECT asset_uri, 'value', 'ndv', 'double', CAST(ndv_value AS VARCHAR)
+      |  FROM a
+      |  UNION ALL
+      |  SELECT asset_uri, 'value', 'max_v', 'string', max_value FROM a)
+      |ORDER BY asset_uri, "column", field_id""".stripMargin
+
+  // --------------- scheduler tick → job run → rollup (q40)
+
+  /** Inline config fixture for the composed tick: cA and cB are due at
+    * `tickNow`, cC is not. `included_uris` carries the comma-separated
+    * reference syntax (FIXTURES.md §1.1).
+    */
+  private val tickRows = Seq(
+    ("cA", "gov",
+      "bigquery/project/p/dataset/lake/region, bigquery/project/p/dataset/lake/nation",
+      60L, "2024-03-01 10:00:00", 1L),
+    ("cB", "ops",
+      "bigquery/project/p/dataset/lake/supplier, bigquery/project/p/dataset/lake/part",
+      30L, "2024-03-01 11:00:00", 3L),
+    ("cC", "gov", "bigquery/project/p/dataset/lake/orders",
+      60L, "2024-03-01 14:00:00", 1L))
+
+  private val tickNow = "2024-03-01 12:00:00"
+
+  private val tickFields: Map[String, Seq[FieldSpec]] = Map(
+    "cA" -> Seq(
+      FieldSpec("n_rows", "double", Some("select count(*) from $table")),
+      FieldSpec("env", "enum", None, Some("PROD"))),
+    "cB" -> Seq(
+      FieldSpec("n_rows", "double", Some("select count(*) from $table"))),
+    "cC" -> Seq(
+      FieldSpec("n_rows", "double", Some("select count(*) from $table"))))
+
+  private def tickConfigsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    tickRows.toDF("config_uuid", "template_id", "included_uris",
+        "refresh_frequency_minutes", "next_run_s", "version")
+      .withColumn("next_run", to_timestamp(col("next_run_s")))
+      .drop("next_run_s")
+      .withColumn("config_type", lit("DYNAMIC_TAG_TABLE"))
+      .withColumn("config_status", lit("ACTIVE"))
+      .withColumn("refresh_mode", lit("AUTO"))
+      .withColumn("scheduling_status", lit("READY"))
+  }
+
+  /** The WHOLE `/scheduled_auto_updates` tick composed end-to-end
+    * (main.py:3075–3110 → §3.1): H1 selects the due configs, each due
+    * config runs the full job path ([[TagEngine.runJob]] — set-based
+    * expand → evaluate → MERGE), and the output is the q12-style per-job
+    * rollup JOINED to the advanced scheduler state (H2) — job identity,
+    * terminal status, asset/tag-row counts, a data-dependent field sum,
+    * and the post-tick next_run/version, all from ONE tick. Due configs
+    * are catalog METADATA (the reference's own loop bound); each job body
+    * is set-based, so the tick is O(#due configs) driver dispatches of
+    * O(#fields) plans.
+    */
+  def q40SchedulerTickJobs(spark: SparkSession, dir: String): DataFrame = {
+    Lake.registerAll(spark, dir)
+    val catalog = {
+      import spark.implicits._
+      Lake.tableNames.map(t => ("p", "lake", t))
+        .toDF("project", "dataset", "table")
+    }
+    val configs = tickConfigsDf(spark)
+    val due = Scheduler.readReadyConfigs(configs, to_timestamp(lit(tickNow)))
+    val emptyTags = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "asset_uri string, column string, template_id string, " +
+          "field_id string, field_value string"))
+    val dueRows = due
+      .select("config_uuid", "template_id", "included_uris", "version")
+      .collect().sortBy(_.getString(0))
+    val jobs = dueRows.map { r =>
+      val uuid = r.getString(0)
+      val cfg = TagConfig("DYNAMIC_TAG_TABLE", r.getString(1),
+        tickFields(uuid),
+        includedUris = r.getString(2).split(",").map(_.trim).toSeq)
+      TagEngine.runJob(spark, cfg, catalog, emptyTags)
+        .agg(count(lit(1)).as("n_tag_rows"),
+          countDistinct(col("asset_uri")).as("n_assets"),
+          sum(when(col("field_id") === "n_rows",
+            col("field_value").cast("double"))).as("sum_n_rows"))
+        .select(lit(uuid).as("config_uuid"),
+          md5(concat_ws("|", lit(uuid), lit(r.getLong(3)))).as("job_uuid"),
+          lit("SUCCEEDED").as("job_status"),
+          col("n_assets"), col("n_tag_rows"), col("sum_n_rows"))
+    }
+    val advanced = Scheduler.advanceNextRun(configs, due)
+      .select("config_uuid", "next_run", "version")
+    jobs.reduce(_ unionByName _)
+      .join(advanced, "config_uuid")
+      .orderBy("config_uuid")
+  }
+
+  val q40Oracle: String =
+    s"""SELECT 'cA' AS config_uuid, md5('cA|1') AS job_uuid,
+       |  'SUCCEEDED' AS job_status,
+       |  CAST(2 AS BIGINT) AS n_assets, CAST(4 AS BIGINT) AS n_tag_rows,
+       |  CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+       |    AS DOUBLE) AS sum_n_rows,
+       |  TIMESTAMP '2024-03-01 11:00:00' AS next_run, CAST(2 AS BIGINT) AS version
+       |UNION ALL
+       |SELECT 'cB', md5('cB|3'), 'SUCCEEDED',
+       |  CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+       |  CAST((SELECT count(*) FROM supplier) + (SELECT count(*) FROM part)
+       |    AS DOUBLE),
+       |  TIMESTAMP '2024-03-01 11:30:00', CAST(4 AS BIGINT)
+       |ORDER BY config_uuid""".stripMargin
+
+  // --------------- usage-tracking extension parity (q41)
+
+  /** Synthetic audit log derived from the events lake table — each event
+    * becomes one Data Catalog audit entry; event_type maps onto the four
+    * API methods the reference's functions filter on (plus an unmatched
+    * noise type exercising the filter).
+    */
+  private def auditLog(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "events").select(
+      col("ts").as("event_time"),
+      lit("p").as("project"),
+      concat(lit("user_"), col("user_id")).as("user_email"),
+      when(col("event_type") === "view", UsageTracking.MethodEntryClick)
+        .when(col("event_type") === "signup", UsageTracking.MethodTagCreate)
+        .when(col("event_type") === "click", UsageTracking.MethodTagUpdate)
+        .when(col("event_type") === "purchase", UsageTracking.MethodTagDelete)
+        .otherwise(lit("google.cloud.datacatalog.v1.DataCatalog.GetEntry"))
+        .as("method"),
+      concat(lit("projects/p/entries/e"), col("event_id") % 20).as("dc_entry"))
+
+  private def entryLookup(spark: SparkSession): DataFrame =
+    spark.range(0, 20).select(
+      concat(lit("projects/p/entries/e"), col("id")).as("dc_entry"),
+      concat(lit("p.lake.t"), col("id")).as("bq_resource"))
+
+  /** Usage-tracking parity (extensions/usage_tracking/): the four audit
+    * streams in one log pass, rolled up per BigQuery resource into a
+    * `usage` tag — counts per kind, distinct users, last event — in the
+    * unified tag-row shape (so the metrics MERGE into tag state like any
+    * other config output).
+    */
+  def q41UsageTracking(spark: SparkSession, dir: String): DataFrame =
+    UsageTracking.usageTagRows(auditLog(spark, dir), entryLookup(spark),
+        templateId = "usage")
+      .orderBy("asset_uri", "field_id")
+
+  val q41Oracle: String = {
+    val methodCase =
+      """CASE event_type
+        |    WHEN 'view' THEN 'entry_clicks' WHEN 'signup' THEN 'tag_creates'
+        |    WHEN 'click' THEN 'tag_updates' WHEN 'purchase' THEN 'tag_deletes'
+        |    END""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT DISTINCT $methodCase AS kind,
+       |    date_trunc('second', ts) AS event_time, 'p' AS project,
+       |    'user_' || user_id AS user_email,
+       |    'projects/p/entries/e' || (event_id % 20) AS dc_entry
+       |  FROM events WHERE $methodCase IS NOT NULL),
+       |lookup AS (
+       |  SELECT 'projects/p/entries/e' || r.range AS dc_entry,
+       |         'p.lake.t' || r.range AS bq_resource
+       |  FROM range(0, 20) r),
+       |s AS (
+       |  SELECT l.bq_resource,
+       |    count(CASE WHEN kind = 'entry_clicks' THEN 1 END) AS entry_clicks,
+       |    count(CASE WHEN kind = 'tag_creates' THEN 1 END) AS tag_creates,
+       |    count(CASE WHEN kind = 'tag_updates' THEN 1 END) AS tag_updates,
+       |    count(CASE WHEN kind = 'tag_deletes' THEN 1 END) AS tag_deletes,
+       |    count(DISTINCT user_email) AS n_users,
+       |    max(event_time) AS last_event
+       |  FROM ev JOIN lookup l USING (dc_entry) GROUP BY 1)
+       |SELECT bq_resource AS asset_uri, '' AS "column", 'usage' AS template_id,
+       |       field_id, field_type, field_value
+       |FROM (
+       |  SELECT bq_resource, 'entry_clicks' AS field_id, 'double' AS field_type,
+       |         CAST(CAST(entry_clicks AS DOUBLE) AS VARCHAR) AS field_value FROM s
+       |  UNION ALL
+       |  SELECT bq_resource, 'tag_creates', 'double',
+       |         CAST(CAST(tag_creates AS DOUBLE) AS VARCHAR) FROM s
+       |  UNION ALL
+       |  SELECT bq_resource, 'tag_updates', 'double',
+       |         CAST(CAST(tag_updates AS DOUBLE) AS VARCHAR) FROM s
+       |  UNION ALL
+       |  SELECT bq_resource, 'tag_deletes', 'double',
+       |         CAST(CAST(tag_deletes AS DOUBLE) AS VARCHAR) FROM s
+       |  UNION ALL
+       |  SELECT bq_resource, 'n_users', 'double',
+       |         CAST(CAST(n_users AS DOUBLE) AS VARCHAR) FROM s
+       |  UNION ALL
+       |  SELECT bq_resource, 'last_event', 'datetime',
+       |         CAST(last_event AS VARCHAR) FROM s)
+       |ORDER BY asset_uri, field_id""".stripMargin
+  }
+
+  // --------------- event-driven incremental re-tag (st08)
+
+  /** Event-driven incremental re-tag (orchestration extension parity —
+    * extensions/orchestration/dynamic_tag_update.py as a Spark transform):
+    * change events (here: high-value purchases) name the TOUCHED shard
+    * assets; ONLY those re-evaluate through the set-based GroupedEval
+    * path, so re-tag work scales with the change set, not the catalog.
+    * This is the batch form under the oracle gate; StreamingSpec drives
+    * [[Streams.retagTouched]] from a change-event STREAM
+    * (Trigger.AvailableNow foreachBatch) and proves streaming == batch.
+    */
+  def st08ChangeRetag(spark: SparkSession, dir: String): DataFrame = {
+    val events = Lake.table(spark, dir, "events")
+    val config = TagConfig(
+      configType = "DYNAMIC_TAG_TABLE", templateId = "gov",
+      fields = Seq(
+        FieldSpec("n_rows", "double", Some("select count(*) from $table")),
+        FieldSpec("n_clicks", "double",
+          Some("select count(*) from $table where event_type = 'click'"))),
+      includedUris = Seq("bigquery/project/p/dataset/lake/events_*"))
+    val touched = events
+      .filter(col("event_type") === "purchase" && col("value") >= 250)
+      .select(eventsShardExpr(100).as("table"))
+    Streams.retagTouched(spark, config, eventsShardCatalog(spark, 100),
+        events, eventsShardExpr(100), touched)
+      .orderBy("asset_uri", "field_id")
+  }
+
+  val st08Oracle: String =
+    """WITH touched AS (
+      |  SELECT DISTINCT 'events_' || lpad(CAST(event_id % 100 AS VARCHAR), 4, '0')
+      |    AS shard
+      |  FROM events WHERE event_type = 'purchase' AND value >= 250),
+      |agg AS (
+      |  SELECT 'events_' || lpad(CAST(event_id % 100 AS VARCHAR), 4, '0') AS shard,
+      |         count(*) AS n_rows,
+      |         count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT 'bigquery/project/p/dataset/lake/' || t.shard AS asset_uri,
+      |         coalesce(n_rows, 0) AS n_rows, coalesce(n_clicks, 0) AS n_clicks
+      |  FROM touched t LEFT JOIN agg USING (shard))
+      |SELECT asset_uri, '' AS "column", 'gov' AS template_id, field_id,
+      |       'double' AS field_type, field_value
+      |FROM (
+      |  SELECT asset_uri, 'n_rows' AS field_id,
+      |         CAST(n_rows AS VARCHAR) AS field_value FROM a
+      |  UNION ALL
+      |  SELECT asset_uri, 'n_clicks', CAST(n_clicks AS VARCHAR) FROM a)
+      |ORDER BY asset_uri, field_id""".stripMargin
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("q39_bulk_dynamic_column", q39BulkDynamicColumn _, Some(q39Oracle)),
+    ("q40_scheduler_tick_jobs", q40SchedulerTickJobs _, Some(q40Oracle)),
+    ("q41_usage_tracking", q41UsageTracking _, Some(q41Oracle)),
+    ("st08_change_retag", st08ChangeRetag _, Some(st08Oracle)))
+}

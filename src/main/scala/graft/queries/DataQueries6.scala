@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Lake
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Similarity}
+import graft.queries.CoreQueries.Q
+
+/** Round-7 beyond-parity queries: the bucketed near-dup RECALL contract
+  * (e03) and the composed production dedup pipeline (d24).
+  */
+object DataQueries6 {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "documents")
+
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    VectorFns.register(spark)
+    Lake.table(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("vec"))
+  }
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  private val embCte: String =
+    "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)"
+
+  // ------------------- bucketed near-dup recall eval (e03)
+
+  /** The recall CONTRACT of the bucketed near-dup path (the d-side
+    * counterpart of s07's ANN recall eval): e02's IVF-bucketed pairs are
+    * the engine's 100 TB near-dup form, and their cross-bucket recall is a
+    * semantic parameter — pairs straddling a centroid boundary are
+    * silently dropped by single-probe assignment. This query MEASURES that
+    * parameter against the exact all-pairs ground truth (e01's form,
+    * opt-in quadratic — exactly what the baseline is for), for both the
+    * production single-probe configuration and the multi-probe (top-2
+    * centroids) variant, so the recall/cost trade is a number a pipeline
+    * can deploy against, not a hand-wave. Everything reuses the production
+    * operators; each pair set is ≤ truth-sized, so the comparison joins
+    * are broadcasts by size, and one localCheckpoint per pair set caps the
+    * eval at one pass per method (s07's barrier rationale).
+    */
+  def e03EmbedNearDupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val truth = Similarity.cosineNearDupPairs(e, threshold = 0.4,
+        allowQuadratic = true)
+      .select("a_id", "b_id").localCheckpoint()
+    val nTruth = truth.agg(count(lit(1)).as("n_truth")).localCheckpoint()
+    def scoreOf(name: String, nprobe: Int): DataFrame = {
+      val got = Similarity
+        .bucketedNearDupPairsMulti(e, centroids, threshold = 0.4, nprobe)
+        .select("a_id", "b_id").localCheckpoint()
+      got.join(truth.withColumn("hit", lit(1)), Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).as("n_found"), count(col("hit")).as("n_hits"))
+        .crossJoin(nTruth)
+        .select(lit(name).as("method"), col("n_truth"), col("n_found"),
+          col("n_hits"),
+          round(col("n_hits") * lit(1.0) / col("n_truth"), 4).as("recall"))
+    }
+    scoreOf("ivf_nprobe1", 1).unionByName(scoreOf("ivf_nprobe2", 2))
+      .orderBy("method")
+  }
+
+  val e03Oracle: String = {
+    def candidates(nprobe: Int): String =
+      s"""(SELECT c.a, c.b FROM (
+         |   SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |   FROM assign l JOIN assign r
+         |     ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+         |   WHERE l.rn <= $nprobe AND r.rn <= $nprobe) c
+         | JOIN e le ON le.vec_id = c.a
+         | JOIN e re ON re.vec_id = c.b
+         | WHERE ${cosSql("le.v", "re.v")} >= 0.4)""".stripMargin
+    s"""WITH $embCte,
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.centroid_id) AS rn
+       |  FROM e CROSS JOIN cent c),
+       |truth AS (SELECT l.vec_id AS a, r.vec_id AS b
+       |  FROM e l JOIN e r ON l.vec_id < r.vec_id
+       |  WHERE ${cosSql("l.v", "r.v")} >= 0.4),
+       |p1 AS ${candidates(1)},
+       |p2 AS ${candidates(2)},
+       |nt AS (SELECT count(*) AS n_truth FROM truth),
+       |scored AS (
+       |  SELECT 'ivf_nprobe1' AS method,
+       |    (SELECT count(*) FROM p1) AS n_found,
+       |    (SELECT count(*) FROM p1 JOIN truth t ON t.a = p1.a AND t.b = p1.b)
+       |      AS n_hits
+       |  UNION ALL
+       |  SELECT 'ivf_nprobe2',
+       |    (SELECT count(*) FROM p2),
+       |    (SELECT count(*) FROM p2 JOIN truth t ON t.a = p2.a AND t.b = p2.b))
+       |SELECT method, nt.n_truth, n_found, n_hits,
+       |  round(n_hits * 1.0 / nt.n_truth, 4) AS recall
+       |FROM scored, nt ORDER BY method""".stripMargin
+  }
+
+  // ------------------- composed production dedup pipeline (d24)
+
+  /** The PRODUCTION dedup pipeline, composed end-to-end as one query:
+    * exact collapse FIRST (d01 — identical copies become one
+    * representative, the volume bound on every later stage), simhash
+    * near-dup pairs over the REPRESENTATIVES ONLY (hamming ≤ 4, d21's
+    * confident radius), connected components, then per-cluster quality
+    * survivorship (d21's argmax rule). Output is the full apply decision
+    * for EVERY original document: its exact representative, the rep's
+    * near-dup cluster, the cluster's quality keeper, and whether the doc
+    * itself survives (it is its own representative AND its cluster's
+    * keeper).
+    *
+    * Why the composition matters at 100×: the near-dup stages (band join
+    * pair volume, CC edge volume) are super-linear in DUPLICATE DENSITY —
+    * d06/d09's measured 10× stress growth comes from duplicated content.
+    * Exact-first collapses every identical copy before any pair is
+    * generated, so the expensive stages see only distinct content: on a
+    * boilerplate-heavy lake the pair stage shrinks quadratically in the
+    * exact-dup ratio. SCALING.md's 10× row measures exactly this (d24 vs
+    * d09 growth on the same corpus).
+    */
+  def d24DedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // one narrow pass: content hash per doc; reps = min doc_id per hash
+    val hashed = d.select(col("doc_id"), col("text"),
+      md5(col("text")).as("content_hash"))
+    val exact = hashed.groupBy("content_hash")
+      .agg(min("doc_id").as("rep_id"))
+    val mapped = hashed.select("doc_id", "content_hash")
+      .join(exact, "content_hash").select("doc_id", "rep_id")
+    val reps = hashed.join(
+      exact.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    // near-dup stages over representatives only
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhash(reps, "doc_id", "text"), "doc_id", maxHamming = 4)
+    val cc = graft.operators.Graph.connectedComponents(pairs, "a_id", "b_id")
+    val scored = reps.select(col("doc_id"),
+        TextFns.qualityScore(col("text")).as("quality_score"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+    // keeper = per-cluster argmax quality (ties → smaller doc_id); the
+    // window partitions by cluster_id — clusters are small by construction
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val repInfo = scored
+      .withColumn("keeper_id", first("doc_id").over(w))
+      .select(col("doc_id").as("rep_id"), col("cluster_id"), col("keeper_id"))
+    mapped.join(repInfo, "rep_id")
+      .select(col("doc_id"), col("rep_id"), col("cluster_id"),
+        col("keeper_id"), (col("doc_id") === col("keeper_id")).as("survives"))
+      .orderBy("doc_id")
+  }
+
+  val d24Oracle: String = {
+    val allStop = TextFns.stopwords.values.flatten.toSeq.distinct.sorted
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+       |m AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+       |ex AS (SELECT content_hash, min(doc_id) AS rep_id FROM m GROUP BY 1),
+       |mapped AS (SELECT m.doc_id, ex.rep_id FROM m JOIN ex USING (content_hash)),
+       |reps AS (SELECT d.doc_id, d.text FROM documents d
+       |         JOIN ex ON d.doc_id = ex.rep_id),
+       |${DataQueries.simhashCtesOver("reps")},
+       |pairs AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b
+       |  FROM sims l JOIN sims r ON l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 4),
+       |edges AS (SELECT a AS u, b AS v FROM pairs
+       |          UNION SELECT b, a FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |         FROM reach GROUP BY u),
+       |t AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+       |  FROM reps),
+       |q AS (SELECT doc_id,
+       |  round(least(len(ws) / 100.0, 1.0) * 0.5 +
+       |    len(list_filter(ws, w -> list_contains($allStop, w))) * 1.0
+       |      / len(ws) * 0.5, 4) AS quality_score
+       |  FROM t),
+       |f AS (SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
+       |             q.quality_score
+       |      FROM q LEFT JOIN comp c USING (doc_id)),
+       |k AS (SELECT doc_id AS rep_id, cluster_id,
+       |        first_value(doc_id) OVER (PARTITION BY cluster_id
+       |          ORDER BY quality_score DESC, doc_id) AS keeper_id
+       |      FROM f)
+       |SELECT mp.doc_id, mp.rep_id, k.cluster_id, k.keeper_id,
+       |  mp.doc_id = k.keeper_id AS survives
+       |FROM mapped mp JOIN k ON k.rep_id = mp.rep_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("e03_embed_neardup_recall", e03EmbedNearDupRecall _, Some(e03Oracle)),
+    ("d24_dedup_pipeline", d24DedupPipeline _, Some(d24Oracle)))
+}
