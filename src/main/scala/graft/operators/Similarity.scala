@@ -206,25 +206,48 @@ object Similarity {
 
   /** MULTI-PROBE assignment: each vector lands in its `nprobe` nearest
     * centroid buckets (cosine desc, ties → smaller centroid_id; rank 1
-    * equals [[ivfAssign]]'s argmax). One broadcast of the tiny centroid
-    * set + a per-vector window rank — the window partitions by `vec_id`,
-    * so it is partition-parallel with no global sort, and the output is
-    * `nprobe` rows per vector. This is the recall lever of the bucketed
-    * near-dup path: a pair straddling a centroid boundary meets in the
-    * straddled neighbor's bucket (FAISS's IVF multi-probe trade — probe
-    * cost ×nprobe for recall), and e03 measures exactly that lift.
+    * equals [[ivfAssign]]'s argmax — SimilaritySpec pins the equality).
+    * Same inline contract as [[ivfAssign]]: for k ≤ [[MaxInlineCentroids]]
+    * the centroids are literals and the whole assignment is ONE narrow
+    * codegen'd projection — per-row `sort_array` over k (cos, id) structs,
+    * `slice` the top `nprobe`, explode — zero shuffle, zero join at any
+    * corpus size. Beyond the bound it degrades to the broadcast
+    * cross-score + per-vector window rank (partition-parallel, no global
+    * sort). This is the recall lever of the bucketed near-dup path: a
+    * pair straddling a centroid boundary meets in the straddled
+    * neighbor's bucket (FAISS's IVF multi-probe trade — candidate cost
+    * ×nprobe for recall), and e03 measures exactly that lift.
     */
   def ivfAssignMulti(emb: DataFrame, centroids: DataFrame,
                      nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"ivfAssignMulti: nprobe $nprobe must be >= 1")
     val centsDf = centroids.select(col("centroid_id").cast("long"), col("cvec"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("centroid_id").asc)
-    emb.crossJoin(broadcast(centsDf))
-      .withColumn("cos", VectorFns.cosine(col("vec"), col("cvec")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nprobe)
-      .select(col("vec_id"), col("centroid_id"))
+    val head = centsDf.take(MaxInlineCentroids + 1)
+    require(head.nonEmpty,
+      "ivfAssignMulti: centroid set is empty — provide at least one trained centroid")
+    if (head.length <= MaxInlineCentroids) {
+      val cents = head
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      // ascending lexicographic sort of (-cos, id) structs = cosine desc,
+      // ties to the smaller centroid_id — the ivfAssign tie rule
+      val entries = cents.map { case (id, v) =>
+        struct((-VectorFns.cosine(col("vec"), lit(v))).as("neg_cos"),
+          lit(id).as("centroid_id"))
+      }
+      emb.select(col("vec_id"),
+          explode(slice(sort_array(array(entries.toIndexedSeq: _*)), 1, nprobe))
+            .as("p"))
+        .select(col("vec_id"), col("p.centroid_id"))
+    } else {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("centroid_id").asc)
+      emb.crossJoin(broadcast(centsDf))
+        .withColumn("cos", VectorFns.cosine(col("vec"), col("cvec")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= nprobe)
+        .select(col("vec_id"), col("centroid_id"))
+    }
   }
 
   /** Multi-probe variant of [[bucketedNearDupPairs]]: candidates are pairs

@@ -128,9 +128,12 @@ object DataQueries6 {
     */
   def d24DedupPipeline(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    // one narrow pass: content hash per doc; reps = min doc_id per hash
+    // one narrow pass: content hash per doc; reps = min doc_id per hash.
+    // Materialized once (eager localCheckpoint, the repo's standard
+    // barrier): three consumers below (exact agg, doc→rep mapping, reps
+    // semi-join) would each re-scan the corpus and re-hash otherwise.
     val hashed = d.select(col("doc_id"), col("text"),
-      md5(col("text")).as("content_hash"))
+      md5(col("text")).as("content_hash")).localCheckpoint()
     val exact = hashed.groupBy("content_hash")
       .agg(min("doc_id").as("rep_id"))
     val mapped = hashed.select("doc_id", "content_hash")

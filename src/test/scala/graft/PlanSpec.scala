@@ -166,4 +166,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("windowspecdefinition(doc_id"), p)
   }
+
+  test("q39: the whole (asset x column x field) grid costs ONE source scan") {
+    // every flat cell shares the (empty) WHERE → one fused struct
+    // subquery → exactly one FileScan of the events table; assets join as
+    // a broadcast against the per-shard aggregate
+    val p = planOf(graft.queries.CoreQueries5.q39BulkDynamicColumn(spark, sf))
+    assert("FileScan parquet".r.findAllIn(p).length === 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("st08: change-driven re-tag restricts the catalog with a LeftSemi join") {
+    val p = planOf(graft.queries.CoreQueries5.st08ChangeRetag(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("e03's bucketed sides: multi-probe candidates stay equi-join (no BNLJ)") {
+    // the recall eval pays the exact all-pairs truth ON PURPOSE (the
+    // opt-in baseline); the MEASURED sides must not — multi-probe
+    // assignment is a broadcast + per-vector window, candidates a hash
+    // equi-join on centroid_id
+    import org.apache.spark.sql.functions._
+    val e = Lake.table(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFns.toDoubleArray(col("embedding")).as("vec"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val p = planOf(graft.operators.Similarity
+      .bucketedNearDupPairsMulti(e, cents, 0.4, nprobe = 2))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
