@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product-registration workflow parity
+  * (extensions/product_registration_pipeline/main.py): a data-product tag
+  * whose `status` field flips to 'Pending' triggers generation of the
+  * product's resource tags over all of its data assets; once generated,
+  * the product's status moves to 'Review' so the data steward can sign
+  * off before access is granted.
+  *
+  * The reference is event-driven glue (Data Catalog tag-update event →
+  * cloud function → Tag Engine API calls, one product at a time). The
+  * Spark form is one set-based transition over the WHOLE product
+  * portfolio: the trigger is a filter on the product-tag table, the
+  * generation a fan-out join from the product→asset mapping, and the
+  * status flip a keyed MERGE — any number of pending products register in
+  * one pass.
+  */
+object Registration {
+
+  /** One registration sweep. Inputs:
+    *  - `productTags`: unified tag rows for the `data_product` template
+    *    (the status field rows carry the workflow state);
+    *  - `mapping(product_uri, asset_uri)`: the product's data assets;
+    *  - `assetFacts(asset_uri, n_rows)`: per-asset facts for the dynamic
+    *    resource field (catalog metadata, computed once upstream).
+    * Output: the NEXT tag state — product tags with Pending→Review
+    * flipped, plus the generated `data_resource` tags (static
+    * steward/env fields + the n_rows fact) for every pending product's
+    * assets.
+    */
+  def registerPending(productTags: DataFrame, mapping: DataFrame,
+                      assetFacts: DataFrame,
+                      resourceTemplateId: String): DataFrame = {
+    val pending = productTags
+      .filter(col("field_id") === "status" && col("field_value") === "Pending")
+      .select(col("asset_uri").as("product_uri")).distinct()
+    // trigger → generation fan-out: assets of pending products only
+    val assets = mapping.join(pending, Seq("product_uri"), "left_semi")
+      .select("asset_uri").distinct()
+      .join(assetFacts, Seq("asset_uri"), "left")
+    val fields = Seq(
+      struct(lit("steward").as("field_id"), lit("string").as("field_type"),
+        lit("governance").as("field_value")),
+      struct(lit("env").as("field_id"), lit("enum").as("field_type"),
+        lit("PROD").as("field_value")),
+      struct(lit("n_rows").as("field_id"), lit("double").as("field_type"),
+        col("n_rows").cast("string").as("field_value")))
+    val generated = assets
+      .select(col("asset_uri"), lit("").as("column"),
+        lit(resourceTemplateId).as("template_id"),
+        explode(array(fields: _*)).as("f"))
+      .select(col("asset_uri"), col("column"), col("template_id"),
+        col("f.field_id"), col("f.field_type"), col("f.field_value"))
+    // status flip: Pending → Review on exactly the triggering rows
+    val flipped = productTags.withColumn("field_value",
+      when(col("field_id") === "status" && col("field_value") === "Pending",
+        lit("Review")).otherwise(col("field_value")))
+    flipped.unionByName(generated)
+  }
+}

@@ -328,9 +328,158 @@ object CoreQueries5 {
       |  SELECT asset_uri, 'n_clicks', CAST(n_clicks AS VARCHAR) FROM a)
       |ORDER BY asset_uri, field_id""".stripMargin
 
+  // --------------- query-cookbook extension parity (q42)
+
+  /** Synthetic warehouse query log derived from events — one job row per
+    * event with a deterministic SQL text, so the regex extraction stub
+    * (the sandbox stand-in for the reference's temperature-0
+    * ML.GENERATE_TEXT call) has real text to parse in BOTH engines.
+    */
+  private def jobsLog(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Lake.table(spark, dir, "events").select(
+      concat(lit("lake.t"), col("event_id") % 8).as("asset"),
+      concat(lit("user_"), col("user_id")).as("user_email"),
+      concat(
+        lit("SELECT "),
+        when(col("event_type") === "click",
+          concat(lit("sum(f"), k % 5, lit(")")))
+          .when(col("event_type") === "purchase",
+            concat(lit("avg(f"), k % 5, lit(")")))
+          .otherwise(concat(lit("f"), k % 5)),
+        lit(" FROM lake.t"), col("event_id") % 8,
+        when(k % 3 === 0, concat(lit(" WHERE f"), k % 4, lit(" > 10")))
+          .otherwise(lit("")),
+        when(col("event_type") === "signup",
+          concat(lit(" GROUP BY f"), k % 2)).otherwise(lit("")))
+        .as("query"))
+  }
+
+  /** Query-cookbook extension parity: per-asset access-pattern tags
+    * (top users / fields / wheres / group-bys / functions) from the query
+    * log in ONE pass — see [[QueryCookbook]] for the plan shape and the
+    * clearly-marked LLM-extraction stub.
+    */
+  def q42QueryCookbook(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QueryCookbook
+      .cookbookTagRows(jobsLog(spark, dir), templateId = "query_cookbook")
+      .orderBy("asset_uri", "field_id")
+
+  val q42Oracle: String = {
+    val jobsCte =
+      """jobs AS (
+        |  SELECT 'lake.t' || (event_id % 8) AS asset,
+        |         'user_' || user_id AS user_email,
+        |         'SELECT ' ||
+        |         CASE WHEN event_type = 'click' THEN 'sum(f' || (k % 5) || ')'
+        |              WHEN event_type = 'purchase' THEN 'avg(f' || (k % 5) || ')'
+        |              ELSE 'f' || (k % 5) END ||
+        |         ' FROM lake.t' || (event_id % 8) ||
+        |         CASE WHEN k % 3 = 0 THEN ' WHERE f' || (k % 4) || ' > 10'
+        |              ELSE '' END ||
+        |         CASE WHEN event_type = 'signup' THEN ' GROUP BY f' || (k % 2)
+        |              ELSE '' END AS query
+        |  FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |        FROM events))""".stripMargin
+    s"""WITH $jobsCte,
+       |dims AS (
+       |  SELECT asset, 'top_users' AS dim, user_email AS value FROM jobs
+       |  UNION ALL
+       |  SELECT asset, 'top_fields',
+       |         regexp_extract(query, '(?i)SELECT\\s+(?:\\w+\\()?(\\w+)', 1)
+       |  FROM jobs
+       |  UNION ALL
+       |  SELECT asset, 'top_wheres',
+       |         regexp_extract(query, '(?i)WHERE\\s+(\\w+\\s*[<>=]+\\s*\\w+)', 1)
+       |  FROM jobs
+       |  UNION ALL
+       |  SELECT asset, 'top_groupbys',
+       |         regexp_extract(query, '(?i)GROUP BY\\s+(\\w+)', 1) FROM jobs
+       |  UNION ALL
+       |  SELECT asset, 'top_functions',
+       |         regexp_extract(query, '(?i)(\\w+)\\(', 1) FROM jobs),
+       |c AS (SELECT asset, dim, value, count(*) AS cnt FROM dims
+       |      WHERE value IS NOT NULL AND value <> '' GROUP BY 1, 2, 3),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY asset, dim
+       |        ORDER BY cnt DESC, value) AS rn FROM c)
+       |SELECT asset AS asset_uri, '' AS "column",
+       |       'query_cookbook' AS template_id, dim AS field_id,
+       |       'richtext' AS field_type,
+       |       string_agg(value || ':' || cnt, '<br>'
+       |         ORDER BY cnt DESC, value) AS field_value
+       |FROM r WHERE rn <= 3 GROUP BY 1, 2, 3, 4, 5
+       |ORDER BY asset_uri, field_id""".stripMargin
+  }
+
+  // --------------- product-registration workflow parity (q43)
+
+  private val productRows = Seq(
+    ("product/p1", "Pending"), ("product/p2", "Pending"),
+    ("product/p3", "Approved"))
+
+  private val mappingRows = Seq(
+    ("product/p1", "region"), ("product/p1", "nation"),
+    ("product/p2", "supplier"), ("product/p3", "orders"))
+
+  /** Product-registration parity: pending products trigger resource-tag
+    * generation over their assets + the Pending→Review status flip, as
+    * one set-based sweep ([[graft.operators.Registration]]). The n_rows
+    * resource field is data-dependent (per-asset counts), so the oracle
+    * gates the generation path, not just the fixture.
+    */
+  def q43ProductRegistration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val productTags = productRows.toDF("asset_uri", "field_value")
+      .select(col("asset_uri"), lit("").as("column"),
+        lit("data_product").as("template_id"), lit("status").as("field_id"),
+        lit("enum").as("field_type"), col("field_value"))
+    val mapping = mappingRows.toDF("product_uri", "table")
+      .select(col("product_uri"),
+        concat(lit("bigquery/project/p/dataset/lake/"), col("table"))
+          .as("asset_uri"))
+    val facts = mappingRows.map(_._2).distinct.sorted.map { t =>
+      Lake.table(spark, dir, t).agg(count(lit(1)).as("n_rows"))
+        .select(lit(s"bigquery/project/p/dataset/lake/$t").as("asset_uri"),
+          col("n_rows"))
+    }.reduce(_ unionByName _)
+    graft.operators.Registration
+      .registerPending(productTags, mapping, facts, "data_resource")
+      .orderBy("asset_uri", "template_id", "field_id")
+  }
+
+  val q43Oracle: String =
+    """WITH prod(asset_uri, status) AS (VALUES
+      |  ('product/p1', 'Pending'), ('product/p2', 'Pending'),
+      |  ('product/p3', 'Approved')),
+      |assets(asset_uri, n_rows) AS (
+      |  SELECT 'bigquery/project/p/dataset/lake/region',
+      |         (SELECT count(*) FROM region)
+      |  UNION ALL
+      |  SELECT 'bigquery/project/p/dataset/lake/nation',
+      |         (SELECT count(*) FROM nation)
+      |  UNION ALL
+      |  SELECT 'bigquery/project/p/dataset/lake/supplier',
+      |         (SELECT count(*) FROM supplier))
+      |SELECT asset_uri, '' AS "column", 'data_product' AS template_id,
+      |       'status' AS field_id, 'enum' AS field_type,
+      |       CASE WHEN status = 'Pending' THEN 'Review' ELSE status END
+      |         AS field_value
+      |FROM prod
+      |UNION ALL
+      |SELECT a.asset_uri, '', 'data_resource', f.field_id, f.field_type,
+      |       CASE f.field_id WHEN 'steward' THEN 'governance'
+      |            WHEN 'env' THEN 'PROD'
+      |            ELSE CAST(n_rows AS VARCHAR) END
+      |FROM assets a CROSS JOIN (VALUES
+      |  ('steward', 'string'), ('env', 'enum'), ('n_rows', 'double'))
+      |  f(field_id, field_type)
+      |ORDER BY asset_uri, template_id, field_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_bulk_dynamic_column", q39BulkDynamicColumn _, Some(q39Oracle)),
     ("q40_scheduler_tick_jobs", q40SchedulerTickJobs _, Some(q40Oracle)),
     ("q41_usage_tracking", q41UsageTracking _, Some(q41Oracle)),
+    ("q42_query_cookbook", q42QueryCookbook _, Some(q42Oracle)),
+    ("q43_product_registration", q43ProductRegistration _, Some(q43Oracle)),
     ("st08_change_retag", st08ChangeRetag _, Some(st08Oracle)))
 }
