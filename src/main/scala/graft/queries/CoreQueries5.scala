@@ -475,11 +475,179 @@ object CoreQueries5 {
       |  f(field_id, field_type)
       |ORDER BY asset_uri, template_id, field_id""".stripMargin
 
+  // --------------- PII classification pipeline parity (q44)
+
+  /** The PII-classification DAG's data plane
+    * (extensions/orchestration/pii_classification_dag.py): the DAG lists
+    * a dataset's tables, runs a SAMPLED DLP inspection per table
+    * (rows_limit + RANDOM_START, min_likelihood LIKELY), saves per-table
+    * findings, and feeds them to the SENSITIVE tag path. Spark form, one
+    * pass: the `source` column is the table axis, the sample is a
+    * deterministic slice (the RANDOM_START stand-in both engines can
+    * mirror), the DLP inspector is the [[graft.functions.Pii]] regex rule
+    * set (the same stand-in t15 uses — the real DLP API isn't in the
+    * sandbox), findings aggregate per (table, infotype), and the
+    * smallest-superset classification ([[Classify.smallestSuperset]],
+    * the reference's C2/C3 join) labels each table. Output is sensitive
+    * tag rows, ready for the TagStore MERGE. PII spans are injected
+    * deterministically into the sampled text (the raw synthetic corpus
+    * contains none), mirrored exactly in the oracle.
+    */
+  def q44PiiPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Pii
+    import graft.operators.Classify
+    val sampled = Lake.table(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" reach me at user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" call 555-123-4567"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" ssn 123-45-6789"))
+          .otherwise(lit(""))))
+    val counts = Pii.findingCounts(col("text"))
+    val perDoc = sampled.select(
+      col("source") +: counts.map { case (n, c) => c.as(n) }: _*)
+    val findings = perDoc.groupBy("source")
+      .agg(sum(col(counts.head._1)).as(counts.head._1),
+        counts.tail.map { case (n, _) => sum(col(n)).as(n) }: _*)
+      .select(col("source"), explode(array(counts.map { case (n, _) =>
+        struct(lit(n).as("infotype"), col(n).as("n"))
+      }: _*)).as("e"))
+      .select(col("source"), col("e.infotype"), col("e.n"))
+      .filter(col("n") > 0)
+    val obs = findings.groupBy("source")
+      .agg(array_sort(collect_set(col("infotype"))).as("observed"),
+        sum(col("n")).as("n_findings"))
+    val sel = Seq(
+      (Seq("EMAIL_ADDRESS"), "pii_email"),
+      (Seq("EMAIL_ADDRESS", "PHONE_NUMBER"), "pii_contact"),
+      (Seq("EMAIL_ADDRESS", "PHONE_NUMBER", "US_SSN"), "pii_sensitive"),
+      (Seq("US_SSN"), "pii_government"))
+      .toDF("field_infotypes", "notable_infotype")
+    val classified = Classify.smallestSuperset(obs, sel,
+      "source", "observed", "field_infotypes", "notable_infotype")
+    val fields = Seq(
+      struct(lit("classification_result").as("field_id"),
+        lit("enum").as("field_type"),
+        col("notable_infotype").as("field_value")),
+      struct(lit("n_findings").as("field_id"), lit("double").as("field_type"),
+        col("n_findings").cast("string").as("field_value")),
+      struct(lit("infotypes").as("field_id"), lit("richtext").as("field_type"),
+        array_join(col("observed"), "<br>").as("field_value")))
+    classified.select(
+        concat(lit("bigquery/project/p/dataset/lake/"), col("source"))
+          .as("asset_uri"),
+        lit("").as("column"), lit("pii_classification").as("template_id"),
+        explode(array(fields: _*)).as("f"))
+      .select(col("asset_uri"), col("column"), col("template_id"),
+        col("f.field_id"), col("f.field_type"), col("f.field_value"))
+      .orderBy("asset_uri", "field_id")
+  }
+
+  val q44Oracle: String = {
+    import graft.functions.Pii
+    val res = Pii.Rules.toMap
+    def cnt(inf: String): String =
+      s"sum(len(regexp_extract_all(text, '${res(inf)}')))"
+    s"""WITH s AS (
+       |  SELECT source, text ||
+       |    CASE WHEN doc_id % 7 = 0
+       |         THEN ' reach me at user' || doc_id || '@example.com'
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+       |      AS text
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |f AS (
+       |  SELECT source, 'EMAIL_ADDRESS' AS infotype,
+       |         CAST(${cnt("EMAIL_ADDRESS")} AS BIGINT) AS n FROM s GROUP BY 1
+       |  UNION ALL
+       |  SELECT source, 'PHONE_NUMBER',
+       |         CAST(${cnt("PHONE_NUMBER")} AS BIGINT) FROM s GROUP BY 1
+       |  UNION ALL
+       |  SELECT source, 'US_SSN',
+       |         CAST(${cnt("US_SSN")} AS BIGINT) FROM s GROUP BY 1),
+       |f2 AS (SELECT * FROM f WHERE n > 0),
+       |obs AS (SELECT source, list_sort(list(infotype)) AS observed,
+       |               sum(n) AS n_findings
+       |        FROM f2 GROUP BY 1),
+       |sel(field_infotypes, notable_infotype) AS (VALUES
+       |  (['EMAIL_ADDRESS'], 'pii_email'),
+       |  (['EMAIL_ADDRESS', 'PHONE_NUMBER'], 'pii_contact'),
+       |  (['EMAIL_ADDRESS', 'PHONE_NUMBER', 'US_SSN'], 'pii_sensitive'),
+       |  (['US_SSN'], 'pii_government')),
+       |cl AS (
+       |  SELECT o.source, o.observed, o.n_findings, s2.notable_infotype,
+       |    row_number() OVER (PARTITION BY o.source
+       |      ORDER BY len(s2.field_infotypes), s2.notable_infotype) AS rn
+       |  FROM obs o JOIN sel s2
+       |    ON len(list_filter(o.observed,
+       |         x -> NOT list_contains(s2.field_infotypes, x))) = 0),
+       |top AS (SELECT * FROM cl WHERE rn = 1)
+       |SELECT 'bigquery/project/p/dataset/lake/' || source AS asset_uri,
+       |       '' AS "column", 'pii_classification' AS template_id,
+       |       field_id, field_type, field_value
+       |FROM (
+       |  SELECT source, 'classification_result' AS field_id,
+       |         'enum' AS field_type, notable_infotype AS field_value FROM top
+       |  UNION ALL
+       |  SELECT source, 'n_findings', 'double',
+       |         CAST(CAST(n_findings AS BIGINT) AS VARCHAR) FROM top
+       |  UNION ALL
+       |  SELECT source, 'infotypes', 'richtext',
+       |         array_to_string(observed, '<br>') FROM top)
+       |ORDER BY asset_uri, field_id""".stripMargin
+  }
+
+  // --------------- append-log persistence round trip (q45)
+
+  /** A14's append-log persistence under the oracle gate (q31's pattern
+    * for the history sink: what the SINK wrote is read BACK, so the
+    * physical append + latest-wins compaction view are what the driver
+    * compares): batch 0 seeds two configs, batch 1 appends an update, a
+    * create and a tombstone — only delta rows ever written — and the
+    * output is [[graft.sched.ConfigStore.readLatest]] over the log files.
+    */
+  def q45ConfigLog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sched.ConfigStore
+    def mk(rows: Seq[(String, String, String, String, Long)]): DataFrame =
+      rows.toDF("config_uuid", "config_type", "included_uris",
+        "config_status", "version")
+    val batch0 = mk(Seq(
+      ("c1", "DYNAMIC_TAG_TABLE", "u1", "ACTIVE", 1L),
+      ("c2", "STATIC_TAG_ASSET", "u2", "ACTIVE", 1L)))
+    val delta = mk(Seq(
+      ("c1", "DYNAMIC_TAG_TABLE", "u1b", "ACTIVE", 2L),
+      ("c3", "DYNAMIC_TAG_COLUMN", "u3", "ACTIVE", 1L)))
+      .unionByName(ConfigStore.tombstone(batch0, "c2"))
+    // unique dir per invocation: the log is append-mode by contract
+    val logDir = java.nio.file.Files.createTempDirectory("graft_q45").toString
+    ConfigStore.appendDelta(batch0, logDir, batchId = 0L)
+    ConfigStore.appendDelta(delta, logDir, batchId = 1L)
+    ConfigStore.readLatest(spark, logDir)
+      .select("config_uuid", "config_type", "included_uris",
+        "config_status", "version")
+      .orderBy("config_uuid")
+  }
+
+  val q45Oracle: String =
+    """SELECT * FROM (VALUES
+      |  ('c1', 'DYNAMIC_TAG_TABLE', 'u1b', 'ACTIVE', CAST(2 AS BIGINT)),
+      |  ('c3', 'DYNAMIC_TAG_COLUMN', 'u3', 'ACTIVE', CAST(1 AS BIGINT)))
+      |  t(config_uuid, config_type, included_uris, config_status, version)
+      |ORDER BY config_uuid""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_bulk_dynamic_column", q39BulkDynamicColumn _, Some(q39Oracle)),
     ("q40_scheduler_tick_jobs", q40SchedulerTickJobs _, Some(q40Oracle)),
     ("q41_usage_tracking", q41UsageTracking _, Some(q41Oracle)),
     ("q42_query_cookbook", q42QueryCookbook _, Some(q42Oracle)),
     ("q43_product_registration", q43ProductRegistration _, Some(q43Oracle)),
+    ("q44_pii_pipeline", q44PiiPipeline _, Some(q44Oracle)),
+    ("q45_config_log", q45ConfigLog _, Some(q45Oracle)),
     ("st08_change_retag", st08ChangeRetag _, Some(st08Oracle)))
 }
