@@ -47,4 +47,22 @@ class GroupedEvalSpec extends AnyFunSuite {
       "select avg(n) from (select count(*) n from $table group by d)").isEmpty)
     assert(GroupedEval.classifyFlat("select concat('$dataset')").isEmpty)
   }
+
+  test("bindColumn: identifier outside literals, bare name inside them") {
+    assert(GroupedEval.bindColumn(
+      "select count(distinct $column) from $table", "user_id") ===
+      "select count(distinct `user_id`) from $table")
+    // inside a literal the NAME text substitutes (the reference's
+    // string-substitution semantics), not a quoted identifier
+    assert(GroupedEval.bindColumn(
+      "select concat('col=$column: ', max($column)) from $table", "value") ===
+      "select concat('col=value: ', max(`value`)) from $table")
+    // a literal that merely contains the text '$column' is still a
+    // substitution target — exactly like the reference's .replace
+    assert(GroupedEval.bindColumn("select '$column$column'", "c1") ===
+      "select 'c1c1'")
+    // $table / $dataset stay untouched for the later correlated rewrite
+    assert(GroupedEval.bindColumn("select '$dataset.$column'", "c2") ===
+      "select '$dataset.c2'")
+  }
 }
