@@ -455,6 +455,41 @@ object Dedup {
     agg.select(col(idCol), sig.as("simhash"))
   }
 
+  /** Cross-side Hamming near-dup pairs: `left` signatures against `right`
+    * signatures — the PROBE shape of an incremental simhash index (new
+    * batch vs persisted corpus signatures), the simhash counterpart of
+    * [[lshCandidatesBetween]]. Same (maxHamming+1)-chunk pigeonhole as
+    * [[simhashPairs]] (lossless for the threshold); no `a < b` ordering
+    * because the sides are disjoint by contract, and at scale the small
+    * batch side broadcasts against the chunk-bucketed index.
+    */
+  def simhashPairsBetween(leftSigs: DataFrame, rightSigs: DataFrame,
+                          idCol: String, maxHamming: Int,
+                          bits: Int = 60): DataFrame = {
+    val nChunks = maxHamming + 1
+    val base = bits / nChunks
+    val rem = bits % nChunks
+    val offsets = (0 until nChunks).scanLeft(0)((acc, c) =>
+      acc + base + (if (c < rem) 1 else 0)).init
+    val widths = (0 until nChunks).map(c => base + (if (c < rem) 1 else 0))
+    def chunksOf(sigs: DataFrame): DataFrame =
+      sigs.select(col(idCol).as("id"), col("simhash"),
+        explode(array((0 until nChunks).map { c =>
+          struct(lit(c).as("chunk_idx"),
+            shiftright(col("simhash"), offsets(c))
+              .bitwiseAND(lit((1L << widths(c)) - 1)).as("chunk_val"))
+        }: _*)).as("ch"))
+        .select(col("id"), col("simhash"), col("ch.chunk_idx"),
+          col("ch.chunk_val"))
+    chunksOf(leftSigs).as("l").join(chunksOf(rightSigs).as("r"),
+        col("l.chunk_idx") === col("r.chunk_idx") &&
+        col("l.chunk_val") === col("r.chunk_val"))
+      .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Hamming-distance near-dup pairs over simhash signatures via
     * (maxHamming+1)-way pigeonhole banding: split the signature into
     * `maxHamming+1` bit chunks — any pair within `maxHamming` flips must

@@ -204,7 +204,50 @@ object DataQueries6 {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------- streaming ingestion pipeline (st09)
+
+  /** The production INGESTION loop under the oracle gate — the
+    * incremental counterpart of d24 ([[graft.streaming.Ingest]]):
+    * documents arrive in three ordered waves (`doc_id % 3`); each wave
+    * runs quality gate → in-batch exact collapse → exact-novelty
+    * anti-join vs the store → simhash near-dup probe vs the store's
+    * index, and survivors append. Output is the final store
+    * (fingerprints only). StreamingSpec drives the same per-batch
+    * function from a `Trigger.AvailableNow` foreachBatch over staged
+    * arrival files and proves the store comes out identical.
+    */
+  def st09IngestPipeline(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Ingest
+      .ingestFold(spark, docs(spark, dir), col("doc_id") % 3, nBatches = 3)
+      .orderBy("doc_id")
+
+  val st09Oracle: String =
+    s"""WITH ${DataQueries.simhashCtesOver("documents")},
+       |tok AS (SELECT doc_id, doc_id % 3 AS b, md5(text) AS h,
+       |          len(list_filter(string_split(text, ' '),
+       |              w -> length(w) > 0)) AS n
+       |        FROM documents),
+       |f AS (SELECT t.doc_id, t.b, t.h, s.simhash
+       |      FROM (SELECT *, row_number() OVER (PARTITION BY b, h
+       |              ORDER BY doc_id) AS rn
+       |            FROM tok WHERE n >= 20) t
+       |      JOIN sims s USING (doc_id) WHERE t.rn = 1),
+       |a0 AS (SELECT doc_id, b, h, simhash FROM f WHERE b = 0),
+       |a1 AS (SELECT f.* FROM f WHERE b = 1
+       |  AND NOT EXISTS (SELECT 1 FROM a0 WHERE a0.h = f.h)
+       |  AND NOT EXISTS (SELECT 1 FROM a0
+       |        WHERE bit_count(xor(a0.simhash, f.simhash)) <= 4)),
+       |a01 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1),
+       |a2 AS (SELECT f.* FROM f WHERE b = 2
+       |  AND NOT EXISTS (SELECT 1 FROM a01 WHERE a01.h = f.h)
+       |  AND NOT EXISTS (SELECT 1 FROM a01
+       |        WHERE bit_count(xor(a01.simhash, f.simhash)) <= 4))
+       |SELECT doc_id, CAST(b AS BIGINT) AS batch, h AS content_hash, simhash
+       |FROM (SELECT * FROM a01 UNION ALL SELECT * FROM a2)
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("e03_embed_neardup_recall", e03EmbedNearDupRecall _, Some(e03Oracle)),
-    ("d24_dedup_pipeline", d24DedupPipeline _, Some(d24Oracle)))
+    ("d24_dedup_pipeline", d24DedupPipeline _, Some(d24Oracle)),
+    ("st09_ingest_pipeline", st09IngestPipeline _, Some(st09Oracle)))
 }

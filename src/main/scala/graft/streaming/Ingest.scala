@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+/** The PRODUCTION ingestion loop, composed end-to-end: every arriving
+  * document batch runs quality gate → exact-novelty probe against the
+  * persisted corpus → near-dup probe against the corpus's simhash index,
+  * and only the survivors append to the store. This is the INCREMENTAL
+  * counterpart of the d24 batch pipeline — the steady-state shape of a
+  * training-data lake, where re-running corpus-wide dedup per arrival is
+  * the anti-pattern the probes exist to avoid.
+  *
+  * Scale shape per batch: the quality gate is a row-local predicate; the
+  * exact probe is an anti-join against a 1-row-per-hash projection
+  * (broadcast when the batch ≪ store — or a Bloom sketch first,
+  * [[graft.operators.Bloom]], when even the hash projection is big); the
+  * near-dup probe is the pigeonhole chunk equi-join of
+  * [[Dedup.simhashPairsBetween]] — batch-sized work against the bucketed
+  * index, NEVER a corpus self-join. The store carries (content_hash,
+  * simhash) only — fingerprints, not text.
+  *
+  * Batch == stream by construction: st09 gates the ordered batch fold
+  * ([[ingestFold]]) against the DuckDB oracle; StreamingSpec drives
+  * [[ingestBatch]] from a `Trigger.AvailableNow` foreachBatch over the
+  * same arrivals and proves the final store is identical.
+  *
+  * Semantics (mirrored exactly by the oracle): within a batch, exact
+  * duplicates collapse first-wins by doc_id; near-dup novelty is judged
+  * against the STORE only (in-batch near-dups both land — a periodic d24
+  * sweep owns intra-corpus clustering, reference: Lee et al. 2022 run
+  * dedup as a batch stage for the same reason).
+  */
+object Ingest {
+
+  /** Store schema: (doc_id, batch, content_hash, simhash). */
+  def emptyStore(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("batch", LongType),
+        StructField("content_hash", StringType),
+        StructField("simhash", LongType))))
+  }
+
+  /** One batch through the gauntlet; returns the ACCEPTED rows in store
+    * shape (caller appends them to the store).
+    */
+  def ingestBatch(store: DataFrame, batch: DataFrame, batchId: Long,
+                  minTokens: Int = 20, maxHamming: Int = 4): DataFrame = {
+    val gated = batch
+      .filter(size(TextFns.words(col("text"))) >= minTokens)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("content_hash"))
+    // in-batch exact collapse: first-wins by doc_id per content hash
+    val w = Window.partitionBy("content_hash").orderBy("doc_id")
+    val firstWins = gated.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val exactNovel = firstWins.join(
+      store.select("content_hash").distinct(), Seq("content_hash"),
+      "left_anti")
+    val sigs = Dedup.simhash(exactNovel, "doc_id", "text")
+    val nearDupIds = Dedup.simhashPairsBetween(sigs,
+        store.select("doc_id", "simhash"), "doc_id", maxHamming)
+      .select(col("a_id").as("doc_id")).distinct()
+    exactNovel.join(sigs, "doc_id")
+      .join(nearDupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(batchId).as("batch"), col("content_hash"),
+        col("simhash"))
+  }
+
+  /** Ordered batch fold (the oracle-gated form): documents arrive in
+    * `nBatches` waves keyed by `batchOf`; each wave ingests against the
+    * store state the previous waves produced. The store is eagerly
+    * localCheckpoint'd per wave — the same lineage-truncation rule as the
+    * CC loop (each wave references the prior store twice).
+    */
+  def ingestFold(spark: SparkSession, docs: DataFrame,
+                 batchOf: org.apache.spark.sql.Column, nBatches: Int,
+                 minTokens: Int = 20, maxHamming: Int = 4): DataFrame = {
+    var store = emptyStore(spark)
+    (0 until nBatches).foreach { b =>
+      val wave = docs.filter(batchOf === b)
+      store = store
+        .unionByName(ingestBatch(store, wave, b, minTokens, maxHamming))
+        .localCheckpoint()
+    }
+    store
+  }
+}

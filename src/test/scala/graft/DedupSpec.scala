@@ -82,4 +82,21 @@ class DedupSpec extends SparkSpec {
     }.toSet
     assert(between === expected)
   }
+
+  test("simhashPairsBetween == naive cross-side hamming pairs") {
+    val lake = Lake.table(spark, sf, "documents")
+    val sigs = Dedup.simhash(lake, "doc_id", "text").localCheckpoint()
+    val idx = sigs.filter(col("doc_id") % 10 < 8)
+    val batch = sigs.filter(col("doc_id") % 10 >= 8)
+    val between = Dedup.simhashPairsBetween(batch, idx, "doc_id",
+        maxHamming = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // naive reference: all cross-side pairs within the hamming radius
+    val naive = batch.select(col("doc_id").as("a"), col("simhash").as("sa"))
+      .crossJoin(idx.select(col("doc_id").as("b"), col("simhash").as("sb")))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(between === naive)
+    assert(naive.nonEmpty) // the corpus must actually exercise the radius
+  }
 }

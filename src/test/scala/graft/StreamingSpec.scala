@@ -200,6 +200,40 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSet === batchRows)
   }
 
+  test("ingestion pipeline (st09 transform): streaming arrivals == batch fold") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Ingest
+    val docs = Lake.table(spark, sf, "documents")
+    // three ordered arrival waves staged as separate files; the parquet
+    // stream source processes files oldest-first, so each wave is its
+    // own micro-batch
+    val stage = Files.createTempDirectory("graft_ingest").toString
+    (0 until 3).foreach { b =>
+      // ONE file per wave (coalesce) so each wave is exactly one
+      // micro-batch under maxFilesPerTrigger=1
+      docs.filter(col("doc_id") % 3 === b).coalesce(1)
+        .write.mode("append").parquet(stage)
+      Thread.sleep(150) // distinct file mod-times → deterministic order
+    }
+    var store = Ingest.emptyStore(spark)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = stream.writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        store = store.unionByName(Ingest.ingestBatch(store, batch, id))
+          .localCheckpoint()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val fold = Ingest.ingestFold(spark, docs, col("doc_id") % 3, nBatches = 3)
+    // batch ids may differ in numbering; compare the decision set
+    def keyed(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.select("doc_id", "content_hash", "simhash").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(keyed(store) === keyed(fold))
+    assert(store.count() === fold.count())
+  }
+
   test("sessionize: gaps under threshold merge, over threshold split") {
     import spark.implicits._
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
