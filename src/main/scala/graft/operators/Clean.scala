@@ -31,15 +31,18 @@ object Clean {
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDf)
       .select(col("__seg_hash"), lit(true).as("__is_bp"))
+    val kept = sum(when(!col("__is_bp"), 1L).otherwise(0L))
     hashed.join(bp, Seq("__seg_hash"), "left")
       .withColumn("__is_bp", coalesce(col("__is_bp"), lit(false)))
       .groupBy(col(idCol))
       .agg(
-        array_join(transform(
+        // NULL (not "") when every segment was boilerplate — the
+        // zero-surviving-rows semantics of SQL's `string_agg … FILTER`
+        when(kept > 0, array_join(transform(
           array_sort(collect_list(when(!col("__is_bp"),
             struct(col(posCol).as("p"), col(segCol).as("s"))))),
-          x => x.getField("s")), " ").as("clean_text"),
-        sum(when(!col("__is_bp"), 1L).otherwise(0L)).as("n_kept"),
+          x => x.getField("s")), " ")).as("clean_text"),
+        kept.as("n_kept"),
         sum(when(col("__is_bp"), 1L).otherwise(0L)).as("n_dropped"))
   }
 }

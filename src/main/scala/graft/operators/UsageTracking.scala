@@ -39,23 +39,13 @@ object UsageTracking {
     "tag_updates" -> MethodTagUpdate,
     "tag_deletes" -> MethodTagDelete)
 
-  /** One reporting stream (one reference function): audit rows for one
-    * method, DISTINCT over the second-truncated event tuple (the
-    * reference's `select distinct timestamp_trunc(timestamp, SECOND) …`),
-    * entry resolved to its BigQuery resource via the broadcast lookup.
+  /** The reference's four reporting streams (one function per method,
+    * each `select distinct timestamp_trunc(timestamp, SECOND) …`) in ONE
+    * log pass: methods are disjoint, so the per-kind DISTINCT equals a
+    * single DISTINCT with `kind` carried. Entries resolve to their
+    * BigQuery resource via the broadcast lookup.
     * `audit(event_time, project, user_email, method, dc_entry)`;
     * `lookup(dc_entry, bq_resource)`.
-    */
-  def usageEvents(audit: DataFrame, lookup: DataFrame,
-                  method: String): DataFrame =
-    audit.filter(col("method") === method)
-      .select(date_trunc("second", col("event_time")).as("event_time"),
-        col("project"), col("user_email"), col("dc_entry"))
-      .distinct()
-      .join(broadcast(lookup), Seq("dc_entry"), "left")
-
-  /** All four streams in ONE log pass (methods are disjoint, so the
-    * per-kind DISTINCT equals a single DISTINCT with `kind` carried).
     */
   def allUsageEvents(audit: DataFrame, lookup: DataFrame): DataFrame = {
     val kindOf = Kinds.foldLeft(lit(null).cast("string")) { case (acc, (k, m)) =>

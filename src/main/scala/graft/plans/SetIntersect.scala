@@ -23,11 +23,15 @@ object InterOps {
     if (a.numElements() > b.numElements()) { val t = a; a = b; b = t }
     val n = a.numElements()
     if (n == 0) return 0
-    // power-of-two table ≥ 2n, computed in LONG space (n is bounded by the
-    // Int array length, but n*2 in Int would overflow for n > 2^30)
+    // power-of-two table ≥ 2n, capped at 2^30 so `cap` stays a positive
+    // Int (an uncapped 2^31 would wrap negative on narrowing); open
+    // addressing needs cap > n, so sets beyond 2^30 elements (an 8 GB+
+    // ArrayData, unreachable in practice) fail loudly instead of wrapping
     var capL = 4L
-    while (capL < n.toLong * 2) capL <<= 1
+    while (capL < n.toLong * 2 && capL < (1L << 30)) capL <<= 1
     val cap = capL.toInt
+    require(n < cap,
+      s"interSize: set of $n elements exceeds the 2^30 open-addressing bound")
     val mask = cap - 1
     // take the TOP log2(cap) bits of the multiplicative hash — a fixed
     // ">>> 40" keeps only 24 bits, so any table beyond 2^24 slots would

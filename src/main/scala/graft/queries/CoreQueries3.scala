@@ -376,10 +376,7 @@ object CoreQueries3 {
     import graft.model.{FieldSpec, TagConfig}
     import graft.operators.GroupedEval
     import spark.implicits._
-    val catalog = spark.range(0, 1000)
-      .select(lit("p").as("project"), lit("lake").as("dataset"),
-        concat(lit("events_"), lpad(col("id").cast("string"), 4, "0"))
-          .as("table"))
+    val catalog = CoreQueries5.eventsShardCatalog(spark, 1000)
     val config = TagConfig(
       configType = "DYNAMIC_TAG_TABLE", templateId = "gov",
       fields = Seq(
@@ -400,9 +397,7 @@ object CoreQueries3 {
         FieldSpec("env", "enum", None, Some("PROD"))),
       includedUris = Seq("bigquery/project/p/dataset/lake/events_*"))
     GroupedEval.applyDynamicTableConfigSharded(spark, config, catalog,
-        Lake.table(spark, dir, "events"),
-        concat(lit("events_"),
-          lpad((col("event_id") % 1000).cast("string"), 4, "0")))
+        Lake.table(spark, dir, "events"), CoreQueries5.eventsShardExpr(1000))
       .orderBy("asset_uri", "field_id")
   }
 

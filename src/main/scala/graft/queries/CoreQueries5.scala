@@ -16,13 +16,17 @@ import graft.queries.CoreQueries.Q
   */
 object CoreQueries5 {
 
-  private def eventsShardCatalog(spark: SparkSession, n: Int): DataFrame =
+  /** The sharded-events fixture shared by the bulk-config queries (q30,
+    * q39, st08): an n-shard catalog of `events_NNNN` tables and the
+    * expression assigning each event row to its shard.
+    */
+  private[queries] def eventsShardCatalog(spark: SparkSession, n: Int): DataFrame =
     spark.range(0, n)
       .select(lit("p").as("project"), lit("lake").as("dataset"),
         concat(lit("events_"), lpad(col("id").cast("string"), 4, "0"))
           .as("table"))
 
-  private def eventsShardExpr(n: Int) =
+  private[queries] def eventsShardExpr(n: Int) =
     concat(lit("events_"),
       lpad((col("event_id") % n).cast("string"), 4, "0"))
 
@@ -625,13 +629,24 @@ object CoreQueries5 {
       ("c3", "DYNAMIC_TAG_COLUMN", "u3", "ACTIVE", 1L)))
       .unionByName(ConfigStore.tombstone(batch0, "c2"))
     // unique dir per invocation: the log is append-mode by contract
-    val logDir = java.nio.file.Files.createTempDirectory("graft_q45").toString
-    ConfigStore.appendDelta(batch0, logDir, batchId = 0L)
-    ConfigStore.appendDelta(delta, logDir, batchId = 1L)
-    ConfigStore.readLatest(spark, logDir)
-      .select("config_uuid", "config_type", "included_uris",
-        "config_status", "version")
-      .orderBy("config_uuid")
+    val logPath = java.nio.file.Files.createTempDirectory("graft_q45")
+    val logDir = logPath.toString
+    try {
+      ConfigStore.appendDelta(batch0, logDir, batchId = 0L)
+      ConfigStore.appendDelta(delta, logDir, batchId = 1L)
+      val read = ConfigStore.readLatest(spark, logDir)
+        .select("config_uuid", "config_type", "included_uris",
+          "config_status", "version")
+        .orderBy("config_uuid")
+      // materialize what the sink wrote BEFORE deleting the log — the
+      // returned frame must not lazily re-read files we just removed
+      spark.createDataFrame(read.collectAsList(), read.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(logPath).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   val q45Oracle: String =

@@ -65,10 +65,14 @@ object Ingest {
     val nearDupIds = Dedup.simhashPairsBetween(sigs,
         store.select("doc_id", "simhash"), "doc_id", maxHamming)
       .select(col("a_id").as("doc_id")).distinct()
-    exactNovel.join(sigs, "doc_id")
+    // LEFT join: a doc that passed the gate but has no tokens (reachable
+    // at minTokens = 0 — simhash's tokenizer emits nothing for it, so it
+    // has no signature row) is still an arrival; it lands with the empty
+    // signature 0 instead of vanishing through an inner join
+    exactNovel.join(sigs, Seq("doc_id"), "left")
       .join(nearDupIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit(batchId).as("batch"), col("content_hash"),
-        col("simhash"))
+        coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
   /** Ordered batch fold (the oracle-gated form): documents arrive in

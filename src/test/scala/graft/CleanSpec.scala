@@ -25,7 +25,9 @@ class CleanSpec extends SparkSpec {
     assert(out === Array(
       (1L, "alpha body one tail one", 2L, 1L),
       (2L, "beta body two", 1L, 1L),
-      (3L, "", 0L, 1L),
+      // every segment boilerplate → NULL, the string_agg-FILTER
+      // zero-rows semantics the t16 oracle compares against
+      (3L, null, 0L, 1L),
       // df("solo repeat") = 1 doc < 3 → kept, both copies
       (4L, "solo repeat solo repeat gamma body", 3L, 0L)))
   }
@@ -54,7 +56,7 @@ class CleanSpec extends SparkSpec {
       val expected = rows.groupBy(_._1).map { case (doc, rs) =>
         val sorted = rs.sortBy(_._2)
         val kept = sorted.filter(r => df(r._3) < minDf)
-        (doc, kept.map(_._3).mkString(" "),
+        (doc, if (kept.isEmpty) null else kept.map(_._3).mkString(" "),
           kept.size.toLong, (sorted.size - kept.size).toLong)
       }.toSet
       val got = Clean.removeBoilerplate(

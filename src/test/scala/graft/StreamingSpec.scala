@@ -234,6 +234,20 @@ class StreamingSpec extends SparkSpec {
     assert(store.count() === fold.count())
   }
 
+  test("ingest: a token-less doc passing the gate still lands (minTokens=0)") {
+    import spark.implicits._
+    import graft.streaming.Ingest
+    val batch = Seq((1L, "   "), (2L, "real document text here"))
+      .toDF("doc_id", "text")
+    val accepted = Ingest
+      .ingestBatch(Ingest.emptyStore(spark), batch, 0L, minTokens = 0)
+      .orderBy("doc_id").collect()
+    // doc 1 has no tokens → no simhash row; it must land with the empty
+    // signature, not vanish through an inner join against the signatures
+    assert(accepted.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(accepted.head.getLong(3) === 0L)
+  }
+
   test("sessionize: gaps under threshold merge, over threshold split") {
     import spark.implicits._
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
