@@ -656,6 +656,123 @@ object CoreQueries5 {
       |  t(config_uuid, config_type, included_uris, config_status, version)
       |ORDER BY config_uuid""".stripMargin
 
+  // --------------- policy-tag workflow extension (q46)
+
+  /** Policy-tag workflow parity (extensions/policy_tag_workflow/
+    * tag_engine_config.json): the reference wraps a cloud function in a
+    * BigQuery remote function and calls it per column —
+    * `select remote_functions.policy_tag_reader(…, '\$column')` — to tag
+    * each column with the policy tag attached to it. The Spark-native
+    * form of that remote lookup is a broadcast taxonomy table: the same
+    * `pii_template` column config runs through the (asset × column)
+    * grid of [[GroupedEval.applyDynamicColumnConfigSharded]], with the
+    * lookup expressed as a scalar subquery over the taxonomy view that
+    * `\$column` binding turns into one constant-predicate probe per
+    * DISTINCT column (schema-width many, not asset-many — Catalyst
+    * evaluates each once and broadcasts the scalar).
+    */
+  def q46PolicyTagWorkflow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(("user_id", "pii/user_identifier"),
+        ("value", "finance/transaction_amount"))
+      .toDF("column_name", "policy_tag")
+      .createOrReplaceTempView("graft_policy_taxonomy")
+    val config = TagConfig(
+      configType = "DYNAMIC_TAG_COLUMN", templateId = "pii_template",
+      fields = Seq(
+        FieldSpec("policy_tag", "string",
+          Some("select max(policy_tag) from graft_policy_taxonomy " +
+            "where column_name = '$column'")),
+        FieldSpec("is_classified", "string",
+          Some("select cast(count(*) > 0 as string) " +
+            "from graft_policy_taxonomy where column_name = '$column'"))),
+      includedUris = Seq("bigquery/project/p/dataset/lake/events_*"),
+      includedColumnsQuery = Some("select 'user_id', 'value', 'event_type'"))
+    val columns = spark.sql(config.includedColumnsQuery.get)
+      .first().toSeq.map(_.toString)
+    GroupedEval.applyDynamicColumnConfigSharded(spark, config,
+        eventsShardCatalog(spark, 100), Lake.table(spark, dir, "events"),
+        eventsShardExpr(100), columns)
+      .orderBy("asset_uri", "column", "field_id")
+  }
+
+  val q46Oracle: String =
+    """WITH tax AS (SELECT * FROM (VALUES
+      |    ('user_id', 'pii/user_identifier'),
+      |    ('value', 'finance/transaction_amount'))
+      |    t(column_name, policy_tag)),
+      |shards AS (
+      |  SELECT 'events_' || lpad(CAST(r.range AS VARCHAR), 4, '0') AS shard
+      |  FROM range(0, 100) r),
+      |cols AS (SELECT * FROM (VALUES ('user_id'), ('value'), ('event_type'))
+      |         c(column_name)),
+      |cells AS (
+      |  SELECT 'bigquery/project/p/dataset/lake/' || s.shard AS asset_uri,
+      |         c.column_name, t.policy_tag,
+      |         CAST(t.policy_tag IS NOT NULL AS VARCHAR) AS is_classified
+      |  FROM shards s CROSS JOIN cols c
+      |  LEFT JOIN tax t USING (column_name))
+      |SELECT asset_uri, column_name AS "column",
+      |       'pii_template' AS template_id, field_id, field_type, field_value
+      |FROM (
+      |  SELECT asset_uri, column_name, 'policy_tag' AS field_id,
+      |         'string' AS field_type, policy_tag AS field_value FROM cells
+      |  UNION ALL
+      |  SELECT asset_uri, column_name, 'is_classified', 'string',
+      |         is_classified FROM cells)
+      |ORDER BY asset_uri, "column", field_id""".stripMargin
+
+  // --------------- finwire standardization-degree config (q47)
+
+  /** Finwire data-standardization parity (extensions/finwire_tag_configs/
+    * finwire_data_standardization.json): a DYNAMIC_TAG_TABLE whose
+    * `query_expression` is a multi-CTE statement — unmatched count via
+    * `NOT IN` against a reference dimension, total count, and a
+    * percentage-of-standardized-rows scalar — fanned across the sharded
+    * family by the same correlated rewrite as q30 (both `from \$table`
+    * occurrences become shard slices; the reference dimension stays a
+    * shared view probed once). `safe_divide` from the reference text maps
+    * to `nullif`-guarded division under ANSI mode.
+    */
+  def q47FinwireStandardization(spark: SparkSession, dir: String): DataFrame = {
+    Lake.table(spark, dir, "customer").select(col("c_custkey"))
+      .createOrReplaceTempView("graft_ref_customer")
+    val config = TagConfig(
+      configType = "DYNAMIC_TAG_TABLE", templateId = "data_standardization",
+      fields = Seq(FieldSpec("degree", "double", Some(
+        "with finwire_unmatches as (select count(*) as umatched_counts " +
+          "from $table where user_id not in " +
+          "(select c_custkey from graft_ref_customer)), " +
+        "finwire_total as (select count(*) as total_counts from $table) " +
+        "select cast(round((total_counts - umatched_counts) * 100.0 / " +
+          "nullif(total_counts, 0)) as bigint) as degree " +
+        "from finwire_unmatches, finwire_total"))),
+      includedUris = Seq("bigquery/project/p/dataset/lake/events_*"))
+    GroupedEval.applyDynamicTableConfigSharded(spark, config,
+        eventsShardCatalog(spark, 200), Lake.table(spark, dir, "events"),
+        eventsShardExpr(200))
+      .orderBy("asset_uri", "field_id")
+  }
+
+  val q47Oracle: String =
+    """WITH shards AS (
+      |  SELECT 'events_' || lpad(CAST(r.range AS VARCHAR), 4, '0') AS shard
+      |  FROM range(0, 200) r),
+      |agg AS (
+      |  SELECT 'events_' || lpad(CAST(event_id % 200 AS VARCHAR), 4, '0') AS shard,
+      |         count(*) AS total_counts,
+      |         count(*) FILTER (WHERE user_id NOT IN
+      |           (SELECT c_custkey FROM customer)) AS umatched_counts
+      |  FROM events GROUP BY 1)
+      |SELECT 'bigquery/project/p/dataset/lake/' || s.shard AS asset_uri,
+      |       '' AS "column",
+      |       'data_standardization' AS template_id, 'degree' AS field_id,
+      |       'double' AS field_type,
+      |       CAST(CAST(round((total_counts - umatched_counts) * 100.0 /
+      |         nullif(total_counts, 0)) AS BIGINT) AS VARCHAR) AS field_value
+      |FROM shards s LEFT JOIN agg USING (shard)
+      |ORDER BY asset_uri, field_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q39_bulk_dynamic_column", q39BulkDynamicColumn _, Some(q39Oracle)),
     ("q40_scheduler_tick_jobs", q40SchedulerTickJobs _, Some(q40Oracle)),
@@ -664,5 +781,7 @@ object CoreQueries5 {
     ("q43_product_registration", q43ProductRegistration _, Some(q43Oracle)),
     ("q44_pii_pipeline", q44PiiPipeline _, Some(q44Oracle)),
     ("q45_config_log", q45ConfigLog _, Some(q45Oracle)),
+    ("q46_policy_tag_workflow", q46PolicyTagWorkflow _, Some(q46Oracle)),
+    ("q47_finwire_standardization", q47FinwireStandardization _, Some(q47Oracle)),
     ("st08_change_retag", st08ChangeRetag _, Some(st08Oracle)))
 }
