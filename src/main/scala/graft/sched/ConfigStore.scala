@@ -61,9 +61,17 @@ object ConfigStore {
   def deleteConfig(store: DataFrame, configUuid: String): DataFrame =
     store.filter(col("config_uuid") =!= configUuid)
 
-  /** Purge every config of a type (TagEngineStoreHandler.py purge path). */
-  def purge(store: DataFrame, configType: String): DataFrame =
-    store.filter(col("config_type") =!= configType)
+  /** Purge the INACTIVE configs of a type — `"ALL"` spans every type
+    * (TagEngineStoreHandler.py:1317–1342 deletes only documents whose
+    * `config_status == 'INACTIVE'`; active configs of the type survive).
+    */
+  def purge(store: DataFrame, configType: String): DataFrame = {
+    val inType =
+      if (configType == "ALL") lit(true) else col("config_type") === configType
+    // keep-side predicate must hold rows with a NULL status
+    store.filter(!inType ||
+      coalesce(col("config_status") =!= "INACTIVE", lit(true)))
+  }
 
   /** Persist / recover the store as a full SNAPSHOT (the compaction form —
     * see [[appendDelta]] for the incremental path; this overwrite is what

@@ -29,11 +29,20 @@ class ConfigStoreSpec extends SparkSpec {
     assert(byUuid("c2") === ("ACTIVE", 1L))
   }
 
-  test("delete removes one doc; purge removes a type") {
+  test("delete removes one doc; purge removes only INACTIVE of a type") {
     assert(ConfigStore.deleteConfig(store, "c1")
       .select("config_uuid").as[String].collect().toSeq === Seq("c2"))
-    assert(ConfigStore.purge(store, "STATIC_TAG_ASSET")
-      .select("config_uuid").as[String].collect().toSeq === Seq("c1"))
+    // reference purge (TagEngineStoreHandler.py:1330) filters
+    // config_status == INACTIVE: an ACTIVE config of the type survives
+    val mixed = store.unionByName(mk(Seq(
+      ("c4", "STATIC_TAG_ASSET", "ops", "u4", "INACTIVE", 1L),
+      ("c5", "DYNAMIC_TAG_TABLE", "gov", "u5", "INACTIVE", 2L))))
+    assert(ConfigStore.purge(mixed, "STATIC_TAG_ASSET")
+      .select("config_uuid").as[String].collect().sorted
+      === Seq("c1", "c2", "c5"))
+    // config_type ALL purges INACTIVE across every collection
+    assert(ConfigStore.purge(mixed, "ALL")
+      .select("config_uuid").as[String].collect().sorted === Seq("c1", "c2"))
   }
 
   test("append-log: deltas append (existing files untouched), latest wins") {
