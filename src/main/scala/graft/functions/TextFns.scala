@@ -117,4 +117,23 @@ object TextFns {
     round(least(nTokens / lit(100.0), lit(1.0)) * lit(0.5) +
       stopwordHits(ws, allStop) * lit(1.0) / nTokens * lit(0.5), 4)
   }
+
+  /** Canonical URL for crawl dedup (the CCNet/RefinedWeb normalization
+    * step: URL-level dedup runs before any content pass because it is
+    * free — a row-local projection plus one hash shuffle): strip the
+    * fragment, strip the scheme, drop `utm_*` tracking params, and
+    * re-emit the surviving query params in sorted order so param
+    * permutations collide. Pure codegen'd string/array builtins.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val base = regexp_replace(url, "#.*$", "")
+    val hostPath = regexp_replace(regexp_replace(base, "\\?.*$", ""),
+      "^https?://", "")
+    val params = array_sort(filter(split(
+        regexp_extract(base, "\\?(.*)$", 1), "&"),
+      p => !p.startsWith("utm_") && p =!= ""))
+    concat(hostPath,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
 }

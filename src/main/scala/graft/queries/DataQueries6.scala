@@ -246,8 +246,74 @@ object DataQueries6 {
        |FROM (SELECT * FROM a01 UNION ALL SELECT * FROM a2)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------- URL canonicalization dedup (t19)
+
+  /** URL-level dedup, the cheapest stage of every web-crawl pipeline
+    * (CCNet §2.1 / RefinedWeb run it before any content pass): crawl
+    * frontiers re-visit the same page under fragment, tracking-param and
+    * param-order variants, and [[TextFns.canonicalUrl]] collapses those
+    * to one canonical key — a row-local codegen'd projection — after
+    * which keep-first is ONE hash shuffle on the key. The synthetic
+    * corpus has no URL column, so the query derives each doc's URL
+    * deterministically (both engines build identical strings): path from
+    * `doc_id % 97`, a tracking/plain/absent query-string rotation on
+    * `doc_id % 3`, a fragment on multiples of 5.
+    */
+  def t19UrlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("https://"), col("source"), lit(".example/a/"),
+      (col("doc_id") % 97).cast("string"),
+      when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?id="), (col("doc_id") % 7).cast("string"),
+            lit("&utm_campaign=x")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("#section")).otherwise(lit("")))
+    val canon = docs(spark, dir)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("canonical_url", TextFns.canonicalUrl(col("url")))
+    val w = Window.partitionBy("canonical_url").orderBy("doc_id")
+    canon
+      .withColumn("is_keeper", row_number().over(w) === 1)
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy("canonical_url")))
+      .orderBy("doc_id")
+  }
+
+  val t19Oracle: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://' || source || '.example/a/' || CAST(doc_id % 97 AS VARCHAR) ||
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+      |      WHEN 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '#section' ELSE '' END AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS base FROM u),
+      |p AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(regexp_replace(base, '\?.*$', ''), '^https?://', '')
+      |      AS hostpath,
+      |    list_sort(list_filter(str_split(regexp_extract(base, '\?(.*)$', 1), '&'),
+      |      x -> x NOT LIKE 'utm_%' AND x <> '')) AS params
+      |  FROM c),
+      |k AS (
+      |  SELECT doc_id, url,
+      |    hostpath || CASE WHEN len(params) > 0
+      |      THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url
+      |  FROM p)
+      |SELECT doc_id, url, canonical_url,
+      |  row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id) = 1
+      |    AS is_keeper,
+      |  count(*) OVER (PARTITION BY canonical_url) AS group_size
+      |FROM k ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("e03_embed_neardup_recall", e03EmbedNearDupRecall _, Some(e03Oracle)),
     ("d24_dedup_pipeline", d24DedupPipeline _, Some(d24Oracle)),
-    ("st09_ingest_pipeline", st09IngestPipeline _, Some(st09Oracle)))
+    ("st09_ingest_pipeline", st09IngestPipeline _, Some(st09Oracle)),
+    ("t19_url_canonical", t19UrlCanonical _, Some(t19Oracle)))
 }
