@@ -16,6 +16,22 @@ import graft.operators.ConfigEval
 object CoreQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Materialize `df` into a driver-local frame, then recursively delete
+    * `path` — for fixture queries whose result lazily reads files they
+    * just wrote (q31/q34/q45): the read-back must not outlive its temp
+    * dir, and without the delete every bench/verify invocation leaves
+    * another directory under /tmp.
+    */
+  private[queries] def materializeThenDelete(spark: SparkSession,
+      df: DataFrame, path: java.nio.file.Path): DataFrame =
+    try spark.createDataFrame(df.collectAsList(), df.schema)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(path).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   /** The flagship dynamic-table config (FIXTURES.md §1.1 realized over
     * `orders`): N per-field SQL expressions with `$table` substitution,
     * evaluated as ONE combined scalar-subquery statement (A7/A8/G; combined

@@ -478,13 +478,15 @@ object CoreQueries3 {
         "asset_uri string, column string, template_id string, " +
         "field_id string, field_value string"))
     // unique dir per invocation: the sink is append-mode by contract
-    val histDir = java.nio.file.Files.createTempDirectory("graft_hist").toString
-    TagEngine.runJob(spark, config, catalog, empty, Some(histDir),
+    val histPath = java.nio.file.Files.createTempDirectory("graft_hist")
+    TagEngine.runJob(spark, config, catalog, empty, Some(histPath.toString),
       lit("2024-03-01 12:00:00").cast("timestamp"), lit("job-1"))
-    spark.read.parquet(histDir)
-      .select("event_time", "asset_name", "job_uuid", "n_rows", "env",
-        "event_date")
-      .orderBy("asset_name")
+    CoreQueries.materializeThenDelete(spark,
+      spark.read.parquet(histPath.toString)
+        .select("event_time", "asset_name", "job_uuid", "n_rows", "env",
+          "event_date")
+        .orderBy("asset_name"),
+      histPath)
   }
 
   val q31Oracle: String =

@@ -50,9 +50,11 @@ object CoreQueries4 {
     java.nio.file.Files.write(tmp.resolve("backup.jsonl"),
       backupLines.mkString("\n").getBytes("UTF-8"))
     val backup = BackupParser.read(spark, tmp.toString)
-    BackupParser.toTagRows(
-        BackupParser.filterByTemplate(backup, "gov", "p1"))
-      .orderBy("entry_id", "column", "field_id")
+    CoreQueries.materializeThenDelete(spark,
+      BackupParser.toTagRows(
+          BackupParser.filterByTemplate(backup, "gov", "p1"))
+        .orderBy("entry_id", "column", "field_id"),
+      tmp)
   }
 
   /** The fixture is driver-authored, so the oracle states the expected

@@ -631,22 +631,14 @@ object CoreQueries5 {
     // unique dir per invocation: the log is append-mode by contract
     val logPath = java.nio.file.Files.createTempDirectory("graft_q45")
     val logDir = logPath.toString
-    try {
-      ConfigStore.appendDelta(batch0, logDir, batchId = 0L)
-      ConfigStore.appendDelta(delta, logDir, batchId = 1L)
-      val read = ConfigStore.readLatest(spark, logDir)
+    ConfigStore.appendDelta(batch0, logDir, batchId = 0L)
+    ConfigStore.appendDelta(delta, logDir, batchId = 1L)
+    CoreQueries.materializeThenDelete(spark,
+      ConfigStore.readLatest(spark, logDir)
         .select("config_uuid", "config_type", "included_uris",
           "config_status", "version")
-        .orderBy("config_uuid")
-      // materialize what the sink wrote BEFORE deleting the log — the
-      // returned frame must not lazily re-read files we just removed
-      spark.createDataFrame(read.collectAsList(), read.schema)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(logPath).sorted(
-          java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+        .orderBy("config_uuid"),
+      logPath)
   }
 
   val q45Oracle: String =
