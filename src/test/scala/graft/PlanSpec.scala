@@ -199,4 +199,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q47: the NOT-IN dimension probe is a broadcast null-aware LeftAnti") {
+    // the finwire degree expression's `user_id not in (select …)` must
+    // decorrelate to ONE broadcast anti-join against the dimension —
+    // a BNLJ here would re-scan the dimension per fact row at 100 TB
+    val p = planOf(graft.queries.CoreQueries5
+      .q47FinwireStandardization(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q46: taxonomy probes are per-COLUMN scalar subqueries, not per asset") {
+    // each (column, field) cell folds to a constant-predicate scalar
+    // subquery over the 2-row taxonomy — the events source itself is
+    // never scanned (no field reads $table), and nothing nested-loops
+    val p = planOf(graft.queries.CoreQueries5.q46PolicyTagWorkflow(spark, sf))
+    assert(!p.contains("events.parquet"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t19: canonical-key dedup is one shuffle, no join") {
+    val p = planOf(graft.queries.DataQueries6.t19UrlCanonical(spark, sf))
+    assert(!p.contains("Join"), p)
+    // one exchange for the canonical-key window, one for the output sort
+    assert("Exchange".r.findAllIn(p).length <= 2, p)
+  }
 }
