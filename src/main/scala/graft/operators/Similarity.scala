@@ -351,6 +351,34 @@ object Similarity {
       col("approx_d2"), "approx_d2", identity)
   }
 
+  /** IVF + PQ asymmetric search composed (Jégou 2011 §IV — the FAISS
+    * `IVFPQ` production shape): the coarse quantizer restricts WHICH
+    * codes get scored — only vectors assigned to the query's top-`nprobe`
+    * centroid buckets — and ADC ranks those vectors' PQ codes; the
+    * full-precision corpus vectors are never read at query time. The
+    * probe set is nprobe ids collected from the centroid MODEL (k ≪
+    * corpus, [[ivfAssign]]'s contract; same deterministic cosine ordering
+    * as the assignment side) and pushed as an `isin` filter on the
+    * assignment — a scan-prunable predicate, no join — so a query scores
+    * ~(n/k)·nprobe code rows out of n. This is the memory AND compute
+    * story at 100 TB: bytes-per-vector codes, bucket-pruned.
+    */
+  def ivfPqTopK(emb: DataFrame, centroids: DataFrame,
+                codebook: Seq[Array[Double]], numSub: Int,
+                query: Array[Double], k: Int, nprobe: Int,
+                excludeId: Option[Long] = None): DataFrame = {
+    val probed = centroids
+      .withColumn("cos", VectorFns.cosine(col("cvec"), lit(query)))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+      .limit(nprobe).select(col("centroid_id").cast("long"))
+      .collect().map(_.getLong(0))
+    val assigned = ivfAssign(emb, centroids).select("vec_id", "centroid_id")
+    val codes = pqEncode(emb, codebook, numSub)
+      .join(assigned, "vec_id")
+      .filter(col("centroid_id").isin(probed.toIndexedSeq: _*))
+    pqTopK(codes, codebook, numSub, query, k, excludeId)
+  }
+
   def pqEncode(emb: DataFrame, codebook: Seq[Array[Double]],
                numSub: Int): DataFrame = {
     val dim = codebook.head.length

@@ -500,6 +500,75 @@ object DataQueries5 {
       |           AS rank, vec_id, approx_d2
       |  FROM ad) WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  // ----------------------------------- IVF + PQ composed search (s12)
+
+  /** The production ANN composition (FAISS IVFPQ): s02's coarse IVF
+    * quantizer (8 centroids = seed vectors 0–7, probe the query's top-2
+    * buckets) prunes WHICH vectors are scored, and s11's ADC ranks only
+    * those vectors' PQ codes (s10's codebook, seeds 0–3) — see
+    * [[graft.operators.Similarity.ivfPqTopK]]. Query is vec 0,
+    * full-precision; the corpus contributes codes only.
+    */
+  def s12IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val codebook = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("vec").collect().map(_.getSeq[Double](0).toArray).toSeq
+    val query = e.filter(col("vec_id") === 0)
+      .select("vec").head.getSeq[Double](0).toArray
+    Similarity.ivfPqTopK(e, centroids, codebook, numSub = 8, query,
+        k = 10, nprobe = 2, excludeId = Some(0L))
+      .orderBy("rank")
+  }
+
+  val s12Oracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |seeds AS (SELECT vec_id AS code_id, v AS cv FROM e WHERE vec_id < 4),
+      |sub AS (SELECT e.vec_id, m.m, s.code_id,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (e.v[m.m * 8 + i] - s.cv[m.m * 8 + i]) ^ 2)) AS dist2
+      |  FROM e
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) m
+      |  CROSS JOIN seeds s),
+      |best AS (SELECT vec_id, m, code_id, dist2,
+      |    row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY round(dist2, 6), code_id) AS rn
+      |  FROM sub),
+      |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |assign AS (SELECT vec_id, centroid_id FROM (
+      |  SELECT e.vec_id, c.centroid_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.v, c.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) *
+      |         sqrt(list_dot_product(c.cv, c.cv))) DESC, c.centroid_id) AS rn
+      |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+      |probed AS (SELECT centroid_id FROM (
+      |  SELECT c.centroid_id,
+      |    row_number() OVER (ORDER BY list_dot_product(c.cv, q.qv) /
+      |        (sqrt(list_dot_product(c.cv, c.cv)) *
+      |         sqrt(list_dot_product(q.qv, q.qv))) DESC, c.centroid_id)
+      |      AS crank
+      |  FROM cent c, q) WHERE crank <= 2),
+      |cand AS (SELECT a.vec_id FROM assign a JOIN probed p USING (centroid_id)
+      |         WHERE a.vec_id <> 0),
+      |qd AS (SELECT m.m, s.code_id,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (q.qv[m.m * 8 + i] - s.cv[m.m * 8 + i]) ^ 2)) AS d2
+      |  FROM q
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) m
+      |  CROSS JOIN seeds s),
+      |ad AS (SELECT b.vec_id, round(sum(qd.d2), 6) AS approx_d2
+      |  FROM best b JOIN qd ON qd.m = b.m AND qd.code_id = b.code_id
+      |  WHERE b.rn = 1 AND b.vec_id IN (SELECT vec_id FROM cand)
+      |  GROUP BY b.vec_id)
+      |SELECT * FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY approx_d2, vec_id) AS INT)
+      |           AS rank, vec_id, approx_d2
+      |  FROM ad) WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   // -------------------------------------- BPE merge training (t18)
 
   /** Three BPE merge steps over the corpus vocabulary — see
@@ -554,6 +623,7 @@ object DataQueries5 {
     ("m02_frame_sample", m02FrameSample _, Some(m02Oracle)),
     ("s10_pq_encode", s10PqEncode _, Some(s10Oracle)),
     ("s11_pq_adc", s11PqAdc _, Some(s11Oracle)),
+    ("s12_ivf_pq", s12IvfPq _, Some(s12Oracle)),
     ("t16_boilerplate", t16Boilerplate _, Some(t16Oracle)),
     ("t17_perplexity_band", t17PerplexityBand _, Some(t17Oracle)),
     ("t18_bpe_train", t18BpeTrain _, Some(t18Oracle)))

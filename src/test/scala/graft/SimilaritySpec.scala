@@ -111,4 +111,29 @@ class SimilaritySpec extends SparkSpec {
     assert(multi1.exceptAll(multi2).count() === 0)
     assert(multi2.count() >= multi1.count())
   }
+
+  test("ivfPqTopK with nprobe = #centroids degenerates to plain ADC") {
+    // probing every bucket removes the IVF restriction entirely, so the
+    // composed search must return exactly pqTopK over the full code table
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val codebook = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("vec").collect().map(_.getSeq[Double](0).toArray).toSeq
+    val query = emb.filter(col("vec_id") === 0)
+      .select("vec").head.getSeq[Double](0).toArray
+    val full = Similarity.pqTopK(
+      Similarity.pqEncode(emb, codebook, 8), codebook, 8, query, 10,
+      excludeId = Some(0L))
+    val composed = Similarity.ivfPqTopK(emb, centroids, codebook, 8, query,
+      10, nprobe = 8, excludeId = Some(0L))
+    assert(composed.collect().toSeq === full.collect().toSeq)
+    // and a restricted probe returns a SUBSET of the corpus, ranked by
+    // the same ADC distance (ranks re-numbered within the probed set)
+    val pruned = Similarity.ivfPqTopK(emb, centroids, codebook, 8, query,
+      10, nprobe = 2, excludeId = Some(0L)).collect()
+    val fullD2 = full.collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    pruned.foreach { r =>
+      fullD2.get(r.getLong(1)).foreach(d2 => assert(d2 === r.getDouble(2)))
+    }
+  }
 }
