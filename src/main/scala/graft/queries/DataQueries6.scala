@@ -246,6 +246,114 @@ object DataQueries6 {
        |FROM (SELECT * FROM a01 UNION ALL SELECT * FROM a2)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------- end-to-end corpus preparation (d25)
+
+  /** The WHOLE training-corpus preparation flow as one statement — the
+    * Lee et al. 2022 / C4-shape pipeline every LLM pretraining run
+    * executes: quality gate (≥ 20 tokens) → exact collapse (min-id
+    * representative per content hash) → simhash near-dup pairs over
+    * representatives ONLY → connected components → quality-argmax
+    * survivor per cluster → deterministic split assignment (content-hash
+    * buckets, d07's formula) → shard + position (d19's reshuffle-proof
+    * doc-id hash and md5 order) for the training loader. Composes the
+    * d24 core with the gate in front and the split/shard tail behind;
+    * every stage is the already-gated operator, so the pipeline's scale
+    * shape is the sum of its parts: narrow gate, two hash aggs, the
+    * rep-only pair join (bounded by d24's exact-first invariance), one
+    * split projection, one shard shuffle.
+    */
+  def d25CorpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val gated = d.filter(size(TextFns.words(col("text"))) >= 20)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("content_hash"))
+      .localCheckpoint() // three consumers: exact agg, rep semi-join, text
+    val exact = gated.groupBy("content_hash").agg(min("doc_id").as("rep_id"))
+    val reps = gated.join(
+      exact.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhash(reps, "doc_id", "text"), "doc_id", maxHamming = 4)
+    val cc = graft.operators.Graph.connectedComponents(pairs, "a_id", "b_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("q").desc, col("doc_id").asc)
+    val survivors = reps
+      .select(col("doc_id"), col("text"),
+        TextFns.qualityScore(col("text")).as("q"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val w2 = Window.partitionBy("split", "shard")
+      .orderBy(md5(concat(col("text"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    survivors
+      .withColumn("bucket", TextFns.hash28(col("text")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .withColumn("shard", TextFns.hash28(col("doc_id").cast("string")) % 8)
+      .withColumn("pos", row_number().over(w2))
+      .select("doc_id", "cluster_id", "split", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
+  val d25Oracle: String = {
+    val allStop = TextFns.stopwords.values.flatten.toSeq.distinct.sorted
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+       |g AS (SELECT doc_id, text FROM documents
+       |      WHERE len(list_filter(string_split(text, ' '),
+       |            w -> length(w) > 0)) >= 20),
+       |m AS (SELECT doc_id, md5(text) AS content_hash FROM g),
+       |ex AS (SELECT content_hash, min(doc_id) AS rep_id FROM m GROUP BY 1),
+       |reps AS (SELECT g.doc_id, g.text FROM g
+       |         JOIN ex ON g.doc_id = ex.rep_id),
+       |${DataQueries.simhashCtesOver("reps")},
+       |pairs AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b
+       |  FROM sims l JOIN sims r ON l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 4),
+       |edges AS (SELECT a AS u, b AS v FROM pairs
+       |          UNION SELECT b, a FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |         FROM reach GROUP BY u),
+       |t AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+       |  FROM reps),
+       |q AS (SELECT doc_id,
+       |  round(least(len(ws) / 100.0, 1.0) * 0.5 +
+       |    len(list_filter(ws, w -> list_contains($allStop, w))) * 1.0
+       |      / len(ws) * 0.5, 4) AS quality_score
+       |  FROM t),
+       |f AS (SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
+       |             q.quality_score
+       |      FROM q LEFT JOIN comp c USING (doc_id)),
+       |surv AS (SELECT doc_id, cluster_id FROM (
+       |    SELECT doc_id, cluster_id,
+       |      row_number() OVER (PARTITION BY cluster_id
+       |        ORDER BY quality_score DESC, doc_id) AS rn
+       |    FROM f) WHERE rn = 1),
+       |sp AS (SELECT s.doc_id, s.cluster_id, r.text,
+       |    ('0x' || substr(md5(r.text), 1, 7))::BIGINT % 100 AS b,
+       |    ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 7))::BIGINT % 8
+       |      AS shard
+       |  FROM surv s JOIN reps r USING (doc_id))
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+       |       ELSE 'test' END AS split,
+       |  shard,
+       |  CAST(row_number() OVER (PARTITION BY
+       |      CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+       |           ELSE 'test' END, shard
+       |    ORDER BY md5(text || CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+       |    AS pos
+       |FROM sp ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------- URL canonicalization dedup (t19)
 
   /** URL-level dedup, the cheapest stage of every web-crawl pipeline
@@ -314,6 +422,7 @@ object DataQueries6 {
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("e03_embed_neardup_recall", e03EmbedNearDupRecall _, Some(e03Oracle)),
     ("d24_dedup_pipeline", d24DedupPipeline _, Some(d24Oracle)),
+    ("d25_corpus_prep", d25CorpusPrep _, Some(d25Oracle)),
     ("st09_ingest_pipeline", st09IngestPipeline _, Some(st09Oracle)),
     ("t19_url_canonical", t19UrlCanonical _, Some(t19Oracle)))
 }
