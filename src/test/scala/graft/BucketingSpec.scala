@@ -14,6 +14,19 @@ class BucketingSpec extends SparkSpec {
     val li = Lake.table(spark, sf, "lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // DROP above only clears this JVM's in-memory catalog; the managed
+    // locations under the (fixed, reused) warehouse dir survive across
+    // runs and CREATE fails on LOCATION_ALREADY_EXISTS without this
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
