@@ -569,6 +569,125 @@ object DataQueries5 {
       |           AS rank, vec_id, approx_d2
       |  FROM ad) WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  // ------------------------------------ PQ-family recall eval (s13)
+
+  /** Recall@10 of the byte-coded search family — s11's full-corpus ADC,
+    * s12's IVFPQ at nprobe=2, and the multi-probe nprobe=4 variant —
+    * against the EXACT squared-L2 top-10. PQ approximates L2 distance
+    * (Jégou 2011 §II), so truth here is the exact L2 ranking (s07's eval
+    * uses cosine because its indexes re-rank with full vectors; these
+    * never touch full vectors at query time, which is precisely why the
+    * recall number must be measured before deploying them). Mirrors
+    * s07's shape: every ≤10-row result is localCheckpoint-barriered so
+    * each comparison join consumes a 10-row table instead of re-running
+    * its index scan, and the nprobe=4 row measures the recall lift of
+    * probing more coarse buckets — the same probe/recall dial e03
+    * quantifies for the near-dup path.
+    */
+  def s13PqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val codebook = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("vec").collect().map(_.getSeq[Double](0).toArray).toSeq
+    val query = e.filter(col("vec_id") === 0)
+      .select("vec").head.getSeq[Double](0).toArray
+    val d2 = aggregate(
+      zip_with(col("vec"), lit(query), (a, b) => (a - b) * (a - b)),
+      lit(0.0d), _ + _)
+    val truth = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(d2, 6).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
+      .select("vec_id").localCheckpoint()
+    val codes = Similarity.pqEncode(e, codebook, numSub = 8)
+    val pq = Similarity.pqTopK(codes, codebook, numSub = 8, query, k = 10,
+      excludeId = Some(0L)).localCheckpoint()
+    def ivfpq(nprobe: Int): DataFrame =
+      Similarity.ivfPqTopK(e, centroids, codebook, numSub = 8, query,
+        k = 10, nprobe = nprobe, excludeId = Some(0L)).localCheckpoint()
+    def scoreOf(name: String, got: DataFrame): DataFrame =
+      got.select(col("vec_id"))
+        .join(truth.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_retrieved"), count(col("hit")).as("n_hits"))
+        .select(lit(name).as("method"), col("n_retrieved"), col("n_hits"),
+          round(col("n_hits") * lit(1.0) / lit(10.0), 4).as("recall_at_10"))
+    scoreOf("ivfpq_p2", ivfpq(2))
+      .unionByName(scoreOf("ivfpq_p4", ivfpq(4)))
+      .unionByName(scoreOf("pq_adc", pq))
+      .orderBy("method")
+  }
+
+  val s13Oracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |seeds AS (SELECT vec_id AS code_id, v AS cv FROM e WHERE vec_id < 4),
+      |sub AS (SELECT e.vec_id, m.m, s.code_id,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (e.v[m.m * 8 + i] - s.cv[m.m * 8 + i]) ^ 2)) AS dist2
+      |  FROM e
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) m
+      |  CROSS JOIN seeds s),
+      |best AS (SELECT vec_id, m, code_id, dist2,
+      |    row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY round(dist2, 6), code_id) AS rn
+      |  FROM sub),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |qd AS (SELECT m.m, s.code_id,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (q.qv[m.m * 8 + i] - s.cv[m.m * 8 + i]) ^ 2)) AS d2
+      |  FROM q
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) m
+      |  CROSS JOIN seeds s),
+      |ad AS (SELECT b.vec_id, round(sum(qd.d2), 6) AS approx_d2
+      |  FROM best b JOIN qd ON qd.m = b.m AND qd.code_id = b.code_id
+      |  WHERE b.rn = 1 AND b.vec_id <> 0
+      |  GROUP BY b.vec_id),
+      |pq_top AS (SELECT vec_id FROM (
+      |  SELECT vec_id, row_number() OVER (ORDER BY approx_d2, vec_id) AS rk
+      |  FROM ad) WHERE rk <= 10),
+      |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+      |assign AS (SELECT vec_id, centroid_id FROM (
+      |  SELECT e.vec_id, c.centroid_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.v, c.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) *
+      |         sqrt(list_dot_product(c.cv, c.cv))) DESC, c.centroid_id) AS rn
+      |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+      |probed AS (SELECT c.centroid_id,
+      |    row_number() OVER (ORDER BY list_dot_product(c.cv, q.qv) /
+      |        (sqrt(list_dot_product(c.cv, c.cv)) *
+      |         sqrt(list_dot_product(q.qv, q.qv))) DESC, c.centroid_id)
+      |      AS crank
+      |  FROM cent c, q),
+      |ivfpq2 AS (SELECT vec_id FROM (
+      |  SELECT ad.vec_id, row_number() OVER (ORDER BY approx_d2, vec_id) AS rk
+      |  FROM ad JOIN assign a USING (vec_id)
+      |  WHERE a.centroid_id IN (SELECT centroid_id FROM probed WHERE crank <= 2))
+      |  WHERE rk <= 10),
+      |ivfpq4 AS (SELECT vec_id FROM (
+      |  SELECT ad.vec_id, row_number() OVER (ORDER BY approx_d2, vec_id) AS rk
+      |  FROM ad JOIN assign a USING (vec_id)
+      |  WHERE a.centroid_id IN (SELECT centroid_id FROM probed WHERE crank <= 4))
+      |  WHERE rk <= 10),
+      |truth AS (SELECT vec_id FROM (
+      |  SELECT e.vec_id, row_number() OVER (
+      |    ORDER BY round(list_sum(list_transform(generate_series(1, 64),
+      |      i -> (e.v[i] - q.qv[i]) ^ 2)), 6), e.vec_id) AS rk
+      |  FROM e, q WHERE e.vec_id <> 0) WHERE rk <= 10),
+      |scored AS (
+      |  SELECT 'ivfpq_p2' AS method, count(*) AS n_retrieved,
+      |    count(t.vec_id) AS n_hits
+      |  FROM ivfpq2 g LEFT JOIN truth t ON g.vec_id = t.vec_id
+      |  UNION ALL
+      |  SELECT 'ivfpq_p4', count(*), count(t.vec_id)
+      |  FROM ivfpq4 g LEFT JOIN truth t ON g.vec_id = t.vec_id
+      |  UNION ALL
+      |  SELECT 'pq_adc', count(*), count(t.vec_id)
+      |  FROM pq_top g LEFT JOIN truth t ON g.vec_id = t.vec_id)
+      |SELECT method, n_retrieved, n_hits,
+      |  round(n_hits*1.0/10.0, 4) AS recall_at_10
+      |FROM scored ORDER BY method""".stripMargin
+
   // -------------------------------------- BPE merge training (t18)
 
   /** Three BPE merge steps over the corpus vocabulary — see
@@ -624,6 +743,7 @@ object DataQueries5 {
     ("s10_pq_encode", s10PqEncode _, Some(s10Oracle)),
     ("s11_pq_adc", s11PqAdc _, Some(s11Oracle)),
     ("s12_ivf_pq", s12IvfPq _, Some(s12Oracle)),
+    ("s13_pq_recall", s13PqRecall _, Some(s13Oracle)),
     ("t16_boilerplate", t16Boilerplate _, Some(t16Oracle)),
     ("t17_perplexity_band", t17PerplexityBand _, Some(t17Oracle)),
     ("t18_bpe_train", t18BpeTrain _, Some(t18Oracle)))

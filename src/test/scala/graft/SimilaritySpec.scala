@@ -136,4 +136,18 @@ class SimilaritySpec extends SparkSpec {
       fullD2.get(r.getLong(1)).foreach(d2 => assert(d2 === r.getDouble(2)))
     }
   }
+
+  test("s13 recall eval: 10 retrieved per method, recall = hits/10 in [0,1]") {
+    // the eval's own arithmetic must be trustworthy before its recall
+    // numbers mean anything: every method retrieves exactly k, hits never
+    // exceed retrieved, and the recall column is literally n_hits/10
+    val rows = graft.queries.DataQueries5.s13PqRecall(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("ivfpq_p2", "ivfpq_p4", "pq_adc"))
+    rows.foreach { r =>
+      assert(r.getLong(1) === 10L)
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 10L)
+      assert(r.getDouble(3) === r.getLong(2) / 10.0)
+    }
+  }
 }
