@@ -86,6 +86,72 @@ object Multimodal {
       width = targetW, height = targetH)))
   }
 
+  /** One energy-gated segment of an audio payload. */
+  final case class AudioSegment(doc_id: Long, seg_idx: Int, start_window: Int,
+                                n_windows: Int, rms: Double)
+
+  /** STUB PCM decode — deterministic fake: each payload byte as one
+    * unsigned sample value. In production this is the audio codec call
+    * (payload → PCM at the record's sample rate); the segmentation
+    * arithmetic in [[segmentAudio]] is the real contract and does not
+    * change when the codec is real.
+    */
+  val fakePcm: Array[Byte] => Array[Double] = bytes => {
+    val out = new Array[Double](bytes.length)
+    var i = 0
+    while (i < out.length) { out(i) = (bytes(i) & 0xff).toDouble; i += 1 }
+    out
+  }
+
+  /** Energy-gated segmentation — the VAD-shaped pass of audio pipelines
+    * (silence trimming / speech-region extraction): the decoded sample
+    * stream is cut into fixed `windowSize`-sample windows (partial tail
+    * window dropped), a window is ACTIVE iff its RMS ≥ `minRms` — decided
+    * on the integer sum of squares (sumsq ≥ minRms²·windowSize), so both
+    * engines compare the same exact value — and runs of consecutive
+    * active windows coalesce into segments. One media row in, one row per
+    * segment out (`seg_idx` ordered by start); a segment's `rms` is
+    * computed over ALL its windows' samples from the same integer sums.
+    * Same mapPartitions/flatMap shape as [[extractFeatures]]: codec init
+    * amortizes per partition, rows stream, fan-out is bounded by
+    * payload-bytes / windowSize.
+    */
+  def segmentAudio(media: Dataset[MediaRecord], windowSize: Int,
+                   minRms: Double,
+                   decode: Array[Byte] => Array[Double] = fakePcm)
+                  (implicit spark: SparkSession): Dataset[AudioSegment] = {
+    import spark.implicits._
+    require(windowSize > 0, s"segmentAudio: windowSize $windowSize must be > 0")
+    val thresh = minRms * minRms * windowSize
+    media.flatMap { r =>
+      val samples = decode(r.content)
+      val nWin = samples.length / windowSize
+      val segs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+      var segStart = -1
+      var segSum = 0.0
+      var w = 0
+      while (w < nWin) {
+        var s = 0.0
+        var i = w * windowSize
+        val end = i + windowSize
+        while (i < end) { s += samples(i) * samples(i); i += 1 }
+        if (s >= thresh) {
+          if (segStart < 0) { segStart = w; segSum = 0.0 }
+          segSum += s
+        } else if (segStart >= 0) {
+          segs += ((segStart, w - segStart, segSum))
+          segStart = -1
+        }
+        w += 1
+      }
+      if (segStart >= 0) segs += ((segStart, nWin - segStart, segSum))
+      segs.iterator.zipWithIndex.map { case ((st, n, sum), idx) =>
+        AudioSegment(r.doc_id, idx + 1, st, n,
+          math.sqrt(sum / (n.toDouble * windowSize)))
+      }
+    }
+  }
+
   /** One sampled frame of a video payload. */
   final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 

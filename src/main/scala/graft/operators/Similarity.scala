@@ -366,17 +366,30 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, centroids: DataFrame,
                 codebook: Seq[Array[Double]], numSub: Int,
                 query: Array[Double], k: Int, nprobe: Int,
-                excludeId: Option[Long] = None): DataFrame = {
+                excludeId: Option[Long] = None): DataFrame =
+    ivfPqTopKFromCodes(pqEncode(emb, codebook, numSub),
+      ivfAssign(emb, centroids).select("vec_id", "centroid_id"),
+      centroids, codebook, numSub, query, k, nprobe, excludeId)
+
+  /** [[ivfPqTopK]] over a PRECOMPUTED code table + IVF assignment — the
+    * form an index consumer actually holds (codes and assignments are
+    * built once at index time, then served for every query / every
+    * nprobe setting; s13 shares one `pqEncode` + one `ivfAssign` across
+    * its three eval rows this way instead of re-encoding per call).
+    */
+  def ivfPqTopKFromCodes(codes: DataFrame, assigned: DataFrame,
+                         centroids: DataFrame,
+                         codebook: Seq[Array[Double]], numSub: Int,
+                         query: Array[Double], k: Int, nprobe: Int,
+                         excludeId: Option[Long] = None): DataFrame = {
     val probed = centroids
       .withColumn("cos", VectorFns.cosine(col("cvec"), lit(query)))
       .orderBy(col("cos").desc, col("centroid_id").asc)
       .limit(nprobe).select(col("centroid_id").cast("long"))
       .collect().map(_.getLong(0))
-    val assigned = ivfAssign(emb, centroids).select("vec_id", "centroid_id")
-    val codes = pqEncode(emb, codebook, numSub)
-      .join(assigned, "vec_id")
+    val bucketed = codes.join(assigned, "vec_id")
       .filter(col("centroid_id").isin(probed.toIndexedSeq: _*))
-    pqTopK(codes, codebook, numSub, query, k, excludeId)
+    pqTopK(bucketed, codebook, numSub, query, k, excludeId)
   }
 
   def pqEncode(emb: DataFrame, codebook: Seq[Array[Double]],

@@ -599,12 +599,18 @@ object DataQueries5 {
       .select(col("vec_id"), round(d2, 6).as("d2"))
       .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
       .select("vec_id").localCheckpoint()
-    val codes = Similarity.pqEncode(e, codebook, numSub = 8)
+    // index once, query thrice: the code table and IVF assignment are
+    // built in ONE pass each and shared by all three eval rows (the
+    // consumer-side shape — codes are built at index time, not per query)
+    val codes = Similarity.pqEncode(e, codebook, numSub = 8).localCheckpoint()
+    val assigned = Similarity.ivfAssign(e, centroids)
+      .select("vec_id", "centroid_id").localCheckpoint()
     val pq = Similarity.pqTopK(codes, codebook, numSub = 8, query, k = 10,
       excludeId = Some(0L)).localCheckpoint()
     def ivfpq(nprobe: Int): DataFrame =
-      Similarity.ivfPqTopK(e, centroids, codebook, numSub = 8, query,
-        k = 10, nprobe = nprobe, excludeId = Some(0L)).localCheckpoint()
+      Similarity.ivfPqTopKFromCodes(codes, assigned, centroids, codebook,
+        numSub = 8, query, k = 10, nprobe = nprobe, excludeId = Some(0L))
+        .localCheckpoint()
     def scoreOf(name: String, got: DataFrame): DataFrame =
       got.select(col("vec_id"))
         .join(truth.withColumn("hit", lit(1)), Seq("vec_id"), "left")

@@ -9,7 +9,10 @@ import graft.operators.{Dedup, Similarity}
 import graft.queries.CoreQueries.Q
 
 /** Round-7 beyond-parity queries: the bucketed near-dup RECALL contract
-  * (e03) and the composed production dedup pipeline (d24).
+  * (e03), the composed production dedup pipeline (d24), end-to-end corpus
+  * preparation (d25), the streaming ingestion fold's batch form (st09),
+  * URL canonicalization dedup (t19), and energy-gated audio segmentation
+  * (m03).
   */
 object DataQueries6 {
 
@@ -419,10 +422,65 @@ object DataQueries6 {
       |  count(*) OVER (PARTITION BY canonical_url) AS group_size
       |FROM k ORDER BY doc_id""".stripMargin
 
+  // ------------------------------- audio segmentation plumbing (m03)
+
+  /** Energy-gated audio segmentation through the REAL typed flatMap
+    * plumbing ([[graft.operators.Multimodal.segmentAudio]], stub PCM
+    * decode — payload bytes as unsigned samples): 16-sample windows, a
+    * window is active iff RMS ≥ 99 (the corpus's median window RMS, so
+    * the gate genuinely splits), consecutive active windows coalesce to
+    * segments. Payload is the utf-8 text bytes (ASCII ⇒ byte values ==
+    * char codes), so the oracle derives the identical windows from
+    * `ascii(substr(...))` — the segmentation contract (window flooring,
+    * integer-sum gating, island coalescing, per-segment RMS) is
+    * oracle-gated, not just spec-covered.
+    */
+  def m03AudioSegments(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = docs(spark, dir).select(
+        col("doc_id"),
+        lit("audio/wav").as("media_type"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit(0).as("width"), lit(0).as("height"))
+      .as[graft.operators.Multimodal.MediaRecord]
+    graft.operators.Multimodal.segmentAudio(media, windowSize = 16,
+        minRms = 99.0).toDF()
+      .select(col("doc_id"), col("seg_idx"), col("start_window"),
+        col("n_windows"), round(col("rms"), 4).as("rms"))
+      .orderBy("doc_id", "seg_idx")
+  }
+
+  val m03Oracle: String =
+    """WITH g AS (SELECT doc_id, i - 1 AS win,
+      |    list_sum(list_transform(generate_series(1, 16),
+      |      j -> ascii(substr(text, (i - 1) * 16 + j, 1)) ^ 2)) AS sumsq
+      |  FROM documents, unnest(generate_series(1, length(text) // 16)) t(i)),
+      |a AS (SELECT doc_id, win, sumsq FROM g WHERE sumsq >= 99 * 99 * 16),
+      |isl AS (SELECT doc_id, win, sumsq,
+      |    CASE WHEN win - lag(win) OVER (PARTITION BY doc_id ORDER BY win) = 1
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM a),
+      |isl2 AS (SELECT doc_id, win, sumsq,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY win
+      |      ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM isl),
+      |seg AS (SELECT doc_id, island, min(win) AS start_window,
+      |    count(*) AS nw, sum(sumsq) AS ss
+      |  FROM isl2 GROUP BY doc_id, island)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_window)
+      |       AS INT) AS seg_idx,
+      |  CAST(start_window AS INT) AS start_window,
+      |  CAST(nw AS INT) AS n_windows,
+      |  round(sqrt(ss / (nw * 16.0)), 4) AS rms
+      |FROM seg ORDER BY doc_id, seg_idx""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("e03_embed_neardup_recall", e03EmbedNearDupRecall _, Some(e03Oracle)),
     ("d24_dedup_pipeline", d24DedupPipeline _, Some(d24Oracle)),
     ("d25_corpus_prep", d25CorpusPrep _, Some(d25Oracle)),
     ("st09_ingest_pipeline", st09IngestPipeline _, Some(st09Oracle)),
-    ("t19_url_canonical", t19UrlCanonical _, Some(t19Oracle)))
+    ("t19_url_canonical", t19UrlCanonical _, Some(t19Oracle)),
+    ("m03_audio_segments", m03AudioSegments _, Some(m03Oracle)))
 }

@@ -58,4 +58,29 @@ class MultimodalSpec extends SparkSpec {
       assert(fs.forall(_.frame_bytes.length <= 16))
     }
   }
+
+  test("audio segmentation: integer-sum gate, island coalescing, tail drop") {
+    implicit val s = spark
+    import s.implicits._
+    // handcrafted 4-sample windows, gate at rms >= 10 (sumsq >= 400):
+    //   win0 [20,20,20,20]  sumsq 1600  ACTIVE ┐ one segment (0, len 2)
+    //   win1 [10,10,10,10]  sumsq  400  ACTIVE ┘ (>= is inclusive)
+    //   win2 [ 0, 0, 0, 0]  sumsq    0  silent — splits the runs
+    //   win3 [30, 0, 0, 0]  sumsq  900  ACTIVE   second segment (3, len 1)
+    //   +3 trailing samples: partial tail window must be DROPPED
+    val bytes = (Array.fill(4)(20) ++ Array.fill(4)(10) ++ Array.fill(4)(0) ++
+      (30 +: Array.fill(3)(0)) ++ Array.fill(3)(99)).map(_.toByte)
+    val media = Seq(MediaRecord(7L, "audio/wav", bytes, 0, 0)).toDS()
+    val segs = Multimodal.segmentAudio(media, windowSize = 4, minRms = 10.0)
+      .collect().sortBy(_.seg_idx)
+    assert(segs.map(g => (g.seg_idx, g.start_window, g.n_windows)).toSeq ===
+      Seq((1, 0, 2), (2, 3, 1)))
+    // per-segment rms from the SAME integer sums: sqrt((1600+400)/8)
+    assert(segs(0).rms === math.sqrt(2000.0 / 8))
+    assert(segs(1).rms === math.sqrt(900.0 / 4))
+    // an all-silent payload yields no rows, not an empty segment
+    val silent = Seq(MediaRecord(8L, "audio/wav",
+      Array.fill(16)(1.toByte), 0, 0)).toDS()
+    assert(Multimodal.segmentAudio(silent, 4, 10.0).count() === 0)
+  }
 }
