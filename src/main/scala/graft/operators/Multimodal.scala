@@ -152,6 +152,52 @@ object Multimodal {
     }
   }
 
+  /** STUB grayscale decode — deterministic fake: each payload byte as one
+    * unsigned pixel value (the image analogue of [[fakePcm]]). In
+    * production this is decode + grayscale conversion.
+    */
+  val fakeGray: Array[Byte] => Array[Double] = fakePcm
+
+  /** 60-bit average-hash perceptual fingerprint (aHash — the classic
+    * perceptual-dedup primitive behind pHash/PDQ-style pipelines): the
+    * payload is cut to a fixed `budget`-byte thumbnail (the stub for
+    * "resize to a fixed raster" — real aHash resizes every image to 8×8
+    * precisely so fingerprints are position-comparable), 60 evenly-spaced
+    * decoded values are sampled from it, and bit i is set iff
+    * 60·v_i ≥ Σv — an integer compare, so engines agree exactly. 60 bits
+    * (not 64) keeps the fingerprint in positive Long territory, matching
+    * [[graft.plans.Simhash60]]'s convention, and makes the result
+    * directly consumable by `Dedup.simhashPairs`' pigeonhole band join —
+    * visual near-dup runs on the SAME candidate machinery (equi-join +
+    * AQE/salting) as text simhash. Payloads shorter than `budget` sample
+    * 0 beyond their length; gate them out upstream (a real decode always
+    * fills the full raster — shortness is a stub artifact whose zero-tail
+    * would otherwise concentrate a hot all-zero band bucket).
+    */
+  def aHash60(media: Dataset[MediaRecord], budget: Int = 240,
+              gray: Array[Byte] => Array[Double] = fakeGray)
+             (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(budget > 0 && budget % 60 == 0,
+      s"aHash60: budget $budget must be a positive multiple of 60")
+    val step = budget / 60
+    media.map { r =>
+      val thumb =
+        if (r.content.length > budget) java.util.Arrays.copyOf(r.content, budget)
+        else r.content
+      val px = gray(thumb)
+      val v = Array.tabulate(60) { i =>
+        val p = i * step
+        if (p < px.length) px(p) else 0.0
+      }
+      val total = v.sum
+      var hash = 0L
+      var i = 0
+      while (i < 60) { if (v(i) * 60 >= total) hash |= 1L << i; i += 1 }
+      (r.doc_id, hash)
+    }.toDF("doc_id", "simhash")
+  }
+
   /** One sampled frame of a video payload. */
   final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 

@@ -476,11 +476,59 @@ object DataQueries6 {
       |  round(sqrt(ss / (nw * 16.0)), 4) AS rms
       |FROM seg ORDER BY doc_id, seg_idx""".stripMargin
 
+  // ------------------------------ perceptual-hash near-dup (m04)
+
+  /** Visual near-duplicate pairs via the 60-bit average-hash fingerprint
+    * ([[graft.operators.Multimodal.aHash60]], stub grayscale decode over
+    * a fixed 240-byte thumbnail) fed into the SAME pigeonhole band join
+    * as text simhash (`Dedup.simhashPairs`, hamming ≤ 4) — perceptual
+    * image dedup with the text path's proven 100 TB candidate machinery.
+    * Payloads shorter than the thumbnail budget are gated out (a real
+    * decoder always fills the raster; the stub's zero-tail would
+    * concentrate an all-zero hot band bucket — see the operator doc).
+    * The oracle recomputes the fingerprint from `ascii(substr(...))`
+    * (ASCII payload ⇒ byte values == char codes) and verifies pairs by
+    * brute-force hamming, so the banding's losslessness at this radius
+    * is oracle-checked, not assumed.
+    */
+  def m04ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = docs(spark, dir)
+      .filter(length(col("text")) >= 240)
+      .select(col("doc_id"),
+        lit("image/png").as("media_type"),
+        encode(col("text"), "UTF-8").as("content"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"))
+      .as[graft.operators.Multimodal.MediaRecord]
+    val sigs = graft.operators.Multimodal.aHash60(media, budget = 240)
+    Dedup.simhashPairs(sigs, "doc_id", maxHamming = 4)
+      .orderBy("a_id", "b_id")
+  }
+
+  val m04Oracle: String =
+    """WITH d AS (SELECT doc_id, substr(text, 1, 240) AS p FROM documents
+      |           WHERE length(text) >= 240),
+      |v AS (SELECT doc_id, i, ascii(substr(p, i * 4 + 1, 1)) AS val
+      |      FROM d, unnest(generate_series(0, 59)) t(i)),
+      |s AS (SELECT doc_id, sum(val) AS total FROM v GROUP BY doc_id),
+      |h AS (SELECT v.doc_id,
+      |    sum(CASE WHEN 60 * val >= total
+      |        THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END) AS ahash
+      |  FROM v JOIN s USING (doc_id) GROUP BY v.doc_id)
+      |SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+      |  CAST(bit_count(xor(l.ahash, r.ahash)) AS INT) AS hamming
+      |FROM h l JOIN h r ON l.doc_id < r.doc_id
+      |WHERE bit_count(xor(l.ahash, r.ahash)) <= 4
+      |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("e03_embed_neardup_recall", e03EmbedNearDupRecall _, Some(e03Oracle)),
     ("d24_dedup_pipeline", d24DedupPipeline _, Some(d24Oracle)),
     ("d25_corpus_prep", d25CorpusPrep _, Some(d25Oracle)),
     ("st09_ingest_pipeline", st09IngestPipeline _, Some(st09Oracle)),
     ("t19_url_canonical", t19UrlCanonical _, Some(t19Oracle)),
-    ("m03_audio_segments", m03AudioSegments _, Some(m03Oracle)))
+    ("m03_audio_segments", m03AudioSegments _, Some(m03Oracle)),
+    ("m04_image_neardup", m04ImageNearDup _, Some(m04Oracle)))
 }

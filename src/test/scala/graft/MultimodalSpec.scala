@@ -83,4 +83,37 @@ class MultimodalSpec extends SparkSpec {
       Array.fill(16)(1.toByte), 0, 0)).toDS()
     assert(Multimodal.segmentAudio(silent, 4, 10.0).count() === 0)
   }
+
+  test("aHash60: mean gate per sampled value, single-flip locality, budget cut") {
+    implicit val s = spark
+    import s.implicits._
+    // budget 120 → step 2: samples are the even positions 0,2,…,118.
+    // Alternating 100/0 at sampled positions → total 3000, gate v≥50:
+    // even sample idx (value 100) set, odd (value 0) clear.
+    def payload(flip: Option[Int]): Array[Byte] =
+      Array.tabulate(120) { p =>
+        val v =
+          if (p % 2 == 1) 77 // odd positions are never sampled — noise
+          else if (flip.contains(p / 2)) 100
+          else if ((p / 2) % 2 == 0) 100
+          else 0
+        v.toByte
+      }
+    val media = Seq(
+      MediaRecord(1L, "image/png", payload(None), 0, 0),
+      // sample 7 flipped 0→100: total 3100, gate v≥51.67 — every other
+      // bit keeps its side of the gate, so hamming must be exactly 1
+      MediaRecord(2L, "image/png", payload(Some(7)), 0, 0),
+      // longer payload must be CUT to the budget before sampling: extra
+      // tail bytes beyond 120 cannot change the hash
+      MediaRecord(3L, "image/png", payload(None) ++ Array.fill(64)(127.toByte),
+        0, 0)).toDS()
+    val got = Multimodal.aHash60(media, budget = 120)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected1 = (0 until 60).filter(_ % 2 == 0)
+      .map(1L << _).reduce(_ | _)
+    assert(got(1L) === expected1)
+    assert(java.lang.Long.bitCount(got(1L) ^ got(2L)) === 1)
+    assert(got(3L) === got(1L))
+  }
 }
