@@ -225,4 +225,21 @@ class PlanSpec extends SparkSpec {
     // one exchange for the canonical-key window, one for the output sort
     assert("Exchange".r.findAllIn(p).length <= 2, p)
   }
+
+  test("m04: visual near-dup pairs come from the band equi-join (no BNLJ)") {
+    // aHash fingerprints must ride the same pigeonhole machinery as text
+    // simhash — any nested-loop join means the fingerprint self-join fell
+    // back to all-pairs
+    val p = planOf(graft.queries.DataQueries6.m04ImageNearDup(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("m03: audio segmentation has no shuffle before the output sort") {
+    // one typed flatMap over the scan; the only exchange is the final
+    // ORDER BY (and AQE may add nothing else)
+    val p = planOf(graft.queries.DataQueries6.m03AudioSegments(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).length <= 1, p)
+  }
 }
