@@ -523,6 +523,67 @@ object DataQueries6 {
       |WHERE bit_count(xor(l.ahash, r.ahash)) <= 4
       |ORDER BY a_id, b_id""".stripMargin
 
+  // -------------------------------- KMV cardinality sketch (t20)
+
+  /** Distinct-shingle cardinality per source via the mergeable KMV
+    * sketch ([[graft.functions.KmvDistinct]], k=256) next to the exact
+    * count — the d22/s13-style accuracy eval for approximate distinct
+    * counting. The domain is word-5-gram hashes (the cardinality a
+    * 100 TB pipeline actually wants and can never count exactly: shingle
+    * counts drive dedup-index sizing), hashed with the repo's md5-prefix
+    * convention so the oracle reproduces the ESTIMATE exactly via
+    * ORDER BY hash LIMIT k — KMV's k smallest distinct values are a pure
+    * function of the set, unlike HLL's order-free but
+    * implementation-defined registers. Production reads just the sketch
+    * column (k longs cross the shuffle per group); the exact
+    * count(DISTINCT) here is the eval harness.
+    */
+  def t20KmvCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val kmvU = udaf(new graft.functions.KmvDistinct(k))
+    val h = docs(spark, dir)
+      .select(col("source"),
+        explode(TextFns.wordNgramsNative(col("text"), 5)).as("g"))
+      .select(col("source"), TextFns.hash60(col("g")).as("h"))
+    val est = h.groupBy("source").agg(
+        countDistinct(col("h")).as("exact_distinct"),
+        kmvU(col("h")).as("sk"))
+      .select(col("source"), col("exact_distinct"),
+        round(when(col("sk._1") < k, col("sk._1").cast("double"))
+          .otherwise(lit((k - 1).toDouble) *
+            lit(1152921504606846976L.toDouble) / col("sk._2").cast("double")),
+          4).as("kmv_estimate"))
+    est.select(col("source"), col("exact_distinct"), col("kmv_estimate"),
+        round(abs(col("kmv_estimate") - col("exact_distinct")) /
+          col("exact_distinct"), 6).as("rel_err"))
+      .orderBy("source")
+  }
+
+  val t20Oracle: String =
+    """WITH w AS (SELECT source,
+      |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+      |  FROM documents),
+      |g AS (SELECT source,
+      |    ('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15))::BIGINT
+      |      AS h
+      |  FROM w, unnest(generate_series(1, len(ws) - 4)) t(i)
+      |  WHERE len(ws) >= 5),
+      |d AS (SELECT DISTINCT source, h FROM g),
+      |r AS (SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM d),
+      |sk AS (SELECT source, count(*) AS n_held, max(h) AS kth
+      |  FROM r WHERE rn <= 256 GROUP BY source),
+      |ex AS (SELECT source, count(*) AS exact_distinct FROM d GROUP BY source),
+      |est AS (SELECT sk.source, ex.exact_distinct,
+      |    round(CASE WHEN sk.n_held < 256 THEN sk.n_held::DOUBLE
+      |          ELSE 255.0 * 1152921504606846976.0 / sk.kth END, 4)
+      |      AS kmv_estimate
+      |  FROM sk JOIN ex USING (source))
+      |SELECT source, exact_distinct, kmv_estimate,
+      |  round(abs(kmv_estimate - exact_distinct) / exact_distinct, 6)
+      |    AS rel_err
+      |FROM est ORDER BY source""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("e03_embed_neardup_recall", e03EmbedNearDupRecall _, Some(e03Oracle)),
     ("d24_dedup_pipeline", d24DedupPipeline _, Some(d24Oracle)),
@@ -530,5 +591,6 @@ object DataQueries6 {
     ("st09_ingest_pipeline", st09IngestPipeline _, Some(st09Oracle)),
     ("t19_url_canonical", t19UrlCanonical _, Some(t19Oracle)),
     ("m03_audio_segments", m03AudioSegments _, Some(m03Oracle)),
-    ("m04_image_neardup", m04ImageNearDup _, Some(m04Oracle)))
+    ("m04_image_neardup", m04ImageNearDup _, Some(m04Oracle)),
+    ("t20_kmv_cardinality", t20KmvCardinality _, Some(t20Oracle)))
 }
