@@ -45,6 +45,31 @@ class KmvSpec extends SparkSpec {
     assert(agg.finish(agg.merge(r2, l2)) === ((4, 20L)))
   }
 
+  test("streaming KMV (AvailableNow, two micro-batches) == batch sketch") {
+    // the sketch is a pure function of the SET, so the streaming result
+    // must equal batch exactly no matter how arrivals split into
+    // micro-batches — the property that makes it deployable in a
+    // Structured Streaming aggregation at all
+    import org.apache.spark.sql.functions.{col, udaf}
+    import org.apache.spark.sql.streaming.Trigger
+    val vals = (1L to 3000L).map(v => (v % 7, v * 2654435761L % 999983L))
+      .toDF("grp", "h")
+    val stage = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    vals.filter(col("h") % 2 === 0).write.mode("append").parquet(stage)
+    vals.filter(col("h") % 2 === 1).write.mode("append").parquet(stage)
+    val kmvU = udaf(new KmvDistinct(128))
+    val stream = spark.readStream.schema(vals.schema).parquet(stage)
+      .groupBy("grp").agg(kmvU(col("h")).as("sk"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("kmv_stream").orderBy("grp").collect()
+    val batch = vals.groupBy("grp").agg(kmvU(col("h")).as("sk"))
+      .orderBy("grp").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("buffer survives a serialization round-trip (transient sorted view)") {
     // the Kryo trap: a deserialized mutable.TreeSet has a null internal
     // tree — KmvBuf must rebuild its sorted view from the HashSet state
