@@ -148,4 +148,49 @@ class PropertySpec extends SparkSpec {
     assert(native.exceptAll(agg).count() === 0)
     assert(agg.exceptAll(native).count() === 0)
   }
+
+  test("KMV finish == (min(k, distinct), k-th smallest distinct) on random multisets") {
+    import graft.functions.KmvDistinct
+    val agg = new KmvDistinct(16)
+    val multisetGen = for {
+      n <- Gen.choose(0, 120)
+      // duplicate-heavy domain so dedup is actually exercised
+      vs <- Gen.listOfN(n, Gen.choose(0L, 40L))
+    } yield vs
+    samples(multisetGen, 120).foreach { vs =>
+      // fold order is arbitrary — split and merge both ways too
+      val (l, r) = vs.splitAt(vs.length / 2)
+      val direct = vs.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      val d = vs.distinct.sorted
+      val expected = (math.min(16, d.size),
+        if (d.isEmpty) 0L else d.take(16).last)
+      assert(agg.finish(direct) === expected, s"direct vs=$vs")
+      assert(agg.finish(merged) === expected, s"merged vs=$vs")
+    }
+  }
+
+  test("band join is lossless at radius <= maxHamming on random 60-bit sigs") {
+    import graft.operators.Dedup
+    // signatures drawn near a shared base so hamming ≤ 4 pairs exist:
+    // flip 0–6 random bits of one of three base patterns
+    val base = Gen.oneOf(0x0FEDCBA987654321L & ((1L << 60) - 1),
+      0x0123456789ABCDEFL & ((1L << 60) - 1), (1L << 59) | 0x5555L)
+    val sigGen = for {
+      b <- base
+      k <- Gen.choose(0, 6)
+      bits <- Gen.listOfN(k, Gen.choose(0, 59))
+    } yield bits.foldLeft(b)((acc, i) => acc ^ (1L << i))
+    val sigs = samples(sigGen, 90).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val df = sigs.toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairs(df, "doc_id", maxHamming = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 4
+    } yield (ia, ib)).toSet
+    assert(got === brute)
+  }
 }
