@@ -22,13 +22,14 @@ object Multimodal {
                                  n_bytes: Int, feature: Array[Double])
 
   /** Build the media table from documents: payload = utf-8 bytes of the
-    * text (stand-in for real image bytes), metadata derived
+    * text (stand-in for real media bytes), metadata derived
     * deterministically.
     */
-  def toMediaTable(docs: DataFrame): DataFrame =
+  def toMediaTable(docs: DataFrame,
+                   mediaType: String = "image/png"): DataFrame =
     docs.select(
       col("doc_id"),
-      lit("image/png").as("media_type"),
+      lit(mediaType).as("media_type"),
       encode(col("text"), "UTF-8").as("content"),
       (col("n_chars") % 640).cast("int").as("width"),
       (col("n_chars") % 480).cast("int").as("height"))
@@ -122,6 +123,8 @@ object Multimodal {
                   (implicit spark: SparkSession): Dataset[AudioSegment] = {
     import spark.implicits._
     require(windowSize > 0, s"segmentAudio: windowSize $windowSize must be > 0")
+    // squaring would silently turn a negative threshold into |minRms|
+    require(minRms >= 0, s"segmentAudio: minRms $minRms must be >= 0")
     val thresh = minRms * minRms * windowSize
     media.flatMap { r =>
       val samples = decode(r.content)

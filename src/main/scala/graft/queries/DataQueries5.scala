@@ -586,8 +586,11 @@ object DataQueries5 {
     */
   def s13PqRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
+    // 8-row model, but each un-barriered consumer (ivfAssign + one probe
+    // ranking per nprobe variant) would re-scan the lake to derive it
     val centroids = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+      .localCheckpoint()
     val codebook = e.filter(col("vec_id") < 4).orderBy("vec_id")
       .select("vec").collect().map(_.getSeq[Double](0).toArray).toSeq
     val query = e.filter(col("vec_id") === 0)

@@ -11,8 +11,9 @@ import graft.queries.CoreQueries.Q
 /** Round-7 beyond-parity queries: the bucketed near-dup RECALL contract
   * (e03), the composed production dedup pipeline (d24), end-to-end corpus
   * preparation (d25), the streaming ingestion fold's batch form (st09),
-  * URL canonicalization dedup (t19), and energy-gated audio segmentation
-  * (m03).
+  * URL canonicalization dedup (t19), energy-gated audio segmentation
+  * (m03), perceptual-hash image near-dup (m04), and the KMV
+  * distinct-count sketch eval (t20).
   */
 object DataQueries6 {
 
@@ -438,11 +439,8 @@ object DataQueries6 {
   def m03AudioSegments(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    val media = docs(spark, dir).select(
-        col("doc_id"),
-        lit("audio/wav").as("media_type"),
-        encode(col("text"), "UTF-8").as("content"),
-        lit(0).as("width"), lit(0).as("height"))
+    val media = graft.operators.Multimodal
+      .toMediaTable(docs(spark, dir), mediaType = "audio/wav")
       .as[graft.operators.Multimodal.MediaRecord]
     graft.operators.Multimodal.segmentAudio(media, windowSize = 16,
         minRms = 99.0).toDF()
@@ -494,13 +492,8 @@ object DataQueries6 {
   def m04ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
-    val media = docs(spark, dir)
-      .filter(length(col("text")) >= 240)
-      .select(col("doc_id"),
-        lit("image/png").as("media_type"),
-        encode(col("text"), "UTF-8").as("content"),
-        (col("n_chars") % 640).cast("int").as("width"),
-        (col("n_chars") % 480).cast("int").as("height"))
+    val media = graft.operators.Multimodal
+      .toMediaTable(docs(spark, dir).filter(length(col("text")) >= 240))
       .as[graft.operators.Multimodal.MediaRecord]
     val sigs = graft.operators.Multimodal.aHash60(media, budget = 240)
     Dedup.simhashPairs(sigs, "doc_id", maxHamming = 4)

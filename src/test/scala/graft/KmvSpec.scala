@@ -58,7 +58,10 @@ class KmvSpec extends SparkSpec {
     vals.filter(col("h") % 2 === 0).write.mode("append").parquet(stage)
     vals.filter(col("h") % 2 === 1).write.mode("append").parquet(stage)
     val kmvU = udaf(new KmvDistinct(128))
-    val stream = spark.readStream.schema(vals.schema).parquet(stage)
+    // one file per trigger, or AvailableNow drains both staged files in a
+    // single micro-batch and the cross-batch state merge is never exercised
+    val stream = spark.readStream.schema(vals.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
       .groupBy("grp").agg(kmvU(col("h")).as("sk"))
     val q = stream.writeStream.outputMode("complete")
       .format("memory").queryName("kmv_stream")
