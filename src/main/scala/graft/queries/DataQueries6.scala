@@ -12,8 +12,8 @@ import graft.queries.CoreQueries.Q
   * (e03), the composed production dedup pipeline (d24), end-to-end corpus
   * preparation (d25), the streaming ingestion fold's batch form (st09),
   * URL canonicalization dedup (t19), energy-gated audio segmentation
-  * (m03), perceptual-hash image near-dup (m04), and the KMV
-  * distinct-count sketch eval (t20).
+  * (m03), perceptual-hash image near-dup (m04), the KMV distinct-count
+  * sketch eval (t20), and loader-ready streaming ingestion (st10).
   */
 object DataQueries6 {
 
@@ -249,6 +249,76 @@ object DataQueries6 {
        |SELECT doc_id, CAST(b AS BIGINT) AS batch, h AS content_hash, simhash
        |FROM (SELECT * FROM a01 UNION ALL SELECT * FROM a2)
        |ORDER BY doc_id""".stripMargin
+
+  // ------------------ loader-ready streaming ingestion (st10)
+
+  /** st09's accepted arrivals landing with their training-loader
+    * coordinates already assigned — d07's content-hash split, d19's
+    * reshuffle-proof shard, and a position within (split, shard) — so
+    * the steady-state ingest feeds the training loader directly with no
+    * corpus-wide re-prep between waves. Position is ordered by
+    * (batch, md5(text‖doc_id), doc_id): waves append monotonically, so
+    * the production per-wave incremental assignment (per-shard base
+    * count + within-wave rank) equals this ONE window over the final
+    * store — the fold keeps d19's determinism wave over wave, and the
+    * oracle checks the composed semantics, not just the parts.
+    */
+  def st10LoaderReadyIngest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val store = graft.streaming.Ingest
+      .ingestFold(spark, d, col("doc_id") % 3, nBatches = 3)
+    val assigned = store.join(d.select("doc_id", "text"), Seq("doc_id"))
+      .withColumn("bucket", TextFns.hash28(col("text")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .withColumn("shard", TextFns.hash28(col("doc_id").cast("string")) % 8)
+    val w = Window.partitionBy("split", "shard")
+      .orderBy(col("batch"),
+        md5(concat(col("text"), col("doc_id").cast("string"))), col("doc_id"))
+    assigned.withColumn("pos", row_number().over(w))
+      .select("doc_id", "batch", "split", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
+  val st10Oracle: String =
+    s"""WITH ${DataQueries.simhashCtesOver("documents")},
+       |tok AS (SELECT doc_id, doc_id % 3 AS b, md5(text) AS h,
+       |          len(list_filter(string_split(text, ' '),
+       |              w -> length(w) > 0)) AS n
+       |        FROM documents),
+       |f AS (SELECT t.doc_id, t.b, t.h, s.simhash
+       |      FROM (SELECT *, row_number() OVER (PARTITION BY b, h
+       |              ORDER BY doc_id) AS rn
+       |            FROM tok WHERE n >= 20) t
+       |      JOIN sims s USING (doc_id) WHERE t.rn = 1),
+       |a0 AS (SELECT doc_id, b, h, simhash FROM f WHERE b = 0),
+       |a1 AS (SELECT f.* FROM f WHERE b = 1
+       |  AND NOT EXISTS (SELECT 1 FROM a0 WHERE a0.h = f.h)
+       |  AND NOT EXISTS (SELECT 1 FROM a0
+       |        WHERE bit_count(xor(a0.simhash, f.simhash)) <= 4)),
+       |a01 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1),
+       |a2 AS (SELECT f.* FROM f WHERE b = 2
+       |  AND NOT EXISTS (SELECT 1 FROM a01 WHERE a01.h = f.h)
+       |  AND NOT EXISTS (SELECT 1 FROM a01
+       |        WHERE bit_count(xor(a01.simhash, f.simhash)) <= 4)),
+       |acc AS (SELECT * FROM a01 UNION ALL SELECT * FROM a2),
+       |s2 AS (SELECT acc.doc_id, acc.b, d.text,
+       |    ('0x' || substr(md5(d.text), 1, 7))::BIGINT % 100 AS bucket,
+       |    ('0x' || substr(md5(CAST(acc.doc_id AS VARCHAR)), 1, 7))::BIGINT
+       |      % 8 AS shard
+       |  FROM acc JOIN documents d USING (doc_id)),
+       |s3 AS (SELECT doc_id, b,
+       |    CASE WHEN bucket < 80 THEN 'train'
+       |         WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split,
+       |    shard, text
+       |  FROM s2)
+       |SELECT doc_id, CAST(b AS BIGINT) AS batch, split, shard,
+       |  CAST(row_number() OVER (PARTITION BY split, shard
+       |    ORDER BY b, md5(text || CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+       |    AS pos
+       |FROM s3 ORDER BY doc_id""".stripMargin
 
   // ------------------- end-to-end corpus preparation (d25)
 
@@ -585,5 +655,6 @@ object DataQueries6 {
     ("t19_url_canonical", t19UrlCanonical _, Some(t19Oracle)),
     ("m03_audio_segments", m03AudioSegments _, Some(m03Oracle)),
     ("m04_image_neardup", m04ImageNearDup _, Some(m04Oracle)),
-    ("t20_kmv_cardinality", t20KmvCardinality _, Some(t20Oracle)))
+    ("t20_kmv_cardinality", t20KmvCardinality _, Some(t20Oracle)),
+    ("st10_loader_ready_ingest", st10LoaderReadyIngest _, Some(st10Oracle)))
 }
