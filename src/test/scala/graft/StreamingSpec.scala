@@ -234,6 +234,53 @@ class StreamingSpec extends SparkSpec {
     assert(store.count() === fold.count())
   }
 
+  test("st10 claim: per-wave incremental (split,shard) positions == one window") {
+    // the production form assigns pos incrementally per wave (per-shard
+    // base count + within-wave rank); st10 computes ONE window over the
+    // final store ordered by (batch, md5, doc_id). Waves append
+    // monotonically, so the two must agree exactly — this pins the
+    // equivalence the query's scaladoc claims
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFns
+    import graft.streaming.Ingest
+    val docs = Lake.table(spark, sf, "documents")
+    var store = Ingest.emptyStore(spark)
+    var incremental = Seq.empty[(Long, String, Long, Int)] // doc, split, shard, pos
+    var base = Map.empty[(String, Long), Int] // (split, shard) -> count so far
+    (0 until 3).foreach { b =>
+      val wave = docs.filter(col("doc_id") % 3 === b)
+      val accepted = Ingest.ingestBatch(store, wave, b)
+      store = store.unionByName(accepted).localCheckpoint()
+      val waveAssigned = accepted
+        .join(docs.select("doc_id", "text"), Seq("doc_id"))
+        .withColumn("bucket", TextFns.hash28(col("text")) % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "validation").otherwise("test"))
+        .withColumn("shard",
+          TextFns.hash28(col("doc_id").cast("string")) % 8)
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("split", "shard").orderBy(
+            md5(concat(col("text"), col("doc_id").cast("string"))),
+            col("doc_id"))))
+        .select("doc_id", "split", "shard", "__rk").collect()
+      waveAssigned.foreach { r =>
+        val key = (r.getString(1), r.getLong(2))
+        incremental :+= ((r.getLong(0), r.getString(1), r.getLong(2),
+          base.getOrElse(key, 0) + r.getInt(3)))
+      }
+      waveAssigned.groupBy(r => (r.getString(1), r.getLong(2)))
+        .foreach { case (k, rs) => base += k -> (base.getOrElse(k, 0) + rs.length) }
+    }
+    val windowed = graft.queries.DataQueries6
+      .st10LoaderReadyIngest(spark, sf)
+      .select("doc_id", "split", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(incremental.toSet === windowed.toSet)
+    assert(incremental.length === windowed.length)
+  }
+
   test("ingest: a token-less doc passing the gate still lands (minTokens=0)") {
     import spark.implicits._
     import graft.streaming.Ingest
