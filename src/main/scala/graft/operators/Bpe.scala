@@ -76,4 +76,34 @@ object Bpe {
     merges.result()
       .toDF("step", "merge_left", "merge_right", "merged", "pair_freq")
   }
+
+  /** Apply an ORDERED merge table to the corpus vocabulary — the encode
+    * half of the train→encode pair. Returns `(w, symbols)`: each DISTINCT
+    * word with its post-merge symbol array. Vocab-bounded by design: at
+    * 100 TB you encode word TYPES once (this projection) and join docs
+    * against the result (broadcast — the vocab is model-sized), never
+    * re-folding per occurrence. Each merge rule is the same row-local
+    * left-to-right non-overlapping fold used during training, applied in
+    * rule order as nested codegen'd `aggregate` expressions — one narrow
+    * projection, no shuffle before the caller's join. The merge list is
+    * driver-held model data (like centroids and PQ codebooks; bounded by
+    * `steps`, not corpus size).
+    */
+  def encode(docs: DataFrame, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    // no size-1 guard per level (unlike train's in-place update): the
+    // fold is a no-op on singleton arrays anyway, and a `when(cur, cur)`
+    // wrapper would duplicate the nested expression tree per rule
+    val sym = merges.foldLeft(chars) { case (cur, (ml, mr)) =>
+      aggregate(cur, array().cast("array<string>"),
+        (acc, x) =>
+          when(try_element_at(acc, lit(-1)) === lit(ml) && x === lit(mr),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(ml + mr))))
+            .otherwise(concat(acc, array(x))))
+    }
+    docs.select(explode(TextFns.words(col(textCol))).as("w")).distinct()
+      .select(col("w"), sym.as("symbols"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Lake
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Bpe, Dedup, Similarity}
 import graft.queries.CoreQueries.Q
 
 /** Round-7 beyond-parity queries: the bucketed near-dup RECALL contract
@@ -647,6 +647,71 @@ object DataQueries6 {
       |    AS rel_err
       |FROM est ORDER BY source""".stripMargin
 
+  // -------------------------------- BPE train -> encode (t21)
+
+  /** The tokenizer's full train→encode round trip: t18's 3-step BPE
+    * training produces the ordered merge table, [[Bpe.encode]] applies it
+    * to the corpus vocabulary (word TYPES encode once — one narrow
+    * codegen'd projection), and docs join the broadcast encoded vocab to
+    * report per-document token counts and compression (chars per token —
+    * the number a pipeline watches to size token budgets after retraining
+    * a tokenizer). The oracle replays the identical training fold AND the
+    * identical per-word merge application in DuckDB, so the whole
+    * model-train-then-apply path is hash-gated end-to-end.
+    */
+  def t21BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = Bpe.train(d, "text", steps = 3).orderBy("step")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocabEnc = Bpe.encode(d, "text", merges)
+      .select(col("w"), size(col("symbols")).as("n_tok"),
+        length(col("w")).as("n_ch"))
+    d.select(col("doc_id"), explode(TextFns.words(col("text"))).as("w"))
+      .join(broadcast(vocabEnc), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tokens"),
+        sum("n_ch").as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 4)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val t21Oracle: String = {
+    def pairCte(i: Int): String =
+      s"""p$i AS (SELECT s[i] AS ml, s[i+1] AS mr, sum(freq) AS f
+         |  FROM s${i - 1}, unnest(generate_series(1, len(s) - 1)) t(i)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT ml, mr, f FROM p$i ORDER BY f DESC, ml, mr LIMIT 1)""".stripMargin
+    def mergeCte(i: Int): String =
+      s"""s$i AS (SELECT s${i - 1}.w, s${i - 1}.freq,
+         |    CASE WHEN len(s) = 1 THEN s
+         |    ELSE list_reduce(list_transform(s, x -> [x]),
+         |      (a, b) -> CASE WHEN a[-1] = b$i.ml AND b[1] = b$i.mr
+         |        THEN a[1:len(a)-1] || [b$i.ml || b$i.mr]
+         |        ELSE a || b END) END AS s
+         |  FROM s${i - 1} CROSS JOIN b$i)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |                                    w -> length(w) > 0)) AS w
+       |  FROM documents),
+       |v AS (SELECT w, count(*) AS freq FROM words GROUP BY w),
+       |s0 AS (SELECT w, freq,
+       |    list_transform(generate_series(1, length(w)),
+       |                   i -> substr(w, i, 1)) AS s
+       |  FROM v),
+       |${pairCte(1)}, ${mergeCte(1)},
+       |${pairCte(2)}, ${mergeCte(2)},
+       |${pairCte(3)}, ${mergeCte(3)},
+       |enc AS (SELECT w, len(s) AS n_tok, length(w) AS n_ch FROM s3)
+       |SELECT words.doc_id, count(*) AS n_words,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(n_ch) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE), 4)
+       |    AS chars_per_token
+       |FROM words JOIN enc USING (w)
+       |GROUP BY words.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("e03_embed_neardup_recall", e03EmbedNearDupRecall _, Some(e03Oracle)),
     ("d24_dedup_pipeline", d24DedupPipeline _, Some(d24Oracle)),
@@ -656,5 +721,6 @@ object DataQueries6 {
     ("m03_audio_segments", m03AudioSegments _, Some(m03Oracle)),
     ("m04_image_neardup", m04ImageNearDup _, Some(m04Oracle)),
     ("t20_kmv_cardinality", t20KmvCardinality _, Some(t20Oracle)),
-    ("st10_loader_ready_ingest", st10LoaderReadyIngest _, Some(st10Oracle)))
+    ("st10_loader_ready_ingest", st10LoaderReadyIngest _, Some(st10Oracle)),
+    ("t21_bpe_encode", t21BpeEncode _, Some(t21Oracle)))
 }

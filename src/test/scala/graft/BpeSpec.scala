@@ -88,4 +88,21 @@ class BpeSpec extends SparkSpec {
       assert(got === expected, s"trial $trial corpus=$texts")
     }
   }
+
+  test("encode applies ordered merges per rule, left-to-right, no re-merge") {
+    // rules learned in order: (a,b)->ab then (ab,c)->abc. Applying to
+    // 'abcab': pass 1 merges both 'ab's -> [ab, c, ab]; pass 2 merges
+    // the LEADING (ab,c) only -> [abc, ab]. 'aab': only the second a
+    // starts a merge -> [a, ab]; rule 2 finds no (ab,c) tail -> same.
+    val enc = Bpe.encode(Seq("abcab aab b").toDF("text"), "text",
+        Seq(("a", "b"), ("ab", "c")))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(enc("abcab") === Seq("abc", "ab"))
+    assert(enc("aab") === Seq("a", "ab"))
+    assert(enc("b") === Seq("b")) // singleton survives both passes
+    // empty merge list = plain character split
+    val plain = Bpe.encode(Seq("abc").toDF("text"), "text", Seq.empty)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(plain("abc") === Seq("a", "b", "c"))
+  }
 }
