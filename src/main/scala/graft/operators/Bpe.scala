@@ -80,14 +80,19 @@ object Bpe {
   /** Apply an ORDERED merge table to the corpus vocabulary — the encode
     * half of the train→encode pair. Returns `(w, symbols)`: each DISTINCT
     * word with its post-merge symbol array. Vocab-bounded by design: at
-    * 100 TB you encode word TYPES once (this projection) and join docs
-    * against the result (broadcast — the vocab is model-sized), never
-    * re-folding per occurrence. Each merge rule is the same row-local
-    * left-to-right non-overlapping fold used during training, applied in
-    * rule order as nested codegen'd `aggregate` expressions — one narrow
-    * projection, no shuffle before the caller's join. The merge list is
-    * driver-held model data (like centroids and PQ codebooks; bounded by
-    * `steps`, not corpus size).
+    * 100 TB you encode word TYPES once and join docs against the result
+    * (broadcast — the vocab is model-sized), never re-folding per
+    * occurrence. Cost: ONE word-type dedup (`distinct()` — the same
+    * map-side-combined shuffle `train`'s vocab aggregation pays) followed
+    * by a narrow per-word fold projection. Each merge rule is the same
+    * row-local left-to-right non-overlapping fold used during training,
+    * applied in rule order as nested codegen'd `aggregate` expressions —
+    * which bounds this FORM to small merge tables (tens of rules: the
+    * expression tree grows linearly with the rule count and a
+    * production-size tokenizer's 30k+ merges would breach codegen method
+    * limits). At real tokenizer sizes the same vocab-bounded contract
+    * holds but the per-word fold moves into a typed map over the
+    * driver-held merge table; the oracle-gated semantics are identical.
     */
   def encode(docs: DataFrame, textCol: String,
              merges: Seq[(String, String)]): DataFrame = {

@@ -714,14 +714,17 @@ object DataQueries5 {
          |  FROM s${i - 1}, unnest(generate_series(1, len(s) - 1)) t(i)
          |  GROUP BY 1, 2),
          |b$i AS (SELECT ml, mr, f FROM p$i ORDER BY f DESC, ml, mr LIMIT 1)""".stripMargin
+    // LEFT JOIN ON TRUE, not CROSS JOIN: an exhausted step (empty b_i)
+    // must leave the symbol table unchanged, mirroring train's early
+    // stop — a cross join would empty the whole downstream chain
     def mergeCte(i: Int): String =
       s"""s$i AS (SELECT s${i - 1}.freq,
-         |    CASE WHEN len(s) = 1 THEN s
+         |    CASE WHEN b$i.ml IS NULL OR len(s) = 1 THEN s
          |    ELSE list_reduce(list_transform(s, x -> [x]),
          |      (a, b) -> CASE WHEN a[-1] = b$i.ml AND b[1] = b$i.mr
          |        THEN a[1:len(a)-1] || [b$i.ml || b$i.mr]
          |        ELSE a || b END) END AS s
-         |  FROM s${i - 1} CROSS JOIN b$i)""".stripMargin
+         |  FROM s${i - 1} LEFT JOIN b$i ON TRUE)""".stripMargin
     s"""WITH words AS (
        |  SELECT unnest(list_filter(string_split(text, ' '),
        |                            w -> length(w) > 0)) AS w

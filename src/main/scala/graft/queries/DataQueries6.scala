@@ -225,65 +225,13 @@ object DataQueries6 {
       .ingestFold(spark, docs(spark, dir), col("doc_id") % 3, nBatches = 3)
       .orderBy("doc_id")
 
-  val st09Oracle: String =
-    s"""WITH ${DataQueries.simhashCtesOver("documents")},
-       |tok AS (SELECT doc_id, doc_id % 3 AS b, md5(text) AS h,
-       |          len(list_filter(string_split(text, ' '),
-       |              w -> length(w) > 0)) AS n
-       |        FROM documents),
-       |f AS (SELECT t.doc_id, t.b, t.h, s.simhash
-       |      FROM (SELECT *, row_number() OVER (PARTITION BY b, h
-       |              ORDER BY doc_id) AS rn
-       |            FROM tok WHERE n >= 20) t
-       |      JOIN sims s USING (doc_id) WHERE t.rn = 1),
-       |a0 AS (SELECT doc_id, b, h, simhash FROM f WHERE b = 0),
-       |a1 AS (SELECT f.* FROM f WHERE b = 1
-       |  AND NOT EXISTS (SELECT 1 FROM a0 WHERE a0.h = f.h)
-       |  AND NOT EXISTS (SELECT 1 FROM a0
-       |        WHERE bit_count(xor(a0.simhash, f.simhash)) <= 4)),
-       |a01 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1),
-       |a2 AS (SELECT f.* FROM f WHERE b = 2
-       |  AND NOT EXISTS (SELECT 1 FROM a01 WHERE a01.h = f.h)
-       |  AND NOT EXISTS (SELECT 1 FROM a01
-       |        WHERE bit_count(xor(a01.simhash, f.simhash)) <= 4))
-       |SELECT doc_id, CAST(b AS BIGINT) AS batch, h AS content_hash, simhash
-       |FROM (SELECT * FROM a01 UNION ALL SELECT * FROM a2)
-       |ORDER BY doc_id""".stripMargin
-
-  // ------------------ loader-ready streaming ingestion (st10)
-
-  /** st09's accepted arrivals landing with their training-loader
-    * coordinates already assigned — d07's content-hash split, d19's
-    * reshuffle-proof shard, and a position within (split, shard) — so
-    * the steady-state ingest feeds the training loader directly with no
-    * corpus-wide re-prep between waves. Position is ordered by
-    * (batch, md5(text‖doc_id), doc_id): waves append monotonically, so
-    * the production per-wave incremental assignment (per-shard base
-    * count + within-wave rank) equals this ONE window over the final
-    * store — the fold keeps d19's determinism wave over wave, and the
-    * oracle checks the composed semantics, not just the parts.
+  /** The st09 three-wave ingest fold as oracle CTEs, ending in `acc` (the
+    * final accepted set) — the single definition shared by st09Oracle and
+    * st10Oracle so the ingest semantics (gate, first-wins, probes) cannot
+    * drift between the two.
     */
-  def st10LoaderReadyIngest(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val store = graft.streaming.Ingest
-      .ingestFold(spark, d, col("doc_id") % 3, nBatches = 3)
-    val assigned = store.join(d.select("doc_id", "text"), Seq("doc_id"))
-      .withColumn("bucket", TextFns.hash28(col("text")) % 100)
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "validation")
-          .otherwise("test"))
-      .withColumn("shard", TextFns.hash28(col("doc_id").cast("string")) % 8)
-    val w = Window.partitionBy("split", "shard")
-      .orderBy(col("batch"),
-        md5(concat(col("text"), col("doc_id").cast("string"))), col("doc_id"))
-    assigned.withColumn("pos", row_number().over(w))
-      .select("doc_id", "batch", "split", "shard", "pos")
-      .orderBy("doc_id")
-  }
-
-  val st10Oracle: String =
-    s"""WITH ${DataQueries.simhashCtesOver("documents")},
+  private val ingestCtes: String =
+    s"""${DataQueries.simhashCtesOver("documents")},
        |tok AS (SELECT doc_id, doc_id % 3 AS b, md5(text) AS h,
        |          len(list_filter(string_split(text, ' '),
        |              w -> length(w) > 0)) AS n
@@ -303,7 +251,43 @@ object DataQueries6 {
        |  AND NOT EXISTS (SELECT 1 FROM a01 WHERE a01.h = f.h)
        |  AND NOT EXISTS (SELECT 1 FROM a01
        |        WHERE bit_count(xor(a01.simhash, f.simhash)) <= 4)),
-       |acc AS (SELECT * FROM a01 UNION ALL SELECT * FROM a2),
+       |acc AS (SELECT * FROM a01 UNION ALL SELECT * FROM a2)""".stripMargin
+
+  val st09Oracle: String =
+    s"""WITH $ingestCtes
+       |SELECT doc_id, CAST(b AS BIGINT) AS batch, h AS content_hash, simhash
+       |FROM acc
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------ loader-ready streaming ingestion (st10)
+
+  /** st09's accepted arrivals landing with their training-loader
+    * coordinates already assigned — d07's content-hash split, d19's
+    * reshuffle-proof shard, and a position within (split, shard) — so
+    * the steady-state ingest feeds the training loader directly with no
+    * corpus-wide re-prep between waves. Position is ordered by
+    * (batch, md5(text‖doc_id), doc_id): waves append monotonically, so
+    * the production per-wave incremental assignment (per-shard base
+    * count + within-wave rank) equals this ONE window over the final
+    * store — the fold keeps d19's determinism wave over wave, and the
+    * oracle checks the composed semantics, not just the parts.
+    */
+  def st10LoaderReadyIngest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val store = graft.streaming.Ingest
+      .ingestFold(spark, d, col("doc_id") % 3, nBatches = 3)
+    val assigned = graft.streaming.Ingest.loaderCoords(
+      store.join(d.select("doc_id", "text"), Seq("doc_id")))
+    val w = Window.partitionBy("split", "shard")
+      .orderBy(col("batch"),
+        md5(concat(col("text"), col("doc_id").cast("string"))), col("doc_id"))
+    assigned.withColumn("pos", row_number().over(w))
+      .select("doc_id", "batch", "split", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
+  val st10Oracle: String =
+    s"""WITH $ingestCtes,
        |s2 AS (SELECT acc.doc_id, acc.b, d.text,
        |    ('0x' || substr(md5(d.text), 1, 7))::BIGINT % 100 AS bucket,
        |    ('0x' || substr(md5(CAST(acc.doc_id AS VARCHAR)), 1, 7))::BIGINT
@@ -359,13 +343,7 @@ object DataQueries6 {
     val w2 = Window.partitionBy("split", "shard")
       .orderBy(md5(concat(col("text"), col("doc_id").cast("string"))),
         col("doc_id"))
-    survivors
-      .withColumn("bucket", TextFns.hash28(col("text")) % 100)
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "validation")
-          .otherwise("test"))
-      .withColumn("shard", TextFns.hash28(col("doc_id").cast("string")) % 8)
+    graft.streaming.Ingest.loaderCoords(survivors)
       .withColumn("pos", row_number().over(w2))
       .select("doc_id", "cluster_id", "split", "shard", "pos")
       .orderBy("doc_id")
@@ -683,14 +661,18 @@ object DataQueries6 {
          |  FROM s${i - 1}, unnest(generate_series(1, len(s) - 1)) t(i)
          |  GROUP BY 1, 2),
          |b$i AS (SELECT ml, mr, f FROM p$i ORDER BY f DESC, ml, mr LIMIT 1)""".stripMargin
+    // LEFT JOIN ON TRUE, not CROSS JOIN: when training exhausts before
+    // step i (b_i empty), the merge pass must be a no-op — a cross join
+    // would empty the whole chain and zero the oracle against a correct
+    // Spark side (Bpe.train stops early; encode applies what exists)
     def mergeCte(i: Int): String =
       s"""s$i AS (SELECT s${i - 1}.w, s${i - 1}.freq,
-         |    CASE WHEN len(s) = 1 THEN s
+         |    CASE WHEN b$i.ml IS NULL OR len(s) = 1 THEN s
          |    ELSE list_reduce(list_transform(s, x -> [x]),
          |      (a, b) -> CASE WHEN a[-1] = b$i.ml AND b[1] = b$i.mr
          |        THEN a[1:len(a)-1] || [b$i.ml || b$i.mr]
          |        ELSE a || b END) END AS s
-         |  FROM s${i - 1} CROSS JOIN b$i)""".stripMargin
+         |  FROM s${i - 1} LEFT JOIN b$i ON TRUE)""".stripMargin
     s"""WITH words AS (
        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
        |                                    w -> length(w) > 0)) AS w

@@ -36,6 +36,20 @@ import graft.operators.Dedup
   */
 object Ingest {
 
+  /** d07's content-hash split (80/10/10 cuts) + d19's reshuffle-proof
+    * shard, as one row-local projection over (doc_id, text) — the single
+    * definition of the training-loader coordinates, shared by the d25
+    * batch prep, the st10 loader-ready ingest, and the StreamingSpec
+    * equivalence test so the cuts and shard count stay in lockstep.
+    */
+  def loaderCoords(df: DataFrame): DataFrame =
+    df.withColumn("bucket", TextFns.hash28(col("text")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .withColumn("shard", TextFns.hash28(col("doc_id").cast("string")) % 8)
+
   /** Store schema: (doc_id, batch, content_hash, simhash). */
   def emptyStore(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._

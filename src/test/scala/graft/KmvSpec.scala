@@ -55,8 +55,11 @@ class KmvSpec extends SparkSpec {
     val vals = (1L to 3000L).map(v => (v % 7, v * 2654435761L % 999983L))
       .toDF("grp", "h")
     val stage = java.nio.file.Files.createTempDirectory("graft_kmv").toString
-    vals.filter(col("h") % 2 === 0).write.mode("append").parquet(stage)
-    vals.filter(col("h") % 2 === 1).write.mode("append").parquet(stage)
+    // ONE part-file per half (coalesce) so maxFilesPerTrigger=1 yields
+    // exactly the two micro-batches the test name promises — an
+    // un-coalesced local relation writes one file per partition
+    vals.filter(col("h") % 2 === 0).coalesce(1).write.mode("append").parquet(stage)
+    vals.filter(col("h") % 2 === 1).coalesce(1).write.mode("append").parquet(stage)
     val kmvU = udaf(new KmvDistinct(128))
     // one file per trigger, or AvailableNow drains both staged files in a
     // single micro-batch and the cross-batch state merge is never exercised

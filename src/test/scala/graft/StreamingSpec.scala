@@ -252,14 +252,8 @@ class StreamingSpec extends SparkSpec {
       val wave = docs.filter(col("doc_id") % 3 === b)
       val accepted = Ingest.ingestBatch(store, wave, b)
       store = store.unionByName(accepted).localCheckpoint()
-      val waveAssigned = accepted
-        .join(docs.select("doc_id", "text"), Seq("doc_id"))
-        .withColumn("bucket", TextFns.hash28(col("text")) % 100)
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "validation").otherwise("test"))
-        .withColumn("shard",
-          TextFns.hash28(col("doc_id").cast("string")) % 8)
+      val waveAssigned = Ingest.loaderCoords(
+          accepted.join(docs.select("doc_id", "text"), Seq("doc_id")))
         .withColumn("__rk", row_number().over(
           Window.partitionBy("split", "shard").orderBy(
             md5(concat(col("text"), col("doc_id").cast("string"))),
