@@ -392,6 +392,35 @@ object Similarity {
     pqTopK(bucketed, codebook, numSub, query, k, excludeId)
   }
 
+  /** Coarse-to-fine search — the FAISS refine stage on top of [[ivfPqTopK]]
+    * (Jégou 2011 §V.A, the `IndexRefineFlat` composition): the IVFPQ
+    * shortlist (bucket-pruned ADC over codes, `kCoarse` candidates) is
+    * re-ranked EXACTLY against the full-precision vectors of the
+    * shortlist ONLY. Query cost stays bucket-pruned code scans plus
+    * `kCoarse` full-vector reads (the shortlist broadcast-joins back to
+    * the corpus — a k-row probe, never a corpus-wide full-precision
+    * pass), and the quantization error that reorders ADC's top ranks is
+    * corrected wherever the true neighbor made the shortlist at all:
+    * recall@k of the refined result equals the shortlist's recall@kCoarse,
+    * the standard coarse→fine trade.
+    */
+  def ivfPqRefineTopK(emb: DataFrame, centroids: DataFrame,
+                      codebook: Seq[Array[Double]], numSub: Int,
+                      query: Array[Double], k: Int, kCoarse: Int,
+                      nprobe: Int,
+                      excludeId: Option[Long] = None): DataFrame = {
+    require(kCoarse >= k, s"refine: kCoarse $kCoarse must be >= k $k")
+    val shortlist = ivfPqTopK(emb, centroids, codebook, numSub, query,
+      kCoarse, nprobe, excludeId).select("vec_id")
+    val d2 = aggregate(
+      zip_with(col("vec"), lit(query), (a, b) => (a - b) * (a - b)),
+      lit(0.0d), _ + _)
+    val scored = emb.join(broadcast(shortlist), "vec_id")
+      .select(col("vec_id"), round(d2, 6).as("d2"))
+    rankCollected(scored.orderBy(col("d2").asc, col("vec_id").asc).limit(k),
+      col("d2"), "d2", identity)
+  }
+
   def pqEncode(emb: DataFrame, codebook: Seq[Array[Double]],
                numSub: Int): DataFrame = {
     val dim = codebook.head.length

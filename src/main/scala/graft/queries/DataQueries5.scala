@@ -522,8 +522,13 @@ object DataQueries5 {
       .orderBy("rank")
   }
 
-  val s12Oracle: String =
-    """WITH e AS (SELECT vec_id,
+  /** Shared IVFPQ oracle CTE chain through `ad` — the ADC distances of
+    * the probed-bucket candidates (nprobe=2, query = vec 0). The single
+    * definition behind s12 (top-k of `ad`) and s14 (exact refine of the
+    * `ad` shortlist) so the composed-search semantics cannot drift.
+    */
+  private val ivfPqCtes: String =
+    """e AS (SELECT vec_id,
       |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
       |seeds AS (SELECT vec_id AS code_id, v AS cv FROM e WHERE vec_id < 4),
       |sub AS (SELECT e.vec_id, m.m, s.code_id,
@@ -563,11 +568,52 @@ object DataQueries5 {
       |ad AS (SELECT b.vec_id, round(sum(qd.d2), 6) AS approx_d2
       |  FROM best b JOIN qd ON qd.m = b.m AND qd.code_id = b.code_id
       |  WHERE b.rn = 1 AND b.vec_id IN (SELECT vec_id FROM cand)
-      |  GROUP BY b.vec_id)
+      |  GROUP BY b.vec_id)""".stripMargin
+
+  val s12Oracle: String =
+    s"""WITH $ivfPqCtes
       |SELECT * FROM (
       |  SELECT CAST(row_number() OVER (ORDER BY approx_d2, vec_id) AS INT)
       |           AS rank, vec_id, approx_d2
       |  FROM ad) WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  // ------------------------------- IVFPQ + exact refine (s14)
+
+  /** The coarse-to-fine production composition (FAISS `IndexRefineFlat`
+    * over IVFPQ): s12's bucket-pruned ADC shortlist (kCoarse=50) is
+    * re-ranked EXACTLY against the full-precision vectors of the
+    * shortlist only — see
+    * [[graft.operators.Similarity.ivfPqRefineTopK]]. Query cost stays
+    * code-scan-shaped plus 50 full-vector reads; the output is the exact
+    * squared-L2 top-10 WITHIN the shortlist, correcting the quantization
+    * reorderings s13 measures for plain ADC.
+    */
+  def s14IvfPqRefine(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val codebook = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("vec").collect().map(_.getSeq[Double](0).toArray).toSeq
+    val query = e.filter(col("vec_id") === 0)
+      .select("vec").head.getSeq[Double](0).toArray
+    Similarity.ivfPqRefineTopK(e, centroids, codebook, numSub = 8, query,
+        k = 10, kCoarse = 50, nprobe = 2, excludeId = Some(0L))
+      .orderBy("rank")
+  }
+
+  val s14Oracle: String =
+    s"""WITH $ivfPqCtes,
+      |short AS (SELECT vec_id FROM (
+      |  SELECT vec_id, row_number() OVER (ORDER BY approx_d2, vec_id) AS rk
+      |  FROM ad) WHERE rk <= 50),
+      |ex AS (SELECT e.vec_id,
+      |    round(list_sum(list_transform(generate_series(1, 64),
+      |      i -> (e.v[i] - q.qv[i]) ^ 2)), 6) AS d2
+      |  FROM e JOIN short USING (vec_id), q)
+      |SELECT * FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS INT)
+      |           AS rank, vec_id, d2
+      |  FROM ex) WHERE rank <= 10 ORDER BY rank""".stripMargin
 
   // ------------------------------------ PQ-family recall eval (s13)
 
@@ -756,6 +802,7 @@ object DataQueries5 {
     ("s11_pq_adc", s11PqAdc _, Some(s11Oracle)),
     ("s12_ivf_pq", s12IvfPq _, Some(s12Oracle)),
     ("s13_pq_recall", s13PqRecall _, Some(s13Oracle)),
+    ("s14_ivfpq_refine", s14IvfPqRefine _, Some(s14Oracle)),
     ("t16_boilerplate", t16Boilerplate _, Some(t16Oracle)),
     ("t17_perplexity_band", t17PerplexityBand _, Some(t17Oracle)),
     ("t18_bpe_train", t18BpeTrain _, Some(t18Oracle)))

@@ -137,6 +137,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("refine with an all-bucket full-size shortlist == exact L2 top-k") {
+    // nprobe = #centroids and kCoarse = corpus size remove both pruning
+    // stages, so the refine must return exactly the exact-L2 ranking —
+    // the degenerate case that pins the re-rank arithmetic
+    import org.apache.spark.sql.functions.{aggregate => aggr, _}
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val codebook = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("vec").collect().map(_.getSeq[Double](0).toArray).toSeq
+    val query = emb.filter(col("vec_id") === 0)
+      .select("vec").head.getSeq[Double](0).toArray
+    val n = emb.count().toInt
+    val refined = Similarity.ivfPqRefineTopK(emb, centroids, codebook, 8,
+      query, k = 10, kCoarse = n, nprobe = 8, excludeId = Some(0L))
+    val d2 = aggr(
+      zip_with(col("vec"), lit(query), (a, b) => (a - b) * (a - b)),
+      lit(0.0d), _ + _)
+    val exact = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(d2, 6).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(refined.orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq === exact.toSeq)
+  }
+
   test("s13 recall eval: 10 retrieved per method, recall = hits/10 in [0,1]") {
     // the eval's own arithmetic must be trustworthy before its recall
     // numbers mean anything: every method retrieves exactly k, hits never
