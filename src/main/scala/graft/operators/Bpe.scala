@@ -90,9 +90,9 @@ object Bpe {
     * which bounds this FORM to small merge tables (tens of rules: the
     * expression tree grows linearly with the rule count and a
     * production-size tokenizer's 30k+ merges would breach codegen method
-    * limits). At real tokenizer sizes the same vocab-bounded contract
-    * holds but the per-word fold moves into a typed map over the
-    * driver-held merge table; the oracle-gated semantics are identical.
+    * limits). At real tokenizer sizes use [[encodeTyped]] — the same
+    * vocab-bounded contract with the per-word fold as a typed map over
+    * the driver-held merge table (BpeSpec holds the two equal).
     */
   def encode(docs: DataFrame, textCol: String,
              merges: Seq[(String, String)]): DataFrame = {
@@ -110,5 +110,50 @@ object Bpe {
     }
     docs.select(explode(TextFns.words(col(textCol))).as("w")).distinct()
       .select(col("w"), sym.as("symbols"))
+  }
+
+  /** [[encode]] for PRODUCTION-size merge tables: identical semantics
+    * (each rule a left-to-right non-overlapping pass, rules in order),
+    * but the per-word fold runs as a typed map over the broadcast-held
+    * rule list instead of one nested Catalyst expression per rule — rule
+    * count stops being an expression-tree bound (a 30k-merge tokenizer
+    * is a loop bound here, where [[encode]]'s nesting would breach
+    * codegen method limits). Same vocab-bounded shape: word types dedup
+    * once, then one mapPartitions pass. BpeSpec holds the two encoders
+    * equal on random corpora and drives this one at a rule count the
+    * expression form cannot reach.
+    */
+  def encodeTyped(docs: DataFrame, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rules = merges.toArray
+    docs.select(explode(TextFns.words(col(textCol))).as("w")).distinct()
+      .as[String]
+      .mapPartitions { it =>
+        it.map { w =>
+          var syms = w.map(_.toString).toArray
+          var r = 0
+          while (r < rules.length) {
+            val (ml, mr) = rules(r)
+            if (syms.length >= 2) {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (out.nonEmpty && out.last == ml && syms(i) == mr) {
+                  out(out.length - 1) = ml + mr // tail collapses; the
+                  // merged symbol cannot re-merge in the same pass:
+                  // the next comparison reads out.last == ml+mr ≠ ml
+                } else out += syms(i)
+                i += 1
+              }
+              syms = out.toArray
+            }
+            r += 1
+          }
+          (w, syms.toSeq)
+        }
+      }
+      .toDF("w", "symbols")
   }
 }

@@ -105,4 +105,38 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     assert(plain("abc") === Seq("a", "b", "c"))
   }
+
+  test("encodeTyped == encode on random corpora; holds at 500 rules") {
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcd"
+    def randText() = (1 to 10).map(_ => (1 to rnd.nextInt(6) + 1)
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString).mkString(" ")
+    // small rule tables: the two encoders must agree exactly
+    (1 to 3).foreach { trial =>
+      val texts = (1 to 8).map(_ => randText()).toDF("text")
+      val rules = Seq(("a", "b"), ("c", "d"), ("ab", "cd"), ("b", "a"))
+      def keyed(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      assert(keyed(Bpe.encodeTyped(texts, "text", rules)) ===
+        keyed(Bpe.encode(texts, "text", rules)), s"trial $trial")
+    }
+    // production-shaped rule count (500 — far beyond what nested
+    // expressions can plan): verified against an independent driver fold
+    val manyRules = (1 to 500).map { i =>
+      (alphabet(i % 4).toString, alphabet((i / 4) % 4).toString)
+    }
+    def refEncode(w: String): Seq[String] =
+      manyRules.foldLeft(w.map(_.toString).toList) { case (syms, (ml, mr)) =>
+        syms.foldLeft(List.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == ml && x == mr)
+            acc.init :+ (ml + mr)
+          else acc :+ x
+        }
+      }
+    val words = Seq("abcd", "aabb", "dcba", "abcabc", "a")
+    val got = Bpe.encodeTyped(Seq(words.mkString(" ")).toDF("text"),
+        "text", manyRules)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach(w => assert(got(w) === refEncode(w), s"word $w"))
+  }
 }
