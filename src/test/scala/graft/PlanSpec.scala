@@ -242,4 +242,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert("Exchange".r.findAllIn(p).length <= 1, p)
   }
+
+  test("s14: the refine probe is a broadcast hash join, never a nested loop") {
+    // the kCoarse-row shortlist must broadcast back to the corpus — a
+    // BNLJ or a shuffled join would mean the full-precision pass stopped
+    // being a k-row probe
+    val p = planOf(graft.queries.DataQueries5.s14IvfPqRefine(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t21: docs join the encoded vocab via broadcast (model-sized side)") {
+    val p = planOf(graft.queries.DataQueries6.t21BpeEncode(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
