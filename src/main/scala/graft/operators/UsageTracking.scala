@@ -56,7 +56,11 @@ object UsageTracking {
         date_trunc("second", col("event_time")).as("event_time"),
         col("project"), col("user_email"), col("dc_entry"))
       .distinct()
-      .join(broadcast(lookup), Seq("dc_entry"), "left")
+      // one resolution per entry, like the reference's single get_entry
+      // call: a duplicate dc_entry row in the mapping must not fan events
+      // out and double-count the per-kind totals / n_users downstream
+      .join(broadcast(lookup.dropDuplicates("dc_entry")),
+        Seq("dc_entry"), "left")
   }
 
   /** Per-asset usage metrics as unified TAG ROWS for a `usage` template:

@@ -118,19 +118,39 @@ object ConfigStore {
       .orderBy(col("__batch").desc, col("version").desc)
     spark.read.parquet(path)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("config_status") =!= "DELETED")
+      // null-safe tombstone test: a NULL config_status is NOT a delete —
+      // same rule as purge()'s keep side
+      .filter(col("__rn") === 1 &&
+        coalesce(col("config_status") =!= "DELETED", lit(true)))
       .drop("__rn", "__batch")
   }
 
   /** Fold the delta log into a fresh snapshot + empty log (checkpoint):
     * after compaction the log restarts from the snapshot as batch 0.
+    *
+    * Atomicity: the re-seeded batch-0 log is fully WRITTEN to a sibling
+    * temp dir first, then swapped in with two filesystem renames (old →
+    * trash, temp → live). Readers never observe a missing or partially
+    * written log — the pre-fix delete-then-rewrite left a window where a
+    * crash (or a concurrent [[readLatest]]) saw an empty store even
+    * though the snapshot write had succeeded.
     */
   def compact(spark: SparkSession, logPath: String,
               snapshotPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
     write(readLatest(spark, logPath), snapshotPath)
-    val fs = new org.apache.hadoop.fs.Path(logPath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(logPath), true)
-    appendDelta(read(spark, snapshotPath), logPath, batchId = 0L)
+    val live = new Path(logPath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(logPath + ".__compact_tmp")
+    val trash = new Path(logPath + ".__compact_old")
+    fs.delete(tmp, true); fs.delete(trash, true)
+    appendDelta(read(spark, snapshotPath), tmp.toString, batchId = 0L)
+    if (fs.exists(live) && !fs.rename(live, trash))
+      throw new java.io.IOException(s"compact: cannot move $live aside")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(trash, live) // roll back: old log restored intact
+      throw new java.io.IOException(s"compact: cannot publish $tmp")
+    }
+    fs.delete(trash, true)
   }
 }

@@ -76,17 +76,24 @@ object Ingest {
       store.select("content_hash").distinct(), Seq("content_hash"),
       "left_anti")
     val sigs = Dedup.simhash(exactNovel, "doc_id", "text")
+    // the index side carries only rows with a REAL signature: a
+    // signature-less doc (null simhash, see below) must not sit in the
+    // index, where its absent bits would read as a valid all-zeros
+    // signature and falsely reject any later low-popcount arrival
     val nearDupIds = Dedup.simhashPairsBetween(sigs,
-        store.select("doc_id", "simhash"), "doc_id", maxHamming)
+        store.select("doc_id", "simhash").filter(col("simhash").isNotNull),
+        "doc_id", maxHamming)
       .select(col("a_id").as("doc_id")).distinct()
     // LEFT join: a doc that passed the gate but has no tokens (reachable
     // at minTokens = 0 — simhash's tokenizer emits nothing for it, so it
-    // has no signature row) is still an arrival; it lands with the empty
-    // signature 0 instead of vanishing through an inner join
+    // has no signature row) is still an arrival; it lands with a NULL
+    // signature instead of vanishing through an inner join. NULL, not a
+    // 0L sentinel: 0 is a legal signature value, and a sentinel in the
+    // store is indistinguishable from the real thing.
     exactNovel.join(sigs, Seq("doc_id"), "left")
       .join(nearDupIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit(batchId).as("batch"), col("content_hash"),
-        coalesce(col("simhash"), lit(0L)).as("simhash"))
+        col("simhash"))
   }
 
   /** Ordered batch fold (the oracle-gated form): documents arrive in

@@ -9,12 +9,15 @@ trait SparkSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    // fixed path, not createTempDirectory: the builder runs once per
-    // suite even when getOrCreate reuses the session, and a fresh dir
-    // per suite accumulates hundreds of empty /tmp entries across runs
+    // per-process fixed path: stable across suites in one JVM (getOrCreate
+    // reuses the session, so no per-suite dir litter) but keyed by pid so
+    // two concurrent test JVMs never share managed-table locations —
+    // BucketingSpec's pre-test recursive deletes would otherwise destroy
+    // the other run's in-flight tables
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_wh_test")).toString)
+        System.getProperty("java.io.tmpdir"),
+        s"graft_wh_test_${ProcessHandle.current().pid()}")).toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   def sf: String = "/root/testdata/sf0.001"

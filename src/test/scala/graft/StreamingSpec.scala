@@ -283,10 +283,37 @@ class StreamingSpec extends SparkSpec {
     val accepted = Ingest
       .ingestBatch(Ingest.emptyStore(spark), batch, 0L, minTokens = 0)
       .orderBy("doc_id").collect()
-    // doc 1 has no tokens → no simhash row; it must land with the empty
+    // doc 1 has no tokens → no simhash row; it must land with a NULL
     // signature, not vanish through an inner join against the signatures
     assert(accepted.map(_.getLong(0)).toSeq === Seq(1L, 2L))
-    assert(accepted.head.getLong(3) === 0L)
+    assert(accepted.head.isNullAt(3))
+    assert(!accepted(1).isNullAt(3))
+  }
+
+  test("ingest: signature-less store row never falsely rejects a " +
+      "low-popcount arrival") {
+    import spark.implicits._
+    // The hazard behind the NULL-signature rule, pinned at the probe
+    // level with synthetic signatures: a genuine low-popcount arrival
+    // (popcount 1 here) sits within hamming ≤ 4 of an all-zeros value, so
+    // a 0L SENTINEL store row would match it and falsely reject it as a
+    // near-dup of empty content — while the NULL row the store now writes
+    // produces no candidate pair at all.
+    val arrival = Seq((2L, 1L)).toDF("doc_id", "simhash")
+    val sentinel = Seq((1L, 0L)).toDF("doc_id", "simhash")
+    val nullSig = Seq((1L, Option.empty[Long])).toDF("doc_id", "simhash")
+    def hits(store: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Dedup.simhashPairsBetween(
+        arrival, store.filter(store("simhash").isNotNull), "doc_id",
+        maxHamming = 4).count()
+    assert(hits(sentinel) === 1L, "sanity: the sentinel WOULD match")
+    assert(hits(nullSig) === 0L)
+    // and end-to-end: ingest against a store holding the null row
+    val store = Seq((1L, 0L, "h_empty", Option.empty[Long]))
+      .toDF("doc_id", "batch", "content_hash", "simhash")
+    val accepted = graft.streaming.Ingest.ingestBatch(store,
+      Seq((2L, "tiny real doc")).toDF("doc_id", "text"), 1L, minTokens = 0)
+    assert(accepted.select("doc_id").as[Long].collect().toSeq === Seq(2L))
   }
 
   test("sessionize: gaps under threshold merge, over threshold split") {
