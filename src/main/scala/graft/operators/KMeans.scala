@@ -13,12 +13,13 @@ import org.apache.spark.sql.functions._
   *  - **assign**: nearest-centroid by cosine via [[Similarity.ivfAssign]]
   *    — centroids are model-sized (k ≪ corpus), so assignment is a narrow
   *    per-row argmax with zero shuffle.
-  *  - **update**: per-(centroid, dimension) mean via posexplode +
-  *    map-side-combined sum/count — the only shuffle per iteration, keyed
-  *    on k×d tiny keys. Sums run through `decimal(18,12)` so the
-  *    aggregation is order-independent and bit-identical in the DuckDB
-  *    oracle; means are rounded to 9 decimals to pin the new model
-  *    exactly.
+  *  - **update**: per-centroid mean via ONE whole-array
+  *    [[graft.functions.DecimalVecSum]] aggregation — the only shuffle
+  *    per iteration carries k buffers of d decimal sums each (map-side
+  *    partial merge), never a d× posexplode row blow-up. The decimal
+  *    fold keeps the sums order-independent and bit-identical in the
+  *    DuckDB oracle; means are rounded to 9 decimals to pin the new
+  *    model exactly.
   *
   * Per-iteration cost is one corpus pass + one k×d-key aggregation;
   * iteration count is a small constant — the 1000-executor cost profile
@@ -32,15 +33,10 @@ object KMeans {
     */
   def lloydIteration(emb: DataFrame, centroids: DataFrame): DataFrame =
     Similarity.ivfAssign(emb, centroids)
-      .select(col("centroid_id"), posexplode(col("vec")).as(Seq("dim", "v")))
-      .groupBy("centroid_id", "dim")
-      .agg(count(lit(1)).as("n"),
-        sum(col("v").cast("decimal(18,12)")).as("s"))
-      .withColumn("m", round(col("s").cast("double") / col("n"), 9))
       .groupBy("centroid_id")
-      .agg(max(col("n")).as("n_members"),
-        transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          _.getField("m")).as("cvec"))
+      .agg(graft.functions.DecimalVecSum.sum12(col("vec")).as("cs"))
+      .select(col("centroid_id"), col("cs._1").as("n_members"),
+        transform(col("cs._2"), x => round(x / col("cs._1"), 9)).as("cvec"))
 
   /** `iters` Lloyd iterations from `init(centroid_id, cvec)`. Each
     * iteration's centroid table is localCheckpoint-ed: the next assign

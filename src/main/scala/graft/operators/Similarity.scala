@@ -39,12 +39,18 @@ object Similarity {
     * scores k candidates per row and a map-side-combined `max(struct)` per
     * vec_id collapses them — bounded driver memory (`take`, never a full
     * collect) and no generated-code blowup.
+    *
+    * Columns beyond (vec_id, vec) ride through unchanged on BOTH paths —
+    * a caller that needs per-row metadata next to the assignment (s05's
+    * label) keeps it in place instead of paying a corpus-corpus join on
+    * vec_id to re-attach it afterwards.
     */
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val centsDf = centroids.select(col("centroid_id").cast("long"), col("cvec"))
     val head = centsDf.take(MaxInlineCentroids + 1)
     require(head.nonEmpty,
       "ivfAssign: centroid set is empty — provide at least one trained centroid")
+    val extras = emb.columns.filterNot(c => c == "vec_id" || c == "vec").toSeq
     if (head.length <= MaxInlineCentroids) {
       val cents = head
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -58,24 +64,26 @@ object Similarity {
       val best =
         if (scored.length == 1) scored.head
         else greatest(scored.toIndexedSeq: _*)
-      emb.select(col("vec_id"),
-          (-best.getField("neg_id")).as("centroid_id"), col("vec"))
+      emb.select(col("vec_id") +: (-best.getField("neg_id")).as("centroid_id") +:
+          col("vec") +: extras.map(col): _*)
     } else {
       // group by vec_id ONLY (it is the vector's unique key by operator
       // contract): grouping by the vec array would both collapse duplicate
       // rows the inline path preserves and run the float array through
       // NormalizeFloatingNumbers (-0.0/NaN canonicalization), changing the
-      // emitted vec bytes on this path only. vec rides inside the max
-      // struct — (cos, neg_id) is already unique per centroid, so it never
-      // decides the ordering — and the shuffle key stays narrow.
+      // emitted vec bytes on this path only. vec (and any extra columns)
+      // ride inside the max struct — (cos, neg_id) is already unique per
+      // centroid, so they never decide the ordering — and the shuffle key
+      // stays narrow.
       emb.crossJoin(broadcast(centsDf))
         .select(col("vec_id"),
-          struct(VectorFns.cosine(col("vec"), col("cvec")).as("cos"),
-            (-col("centroid_id")).as("neg_id"), col("vec").as("vec")).as("s"))
+          struct(VectorFns.cosine(col("vec"), col("cvec")).as("cos") +:
+            (-col("centroid_id")).as("neg_id") +: col("vec").as("vec") +:
+            extras.map(col): _*).as("s"))
         .groupBy("vec_id")
         .agg(max(col("s")).as("m"))
-        .select(col("vec_id"), (-col("m.neg_id")).as("centroid_id"),
-          col("m.vec").as("vec"))
+        .select(col("vec_id") +: (-col("m.neg_id")).as("centroid_id") +:
+          col("m.vec").as("vec") +: extras.map(c => col(s"m.$c").as(c)): _*)
     }
   }
 

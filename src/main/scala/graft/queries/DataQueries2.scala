@@ -154,27 +154,26 @@ object DataQueries2 {
   // ------------------------------------- nearest-centroid classification
 
   /** Nearest-centroid classification over the labeled embeddings: per-label
-    * mean vectors (exact decimal per-dimension sums → identical doubles in
+    * mean vectors (exact decimal whole-array sums → identical doubles in
     * both engines), then every vector is assigned to its cosine-nearest
     * centroid ([[Similarity.ivfAssign]]'s narrow argmax) and the confusion
     * matrix is one keyed aggregation.
+    *
+    * The centroid build is ONE [[DecimalVecSum]] pass — k×d buffer state
+    * across the shuffle, no per-dimension row explosion (the round-7
+    * posexplode form was 27× slower than the oracle here).
     */
   def s05CentroidClassify(spark: SparkSession, dir: String): DataFrame = {
     VectorFns.register(spark)
     val ev = Lake.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         VectorFns.toDoubleArray(col("embedding")).as("vec"))
-    val cent = ev.select(col("label"), posexplode(col("vec")).as(Seq("pos", "x")))
-      .groupBy("label", "pos")
-      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
-        count(lit(1))).as("m"))
-    val carr = cent.groupBy("label")
-      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("cvec"))
-      .select(col("label").cast("long").as("centroid_id"), col("cvec"))
-    Similarity.ivfAssign(ev.select(col("vec_id"), col("vec")), carr)
-      .select(col("vec_id"), col("centroid_id"))
-      .join(ev.select(col("vec_id"), col("label")), "vec_id")
+    val carr = ev.groupBy("label")
+      .agg(graft.functions.DecimalVecSum.sum12(col("vec")).as("cs"))
+      .select(col("label").cast("long").as("centroid_id"),
+        transform(col("cs._2"), x => x / col("cs._1")).as("cvec"))
+    // label rides through the assignment — no corpus-corpus re-join
+    Similarity.ivfAssign(ev, carr)
       .groupBy(col("label").cast("int").as("label"),
         col("centroid_id").cast("int").as("pred_label"))
       .agg(count(lit(1)).as("n"))
