@@ -416,10 +416,25 @@ object Similarity {
                       codebook: Seq[Array[Double]], numSub: Int,
                       query: Array[Double], k: Int, kCoarse: Int,
                       nprobe: Int,
-                      excludeId: Option[Long] = None): DataFrame = {
+                      excludeId: Option[Long] = None): DataFrame =
+    ivfPqRefineTopKFromCodes(emb, pqEncode(emb, codebook, numSub),
+      ivfAssign(emb, centroids).select("vec_id", "centroid_id"),
+      centroids, codebook, numSub, query, k, kCoarse, nprobe, excludeId)
+
+  /** [[ivfPqRefineTopK]] over a PRECOMPUTED code table + IVF assignment —
+    * the served-index form (same contract as [[ivfPqTopKFromCodes]]):
+    * codes and assignments are built once at index time; a query costs
+    * bucket-pruned code scans plus `kCoarse` full-vector reads.
+    */
+  def ivfPqRefineTopKFromCodes(emb: DataFrame, codes: DataFrame,
+                               assigned: DataFrame, centroids: DataFrame,
+                               codebook: Seq[Array[Double]], numSub: Int,
+                               query: Array[Double], k: Int, kCoarse: Int,
+                               nprobe: Int,
+                               excludeId: Option[Long] = None): DataFrame = {
     require(kCoarse >= k, s"refine: kCoarse $kCoarse must be >= k $k")
-    val shortlist = ivfPqTopK(emb, centroids, codebook, numSub, query,
-      kCoarse, nprobe, excludeId).select("vec_id")
+    val shortlist = ivfPqTopKFromCodes(codes, assigned, centroids, codebook,
+      numSub, query, kCoarse, nprobe, excludeId).select("vec_id")
     val d2 = aggregate(
       zip_with(col("vec"), lit(query), (a, b) => (a - b) * (a - b)),
       lit(0.0d), _ + _)

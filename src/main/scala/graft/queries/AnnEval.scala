@@ -1,0 +1,65 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Lake
+import graft.functions.VectorFns
+import graft.operators.Similarity
+
+/** ONE ANN index build per (session, lake dir), shared by every
+  * recall-eval query (s07, s13, s14). The evals previously each rebuilt
+  * the IVF assignment and PQ code table from the corpus — three index
+  * builds for three measurements of the SAME index, the per-query-rebuild
+  * anti-pattern the `FromCodes` operator variants exist to avoid. Here
+  * the build (coarse centroids, PQ codebook, query vector, code table,
+  * assignment) happens once and is memoized for the session.
+  *
+  * Scale story: what stays resident is exactly what a production ANN
+  * service keeps — the MODEL (8 centroids, 4 codebook rows, one query)
+  * on the driver, and the INDEX (codes: a few small ints per vector;
+  * assignment: two longs per vector) as localCheckpoint'd partitions,
+  * bytes per corpus row, never the full-precision vectors. On a real
+  * lake the same artifacts persist as tables written at index time; the
+  * memoization is the in-session analogue.
+  *
+  * Fixture contract (shared by the DuckDB oracles of all three evals):
+  * centroids = vectors 0..7, codebook = vectors 0..3 (8 subspaces),
+  * query = vector 0.
+  */
+object AnnEval {
+
+  final case class Index(
+      emb: DataFrame,                 // (vec_id, vec) corpus projection
+      centroids: DataFrame,           // (centroid_id, cvec), 8 rows
+      codebook: Seq[Array[Double]],   // 4 rows, driver-resident model
+      query: Array[Double],           // vector 0
+      codes: DataFrame,               // pqEncode output, checkpointed
+      assigned: DataFrame)            // (vec_id, centroid_id, vec), checkpointed
+
+  private val cache = new ConcurrentHashMap[String, Index]()
+
+  def index(spark: SparkSession, dir: String): Index =
+    cache.computeIfAbsent(
+      System.identityHashCode(spark) + "|" + dir, _ => build(spark, dir))
+
+  private def build(spark: SparkSession, dir: String): Index = {
+    VectorFns.register(spark)
+    val e = Lake.table(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("vec"))
+    // 8-row model, checkpointed: every un-barriered consumer (assign +
+    // one probe ranking per eval variant) would re-scan the lake for it
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+      .localCheckpoint()
+    val codebook = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("vec").collect().map(_.getSeq[Double](0).toArray).toSeq
+    val query = e.filter(col("vec_id") === 0)
+      .select("vec").head.getSeq[Double](0).toArray
+    val codes = Similarity.pqEncode(e, codebook, numSub = 8).localCheckpoint()
+    val assigned = Similarity.ivfAssign(e, centroids).localCheckpoint()
+    Index(e, centroids, codebook, query, codes, assigned)
+  }
+}

@@ -129,10 +129,13 @@ object DataQueries3 {
     * is 10 rows, so the comparison joins are broadcasts by size.
     */
   def s07AnnRecall(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val query = e.filter(col("vec_id") === 0).select(col("vec").as("qvec"))
-    val centroids = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val ix = AnnEval.index(spark, dir)
+    val e = ix.emb
+    val query = {
+      import spark.implicits._
+      Seq(Tuple1(ix.query.toSeq)).toDF("qvec")
+    }
+    val centroids = ix.centroids
     val hyperplanes = e.filter(col("vec_id").between(1, 4))
       .select((col("vec_id") - 1).as("hp_id"), col("vec").as("hvec"))
     // each result is ≤ k rows but drags a full-corpus lineage; without a
@@ -142,7 +145,7 @@ object DataQueries3 {
     // per index regardless of how many comparisons consume it.
     val truth = Similarity.bruteForceTopK(e, query, k = 10, excludeId = Some(0L))
       .select(col("vec_id")).localCheckpoint()
-    val ivf = Similarity.ivfTopK(Similarity.ivfAssign(e, centroids), centroids,
+    val ivf = Similarity.ivfTopK(ix.assigned, centroids,
       query, k = 10, nprobe = 2, excludeId = Some(0L)).localCheckpoint()
     val lsh = Similarity.lshTopK(e, hyperplanes, queryId = 0L, k = 10)
       .localCheckpoint()

@@ -510,14 +510,10 @@ object DataQueries5 {
     * full-precision; the corpus contributes codes only.
     */
   def s12IvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val centroids = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
-    val codebook = e.filter(col("vec_id") < 4).orderBy("vec_id")
-      .select("vec").collect().map(_.getSeq[Double](0).toArray).toSeq
-    val query = e.filter(col("vec_id") === 0)
-      .select("vec").head.getSeq[Double](0).toArray
-    Similarity.ivfPqTopK(e, centroids, codebook, numSub = 8, query,
+    val ix = AnnEval.index(spark, dir)
+    Similarity.ivfPqTopKFromCodes(ix.codes,
+        ix.assigned.select("vec_id", "centroid_id"), ix.centroids,
+        ix.codebook, numSub = 8, ix.query,
         k = 10, nprobe = 2, excludeId = Some(0L))
       .orderBy("rank")
   }
@@ -589,14 +585,10 @@ object DataQueries5 {
     * reorderings s13 measures for plain ADC.
     */
   def s14IvfPqRefine(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val centroids = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
-    val codebook = e.filter(col("vec_id") < 4).orderBy("vec_id")
-      .select("vec").collect().map(_.getSeq[Double](0).toArray).toSeq
-    val query = e.filter(col("vec_id") === 0)
-      .select("vec").head.getSeq[Double](0).toArray
-    Similarity.ivfPqRefineTopK(e, centroids, codebook, numSub = 8, query,
+    val ix = AnnEval.index(spark, dir)
+    Similarity.ivfPqRefineTopKFromCodes(ix.emb, ix.codes,
+        ix.assigned.select("vec_id", "centroid_id"), ix.centroids,
+        ix.codebook, numSub = 8, ix.query,
         k = 10, kCoarse = 50, nprobe = 2, excludeId = Some(0L))
       .orderBy("rank")
   }
@@ -631,16 +623,15 @@ object DataQueries5 {
     * quantifies for the near-dup path.
     */
   def s13PqRecall(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    // 8-row model, but each un-barriered consumer (ivfAssign + one probe
-    // ranking per nprobe variant) would re-scan the lake to derive it
-    val centroids = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
-      .localCheckpoint()
-    val codebook = e.filter(col("vec_id") < 4).orderBy("vec_id")
-      .select("vec").collect().map(_.getSeq[Double](0).toArray).toSeq
-    val query = e.filter(col("vec_id") === 0)
-      .select("vec").head.getSeq[Double](0).toArray
+    // index once — for the SESSION, not just this query: the code table,
+    // IVF assignment, centroids, codebook, and query come from the
+    // [[AnnEval]] build shared with s07/s14 (codes are built at index
+    // time, not per eval query)
+    val ix = AnnEval.index(spark, dir)
+    val e = ix.emb
+    val centroids = ix.centroids
+    val codebook = ix.codebook
+    val query = ix.query
     val d2 = aggregate(
       zip_with(col("vec"), lit(query), (a, b) => (a - b) * (a - b)),
       lit(0.0d), _ + _)
@@ -648,12 +639,8 @@ object DataQueries5 {
       .select(col("vec_id"), round(d2, 6).as("d2"))
       .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
       .select("vec_id").localCheckpoint()
-    // index once, query thrice: the code table and IVF assignment are
-    // built in ONE pass each and shared by all three eval rows (the
-    // consumer-side shape — codes are built at index time, not per query)
-    val codes = Similarity.pqEncode(e, codebook, numSub = 8).localCheckpoint()
-    val assigned = Similarity.ivfAssign(e, centroids)
-      .select("vec_id", "centroid_id").localCheckpoint()
+    val codes = ix.codes
+    val assigned = ix.assigned.select("vec_id", "centroid_id")
     val pq = Similarity.pqTopK(codes, codebook, numSub = 8, query, k = 10,
       excludeId = Some(0L)).localCheckpoint()
     def ivfpq(nprobe: Int): DataFrame =
