@@ -48,6 +48,67 @@ object TokenStatsOps {
   }
 }
 
+/** One-pass token/punctuation counters for t03:
+  * `struct(n_ws_tokens, n_bpe_tokens, n_punct)` from a single code-point
+  * scan, no allocation.
+  *
+  * The Column-composed form materializes every BPE-ish regex match into
+  * an array (`regexp_extract_all`) and a punctuation-stripped copy of the
+  * document (`regexp_replace`) just to take their lengths — per-row
+  * garbage proportional to document size, measured 6× the DuckDB oracle
+  * at sf0.1. The counts are pure run/char arithmetic:
+  *  - whitespace tokens = maximal non-space runs (split-on-' ' semantics);
+  *  - `[a-z]+|[0-9]+|[^a-z0-9 ]` matches = letter-run starts + digit-run
+  *    starts + every other non-space code point (regex alternation scans
+  *    left-to-right, so each run is one match and each residual char its
+  *    own match);
+  *  - punct = code points outside `[a-z0-9 ]` (`regexp_replace` + `length`
+  *    counts code points, as does DuckDB's `length`).
+  * TokenStatsSpec holds this equal to the regex form.
+  */
+object TokenCountsOps {
+  def eval(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val n = str.length
+    var i = 0
+    var ws = 0
+    var bpe = 0
+    var punct = 0
+    var prev = 3 // 0 = letter, 1 = digit, 2 = other, 3 = space
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      val cls =
+        if (cp >= 'a' && cp <= 'z') 0
+        else if (cp >= '0' && cp <= '9') 1
+        else if (cp == ' ') 3
+        else 2
+      if (cls != 3 && prev == 3) ws += 1
+      if (cls == 2) { bpe += 1; punct += 1 }
+      else if (cls != 3 && cls != prev) bpe += 1
+      prev = cls
+    }
+    InternalRow(ws, bpe, punct)
+  }
+}
+
+case class TokenCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ws_tokens", IntegerType, nullable = false),
+    StructField("n_bpe_tokens", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false)))
+  override def prettyName: String = "token_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenCountsOps.eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TokenCountsOps.eval($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class TokenStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),

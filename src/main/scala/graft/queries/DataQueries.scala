@@ -396,16 +396,22 @@ object DataQueries {
   }
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
-    * (letter runs / digit runs / single punctuation marks).
+    * (letter runs / digit runs / single punctuation marks). All three
+    * counters come from ONE native code-point scan
+    * ([[graft.plans.TokenCounts]]) — the regex form materialized every
+    * match and a punctuation-stripped document copy per row just to take
+    * lengths (TokenStatsSpec holds the two equal).
     */
-  def t03Tokens(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
-        col("doc_id"),
-        size(TextFns.words(col("text"))).as("n_ws_tokens"),
-        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-          .as("n_bpe_tokens"),
-        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).as("n_punct"))
+  def t03Tokens(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge => B}
+    docs(spark, dir)
+      .select(col("doc_id"),
+        B.column(graft.plans.TokenCounts(B.expression(col("text")))).as("tc"))
+      .select(col("doc_id"), col("tc.n_ws_tokens").as("n_ws_tokens"),
+        col("tc.n_bpe_tokens").as("n_bpe_tokens"),
+        col("tc.n_punct").as("n_punct"))
       .orderBy("doc_id")
+  }
 
   val t03Oracle: String =
     """SELECT doc_id,

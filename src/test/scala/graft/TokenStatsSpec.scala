@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{Bridge => B}
 import graft.functions.TextFns
-import graft.plans.TokenStats
+import graft.plans.{TokenCounts, TokenStats}
 
 /** The native one-pass token-stats expression must agree with the
   * Column-composed HOF forms on every counter.
@@ -42,5 +42,30 @@ class TokenStatsSpec extends SparkSpec {
         r.getLong(4).toInt, r.getLong(5).toInt)).toMap
     assert(h.keySet === nv.keySet)
     h.foreach { case (id, v) => assert(nv(id) === v, s"doc_id=$id") }
+  }
+
+  test("TokenCounts == regex reference on all three counters") {
+    // edge shapes beyond the lake rows: uppercase/newline/tab are BOTH
+    // bpe tokens and punct (they fall in [^a-z0-9 ]); digit/letter run
+    // boundaries; multi-byte code points count once
+    val t = texts.union(Seq(
+      (9101L, "abc123def"), (9102L, "A B\tC\nD"), (9103L, "a,b;c!?"),
+      (9104L, "héllo wörld"), (9105L, "1 22 333 a1b2"))
+      .toDF("doc_id", "text"))
+    val regex = t.select(col("doc_id"),
+      size(TextFns.words(col("text"))).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("n_bpe_tokens"),
+      length(regexp_replace(col("text"), "[a-z0-9 ]", "")).as("n_punct"))
+    val native = t.select(col("doc_id"),
+        B.column(TokenCounts(B.expression(col("text")))).as("tc"))
+      .select(col("doc_id"), col("tc.n_ws_tokens"), col("tc.n_bpe_tokens"),
+        col("tc.n_punct"))
+    val r = regex.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val nv = native.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(r.keySet === nv.keySet)
+    r.foreach { case (id, v) => assert(nv(id) === v, s"doc_id=$id") }
   }
 }
