@@ -133,15 +133,17 @@ object CoreQueries5 {
   }
 
   /** The WHOLE `/scheduled_auto_updates` tick composed end-to-end
-    * (main.py:3075–3110 → §3.1): H1 selects the due configs, each due
-    * config runs the full job path ([[TagEngine.runJob]] — set-based
-    * expand → evaluate → MERGE), and the output is the q12-style per-job
-    * rollup JOINED to the advanced scheduler state (H2) — job identity,
-    * terminal status, asset/tag-row counts, a data-dependent field sum,
-    * and the post-tick next_run/version, all from ONE tick. Due configs
-    * are catalog METADATA (the reference's own loop bound); each job body
-    * is set-based, so the tick is O(#due configs) driver dispatches of
-    * O(#fields) plans.
+    * (main.py:3075–3110 → §3.1): H1 selects the due configs, ALL due
+    * configs compile into ONE batched job pass ([[TagEngine.runJobs]] —
+    * one catalog expansion for every config, lazy set-based evaluate +
+    * MERGE per config, one unioned result), and the output is the
+    * q12-style per-job rollup JOINED to the advanced scheduler state
+    * (H2) — job identity, terminal status, asset/tag-row counts, a
+    * data-dependent field sum, and the post-tick next_run/version, all
+    * from ONE tick. Due configs are catalog METADATA (the reference's own
+    * loop bound), and the tick's job count is INVARIANT to how many are
+    * due (TagEngineSpec pins it) — the round-7 per-config `runJob`
+    * dispatch loop serialized a full driver round-trip per config.
     */
   def q40SchedulerTickJobs(spark: SparkSession, dir: String): DataFrame = {
     Lake.registerAll(spark, dir)
@@ -160,25 +162,31 @@ object CoreQueries5 {
     val dueRows = due
       .select("config_uuid", "template_id", "included_uris", "version")
       .collect().sortBy(_.getString(0))
-    val jobs = dueRows.map { r =>
-      val uuid = r.getString(0)
-      val cfg = TagConfig("DYNAMIC_TAG_TABLE", r.getString(1),
-        tickFields(uuid),
+    val cfgs = dueRows.toSeq.map { r =>
+      r.getString(0) -> TagConfig("DYNAMIC_TAG_TABLE", r.getString(1),
+        tickFields(r.getString(0)),
         includedUris = r.getString(2).split(",").map(_.trim).toSeq)
-      TagEngine.runJob(spark, cfg, catalog, emptyTags)
-        .agg(count(lit(1)).as("n_tag_rows"),
-          countDistinct(col("asset_uri")).as("n_assets"),
-          sum(when(col("field_id") === "n_rows",
-            col("field_value").cast("double"))).as("sum_n_rows"))
-        .select(lit(uuid).as("config_uuid"),
-          md5(concat_ws("|", lit(uuid), lit(r.getLong(3)))).as("job_uuid"),
-          lit("SUCCEEDED").as("job_status"),
-          col("n_assets"), col("n_tag_rows"), col("sum_n_rows"))
     }
+    val tagRows = TagEngine.runJobs(spark, cfgs, catalog, emptyTags)
+    val versions = {
+      import spark.implicits._
+      dueRows.toSeq.map(r => (r.getString(0), r.getLong(3)))
+        .toDF("config_uuid", "job_version")
+    }
+    val rollup = tagRows.groupBy("config_uuid")
+      .agg(count(lit(1)).as("n_tag_rows"),
+        countDistinct(col("asset_uri")).as("n_assets"),
+        sum(when(col("field_id") === "n_rows",
+          col("field_value").cast("double"))).as("sum_n_rows"))
+      .join(versions, "config_uuid")
+      .select(col("config_uuid"),
+        md5(concat_ws("|", col("config_uuid"), col("job_version")))
+          .as("job_uuid"),
+        lit("SUCCEEDED").as("job_status"),
+        col("n_assets"), col("n_tag_rows"), col("sum_n_rows"))
     val advanced = Scheduler.advanceNextRun(configs, due)
       .select("config_uuid", "next_run", "version")
-    jobs.reduce(_ unionByName _)
-      .join(advanced, "config_uuid")
+    rollup.join(advanced, "config_uuid")
       .orderBy("config_uuid")
   }
 

@@ -69,6 +69,56 @@ class TagEngineSpec extends SparkSpec {
       ("p/dataset/lake/table/orders", 7.0, "y")))
   }
 
+  test("runJobs == per-config runJob loop, one expansion for all configs") {
+    Lake.registerAll(spark, sf)
+    val cfgB = config.copy(templateId = "ops",
+      includedUris = Seq("bigquery/project/p/dataset/lake/supplier",
+        "bigquery/project/p/dataset/lake/part"))
+    val existing = Seq(
+      ("bigquery/project/p/dataset/lake/region", "", "gov", "n_rows", "999"))
+      .toDF("asset_uri", "column", "template_id", "field_id", "field_value")
+    val batched = TagEngine.runJobs(spark,
+        Seq("cA" -> config, "cB" -> cfgB), catalog, existing)
+      .select("config_uuid", "asset_uri", "field_value")
+      .as[(String, String, String)].collect().toSet
+    val looped = Seq("cA" -> config, "cB" -> cfgB).flatMap { case (id, c) =>
+      TagEngine.runJob(spark, c, catalog, existing)
+        .select(lit(id), col("asset_uri"), col("field_value"))
+        .as[(String, String, String)].collect()
+    }.toSet
+    assert(batched === looped)
+  }
+
+  test("scheduler-tick job count does NOT grow with #due configs") {
+    Lake.registerAll(spark, sf)
+    // N configs over the same heterogeneous tables — the q40 tick shape
+    def cfgs(n: Int) = (0 until n).map(i => s"c$i" -> config)
+    val emptyTags = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "asset_uri string, column string, template_id string, " +
+          "field_id string, field_value string"))
+    def jobsFor(n: Int): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        TagEngine.runJobs(spark, cfgs(n), catalog, emptyTags)
+          .write.mode("overwrite").format("noop").save()
+        Thread.sleep(500)
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val j2 = jobsFor(2)
+    val j8 = jobsFor(8)
+    assert(j8 === j2,
+      s"tick job count must be independent of #due configs ($j2 vs $j8)")
+  }
+
   // ------------------------------------------------ sharded (set-based) eval
 
   private val shardedFields = Seq(
