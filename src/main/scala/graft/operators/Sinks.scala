@@ -26,6 +26,21 @@ object Sinks {
     withHistoryPartition(rows)
       .write.mode("append").partitionBy("event_date").parquet(path)
 
+  /** ACID history append: the batch lands as one atomic
+    * [[graft.sources.AtomicStore.commitAppend]] — a crashed job leaves no
+    * half-visible batch for downstream readers (the plain parquet append
+    * above exposes files as they land). `event_date` rides as a normal
+    * column; day pruning comes from parquet column stats (append batches
+    * are day-aligned in practice), since the manifest lists plain dirs.
+    */
+  def writeHistoryAtomic(rows: DataFrame, path: String): Long =
+    graft.sources.AtomicStore.commitAppend(withHistoryPartition(rows), path)
+
+  /** Read the ACID history store (latest committed version). */
+  def readHistoryAtomic(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame =
+    graft.sources.AtomicStore.read(spark, path)
+
   /** Flatten a tags table to the report shape (BigQueryUtils.py:263–305;
     * FIXTURES.md §3.2): everything stringified except `export_time`.
     * `tags` must carry (project, dataset, table, tag_template, tag_field,

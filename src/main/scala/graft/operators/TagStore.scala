@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.AtomicStore
 
 /** Tag-state maintenance (SURVEY.md §2 A9/A10, B5).
   *
@@ -84,4 +85,35 @@ object TagStore {
       incoming.select(scope.map(col): _*).distinct(), scope, "left_anti")
     untouched.unionByName(incoming)
   }
+
+  // ------------------------------------------------ persisted (ACID) form
+
+  /** Load the persisted tag state (empty frame in `incoming`'s schema
+    * when the store has never been committed).
+    */
+  def load(spark: SparkSession, path: String, schemaLike: DataFrame): DataFrame =
+    if (AtomicStore.currentVersion(spark, path).isDefined)
+      AtomicStore.read(spark, path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaLike.schema)
+
+  /** The TRANSACTIONAL form of the tag MERGE — what the reference's
+    * retried per-tag RPCs (DataCatalogController.py:1608–1652) become on
+    * an ACID table: read the committed state, compute the next state
+    * set-based ([[applyWithDeletes]]), and swap it in as ONE atomic
+    * commit ([[AtomicStore.commitSnapshot]]). A crash mid-merge leaves
+    * the previous version fully readable (data files land before the
+    * manifest publishes — TagStoreSpec proves it); concurrent committers
+    * serialize on the manifest rename.
+    */
+  def mergeCommit(spark: SparkSession, path: String,
+                  incoming: DataFrame): Long =
+    AtomicStore.commitSnapshot(
+      applyWithDeletes(load(spark, path, incoming), incoming), path)
+
+  /** Transactional [[reconcile]]: replace the touched scopes atomically. */
+  def reconcileCommit(spark: SparkSession, path: String,
+                      incoming: DataFrame): Long =
+    AtomicStore.commitSnapshot(
+      reconcile(load(spark, path, incoming), incoming), path)
 }

@@ -656,6 +656,59 @@ object CoreQueries5 {
       |  t(config_uuid, config_type, included_uris, config_status, version)
       |ORDER BY config_uuid""".stripMargin
 
+  // --------------- ACID tag-store merge round trip (q48)
+
+  /** The TRANSACTIONAL tag store under the oracle gate (q45's pattern for
+    * the ACID layer): three committed merges — seed, upsert-with-update,
+    * all-empty delete — land through
+    * [[graft.operators.TagStore.mergeCommit]] (data files first, manifest
+    * published by atomic rename), plus one CRASHED merge whose data lands
+    * but whose manifest never publishes. The output is the committed
+    * state read back through the manifest — the crashed batch must be
+    * invisible, the delete applied, the update visible
+    * (DataCatalogController.py:1608–1652's idempotent upsert + :1581–1592
+    * delete-when-all-empty, expressed as atomic snapshot swaps).
+    */
+  def q48AtomicTagStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.TagStore
+    import graft.sources.AtomicStore
+    def mk(rows: Seq[(String, String, String)]): DataFrame =
+      rows.toDF("asset_uri", "field_id", "field_value")
+        .select(col("asset_uri"), lit("").as("column"),
+          lit("gov").as("template_id"), col("field_id"), col("field_value"))
+    val storePath = java.nio.file.Files.createTempDirectory("graft_q48")
+    val storeDir = storePath.toString
+    TagStore.mergeCommit(spark, storeDir, mk(Seq(
+      ("bigquery/project/p/dataset/lake/orders", "n_rows", "100"),
+      ("bigquery/project/p/dataset/lake/orders", "env", "DEV"),
+      ("bigquery/project/p/dataset/lake/region", "n_rows", "5"))))
+    TagStore.mergeCommit(spark, storeDir, mk(Seq(
+      ("bigquery/project/p/dataset/lake/orders", "env", "PROD"),
+      ("bigquery/project/p/dataset/lake/nation", "n_rows", "25"))))
+    // crashed merge: next-state data lands, manifest never publishes
+    AtomicStore.writeData(TagStore.applyWithDeletes(
+      AtomicStore.read(spark, storeDir),
+      mk(Seq(("bigquery/project/p/dataset/lake/orders", "env", "GONE")))),
+      storeDir)
+    // committed merge: all-empty tag instance deletes the region tag
+    TagStore.mergeCommit(spark, storeDir, mk(Seq(
+      ("bigquery/project/p/dataset/lake/region", "n_rows", ""))))
+    CoreQueries.materializeThenDelete(spark,
+      AtomicStore.read(spark, storeDir)
+        .select("asset_uri", "field_id", "field_value")
+        .orderBy("asset_uri", "field_id"),
+      storePath)
+  }
+
+  val q48Oracle: String =
+    """SELECT * FROM (VALUES
+      |  ('bigquery/project/p/dataset/lake/nation', 'n_rows', '25'),
+      |  ('bigquery/project/p/dataset/lake/orders', 'env', 'PROD'),
+      |  ('bigquery/project/p/dataset/lake/orders', 'n_rows', '100'))
+      |  t(asset_uri, field_id, field_value)
+      |ORDER BY asset_uri, field_id""".stripMargin
+
   // --------------- policy-tag workflow extension (q46)
 
   /** Policy-tag workflow parity (extensions/policy_tag_workflow/
@@ -783,5 +836,6 @@ object CoreQueries5 {
     ("q45_config_log", q45ConfigLog _, Some(q45Oracle)),
     ("q46_policy_tag_workflow", q46PolicyTagWorkflow _, Some(q46Oracle)),
     ("q47_finwire_standardization", q47FinwireStandardization _, Some(q47Oracle)),
+    ("q48_atomic_tag_store", q48AtomicTagStore _, Some(q48Oracle)),
     ("st08_change_retag", st08ChangeRetag _, Some(st08Oracle)))
 }

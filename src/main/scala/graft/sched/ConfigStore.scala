@@ -74,14 +74,19 @@ object ConfigStore {
   }
 
   /** Persist / recover the store as a full SNAPSHOT (the compaction form —
-    * see [[appendDelta]] for the incremental path; this overwrite is what
-    * [[compact]] periodically folds the delta log back into).
+    * see [[appendDelta]] for the incremental path; this snapshot is what
+    * [[compact]] periodically folds the delta log back into). Snapshots
+    * go through [[graft.sources.AtomicStore]]'s manifest commit — a
+    * plain `mode("overwrite")` deletes the old files BEFORE the new ones
+    * land, so a crashed writer destroys the only copy of the store; the
+    * commit-log swap never exposes a partial state.
     */
-  def write(store: DataFrame, path: String): Unit =
-    store.write.mode("overwrite").parquet(path)
+  def write(store: DataFrame, path: String): Unit = {
+    graft.sources.AtomicStore.commitSnapshot(store, path); ()
+  }
 
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.sources.AtomicStore.read(spark, path)
 
   // ------------------------------------------------ append-log persistence
 

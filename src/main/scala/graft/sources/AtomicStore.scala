@@ -1,0 +1,178 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ACID-ish table protocol for the MUTABLE stores (tags, configs,
+  * history) — the commit-log design Delta/Iceberg implement, reduced to
+  * what the engine needs and zero extra dependencies (the sandbox ships
+  * no lake-format jars; on a real deployment these calls map 1:1 onto
+  * `MERGE INTO` / transactional append on any ACID table format).
+  *
+  * Layout under a store root:
+  * {{{
+  *   <root>/_commits/v<20-digit version>   # manifest: one data dir per line
+  *   <root>/data/c_<uuid>/                 # immutable parquet data dirs
+  * }}}
+  *
+  * Commit protocol (reference semantics: the idempotent tag upsert and
+  * its quota-race story, DataCatalogController.py:1608–1652, 455–473):
+  *  1. write the batch to a fresh `data/c_<uuid>` dir — INVISIBLE until
+  *     published (readers only follow manifests);
+  *  2. publish a manifest at version = latest+1 with an atomic
+  *     fail-if-exists rename ([[FileContext.rename]] with
+  *     `Options.Rename.NONE`).
+  * A crash between (1) and (2) leaves an orphan data dir and a fully
+  * intact previous version — readers NEVER see a partial commit. Two
+  * concurrent writers race on the same manifest name; the loser's rename
+  * fails and it retries at the next version (optimistic concurrency, the
+  * Delta protocol's conflict rule) — for append commits the retry
+  * re-resolves the parent file set, so no committed batch is lost.
+  *
+  * Data dirs are immutable once published: a snapshot commit REPLACES
+  * the visible file set (MERGE results), an append commit EXTENDS it
+  * (history). Either way persisted bytes per commit scale with the
+  * batch, and old versions stay readable until vacuumed ([[vacuum]]).
+  * Partition pruning inside a store relies on parquet column stats
+  * (appends are typically day-aligned), not directory partitioning —
+  * manifests list plain dirs, so listing survives any filesystem.
+  */
+object AtomicStore {
+
+  private def hconf(spark: SparkSession) =
+    spark.sparkContext.hadoopConfiguration
+
+  private def commitsDir(root: String) = new Path(root, "_commits")
+  private def dataDir(root: String) = new Path(root, "data")
+
+  private def manifestName(v: Long): String = f"v$v%020d"
+  private def versionOf(name: String): Option[Long] =
+    if (name.matches("v\\d{20}")) Some(name.drop(1).toLong) else None
+
+  /** Latest committed version, if any commit exists. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val fs = commitsDir(root).getFileSystem(hconf(spark))
+    if (!fs.exists(commitsDir(root))) None
+    else fs.listStatus(commitsDir(root))
+      .flatMap(s => versionOf(s.getPath.getName))
+      .sorted.lastOption
+  }
+
+  /** The data dirs a version's manifest lists (absolute paths). */
+  private[graft] def filesAt(spark: SparkSession, root: String,
+                             version: Long): Seq[String] = {
+    val fs = commitsDir(root).getFileSystem(hconf(spark))
+    val p = new Path(commitsDir(root), manifestName(version))
+    val in = fs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+      .map(rel => new Path(dataDir(root), rel).toString)
+    finally in.close()
+  }
+
+  /** Latest committed snapshot. Fails if nothing was ever committed —
+    * use [[currentVersion]] to probe.
+    */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"AtomicStore: no commits at $root"))
+    spark.read.parquet(filesAt(spark, root, v): _*)
+  }
+
+  /** Step 1 of the protocol: land the batch in a fresh, UNPUBLISHED data
+    * dir; returns its manifest-relative name. `private[graft]` so specs
+    * can simulate a crash between data write and publish.
+    */
+  private[graft] def writeData(df: DataFrame, root: String): String = {
+    val rel = s"c_${UUID.randomUUID().toString.replace("-", "")}"
+    df.write.mode("errorifexists")
+      .parquet(new Path(dataDir(root), rel).toString)
+    rel
+  }
+
+  /** Step 2: publish a manifest at `version` atomically. Returns false
+    * when a concurrent writer already published that version (the
+    * optimistic-concurrency conflict — retry at the next version).
+    */
+  private[graft] def publish(spark: SparkSession, root: String,
+                             dataDirs: Seq[String], version: Long): Boolean = {
+    val fs = commitsDir(root).getFileSystem(hconf(spark))
+    fs.mkdirs(commitsDir(root))
+    val tmp = new Path(commitsDir(root), s".tmp_${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(dataDirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(commitsDir(root), manifestName(version))
+    try {
+      // FileContext.rename(NONE) is the atomic fail-if-exists primitive
+      // (FileSystem.rename on a local fs silently overwrites)
+      FileContext.getFileContext(target.toUri, hconf(spark))
+        .rename(tmp, target, Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.io.FileNotFoundException =>
+        fs.delete(tmp, false)
+        false
+    }
+  }
+
+  private def commit(df: DataFrame, root: String, append: Boolean): Long = {
+    val spark = df.sparkSession
+    val rel = writeData(df, root)
+    var done = false
+    var v = 0L
+    while (!done) {
+      val base = currentVersion(spark, root)
+      v = base.getOrElse(-1L) + 1
+      // append: re-resolve the parent file set EVERY attempt, so losing a
+      // publish race never drops the winner's batch from our manifest
+      val dirs =
+        if (append)
+          base.toSeq.flatMap(filesAt(spark, root, _))
+            .map(p => new Path(p).getName) :+ rel
+        else Seq(rel)
+      done = publish(spark, root, dirs, v)
+    }
+    v
+  }
+
+  /** Commit `df` as the ENTIRE next table state (the terminal step of a
+    * MERGE: compute next state set-based, swap it in atomically).
+    */
+  def commitSnapshot(df: DataFrame, root: String): Long =
+    commit(df, root, append = false)
+
+  /** Commit `df` as an appended batch: the new version sees every
+    * previously committed file plus this batch (history semantics).
+    */
+  def commitAppend(df: DataFrame, root: String): Long =
+    commit(df, root, append = true)
+
+  /** Drop data dirs no manifest within `keepVersions` of latest
+    * references, and older manifests (Delta's VACUUM). Safe because
+    * readers resolve a manifest first: a reader of a retained version
+    * never loses files under it.
+    */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, "vacuum: must keep at least the latest version")
+    val fs = commitsDir(root).getFileSystem(hconf(spark))
+    currentVersion(spark, root).foreach { latest =>
+      val keepFrom = latest - keepVersions + 1
+      val versions = fs.listStatus(commitsDir(root))
+        .flatMap(s => versionOf(s.getPath.getName)).sorted.toSeq
+      val live = versions.filter(_ >= keepFrom)
+        .flatMap(filesAt(spark, root, _)).map(p => new Path(p).getName).toSet
+      if (fs.exists(dataDir(root)))
+        fs.listStatus(dataDir(root)).map(_.getPath)
+          .filterNot(p => live.contains(p.getName))
+          .foreach(fs.delete(_, true))
+      versions.filter(_ < keepFrom).foreach(v =>
+        fs.delete(new Path(commitsDir(root), manifestName(v)), false))
+    }
+  }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TagStore
+import graft.sources.AtomicStore
+
+/** Commit-log protocol contract: readers never observe partial commits,
+  * appends never rewrite published files, concurrent publishes serialize
+  * on the manifest rename, vacuum keeps live versions readable.
+  */
+class AtomicStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def root(): String =
+    java.nio.file.Files.createTempDirectory("graft_atomic").toString
+
+  private def tags(rows: (String, String)*) =
+    rows.toSeq.toDF("asset_uri", "field_value")
+      .withColumn("column", lit("")).withColumn("template_id", lit("gov"))
+      .withColumn("field_id", lit("n_rows"))
+      .select("asset_uri", "column", "template_id", "field_id", "field_value")
+
+  test("snapshot commits version and round-trips; next snapshot replaces") {
+    val r = root()
+    assert(AtomicStore.currentVersion(spark, r).isEmpty)
+    assert(AtomicStore.commitSnapshot(tags("a" -> "1"), r) === 0L)
+    assert(AtomicStore.commitSnapshot(tags("a" -> "2", "b" -> "3"), r) === 1L)
+    assert(AtomicStore.currentVersion(spark, r) === Some(1L))
+    val got = AtomicStore.read(spark, r)
+      .select("asset_uri", "field_value").as[(String, String)].collect().toSet
+    assert(got === Set("a" -> "2", "b" -> "3"))
+  }
+
+  test("a crash between data write and publish is invisible to readers") {
+    val r = root()
+    AtomicStore.commitSnapshot(tags("a" -> "1"), r)
+    // simulate the crash: the data lands, the manifest never publishes
+    AtomicStore.writeData(tags("a" -> "999", "z" -> "0"), r)
+    assert(AtomicStore.currentVersion(spark, r) === Some(0L))
+    assert(AtomicStore.read(spark, r)
+      .select("field_value").as[String].collect().toSeq === Seq("1"))
+    // the store stays writable afterwards, and the orphan stays dead
+    AtomicStore.commitSnapshot(tags("a" -> "2"), r)
+    assert(AtomicStore.read(spark, r)
+      .select("asset_uri", "field_value").as[(String, String)].collect().toSet
+      === Set("a" -> "2"))
+  }
+
+  test("append extends the visible set without touching published files") {
+    val r = root()
+    AtomicStore.commitAppend(tags("a" -> "1"), r)
+    def files: Map[String, (Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(r).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(r, "data"), true)
+      var m = Map.empty[String, (Long, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet"))
+          m += s.getPath.toString -> ((s.getLen, s.getModificationTime))
+      }
+      m
+    }
+    val before = files
+    AtomicStore.commitAppend(tags("b" -> "2"), r)
+    val after = files
+    before.foreach { case (name, sig) => assert(after(name) === sig) }
+    assert(after.size > before.size)
+    assert(AtomicStore.read(spark, r)
+      .select("asset_uri").as[String].collect().sorted === Seq("a", "b"))
+  }
+
+  test("publish race: same version can be taken exactly once") {
+    val r = root()
+    val d1 = AtomicStore.writeData(tags("a" -> "1"), r)
+    val d2 = AtomicStore.writeData(tags("b" -> "2"), r)
+    assert(AtomicStore.publish(spark, r, Seq(d1), 0L))
+    assert(!AtomicStore.publish(spark, r, Seq(d2), 0L),
+      "second publish at the same version must fail")
+    // the loser retries at the next version, as commit() does
+    assert(AtomicStore.publish(spark, r, Seq(d1, d2), 1L))
+    assert(AtomicStore.read(spark, r).count() === 2)
+  }
+
+  test("vacuum drops orphans and old versions, keeps latest readable") {
+    val r = root()
+    AtomicStore.commitSnapshot(tags("a" -> "1"), r)
+    AtomicStore.writeData(tags("x" -> "9"), r) // orphan (crashed commit)
+    AtomicStore.commitSnapshot(tags("a" -> "2"), r)
+    AtomicStore.vacuum(spark, r, keepVersions = 1)
+    val fs = new org.apache.hadoop.fs.Path(r).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // one live data dir (latest manifest's), one live manifest
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(r, "data")).length === 1)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(r, "_commits")).length === 1)
+    assert(AtomicStore.read(spark, r)
+      .select("field_value").as[String].collect().toSeq === Seq("2"))
+  }
+
+  test("crash-mid-MERGE: tag store stays at the pre-merge state") {
+    val r = root()
+    TagStore.mergeCommit(spark, r, tags("a" -> "1", "b" -> "2"))
+    // the merge's next-state data lands, then the writer dies before the
+    // manifest publish — applyWithDeletes output simulated verbatim
+    val crashed = TagStore.applyWithDeletes(
+      AtomicStore.read(spark, r), tags("a" -> "99"))
+    AtomicStore.writeData(crashed, r)
+    val got = AtomicStore.read(spark, r)
+      .select("asset_uri", "field_value").as[(String, String)].collect().toSet
+    assert(got === Set("a" -> "1", "b" -> "2"))
+    // rerunning the merge (the reference's retry story) converges
+    TagStore.mergeCommit(spark, r, tags("a" -> "99"))
+    val after = AtomicStore.read(spark, r)
+      .select("asset_uri", "field_value").as[(String, String)].collect().toSet
+    assert(after === Set("a" -> "99", "b" -> "2"))
+  }
+
+  test("mergeCommit honors delete-when-all-empty on the persisted state") {
+    val r = root()
+    TagStore.mergeCommit(spark, r, tags("a" -> "1", "b" -> "2"))
+    TagStore.mergeCommit(spark, r, tags("a" -> "")) // all-empty → delete a
+    assert(AtomicStore.read(spark, r)
+      .select("asset_uri").as[String].collect().toSeq === Seq("b"))
+  }
+
+  test("atomic history append accumulates batches") {
+    val r = root()
+    val rows = Seq(("2024-03-01 10:00:00", "p/dataset/lake/table/t1", "j1"))
+      .toDF("event_time_s", "asset_name", "job_uuid")
+      .select(to_timestamp(col("event_time_s")).as("event_time"),
+        col("asset_name"), col("job_uuid"))
+    graft.operators.Sinks.writeHistoryAtomic(rows, r)
+    graft.operators.Sinks.writeHistoryAtomic(
+      rows.withColumn("job_uuid", lit("j2")), r)
+    val got = graft.operators.Sinks.readHistoryAtomic(spark, r)
+    assert(got.count() === 2)
+    assert(got.columns.contains("event_date"))
+  }
+}
