@@ -96,6 +96,35 @@ object Ingest {
         col("simhash"))
   }
 
+  /** DURABLE wave commit — the `foreachBatch` body of the production
+    * ingest: read the COMMITTED fingerprint store, run the wave through
+    * [[ingestBatch]], and land the accepted rows as one atomic append
+    * ([[graft.sources.AtomicStore.commitAppend]] — data files first,
+    * manifest published by atomic rename).
+    *
+    * Crash/replay contract (what checkpointed streaming requires of its
+    * sink): a crash BEFORE the manifest publishes leaves the store at the
+    * previous committed version — the half-written batch is invisible —
+    * and the checkpoint replays the wave. Replay is IDEMPOTENT by
+    * construction, no transaction log of batch ids needed: every doc the
+    * crashed attempt did commit is in the store, so the exact-novelty
+    * content-hash probe rejects it on the retry; a doc it didn't commit
+    * is genuinely novel and lands. StreamingSpec kills a query mid-wave
+    * (data landed, manifest not) and proves the restarted stream
+    * converges to the batch fold.
+    */
+  def ingestBatchCommit(spark: SparkSession, storePath: String,
+                        batch: DataFrame, batchId: Long,
+                        minTokens: Int = 20, maxHamming: Int = 4): Long = {
+    import graft.sources.AtomicStore
+    val store =
+      if (AtomicStore.currentVersion(spark, storePath).isDefined)
+        AtomicStore.read(spark, storePath)
+      else emptyStore(spark)
+    AtomicStore.commitAppend(
+      ingestBatch(store, batch, batchId, minTokens, maxHamming), storePath)
+  }
+
   /** Ordered batch fold (the oracle-gated form): documents arrive in
     * `nBatches` waves keyed by `batchOf`; each wave ingests against the
     * store state the previous waves produced. The store is eagerly

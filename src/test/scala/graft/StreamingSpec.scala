@@ -234,6 +234,56 @@ class StreamingSpec extends SparkSpec {
     assert(store.count() === fold.count())
   }
 
+  test("ingest survives a crash mid-wave: restart converges to the batch fold") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Ingest
+    import graft.sources.AtomicStore
+    val docs = Lake.table(spark, sf, "documents")
+    val stage = Files.createTempDirectory("graft_ingest_crash").toString
+    (0 until 3).foreach { b =>
+      docs.filter(col("doc_id") % 3 === b).coalesce(1)
+        .write.mode("append").parquet(stage)
+      Thread.sleep(150)
+    }
+    val storeDir = Files.createTempDirectory("graft_ingest_store").toString
+    val cp = Files.createTempDirectory("graft_ingest_cp").toString
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (id == 1L && crashed.compareAndSet(false, true)) {
+            // the crash the protocol must survive: the wave's accepted
+            // rows LAND as data files, the manifest never publishes, the
+            // checkpoint offset is not committed — a killed executor/JVM
+            // between the two steps of the commit
+            val store = AtomicStore.read(spark, storeDir)
+            AtomicStore.writeData(Ingest.ingestBatch(store, batch, id), storeDir)
+            throw new RuntimeException("simulated crash mid-wave")
+          }
+          Ingest.ingestBatchCommit(spark, storeDir, batch, id)
+          ()
+        }
+        .start()
+    val q1 = run()
+    intercept[Exception] { q1.awaitTermination(120000) }
+    // only wave 0 is visible — the half-written wave 1 must not be
+    val afterCrash = AtomicStore.read(spark, storeDir)
+    assert(afterCrash.select(max(col("batch"))).head.getLong(0) === 0L)
+    // restart from the same checkpoint: wave 1 replays, then wave 2
+    val q2 = run()
+    q2.awaitTermination(120000)
+    val fold = Ingest.ingestFold(spark, docs, col("doc_id") % 3, nBatches = 3)
+    def keyed(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.select("doc_id", "content_hash", "simhash").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val store = AtomicStore.read(spark, storeDir)
+    assert(keyed(store) === keyed(fold))
+    assert(store.count() === fold.count())
+  }
+
   test("st10 claim: per-wave incremental (split,shard) positions == one window") {
     // the production form assigns pos incrementally per wave (per-shard
     // base count + within-wave rank); st10 computes ONE window over the
