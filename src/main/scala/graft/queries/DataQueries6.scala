@@ -694,7 +694,64 @@ object DataQueries6 {
        |GROUP BY words.doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------- weighted corpus sampling (d26)
+
+  /** Quality-weighted sampling WITHOUT replacement — the "sample k docs
+    * proportional to quality" mixture step every pretraining corpus runs
+    * after scoring (the down-weighting side of d10's stratified keep and
+    * d17's mixture budget). Efraimidis & Spirakis 2006 (A-ES): draw
+    * priority `-ln(u)/w` per row and keep the k SMALLEST — a one-pass,
+    * mergeable top-k whose result is a weighted sample without
+    * replacement. `u` derives from the content hash (reshuffle-proof,
+    * d07's discipline — the sample is a pure function of the corpus, so
+    * re-runs and engines agree, and the oracle can reproduce it exactly).
+    *
+    * Scale shape: the priority is a row-local projection; the selection
+    * plans as `TakeOrderedAndProject` (PlanSpec asserts it) — each
+    * partition keeps its local k, only k×partitions rows ever move, no
+    * global sort/window at any corpus size. The final ≤k-row ranking is
+    * the same collected-array trick as the s-family top-k.
+    */
+  def d26WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val w = greatest(TextFns.qualityScore(col("text")), lit(0.0001))
+    val u = (TextFns.hash60(col("text")) + 1).cast("double") /
+      lit(1152921504606846976.0d) // 2^60 → u ∈ (0, 1]
+    val keyed = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), w.as("weight"),
+        round(-log(u) / w, 6).as("priority"))
+      .orderBy(col("priority").asc, col("doc_id").asc).limit(k)
+    keyed
+      .agg(sort_array(collect_list(struct(
+        col("priority"), col("doc_id"), col("lang"), col("weight")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).as("rank"), col("s.doc_id").as("doc_id"),
+        col("s.lang").as("lang"), col("s.weight").as("weight"),
+        col("s.priority").as("priority"))
+  }
+
+  val d26Oracle: String = {
+    val allStop = TextFns.stopwords.values.flatten.toSeq.distinct.sorted
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, lang, text,
+       |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+       |  FROM documents),
+       |q AS (SELECT doc_id, lang, text,
+       |  greatest(round(least(len(ws) / 100.0, 1.0) * 0.5 +
+       |    len(list_filter(ws, w -> list_contains($allStop, w))) * 1.0
+       |      / len(ws) * 0.5, 4), 0.0001) AS weight
+       |  FROM t),
+       |p AS (SELECT doc_id, lang, weight,
+       |  round(-ln((('0x' || substr(md5(text), 1, 15))::BIGINT + 1)
+       |      / 1152921504606846976.0) / weight, 6) AS priority
+       |  FROM q)
+       |SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS INT)
+       |         AS rank, doc_id, lang, weight, priority
+       |FROM p ORDER BY priority, doc_id LIMIT 100""".stripMargin
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("d26_weighted_sample", d26WeightedSample _, Some(d26Oracle)),
     ("e03_embed_neardup_recall", e03EmbedNearDupRecall _, Some(e03Oracle)),
     ("d24_dedup_pipeline", d24DedupPipeline _, Some(d24Oracle)),
     ("d25_corpus_prep", d25CorpusPrep _, Some(d25Oracle)),

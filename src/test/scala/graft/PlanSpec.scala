@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, CoreQueries2, CoreQueries3, DataQueries, DataQueries2, DataQueries3, DataQueries5}
+import graft.queries.{CoreQueries, CoreQueries2, CoreQueries3, DataQueries, DataQueries2, DataQueries3, DataQueries5, DataQueries6}
 
 /** Plan-quality assertions: the properties that matter at 100 TB must hold
   * in the physical plan, not just produce correct rows — pushdown reaching
@@ -32,6 +32,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("cosine_sim"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d26: weighted sample plans as TakeOrderedAndProject, no global window") {
+    // A-ES selection must keep per-partition local top-k: a global sort
+    // or a corpus-wide Window here funnels every row to one partition
+    val p = planOf(DataQueries6.d26WeightedSample(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("e02: bucketed near-dup candidates come from an equi-join (no BNLJ)") {
