@@ -51,6 +51,10 @@ object Similarity {
     require(head.nonEmpty,
       "ivfAssign: centroid set is empty — provide at least one trained centroid")
     val extras = emb.columns.filterNot(c => c == "vec_id" || c == "vec").toSeq
+    val reserved = extras.filter(Set("centroid_id", "cos", "neg_id"))
+    require(reserved.isEmpty,
+      s"ivfAssign: input columns ${reserved.mkString(", ")} collide with " +
+        "the assignment's output/struct fields — rename them before assigning")
     if (head.length <= MaxInlineCentroids) {
       val cents = head
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))

@@ -234,6 +234,14 @@ object TagEngine {
     * History sinks are per-job side effects and stay on the [[runJob]]
     * path — batch callers needing history run the terminal writes
     * per config after the fact.
+    *
+    * Output semantics match [[runJob]] exactly: each config's slice is
+    * that job's POST-MERGE STORE STATE (existing rows the job did not
+    * touch included). With a LARGE shared `existingTags` that means
+    * untouched rows repeat once per config — callers rolling up a tick
+    * over a big store should pass the store pre-filtered to the configs'
+    * templates/scopes (the MERGE join keys), which is also the only part
+    * a rollup can attribute to the jobs.
     */
   def runJobs(spark: SparkSession, configs: Seq[(String, TagConfig)],
               catalog: DataFrame, existingTags: DataFrame): DataFrame = {

@@ -100,20 +100,37 @@ object TagStore {
   /** The TRANSACTIONAL form of the tag MERGE — what the reference's
     * retried per-tag RPCs (DataCatalogController.py:1608–1652) become on
     * an ACID table: read the committed state, compute the next state
-    * set-based ([[applyWithDeletes]]), and swap it in as ONE atomic
-    * commit ([[AtomicStore.commitSnapshot]]). A crash mid-merge leaves
-    * the previous version fully readable (data files land before the
-    * manifest publishes — TagStoreSpec proves it); concurrent committers
-    * serialize on the manifest rename.
+    * set-based ([[applyWithDeletes]]), and swap it in with a
+    * COMPARE-AND-SWAP commit at the read version
+    * ([[AtomicStore.commitSnapshotIfUnchanged]]). Losing the publish race
+    * re-reads the winner's state and RE-RUNS the merge — never
+    * republishes a state computed against a stale base, so no concurrent
+    * writer's update is lost. A crash mid-merge leaves the previous
+    * version fully readable (data files land before the manifest
+    * publishes — AtomicStoreSpec proves it).
     */
   def mergeCommit(spark: SparkSession, path: String,
                   incoming: DataFrame): Long =
-    AtomicStore.commitSnapshot(
-      applyWithDeletes(load(spark, path, incoming), incoming), path)
+    casCommit(spark, path, incoming, applyWithDeletes)
 
-  /** Transactional [[reconcile]]: replace the touched scopes atomically. */
+  /** Transactional [[reconcile]]: replace the touched scopes atomically,
+    * same CAS-and-recompute discipline as [[mergeCommit]].
+    */
   def reconcileCommit(spark: SparkSession, path: String,
                       incoming: DataFrame): Long =
-    AtomicStore.commitSnapshot(
-      reconcile(load(spark, path, incoming), incoming), path)
+    casCommit(spark, path, incoming, reconcile)
+
+  private def casCommit(spark: SparkSession, path: String,
+                        incoming: DataFrame,
+                        next: (DataFrame, DataFrame) => DataFrame): Long = {
+    while (true) {
+      val base = AtomicStore.currentVersion(spark, path)
+      val state = next(load(spark, path, incoming), incoming)
+      AtomicStore.commitSnapshotIfUnchanged(state, path, base) match {
+        case Some(v) => return v
+        case None    => () // conflict: re-read the new base and re-merge
+      }
+    }
+    -1L // unreachable
+  }
 }

@@ -58,8 +58,11 @@ object UsageTracking {
       .distinct()
       // one resolution per entry, like the reference's single get_entry
       // call: a duplicate dc_entry row in the mapping must not fan events
-      // out and double-count the per-kind totals / n_users downstream
-      .join(broadcast(lookup.dropDuplicates("dc_entry")),
+      // out and double-count the per-kind totals / n_users downstream.
+      // min, not dropDuplicates: the surviving mapping must be the same
+      // one on every run/partitioning, or the per-resource rollups drift
+      .join(broadcast(lookup.groupBy("dc_entry")
+          .agg(min(col("bq_resource")).as("bq_resource"))),
         Seq("dc_entry"), "left")
   }
 

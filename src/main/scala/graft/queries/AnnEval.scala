@@ -39,11 +39,21 @@ object AnnEval {
       codes: DataFrame,               // pqEncode output, checkpointed
       assigned: DataFrame)            // (vec_id, centroid_id, vec), checkpointed
 
-  private val cache = new ConcurrentHashMap[String, Index]()
+  // weak-keyed by the SESSION OBJECT, not a derived string key: an
+  // identity-hash key can be recycled after the session is GC'd and would
+  // serve checkpointed DataFrames bound to a stopped SparkContext; a weak
+  // entry instead dies with its session
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, Index]]()
 
-  def index(spark: SparkSession, dir: String): Index =
-    cache.computeIfAbsent(
-      System.identityHashCode(spark) + "|" + dir, _ => build(spark, dir))
+  def index(spark: SparkSession, dir: String): Index = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) { m = new ConcurrentHashMap[String, Index](); cache.put(spark, m) }
+      m
+    }
+    perSession.computeIfAbsent(dir, _ => build(spark, dir))
+  }
 
   private def build(spark: SparkSession, dir: String): Index = {
     VectorFns.register(spark)

@@ -173,12 +173,18 @@ object CoreQueries5 {
       dueRows.toSeq.map(r => (r.getString(0), r.getLong(3)))
         .toDF("config_uuid", "job_version")
     }
-    val rollup = tagRows.groupBy("config_uuid")
-      .agg(count(lit(1)).as("n_tag_rows"),
-        countDistinct(col("asset_uri")).as("n_assets"),
-        sum(when(col("field_id") === "n_rows",
-          col("field_value").cast("double"))).as("sum_n_rows"))
-      .join(versions, "config_uuid")
+    // LEFT join from the due list: a due config whose expansion matched
+    // nothing still reports a (SUCCEEDED, 0 assets, 0 rows) job — the
+    // reference's no-op job — instead of vanishing from the tick output
+    val rollup = versions
+      .join(tagRows.groupBy("config_uuid")
+        .agg(count(lit(1)).as("n_tag_rows"),
+          countDistinct(col("asset_uri")).as("n_assets"),
+          sum(when(col("field_id") === "n_rows",
+            col("field_value").cast("double"))).as("sum_n_rows")),
+        Seq("config_uuid"), "left")
+      .withColumn("n_tag_rows", coalesce(col("n_tag_rows"), lit(0L)))
+      .withColumn("n_assets", coalesce(col("n_assets"), lit(0L)))
       .select(col("config_uuid"),
         md5(concat_ws("|", col("config_uuid"), col("job_version")))
           .as("job_uuid"),

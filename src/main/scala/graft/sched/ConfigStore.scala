@@ -82,7 +82,13 @@ object ConfigStore {
     * commit-log swap never exposes a partial state.
     */
   def write(store: DataFrame, path: String): Unit = {
-    graft.sources.AtomicStore.commitSnapshot(store, path); ()
+    graft.sources.AtomicStore.commitSnapshot(store, path)
+    // bound long-run growth: a periodic compact loop calls this every
+    // cycle, and each snapshot is a full copy of the store — retain the
+    // previous version for in-flight readers, vacuum the rest (the grace
+    // window protects concurrent not-yet-published commits)
+    graft.sources.AtomicStore.vacuum(store.sparkSession, path,
+      keepVersions = 2)
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -119,6 +125,7 @@ object ConfigStore {
     */
   def readLatest(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    recoverCompact(spark, path)
     val w = Window.partitionBy("config_uuid")
       .orderBy(col("__batch").desc, col("version").desc)
     spark.read.parquet(path)
@@ -130,19 +137,35 @@ object ConfigStore {
       .drop("__rn", "__batch")
   }
 
+  /** If a previous [[compact]] crashed between its two renames (live
+    * moved to trash, temp not yet promoted), promote the intact trash
+    * copy back to the live path. Called by every [[readLatest]] and at
+    * [[compact]] start, so the crash state self-heals on the next touch
+    * instead of requiring manual recovery.
+    */
+  private def recoverCompact(spark: SparkSession, logPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(logPath)
+    val trash = new Path(logPath + ".__compact_old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(trash)) fs.rename(trash, live)
+  }
+
   /** Fold the delta log into a fresh snapshot + empty log (checkpoint):
     * after compaction the log restarts from the snapshot as batch 0.
     *
     * Atomicity: the re-seeded batch-0 log is fully WRITTEN to a sibling
     * temp dir first, then swapped in with two filesystem renames (old →
-    * trash, temp → live). Readers never observe a missing or partially
-    * written log — the pre-fix delete-then-rewrite left a window where a
-    * crash (or a concurrent [[readLatest]]) saw an empty store even
-    * though the snapshot write had succeeded.
+    * trash, temp → live) — a crash anywhere leaves a complete copy of
+    * the log on disk, and the brief live-path gap between the renames
+    * self-heals: [[recoverCompact]] promotes the trash copy back when a
+    * crash (or an unluckily timed reader) finds the live path missing.
+    * The pre-fix delete-then-rewrite instead destroyed the only copy.
     */
   def compact(spark: SparkSession, logPath: String,
               snapshotPath: String): Unit = {
     import org.apache.hadoop.fs.Path
+    recoverCompact(spark, logPath)
     write(readLatest(spark, logPath), snapshotPath)
     val live = new Path(logPath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)

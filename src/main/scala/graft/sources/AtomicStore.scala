@@ -141,11 +141,33 @@ object AtomicStore {
     v
   }
 
-  /** Commit `df` as the ENTIRE next table state (the terminal step of a
-    * MERGE: compute next state set-based, swap it in atomically).
+  /** Commit `df` as the ENTIRE next table state. Retry-on-conflict bumps
+    * the version and republishes the SAME snapshot — last-writer-wins,
+    * correct ONLY when `df` does not derive from the current table state
+    * (a from-scratch snapshot, e.g. [[graft.sched.ConfigStore.write]]'s
+    * compaction fold of its own log). State that IS derived from a read
+    * of the table (a MERGE) must use [[commitSnapshotIfUnchanged]] and
+    * recompute on conflict, or the retry silently drops the racing
+    * winner's changes.
     */
   def commitSnapshot(df: DataFrame, root: String): Long =
     commit(df, root, append = false)
+
+  /** Compare-and-swap snapshot commit — the MERGE terminal step: publish
+    * the next state at `expectedBase + 1` and return None when some other
+    * writer committed first (the caller re-reads the new state, re-runs
+    * its merge, and retries — the Delta conflict rule; a blind version
+    * bump here would republish state computed against a stale base and
+    * lose the winner's update).
+    */
+  def commitSnapshotIfUnchanged(df: DataFrame, root: String,
+                                expectedBase: Option[Long]): Option[Long] = {
+    val spark = df.sparkSession
+    if (currentVersion(spark, root) != expectedBase) return None
+    val rel = writeData(df, root)
+    val v = expectedBase.getOrElse(-1L) + 1
+    if (publish(spark, root, Seq(rel), v)) Some(v) else None
+  }
 
   /** Commit `df` as an appended batch: the new version sees every
     * previously committed file plus this batch (history semantics).
@@ -154,13 +176,17 @@ object AtomicStore {
     commit(df, root, append = true)
 
   /** Drop data dirs no manifest within `keepVersions` of latest
-    * references, and older manifests (Delta's VACUUM). Safe because
-    * readers resolve a manifest first: a reader of a retained version
-    * never loses files under it.
+    * references, and older manifests (Delta's VACUUM). Safe for readers
+    * because they resolve a retained manifest first; safe for CONCURRENT
+    * WRITERS because an unreferenced dir is only deleted once older than
+    * `graceMs` (Delta's retention-window rule) — a freshly written,
+    * not-yet-published commit is never swept out from under its publish.
     */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Unit = {
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
+             graceMs: Long = 15 * 60 * 1000L): Unit = {
     require(keepVersions >= 1, "vacuum: must keep at least the latest version")
     val fs = commitsDir(root).getFileSystem(hconf(spark))
+    val cutoff = System.currentTimeMillis() - graceMs
     currentVersion(spark, root).foreach { latest =>
       val keepFrom = latest - keepVersions + 1
       val versions = fs.listStatus(commitsDir(root))
@@ -168,9 +194,10 @@ object AtomicStore {
       val live = versions.filter(_ >= keepFrom)
         .flatMap(filesAt(spark, root, _)).map(p => new Path(p).getName).toSet
       if (fs.exists(dataDir(root)))
-        fs.listStatus(dataDir(root)).map(_.getPath)
-          .filterNot(p => live.contains(p.getName))
-          .foreach(fs.delete(_, true))
+        fs.listStatus(dataDir(root))
+          .filterNot(s => live.contains(s.getPath.getName))
+          .filter(_.getModificationTime < cutoff)
+          .foreach(s => fs.delete(s.getPath, true))
       versions.filter(_ < keepFrom).foreach(v =>
         fs.delete(new Path(commitsDir(root), manifestName(v)), false))
     }

@@ -87,14 +87,37 @@ class AtomicStoreSpec extends SparkSpec {
     AtomicStore.commitSnapshot(tags("a" -> "1"), r)
     AtomicStore.writeData(tags("x" -> "9"), r) // orphan (crashed commit)
     AtomicStore.commitSnapshot(tags("a" -> "2"), r)
-    AtomicStore.vacuum(spark, r, keepVersions = 1)
     val fs = new org.apache.hadoop.fs.Path(r).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // within the grace window the orphan (which could be a concurrent
+    // writer's not-yet-published commit) must SURVIVE a vacuum
+    AtomicStore.vacuum(spark, r, keepVersions = 1)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(r, "data")).length === 3)
+    // past the grace window it is garbage and goes
+    AtomicStore.vacuum(spark, r, keepVersions = 1, graceMs = 0L)
     // one live data dir (latest manifest's), one live manifest
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(r, "data")).length === 1)
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(r, "_commits")).length === 1)
     assert(AtomicStore.read(spark, r)
       .select("field_value").as[String].collect().toSeq === Seq("2"))
+  }
+
+  test("CAS snapshot commit refuses a stale base; merge retry converges") {
+    val r = root()
+    TagStore.mergeCommit(spark, r, tags("a" -> "1"))          // v0
+    val base = AtomicStore.currentVersion(spark, r)           // Some(0)
+    // a racing writer lands first
+    TagStore.mergeCommit(spark, r, tags("b" -> "2"))          // v1
+    // publishing state computed against the stale base must FAIL —
+    // the blind version-bump would have dropped b's row
+    assert(AtomicStore.commitSnapshotIfUnchanged(
+      tags("a" -> "99"), r, base).isEmpty)
+    // the supported path (mergeCommit's internal re-read + re-merge
+    // loop) keeps every concurrent update
+    TagStore.mergeCommit(spark, r, tags("a" -> "99"))
+    val got = AtomicStore.read(spark, r)
+      .select("asset_uri", "field_value").as[(String, String)].collect().toSet
+    assert(got === Set("a" -> "99", "b" -> "2"))
   }
 
   test("crash-mid-MERGE: tag store stays at the pre-merge state") {

@@ -114,6 +114,22 @@ class ConfigStoreSpec extends SparkSpec {
     assert(ConfigStore.readLatest(spark, dir).count() === 2)
   }
 
+  test("compact crash between renames self-heals on the next read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg_heal").toString
+    ConfigStore.appendDelta(store, dir, batchId = 0L)
+    // simulate the crash state: live moved aside, replacement never
+    // promoted — the log survives only at <dir>.__compact_old
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".__compact_old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    // readLatest promotes the trash copy back and serves the full store
+    assert(ConfigStore.readLatest(spark, dir).count() === 2)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__compact_old")))
+  }
+
   test("write/read round-trips the store as a lake table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cfg").toString
     ConfigStore.write(ConfigStore.withIdentity(store), dir)
