@@ -750,8 +750,66 @@ object DataQueries6 {
        |FROM p ORDER BY priority, doc_id LIMIT 100""".stripMargin
   }
 
+  // ------------------- training-sequence packing (t22)
+
+  /** GPT-style sequence packing ("concat and chunk"): within each
+    * loader shard, documents concatenate in d19's reshuffle-proof order
+    * into one token stream that is cut into fixed `seqLen` windows —
+    * the final pretraining-loader step after st10's split/shard
+    * assignment. Each doc reports the sequence (bin) and in-sequence
+    * offset where it STARTS, plus how many sequences it spans; docs
+    * cross window boundaries by construction (the standard packing that
+    * wastes zero tokens, vs first-fit binning that pads).
+    *
+    * Scale shape: token counts are a row-local projection; the running
+    * total is ONE cumulative-sum window per shard — shards are the
+    * loader's parallelism unit (bounded, here 8), so each window
+    * partition is a shard's worth of metadata rows, never a global
+    * single-partition sort. Everything downstream is integer arithmetic
+    * on the cumsum.
+    */
+  def t22SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val seqLen = 2048
+    val d = docs(spark, dir).select(col("doc_id"), col("text"),
+      TextFns.hash28(col("doc_id").cast("string")).mod(8).as("shard"),
+      size(TextFns.words(col("text"))).as("n_tok"))
+    val w = Window.partitionBy("shard")
+      .orderBy(md5(concat(col("text"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    d.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("start", col("cum") - col("n_tok"))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        floor(col("start") / seqLen).cast("long").as("seq_id"),
+        (col("start") % seqLen).cast("long").as("offset"),
+        // sequences this doc touches: ceil((start+n)/L) - floor(start/L),
+        // with empty docs touching the sequence they sit at
+        greatest(ceil((col("cum")) / lit(seqLen.toDouble)).cast("long") -
+          floor(col("start") / seqLen).cast("long"), lit(1L)).as("n_seqs"))
+      .orderBy("doc_id")
+  }
+
+  val t22Oracle: String =
+    """WITH d AS (SELECT doc_id, text,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 8
+      |      AS shard,
+      |    len(list_filter(string_split(text, ' '), w -> length(w) > 0))
+      |      AS n_tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, shard, n_tok,
+      |    sum(n_tok) OVER (PARTITION BY shard
+      |      ORDER BY md5(text || CAST(doc_id AS VARCHAR)), doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM d)
+      |SELECT doc_id, shard, n_tok,
+      |  CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id,
+      |  CAST((cum - n_tok) % 2048 AS BIGINT) AS offset,
+      |  CAST(greatest(ceil(cum / 2048.0) - (cum - n_tok) // 2048, 1)
+      |    AS BIGINT) AS n_seqs
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("d26_weighted_sample", d26WeightedSample _, Some(d26Oracle)),
+    ("t22_sequence_pack", t22SequencePack _, Some(t22Oracle)),
     ("e03_embed_neardup_recall", e03EmbedNearDupRecall _, Some(e03Oracle)),
     ("d24_dedup_pipeline", d24DedupPipeline _, Some(d24Oracle)),
     ("d25_corpus_prep", d25CorpusPrep _, Some(d25Oracle)),
