@@ -9,13 +9,15 @@ import graft.Lake
 import graft.functions.VectorFns
 import graft.operators.Similarity
 
-/** ONE ANN index build per (session, lake dir), shared by every
-  * recall-eval query (s07, s13, s14). The evals previously each rebuilt
-  * the IVF assignment and PQ code table from the corpus — three index
-  * builds for three measurements of the SAME index, the per-query-rebuild
-  * anti-pattern the `FromCodes` operator variants exist to avoid. Here
-  * the build (coarse centroids, PQ codebook, query vector, code table,
-  * assignment) happens once and is memoized for the session.
+/** ONE ANN index build per (session, lake dir), shared by every query
+  * over the s-family index fixture (s02, s03, s07, s12, s13, s14). The
+  * evals previously each rebuilt the IVF assignment / PQ code table /
+  * LSH signature table from the corpus — an index build per
+  * measurement of the SAME index, the per-query-rebuild anti-pattern
+  * the `FromCodes`/`Indexed` operator variants exist to avoid. Here the
+  * build (coarse centroids, PQ codebook, query vector, code table,
+  * assignment, LSH signatures) happens once and is memoized for the
+  * session.
   *
   * Scale story: what stays resident is exactly what a production ANN
   * service keeps — the MODEL (8 centroids, 4 codebook rows, one query)
@@ -37,7 +39,8 @@ object AnnEval {
       codebook: Seq[Array[Double]],   // 4 rows, driver-resident model
       query: Array[Double],           // vector 0
       codes: DataFrame,               // pqEncode output, checkpointed
-      assigned: DataFrame)            // (vec_id, centroid_id, vec), checkpointed
+      assigned: DataFrame,            // (vec_id, centroid_id, vec), checkpointed
+      sigs: DataFrame)                // LSH (vec_id, bucket_sig), checkpointed
 
   // weak-keyed by the SESSION OBJECT, not a derived string key: an
   // identity-hash key can be recycled after the session is GC'd and would
@@ -70,6 +73,10 @@ object AnnEval {
       .select("vec").head.getSeq[Double](0).toArray
     val codes = Similarity.pqEncode(e, codebook, numSub = 8).localCheckpoint()
     val assigned = Similarity.ivfAssign(e, centroids).localCheckpoint()
-    Index(e, centroids, codebook, query, codes, assigned)
+    val hyperplanes = e.filter(col("vec_id").between(1, 4))
+      .select((col("vec_id") - 1).as("hp_id"), col("vec").as("hvec"))
+    val sigs = Similarity.hyperplaneSignatures(e, hyperplanes)
+      .localCheckpoint()
+    Index(e, centroids, codebook, query, codes, assigned, sigs)
   }
 }

@@ -274,12 +274,12 @@ object DataQueries {
 
   /** IVF: assign to nearest of 8 fixed centroids; probe top-2 buckets. */
   def s02AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val centroids = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
-    val assigned = Similarity.ivfAssign(e, centroids)
-    val query = e.filter(col("vec_id") === 0).select(col("vec").as("qvec"))
-    Similarity.ivfTopK(assigned, centroids, query, k = 10, nprobe = 2,
+    val ix = AnnEval.index(spark, dir)
+    val query = {
+      import spark.implicits._
+      Seq(Tuple1(ix.query.toSeq)).toDF("qvec")
+    }
+    Similarity.ivfTopK(ix.assigned, ix.centroids, query, k = 10, nprobe = 2,
         excludeId = Some(0L))
       .orderBy("rank")
   }
@@ -309,10 +309,9 @@ object DataQueries {
     * query 0 scores only its own bucket.
     */
   def s03AnnHyperplane(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val hyperplanes = e.filter(col("vec_id").between(1, 4))
-      .select((col("vec_id") - 1).as("hp_id"), col("vec").as("hvec"))
-    Similarity.lshTopK(e, hyperplanes, queryId = 0L, k = 10).orderBy("rank")
+    val ix = AnnEval.index(spark, dir)
+    Similarity.lshTopKIndexed(ix.emb, ix.sigs, queryId = 0L, k = 10)
+      .orderBy("rank")
   }
 
   val s03Oracle: String =

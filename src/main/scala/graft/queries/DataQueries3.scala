@@ -136,8 +136,6 @@ object DataQueries3 {
       Seq(Tuple1(ix.query.toSeq)).toDF("qvec")
     }
     val centroids = ix.centroids
-    val hyperplanes = e.filter(col("vec_id").between(1, 4))
-      .select((col("vec_id") - 1).as("hp_id"), col("vec").as("hvec"))
     // each result is ≤ k rows but drags a full-corpus lineage; without a
     // barrier every comparison join below re-runs the index scan (truth
     // alone is referenced three times → 3 brute-force passes). One
@@ -147,7 +145,7 @@ object DataQueries3 {
       .select(col("vec_id")).localCheckpoint()
     val ivf = Similarity.ivfTopK(ix.assigned, centroids,
       query, k = 10, nprobe = 2, excludeId = Some(0L)).localCheckpoint()
-    val lsh = Similarity.lshTopK(e, hyperplanes, queryId = 0L, k = 10)
+    val lsh = Similarity.lshTopKIndexed(e, ix.sigs, queryId = 0L, k = 10)
       .localCheckpoint()
     def scoreOf(name: String, got: DataFrame): DataFrame =
       got.select(col("vec_id"))
