@@ -133,4 +133,96 @@ object TagStore {
     }
     -1L // unreachable
   }
+
+  // ------------------------------------------- delta-log (append) form
+
+  /** The 100 TB WRITE PATH for tag state: [[mergeCommit]] rewrites the
+    * whole table per merge (snapshot swap — right for small/medium
+    * stores, write-amplified at tag-lake scale). Here a merge APPENDS
+    * only the change set — upsert rows plus one tombstone row per
+    * all-empty incoming tag instance (the delete-when-all-empty trigger,
+    * DataCatalogController.py:1581–1592) — as one atomic
+    * [[AtomicStore]] commit whose rows are stamped with their commit
+    * version, and the current state is the latest-wins view of
+    * [[readLatestState]]. Persisted bytes scale with the BATCH; the
+    * periodic fold back to a snapshot is [[compactLog]]. Same
+    * CAS-and-retry discipline as [[mergeCommit]]: the batch stamp must
+    * equal the commit version, so a lost publish race re-stamps and
+    * re-publishes (rare; conflicts cost one batch rewrite).
+    */
+  def appendMergeCommit(spark: SparkSession, path: String,
+                        incoming: DataFrame): Long = {
+    val tagKey = Seq("asset_uri", "column", "template_id")
+    val emptyKeys = incoming
+      .groupBy(tagKey.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+           count(when(coalesce(col("field_value"), lit("")) === "", 1)).as("__ne"))
+      .filter(col("__n") === col("__ne"))
+      .select(tagKey.map(col): _*)
+    val upserts = incoming.join(emptyKeys, tagKey, "left_anti")
+      .withColumn("__op", lit("upsert"))
+    val deletes = emptyKeys
+      .withColumn("field_id", lit("")).withColumn("field_type", lit(""))
+      .withColumn("field_value", lit(""))
+      .select(upserts.columns.filterNot(_ == "__op").map(col): _*)
+      .withColumn("__op", lit("delete_tag"))
+    val delta = upserts.unionByName(deletes)
+    while (true) {
+      val base = AtomicStore.currentVersion(spark, path)
+      val v = base.getOrElse(-1L) + 1
+      val rel = AtomicStore.writeData(
+        delta.withColumn("__batch", lit(v)), path)
+      val parents = base.toSeq
+        .flatMap(AtomicStore.filesAt(spark, path, _))
+        .map(p => new org.apache.hadoop.fs.Path(p).getName)
+      if (AtomicStore.publish(spark, path, parents :+ rel, v)) return v
+      // conflict: the stamp no longer matches the next version — rewrite
+    }
+    -1L // unreachable
+  }
+
+  /** Latest-wins state over the [[appendMergeCommit]] log: per field key
+    * the newest upsert wins; a tag instance's newest tombstone hides
+    * every field row at or before it (later upserts resurrect the tag —
+    * exactly [[applyWithDeletes]] replayed in batch order, which
+    * TagStoreSpec pins by equivalence).
+    */
+  def readLatestState(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val log = AtomicStore.read(spark, path)
+    val dataCols = log.columns.filterNot(c => c == "__op" || c == "__batch")
+    val tagKey = Seq("asset_uri", "column", "template_id")
+    val delB = log.filter(col("__op") === "delete_tag")
+      .groupBy(tagKey.map(col): _*).agg(max(col("__batch")).as("__del_b"))
+    val wk = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__batch").desc)
+    log.filter(col("__op") === "upsert")
+      .withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") === 1)
+      .join(delB, tagKey, "left")
+      .filter(col("__del_b").isNull || col("__batch") > col("__del_b"))
+      .select(dataCols.map(col): _*)
+  }
+
+  /** Fold the merge log into one snapshot batch (ConfigStore.compact's
+    * analogue): the current state re-lands as a single batch-stamped
+    * commit REPLACING the log (snapshot semantics via the manifest swap),
+    * and [[AtomicStore.vacuum]] reclaims the superseded batches past the
+    * grace window.
+    */
+  def compactLog(spark: SparkSession, path: String): Unit = {
+    while (true) {
+      val base = AtomicStore.currentVersion(spark, path)
+      // state resolved INSIDE the loop: a lost race must re-read the
+      // winner's log, not republish a fold of the superseded file set
+      val v = base.getOrElse(-1L) + 1
+      val state = readLatestState(spark, path)
+        .withColumn("__op", lit("upsert"))
+        .withColumn("__batch", lit(v))
+      if (AtomicStore.commitSnapshotIfUnchanged(state, path, base).isDefined) {
+        AtomicStore.vacuum(spark, path, keepVersions = 2)
+        return
+      }
+    }
+  }
 }

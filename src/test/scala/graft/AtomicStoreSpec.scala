@@ -146,6 +146,38 @@ class AtomicStoreSpec extends SparkSpec {
       .select("asset_uri").as[String].collect().toSeq === Seq("b"))
   }
 
+  test("delta-log merge == snapshot merge replay; bytes scale with batch") {
+    val snapRoot = root()
+    val logRoot = root()
+    // a merge sequence exercising upsert, field-partial update, delete,
+    // and post-delete resurrection
+    val batches = Seq(
+      tags("a" -> "1", "b" -> "2"),
+      tags("a" -> "9"),            // update a, b untouched
+      tags("b" -> ""),             // all-empty instance → delete b
+      tags("b" -> "back", "c" -> "3")) // resurrect b, insert c
+    batches.foreach(TagStore.mergeCommit(spark, snapRoot, _))
+    batches.foreach(TagStore.appendMergeCommit(spark, logRoot, _))
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.select("asset_uri", "field_value").as[(String, String)].collect().toSet
+    val snap = state(AtomicStore.read(spark, snapRoot))
+    assert(state(TagStore.readLatestState(spark, logRoot)) === snap)
+    assert(snap === Set("a" -> "9", "b" -> "back", "c" -> "3"))
+    // append path: every prior batch's files byte-identical in place
+    val fs = new org.apache.hadoop.fs.Path(logRoot).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(
+      new org.apache.hadoop.fs.Path(logRoot, "data")).length === 4)
+    // compaction folds to one batch, state unchanged, old batches
+    // reclaimable (grace 0 → only the fold's dir survives)
+    TagStore.compactLog(spark, logRoot)
+    assert(state(TagStore.readLatestState(spark, logRoot)) === snap)
+    AtomicStore.vacuum(spark, logRoot, keepVersions = 1, graceMs = 0L)
+    assert(fs.listStatus(
+      new org.apache.hadoop.fs.Path(logRoot, "data")).length === 1)
+    assert(state(TagStore.readLatestState(spark, logRoot)) === snap)
+  }
+
   test("atomic history append accumulates batches") {
     val r = root()
     val rows = Seq(("2024-03-01 10:00:00", "p/dataset/lake/table/t1", "j1"))
