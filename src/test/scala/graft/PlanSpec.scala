@@ -42,6 +42,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("t22: packing cumsum windows by SHARD (no global single-partition window)") {
+    val p = planOf(DataQueries6.t22SequencePack(spark, sf))
+    // the loader-parallelism contract: the only wide op is the per-shard
+    // window — partitioned on shard, never an empty partition spec
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("windowspecdefinition(_w"), p)
+    // column pruning reaches the scan: the pack needs (doc_id, text) only
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("e02: bucketed near-dup candidates come from an equi-join (no BNLJ)") {
     // the scale contract of the IVF-bucketed variant: assignment is a
     // narrow argmax, candidates a hash equi-join on centroid_id — a
