@@ -39,21 +39,30 @@ object TagStore {
       }: _*)
   }
 
+  private val TagInstanceKey = Seq("asset_uri", "column", "template_id")
+
+  /** The delete-when-all-empty TRIGGER (DataCatalogController.py:
+    * 1581–1592), as one definition: the tag-instance keys of `incoming`
+    * whose every field value is empty (NULL counts as empty). Shared by
+    * [[dropAllEmptyTags]], [[applyWithDeletes]] and the delta-log
+    * [[appendMergeCommit]], so the reference-semantics rule cannot drift
+    * between the snapshot and append merge paths.
+    */
+  private def allEmptyTagKeys(incoming: DataFrame): DataFrame =
+    incoming
+      .groupBy(TagInstanceKey.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+           count(when(coalesce(col("field_value"), lit("")) === "", 1)).as("__ne"))
+      .filter(col("__n") === col("__ne"))
+      .select(TagInstanceKey.map(col): _*)
+
   /** Delete-when-all-empty (DataCatalogController.py:1581–1592): if every
     * field of an incoming tag instance is empty, the whole tag
     * `(asset_uri, column, template_id)` is deleted rather than written.
     * Returns incoming minus the all-empty tag instances.
     */
-  def dropAllEmptyTags(incoming: DataFrame): DataFrame = {
-    val tagKey = Seq("asset_uri", "column", "template_id")
-    val empties = incoming
-      .groupBy(tagKey.map(col): _*)
-      .agg(count(lit(1)).as("n"),
-           count(when(coalesce(col("field_value"), lit("")) === "", 1)).as("n_empty"))
-      .filter(col("n") === col("n_empty"))
-      .select(tagKey.map(col): _*)
-    incoming.join(empties, tagKey, "left_anti")
-  }
+  def dropAllEmptyTags(incoming: DataFrame): DataFrame =
+    incoming.join(allEmptyTagKeys(incoming), TagInstanceKey, "left_anti")
 
   /** Full upsert-with-deletes lifecycle (`create_update_delete_tag`,
     * DataCatalogController.py:1468–1605): an incoming tag whose fields are
@@ -61,15 +70,9 @@ object TagStore {
     * incoming rows upsert over existing; untouched existing rows survive.
     */
   def applyWithDeletes(existing: DataFrame, incoming: DataFrame): DataFrame = {
-    val tagKey = Seq("asset_uri", "column", "template_id")
-    val emptyKeys = incoming
-      .groupBy(tagKey.map(col): _*)
-      .agg(count(lit(1)).as("__n"),
-           count(when(coalesce(col("field_value"), lit("")) === "", 1)).as("__ne"))
-      .filter(col("__n") === col("__ne"))
-      .select(tagKey.map(col): _*)
-    val nonEmpty = incoming.join(emptyKeys, tagKey, "left_anti")
-    val kept = existing.join(emptyKeys, tagKey, "left_anti")
+    val emptyKeys = allEmptyTagKeys(incoming)
+    val nonEmpty = incoming.join(emptyKeys, TagInstanceKey, "left_anti")
+    val kept = existing.join(emptyKeys, TagInstanceKey, "left_anti")
     upsert(kept, nonEmpty)
   }
 
@@ -127,8 +130,12 @@ object TagStore {
       val base = AtomicStore.currentVersion(spark, path)
       val state = next(load(spark, path, incoming), incoming)
       AtomicStore.commitSnapshotIfUnchanged(state, path, base) match {
-        case Some(v) => return v
-        case None    => () // conflict: re-read the new base and re-merge
+        case Some(v) =>
+          // bound steady-merge growth: each snapshot is a full table copy
+          // (grace window protects in-flight concurrent commits)
+          AtomicStore.vacuum(spark, path, keepVersions = 2)
+          return v
+        case None => () // conflict: re-read the new base and re-merge
       }
     }
     -1L // unreachable
@@ -152,14 +159,8 @@ object TagStore {
     */
   def appendMergeCommit(spark: SparkSession, path: String,
                         incoming: DataFrame): Long = {
-    val tagKey = Seq("asset_uri", "column", "template_id")
-    val emptyKeys = incoming
-      .groupBy(tagKey.map(col): _*)
-      .agg(count(lit(1)).as("__n"),
-           count(when(coalesce(col("field_value"), lit("")) === "", 1)).as("__ne"))
-      .filter(col("__n") === col("__ne"))
-      .select(tagKey.map(col): _*)
-    val upserts = incoming.join(emptyKeys, tagKey, "left_anti")
+    val emptyKeys = allEmptyTagKeys(incoming)
+    val upserts = incoming.join(emptyKeys, TagInstanceKey, "left_anti")
       .withColumn("__op", lit("upsert"))
     val deletes = emptyKeys
       .withColumn("field_id", lit("")).withColumn("field_type", lit(""))
@@ -191,15 +192,15 @@ object TagStore {
     import org.apache.spark.sql.expressions.Window
     val log = AtomicStore.read(spark, path)
     val dataCols = log.columns.filterNot(c => c == "__op" || c == "__batch")
-    val tagKey = Seq("asset_uri", "column", "template_id")
     val delB = log.filter(col("__op") === "delete_tag")
-      .groupBy(tagKey.map(col): _*).agg(max(col("__batch")).as("__del_b"))
+      .groupBy(TagInstanceKey.map(col): _*)
+      .agg(max(col("__batch")).as("__del_b"))
     val wk = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__batch").desc)
     log.filter(col("__op") === "upsert")
       .withColumn("__rn", row_number().over(wk))
       .filter(col("__rn") === 1)
-      .join(delB, tagKey, "left")
+      .join(delB, TagInstanceKey, "left")
       .filter(col("__del_b").isNull || col("__batch") > col("__del_b"))
       .select(dataCols.map(col): _*)
   }
@@ -213,6 +214,7 @@ object TagStore {
   def compactLog(spark: SparkSession, path: String): Unit = {
     while (true) {
       val base = AtomicStore.currentVersion(spark, path)
+      if (base.isEmpty) return // nothing committed yet — nothing to fold
       // state resolved INSIDE the loop: a lost race must re-read the
       // winner's log, not republish a fold of the superseded file set
       val v = base.getOrElse(-1L) + 1

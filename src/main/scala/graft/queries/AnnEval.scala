@@ -42,18 +42,25 @@ object AnnEval {
       assigned: DataFrame,            // (vec_id, centroid_id, vec), checkpointed
       sigs: DataFrame)                // LSH (vec_id, bucket_sig), checkpointed
 
-  // weak-keyed by the SESSION OBJECT, not a derived string key: an
-  // identity-hash key can be recycled after the session is GC'd and would
-  // serve checkpointed DataFrames bound to a stopped SparkContext; a weak
-  // entry instead dies with its session
-  private val cache =
-    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, Index]]()
+  // Single-session cache, weak-referenced and REPLACED when a different
+  // session arrives. Not a WeakHashMap keyed by the session: the Index
+  // values reference their session through every Dataset, which would
+  // keep a weak key strongly reachable forever (the WeakHashMap javadoc
+  // anti-pattern) — entries would never die. Replacing on session change
+  // bounds residency to the most-recent session, whose index is exactly
+  // the thing being served.
+  private var cached: (java.lang.ref.WeakReference[SparkSession],
+    ConcurrentHashMap[String, Index]) = _
 
   def index(spark: SparkSession, dir: String): Index = {
-    val perSession = cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) { m = new ConcurrentHashMap[String, Index](); cache.put(spark, m) }
-      m
+    val perSession = synchronized {
+      Option(cached).map(c => (c._1.get(), c._2)) match {
+        case Some((s, m)) if s eq spark => m
+        case _ =>
+          val m = new ConcurrentHashMap[String, Index]()
+          cached = (new java.lang.ref.WeakReference(spark), m)
+          m
+      }
     }
     perSession.computeIfAbsent(dir, _ => build(spark, dir))
   }

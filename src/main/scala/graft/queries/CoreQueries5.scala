@@ -185,6 +185,7 @@ object CoreQueries5 {
         Seq("config_uuid"), "left")
       .withColumn("n_tag_rows", coalesce(col("n_tag_rows"), lit(0L)))
       .withColumn("n_assets", coalesce(col("n_assets"), lit(0L)))
+      .withColumn("sum_n_rows", coalesce(col("sum_n_rows"), lit(0.0d)))
       .select(col("config_uuid"),
         md5(concat_ws("|", col("config_uuid"), col("job_version")))
           .as("job_uuid"),

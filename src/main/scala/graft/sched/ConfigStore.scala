@@ -125,10 +125,9 @@ object ConfigStore {
     */
   def readLatest(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    recoverCompact(spark, path)
     val w = Window.partitionBy("config_uuid")
       .orderBy(col("__batch").desc, col("version").desc)
-    spark.read.parquet(path)
+    spark.read.parquet(readablePath(spark, path))
       .withColumn("__rn", row_number().over(w))
       // null-safe tombstone test: a NULL config_status is NOT a delete —
       // same rule as purge()'s keep side
@@ -139,9 +138,11 @@ object ConfigStore {
 
   /** If a previous [[compact]] crashed between its two renames (live
     * moved to trash, temp not yet promoted), promote the intact trash
-    * copy back to the live path. Called by every [[readLatest]] and at
-    * [[compact]] start, so the crash state self-heals on the next touch
-    * instead of requiring manual recovery.
+    * copy back to the live path. WRITE-side recovery only — called at
+    * [[compact]] start (compaction is single-writer by contract); a
+    * READER that renamed could race an in-flight compact and move the
+    * trash copy INTO the freshly promoted live dir, so [[readLatest]]
+    * instead just READS the trash path when the live one is missing.
     */
   private def recoverCompact(spark: SparkSession, logPath: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -149,6 +150,18 @@ object ConfigStore {
     val trash = new Path(logPath + ".__compact_old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(live) && fs.exists(trash)) fs.rename(trash, live)
+  }
+
+  /** The path [[readLatest]] should read: the live log, or — mid-crash /
+    * mid-swap — the intact trash copy. Pure read-side resolution, no
+    * mutation (see [[recoverCompact]] for why readers must not rename).
+    */
+  private def readablePath(spark: SparkSession, logPath: String): String = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(logPath)
+    val trash = new Path(logPath + ".__compact_old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(trash)) trash.toString else logPath
   }
 
   /** Fold the delta log into a fresh snapshot + empty log (checkpoint):

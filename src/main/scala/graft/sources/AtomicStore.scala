@@ -163,10 +163,18 @@ object AtomicStore {
   def commitSnapshotIfUnchanged(df: DataFrame, root: String,
                                 expectedBase: Option[Long]): Option[Long] = {
     val spark = df.sparkSession
+    // cheap early-out before materializing a full snapshot for a lost race
     if (currentVersion(spark, root) != expectedBase) return None
     val rel = writeData(df, root)
     val v = expectedBase.getOrElse(-1L) + 1
-    if (publish(spark, root, Seq(rel), v)) Some(v) else None
+    if (publish(spark, root, Seq(rel), v)) Some(v)
+    else {
+      // reclaim the loser's materialized snapshot immediately — it is
+      // known-unpublished here, no grace window needed
+      val fs = dataDir(root).getFileSystem(hconf(spark))
+      fs.delete(new Path(dataDir(root), rel), true)
+      None
+    }
   }
 
   /** Commit `df` as an appended batch: the new version sees every

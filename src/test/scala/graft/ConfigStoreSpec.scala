@@ -124,10 +124,16 @@ class ConfigStoreSpec extends SparkSpec {
     assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
       new org.apache.hadoop.fs.Path(dir + ".__compact_old")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
-    // readLatest promotes the trash copy back and serves the full store
+    // a READER serves from the trash copy without renaming (a reader
+    // rename could race an in-flight compact's own promote)
     assert(ConfigStore.readLatest(spark, dir).count() === 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    // the next WRITE-side compact promotes the copy back and proceeds
+    val snap = java.nio.file.Files.createTempDirectory("graft_cfg_hsnap").toString
+    ConfigStore.compact(spark, dir, snap)
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir)))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__compact_old")))
+    assert(ConfigStore.readLatest(spark, dir).count() === 2)
   }
 
   test("write/read round-trips the store as a lake table") {
