@@ -807,8 +807,74 @@ object DataQueries6 {
       |    AS BIGINT) AS n_seqs
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ------------------- substring-level duplication signal (d27)
+
+  /** SUBSTRING-level duplication — the dedup mode doc-level passes miss
+    * (Lee et al. 2022 §4 run a suffix-array pass for exactly this:
+    * boilerplate/license blocks repeated across otherwise-distinct
+    * docs). The scalable fixed-resolution form: fingerprint strided
+    * character windows (w=40, stride=20 — the deterministic cousin of
+    * winnowing, Schleimer et al. SIGMOD '03), count a window duplicated
+    * when its fingerprint occurs at more than one (doc, position) site,
+    * and report each doc's duplicated-window fraction — the feed for a
+    * "strip repeated spans" cleaning pass or a quality-filter feature.
+    *
+    * Scale shape: windows are a row-local projection bounded to
+    * len/stride per doc; the duplicate test is ONE map-side-combined
+    * count over 8-byte fingerprints (never the 40-char strings); the
+    * per-doc rollup re-keys by doc_id. No pairwise anything — cost is
+    * linear in corpus bytes at any size. The windowed pass is
+    * materialized once (localCheckpoint) for its two consumers.
+    */
+  def d27SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = 40
+    val stride = 20
+    val wins = docs(spark, dir).select(col("doc_id"),
+        explode(when(length(col("text")) >= w,
+          transform(sequence(lit(1), length(col("text")) - (w - 1), lit(stride)),
+            i => col("text").substr(i, lit(w))))
+          .otherwise(array().cast("array<string>"))).as("win"))
+      .select(col("doc_id"), TextFns.hash60(col("win")).as("h"))
+      .localCheckpoint()
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("__sites"))
+      .filter(col("__sites") > 1).select(col("h"), lit(1).as("__dup"))
+    val perDoc = wins.join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("__dup")).as("n_dup_windows"))
+    docs(spark, dir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          round(col("n_dup_windows") * lit(1.0) / col("n_windows"), 4))
+          .otherwise(lit(0.0d)).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val d27Oracle: String =
+    """WITH wins AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(substr(text, p, 40)), 1, 15))::BIGINT AS h
+      |  FROM documents, unnest(generate_series(1, length(text) - 39, 20)) t(p)
+      |  WHERE length(text) >= 40),
+      |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+      |per AS (SELECT w.doc_id, count(*) AS n_windows,
+      |          count(d.h) AS n_dup_windows
+      |        FROM wins w LEFT JOIN dup d USING (h) GROUP BY 1)
+      |SELECT doc.doc_id,
+      |  COALESCE(per.n_windows, 0) AS n_windows,
+      |  COALESCE(per.n_dup_windows, 0) AS n_dup_windows,
+      |  CASE WHEN COALESCE(per.n_windows, 0) > 0
+      |       THEN round(per.n_dup_windows * 1.0 / per.n_windows, 4)
+      |       ELSE 0.0 END AS dup_frac
+      |FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+      |ORDER BY doc.doc_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("d26_weighted_sample", d26WeightedSample _, Some(d26Oracle)),
+    ("d27_substring_dedup", d27SubstringDedup _, Some(d27Oracle)),
     ("t22_sequence_pack", t22SequencePack _, Some(t22Oracle)),
     ("e03_embed_neardup_recall", e03EmbedNearDupRecall _, Some(e03Oracle)),
     ("d24_dedup_pipeline", d24DedupPipeline _, Some(d24Oracle)),
