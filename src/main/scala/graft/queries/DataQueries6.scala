@@ -872,9 +872,59 @@ object DataQueries6 {
       |FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
       |ORDER BY doc.doc_id""".stripMargin
 
+  // ------------------- vocabulary coverage curve (t23)
+
+  /** Head-vocabulary coverage — the tokenizer-planning metric behind
+    * every vocab-size decision: what fraction of all corpus tokens do
+    * the top-k word types cover (Zipf's head mass)? One vocab count
+    * pass, then ONE TakeOrderedAndProject + sum per k — NEVER a global
+    * cumsum window over the vocabulary, which funnels the whole (at
+    * 100 TB: 10⁸-type) vocab through a single partition. k is a
+    * handful of fixed points, so the cost is a few local-top-k passes
+    * over the (vocab-sized, corpus-independent) count table; the count
+    * table is checkpointed once for all of them.
+    */
+  def t23VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = docs(spark, dir)
+      .select(explode(TextFns.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val totals = vocab.agg(sum("cnt").as("total"),
+      count(lit(1)).as("vocab_size")).localCheckpoint()
+    val rows = Seq(10, 100, 1000).map { k =>
+      vocab.orderBy(col("cnt").desc, col("w").asc).limit(k)
+        .agg(sum("cnt").as("covered"))
+        .select(lit(k).as("k"), col("covered"))
+    }
+    rows.reduce(_ unionByName _)
+      .crossJoin(totals)
+      .select(col("k"), col("vocab_size"), col("total").as("total_tokens"),
+        col("covered"),
+        round(col("covered") * lit(1.0) / col("total"), 4).as("coverage"))
+      .orderBy("k")
+  }
+
+  val t23Oracle: String =
+    """WITH v AS (SELECT w, count(*) AS cnt
+      |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+      |                                  x -> length(x) > 0)) AS w
+      |        FROM documents)
+      |  GROUP BY w),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+      |             count(*) AS vocab_size FROM v),
+      |r AS (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rn
+      |      FROM v),
+      |ks AS (SELECT unnest([10, 100, 1000]) AS k),
+      |cov AS (SELECT ks.k, CAST(sum(r.cnt) AS BIGINT) AS covered
+      |        FROM ks JOIN r ON r.rn <= ks.k GROUP BY ks.k)
+      |SELECT cov.k, t.vocab_size, t.total AS total_tokens, cov.covered,
+      |  round(cov.covered * 1.0 / t.total, 4) AS coverage
+      |FROM cov, t ORDER BY cov.k""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("d26_weighted_sample", d26WeightedSample _, Some(d26Oracle)),
     ("d27_substring_dedup", d27SubstringDedup _, Some(d27Oracle)),
+    ("t23_vocab_coverage", t23VocabCoverage _, Some(t23Oracle)),
     ("t22_sequence_pack", t22SequencePack _, Some(t22Oracle)),
     ("e03_embed_neardup_recall", e03EmbedNearDupRecall _, Some(e03Oracle)),
     ("d24_dedup_pipeline", d24DedupPipeline _, Some(d24Oracle)),
