@@ -44,9 +44,17 @@ object TextFns {
     * The `when` guard matters: Spark's `sequence(1, n)` with n ≤ 0 produces
     * a DESCENDING sequence, not an empty one.
     */
-  def charShingles(c: Column, k: Int): Column =
+  def charShingles(c: Column, k: Int): Column = charShingles(c, k, 1)
+
+  /** Strided variant: windows at positions 1, 1+stride, … (stride = 1 is
+    * every position — the shingle form; larger strides are d27's
+    * fingerprint windows). The `when` guard is load-bearing for any
+    * stride: `sequence` with an upper bound below the lower DESCENDS
+    * instead of emptying.
+    */
+  def charShingles(c: Column, k: Int, stride: Int): Column =
     when(length(c) >= k,
-      transform(sequence(lit(1), length(c) - (k - 1)),
+      transform(sequence(lit(1), length(c) - (k - 1), lit(stride)),
         i => c.substr(i, lit(k))))
       .otherwise(array().cast("array<string>"))
 

@@ -830,10 +830,7 @@ object DataQueries6 {
     val w = 40
     val stride = 20
     val wins = docs(spark, dir).select(col("doc_id"),
-        explode(when(length(col("text")) >= w,
-          transform(sequence(lit(1), length(col("text")) - (w - 1), lit(stride)),
-            i => col("text").substr(i, lit(w))))
-          .otherwise(array().cast("array<string>"))).as("win"))
+        explode(TextFns.charShingles(col("text"), w, stride)).as("win"))
       .select(col("doc_id"), TextFns.hash60(col("win")).as("h"))
       .localCheckpoint()
     val dup = wins.groupBy("h").agg(count(lit(1)).as("__sites"))
@@ -890,7 +887,7 @@ object DataQueries6 {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val totals = vocab.agg(sum("cnt").as("total"),
-      count(lit(1)).as("vocab_size")).localCheckpoint()
+      count(lit(1)).as("vocab_size"))
     val rows = Seq(10, 100, 1000).map { k =>
       vocab.orderBy(col("cnt").desc, col("w").asc).limit(k)
         .agg(sum("cnt").as("covered"))
@@ -916,7 +913,7 @@ object DataQueries6 {
       |      FROM v),
       |ks AS (SELECT unnest([10, 100, 1000]) AS k),
       |cov AS (SELECT ks.k, CAST(sum(r.cnt) AS BIGINT) AS covered
-      |        FROM ks JOIN r ON r.rn <= ks.k GROUP BY ks.k)
+      |        FROM ks LEFT JOIN r ON r.rn <= ks.k GROUP BY ks.k)
       |SELECT cov.k, t.vocab_size, t.total AS total_tokens, cov.covered,
       |  round(cov.covered * 1.0 / t.total, 4) AS coverage
       |FROM cov, t ORDER BY cov.k""".stripMargin
