@@ -52,6 +52,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("t23: coverage points are local top-k passes, no vocab-wide window") {
+    val p = planOf(DataQueries6.t23VocabCoverage(spark, sf))
+    // one TakeOrderedAndProject per k point — never a global cumsum
+    // window over the vocabulary (single-partition funnel at scale)
+    assert("TakeOrderedAndProject".r.findAllIn(p).length === 3, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("d27: duplicate test is keyed aggregation + equi-joins, no pair join") {
+    val p = planOf(DataQueries6.d27SubstringDedup(spark, sf))
+    // fingerprint counts combine map-side; candidates never pair up
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("e02: bucketed near-dup candidates come from an equi-join (no BNLJ)") {
     // the scale contract of the IVF-bucketed variant: assignment is a
     // narrow argmax, candidates a hash equi-join on centroid_id — a
