@@ -8,12 +8,15 @@ import graft.functions.{TextFns, VectorFns}
 import graft.operators.{Bpe, Dedup, Similarity}
 import graft.queries.CoreQueries.Q
 
-/** Round-7 beyond-parity queries: the bucketed near-dup RECALL contract
-  * (e03), the composed production dedup pipeline (d24), end-to-end corpus
-  * preparation (d25), the streaming ingestion fold's batch form (st09),
-  * URL canonicalization dedup (t19), energy-gated audio segmentation
-  * (m03), perceptual-hash image near-dup (m04), the KMV distinct-count
-  * sketch eval (t20), and loader-ready streaming ingestion (st10).
+/** Rounds 7–8 beyond-parity queries: the bucketed near-dup RECALL
+  * contract (e03), the composed production dedup pipeline (d24),
+  * end-to-end corpus preparation (d25), the streaming ingestion fold's
+  * batch form (st09), URL canonicalization dedup (t19), energy-gated
+  * audio segmentation (m03), perceptual-hash image near-dup (m04), the
+  * KMV distinct-count sketch eval (t20), loader-ready streaming
+  * ingestion (st10), BPE encode (t21), quality-weighted A-ES sampling
+  * (d26), substring-level duplication (d27), training-sequence packing
+  * (t22), and head-vocabulary coverage (t23).
   */
 object DataQueries6 {
 
