@@ -19,17 +19,28 @@ object Lake {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]); read the raw int64
-    * nanos and truncate to micros with exact integer division (`div`, not
-    * `/` — ~1.7e18 ns overflows double precision). DuckDB truncates ns→µs
-    * the same way, so oracle parity holds.
+  /** The lake's `events.ts` physical type has varied across driver data
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects
+    * with [PARQUET_TYPE_ILLEGAL] unless read as raw int64 nanos) and plain
+    * TIMESTAMP(MICROS) stored NTZ. Normalize both to session-zone
+    * TimestampType so every consumer sees one shape:
+    *  - int64 nanos → exact integer division to micros (`div`, not `/` —
+    *    ~1.7e18 ns overflows double precision), matching DuckDB's ns→µs
+    *    truncation for oracle parity;
+    *  - TIMESTAMP_NTZ → cast to TIMESTAMP (session TZ is pinned to UTC in
+    *    every entrypoint, so the wall-clock value is unchanged and DuckDB's
+    *    naive timestamps compare equal).
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Register every lake table as a temp view so `spark.sql` config
