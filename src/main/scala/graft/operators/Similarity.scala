@@ -448,6 +448,70 @@ object Similarity {
       col("d2"), "d2", identity)
   }
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR '98):
+    * retrieve a relevance shortlist, then greedily pick k items maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s)` — the standard
+    * diversity-aware serving step after ANN retrieval (RAG context
+    * selection, dedup-aware search results).
+    *
+    * Scale shape: the only corpus-sized work is the shortlist itself — the
+    * same single `TakeOrderedAndProject` pass as [[bruteForceTopK]] (swap
+    * in an IVF/PQ shortlist at larger corpora; the re-rank is agnostic to
+    * how the n candidates were found). Everything after operates on the
+    * n-row shortlist: the n·(n−1) pair similarities are one broadcast
+    * self-join of a k-row-scale frame, and the greedy selection is an
+    * O(k·n) fold over collected METADATA (n ≤ 50 rows + their pair sims —
+    * the documented shortlist-collect pattern, never a corpus collect).
+    * The greedy step is inherently sequential (pick t depends on picks
+    * 1..t−1), so no distributed form exists; keeping it on the driver is
+    * the honest plan.
+    *
+    * Cross-engine determinism: rel/sim come from the same codegen'd
+    * [[graft.plans.CosineSimilarity]] the oracle mirrors; the score uses
+    * `λ·rel − (1−λ)·maxsim` with both factors computed in DOUBLE (the
+    * oracle spells `1::DOUBLE − λ::DOUBLE` so the IEEE value of `1−λ`
+    * matches the JVM's exactly); ties break on vec_id; rounding happens
+    * once, at output, through Spark's `round` (HALF_UP, as everywhere).
+    */
+  def mmrRerank(emb: DataFrame, query: DataFrame, n: Int, k: Int,
+                lambda: Double, excludeId: Option[Long] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val base = excludeId.map(id => emb.filter(col("vec_id") =!= id)).getOrElse(emb)
+    val shortlist = base.crossJoin(broadcast(query))
+      .select(col("vec_id"), col("vec"),
+        VectorFns.cosine(col("vec"), col("qvec")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(n)
+      .localCheckpoint() // two consumers: rel collect + pair self-join
+    val lhs = shortlist.select(col("vec_id").as("a"), col("vec").as("av"))
+    val rhs = shortlist.select(col("vec_id").as("b"), col("vec").as("bv"))
+    val rels = shortlist.select("vec_id", "rel").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val sims = lhs.join(broadcast(rhs), col("a") =!= col("b"))
+      .select(col("a"), col("b"), VectorFns.cosine(col("av"), col("bv")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val oneMinus = 1 - lambda // single IEEE subtraction, mirrored in SQL
+    var picked = Vector.empty[(Int, Long, Double, Double)]
+    var remaining = rels.sortBy(_._1).toVector
+    for (step <- 1 to math.min(k, rels.length)) {
+      val scored = remaining.map { case (id, rel) =>
+        val score =
+          if (picked.isEmpty) rel
+          else lambda * rel - oneMinus * picked.map(s => sims((id, s._2))).max
+        (id, rel, score)
+      }
+      val best = scored.reduceLeft { (x, y) =>
+        if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x
+      }
+      picked :+= ((step, best._1, best._2, best._3))
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    import spark.implicits._
+    picked.toDF("rank", "vec_id", "rel_raw", "score_raw")
+      .select(col("rank"), col("vec_id"), round(col("rel_raw"), 6).as("rel"),
+        round(col("score_raw"), 6).as("score"))
+      .orderBy("rank")
+  }
+
   def pqEncode(emb: DataFrame, codebook: Seq[Array[Double]],
                numSub: Int): DataFrame = {
     val dim = codebook.head.length
