@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Lake
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Bloom, Dedup, Multimodal, Similarity}
 import graft.streaming.Streams
 import graft.queries.CoreQueries.Q
 
@@ -472,7 +472,16 @@ object DataQueries {
         when(TextFns.hash28(col("text")) % 100 < 80, "train").otherwise("held_out"))
     val train = d.filter(col("split") === "train").select("fp").distinct()
     val heldOut = d.filter(col("split") === "held_out")
-    heldOut.join(broadcast(train), Seq("fp"), "left_semi")
+    // train is ~80% of the corpus's distinct fingerprints — corpus-scale, so
+    // never force-broadcast it. Two-phase membership instead: an O(bits)
+    // Bloom sketch of train resolves the (overwhelmingly clean) majority of
+    // held_out scan-side with zero shuffle; only Bloom-positive candidates
+    // reach the exact semi-join, which is left unhinted so AQE picks
+    // broadcast only when the side actually fits.
+    val bf = Bloom.build(train, col("fp"), expectedItems = 1000000L,
+      numBits = 8L * 1000000L)
+    heldOut.filter(Bloom.mightContain(bf, col("fp")))
+      .join(train, Seq("fp"), "left_semi")
       .select(col("doc_id"), col("fp"))
       .orderBy("doc_id")
   }
@@ -493,17 +502,21 @@ object DataQueries {
   /** Statistical LM scoring: corpus-unigram negative log-likelihood per
     * document (the perplexity-style quality signal of training-data
     * pipelines). The frequency table is built from the corpus itself
-    * (map-side-combined groupBy, broadcast back); per-term −ln p is
-    * rounded into decimal(18,10) BEFORE summing so the aggregation is
-    * order-independent and engine-exact.
+    * (map-side-combined groupBy) and joined back UNHINTED — vocabulary
+    * grows with the corpus (Heaps' law), so forcing a broadcast would OOM
+    * at web scale; AQE broadcasts only when the table actually fits. The
+    * token total comes from the vocab-sized freq table (one sum), not a
+    * second full pass over the explode. Per-term −ln p is rounded into
+    * decimal(18,10) BEFORE summing so the aggregation is order-independent
+    * and engine-exact.
     */
   def t05UnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val words = d.select(col("doc_id"),
       explode(TextFns.words(col("text"))).as("w"))
     val freq = words.groupBy("w").agg(count(lit(1)).as("cnt"))
-    val total = words.count()
-    words.join(broadcast(freq), "w")
+    val total = freq.agg(sum("cnt")).head.getLong(0)
+    words.join(freq, "w")
       .withColumn("nll",
         (-log(col("cnt") * lit(1.0) / lit(total.toDouble)))
           .cast("decimal(18,10)"))

@@ -310,8 +310,11 @@ object DataQueries2 {
   // ------------------------------------------------------------ TF-IDF
 
   /** Top TF-IDF term per document: corpus df table (map-side-combined,
-    * broadcast back), per-doc tf, score = tf·ln(N/df), keyed top-1
-    * window. The word explode is the only corpus-wide shuffle.
+    * joined back UNHINTED — document frequency is vocabulary-sized and
+    * vocabulary grows with the corpus, so a forced broadcast would OOM at
+    * web scale; AQE broadcasts only when it fits), per-doc tf,
+    * score = tf·ln(N/df), keyed top-1 window. The word explode is the only
+    * corpus-wide shuffle.
     */
   def t10TfIdf(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
@@ -322,7 +325,7 @@ object DataQueries2 {
       .groupBy("w").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("w").asc)
-    tf.join(broadcast(dfreq), "w")
+    tf.join(dfreq, "w")
       .withColumn("score", col("tf") * log(lit(nDocs.toDouble) / col("df")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -633,8 +633,10 @@ object DataQueries6 {
   /** The tokenizer's full train→encode round trip: t18's 3-step BPE
     * training produces the ordered merge table, [[Bpe.encode]] applies it
     * to the corpus vocabulary (word TYPES encode once — one narrow
-    * codegen'd projection), and docs join the broadcast encoded vocab to
-    * report per-document token counts and compression (chars per token —
+    * codegen'd projection), and docs join the encoded vocab — UNHINTED,
+    * since the vocabulary grows with the corpus (Heaps' law) and a forced
+    * broadcast would OOM at web scale; AQE broadcasts only when it fits —
+    * to report per-document token counts and compression (chars per token —
     * the number a pipeline watches to size token budgets after retraining
     * a tokenizer). The oracle replays the identical training fold AND the
     * identical per-word merge application in DuckDB, so the whole
@@ -648,7 +650,7 @@ object DataQueries6 {
       .select(col("w"), size(col("symbols")).as("n_tok"),
         length(col("w")).as("n_ch"))
     d.select(col("doc_id"), explode(TextFns.words(col("text"))).as("w"))
-      .join(broadcast(vocabEnc), "w")
+      .join(vocabEnc, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tokens"),
         sum("n_ch").as("n_chars"))

@@ -286,9 +286,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("t21: docs join the encoded vocab via broadcast (model-sized side)") {
+  test("t21: encoded-vocab join is a size-chosen equi join (no forced hint)") {
+    // the encoded vocabulary grows with the corpus (Heaps' law), so the
+    // join carries NO broadcast hint (BroadcastGuardSpec pins that); the
+    // plan contract here is just that candidates never nested-loop
     val p = planOf(graft.queries.DataQueries6.t21BpeEncode(spark, sf))
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 }
