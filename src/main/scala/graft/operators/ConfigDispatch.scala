@@ -28,7 +28,20 @@ final case class EngineInputs(
     /** BackupParser.read output — restore configs. */
     backup: Option[DataFrame] = None,
     /** Source project filter for restore. */
-    backupProjectId: Option[String] = None)
+    backupProjectId: Option[String] = None,
+    /** The physical lake table backing a SHARDED asset family plus the
+      * expression mapping each source row to its asset's table name —
+      * enables the set-based scale path ([[GroupedEval]]) for dynamic
+      * configs whose expansion exceeds [[shardRouteThreshold]].
+      */
+    shardedSource: Option[(DataFrame, org.apache.spark.sql.Column)] = None,
+    /** Expanded-asset count above which a dynamic-table config routes to
+      * the set-based sharded evaluator instead of the per-distinct-
+      * statement driver loop — the reference's own scale switch is one
+      * shard per 1000 tasks (TaskManager.py:49), so beyond one shard's
+      * worth of assets the per-asset form stops being metadata-sized.
+      */
+    shardRouteThreshold: Long = 1000L)
 
 /** The reference's config-type dispatch (main.py:3597–3628: one
   * `apply_*_config` per ConfigType) as a single entry point. Every
@@ -46,7 +59,23 @@ object ConfigDispatch {
                   in: EngineInputs): DataFrame =
     config.configType.toUpperCase match {
       case "DYNAMIC_TAG_TABLE" =>
-        TagEngine.applyDynamicTableConfig(spark, config, in.catalog)
+        // Scale switch (TaskManager.py:49's shard granularity): the
+        // per-distinct-statement driver loop collects the expansion and
+        // builds one literal frame per asset — metadata-sized work for
+        // catalog-sized expansions, plan explosion beyond it. When the
+        // caller declared the sharded physical source, expansions larger
+        // than the threshold compile set-based to ONE statement whose
+        // plan width is O(#fields), independent of asset count. The count
+        // itself is one aggregate over the (metadata-sized) catalog.
+        in.shardedSource match {
+          case Some((source, shardExpr))
+            if Expander.expand(in.catalog, config.includedUris,
+              config.excludedUris).count() > in.shardRouteThreshold =>
+            GroupedEval.applyDynamicTableConfigSharded(
+              spark, config, in.catalog, source, shardExpr)
+          case _ =>
+            TagEngine.applyDynamicTableConfig(spark, config, in.catalog)
+        }
       case "DYNAMIC_TAG_COLUMN" =>
         expandedUris(config, in.catalog) match {
           case Seq() => TagEngine.emptyTagRows(spark) // empty expansion = no-op job

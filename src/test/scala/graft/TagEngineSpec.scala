@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.model.{FieldSpec, TagConfig}
-import graft.operators.{GroupedEval, TagEngine}
+import graft.operators.{ConfigDispatch, EngineInputs, GroupedEval, TagEngine}
 
 /** §3.1 end-to-end job semantics: overwrite gate + merge into state. */
 class TagEngineSpec extends SparkSpec {
@@ -159,6 +159,31 @@ class TagEngineSpec extends SparkSpec {
     assert(grouped.count() === n.toLong * shardedFields.length)
     assert(perAsset.exceptAll(grouped).count() === 0)
     assert(grouped.exceptAll(perAsset).count() === 0)
+  }
+
+  test("dispatch auto-routes dynamic-table configs set-based above the threshold") {
+    // identical tag rows whichever side of the shard threshold the
+    // expansion lands on — and above it, the route genuinely IS the
+    // set-based evaluator (proven by dropping the per-shard views that
+    // the per-asset loop needs: only the sharded path still evaluates)
+    val ev = Lake.table(spark, sf, "events")
+    val n = 7
+    (0 until n).foreach(i => ev.filter(col("event_id") % n === i)
+      .createOrReplaceTempView(s"ev_$i"))
+    val noTags = Seq.empty[(String, String, String, String, String)]
+      .toDF("asset_uri", "column", "template_id", "field_id", "field_value")
+    val in = EngineInputs(shardCatalog(n), noTags,
+      shardedSource = Some((ev,
+        concat(lit("ev_"), (col("event_id") % n).cast("string")))),
+      shardRouteThreshold = 3) // n=7 assets > 3 → sharded route
+    val above = ConfigDispatch.applyConfig(spark, shardConfig(n), in)
+    val below = ConfigDispatch.applyConfig(spark, shardConfig(n),
+      in.copy(shardRouteThreshold = 1000)) // 7 <= 1000 → per-asset loop
+    assert(above.exceptAll(below).count() === 0)
+    assert(below.exceptAll(above).count() === 0)
+    (0 until n).foreach(i => spark.catalog.dropTempView(s"ev_$i"))
+    assert(ConfigDispatch.applyConfig(spark, shardConfig(n), in).count() ===
+      n.toLong * shardedFields.length)
   }
 
   test("sharded eval keeps per-asset scalar semantics on EMPTY assets") {
