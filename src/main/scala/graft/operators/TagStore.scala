@@ -127,15 +127,23 @@ object TagStore {
                         incoming: DataFrame,
                         next: (DataFrame, DataFrame) => DataFrame): Long = {
     while (true) {
-      val base = AtomicStore.currentVersion(spark, path)
-      val state = next(load(spark, path, incoming), incoming)
-      AtomicStore.commitSnapshotIfUnchanged(state, path, base) match {
-        case Some(v) =>
-          // bound steady-merge growth: each snapshot is a full table copy
-          // (grace window protects in-flight concurrent commits)
-          AtomicStore.vacuum(spark, path, keepVersions = 2)
-          return v
-        case None => () // conflict: re-read the new base and re-merge
+      try {
+        val base = AtomicStore.currentVersion(spark, path)
+        val state = next(load(spark, path, incoming), incoming)
+        AtomicStore.commitSnapshotIfUnchanged(state, path, base) match {
+          case Some(v) =>
+            // bound steady-merge growth: each snapshot is a full table copy
+            // (grace window protects in-flight concurrent commits)
+            AtomicStore.vacuum(spark, path, keepVersions = 2)
+            return v
+          case None => () // conflict: re-read the new base and re-merge
+        }
+      } catch {
+        // a racing winner can vacuum the manifest we just resolved
+        // (keepVersions=2 + two fast commits land between our listStatus
+        // and open); data dirs survive the grace window, so this is
+        // indistinguishable from losing the CAS — re-read and re-merge
+        case _: java.io.FileNotFoundException => ()
       }
     }
     -1L // unreachable
@@ -169,15 +177,21 @@ object TagStore {
       .withColumn("__op", lit("delete_tag"))
     val delta = upserts.unionByName(deletes)
     while (true) {
-      val base = AtomicStore.currentVersion(spark, path)
-      val v = base.getOrElse(-1L) + 1
-      val rel = AtomicStore.writeData(
-        delta.withColumn("__batch", lit(v)), path)
-      val parents = base.toSeq
-        .flatMap(AtomicStore.filesAt(spark, path, _))
-        .map(p => new org.apache.hadoop.fs.Path(p).getName)
-      if (AtomicStore.publish(spark, path, parents :+ rel, v)) return v
-      // conflict: the stamp no longer matches the next version — rewrite
+      try {
+        val base = AtomicStore.currentVersion(spark, path)
+        val v = base.getOrElse(-1L) + 1
+        val rel = AtomicStore.writeData(
+          delta.withColumn("__batch", lit(v)), path)
+        val parents = base.toSeq
+          .flatMap(AtomicStore.filesAt(spark, path, _))
+          .map(p => new org.apache.hadoop.fs.Path(p).getName)
+        if (AtomicStore.publish(spark, path, parents :+ rel, v)) return v
+        // conflict: the stamp no longer matches the next version — rewrite
+      } catch {
+        // resolved manifest vacuumed by a racing compaction — same as a
+        // lost publish race: re-resolve and re-stamp
+        case _: java.io.FileNotFoundException => ()
+      }
     }
     -1L // unreachable
   }
@@ -213,17 +227,22 @@ object TagStore {
     */
   def compactLog(spark: SparkSession, path: String): Unit = {
     while (true) {
-      val base = AtomicStore.currentVersion(spark, path)
-      if (base.isEmpty) return // nothing committed yet — nothing to fold
-      // state resolved INSIDE the loop: a lost race must re-read the
-      // winner's log, not republish a fold of the superseded file set
-      val v = base.getOrElse(-1L) + 1
-      val state = readLatestState(spark, path)
-        .withColumn("__op", lit("upsert"))
-        .withColumn("__batch", lit(v))
-      if (AtomicStore.commitSnapshotIfUnchanged(state, path, base).isDefined) {
-        AtomicStore.vacuum(spark, path, keepVersions = 2)
-        return
+      try {
+        val base = AtomicStore.currentVersion(spark, path)
+        if (base.isEmpty) return // nothing committed yet — nothing to fold
+        // state resolved INSIDE the loop: a lost race must re-read the
+        // winner's log, not republish a fold of the superseded file set
+        val v = base.getOrElse(-1L) + 1
+        val state = readLatestState(spark, path)
+          .withColumn("__op", lit("upsert"))
+          .withColumn("__batch", lit(v))
+        if (AtomicStore.commitSnapshotIfUnchanged(state, path, base).isDefined) {
+          AtomicStore.vacuum(spark, path, keepVersions = 2)
+          return
+        }
+      } catch {
+        // resolved manifest vacuumed by a racing writer mid-read — retry
+        case _: java.io.FileNotFoundException => ()
       }
     }
   }

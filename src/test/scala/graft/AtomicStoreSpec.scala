@@ -120,6 +120,41 @@ class AtomicStoreSpec extends SparkSpec {
     assert(got === Set("a" -> "99", "b" -> "2"))
   }
 
+  test("concurrent-writer soak: racing mergeCommits lose no update, versions stay dense") {
+    // the Delta conflict rule end-to-end (the reference's retry-on-429,
+    // DataCatalogController.py:1608–1652, as retry-on-CAS-conflict): two
+    // writers race mergeCommit on ONE store for 50 total rounds. Every
+    // incoming row has a writer-unique field key, so ANY lost update is a
+    // missing row in the final state; and because a CAS success consumes
+    // exactly version base+1, the 50 returned versions must be exactly
+    // 0..49 with no duplicate and no gap.
+    val r = root()
+    def row(w: Int, i: Int) = Seq(("asset", "", "gov", s"w${w}_r$i", s"$w:$i"))
+      .toDF("asset_uri", "column", "template_id", "field_id", "field_value")
+    val rounds = 25
+    val versions = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]())
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (0 until 2).map { w =>
+      new Thread(() => {
+        try (0 until rounds).foreach { i =>
+          versions.add(TagStore.mergeCommit(spark, r, row(w, i)))
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    writers.foreach(_.start())
+    writers.foreach(_.join(600000))
+    assert(failures.isEmpty, s"writer failed: ${Option(failures.peek())}")
+    import scala.jdk.CollectionConverters._
+    assert(versions.asScala.toSet === (0L until 2L * rounds).toSet,
+      s"versions not dense: ${versions.asScala.toSeq.sorted}")
+    val got = AtomicStore.read(spark, r)
+      .select("field_id", "field_value").as[(String, String)].collect().toMap
+    val want = (for (w <- 0 until 2; i <- 0 until rounds)
+      yield s"w${w}_r$i" -> s"$w:$i").toMap
+    assert(got === want)
+  }
+
   test("crash-mid-MERGE: tag store stays at the pre-merge state") {
     val r = root()
     TagStore.mergeCommit(spark, r, tags("a" -> "1", "b" -> "2"))
