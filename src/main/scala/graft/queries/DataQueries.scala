@@ -228,15 +228,19 @@ object DataQueries {
        |WHERE ${cosSql("l.v", "r.v")} >= 0.4
        |ORDER BY a_id, b_id""".stripMargin
 
-  /** IVF-bucketed near-dup (the scale form of e01): nearest-of-8-centroids
-    * assignment → intra-bucket equi-join candidates → exact cosine verify.
-    * The plan contains no BroadcastNestedLoopJoin (PlanSpec).
+  /** IVF-bucketed near-dup (the scale form of e01): MULTI-PROBE
+    * nearest-of-8-centroids assignment (nprobe=2 — the recall default the
+    * e03 eval measured: boundary-straddling pairs meet in the straddled
+    * neighbor's bucket at ×2 candidate cost) → shared-bucket equi-join
+    * candidates (distinct'd) → exact cosine verify. The plan contains no
+    * BroadcastNestedLoopJoin (PlanSpec).
     */
   def e02EmbedNearDupBucketed(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val centroids = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
-    Similarity.bucketedNearDupPairs(e, centroids, threshold = 0.4)
+    Similarity.bucketedNearDupPairsMulti(e, centroids, threshold = 0.4,
+        nprobe = 2)
       .orderBy("a_id", "b_id")
   }
 
@@ -247,13 +251,15 @@ object DataQueries {
        |  SELECT e.vec_id, c.centroid_id,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.centroid_id) AS rn
-       |  FROM e CROSS JOIN cent c) WHERE rn = 1)
-       |SELECT l.vec_id AS a_id, r.vec_id AS b_id,
+       |  FROM e CROSS JOIN cent c) WHERE rn <= 2),
+       |cand AS (SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
+       |  FROM assign l JOIN assign r
+       |    ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id)
+       |SELECT a_id, b_id,
        |  round(${cosSql("le.v", "re.v")}, 6) AS cosine
-       |FROM assign l JOIN assign r
-       |  ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
-       |JOIN e le ON le.vec_id = l.vec_id
-       |JOIN e re ON re.vec_id = r.vec_id
+       |FROM cand
+       |JOIN e le ON le.vec_id = a_id
+       |JOIN e re ON re.vec_id = b_id
        |WHERE ${cosSql("le.v", "re.v")} >= 0.4
        |ORDER BY a_id, b_id""".stripMargin
 

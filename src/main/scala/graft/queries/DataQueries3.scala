@@ -219,8 +219,9 @@ object DataQueries3 {
   // ------------------------------------------- semantic dedup (d14)
 
   /** SemDeDup (Abbas et al. 2023): semantic near-duplicate removal in
-    * EMBEDDING space — IVF-bucketed cosine pairs (e02's equi-join
-    * candidates, no nested-loop join anywhere), connected components to
+    * EMBEDDING space — IVF-bucketed cosine pairs (e02's multi-probe
+    * nprobe=2 equi-join candidates, no nested-loop join anywhere; the
+    * recall default the e03 eval measured), connected components to
     * close the pair set transitively (d09's pointer-jumping machinery),
     * min-id keeper per cluster. Output is the apply decision: every
     * clustered vector with its cluster, size, and whether it survives.
@@ -231,7 +232,8 @@ object DataQueries3 {
     val e = emb(spark, dir)
     val centroids = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
-    val pairs = Similarity.bucketedNearDupPairs(e, centroids, threshold = 0.4)
+    val pairs = Similarity.bucketedNearDupPairsMulti(e, centroids,
+      threshold = 0.4, nprobe = 2)
     graft.operators.Graph.connectedComponents(pairs, "a_id", "b_id")
       .select(col("id").as("vec_id"), col("label").as("cluster_id"))
       .withColumn("is_keeper", col("vec_id") === col("cluster_id"))
@@ -251,12 +253,13 @@ object DataQueries3 {
        |  SELECT e.vec_id, c.centroid_id,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.centroid_id) AS rn
-       |  FROM e CROSS JOIN cent c) WHERE rn = 1),
-       |pairs AS (SELECT l.vec_id AS a, r.vec_id AS b
+       |  FROM e CROSS JOIN cent c) WHERE rn <= 2),
+       |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
        |  FROM assign l JOIN assign r
-       |    ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
-       |  JOIN e le ON le.vec_id = l.vec_id
-       |  JOIN e re ON re.vec_id = r.vec_id
+       |    ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id),
+       |pairs AS (SELECT a, b FROM cand
+       |  JOIN e le ON le.vec_id = a
+       |  JOIN e re ON re.vec_id = b
        |  WHERE ${cosSql("le.v", "re.v")} >= 0.4),
        |edges AS (SELECT a AS u, b AS v FROM pairs
        |          UNION SELECT b, a FROM pairs),
