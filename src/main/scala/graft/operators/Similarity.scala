@@ -28,6 +28,12 @@ object Similarity {
     */
   private val MaxInlineCentroids = 64
 
+  /** Hard cap on [[mmrRerank]]'s shortlist: the greedy fold collects
+    * n·(n−1) pair similarities (~a few MB at 512) — the bound that keeps
+    * "shortlist-collect" an honest contract rather than a comment.
+    */
+  val MaxMmrShortlist = 512
+
   /** Nearest-centroid assignment: argmax cosine, ties → smaller
     * centroid_id. The centroid set is small by IVF contract (it is the
     * trained "model", like a Spark ML KMeans model — k ≪ corpus), so for
@@ -460,11 +466,21 @@ object Similarity {
     * how the n candidates were found). Everything after operates on the
     * n-row shortlist: the n·(n−1) pair similarities are one broadcast
     * self-join of a k-row-scale frame, and the greedy selection is an
-    * O(k·n) fold over collected METADATA (n ≤ 50 rows + their pair sims —
-    * the documented shortlist-collect pattern, never a corpus collect).
-    * The greedy step is inherently sequential (pick t depends on picks
-    * 1..t−1), so no distributed form exists; keeping it on the driver is
-    * the honest plan.
+    * O(k·n) fold over collected METADATA (shortlist rows + their pair
+    * sims — the documented shortlist-collect pattern, never a corpus
+    * collect). That contract is ENFORCED: `n` is capped at
+    * [[MaxMmrShortlist]] (n·(n−1) collected pair sims stay a few MB) and
+    * `k ≤ n`, so an oversized request fails loudly instead of silently
+    * becoming a quadratic driver collect. The greedy step is inherently
+    * sequential (pick t depends on picks 1..t−1), so no distributed form
+    * exists; keeping it on the driver is the honest plan.
+    *
+    * Scoring convention: the FIRST pick (empty picked set) has no
+    * diversity term and reports its RAW relevance as its score — not
+    * λ·rel — matching the original formulation's degenerate first step
+    * (the max over an empty picked set is undefined, not 0). Oracles
+    * mirroring this fold must replicate exactly that branch, or rank 1's
+    * score mismatches whenever λ ≠ 1.
     *
     * Cross-engine determinism: rel/sim come from the same codegen'd
     * [[graft.plans.CosineSimilarity]] the oracle mirrors; the score uses
@@ -475,6 +491,10 @@ object Similarity {
     */
   def mmrRerank(emb: DataFrame, query: DataFrame, n: Int, k: Int,
                 lambda: Double, excludeId: Option[Long] = None): DataFrame = {
+    require(n >= 1 && n <= MaxMmrShortlist,
+      s"mmrRerank: shortlist n=$n outside [1, $MaxMmrShortlist] — the " +
+        "greedy fold collects n·(n−1) pair similarities to the driver")
+    require(k >= 1 && k <= n, s"mmrRerank: k=$k outside [1, n=$n]")
     val spark = emb.sparkSession
     val base = excludeId.map(id => emb.filter(col("vec_id") =!= id)).getOrElse(emb)
     val shortlist = base.crossJoin(broadcast(query))

@@ -923,7 +923,53 @@ object DataQueries6 {
       |  round(cov.covered * 1.0 / t.total, 4) AS coverage
       |FROM cov, t ORDER BY cov.k""".stripMargin
 
+  // -------------------------------- MMR diversity re-rank (s15)
+
+  /** MMR re-rank under the oracle gate ([[Similarity.mmrRerank]] —
+    * Carbonell & Goldstein '98): brute-force top-20 relevance shortlist
+    * for query vector 0, then the greedy λ=0.7 diversity fold picks 8.
+    * The oracle replays the EXACT fold in DuckDB as a recursive CTE —
+    * one pick per recursion step, the picked set carried as a list —
+    * including the first-pick convention (raw rel as score, no λ; see
+    * the operator docstring), so the whole sequential selection is
+    * hash-gated cross-engine, not just the shortlist.
+    */
+  def s15Mmr(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val query = e.filter(col("vec_id") === 0).select(col("vec").as("qvec"))
+    Similarity.mmrRerank(e, query, n = 20, k = 8, lambda = 0.7,
+        excludeId = Some(0L))
+      .orderBy("rank")
+  }
+
+  val s15Oracle: String =
+    s"""WITH RECURSIVE $embCte,
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |short AS (SELECT vec_id, v, ${cosSql("e.v", "q.qv")} AS rel
+       |          FROM e, q WHERE vec_id <> 0
+       |          ORDER BY rel DESC, vec_id LIMIT 20),
+       |sims AS (SELECT l.vec_id AS a, r.vec_id AS b, ${cosSql("l.v", "r.v")} AS sim
+       |         FROM short l JOIN short r ON l.vec_id <> r.vec_id),
+       |sel AS (
+       |  SELECT 1 AS rank, s.vec_id, s.rel, s.rel AS score, [s.vec_id] AS picked
+       |  FROM (SELECT vec_id, rel FROM short ORDER BY rel DESC, vec_id LIMIT 1) s
+       |  UNION ALL
+       |  SELECT sel.rank + 1, c.vec_id, c.rel, c.score,
+       |         list_append(sel.picked, c.vec_id)
+       |  FROM sel, LATERAL (
+       |    SELECT sh.vec_id, sh.rel,
+       |      0.7 * sh.rel - (1::DOUBLE - 0.7) *
+       |        (SELECT max(sim) FROM sims
+       |          WHERE sims.a = sh.vec_id AND list_contains(sel.picked, sims.b))
+       |        AS score
+       |    FROM short sh WHERE NOT list_contains(sel.picked, sh.vec_id)
+       |    ORDER BY score DESC, sh.vec_id LIMIT 1) c
+       |  WHERE sel.rank < 8)
+       |SELECT rank, vec_id, round(rel, 6) AS rel, round(score, 6) AS score
+       |FROM sel ORDER BY rank""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("s15_mmr", s15Mmr _, Some(s15Oracle)),
     ("d26_weighted_sample", d26WeightedSample _, Some(d26Oracle)),
     ("d27_substring_dedup", d27SubstringDedup _, Some(d27Oracle)),
     ("t23_vocab_coverage", t23VocabCoverage _, Some(t23Oracle)),

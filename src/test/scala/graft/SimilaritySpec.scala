@@ -99,6 +99,21 @@ class SimilaritySpec extends SparkSpec {
       .columns.toSeq === Seq("a_id", "b_id", "cosine"))
   }
 
+  test("mmrRerank enforces the shortlist-collect bound (n cap, k <= n)") {
+    // an oversized n must fail loudly, never silently become a quadratic
+    // driver collect; same for k beyond the shortlist
+    val q = emb.filter(col("vec_id") === 0).select(col("vec").as("qvec"))
+    val big = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(emb, q, n = Similarity.MaxMmrShortlist + 1, k = 5,
+        lambda = 0.7)
+    }
+    assert(big.getMessage.contains("shortlist"))
+    val kBig = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(emb, q, n = 10, k = 11, lambda = 0.7)
+    }
+    assert(kBig.getMessage.contains("k="))
+  }
+
   test("multi-probe near-dup: nprobe=1 == single-probe; nprobe=2 ⊇ nprobe=1") {
     val centroids = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
