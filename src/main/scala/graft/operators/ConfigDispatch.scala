@@ -114,6 +114,17 @@ object ConfigDispatch {
     * from the same footer read) is an extension beyond the reference
     * loop. A non-empty `config.fields` restricts to the requested ids,
     * matching the `fields` parameter.
+    *
+    * CSV filesets (the reference's type sniff downloads the blob and
+    * validates the format, :547–556 — it then ERRORs on non-parquet;
+    * tagging the CSVs it enumerates is the natural extension): a `.csv`
+    * file that fails the footer read routes through the header-aware
+    * Spark CSV reader — `num_cols` from the parsed header (schema width,
+    * a driver-side sample read), `num_rows` a distributed count (CSV
+    * keeps no footer row count, so unlike parquet this is a data pass —
+    * one Spark job per CSV file, bounded by the fileset's file count
+    * like the reference's per-blob loop). Files that are neither stay
+    * skipped, mirroring the reference's not-a-parquet ERROR path.
     */
   private def entryCreate(spark: SparkSession, config: TagConfig): DataFrame = {
     import graft.sources.FileScan
@@ -129,16 +140,23 @@ object ConfigDispatch {
         scala.util.Try {
           val reader = ParquetFileReader.open(
             HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
-          try (path, name, size, mtime, reader.getRecordCount,
+          try ("PARQUET", reader.getRecordCount,
             reader.getFileMetaData.getSchema.getFieldCount)
           finally reader.close()
-        }.toOption
+        }.orElse(scala.util.Try {
+          require(name.toLowerCase.endsWith(".csv"), s"not a csv: $name")
+          val df = spark.read.option("header", true).csv(path)
+          ("CSV", df.count(), df.schema.fields.length)
+        }).toOption
+          .map { case (ftype, nRows, nCols) =>
+            (path, name, size, mtime, ftype, nRows, nCols)
+          }
       }
       .sortBy(_._1)
     if (rows.isEmpty) return TagEngine.emptyTagRows(spark)
     val wanted = config.fields.map(_.fieldId).toSet
     import spark.implicits._
-    rows.flatMap { case (path, name, size, mtime, nRows, nCols) =>
+    rows.flatMap { case (path, name, size, mtime, ftype, nRows, nCols) =>
       val entryId = name.split('.').head.replace("/", "_")
       val parent = new org.apache.hadoop.fs.Path(path).getParent
       val ts = java.time.Instant.ofEpochMilli(mtime).toString
@@ -146,7 +164,7 @@ object ConfigDispatch {
         ("name", "string", name),
         ("bucket", "string", if (parent == null) "" else parent.toString),
         ("path", "string", path),
-        ("type", "enum", "PARQUET"),
+        ("type", "enum", ftype),
         ("size", "double", size.toString),
         ("num_rows", "double", nRows.toString),
         ("num_cols", "double", nCols.toString),

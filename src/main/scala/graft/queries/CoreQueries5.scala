@@ -833,7 +833,70 @@ object CoreQueries5 {
       |FROM shards s LEFT JOIN agg USING (shard)
       |ORDER BY asset_uri, field_id""".stripMargin
 
+  /** ENTRY_CREATE over a MIXED-format fileset (q37's parquet path plus
+    * the CSV branch, DataCatalogController.py:498–578's type sniff):
+    * region/nation re-land as header CSVs (the import-shaped round trip
+    * FormatsSpec pins), supplier stays parquet, and ONE config tags all
+    * three — parquet metadata from driver-side footer reads, CSV
+    * `num_cols` from the parsed header and `num_rows` as a distributed
+    * count (CSV keeps no footer row count). `size`/timestamps are
+    * restricted away: writer-dependent bytes an engine-independent
+    * oracle cannot pin.
+    */
+  def q49EntryCsv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{ConfigDispatch, EngineInputs}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q49").toString
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    Seq("region", "nation").foreach { t =>
+      val stage = new org.apache.hadoop.fs.Path(s"$tmp/_stage_$t")
+      Lake.table(spark, dir, t).coalesce(1)
+        .write.mode("overwrite").option("header", true).csv(stage.toString)
+      val part = fs.listStatus(stage).map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"q49: no csv part file under $stage"))
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$tmp/$t.csv"))
+      fs.delete(stage, true)
+    }
+    val config = TagConfig(
+      configType = "ENTRY_CREATE",
+      templateId = "file_metadata",
+      fields = Seq("name", "type", "num_rows", "num_cols")
+        .map(f => FieldSpec(f)),
+      includedUris = Seq(s"$tmp/*.csv", s"$dir/supplier.parquet"))
+    val none = spark.emptyDataFrame
+    ConfigDispatch.applyConfig(spark, config, EngineInputs(none, none))
+      .orderBy("asset_uri", "field_id")
+  }
+
+  val q49Oracle: String =
+    """WITH f AS (
+      |  SELECT 'fileset/region' AS asset_uri, 'region.csv' AS name,
+      |         'CSV' AS ftype,
+      |         (SELECT count(*) FROM region) AS num_rows, 2 AS num_cols
+      |  UNION ALL
+      |  SELECT 'fileset/nation', 'nation.csv', 'CSV',
+      |         (SELECT count(*) FROM nation), 3
+      |  UNION ALL
+      |  SELECT 'fileset/supplier', 'supplier.parquet', 'PARQUET',
+      |         (SELECT count(*) FROM supplier), 4),
+      |m AS (
+      |  SELECT asset_uri, 'name' AS field_id, 'string' AS field_type,
+      |         name AS field_value FROM f
+      |  UNION ALL
+      |  SELECT asset_uri, 'type', 'enum', ftype FROM f
+      |  UNION ALL
+      |  SELECT asset_uri, 'num_rows', 'double',
+      |         CAST(num_rows AS VARCHAR) FROM f
+      |  UNION ALL
+      |  SELECT asset_uri, 'num_cols', 'double',
+      |         CAST(num_cols AS VARCHAR) FROM f)
+      |SELECT asset_uri, '' AS "column", 'file_metadata' AS template_id,
+      |       field_id, field_type, field_value
+      |FROM m ORDER BY asset_uri, field_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
+    ("q49_entry_csv", q49EntryCsv _, Some(q49Oracle)),
     ("q39_bulk_dynamic_column", q39BulkDynamicColumn _, Some(q39Oracle)),
     ("q40_scheduler_tick_jobs", q40SchedulerTickJobs _, Some(q40Oracle)),
     ("q41_usage_tracking", q41UsageTracking _, Some(q41Oracle)),

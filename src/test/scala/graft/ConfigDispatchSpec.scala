@@ -171,6 +171,31 @@ class ConfigDispatchSpec extends SparkSpec {
       rows.collectFirst { case (_, "updated_time", v) => v })
   }
 
+  test("ENTRY_CREATE routes per format: parquet footer, CSV header+count, junk skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("entrycsv")
+    // a real header CSV (2 cols, 3 data rows), a junk .csv that still
+    // parses as single-column CSV (CSV has no magic bytes — any text
+    // file with a first line is a 1-column header), and a junk .txt
+    // that matches neither sniff
+    java.nio.file.Files.writeString(dir.resolve("people.csv"),
+      "id,name\n1,ada\n2,bob\n3,cid\n")
+    java.nio.file.Files.writeString(dir.resolve("junk.txt"), "not a table")
+    val out = ConfigDispatch.applyConfig(spark,
+      TagConfig("ENTRY_CREATE", "file_metadata", Nil,
+        includedUris = Seq(s"$sf/region.parquet", s"$dir/*")),
+      base)
+    val rows = out.collect().map(r => (r.getString(0), r.getString(3), r.getString(5)))
+    assert(rows.map(_._1).distinct.sorted.toSeq ===
+      Seq("fileset/people", "fileset/region"))
+    def field(uri: String, f: String): String =
+      rows.collectFirst { case (`uri`, `f`, v) => v }.get
+    assert(field("fileset/people", "type") === "CSV")
+    assert(field("fileset/people", "num_rows") === "3") // header excluded
+    assert(field("fileset/people", "num_cols") === "2")
+    assert(field("fileset/region", "type") === "PARQUET")
+    assert(field("fileset/region", "num_cols") === "2")
+  }
+
   test("ENTRY_CREATE over an empty glob is a no-op frame, not a crash") {
     val out = ConfigDispatch.applyConfig(spark,
       TagConfig("ENTRY_CREATE", "t", Nil,
