@@ -33,13 +33,17 @@ object Lake {
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      case TimestampType => raw // already the normalized shape
+      case other => throw new IllegalStateException(
+        s"events.ts has unhandled physical type $other — a new driver data " +
+          "generation drifted; add its normalization here so consumers " +
+          "never see an unnormalized column")
     }
   }
 
