@@ -77,10 +77,33 @@ object ConfigDispatch {
             TagEngine.applyDynamicTableConfig(spark, config, in.catalog)
         }
       case "DYNAMIC_TAG_COLUMN" =>
-        expandedUris(config, in.catalog) match {
-          case Seq() => TagEngine.emptyTagRows(spark) // empty expansion = no-op job
-          case uris => TagEngine.balancedUnion(
-            uris.map(uri => TagEngine.applyDynamicColumnConfig(spark, config, uri)))
+        // same scale switch as the table branch: above the threshold the
+        // whole (asset × column × field) grid compiles to ONE statement.
+        // The included-columns query resolves ONCE against the first
+        // expanded asset (a 1-row driver-metadata statement — the sharded
+        // family's uniform-schema contract; a columns query that genuinely
+        // varies per asset needs the per-asset loop, i.e. no shardedSource)
+        in.shardedSource match {
+          case Some((source, shardExpr))
+            if Expander.expand(in.catalog, config.includedUris,
+              config.excludedUris).count() > in.shardRouteThreshold =>
+            val first = Expander.expand(in.catalog, config.includedUris,
+                config.excludedUris)
+              .select("project", "dataset", "table").limit(1).collect().head
+            val firstUri = AssetUri("bigquery", first.getString(0),
+              Some(first.getString(1)), Some(first.getString(2)), None)
+            val colsQuery = ConfigEval.substitute(
+              config.includedColumnsQuery.getOrElse(throw
+                new IllegalArgumentException("included_columns_query required")),
+              firstUri)
+            val columns = spark.sql(colsQuery).first().toSeq.map(_.toString)
+            GroupedEval.applyDynamicColumnConfigSharded(
+              spark, config, in.catalog, source, shardExpr, columns)
+          case _ => expandedUris(config, in.catalog) match {
+            case Seq() => TagEngine.emptyTagRows(spark) // empty expansion = no-op job
+            case uris => TagEngine.balancedUnion(
+              uris.map(uri => TagEngine.applyDynamicColumnConfig(spark, config, uri)))
+          }
         }
       case "STATIC_TAG_ASSET"  => staticAsset(spark, config, in)
       case "GLOSSARY_TAG_ASSET" => glossary(config, in)

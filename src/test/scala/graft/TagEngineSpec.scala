@@ -289,6 +289,31 @@ class TagEngineSpec extends SparkSpec {
     assert(perAsset.exceptAll(grid).count() === 0)
   }
 
+  test("dispatch auto-routes dynamic-COLUMN configs set-based above the threshold") {
+    // same contract as the table route: identical tag rows on both sides
+    // of the threshold, with the included-columns query resolved ONCE
+    // against the first expanded asset on the sharded side
+    val ev = Lake.table(spark, sf, "events")
+    val n = 5
+    (0 until n).foreach(i => ev.filter(col("event_id") % n === i)
+      .createOrReplaceTempView(s"ev_$i"))
+    val cfg = colGridConfig.copy(
+      includedColumnsQuery = Some("select 'user_id', 'value'"))
+    val noTags = Seq.empty[(String, String, String, String, String)]
+      .toDF("asset_uri", "column", "template_id", "field_id", "field_value")
+    val in = EngineInputs(shardCatalog(n), noTags,
+      shardedSource = Some((ev,
+        concat(lit("ev_"), (col("event_id") % n).cast("string")))),
+      shardRouteThreshold = 3)
+    val above = ConfigDispatch.applyConfig(spark, cfg, in)
+    val below = ConfigDispatch.applyConfig(spark, cfg,
+      in.copy(shardRouteThreshold = 1000))
+    assert(above.count() ===
+      n.toLong * 2 * colGridConfig.fields.length)
+    assert(above.exceptAll(below).count() === 0)
+    assert(below.exceptAll(above).count() === 0)
+  }
+
   test("dynamic-COLUMN grid job count does NOT grow with asset count") {
     def jobsFor(n: Int): Int = {
       val counter = new java.util.concurrent.atomic.AtomicInteger(0)
