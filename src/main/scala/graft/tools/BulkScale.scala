@@ -3,15 +3,20 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.model.{FieldSpec, TagConfig}
-import graft.operators.GroupedEval
+import graft.operators.{ConfigDispatch, EngineInputs}
 
 /** Measures the set-based dynamic-config path at the reference's load-test
   * asset counts (examples/load/configs/static_asset_1m.json scales to 10⁶
   * assets/config): q30's 7-field config over the sf0.1 events family at
   * 1k / 10k / 100k / 1M expanded assets. Reports wall time and the SQL
   * execution count — the invariant that makes the path survive the load
-  * point is ONE execution regardless of asset cardinality (plan size is
-  * O(#fields); the asset dimension lives in DATA, not in the plan).
+  * point is a CONSTANT execution count regardless of asset cardinality
+  * (plan size is O(#fields); the asset dimension lives in DATA, not in
+  * the plan). Since round 9 the measurement goes through
+  * [[ConfigDispatch.applyConfig]]'s automatic shard-threshold routing —
+  * the production entry point — so the number includes the routing's own
+  * metadata-sized expansion count (+1 execution over the bare
+  * GroupedEval call).
   */
 object BulkScale {
   def main(args: Array[String]): Unit = {
@@ -54,8 +59,16 @@ object BulkScale {
         lpad((col("event_id") % n).cast("string"), pad, "0"))
       counter.set(0)
       val t0 = System.nanoTime()
-      val out = GroupedEval.applyDynamicTableConfigSharded(
-        spark, config, catalog, events, shard)
+      // the production entry point: dispatch expands, counts, and routes
+      // set-based past the threshold (499 here so every point takes the
+      // sharded path and the series stays comparable)
+      val noTags = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq()))
+      val out = ConfigDispatch.applyConfig(spark, config,
+        EngineInputs(catalog, noTags,
+          shardedSource = Some((events, shard)),
+          shardRouteThreshold = 499L))
       out.write.mode("overwrite").format("noop").save()
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500) // listener events are async
