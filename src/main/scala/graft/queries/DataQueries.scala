@@ -520,7 +520,10 @@ object DataQueries {
     val d = docs(spark, dir)
     val words = d.select(col("doc_id"),
       explode(TextFns.words(col("text"))).as("w"))
+    // vocab-sized, materialized ONCE: both consumers (the total and the
+    // join) would otherwise each re-run the corpus-wide explode+groupBy
     val freq = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val total = freq.agg(sum("cnt")).head.getLong(0)
     words.join(freq, "w")
       .withColumn("nll",
