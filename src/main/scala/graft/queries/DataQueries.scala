@@ -483,9 +483,13 @@ object DataQueries {
     // Bloom sketch of train resolves the (overwhelmingly clean) majority of
     // held_out scan-side with zero shuffle; only Bloom-positive candidates
     // reach the exact semi-join, which is left unhinted so AQE picks
-    // broadcast only when the side actually fits.
-    val bf = Bloom.build(train, col("fp"), expectedItems = 1000000L,
-      numBits = 8L * 1000000L)
+    // broadcast only when the side actually fits. Sketch capacity tracks
+    // the corpus (doc count is a parquet-metadata read, and distinct train
+    // fps ≤ docs), so the false-positive rate — and with it the candidate
+    // volume hitting the exact join — stays put as the lake grows.
+    val expected = math.max(1000L, d.count())
+    val bf = Bloom.build(train, col("fp"), expectedItems = expected,
+      numBits = 8L * expected)
     heldOut.filter(Bloom.mightContain(bf, col("fp")))
       .join(train, Seq("fp"), "left_semi")
       .select(col("doc_id"), col("fp"))

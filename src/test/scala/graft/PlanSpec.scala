@@ -171,6 +171,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("d08: contamination pre-filters with a scan-side Bloom probe, no BNLJ") {
+    // the de-hinted shape (round 9): the clean held-out majority dies at
+    // the might_contain predicate; the exact semi-join stays equi-keyed
+    val p = planOf(DataQueries.d08Contamination(spark, sf))
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("d18: Bloom probe is a scan-side predicate in the novelty plan") {
     val p = planOf(DataQueries5.d18BloomDedup(spark, sf))
     assert(p.contains("might_contain"), p)
