@@ -320,9 +320,14 @@ object DataQueries2 {
     val d = docs(spark, dir)
     val nDocs = d.count()
     val words = d.select(col("doc_id"), explode(TextFns.words(col("text"))).as("w"))
+    // materialized once: tf feeds BOTH the df derivation and the score
+    // join — without the barrier each consumer re-runs the corpus-wide
+    // explode+groupBy. df then falls out of tf directly (tf rows are
+    // already distinct per (doc, w)), replacing the second explode AND
+    // the distinct shuffle with one vocab-sized aggregation.
     val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dfreq = words.select("doc_id", "w").distinct()
-      .groupBy("w").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("w").asc)
     tf.join(dfreq, "w")
