@@ -8,8 +8,9 @@ import graft.functions.{TextFns, VectorFns}
 import graft.operators.{Bpe, Dedup, Similarity}
 import graft.queries.CoreQueries.Q
 
-/** Rounds 7–8 beyond-parity queries: the bucketed near-dup RECALL
-  * contract (e03), the composed production dedup pipeline (d24),
+/** Rounds 7–9 beyond-parity queries: the bucketed near-dup RECALL
+  * contract (e03), the MMR diversity re-rank (s15, round 9),
+  * the composed production dedup pipeline (d24),
   * end-to-end corpus preparation (d25), the streaming ingestion fold's
   * batch form (st09), URL canonicalization dedup (t19), energy-gated
   * audio segmentation (m03), perceptual-hash image near-dup (m04), the
