@@ -138,16 +138,19 @@ object ConfigDispatch {
     * loop. A non-empty `config.fields` restricts to the requested ids,
     * matching the `fields` parameter.
     *
-    * CSV filesets (the reference's type sniff downloads the blob and
-    * validates the format, :547–556 — it then ERRORs on non-parquet;
-    * tagging the CSVs it enumerates is the natural extension): a `.csv`
-    * file that fails the footer read routes through the header-aware
-    * Spark CSV reader — `num_cols` from the parsed header (schema width,
+    * CSV and ORC filesets (the reference's type sniff downloads the blob
+    * and validates the format, :547–556 — it then ERRORs on non-parquet;
+    * tagging the other formats it enumerates is the natural extension):
+    * a file that fails the parquet footer read next tries the ORC footer
+    * (row count + schema width are footer metadata exactly like parquet —
+    * driver-side, zero jobs), then — for `.csv` names — the header-aware
+    * Spark CSV reader: `num_cols` from the parsed header (schema width,
     * a driver-side sample read), `num_rows` a distributed count (CSV
-    * keeps no footer row count, so unlike parquet this is a data pass —
-    * one Spark job per CSV file, bounded by the fileset's file count
-    * like the reference's per-blob loop). Files that are neither stay
-    * skipped, mirroring the reference's not-a-parquet ERROR path.
+    * keeps no footer row count, so unlike the footer formats this is a
+    * data pass — one Spark job per CSV file, bounded by the fileset's
+    * file count like the reference's per-blob loop). Files matching no
+    * sniff stay skipped, mirroring the reference's not-a-parquet ERROR
+    * path.
     */
   private def entryCreate(spark: SparkSession, config: TagConfig): DataFrame = {
     import graft.sources.FileScan
@@ -167,6 +170,13 @@ object ConfigDispatch {
             reader.getFileMetaData.getSchema.getFieldCount)
           finally reader.close()
         }.orElse(scala.util.Try {
+          val reader = org.apache.orc.OrcFile.createReader(
+            new org.apache.hadoop.fs.Path(path),
+            org.apache.orc.OrcFile.readerOptions(conf))
+          try ("ORC", reader.getNumberOfRows,
+            reader.getSchema.getChildren.size)
+          finally reader.close()
+        }).orElse(scala.util.Try {
           require(name.toLowerCase.endsWith(".csv"), s"not a csv: $name")
           val df = spark.read.option("header", true).csv(path)
           ("CSV", df.count(), df.schema.fields.length)

@@ -171,22 +171,32 @@ class ConfigDispatchSpec extends SparkSpec {
       rows.collectFirst { case (_, "updated_time", v) => v })
   }
 
-  test("ENTRY_CREATE routes per format: parquet footer, CSV header+count, junk skipped") {
+  test("ENTRY_CREATE routes per format: parquet/ORC footers, CSV header+count, junk skipped") {
     val dir = java.nio.file.Files.createTempDirectory("entrycsv")
-    // a real header CSV (2 cols, 3 data rows), a junk .csv that still
-    // parses as single-column CSV (CSV has no magic bytes — any text
-    // file with a first line is a 1-column header), and a junk .txt
-    // that matches neither sniff
+    // a real header CSV (2 cols, 3 data rows), a single-file ORC (footer
+    // metadata like parquet), a junk .csv that still parses as
+    // single-column CSV (CSV has no magic bytes — any text file with a
+    // first line is a 1-column header), and a junk .txt that matches no
+    // sniff
     java.nio.file.Files.writeString(dir.resolve("people.csv"),
       "id,name\n1,ada\n2,bob\n3,cid\n")
     java.nio.file.Files.writeString(dir.resolve("junk.txt"), "not a table")
+    val orcStage = dir.resolve("_stage_orc").toString
+    Lake.table(spark, sf, "nation").coalesce(1)
+      .write.mode("overwrite").orc(orcStage)
+    val fs = new org.apache.hadoop.fs.Path(orcStage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(orcStage))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/nation.orc"))
+    fs.delete(new org.apache.hadoop.fs.Path(orcStage), true)
     val out = ConfigDispatch.applyConfig(spark,
       TagConfig("ENTRY_CREATE", "file_metadata", Nil,
         includedUris = Seq(s"$sf/region.parquet", s"$dir/*")),
       base)
     val rows = out.collect().map(r => (r.getString(0), r.getString(3), r.getString(5)))
     assert(rows.map(_._1).distinct.sorted.toSeq ===
-      Seq("fileset/people", "fileset/region"))
+      Seq("fileset/nation", "fileset/people", "fileset/region"))
     def field(uri: String, f: String): String =
       rows.collectFirst { case (`uri`, `f`, v) => v }.get
     assert(field("fileset/people", "type") === "CSV")
@@ -194,6 +204,10 @@ class ConfigDispatchSpec extends SparkSpec {
     assert(field("fileset/people", "num_cols") === "2")
     assert(field("fileset/region", "type") === "PARQUET")
     assert(field("fileset/region", "num_cols") === "2")
+    assert(field("fileset/nation", "type") === "ORC")
+    assert(field("fileset/nation", "num_cols") === "3")
+    assert(field("fileset/nation", "num_rows") ===
+      Lake.table(spark, sf, "nation").count().toString)
   }
 
   test("ENTRY_CREATE over an empty glob is a no-op frame, not a crash") {
