@@ -35,7 +35,19 @@ class BroadcastGuardSpec extends SparkSpec {
     "s01_ann_topk" -> "1-row query vector (vec_id === 0 filter)",
     // same 1-row query vector, plus its 16-bit hyperplane signature — both
     // single-row frames; the hyperplanes themselves are a fixed constant
-    "s03_ann_hyperplane" -> "1-row query vector + its 1-row LSH signature")
+    "s03_ann_hyperplane" -> "1-row query vector + its 1-row LSH signature",
+    // flagged via the LogicalRDD (checkpoint-barrier) rule: the shared
+    // AnnEval index materializes centroids/assignments behind a
+    // localCheckpoint; the hinted frames are the k=8 centroid set and the
+    // nprobe-row probed-bucket list — model data by the IVF contract
+    "s02_ann_ivf" -> "k=8 checkpointed centroids + nprobe-row probe list",
+    // the kCoarse-row ADC shortlist broadcast back to the corpus for the
+    // exact refine — k-row by construction (ivfPqRefineTopKFromCodes
+    // requires kCoarse >= k, both call-site constants)
+    "s14_ivfpq_refine" -> "kCoarse-row checkpointed refine shortlist",
+    // the 2-value perplexity band model row (quantile edges), checkpointed
+    // then crossJoin'd to every doc — O(1) build side
+    "t17_perplexity_band" -> "1-row band-edge model (2 quantile values)")
 
   private def scansCorpus(plan: LogicalPlan): Boolean = plan.exists {
     case l: LogicalRelation => l.relation match {
@@ -45,6 +57,12 @@ class BroadcastGuardSpec extends SparkSpec {
       }
       case _ => false
     }
+    // a localCheckpoint TRUNCATES lineage (LogicalRDD) — provenance is
+    // unknowable from the plan, and the repo's checkpoint barriers sit
+    // exactly on corpus-derived frames (t05's vocab, t10's tf, shingle
+    // sets), so an unknown-provenance broadcast build counts as
+    // corpus-derived unless explicitly allowlisted with its bound
+    case _: org.apache.spark.sql.execution.LogicalRDD => true
     case _ => false
   }
 
