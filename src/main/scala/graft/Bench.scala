@@ -9,11 +9,12 @@ import org.apache.spark.sql.SparkSession
   * load average at start/end and EVERY raw sample per query — a reader can
   * spot external-load noise without re-running. Each query is timed
   * best-of-2 with the SQL cache cleared between runs; a query whose best
-  * is still > 3 s gets a THIRD sample (slow samples are exactly the ones
+  * is still > 1 s gets a THIRD sample (slow samples are exactly the ones
   * that need de-noising — round 8's artifact carried a 16.6 s t05 that
-  * re-measured at 1.1 s on a quiet box because both correlated samples
-  * landed inside one external load spike and the 2×-spread tell alone
-  * didn't fire).
+  * re-measured at 1.1 s on a quiet box, and round 9's carried three
+  * phantom regressions in the 1–3 s band (q39 3.5 s vs 1.1 s quiet-box)
+  * because the old 3 s absolute bar left that band with only two
+  * correlated samples and the 2×-spread tell alone didn't fire).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,7 +62,7 @@ object Bench {
       // be dirty. The absolute bar is 3 s — round 8 shipped a 16.6 s t05
       // (quiet-box truth: 1.1 s) that passed the old 20 s bar with two
       // equally-dirty samples.
-      val noisy = two.min > 3.0 ||
+      val noisy = two.min > 1.0 ||
         (two.min > 0.3 && two.max / two.min > 2.0)
       val samples = if (noisy) two :+ once(fn) else two
       (name, samples.min, samples)

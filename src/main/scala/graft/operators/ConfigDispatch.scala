@@ -65,12 +65,12 @@ object ConfigDispatch {
         // catalog-sized expansions, plan explosion beyond it. When the
         // caller declared the sharded physical source, expansions larger
         // than the threshold compile set-based to ONE statement whose
-        // plan width is O(#fields), independent of asset count. The count
-        // itself is one aggregate over the (metadata-sized) catalog.
+        // plan width is O(#fields), independent of asset count. The
+        // expansion is computed ONCE per dispatch (the count is one
+        // aggregate over the metadata-sized catalog).
         in.shardedSource match {
           case Some((source, shardExpr))
-            if Expander.expand(in.catalog, config.includedUris,
-              config.excludedUris).count() > in.shardRouteThreshold =>
+            if expandOnce(config, in).count() > in.shardRouteThreshold =>
             GroupedEval.applyDynamicTableConfigSharded(
               spark, config, in.catalog, source, shardExpr)
           case _ =>
@@ -79,27 +79,42 @@ object ConfigDispatch {
       case "DYNAMIC_TAG_COLUMN" =>
         // same scale switch as the table branch: above the threshold the
         // whole (asset × column × field) grid compiles to ONE statement.
-        // The included-columns query resolves ONCE against the first
-        // expanded asset (a 1-row driver-metadata statement — the sharded
-        // family's uniform-schema contract; a columns query that genuinely
-        // varies per asset needs the per-asset loop, i.e. no shardedSource)
+        // The included-columns query resolves ONCE against a DETERMINISTIC
+        // representative asset (the expansion ordered by key, so the pick
+        // cannot drift run to run) — the sharded family's uniform-schema
+        // contract. That contract is CHECKED, not assumed: the query also
+        // resolves against the last asset in the same ordering, and a
+        // mismatch fails loudly instead of silently diverging from the
+        // reference's per-asset resolution the moment a catalog crosses
+        // shardRouteThreshold. A columns query that genuinely varies per
+        // asset needs the per-asset loop, i.e. no shardedSource.
+        val expanded = expandOnce(config, in)
         in.shardedSource match {
           case Some((source, shardExpr))
-            if Expander.expand(in.catalog, config.includedUris,
-              config.excludedUris).count() > in.shardRouteThreshold =>
-            val first = Expander.expand(in.catalog, config.includedUris,
-                config.excludedUris)
-              .select("project", "dataset", "table").limit(1).collect().head
-            val firstUri = AssetUri("bigquery", first.getString(0),
-              Some(first.getString(1)), Some(first.getString(2)), None)
-            val colsQuery = ConfigEval.substitute(
-              config.includedColumnsQuery.getOrElse(throw
-                new IllegalArgumentException("included_columns_query required")),
-              firstUri)
-            val columns = spark.sql(colsQuery).first().toSeq.map(_.toString)
+            if expanded.count() > in.shardRouteThreshold =>
+            val ordered = expanded.select("project", "dataset", "table")
+              .orderBy("project", "dataset", "table")
+            val probes = ordered.limit(1).collect() ++
+              ordered.orderBy(col("project").desc, col("dataset").desc,
+                col("table").desc).limit(1).collect()
+            def columnsFor(r: org.apache.spark.sql.Row): Seq[String] = {
+              val uri = AssetUri("bigquery", r.getString(0),
+                Some(r.getString(1)), Some(r.getString(2)), None)
+              spark.sql(ConfigEval.substitute(
+                config.includedColumnsQuery.getOrElse(throw
+                  new IllegalArgumentException("included_columns_query required")),
+                uri)).first().toSeq.map(_.toString)
+            }
+            val columns = columnsFor(probes.head)
+            val columnsLast = columnsFor(probes.last)
+            require(columns == columnsLast,
+              "included_columns_query is not asset-invariant across the " +
+                s"sharded family (first asset → $columns, last → " +
+                s"$columnsLast); the set-based route requires a uniform " +
+                "schema — drop shardedSource to use the per-asset loop")
             GroupedEval.applyDynamicColumnConfigSharded(
               spark, config, in.catalog, source, shardExpr, columns)
-          case _ => expandedUris(config, in.catalog) match {
+          case _ => collectUris(expanded) match {
             case Seq() => TagEngine.emptyTagRows(spark) // empty expansion = no-op job
             case uris => TagEngine.balancedUnion(
               uris.map(uri => TagEngine.applyDynamicColumnConfig(spark, config, uri)))
@@ -210,9 +225,15 @@ object ConfigDispatch {
     }.toDF(TagRowCols: _*)
   }
 
-  private def expandedUris(config: TagConfig, catalog: DataFrame): Seq[AssetUri] =
-    Expander.expand(catalog, config.includedUris, config.excludedUris)
-      .select("project", "dataset", "table").collect()
+  /** One expansion per dispatch call — reused for the route-decision count
+    * and any representative-asset fetch (previously each use re-ran the
+    * expansion job; metadata-sized but repeated per config in a bulk run).
+    */
+  private def expandOnce(config: TagConfig, in: EngineInputs): DataFrame =
+    Expander.expand(in.catalog, config.includedUris, config.excludedUris)
+
+  private def collectUris(expanded: DataFrame): Seq[AssetUri] =
+    expanded.select("project", "dataset", "table").collect()
       .map(r => AssetUri("bigquery", r.getString(0), Some(r.getString(1)),
         Some(r.getString(2)), None)).toSeq
 

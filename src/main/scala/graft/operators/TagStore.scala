@@ -123,27 +123,55 @@ object TagStore {
                       incoming: DataFrame): Long =
     casCommit(spark, path, incoming, reconcile)
 
+  /** A racing writer's vacuum removed a manifest (or a data dir past the
+    * grace window) between our listStatus and open. Inside a Spark job the
+    * raw FileNotFoundException surfaces wrapped (SparkException from task
+    * failure, AnalysisException from spark.read on a vanished path), so the
+    * whole cause chain is walked and the path-not-found AnalysisException
+    * class is matched by message.
+    */
+  private[operators] def isVacuumRace(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if a.getMessage != null &&
+               (a.getMessage.contains("PATH_NOT_FOUND") ||
+                a.getMessage.contains("Path does not exist")) => return true
+        case _ => ()
+      }
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    false
+  }
+
   private def casCommit(spark: SparkSession, path: String,
                         incoming: DataFrame,
                         next: (DataFrame, DataFrame) => DataFrame): Long = {
     while (true) {
-      try {
-        val base = AtomicStore.currentVersion(spark, path)
-        val state = next(load(spark, path, incoming), incoming)
-        AtomicStore.commitSnapshotIfUnchanged(state, path, base) match {
-          case Some(v) =>
-            // bound steady-merge growth: each snapshot is a full table copy
-            // (grace window protects in-flight concurrent commits)
-            AtomicStore.vacuum(spark, path, keepVersions = 2)
-            return v
-          case None => () // conflict: re-read the new base and re-merge
+      // Guard ONLY resolve/merge/commit: a vacuum race there is
+      // indistinguishable from losing the CAS — re-read and re-merge.
+      val committed =
+        try {
+          val base = AtomicStore.currentVersion(spark, path)
+          val state = next(load(spark, path, incoming), incoming)
+          AtomicStore.commitSnapshotIfUnchanged(state, path, base)
+        } catch {
+          case e: Throwable if isVacuumRace(e) => None
         }
-      } catch {
-        // a racing winner can vacuum the manifest we just resolved
-        // (keepVersions=2 + two fast commits land between our listStatus
-        // and open); data dirs survive the grace window, so this is
-        // indistinguishable from losing the CAS — re-read and re-merge
-        case _: java.io.FileNotFoundException => ()
+      committed match {
+        case Some(v) =>
+          // Post-commit maintenance OUTSIDE the guard: our commit already
+          // succeeded, so a racing writer's vacuum failing here must not
+          // re-run the merge (that would double-apply `next`, burn a
+          // version, and return the wrong one). Tolerate and return v.
+          // Bounds steady-merge growth: each snapshot is a full table copy
+          // (grace window protects in-flight concurrent commits).
+          try AtomicStore.vacuum(spark, path, keepVersions = 2)
+          catch { case e: Throwable if isVacuumRace(e) => () }
+          return v
+        case None => () // conflict: re-read the new base and re-merge
       }
     }
     -1L // unreachable
@@ -188,9 +216,10 @@ object TagStore {
         if (AtomicStore.publish(spark, path, parents :+ rel, v)) return v
         // conflict: the stamp no longer matches the next version — rewrite
       } catch {
-        // resolved manifest vacuumed by a racing compaction — same as a
+        // resolved manifest vacuumed by a racing compaction (possibly
+        // surfacing wrapped in a Spark/Analysis exception) — same as a
         // lost publish race: re-resolve and re-stamp
-        case _: java.io.FileNotFoundException => ()
+        case e: Throwable if isVacuumRace(e) => ()
       }
     }
     -1L // unreachable
@@ -227,22 +256,37 @@ object TagStore {
     */
   def compactLog(spark: SparkSession, path: String): Unit = {
     while (true) {
-      try {
-        val base = AtomicStore.currentVersion(spark, path)
-        if (base.isEmpty) return // nothing committed yet — nothing to fold
-        // state resolved INSIDE the loop: a lost race must re-read the
-        // winner's log, not republish a fold of the superseded file set
-        val v = base.getOrElse(-1L) + 1
-        val state = readLatestState(spark, path)
-          .withColumn("__op", lit("upsert"))
-          .withColumn("__batch", lit(v))
-        if (AtomicStore.commitSnapshotIfUnchanged(state, path, base).isDefined) {
-          AtomicStore.vacuum(spark, path, keepVersions = 2)
-          return
+      // Same guard discipline as casCommit: only resolve/fold/commit is
+      // retryable; the post-commit vacuum runs OUTSIDE so its failure can
+      // never swallow a successful fold and re-run it (double-fold burns a
+      // version and violates the soak test's dense-versions invariant).
+      val outcome: Option[Boolean] =
+        try {
+          val base = AtomicStore.currentVersion(spark, path)
+          if (base.isEmpty) Some(false) // nothing committed — nothing to fold
+          else {
+            // state resolved INSIDE the loop: a lost race must re-read the
+            // winner's log, not republish a fold of the superseded file set
+            val v = base.getOrElse(-1L) + 1
+            val state = readLatestState(spark, path)
+              .withColumn("__op", lit("upsert"))
+              .withColumn("__batch", lit(v))
+            if (AtomicStore.commitSnapshotIfUnchanged(state, path, base).isDefined)
+              Some(true)
+            else None // lost the CAS — re-read the winner's log and re-fold
+          }
+        } catch {
+          // resolved manifest vacuumed by a racing writer mid-read — retry
+          case e: Throwable if isVacuumRace(e) => None
         }
-      } catch {
-        // resolved manifest vacuumed by a racing writer mid-read — retry
-        case _: java.io.FileNotFoundException => ()
+      outcome match {
+        case Some(committed) =>
+          if (committed) {
+            try AtomicStore.vacuum(spark, path, keepVersions = 2)
+            catch { case e: Throwable if isVacuumRace(e) => () }
+          }
+          return
+        case None => ()
       }
     }
   }

@@ -181,6 +181,7 @@ class ConfigDispatchSpec extends SparkSpec {
     java.nio.file.Files.writeString(dir.resolve("people.csv"),
       "id,name\n1,ada\n2,bob\n3,cid\n")
     java.nio.file.Files.writeString(dir.resolve("junk.txt"), "not a table")
+    java.nio.file.Files.writeString(dir.resolve("notes.csv"), "not a table")
     val orcStage = dir.resolve("_stage_orc").toString
     Lake.table(spark, sf, "nation").coalesce(1)
       .write.mode("overwrite").orc(orcStage)
@@ -196,9 +197,14 @@ class ConfigDispatchSpec extends SparkSpec {
       base)
     val rows = out.collect().map(r => (r.getString(0), r.getString(3), r.getString(5)))
     assert(rows.map(_._1).distinct.sorted.toSeq ===
-      Seq("fileset/nation", "fileset/people", "fileset/region"))
+      Seq("fileset/nation", "fileset/notes", "fileset/people", "fileset/region"))
     def field(uri: String, f: String): String =
       rows.collectFirst { case (`uri`, `f`, v) => v }.get
+    // the any-text-file edge: .csv name + no magic bytes → its one line
+    // becomes a 1-column header with zero data rows
+    assert(field("fileset/notes", "type") === "CSV")
+    assert(field("fileset/notes", "num_cols") === "1")
+    assert(field("fileset/notes", "num_rows") === "0")
     assert(field("fileset/people", "type") === "CSV")
     assert(field("fileset/people", "num_rows") === "3") // header excluded
     assert(field("fileset/people", "num_cols") === "2")
