@@ -276,9 +276,21 @@ object Similarity {
     * single-probe form at ×nprobe candidate cost.
     */
   def bucketedNearDupPairsMulti(emb: DataFrame, centroids: DataFrame,
-                                threshold: Double, nprobe: Int): DataFrame = {
-    val assigned = ivfAssignMulti(emb, centroids, nprobe)
-    val cands = assigned.as("l").join(assigned.as("r"),
+                                threshold: Double, nprobe: Int): DataFrame =
+    bucketedNearDupPairsFromAssigned(
+      ivfAssignMulti(emb, centroids, nprobe), emb, threshold)
+
+  /** [[bucketedNearDupPairsMulti]] SERVED from a prebuilt assignment
+    * (`(vec_id, centroid_id)`, one row per probe) instead of re-assigning
+    * the corpus per call — the index-sharing form (AnnEval): the
+    * assignment is the expensive self-joined side (an unmaterialized one
+    * recomputes its corpus×k cosine scan once per join side), so callers
+    * pass the checkpointed/persisted table an index build produced once.
+    */
+  def bucketedNearDupPairsFromAssigned(assigned: DataFrame, emb: DataFrame,
+                                       threshold: Double): DataFrame = {
+    val a = assigned.select("vec_id", "centroid_id")
+    val cands = a.as("l").join(a.as("r"),
         col("l.centroid_id") === col("r.centroid_id") &&
         col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"))

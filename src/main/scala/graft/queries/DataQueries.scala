@@ -236,11 +236,12 @@ object DataQueries {
     * BroadcastNestedLoopJoin (PlanSpec).
     */
   def e02EmbedNearDupBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val centroids = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
-    Similarity.bucketedNearDupPairsMulti(e, centroids, threshold = 0.4,
-        nprobe = 2)
+    // SERVED from the shared index (AnnEval.assignedMulti2) — the
+    // assignment self-join reads checkpointed partitions instead of
+    // re-scoring the corpus against the centroids on both join sides.
+    val ix = AnnEval.index(spark, dir)
+    Similarity.bucketedNearDupPairsFromAssigned(ix.assignedMulti2, ix.emb,
+        threshold = 0.4)
       .orderBy("a_id", "b_id")
   }
 

@@ -229,11 +229,13 @@ object DataQueries3 {
     * the keeper test is label equality — no extra window over the corpus.
     */
   def d14SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val centroids = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
-    val pairs = Similarity.bucketedNearDupPairsMulti(e, centroids,
-      threshold = 0.4, nprobe = 2)
+    // SERVED index (AnnEval): the nprobe=2 assignment is checkpointed
+    // once per session and self-joined from those partitions — no
+    // per-run centroid re-assign (the round-9 regression: recall's
+    // nprobe=2 doubled an assignment this query then rebuilt every run).
+    val ix = AnnEval.index(spark, dir)
+    val pairs = Similarity.bucketedNearDupPairsFromAssigned(
+      ix.assignedMulti2, ix.emb, threshold = 0.4)
     graft.operators.Graph.connectedComponents(pairs, "a_id", "b_id")
       .select(col("id").as("vec_id"), col("label").as("cluster_id"))
       .withColumn("is_keeper", col("vec_id") === col("cluster_id"))

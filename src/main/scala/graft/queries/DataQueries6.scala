@@ -53,16 +53,20 @@ object DataQueries6 {
     * eval at one pass per method (s07's barrier rationale).
     */
   def e03EmbedNearDupRecall(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val centroids = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val ix = AnnEval.index(spark, dir)
+    val e = ix.emb
     val truth = Similarity.cosineNearDupPairs(e, threshold = 0.4,
         allowQuadratic = true)
       .select("a_id", "b_id").localCheckpoint()
     val nTruth = truth.agg(count(lit(1)).as("n_truth")).localCheckpoint()
     def scoreOf(name: String, nprobe: Int): DataFrame = {
+      // both measured arms serve their assignment from the shared index
+      // (the production configurations under eval ARE the served ones)
+      val assigned =
+        if (nprobe == 2) ix.assignedMulti2
+        else ix.assigned.select("vec_id", "centroid_id")
       val got = Similarity
-        .bucketedNearDupPairsMulti(e, centroids, threshold = 0.4, nprobe)
+        .bucketedNearDupPairsFromAssigned(assigned, e, threshold = 0.4)
         .select("a_id", "b_id").localCheckpoint()
       got.join(truth.withColumn("hit", lit(1)), Seq("a_id", "b_id"), "left")
         .agg(count(lit(1)).as("n_found"), count(col("hit")).as("n_hits"))

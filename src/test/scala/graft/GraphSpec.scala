@@ -6,28 +6,46 @@ import graft.operators.Graph
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
+  // default path — these sizes all take the one-task local finish
   private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
     Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  // forced THROUGH the distributed BSP loop (no local finish)
+  private def ccDist(edges: Seq[(Long, Long)],
+                     contractMinEdges: Long = 500000L,
+                     localFinishEdges: Long = 0L): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        contractMinEdges = contractMinEdges,
+        localFinishEdges = localFinishEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private val mixed = Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain
+    (10L, 11L), (11L, 12L), (10L, 12L),                 // triangle
+    (20L, 21L))                                          // pair
+  private val mixedExpect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+    10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+
   test("chain + clique + isolated pair resolve to min-id components") {
-    val labels = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain
-      (10L, 11L), (11L, 12L), (10L, 12L),             // triangle
-      (20L, 21L)))                                     // pair
-    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(cc(mixed) == mixedExpect)
   }
 
-  test("long chain converges (pointer jumping beats diameter)") {
+  test("distributed loop matches the local finish on the same graph") {
+    assert(ccDist(mixed) == mixedExpect)
+  }
+
+  test("long chain converges distributed (pointer jumping beats diameter)") {
     // 60-node path: plain propagation would need 60 rounds > maxIter;
     // neighbor-min + double jump must close it within the default cap
-    val labels = cc((0L until 60L).map(i => (i, i + 1)))
+    val labels = ccDist((0L until 60L).map(i => (i, i + 1)))
     assert(labels.size == 61 && labels.values.forall(_ == 0L))
   }
 
-  test("reversed ids and duplicate edges are harmless") {
-    val labels = cc(Seq((5L, 3L), (3L, 5L), (5L, 3L), (9L, 5L)))
-    assert(labels == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
+  test("reversed ids and duplicate edges are harmless (both paths)") {
+    val edges = Seq((5L, 3L), (3L, 5L), (5L, 3L), (9L, 5L))
+    val expect = Map(3L -> 3L, 5L -> 3L, 9L -> 3L)
+    assert(cc(edges) == expect)
+    assert(ccDist(edges) == expect)
   }
 
   test("empty edge set yields empty labels") {
@@ -37,13 +55,23 @@ class GraphSpec extends SparkSpec {
 
   test("contraction on and off produce identical labels") {
     val edges = ((0L until 40L).map(i => (i, i + 1)) ++       // path
-      Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 300L))).toDF("a", "b")
-    val always = Graph.connectedComponents(edges, "a", "b",
-        contractMinEdges = 0L)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val never = Graph.connectedComponents(edges, "a", "b",
-        contractMinEdges = Long.MaxValue)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 300L)))
+    val always = ccDist(edges, contractMinEdges = 0L)
+    val never = ccDist(edges, contractMinEdges = Long.MaxValue)
     assert(always === never)
+  }
+
+  test("contract-then-local-tail composes the remaining merges") {
+    // contraction fires every round (contractMinEdges=0); a small
+    // localFinishEdges lets the LOCAL TAIL take over mid-loop once the
+    // super-graph shrinks under it — labels must still be the exact
+    // min-id components (the 41-node-path shape that pins jump
+    // consistency under contraction)
+    val edges = ((0L until 41L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (200L, 300L)))
+    val tailed = ccDist(edges, contractMinEdges = 0L, localFinishEdges = 10L)
+    val reference = ccDist(edges, contractMinEdges = Long.MaxValue)
+    assert(tailed === reference)
+    assert(tailed.values.toSet === Set(0L, 100L, 200L))
   }
 }
