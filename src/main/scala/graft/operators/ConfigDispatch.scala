@@ -163,9 +163,12 @@ object ConfigDispatch {
     * a driver-side sample read), `num_rows` a distributed count (CSV
     * keeps no footer row count, so unlike the footer formats this is a
     * data pass — one Spark job per CSV file, bounded by the fileset's
-    * file count like the reference's per-blob loop). Files matching no
-    * sniff stay skipped, mirroring the reference's not-a-parquet ERROR
-    * path.
+    * file count like the reference's per-blob loop). `.jsonl`/`.json`
+    * names go through the same shape with the JSON reader (the format
+    * of the reference's catalog backups, BackupFileParser.py:54–126):
+    * schema width from the inferred object fields, rows a data pass.
+    * Files matching no sniff stay skipped, mirroring the reference's
+    * not-a-parquet ERROR path.
     */
   private def entryCreate(spark: SparkSession, config: TagConfig): DataFrame = {
     import graft.sources.FileScan
@@ -195,6 +198,19 @@ object ConfigDispatch {
           require(name.toLowerCase.endsWith(".csv"), s"not a csv: $name")
           val df = spark.read.option("header", true).csv(path)
           ("CSV", df.count(), df.schema.fields.length)
+        }).orElse(scala.util.Try {
+          // JSONL filesets (the reference round-trips jsonlines catalog
+          // dumps, BackupFileParser.py:54–126): schema width from the
+          // inferred object fields, row count a data pass like CSV.
+          // A .jsonl whose lines never parse infers ONLY the
+          // _corrupt_record column — rejected, so junk stays skipped.
+          val lower = name.toLowerCase
+          require(lower.endsWith(".jsonl") || lower.endsWith(".json"),
+            s"not jsonl: $name")
+          val df = spark.read.json(path)
+          val cols = df.schema.fieldNames.filterNot(_ == "_corrupt_record")
+          require(cols.nonEmpty, s"no parseable json fields: $name")
+          ("JSONL", df.count(), cols.length)
         }).toOption
           .map { case (ftype, nRows, nCols) =>
             (path, name, size, mtime, ftype, nRows, nCols)

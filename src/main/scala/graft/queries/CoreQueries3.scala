@@ -134,6 +134,35 @@ object CoreQueries3 {
        |WHERE asset_uri IN ('doc_1', 'doc_3')
        |ORDER BY asset_uri, "column", field_id""".stripMargin
 
+  /** update_tag_subset (main.py:2868–2912 → DataCatalogController
+    * `update_tag_subset`): overwrite ONLY the provided fields of one
+    * existing tag — here doc_2's entry-level `owner` plus a new `status`
+    * field — leaving every untouched field (doc_2's column-level `pii`,
+    * every other asset's tags) exactly in place.
+    */
+  def q50UpdateTagSubset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val updates = Seq(("", "owner", "governance-team"), ("", "status", "VERIFIED"))
+      .toDF("column", "field_id", "field_value")
+    TagOps.updateTagSubset(tagsDf(spark, dir), "doc_2", "t", updates)
+      .orderBy("asset_uri", "column", "field_id")
+  }
+
+  val q50Oracle: String =
+    s"""WITH $tagsCte,
+       |upd AS (
+       |  SELECT 'doc_2' AS asset_uri, '' AS "column", 't' AS template_id,
+       |         'owner' AS field_id, 'governance-team' AS field_value
+       |  UNION ALL
+       |  SELECT 'doc_2', '', 't', 'status', 'VERIFIED'),
+       |kept AS (
+       |  SELECT t.* FROM tags t WHERE NOT EXISTS (
+       |    SELECT 1 FROM upd s WHERE s.asset_uri = t.asset_uri
+       |      AND s."column" = t."column" AND s.template_id = t.template_id
+       |      AND s.field_id = t.field_id))
+       |SELECT * FROM (SELECT * FROM kept UNION ALL SELECT * FROM upd)
+       |ORDER BY asset_uri, "column", field_id""".stripMargin
+
   /** C8: policy-tag schema annotation over the real lineitem schema
     * (schema from parquet footers; requests inline; unknown request
     * columns dropped by the existence check).
@@ -698,6 +727,7 @@ object CoreQueries3 {
     ("q19_ready_configs", q19ReadyConfigs _, Some(q19Oracle)),
     ("q20_next_run_advance", q20NextRunAdvance _, Some(q20Oracle)),
     ("q21_tag_copy", q21TagCopy _, Some(q21Oracle)),
+    ("q50_update_tag_subset", q50UpdateTagSubset _, Some(q50Oracle)),
     ("q22_policy_tags", q22PolicyTags _, Some(q22Oracle)),
     ("q23_rollup", q23Rollup _, Some(q23Oracle)),
     ("q29_cube", q29Cube _, Some(q29Oracle)),

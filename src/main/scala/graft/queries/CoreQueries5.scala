@@ -895,8 +895,63 @@ object CoreQueries5 {
       |       field_id, field_type, field_value
       |FROM m ORDER BY asset_uri, field_id""".stripMargin
 
+  /** ENTRY_CREATE over a JSONL fileset (the format of the reference's
+    * catalog backups, BackupFileParser.py:54–126) mixed with parquet:
+    * nation re-lands as a `.jsonl` dump, region stays parquet, one
+    * config tags both — `num_cols` from the inferred object schema,
+    * `num_rows` as a distributed count (JSONL keeps no footer row
+    * count, same data-pass shape as q49's CSV branch).
+    */
+  def q51EntryJsonl(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{ConfigDispatch, EngineInputs}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q51").toString
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    val stage = new org.apache.hadoop.fs.Path(s"$tmp/_stage_nation")
+    Lake.table(spark, dir, "nation").coalesce(1)
+      .write.mode("overwrite").json(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"q51: no json part file under $stage"))
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$tmp/nation.jsonl"))
+    fs.delete(stage, true)
+    val config = TagConfig(
+      configType = "ENTRY_CREATE",
+      templateId = "file_metadata",
+      fields = Seq("name", "type", "num_rows", "num_cols")
+        .map(f => FieldSpec(f)),
+      includedUris = Seq(s"$tmp/*.jsonl", s"$dir/region.parquet"))
+    val none = spark.emptyDataFrame
+    ConfigDispatch.applyConfig(spark, config, EngineInputs(none, none))
+      .orderBy("asset_uri", "field_id")
+  }
+
+  val q51Oracle: String =
+    """WITH f AS (
+      |  SELECT 'fileset/nation' AS asset_uri, 'nation.jsonl' AS name,
+      |         'JSONL' AS ftype,
+      |         (SELECT count(*) FROM nation) AS num_rows, 3 AS num_cols
+      |  UNION ALL
+      |  SELECT 'fileset/region', 'region.parquet', 'PARQUET',
+      |         (SELECT count(*) FROM region), 2),
+      |m AS (
+      |  SELECT asset_uri, 'name' AS field_id, 'string' AS field_type,
+      |         name AS field_value FROM f
+      |  UNION ALL
+      |  SELECT asset_uri, 'type', 'enum', ftype FROM f
+      |  UNION ALL
+      |  SELECT asset_uri, 'num_rows', 'double',
+      |         CAST(num_rows AS VARCHAR) FROM f
+      |  UNION ALL
+      |  SELECT asset_uri, 'num_cols', 'double',
+      |         CAST(num_cols AS VARCHAR) FROM f)
+      |SELECT asset_uri, '' AS "column", 'file_metadata' AS template_id,
+      |       field_id, field_type, field_value
+      |FROM m ORDER BY asset_uri, field_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q49_entry_csv", q49EntryCsv _, Some(q49Oracle)),
+    ("q51_entry_jsonl", q51EntryJsonl _, Some(q51Oracle)),
     ("q39_bulk_dynamic_column", q39BulkDynamicColumn _, Some(q39Oracle)),
     ("q40_scheduler_tick_jobs", q40SchedulerTickJobs _, Some(q40Oracle)),
     ("q41_usage_tracking", q41UsageTracking _, Some(q41Oracle)),

@@ -182,6 +182,9 @@ class ConfigDispatchSpec extends SparkSpec {
       "id,name\n1,ada\n2,bob\n3,cid\n")
     java.nio.file.Files.writeString(dir.resolve("junk.txt"), "not a table")
     java.nio.file.Files.writeString(dir.resolve("notes.csv"), "not a table")
+    java.nio.file.Files.writeString(dir.resolve("recs.jsonl"),
+      "{\"a\":1,\"b\":\"x\"}\n{\"a\":2,\"b\":\"y\"}\n")
+    java.nio.file.Files.writeString(dir.resolve("bad.jsonl"), "not json at all")
     val orcStage = dir.resolve("_stage_orc").toString
     Lake.table(spark, sf, "nation").coalesce(1)
       .write.mode("overwrite").orc(orcStage)
@@ -196,8 +199,10 @@ class ConfigDispatchSpec extends SparkSpec {
         includedUris = Seq(s"$sf/region.parquet", s"$dir/*")),
       base)
     val rows = out.collect().map(r => (r.getString(0), r.getString(3), r.getString(5)))
+    // bad.jsonl infers only _corrupt_record → rejected like junk.txt
     assert(rows.map(_._1).distinct.sorted.toSeq ===
-      Seq("fileset/nation", "fileset/notes", "fileset/people", "fileset/region"))
+      Seq("fileset/nation", "fileset/notes", "fileset/people",
+        "fileset/recs", "fileset/region"))
     def field(uri: String, f: String): String =
       rows.collectFirst { case (`uri`, `f`, v) => v }.get
     // the any-text-file edge: .csv name + no magic bytes → its one line
@@ -205,6 +210,9 @@ class ConfigDispatchSpec extends SparkSpec {
     assert(field("fileset/notes", "type") === "CSV")
     assert(field("fileset/notes", "num_cols") === "1")
     assert(field("fileset/notes", "num_rows") === "0")
+    assert(field("fileset/recs", "type") === "JSONL")
+    assert(field("fileset/recs", "num_rows") === "2")
+    assert(field("fileset/recs", "num_cols") === "2")
     assert(field("fileset/people", "type") === "CSV")
     assert(field("fileset/people", "num_rows") === "3") // header excluded
     assert(field("fileset/people", "num_cols") === "2")

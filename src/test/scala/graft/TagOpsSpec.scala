@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TagOps
+
+/** update_tag_subset semantics (reference: main.py:2868–2912 →
+  * DataCatalogController.update_tag_subset): a partial-field overwrite of
+  * ONE tag touches exactly the provided fields of exactly the addressed
+  * (asset, template) tag.
+  */
+class TagOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tagState = Seq(
+    ("a1", "", "t", "owner", "alice"),
+    ("a1", "", "t", "status", "DRAFT"),
+    ("a1", "c0", "t", "pii", "none"),
+    ("a1", "", "u", "owner", "ops"),   // other template, same asset
+    ("a2", "", "t", "owner", "bob"))   // other asset, same template
+    .toDF("asset_uri", "column", "template_id", "field_id", "field_value")
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.as[(String, String, String, String, String)].collect()
+      .map(t => (t._1, t._2, t._3, t._4) -> t._5).toMap
+
+  test("partial-field overwrite preserves untouched fields") {
+    val updates = Seq(("", "owner", "carol")).toDF("column", "field_id", "field_value")
+    val out = asMap(TagOps.updateTagSubset(tagState, "a1", "t", updates))
+    assert(out(("a1", "", "t", "owner")) === "carol")        // overwritten
+    assert(out(("a1", "", "t", "status")) === "DRAFT")       // untouched field survives
+    assert(out(("a1", "c0", "t", "pii")) === "none")         // other column untouched
+    assert(out(("a1", "", "u", "owner")) === "ops")          // other template untouched
+    assert(out(("a2", "", "t", "owner")) === "bob")          // other asset untouched
+    assert(out.size === 5)                                    // nothing dropped or duplicated
+  }
+
+  test("a field id absent from the existing tag upserts as a new field") {
+    val updates = Seq(("", "steward", "dq-team")).toDF("column", "field_id", "field_value")
+    val out = asMap(TagOps.updateTagSubset(tagState, "a1", "t", updates))
+    assert(out(("a1", "", "t", "steward")) === "dq-team")
+    assert(out.size === 6)
+  }
+
+  test("column-level subset update addresses only that column's tag") {
+    val updates = Seq(("c0", "pii", "email")).toDF("column", "field_id", "field_value")
+    val out = asMap(TagOps.updateTagSubset(tagState, "a1", "t", updates))
+    assert(out(("a1", "c0", "t", "pii")) === "email")
+    assert(out(("a1", "", "t", "owner")) === "alice")
+    assert(out.size === 5)
+  }
+}
