@@ -152,48 +152,15 @@ object CoreQueries5 {
       Lake.tableNames.map(t => ("p", "lake", t))
         .toDF("project", "dataset", "table")
     }
-    val configs = tickConfigsDf(spark)
-    val due = Scheduler.readReadyConfigs(configs, to_timestamp(lit(tickNow)))
     val emptyTags = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
         "asset_uri string, column string, template_id string, " +
           "field_id string, field_value string"))
-    val dueRows = due
-      .select("config_uuid", "template_id", "included_uris", "version")
-      .collect().sortBy(_.getString(0))
-    val cfgs = dueRows.toSeq.map { r =>
-      r.getString(0) -> TagConfig("DYNAMIC_TAG_TABLE", r.getString(1),
-        tickFields(r.getString(0)),
-        includedUris = r.getString(2).split(",").map(_.trim).toSeq)
-    }
-    val tagRows = TagEngine.runJobs(spark, cfgs, catalog, emptyTags)
-    val versions = {
-      import spark.implicits._
-      dueRows.toSeq.map(r => (r.getString(0), r.getLong(3)))
-        .toDF("config_uuid", "job_version")
-    }
-    // LEFT join from the due list: a due config whose expansion matched
-    // nothing still reports a (SUCCEEDED, 0 assets, 0 rows) job — the
-    // reference's no-op job — instead of vanishing from the tick output
-    val rollup = versions
-      .join(tagRows.groupBy("config_uuid")
-        .agg(count(lit(1)).as("n_tag_rows"),
-          countDistinct(col("asset_uri")).as("n_assets"),
-          sum(when(col("field_id") === "n_rows",
-            col("field_value").cast("double"))).as("sum_n_rows")),
-        Seq("config_uuid"), "left")
-      .withColumn("n_tag_rows", coalesce(col("n_tag_rows"), lit(0L)))
-      .withColumn("n_assets", coalesce(col("n_assets"), lit(0L)))
-      .withColumn("sum_n_rows", coalesce(col("sum_n_rows"), lit(0.0d)))
-      .select(col("config_uuid"),
-        md5(concat_ws("|", col("config_uuid"), col("job_version")))
-          .as("job_uuid"),
-        lit("SUCCEEDED").as("job_status"),
-        col("n_assets"), col("n_tag_rows"), col("sum_n_rows"))
-    val advanced = Scheduler.advanceNextRun(configs, due)
-      .select("config_uuid", "next_run", "version")
-    rollup.join(advanced, "config_uuid")
+    // the tick itself is the reusable transform (Streams.schedulerTick) --
+    // its streaming form runs the SAME code per micro-batch of configs
+    graft.streaming.Streams.schedulerTick(spark, tickConfigsDf(spark),
+        to_timestamp(lit(tickNow)), catalog, emptyTags, tickFields)
       .orderBy("config_uuid")
   }
 

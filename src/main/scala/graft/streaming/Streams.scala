@@ -152,6 +152,72 @@ object Streams {
         "left_semi"),
       source, shardExpr)
 
+  /** The WHOLE `/scheduled_auto_updates` tick as a REUSABLE transform
+    * (main.py:3075–3110): H1 selects the due configs from the given
+    * config snapshot, ALL due configs compile into ONE batched job pass
+    * ([[graft.operators.TagEngine.runJobs]]), and the output is the
+    * q12-style per-job rollup JOINED to the advanced scheduler state
+    * (H2). Due configs are catalog METADATA (the reference's own loop
+    * bound), so the driver-side compile collect is bounded; the tick's
+    * job count is invariant to how many configs are due.
+    *
+    * STREAMING form (the J2-style driver for H1): config rows landing as
+    * files → `readStream` → `foreachBatch(schedulerTick(...))` under
+    * `Trigger.AvailableNow`. Per-config tick outputs are independent
+    * (rollup and advance both key on config_uuid), so the per-micro-batch
+    * ticks union to exactly the one-shot batch tick — StreamingSpec pins
+    * the equivalence on the q40 fixture.
+    */
+  def schedulerTick(spark: SparkSession, configs: DataFrame,
+                    now: org.apache.spark.sql.Column, catalog: DataFrame,
+                    existingTags: DataFrame,
+                    fieldsOf: String => Seq[graft.model.FieldSpec]): DataFrame = {
+    import graft.model.TagConfig
+    import graft.operators.TagEngine
+    import graft.sched.Scheduler
+    import spark.implicits._
+    val due = Scheduler.readReadyConfigs(configs, now)
+    val dueRows = due
+      .select("config_uuid", "template_id", "included_uris", "version")
+      .collect().sortBy(_.getString(0))
+    val emptyTick = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "config_uuid string, job_uuid string, job_status string, " +
+          "n_assets bigint, n_tag_rows bigint, sum_n_rows double, " +
+          "next_run timestamp, version bigint"))
+    if (dueRows.isEmpty) return emptyTick // idle tick: nothing due
+    val cfgs = dueRows.toSeq.map { r =>
+      r.getString(0) -> TagConfig("DYNAMIC_TAG_TABLE", r.getString(1),
+        fieldsOf(r.getString(0)),
+        includedUris = r.getString(2).split(",").map(_.trim).toSeq)
+    }
+    val tagRows = TagEngine.runJobs(spark, cfgs, catalog, existingTags)
+    val versions = dueRows.toSeq.map(r => (r.getString(0), r.getLong(3)))
+      .toDF("config_uuid", "job_version")
+    // LEFT join from the due list: a due config whose expansion matched
+    // nothing still reports a (SUCCEEDED, 0 assets, 0 rows) job — the
+    // reference's no-op job — instead of vanishing from the tick output
+    val rollup = versions
+      .join(tagRows.groupBy("config_uuid")
+        .agg(count(lit(1)).as("n_tag_rows"),
+          countDistinct(col("asset_uri")).as("n_assets"),
+          sum(when(col("field_id") === "n_rows",
+            col("field_value").cast("double"))).as("sum_n_rows")),
+        Seq("config_uuid"), "left")
+      .withColumn("n_tag_rows", coalesce(col("n_tag_rows"), lit(0L)))
+      .withColumn("n_assets", coalesce(col("n_assets"), lit(0L)))
+      .withColumn("sum_n_rows", coalesce(col("sum_n_rows"), lit(0.0d)))
+      .select(col("config_uuid"),
+        md5(concat_ws("|", col("config_uuid"), col("job_version")))
+          .as("job_uuid"),
+        lit("SUCCEEDED").as("job_status"),
+        col("n_assets"), col("n_tag_rows"), col("sum_n_rows"))
+    val advanced = graft.sched.Scheduler.advanceNextRun(configs, due)
+      .select("config_uuid", "next_run", "version")
+    rollup.join(advanced, "config_uuid")
+  }
+
   /** Batch sessionization: a new session starts after a ≥ `gapMinutes`
     * silence per user (lag + running sum — the batch-equivalent of the
     * `flatMapGroupsWithState` session operator). Deterministic: events

@@ -380,4 +380,70 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(out === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
+
+  test("streaming scheduler tick (AvailableNow) == batch tick (H1 streaming form)") {
+    import org.apache.spark.sql.functions._
+    import graft.model.FieldSpec
+    Lake.registerAll(spark, sf)
+    val catalog = {
+      import spark.implicits._
+      Seq(("p", "lake", "region"), ("p", "lake", "nation"),
+        ("p", "lake", "supplier"))
+        .toDF("project", "dataset", "table")
+    }
+    val fields: Map[String, Seq[FieldSpec]] = Map(
+      "cA" -> Seq(
+        FieldSpec("n_rows", "double", Some("select count(*) from $table"))),
+      "cB" -> Seq(
+        FieldSpec("n_rows", "double", Some("select count(*) from $table"))),
+      "cC" -> Seq(
+        FieldSpec("n_rows", "double", Some("select count(*) from $table"))))
+    def mkConfigs(rows: Seq[(String, String, String, Long, String, Long)]) = {
+      import spark.implicits._
+      rows.toDF("config_uuid", "template_id", "included_uris",
+          "refresh_frequency_minutes", "next_run_s", "version")
+        .withColumn("next_run", to_timestamp(col("next_run_s")))
+        .drop("next_run_s")
+        .withColumn("config_type", lit("DYNAMIC_TAG_TABLE"))
+        .withColumn("config_status", lit("ACTIVE"))
+        .withColumn("refresh_mode", lit("AUTO"))
+        .withColumn("scheduling_status", lit("READY"))
+    }
+    // cA and cB due at the tick, cC not — cC must appear in NEITHER form
+    val rows = Seq(
+      ("cA", "gov", "bigquery/project/p/dataset/lake/region", 60L,
+        "2024-03-01 10:00:00", 1L),
+      ("cB", "ops",
+        "bigquery/project/p/dataset/lake/nation, bigquery/project/p/dataset/lake/supplier",
+        30L, "2024-03-01 11:00:00", 3L),
+      ("cC", "gov", "bigquery/project/p/dataset/lake/region", 60L,
+        "2024-03-01 14:00:00", 1L))
+    val now = to_timestamp(lit("2024-03-01 12:00:00"))
+    val emptyTags = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "asset_uri string, column string, template_id string, " +
+          "field_id string, field_value string"))
+    // config state lands over TWO micro-batches (cA+cC, then cB)
+    val stage = Files.createTempDirectory("graft_tick").toString
+    mkConfigs(rows.filter(r => r._1 != "cB")).write.mode("append").parquet(stage)
+    mkConfigs(rows.filter(r => r._1 == "cB")).write.mode("append").parquet(stage)
+    val schema = mkConfigs(rows).schema
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stream = spark.readStream.schema(schema).parquet(stage)
+    val q = stream.writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Streams.schedulerTick(spark, batch, now, catalog, emptyTags, fields)
+          .collect().foreach(r => out += r.mkString("|"))
+      }
+      .start()
+    q.awaitTermination(120000)
+    // per-config tick outputs are independent, so the micro-batch ticks
+    // must union to exactly the one-shot batch tick
+    val batchRows = Streams
+      .schedulerTick(spark, mkConfigs(rows), now, catalog, emptyTags, fields)
+      .collect().map(_.mkString("|")).toSet
+    assert(batchRows.size === 2) // cA, cB due; cC absent
+    assert(out.toSet === batchRows)
+  }
 }
