@@ -74,7 +74,61 @@ object BulkScale {
       Thread.sleep(500) // listener events are async
       println(f"BULKSCALE assets=$n%7d rows=${n * fields.length}%8d " +
         f"wall=$dt%6.1fs sql_executions=${counter.get()}")
+
+      // END-TO-END: the same tag rows through the ACID write path the
+      // engine actually persists with — compute + applyWithDeletes MERGE
+      // + CAS commit + manifest publish (the reference's load test
+      // verifies WRITTEN tags, examples/load/check_tags.py:11–48; a noop
+      // sink leaves the commit leg unmeasured). Wall includes recomputing
+      // the aggregation (this is the whole job, not just the sink).
+      val store = java.nio.file.Files
+        .createTempDirectory(s"graft_bulk_store_$n").toString
+      val t1 = System.nanoTime()
+      val v0 = graft.operators.TagStore.mergeCommit(spark, store, out)
+      val dtCommit = (System.nanoTime() - t1) / 1e9
+      println(f"BULKSCALE_COMMIT assets=$n%7d first_merge wall=$dtCommit%6.1fs " +
+        f"version=$v0 store_bytes=${dirBytes(store)}")
+      if (n == 1000000) {
+        // steady state at the 1M envelope: a SECOND full merge pays the
+        // read-existing + MERGE + snapshot rewrite (the write-amplified
+        // form)...
+        val t2 = System.nanoTime()
+        val v1 = graft.operators.TagStore.mergeCommit(spark, store, out)
+        val dtRe = (System.nanoTime() - t2) / 1e9
+        println(f"BULKSCALE_COMMIT assets=$n%7d re_merge    wall=$dtRe%6.1fs " +
+          f"version=$v1 store_bytes=${dirBytes(store)}")
+        // ...while the delta-log path appends only the batch: seed the
+        // log with the full 1M-asset state, then land a 1k-asset
+        // incremental batch — committed bytes must scale with the BATCH,
+        // not the table (the 100 TB write-path contract).
+        val logStore = java.nio.file.Files
+          .createTempDirectory("graft_bulk_log").toString
+        graft.operators.TagStore.appendMergeCommit(spark, logStore, out)
+        val seeded = dirBytes(logStore)
+        val inc = out.filter(col("asset_uri") <
+          "bigquery/project/p/dataset/lake/events_0000999")
+        val t3 = System.nanoTime()
+        graft.operators.TagStore.appendMergeCommit(spark, logStore, inc)
+        val dtApp = (System.nanoTime() - t3) / 1e9
+        println(f"BULKSCALE_COMMIT assets=$n%7d append_1k   wall=$dtApp%6.1fs " +
+          f"batch_bytes=${dirBytes(logStore) - seeded} log_bytes=${dirBytes(logStore)}")
+      }
+      deleteRec(store)
     }
     spark.stop()
+  }
+
+  private def dirBytes(p: String): Long = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
+
+  private def deleteRec(p: String): Unit = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally s.close()
   }
 }
