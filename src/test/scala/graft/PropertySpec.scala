@@ -91,16 +91,29 @@ class PropertySpec extends SparkSpec {
       }
       val expected = parent.keys.map(v => v -> find(v)).toMap
       // find() roots are the min id of each set because unions always
-      // attach the larger root under the smaller one
+      // attach the larger root under the smaller one. Default path:
+      // graphs this small take the one-task LOCAL union-find.
       val got = Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === expected, s"edges=$edges")
-      // forced per-round contraction must agree (the at-scale path; its
-      // convergence test runs post-jump, not at the neighbor-min stage)
-      val contracted = Graph.connectedComponents(edges.toDF("a", "b"),
-          "a", "b", contractMinEdges = 0L)
+      // the distributed BSP loop (local finish disabled) must agree
+      val dist = Graph.connectedComponents(edges.toDF("a", "b"), "a", "b",
+          localFinishEdges = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(contracted === expected, s"contracted: edges=$edges")
+      assert(dist === expected, s"distributed: edges=$edges")
+      // forced per-round contraction + mid-loop local tail must agree
+      // (the at-scale composition: contraction shrinks the super-graph,
+      // the tail union-find resolves the rest through the label map)
+      val contracted = Graph.connectedComponents(edges.toDF("a", "b"),
+          "a", "b", contractMinEdges = 0L, localFinishEdges = 10L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(contracted === expected, s"contract+tail: edges=$edges")
+      // forced contraction with NO local tail (pure distributed at-scale
+      // path; its convergence test runs post-jump, not at neighbor-min)
+      val contractedDist = Graph.connectedComponents(edges.toDF("a", "b"),
+          "a", "b", contractMinEdges = 0L, localFinishEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(contractedDist === expected, s"contracted: edges=$edges")
     }
   }
 
