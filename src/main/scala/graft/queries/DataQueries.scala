@@ -162,7 +162,7 @@ object DataQueries {
        |ORDER BY a_id, b_id""".stripMargin
 
   def d05Simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(docs(spark, dir), "doc_id", "text").orderBy("doc_id")
+    DocIndex.index(spark, dir).simhash.orderBy("doc_id")
 
   /** The simhash CTE chain over an arbitrary `(doc_id, text)` source
     * relation — d24 re-runs it over the exact-dedup representatives.
@@ -188,7 +188,7 @@ object DataQueries {
        |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin
 
   def d06SimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Dedup.simhash(docs(spark, dir), "doc_id", "text"),
+    Dedup.simhashPairs(DocIndex.index(spark, dir).simhash,
         "doc_id", maxHamming = 8)
       .orderBy("a_id", "b_id")
 

@@ -28,7 +28,7 @@ object DataQueries2 {
     */
   def d09DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.simhashPairs(
-      Dedup.simhash(docs(spark, dir), "doc_id", "text"), "doc_id",
+      DocIndex.index(spark, dir).simhash, "doc_id",
       maxHamming = 8)
     Graph.connectedComponents(pairs, "a_id", "b_id")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))

@@ -283,7 +283,7 @@ object DataQueries5 {
   def d21ClusterKeeper(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val pairs = Dedup.simhashPairs(
-      Dedup.simhash(d, "doc_id", "text"), "doc_id", maxHamming = 4)
+      DocIndex.index(spark, dir).simhash, "doc_id", maxHamming = 4)
     val cc = graft.operators.Graph.connectedComponents(pairs, "a_id", "b_id")
     val scored = d.select(col("doc_id"),
         TextFns.qualityScore(col("text")).as("quality_score"))

@@ -152,7 +152,11 @@ object DataQueries6 {
       .join(exact, "content_hash").select("doc_id", "rep_id")
     val reps = hashed.join(
       exact.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
-    // near-dup stages over representatives only
+    // near-dup stages over representatives only. Signatures computed
+    // directly on the checkpointed reps: the native simhash is one
+    // narrow pass over rows this pipeline already holds materialized —
+    // measured cheaper than semi-join-selecting the shared DocIndex
+    // table (the join's shuffle costs more than the pass it saves)
     val pairs = Dedup.simhashPairs(
       Dedup.simhash(reps, "doc_id", "text"), "doc_id", maxHamming = 4)
     val cc = graft.operators.Graph.connectedComponents(pairs, "a_id", "b_id")
@@ -336,6 +340,8 @@ object DataQueries6 {
     val exact = gated.groupBy("content_hash").agg(min("doc_id").as("rep_id"))
     val reps = gated.join(
       exact.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    // signatures computed on the checkpointed gated reps directly (see
+    // d24's note: one narrow pass beats the semi-join selection here)
     val pairs = Dedup.simhashPairs(
       Dedup.simhash(reps, "doc_id", "text"), "doc_id", maxHamming = 4)
     val cc = graft.operators.Graph.connectedComponents(pairs, "a_id", "b_id")
@@ -594,8 +600,15 @@ object DataQueries6 {
       .select(col("source"),
         explode(TextFns.wordNgramsNative(col("text"), 5)).as("g"))
       .select(col("source"), TextFns.hash60(col("g")).as("h"))
-    val est = h.groupBy("source").agg(
-        countDistinct(col("h")).as("exact_distinct"),
+    // KMV keeps DISTINCT minima, so deduplicating (source, h) first is
+    // estimate-identical — and it turns the mixed distinct/plain agg
+    // (whose rewrite Expands every exploded row ×2 and runs the
+    // non-codegen sketch partials over the full multiset) into one
+    // hash-dedup shuffle followed by a count + sketch over distinct
+    // hashes only. The exact baseline forces the full dedup shuffle
+    // regardless; the production sketch-only path stays O(k)/group.
+    val est = h.distinct().groupBy("source").agg(
+        count(lit(1)).as("exact_distinct"),
         kmvU(col("h")).as("sk"))
       .select(col("source"), col("exact_distinct"),
         round(when(col("sk._1") < k, col("sk._1").cast("double"))

@@ -1,0 +1,55 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Lake
+import graft.operators.Dedup
+
+/** ONE document-signature build per (session, lake dir), shared by every
+  * query over the documents fixture — the d-side sibling of [[AnnEval]]'s
+  * ANN index ("signatures served, not rebuilt"). The simhash signature is
+  * a pure function of the text, so d05 (signatures), d06/d09 (hamming-8
+  * pairs/clusters), d21 (hamming-4 survivorship) and the rep-restricted
+  * pipelines (d24/d25 — a semi-join selects their vertex subset from the
+  * same table) all read the SAME checkpointed `(doc_id, simhash)` table
+  * instead of each re-running the corpus text pass.
+  *
+  * Scale story: what stays resident is bytes per corpus row (one long per
+  * doc), exactly what a production near-dup service persists as its
+  * signature index at write time; the memoization is the in-session
+  * analogue. Components are lazy so a consumer is never charged for an
+  * artifact it doesn't read.
+  */
+object DocIndex {
+
+  final class Index(spark: SparkSession, dir: String) {
+    /** The documents scan — a plan, not a materialization. */
+    lazy val docs: DataFrame = Lake.table(spark, dir, "documents")
+    /** (doc_id, simhash), checkpointed: the one corpus text pass every
+      * simhash consumer would otherwise repeat per run (and the banded
+      * pair join consumes it on BOTH sides of a self-join).
+      */
+    lazy val simhash: DataFrame =
+      Dedup.simhash(docs, "doc_id", "text").localCheckpoint()
+  }
+
+  // Same single-session weak-ref cache discipline as AnnEval.index —
+  // replaced on session change so entries die with their session.
+  private var cached: (java.lang.ref.WeakReference[SparkSession],
+    ConcurrentHashMap[String, Index]) = _
+
+  def index(spark: SparkSession, dir: String): Index = {
+    val perSession = synchronized {
+      Option(cached).map(c => (c._1.get(), c._2)) match {
+        case Some((s, m)) if s eq spark => m
+        case _ =>
+          val m = new ConcurrentHashMap[String, Index]()
+          cached = (new java.lang.ref.WeakReference(spark), m)
+          m
+      }
+    }
+    perSession.computeIfAbsent(dir, _ => new Index(spark, dir))
+  }
+}
