@@ -122,16 +122,21 @@ object CoreQueries {
   def q04ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
     val li = Lake.table(spark, dir, "lineitem")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-    val aggs = cols.flatMap { c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-          countDistinct(col(c)).as(s"ndv_$c"))
-    }
-    val one = li.agg(aggs.head, aggs.tail: _*)
-    val packed = explode(array(cols.map { c =>
-      struct(lit(c).as("column_name"), col(s"min_$c").as("min_val"),
-             col(s"max_$c").as("max_val"), col(s"ndv_$c").as("ndv"))
-    }: _*))
-    one.select(packed.as("r")).select("r.*").orderBy("column_name")
+    // melt → dedup → one plain aggregate. THREE countDistincts in one
+    // agg trigger Catalyst's multi-distinct rewrite (Expand ×3 of the
+    // scan + grouping per distinct key set); melting to (column, value)
+    // costs the same row blow-up but dedups map-side into ONE hash
+    // shuffle of the distinct values, and min/max/ndv all fall out of
+    // the distinct set (min over distinct == min overall). The shuffle
+    // carries distinct values only — the shape that survives a wide scan.
+    val melted = li.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).as("v"))): _*)).as("r"))
+      .select("r.*")
+    melted.distinct()
+      .groupBy("column_name")
+      .agg(min("v").as("min_val"), max("v").as("max_val"),
+        count(lit(1)).as("ndv"))
+      .orderBy("column_name")
   }
 
   val q04Oracle: String =
