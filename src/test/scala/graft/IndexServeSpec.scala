@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.queries.{AnnEval, DocIndex}
+
+/** The session-memoized index tables ("served, not rebuilt") must be
+  * value-identical to a fresh computation — a stale or wrongly-keyed
+  * cache would silently poison every consumer query while the oracle
+  * gate still passed on whichever query built it first.
+  */
+class IndexServeSpec extends SparkSpec {
+
+  test("DocIndex.simhash == fresh Dedup.simhash, and is memoized per dir") {
+    val ix = DocIndex.index(spark, sf)
+    val served = ix.simhash.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh = Dedup.simhash(Lake.table(spark, sf, "documents"),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served === fresh)
+    // same (session, dir) → the SAME Index instance (one build per session)
+    assert(DocIndex.index(spark, sf) eq ix)
+  }
+
+  test("AnnEval.assignedMulti2 == fresh ivfAssignMulti at nprobe=2") {
+    val ix = AnnEval.index(spark, sf)
+    val served = ix.assignedMulti2
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh = Similarity.ivfAssignMulti(ix.emb, ix.centroids, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served === fresh)
+    assert(AnnEval.index(spark, sf) eq ix)
+  }
+
+  test("AnnEval.assigned single-probe == the nprobe=1 head of multi-probe") {
+    val ix = AnnEval.index(spark, sf)
+    val single = ix.assigned.select("vec_id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multiTop = Similarity.ivfAssignMulti(ix.emb, ix.centroids, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single === multiTop) // the tie rule must agree across forms
+  }
+}
