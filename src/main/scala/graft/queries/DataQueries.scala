@@ -291,6 +291,30 @@ object DataQueries {
       .orderBy("rank")
   }
 
+  /** s02's IVF top-k served from the PERSISTED index
+    * ([[graft.operators.AnnIndexStore]]): the session's artifacts land as
+    * atomic lake tables, are loaded back, and the probe runs off the
+    * LOADED assignment (vectors re-attached by key — the persisted table
+    * is bytes-per-row; full-precision vectors stay in the corpus). Same
+    * oracle as s02: persistence must be result-invisible.
+    */
+  def s16AnnPersistedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndexStore
+    val ix = AnnEval.index(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_s16").toString
+    AnnIndexStore.write(spark, root, AnnIndexStore.Components(
+      ix.centroids, ix.assigned, ix.assignedMulti2, ix.codes, ix.sigs))
+    val loaded = AnnIndexStore.load(spark, root)
+    val assignedWithVec = loaded.assigned.join(ix.emb, "vec_id")
+    val query = {
+      import spark.implicits._
+      Seq(Tuple1(ix.query.toSeq)).toDF("qvec")
+    }
+    Similarity.ivfTopK(assignedWithVec, loaded.centroids, query, k = 10,
+        nprobe = 2, excludeId = Some(0L))
+      .orderBy("rank")
+  }
+
   val s02Oracle: String =
     s"""WITH $embCte,
        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
@@ -703,6 +727,7 @@ object DataQueries {
     ("e02_embed_neardup_bucketed", e02EmbedNearDupBucketed _, Some(e02Oracle)),
     ("s01_ann_topk", s01AnnBruteForce _, Some(s01Oracle)),
     ("s02_ann_ivf", s02AnnIvf _, Some(s02Oracle)),
+    ("s16_ann_persisted_index", s16AnnPersistedIndex _, Some(s02Oracle)),
     ("s03_ann_hyperplane", s03AnnHyperplane _, Some(s03Oracle)),
     ("t01_langid", t01LangId _, Some(t01Oracle)),
     ("t02_quality", t02Quality _, Some(t02Oracle)),
