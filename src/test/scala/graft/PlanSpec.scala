@@ -295,6 +295,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q04: column profile plans without the multi-distinct Expand") {
+    // three per-column NDVs via melt+dedup: one hash-dedup shuffle, one
+    // plain aggregate — the mixed-distinct rewrite's Expand (x #distinct
+    // key sets of the whole scan) must not reappear
+    val p = planOf(CoreQueries.q04ColumnProfile(spark, sf))
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("t20: sketch eval aggregates distinct hashes, no Expand") {
+    // KMV is duplicate-insensitive, so the eval dedups (source, hash)
+    // first; the mixed distinct/plain-agg Expand must not reappear and
+    // the sketch partials must run AFTER the dedup
+    val p = planOf(DataQueries6.t20KmvCardinality(spark, sf))
+    assert(!p.contains("Expand"), p)
+  }
+
   test("t21: encoded-vocab join is a size-chosen equi join (no forced hint)") {
     // the encoded vocabulary grows with the corpus (Heaps' law), so the
     // join carries NO broadcast hint (BroadcastGuardSpec pins that); the
