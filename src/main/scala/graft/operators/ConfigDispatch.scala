@@ -158,7 +158,10 @@ object ConfigDispatch {
     * tagging the other formats it enumerates is the natural extension):
     * a file that fails the parquet footer read next tries the ORC footer
     * (row count + schema width are footer metadata exactly like parquet —
-    * driver-side, zero jobs), then — for `.csv` names — the header-aware
+    * driver-side, zero jobs), then the Avro container (schema from the
+    * file header, rows by summing per-block record counts without
+    * decoding payloads — container metadata, driver-side like the
+    * footer formats), then — for `.csv` names — the header-aware
     * Spark CSV reader: `num_cols` from the parsed header (schema width,
     * a driver-side sample read), `num_rows` a distributed count (CSV
     * keeps no footer row count, so unlike the footer formats this is a
@@ -194,6 +197,26 @@ object ConfigDispatch {
           try ("ORC", reader.getNumberOfRows,
             reader.getSchema.getChildren.size)
           finally reader.close()
+        }).orElse(scala.util.Try {
+          // Avro: schema lives in the file HEADER and every data block
+          // carries its record count, so schema width AND row count are
+          // container metadata — driver-side like the parquet/ORC
+          // footers, skipping block payloads without decoding a record.
+          // Magic-byte validated (Obj\x01) by DataFileReader itself.
+          val fsIn = new org.apache.avro.mapred.FsInput(
+            new org.apache.hadoop.fs.Path(path), conf)
+          val rdr = new org.apache.avro.file.DataFileReader[AnyRef](fsIn,
+            new org.apache.avro.generic.GenericDatumReader[AnyRef]())
+          try {
+            val sch = rdr.getSchema
+            val nCols =
+              if (sch.getType == org.apache.avro.Schema.Type.RECORD)
+                sch.getFields.size
+              else 1
+            var n = 0L
+            while (rdr.hasNext) { n += rdr.getBlockCount; rdr.nextBlock() }
+            ("AVRO", n, nCols)
+          } finally rdr.close()
         }).orElse(scala.util.Try {
           require(name.toLowerCase.endsWith(".csv"), s"not a csv: $name")
           val df = spark.read.option("header", true).csv(path)

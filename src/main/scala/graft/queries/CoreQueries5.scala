@@ -916,9 +916,70 @@ object CoreQueries5 {
       |       field_id, field_type, field_value
       |FROM m ORDER BY asset_uri, field_id""".stripMargin
 
+  /** ENTRY_CREATE over an Avro fileset mixed with parquet: nation
+    * re-lands as an Avro container (avro-core writer — the 25-row fixed
+    * TPC-H dimension, driver-staged like q49's CSV rename), region stays
+    * parquet. Both formats tag from CONTAINER metadata alone: parquet
+    * from the footer, Avro from the header schema + per-block record
+    * counts — zero data decode either way.
+    */
+  def q52EntryAvro(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{ConfigDispatch, EngineInputs}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q52").toString
+    val rows = Lake.table(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name").cast("string"),
+        col("n_regionkey").cast("long"))
+      .collect()
+    val schema = org.apache.avro.SchemaBuilder.record("nation").fields()
+      .requiredLong("n_nationkey").requiredString("n_name")
+      .requiredLong("n_regionkey").endRecord()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, new java.io.File(s"$tmp/nation.avro"))
+    rows.foreach(r => w.append(
+      new org.apache.avro.generic.GenericRecordBuilder(schema)
+        .set("n_nationkey", r.getLong(0)).set("n_name", r.getString(1))
+        .set("n_regionkey", r.getLong(2)).build()))
+    w.close()
+    val config = TagConfig(
+      configType = "ENTRY_CREATE",
+      templateId = "file_metadata",
+      fields = Seq("name", "type", "num_rows", "num_cols")
+        .map(f => FieldSpec(f)),
+      includedUris = Seq(s"$tmp/*.avro", s"$dir/region.parquet"))
+    val none = spark.emptyDataFrame
+    ConfigDispatch.applyConfig(spark, config, EngineInputs(none, none))
+      .orderBy("asset_uri", "field_id")
+  }
+
+  val q52Oracle: String =
+    """WITH f AS (
+      |  SELECT 'fileset/nation' AS asset_uri, 'nation.avro' AS name,
+      |         'AVRO' AS ftype,
+      |         (SELECT count(*) FROM nation) AS num_rows, 3 AS num_cols
+      |  UNION ALL
+      |  SELECT 'fileset/region', 'region.parquet', 'PARQUET',
+      |         (SELECT count(*) FROM region), 2),
+      |m AS (
+      |  SELECT asset_uri, 'name' AS field_id, 'string' AS field_type,
+      |         name AS field_value FROM f
+      |  UNION ALL
+      |  SELECT asset_uri, 'type', 'enum', ftype FROM f
+      |  UNION ALL
+      |  SELECT asset_uri, 'num_rows', 'double',
+      |         CAST(num_rows AS VARCHAR) FROM f
+      |  UNION ALL
+      |  SELECT asset_uri, 'num_cols', 'double',
+      |         CAST(num_cols AS VARCHAR) FROM f)
+      |SELECT asset_uri, '' AS "column", 'file_metadata' AS template_id,
+      |       field_id, field_type, field_value
+      |FROM m ORDER BY asset_uri, field_id""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q49_entry_csv", q49EntryCsv _, Some(q49Oracle)),
     ("q51_entry_jsonl", q51EntryJsonl _, Some(q51Oracle)),
+    ("q52_entry_avro", q52EntryAvro _, Some(q52Oracle)),
     ("q39_bulk_dynamic_column", q39BulkDynamicColumn _, Some(q39Oracle)),
     ("q40_scheduler_tick_jobs", q40SchedulerTickJobs _, Some(q40Oracle)),
     ("q41_usage_tracking", q41UsageTracking _, Some(q41Oracle)),

@@ -171,7 +171,7 @@ class ConfigDispatchSpec extends SparkSpec {
       rows.collectFirst { case (_, "updated_time", v) => v })
   }
 
-  test("ENTRY_CREATE routes per format: parquet/ORC footers, CSV header+count, junk skipped") {
+  test("ENTRY_CREATE routes per format: parquet/ORC/Avro metadata, CSV header+count, JSONL infer, junk skipped") {
     val dir = java.nio.file.Files.createTempDirectory("entrycsv")
     // a real header CSV (2 cols, 3 data rows), a single-file ORC (footer
     // metadata like parquet), a junk .csv that still parses as
@@ -185,6 +185,23 @@ class ConfigDispatchSpec extends SparkSpec {
     java.nio.file.Files.writeString(dir.resolve("recs.jsonl"),
       "{\"a\":1,\"b\":\"x\"}\n{\"a\":2,\"b\":\"y\"}\n")
     java.nio.file.Files.writeString(dir.resolve("bad.jsonl"), "not json at all")
+    // a real Avro container (avro-core writer; no Spark datasource needed
+    // for the sniff — it reads header + block counts directly)
+    locally {
+      val schema = org.apache.avro.SchemaBuilder.record("r").fields()
+        .requiredLong("id").requiredString("name").requiredDouble("score")
+        .endRecord()
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](schema))
+      w.create(schema, dir.resolve("events.avro").toFile)
+      (1 to 7).foreach { i =>
+        w.append(new org.apache.avro.generic.GenericRecordBuilder(schema)
+          .set("id", i.toLong).set("name", s"n$i").set("score", i * 0.5)
+          .build())
+      }
+      w.close()
+    }
     val orcStage = dir.resolve("_stage_orc").toString
     Lake.table(spark, sf, "nation").coalesce(1)
       .write.mode("overwrite").orc(orcStage)
@@ -201,8 +218,8 @@ class ConfigDispatchSpec extends SparkSpec {
     val rows = out.collect().map(r => (r.getString(0), r.getString(3), r.getString(5)))
     // bad.jsonl infers only _corrupt_record → rejected like junk.txt
     assert(rows.map(_._1).distinct.sorted.toSeq ===
-      Seq("fileset/nation", "fileset/notes", "fileset/people",
-        "fileset/recs", "fileset/region"))
+      Seq("fileset/events", "fileset/nation", "fileset/notes",
+        "fileset/people", "fileset/recs", "fileset/region"))
     def field(uri: String, f: String): String =
       rows.collectFirst { case (`uri`, `f`, v) => v }.get
     // the any-text-file edge: .csv name + no magic bytes → its one line
@@ -210,6 +227,9 @@ class ConfigDispatchSpec extends SparkSpec {
     assert(field("fileset/notes", "type") === "CSV")
     assert(field("fileset/notes", "num_cols") === "1")
     assert(field("fileset/notes", "num_rows") === "0")
+    assert(field("fileset/events", "type") === "AVRO")
+    assert(field("fileset/events", "num_rows") === "7")
+    assert(field("fileset/events", "num_cols") === "3")
     assert(field("fileset/recs", "type") === "JSONL")
     assert(field("fileset/recs", "num_rows") === "2")
     assert(field("fileset/recs", "num_cols") === "2")
