@@ -32,4 +32,27 @@ class SchedulerSpec extends SparkSpec {
     assert(out("c1") === ("2024-03-01 11:05:00", 4L))
     assert(out("c2") === ("2024-03-01 13:00:00", 1L))
   }
+
+  test("an idle scheduler tick (nothing due) is an empty tick-shaped frame") {
+    val configs = Seq(("c1", "gov", "bigquery/project/p/dataset/lake/region",
+        60L, "2024-03-01 14:00:00", 1L))
+      .toDF("config_uuid", "template_id", "included_uris",
+        "refresh_frequency_minutes", "nr", "version")
+      .withColumn("next_run", to_timestamp($"nr")).drop("nr")
+      .withColumn("config_type", org.apache.spark.sql.functions.lit("DYNAMIC_TAG_TABLE"))
+      .withColumn("config_status", org.apache.spark.sql.functions.lit("ACTIVE"))
+      .withColumn("refresh_mode", org.apache.spark.sql.functions.lit("AUTO"))
+      .withColumn("scheduling_status", org.apache.spark.sql.functions.lit("READY"))
+    val emptyTags = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "asset_uri string, column string, template_id string, " +
+          "field_id string, field_value string"))
+    val out = graft.streaming.Streams.schedulerTick(spark, configs,
+      to_timestamp(org.apache.spark.sql.functions.lit("2024-03-01 12:00:00")),
+      configs.select($"config_uuid".as("project")), emptyTags, _ => Nil)
+    assert(out.isEmpty)
+    assert(out.columns.toSeq === Seq("config_uuid", "job_uuid", "job_status",
+      "n_assets", "n_tag_rows", "sum_n_rows", "next_run", "version"))
+  }
 }
