@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.plans.{CosineSimilarity, LongSetIntersectSize, Md5PrefixLong, Simhash60}
+import graft.plans.{CosineSimilarity, LongSetIntersectSize, Md5PrefixLong,
+  ShingleHashSet, Simhash60, TokenCounts, WordNgrams}
 
 /** Library entry point for `spark.sql.extensions`: installs the engine's
   * native expressions into every session's function registry, so SQL-only
@@ -14,6 +15,9 @@ import graft.plans.{CosineSimilarity, LongSetIntersectSize, Md5PrefixLong, Simha
   *   SELECT graft_md5_prefix(text, 7)        -- digest-bytes → BIGINT hash
   *   SELECT graft_simhash(text)              -- one-pass 60-bit simhash
   *   SELECT graft_set_intersect_size(a, b)   -- |A∩B| over long-array sets
+  *   SELECT graft_word_ngrams(text, 5)       -- distinct hashed word 5-grams
+  *   SELECT graft_token_counts(text)         -- ws/BPE-ish/punct counters, one scan
+  *   SELECT graft_shingle_set(text, 5)       -- distinct hashed char-5 shingles
   *
   * (The Column API in [[graft.functions.VectorFns]]/[[graft.functions.TextFns]]
   * does not need this — it builds the expressions directly.)
@@ -55,6 +59,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "graft_set_intersect_size(arrayA, arrayB)")
         LongSetIntersectSize(exprs.head, exprs(1))
+      }))
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Integer, _) => v.intValue
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_word_ngrams(text, n)")
+        WordNgrams(exprs.head, intLit(exprs(1), "graft_word_ngrams n"),
+          distinct = true)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_counts"),
+      new ExpressionInfo(classOf[TokenCounts].getName, "graft_token_counts"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_token_counts(text)")
+        TokenCounts(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_set"),
+      new ExpressionInfo(classOf[ShingleHashSet].getName, "graft_shingle_set"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_shingle_set(text, k)")
+        ShingleHashSet(exprs.head, intLit(exprs(1), "graft_shingle_set k"))
       }))
   }
 }

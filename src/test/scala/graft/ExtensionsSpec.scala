@@ -35,6 +35,15 @@ class ExtensionsSpec extends SparkSpec {
           |""".stripMargin).head()
       assert(r6.getLong(0) != 0L)
       assert(r6.getInt(1) === 2)
+      // round-10 registrations: word n-grams, token counters, shingle set
+      val r10 = s.sql(
+        """SELECT size(graft_word_ngrams('a b c d e f', 5)) AS ng,
+          |       graft_token_counts('ab cd!').n_ws_tokens AS ws,
+          |       size(graft_shingle_set('abcdef', 5)) AS sh
+          |""".stripMargin).head()
+      assert(r10.getInt(0) === 2)  // two distinct word 5-grams
+      assert(r10.getInt(1) === 2)
+      assert(r10.getInt(2) === 2)  // 'abcde', 'bcdef'
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
