@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the banded simhash join's bucket skew and the salted-join
+  * trade at a given lake: top (chunk_idx, chunk_val) bucket sizes, then
+  * wall time of `Dedup.simhashPairs` at several salt factors (losslessness
+  * is SkewSpec's contract; this probe informs the auto-salting threshold).
+  *
+  * args: [sfDir] [maxHamming] [salts...]
+  */
+object SaltProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf1_synth")
+    val maxHamming = args.lift(1).map(_.toInt).getOrElse(8)
+    val salts = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(0, 4, 8)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.Lake.table(spark, sfDir, "documents")
+    val sigs = graft.operators.Dedup.simhash(docs, "doc_id", "text")
+      .localCheckpoint()
+    // bucket histogram: the candidate join's per-bucket work is size²
+    val nChunks = maxHamming + 1
+    val base = 60 / nChunks
+    val rem = 60 % nChunks
+    val offsets = (0 until nChunks).scanLeft(0)((acc, c) =>
+      acc + base + (if (c < rem) 1 else 0)).init
+    val widths = (0 until nChunks).map(c => base + (if (c < rem) 1 else 0))
+    val chunks = sigs.select(col("simhash"),
+      explode(array((0 until nChunks).map { c =>
+        struct(lit(c).as("ci"),
+          shiftright(col("simhash"), offsets(c))
+            .bitwiseAND(lit((1L << widths(c)) - 1)).as("cv"))
+      }: _*)).as("ch"))
+    val top = chunks.groupBy("ch.ci", "ch.cv").count()
+      .orderBy(col("count").desc).limit(5).collect()
+    println("[salt] top buckets: " +
+      top.map(r => s"(${r.get(0)},${r.get(1)})=${r.getLong(2)}").mkString(", "))
+    salts.foreach { s =>
+      val t0 = System.nanoTime()
+      val n = graft.operators.Dedup.simhashPairs(sigs, "doc_id", maxHamming,
+        salts = s).count()
+      println(f"[salt] salts=$s%2d pairs=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
