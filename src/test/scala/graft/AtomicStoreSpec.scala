@@ -155,6 +155,44 @@ class AtomicStoreSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("concurrent-writer soak: racing appendMergeCommits lose no batch") {
+    // the delta-log sibling of the snapshot soak: two writers race
+    // appendMergeCommit on ONE log. A lost publish race re-stamps and
+    // re-publishes, so every writer's every batch must be present in the
+    // latest-wins state, the version sequence dense, and each surviving
+    // row's __batch stamp equal to the version its commit actually took
+    // (a stale stamp would break latest-wins ordering silently).
+    val r = root()
+    def row(w: Int, i: Int) = Seq(("asset", "", "gov", s"w${w}_r$i", s"$w:$i"))
+      .toDF("asset_uri", "column", "template_id", "field_id", "field_value")
+    val rounds = 15
+    val versions = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]())
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (0 until 2).map { w =>
+      new Thread(() => {
+        try (0 until rounds).foreach { i =>
+          versions.add(TagStore.appendMergeCommit(spark, r, row(w, i)))
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    writers.foreach(_.start())
+    writers.foreach(_.join(600000))
+    assert(failures.isEmpty, s"writer failed: ${Option(failures.peek())}")
+    import scala.jdk.CollectionConverters._
+    assert(versions.asScala.toSet === (0L until 2L * rounds).toSet,
+      s"versions not dense: ${versions.asScala.toSeq.sorted}")
+    val got = TagStore.readLatestState(spark, r)
+      .select("field_id", "field_value").as[(String, String)].collect().toMap
+    val want = (for (w <- 0 until 2; i <- 0 until rounds)
+      yield s"w${w}_r$i" -> s"$w:$i").toMap
+    assert(got === want)
+    // stamp integrity: every log row's __batch is a committed version
+    val stamps = AtomicStore.read(spark, r).select("__batch")
+      .distinct().as[Long].collect().toSet
+    assert(stamps.subsetOf(versions.asScala.toSet))
+  }
+
   test("crash-mid-MERGE: tag store stays at the pre-merge state") {
     val r = root()
     TagStore.mergeCommit(spark, r, tags("a" -> "1", "b" -> "2"))
