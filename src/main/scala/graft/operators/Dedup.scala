@@ -512,8 +512,14 @@ object Dedup {
     // Eager localCheckpoint = the persist+count barrier (the self-join's
     // two sides otherwise both compute the cold simhash aggregation —
     // observed as a bimodal 1.2 s / 9.8 s runtime) without leaking a
-    // CacheManager entry per call
-    val sigsP = sigs.localCheckpoint()
+    // CacheManager entry per call. An input that IS already a
+    // checkpointed/materialized relation (DocIndex's served signature
+    // table — its plan is a bare LogicalRDD) skips the redundant copy.
+    val alreadyMaterialized = sigs.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _ => false
+    }
+    val sigsP = if (alreadyMaterialized) sigs else sigs.localCheckpoint()
     val chunks = sigsP.select(col(idCol).as("id"), col("simhash"),
       explode(array((0 until nChunks).map { c =>
         struct(lit(c).as("chunk_idx"),
