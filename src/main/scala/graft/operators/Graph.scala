@@ -49,6 +49,10 @@ object Graph {
     * min-label contract of the distributed rounds exactly. Emitted
     * vertices = edge endpoints, the same universe the distributed loop
     * labels.
+    *
+    * Both call sites pass a PERSISTED-and-counted edge frame, so the
+    * `coalesce(1)` single task reads cached blocks — it never pulls the
+    * upstream pair pipeline's computation into one task.
     */
   private def localFinish(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
