@@ -315,9 +315,17 @@ object Dedup {
                    k: Int = 5, maxDf: Int = 50,
                    minJaccard: Double = 0.8): DataFrame = {
     val (sets, cands) = rareShingleCandidates(docs, idCol, textCol, k, maxDf)
+    jaccardPairsFromSets(sets, cands, idCol, minJaccard)
+  }
+
+  /** [[jaccardPairs]] SERVED from prebuilt set/candidate tables (the
+    * DocIndex form — shingle sets and rare candidates built once per
+    * session, scored per query).
+    */
+  def jaccardPairsFromSets(sets: DataFrame, cands: DataFrame, idCol: String,
+                           minJaccard: Double): DataFrame =
     jaccardVerifySets(cands, sets, idCol, Some(minJaccard))
       .filter(col("jaccard") >= minJaccard)
-  }
 
   /** Shared candidate front end of [[jaccardPairs]] and
     * [[containmentPairs]]: per-doc shingle-set arrays plus the (a_id, b_id)
@@ -326,6 +334,28 @@ object Dedup {
     * self-join from exploding on stopword-like shingles). Returns
     * `(sets, candidates)`; both are safe to consume more than once.
     */
+  /** Rare-shingle candidate pairs from a PREBUILT (id, hs) set table —
+    * the servable form of the d04/d16 front end: the explode → df-agg →
+    * semi-join → self-join chain runs off whatever materialization the
+    * caller holds (a session-served DocIndex table, a fresh checkpoint).
+    */
+  def rareShingleCandidatesFrom(sets: DataFrame, idCol: String,
+                                maxDf: Int): DataFrame = {
+    // (id, h) rows already distinct per doc — explode of the cached sets
+    val sh = sets.select(col(idCol), explode(col("hs")).as("h"))
+    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    // materialized: the candidate self-join references shr on both sides,
+    // and shr's lineage (explode → df-agg → semi-join) is the expensive
+    // part of the pipeline; a few k rows
+    val shr = sh.join(rare, "h", "left_semi").localCheckpoint()
+    shr.as("l").join(shr.as("r"),
+        col("l.h") === col("r.h") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a_id"), col(s"r.$idCol").as("b_id"))
+      .distinct()
+  }
+
   private def rareShingleCandidates(docs: DataFrame, idCol: String,
                                     textCol: String, k: Int,
                                     maxDf: Int): (DataFrame, DataFrame) = {
@@ -336,20 +366,7 @@ object Dedup {
     // cold cache, but the blocks are GC-released with the DataFrame —
     // no CacheManager entry leaks per operator call
     val sets = shingleSets(docs, idCol, textCol, k).localCheckpoint()
-    // (id, h) rows already distinct per doc — explode of the cached sets
-    val sh = sets.select(col(idCol), explode(col("hs")).as("h"))
-    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("h")
-    // materialized: the candidate self-join references shr on both sides,
-    // and shr's lineage (explode → df-agg → semi-join) is the expensive
-    // part of the pipeline; a few k rows
-    val shr = sh.join(rare, "h", "left_semi").localCheckpoint()
-    val cands = shr.as("l").join(shr.as("r"),
-        col("l.h") === col("r.h") &&
-        col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("a_id"), col(s"r.$idCol").as("b_id"))
-      .distinct()
-    (sets, cands)
+    (sets, rareShingleCandidatesFrom(sets, idCol, maxDf))
   }
 
   /** Asymmetric CONTAINMENT near-dup pairs (Broder's "containment" measure,
@@ -366,6 +383,15 @@ object Dedup {
                        k: Int = 5, maxDf: Int = 50,
                        minContainment: Double = 0.7): DataFrame = {
     val (sets, cands) = rareShingleCandidates(docs, idCol, textCol, k, maxDf)
+    containmentPairsFromSets(sets, cands, idCol, minContainment)
+  }
+
+  /** [[containmentPairs]] SERVED from prebuilt set/candidate tables
+    * (the DocIndex form).
+    */
+  def containmentPairsFromSets(sets: DataFrame, cands: DataFrame,
+                               idCol: String,
+                               minContainment: Double): DataFrame =
     // no ratio pruning: containment has no size-ratio bound (a tiny doc
     // fully contained in a huge one is exactly the signal), so every
     // candidate is scored; the [[scoredPairs]] barrier still keeps the
@@ -378,7 +404,6 @@ object Dedup {
       .select("a_id", "b_id", "inter", "cont_a", "cont_b")
       .filter(col("inter") > 0 &&
         greatest(col("cont_a"), col("cont_b")) >= minContainment)
-  }
 
   /** Cross-document DUPLICATE SPANS (the ExactSubstr idea of Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better", ACL

@@ -113,11 +113,16 @@ object DataQueries {
        |JOIN sizes sb ON sb.doc_id = i.b_id
        |ORDER BY a_id, b_id""".stripMargin
 
-  /** N-gram Jaccard near-dups via rare-shingle candidate pruning. */
-  def d04JaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(docs(spark, dir), "doc_id", "text",
-        k = 5, maxDf = 50, minJaccard = 0.8)
+  /** N-gram Jaccard near-dups via rare-shingle candidate pruning —
+    * sets and candidates SERVED from the session DocIndex (shared with
+    * d16, which scores the identical candidate set by containment).
+    */
+  def d04JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ix = DocIndex.index(spark, dir)
+    Dedup.jaccardPairsFromSets(ix.shingleSets5, ix.rareCandidates50,
+        "doc_id", minJaccard = 0.8)
       .orderBy("a_id", "b_id")
+  }
 
   val d04Oracle: String =
     s"""WITH $shingleCtes,
@@ -138,10 +143,12 @@ object DataQueries {
   /** Asymmetric containment near-dups (quote/subsume detection) — same
     * rare-shingle candidates as d04, verdict is |A∩B|/|A| per side.
     */
-  def d16ContainmentPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairs(docs(spark, dir), "doc_id", "text",
-        k = 5, maxDf = 50, minContainment = 0.7)
+  def d16ContainmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ix = DocIndex.index(spark, dir)
+    Dedup.containmentPairsFromSets(ix.shingleSets5, ix.rareCandidates50,
+        "doc_id", minContainment = 0.7)
       .orderBy("a_id", "b_id")
+  }
 
   val d16Oracle: String =
     s"""WITH $shingleCtes,

@@ -33,6 +33,20 @@ object DocIndex {
       */
     lazy val simhash: DataFrame =
       Dedup.simhash(docs, "doc_id", "text").localCheckpoint()
+    /** (doc_id, hs) char-5 hashed shingle-set arrays, checkpointed — the
+      * set side of the d04/d16 verify joins.
+      */
+    lazy val shingleSets5: DataFrame =
+      Dedup.shingleSets(docs, "doc_id", "text", 5).localCheckpoint()
+    /** (a_id, b_id) rare-shingle candidates at maxDf=50 over
+      * [[shingleSets5]], checkpointed — the shared candidate front end of
+      * the Jaccard (d04) and containment (d16) pair queries: the
+      * explode → document-frequency agg → semi-join → self-join chain is
+      * the expensive half of both, and it is identical between them.
+      */
+    lazy val rareCandidates50: DataFrame =
+      Dedup.rareShingleCandidatesFrom(shingleSets5, "doc_id", 50)
+        .localCheckpoint()
   }
 
   // Same single-session weak-ref cache discipline as AnnEval.index —

@@ -22,6 +22,22 @@ class IndexServeSpec extends SparkSpec {
     assert(DocIndex.index(spark, sf) eq ix)
   }
 
+  test("DocIndex shingle sets + rare candidates == fresh computation") {
+    val ix = DocIndex.index(spark, sf)
+    val servedSets = ix.shingleSets5
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap
+    val freshSets = Dedup.shingleSets(Lake.table(spark, sf, "documents"),
+        "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap
+    assert(servedSets === freshSets)
+    val servedCands = ix.rareCandidates50
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val freshCands = Dedup.rareShingleCandidatesFrom(
+        ix.shingleSets5, "doc_id", maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(servedCands === freshCands)
+  }
+
   test("AnnEval.assignedMulti2 == fresh ivfAssignMulti at nprobe=2") {
     val ix = AnnEval.index(spark, sf)
     val served = ix.assignedMulti2
