@@ -58,8 +58,7 @@ object DataQueries {
     (b * 4 until (b + 1) * 4).map(i => s"mh_$i::VARCHAR").mkString(" || '|' || ")
 
   def d02MinhashSig(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashSignatures(docs(spark, dir), "doc_id", "text")
-      .orderBy("doc_id")
+    DocIndex.index(spark, dir).minhashSigs.orderBy("doc_id")
 
   val d02Oracle: String =
     s"""WITH $shingleCtes, $sigCte
@@ -74,14 +73,12 @@ object DataQueries {
     * and the candidate⨝sets verify joins.
     */
   def d03LshPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    // eager localCheckpoint = the materialize-before-fan-out barrier
-    // (sigs + verify both read sets; the band join reads sigs twice)
-    // without leaking CacheManager entries — see Dedup scaladoc
-    val sets = Dedup.shingleSets(d, "doc_id", "text", 5).localCheckpoint()
-    val sigs = Dedup.minhashFromSets(sets, "doc_id").localCheckpoint()
-    val cands = Dedup.lshCandidates(sigs, "doc_id")
-    Dedup.jaccardVerifySets(cands, sets, "doc_id").orderBy("a_id", "b_id")
+    // sets + signatures SERVED from the session DocIndex (the checkpoint
+    // barrier the fan-out needs is the index table itself)
+    val ix = DocIndex.index(spark, dir)
+    val cands = Dedup.lshCandidates(ix.minhashSigs, "doc_id")
+    Dedup.jaccardVerifySets(cands, ix.shingleSets5, "doc_id")
+      .orderBy("a_id", "b_id")
   }
 
   /** Pair-bounded intersection (expects a `cand(a_id, b_id)` CTE) —

@@ -408,9 +408,9 @@ object DataQueries5 {
     * candidate-bounded join round.
     */
   def d22MinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val sets = Dedup.shingleSets(d, "doc_id", "text", 5).localCheckpoint()
-    val sigs = Dedup.minhashFromSets(sets, "doc_id").localCheckpoint()
+    val ix = DocIndex.index(spark, dir)
+    val sets = ix.shingleSets5
+    val sigs = ix.minhashSigs
     val cands = Dedup.lshCandidates(sigs, "doc_id")
     val exact = Dedup.jaccardVerifySets(cands, sets, "doc_id")
     val agree = (0 until 8).map(i =>

@@ -47,6 +47,14 @@ object DocIndex {
     lazy val rareCandidates50: DataFrame =
       Dedup.rareShingleCandidatesFrom(shingleSets5, "doc_id", 50)
         .localCheckpoint()
+    /** (doc_id, mh_0..mh_7, band_0, band_1) minhash signatures + band
+      * hashes over [[shingleSets5]] (8 affine hashes, 2 bands — the
+      * d02/d03/d22 configuration), checkpointed. Identical to the
+      * straight-from-text form: min over the multiset equals min over
+      * the distinct set.
+      */
+    lazy val minhashSigs: DataFrame =
+      Dedup.minhashFromSets(shingleSets5, "doc_id").localCheckpoint()
   }
 
   // Same single-session weak-ref cache discipline as AnnEval.index —
