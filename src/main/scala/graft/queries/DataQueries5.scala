@@ -191,9 +191,9 @@ object DataQueries5 {
     * exact-Jaccard stage with its lossless size-ratio pruning.
     */
   def d20IncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val sets = Dedup.shingleSets(d, "doc_id", "text", 5).localCheckpoint()
-    val sigs = Dedup.minhashFromSets(sets, "doc_id").localCheckpoint()
+    val ix = DocIndex.index(spark, dir)
+    val sets = ix.shingleSets5
+    val sigs = ix.minhashSigs
     val idx = sigs.filter(col("doc_id") % 10 < 8)
     val batch = sigs.filter(col("doc_id") % 10 >= 8)
     val cands = Dedup.lshCandidatesBetween(batch, idx, "doc_id")
