@@ -108,13 +108,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d02: minhash signatures are a narrow projection (zero shuffle)") {
-    // row-local shingle sets + per-row array_min permutations: the ONLY
-    // allowed exchange is the final presentation orderBy's range partition
+    // SERVED from the session DocIndex: the query plan reads the
+    // checkpointed signature table (no re-derivation, no shuffle — the
+    // ONLY allowed exchange is the presentation orderBy's range partition)
     val p = planOf(DataQueries.d02MinhashSig(spark, sf))
     assert(!p.contains("hashpartitioning"), p)
-    // native one-pass expression, evaluated exactly ONCE (the isNotNull
-    // pushdown trap re-derives it at the scan)
-    assert("shingle_minhash".r.findAllIn(p).length === 1, p)
+    assert(p.contains("ExistingRDD"), p)
+    // and the index BUILD itself stays a narrow per-row projection: the
+    // native set→signature expression evaluated exactly ONCE (the
+    // isNotNull pushdown trap re-derives it at the scan), zero shuffles
+    val docs = graft.Lake.table(spark, sf, "documents")
+    val build = planOf(graft.operators.Dedup.minhashFromSets(
+      graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 5), "doc_id"))
+    assert(!build.contains("hashpartitioning"), build)
+    assert("minhash_from_set".r.findAllIn(build).length === 1, build)
   }
 
   test("s04: int8 quantization is row-local (zero shuffle)") {
