@@ -89,36 +89,41 @@ object ConfigDispatch {
         // shardRouteThreshold. A columns query that genuinely varies per
         // asset needs the per-asset loop, i.e. no shardedSource.
         val expanded = expandOnce(config, in)
+        def perAsset(): DataFrame = collectUris(expanded) match {
+          case Seq() => TagEngine.emptyTagRows(spark) // empty expansion = no-op job
+          case uris => TagEngine.balancedUnion(
+            uris.map(uri => TagEngine.applyDynamicColumnConfig(spark, config, uri)))
+        }
         in.shardedSource match {
-          case Some((source, shardExpr))
-            if expanded.count() > in.shardRouteThreshold =>
-            val ordered = expanded.select("project", "dataset", "table")
-              .orderBy("project", "dataset", "table")
-            val probes = ordered.limit(1).collect() ++
-              ordered.orderBy(col("project").desc, col("dataset").desc,
-                col("table").desc).limit(1).collect()
-            def columnsFor(r: org.apache.spark.sql.Row): Seq[String] = {
-              val uri = AssetUri("bigquery", r.getString(0),
-                Some(r.getString(1)), Some(r.getString(2)), None)
-              spark.sql(ConfigEval.substitute(
-                config.includedColumnsQuery.getOrElse(throw
-                  new IllegalArgumentException("included_columns_query required")),
-                uri)).first().toSeq.map(_.toString)
-            }
-            val columns = columnsFor(probes.head)
-            val columnsLast = columnsFor(probes.last)
-            require(columns == columnsLast,
-              "included_columns_query is not asset-invariant across the " +
-                s"sharded family (first asset → $columns, last → " +
-                s"$columnsLast); the set-based route requires a uniform " +
-                "schema — drop shardedSource to use the per-asset loop")
-            GroupedEval.applyDynamicColumnConfigSharded(
-              spark, config, in.catalog, source, shardExpr, columns)
-          case _ => collectUris(expanded) match {
-            case Seq() => TagEngine.emptyTagRows(spark) // empty expansion = no-op job
-            case uris => TagEngine.balancedUnion(
-              uris.map(uri => TagEngine.applyDynamicColumnConfig(spark, config, uri)))
-          }
+          case Some((source, shardExpr)) =>
+            // route count AND both probe assets in ONE aggregate job over
+            // the expansion (struct min/max orders lexicographically by
+            // (project, dataset, table) — the deterministic ordering the
+            // probe contract pins); previously count + two sort-limit
+            // collects re-ran the expansion three times
+            val key = struct(col("project"), col("dataset"), col("table"))
+            val stats = expanded.agg(count(lit(1)).as("n"),
+              min(key).as("lo"), max(key).as("hi")).first()
+            if (stats.getLong(0) > in.shardRouteThreshold) {
+              def columnsFor(r: org.apache.spark.sql.Row): Seq[String] = {
+                val uri = AssetUri("bigquery", r.getString(0),
+                  Some(r.getString(1)), Some(r.getString(2)), None)
+                spark.sql(ConfigEval.substitute(
+                  config.includedColumnsQuery.getOrElse(throw
+                    new IllegalArgumentException("included_columns_query required")),
+                  uri)).first().toSeq.map(_.toString)
+              }
+              val columns = columnsFor(stats.getStruct(1))
+              val columnsLast = columnsFor(stats.getStruct(2))
+              require(columns == columnsLast,
+                "included_columns_query is not asset-invariant across the " +
+                  s"sharded family (first asset → $columns, last → " +
+                  s"$columnsLast); the set-based route requires a uniform " +
+                  "schema — drop shardedSource to use the per-asset loop")
+              GroupedEval.applyDynamicColumnConfigSharded(
+                spark, config, in.catalog, source, shardExpr, columns)
+            } else perAsset()
+          case None => perAsset()
         }
       case "STATIC_TAG_ASSET"  => staticAsset(spark, config, in)
       case "GLOSSARY_TAG_ASSET" => glossary(config, in)
@@ -205,8 +210,13 @@ object ConfigDispatch {
           // Magic-byte validated (Obj\x01) by DataFileReader itself.
           val fsIn = new org.apache.avro.mapred.FsInput(
             new org.apache.hadoop.fs.Path(path), conf)
-          val rdr = new org.apache.avro.file.DataFileReader[AnyRef](fsIn,
-            new org.apache.avro.generic.GenericDatumReader[AnyRef]())
+          // reader-ctor failure (every non-Avro file probed lands here)
+          // must close the already-open stream — the finally below only
+          // guards the post-construction read
+          val rdr =
+            try new org.apache.avro.file.DataFileReader[AnyRef](fsIn,
+              new org.apache.avro.generic.GenericDatumReader[AnyRef]())
+            catch { case e: Throwable => fsIn.close(); throw e }
           try {
             val sch = rdr.getSchema
             val nCols =
@@ -233,7 +243,14 @@ object ConfigDispatch {
           val df = spark.read.json(path)
           val cols = df.schema.fieldNames.filterNot(_ == "_corrupt_record")
           require(cols.nonEmpty, s"no parseable json fields: $name")
-          ("JSONL", df.count(), cols.length)
+          // num_rows counts PARSEABLE records only: a junk line in an
+          // otherwise-valid file lands in _corrupt_record and must not
+          // inflate the tag (consistent with the all-corrupt rejection)
+          val nRows =
+            if (df.schema.fieldNames.contains("_corrupt_record"))
+              df.filter(col("_corrupt_record").isNull).count()
+            else df.count()
+          ("JSONL", nRows, cols.length)
         }).toOption
           .map { case (ftype, nRows, nCols) =>
             (path, name, size, mtime, ftype, nRows, nCols)

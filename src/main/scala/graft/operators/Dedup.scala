@@ -488,24 +488,37 @@ object Dedup {
     * because the sides are disjoint by contract, and at scale the small
     * batch side broadcasts against the chunk-bucketed index.
     */
+  /** The (chunk_idx, chunk_val) explosion every banded simhash join keys
+    * on: signature split into `nChunks` pigeonhole chunks (widths
+    * `bits/nChunks`, the first `bits%nChunks` one wider). ONE definition
+    * shared by [[simhashPairs]], [[simhashPairsBetween]] and the skew
+    * probe (tools.SaltProbe) — the probe must measure exactly the buckets
+    * the joins shuffle on, so the layout cannot fork.
+    */
+  private[graft] def simhashChunks(sigs: DataFrame, idCol: String,
+                                   nChunks: Int, bits: Int = 60): DataFrame = {
+    val base = bits / nChunks
+    val rem = bits % nChunks
+    // chunk c covers [off(c), off(c)+width(c)) with widths base(+1 for first rem)
+    val offsets = (0 until nChunks).scanLeft(0)((acc, c) =>
+      acc + base + (if (c < rem) 1 else 0)).init
+    val widths = (0 until nChunks).map(c => base + (if (c < rem) 1 else 0))
+    sigs.select(col(idCol).as("id"), col("simhash"),
+      explode(array((0 until nChunks).map { c =>
+        struct(lit(c).as("chunk_idx"),
+          shiftright(col("simhash"), offsets(c))
+            .bitwiseAND(lit((1L << widths(c)) - 1)).as("chunk_val"))
+      }: _*)).as("ch"))
+      .select(col("id"), col("simhash"), col("ch.chunk_idx"),
+        col("ch.chunk_val"))
+  }
+
   def simhashPairsBetween(leftSigs: DataFrame, rightSigs: DataFrame,
                           idCol: String, maxHamming: Int,
                           bits: Int = 60): DataFrame = {
     val nChunks = maxHamming + 1
-    val base = bits / nChunks
-    val rem = bits % nChunks
-    val offsets = (0 until nChunks).scanLeft(0)((acc, c) =>
-      acc + base + (if (c < rem) 1 else 0)).init
-    val widths = (0 until nChunks).map(c => base + (if (c < rem) 1 else 0))
     def chunksOf(sigs: DataFrame): DataFrame =
-      sigs.select(col(idCol).as("id"), col("simhash"),
-        explode(array((0 until nChunks).map { c =>
-          struct(lit(c).as("chunk_idx"),
-            shiftright(col("simhash"), offsets(c))
-              .bitwiseAND(lit((1L << widths(c)) - 1)).as("chunk_val"))
-        }: _*)).as("ch"))
-        .select(col("id"), col("simhash"), col("ch.chunk_idx"),
-          col("ch.chunk_val"))
+      simhashChunks(sigs, idCol, nChunks, bits)
     chunksOf(leftSigs).as("l").join(chunksOf(rightSigs).as("r"),
         col("l.chunk_idx") === col("r.chunk_idx") &&
         col("l.chunk_val") === col("r.chunk_val"))
@@ -527,12 +540,6 @@ object Dedup {
   def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int,
                    bits: Int = 60, salts: Int = 0): DataFrame = {
     val nChunks = maxHamming + 1
-    val base = bits / nChunks
-    val rem = bits % nChunks
-    // chunk c covers [off(c), off(c)+width(c)) with widths base(+1 for first rem)
-    val offsets = (0 until nChunks).scanLeft(0)((acc, c) =>
-      acc + base + (if (c < rem) 1 else 0)).init
-    val widths = (0 until nChunks).map(c => base + (if (c < rem) 1 else 0))
     // materialized: chunk rows feed both sides of the candidate self-join.
     // Eager localCheckpoint = the persist+count barrier (the self-join's
     // two sides otherwise both compute the cold simhash aggregation —
@@ -545,13 +552,7 @@ object Dedup {
       case _ => false
     }
     val sigsP = if (alreadyMaterialized) sigs else sigs.localCheckpoint()
-    val chunks = sigsP.select(col(idCol).as("id"), col("simhash"),
-      explode(array((0 until nChunks).map { c =>
-        struct(lit(c).as("chunk_idx"),
-          shiftright(col("simhash"), offsets(c))
-            .bitwiseAND(lit((1L << widths(c)) - 1)).as("chunk_val"))
-      }: _*)).as("ch"))
-      .select(col("id"), col("simhash"), col("ch.chunk_idx"), col("ch.chunk_val"))
+    val chunks = simhashChunks(sigsP, idCol, nChunks, bits)
     // `salts > 1` = the lossless salted self-join ([[saltedSides]]) for
     // boilerplate-heavy corpora whose hottest (chunk_idx, chunk_val)
     // outgrows AQE's skew split; default relies on AQE

@@ -130,6 +130,16 @@ object TagStore {
     * whole cause chain is walked and the path-not-found AnalysisException
     * class is matched by message.
     */
+  /** Vacuum-race retries allowed before concluding the missing file is a
+    * persistent failure, not a transient race. A real race resolves on
+    * the next re-read (the racing writer's manifest is already durable),
+    * so the cap never fires under contention; it exists so a genuinely
+    * vanished input — the CALLER's temp dir deleted, lost checkpoint
+    * blocks — surfaces as the original error instead of a hot loop
+    * re-running the same failing job forever.
+    */
+  private val MaxRaceRetries = 8
+
   private[operators] def isVacuumRace(e: Throwable): Boolean = {
     var c: Throwable = e
     while (c != null) {
@@ -149,6 +159,7 @@ object TagStore {
   private def casCommit(spark: SparkSession, path: String,
                         incoming: DataFrame,
                         next: (DataFrame, DataFrame) => DataFrame): Long = {
+    var races = 0
     while (true) {
       // Guard ONLY resolve/merge/commit: a vacuum race there is
       // indistinguishable from losing the CAS — re-read and re-merge.
@@ -158,7 +169,11 @@ object TagStore {
           val state = next(load(spark, path, incoming), incoming)
           AtomicStore.commitSnapshotIfUnchanged(state, path, base)
         } catch {
-          case e: Throwable if isVacuumRace(e) => None
+          case e: Throwable if isVacuumRace(e) =>
+            races += 1
+            if (races > MaxRaceRetries) throw e
+            Thread.sleep(50L * races)
+            None
         }
       committed match {
         case Some(v) =>
@@ -204,6 +219,7 @@ object TagStore {
       .select(upserts.columns.filterNot(_ == "__op").map(col): _*)
       .withColumn("__op", lit("delete_tag"))
     val delta = upserts.unionByName(deletes)
+    var races = 0
     while (true) {
       try {
         val base = AtomicStore.currentVersion(spark, path)
@@ -218,8 +234,12 @@ object TagStore {
       } catch {
         // resolved manifest vacuumed by a racing compaction (possibly
         // surfacing wrapped in a Spark/Analysis exception) — same as a
-        // lost publish race: re-resolve and re-stamp
-        case e: Throwable if isVacuumRace(e) => ()
+        // lost publish race: re-resolve and re-stamp (bounded: a missing
+        // INPUT would throw identically forever)
+        case e: Throwable if isVacuumRace(e) =>
+          races += 1
+          if (races > MaxRaceRetries) throw e
+          Thread.sleep(50L * races)
       }
     }
     -1L // unreachable
@@ -255,6 +275,7 @@ object TagStore {
     * grace window.
     */
   def compactLog(spark: SparkSession, path: String): Unit = {
+    var races = 0
     while (true) {
       // Same guard discipline as casCommit: only resolve/fold/commit is
       // retryable; the post-commit vacuum runs OUTSIDE so its failure can
@@ -276,8 +297,13 @@ object TagStore {
             else None // lost the CAS — re-read the winner's log and re-fold
           }
         } catch {
-          // resolved manifest vacuumed by a racing writer mid-read — retry
-          case e: Throwable if isVacuumRace(e) => None
+          // resolved manifest vacuumed by a racing writer mid-read —
+          // retry (bounded: a persistently missing input throws forever)
+          case e: Throwable if isVacuumRace(e) =>
+            races += 1
+            if (races > MaxRaceRetries) throw e
+            Thread.sleep(50L * races)
+            None
         }
       outcome match {
         case Some(committed) =>

@@ -134,8 +134,10 @@ object CoreQueries {
       .select("r.*")
     melted.distinct()
       .groupBy("column_name")
+      // count(v), not count(1): a NULL survives the distinct as its own
+      // row but COUNT(DISTINCT c) semantics exclude it from ndv
       .agg(min("v").as("min_val"), max("v").as("max_val"),
-        count(lit(1)).as("ndv"))
+        count(col("v")).as("ndv"))
       .orderBy("column_name")
   }
 

@@ -832,8 +832,10 @@ object CoreQueries5 {
         .map(f => FieldSpec(f)),
       includedUris = Seq(s"$tmp/*.csv", s"$dir/supplier.parquet"))
     val none = spark.emptyDataFrame
-    ConfigDispatch.applyConfig(spark, config, EngineInputs(none, none))
-      .orderBy("asset_uri", "field_id")
+    CoreQueries.materializeThenDelete(spark,
+      ConfigDispatch.applyConfig(spark, config, EngineInputs(none, none))
+        .orderBy("asset_uri", "field_id"),
+      java.nio.file.Paths.get(tmp))
   }
 
   val q49Oracle: String =
@@ -889,8 +891,10 @@ object CoreQueries5 {
         .map(f => FieldSpec(f)),
       includedUris = Seq(s"$tmp/*.jsonl", s"$dir/region.parquet"))
     val none = spark.emptyDataFrame
-    ConfigDispatch.applyConfig(spark, config, EngineInputs(none, none))
-      .orderBy("asset_uri", "field_id")
+    CoreQueries.materializeThenDelete(spark,
+      ConfigDispatch.applyConfig(spark, config, EngineInputs(none, none))
+        .orderBy("asset_uri", "field_id"),
+      java.nio.file.Paths.get(tmp))
   }
 
   val q51Oracle: String =
@@ -949,8 +953,10 @@ object CoreQueries5 {
         .map(f => FieldSpec(f)),
       includedUris = Seq(s"$tmp/*.avro", s"$dir/region.parquet"))
     val none = spark.emptyDataFrame
-    ConfigDispatch.applyConfig(spark, config, EngineInputs(none, none))
-      .orderBy("asset_uri", "field_id")
+    CoreQueries.materializeThenDelete(spark,
+      ConfigDispatch.applyConfig(spark, config, EngineInputs(none, none))
+        .orderBy("asset_uri", "field_id"),
+      java.nio.file.Paths.get(tmp))
   }
 
   val q52Oracle: String =

@@ -314,9 +314,14 @@ object DataQueries {
       import spark.implicits._
       Seq(Tuple1(ix.query.toSeq)).toDF("qvec")
     }
-    Similarity.ivfTopK(assignedWithVec, loaded.centroids, query, k = 10,
-        nprobe = 2, excludeId = Some(0L))
-      .orderBy("rank")
+    // the probe result is LAZY over the loaded lake tables: materialize
+    // before deleting the temp index root (and delete it — repeated
+    // bench sampling must not accumulate index copies under /tmp)
+    CoreQueries.materializeThenDelete(spark,
+      Similarity.ivfTopK(assignedWithVec, loaded.centroids, query, k = 10,
+          nprobe = 2, excludeId = Some(0L))
+        .orderBy("rank"),
+      java.nio.file.Paths.get(root))
   }
 
   val s02Oracle: String =

@@ -112,6 +112,7 @@ object BulkScale {
         val dtApp = (System.nanoTime() - t3) / 1e9
         println(f"BULKSCALE_COMMIT assets=$n%7d append_1k   wall=$dtApp%6.1fs " +
           f"batch_bytes=${dirBytes(logStore) - seeded} log_bytes=${dirBytes(logStore)}")
+        deleteRec(logStore)
       }
       deleteRec(store)
     }

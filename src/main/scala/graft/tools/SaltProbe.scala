@@ -22,20 +22,13 @@ object SaltProbe {
     val docs = graft.Lake.table(spark, sfDir, "documents")
     val sigs = graft.operators.Dedup.simhash(docs, "doc_id", "text")
       .localCheckpoint()
-    // bucket histogram: the candidate join's per-bucket work is size²
-    val nChunks = maxHamming + 1
-    val base = 60 / nChunks
-    val rem = 60 % nChunks
-    val offsets = (0 until nChunks).scanLeft(0)((acc, c) =>
-      acc + base + (if (c < rem) 1 else 0)).init
-    val widths = (0 until nChunks).map(c => base + (if (c < rem) 1 else 0))
-    val chunks = sigs.select(col("simhash"),
-      explode(array((0 until nChunks).map { c =>
-        struct(lit(c).as("ci"),
-          shiftright(col("simhash"), offsets(c))
-            .bitwiseAND(lit((1L << widths(c)) - 1)).as("cv"))
-      }: _*)).as("ch"))
-    val top = chunks.groupBy("ch.ci", "ch.cv").count()
+    // bucket histogram: the candidate join's per-bucket work is size².
+    // Chunk layout comes from Dedup.simhashChunks — the SAME definition
+    // the join shuffles on, so the probe cannot silently measure
+    // different buckets than the join uses.
+    val chunks = graft.operators.Dedup
+      .simhashChunks(sigs, "doc_id", maxHamming + 1)
+    val top = chunks.groupBy("chunk_idx", "chunk_val").count()
       .orderBy(col("count").desc).limit(5).collect()
     println("[salt] top buckets: " +
       top.map(r => s"(${r.get(0)},${r.get(1)})=${r.getLong(2)}").mkString(", "))
