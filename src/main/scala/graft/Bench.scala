@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
   * run-to-run for identical code), so the artifact records the 1-minute
   * load average at start/end and EVERY raw sample per query — a reader can
   * spot external-load noise without re-running. Each query is timed
-  * best-of-2 with the SQL cache cleared between runs; a query whose best
+  * best-of-2 with the SQL cache cleared between runs — the two samples
+  * come from two INTERLEAVED full passes over the suite, so a load spike
+  * shorter than a pass can dirty at most one of them; a query whose best
   * is still > 1 s gets a THIRD sample (slow samples are exactly the ones
   * that need de-noising — round 8's artifact carried a 16.6 s t05 that
   * re-measured at 1.1 s on a quiet box, and round 9's carried three
@@ -52,17 +54,25 @@ object Bench {
       t
     }
     def fmt(d: Double): String = f"$d%.3f"
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val two = Seq(once(fn), once(fn))
+    // INTERLEAVED sampling: one full pass over every query, then a
+    // second full pass — back-to-back samples of the same query are
+    // CORRELATED under a minutes-long external load spike on this
+    // multi-tenant box (observed repeatedly: a spike spanning an
+    // alphabetical window inflates BOTH adjacent samples 10–100×, e.g. a
+    // t01 that measured [82 s, 125 s] back-to-back vs 1.0 s quiet-box),
+    // while two passes separated by the whole suite give every query one
+    // sample outside any sub-suite-length spike.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (_, fn) => once(fn) }
+    val pass2 = ordered.map { case (_, fn) => once(fn) }
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      val two = Seq(pass1(i), pass2(i))
       // third sample when the best is slow in absolute terms OR the two
-      // samples disagree strongly: back-to-back samples are CORRELATED
-      // under a minutes-long external load spike on this multi-tenant box
-      // (observed: four identical runs, different queries inflated each
-      // time), and a >2× spread is the cheap tell that both samples may
-      // be dirty. The absolute bar is 1 s (lowered from 3 s after round 9
-      // shipped three phantom regressions in the 1–3 s band); round 8's
-      // 16.6 s t05 (quiet-box truth: 1.1 s) passed the even older 20 s
-      // bar with two equally-dirty samples.
+      // samples disagree strongly (>2× spread = at least one is dirty).
+      // The absolute bar is 1 s (lowered from 3 s after round 9 shipped
+      // three phantom regressions in the 1–3 s band); round 8's 16.6 s
+      // t05 (quiet-box truth: 1.1 s) passed the even older 20 s bar with
+      // two equally-dirty samples.
       val noisy = two.min > 1.0 ||
         (two.min > 0.3 && two.max / two.min > 2.0)
       val samples = if (noisy) two :+ once(fn) else two

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.AtomicStore
+
+/** PERSISTED form of the document-signature index: the artifacts the
+  * in-session memo (`graft.queries.DocIndex`) keeps as localCheckpoints —
+  * simhash signatures and minhash signatures/band hashes — written as
+  * [[AtomicStore]] tables under one root, the d-side sibling of
+  * [[AnnIndexStore]]. A production near-dup service computes signatures
+  * ONCE at ingest time and persists them; every later dedup query (batch
+  * or incremental probe) joins against the signature TABLE instead of
+  * re-running the corpus text pass. The shingle SETS are deliberately not
+  * persisted: they are ~8× the text bytes (one long per character
+  * position), while both signature tables are O(bytes per doc) — the
+  * verify joins that need sets re-derive them for the CANDIDATE subset
+  * only, which is the cheaper trade at lake scale.
+  *
+  * Each component is its own atomically-versioned table (readers never
+  * see a half-written component; a crashed write leaves the previous
+  * version readable). Signatures are pure per-row functions of the text,
+  * so incremental ingest is [[appendSimhash]]/[[appendMinhash]]: the new
+  * batch's signature rows land as an appended batch — commit bytes scale
+  * with the BATCH, never the corpus (the same write-path contract as
+  * `TagStore.appendMergeCommit`).
+  */
+object DocIndexStore {
+
+  final case class Components(
+      simhash: DataFrame,     // (doc_id, simhash)
+      minhashSigs: DataFrame) // (doc_id, mh_0..mh_7, band_0, band_1)
+
+  /** Write both components as atomic tables under `root`. Returns the
+    * committed version per component.
+    */
+  def write(spark: SparkSession, root: String, c: Components): Map[String, Long] =
+    Map(
+      "simhash" -> AtomicStore.commitSnapshot(c.simhash, s"$root/simhash"),
+      "minhash" -> AtomicStore.commitSnapshot(c.minhashSigs, s"$root/minhash"))
+
+  /** Load the persisted components (each at its current version). */
+  def load(spark: SparkSession, root: String): Components =
+    Components(
+      AtomicStore.read(spark, s"$root/simhash"),
+      AtomicStore.read(spark, s"$root/minhash"))
+
+  /** Append a new ingest batch's simhash signatures: one atomic commit
+    * whose bytes scale with the batch. Signatures are per-row pure
+    * functions, so append IS the whole incremental maintenance story —
+    * no rebuild, no merge.
+    */
+  def appendSimhash(spark: SparkSession, root: String,
+                    newSigs: DataFrame): Long =
+    AtomicStore.commitAppend(newSigs, s"$root/simhash")
+
+  /** Same, for the minhash signature/band table. */
+  def appendMinhash(spark: SparkSession, root: String,
+                    newSigs: DataFrame): Long =
+    AtomicStore.commitAppend(newSigs, s"$root/minhash")
+}

@@ -204,6 +204,30 @@ object DataQueries {
        |WHERE bit_count(xor(l.simhash, r.simhash)) <= 8
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** d06's pairs served from the PERSISTED signature index
+    * ([[graft.operators.DocIndexStore]], the d-side sibling of s16): the
+    * first ~80% of the corpus lands as the initial index write, the rest
+    * as an incremental APPEND batch (signatures are per-row pure
+    * functions, so append is the whole maintenance story), then the
+    * banded pair join runs off the LOADED table. Same oracle as d06:
+    * persistence + incremental append must be result-invisible.
+    */
+  def d28PersistedSigIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DocIndexStore
+    val ix = DocIndex.index(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_d28").toString
+    val split = col("doc_id") % 5 < 4
+    DocIndexStore.write(spark, root, DocIndexStore.Components(
+      ix.simhash.filter(split), ix.minhashSigs.filter(split)))
+    DocIndexStore.appendSimhash(spark, root, ix.simhash.filter(!split))
+    DocIndexStore.appendMinhash(spark, root, ix.minhashSigs.filter(!split))
+    val loaded = DocIndexStore.load(spark, root)
+    CoreQueries.materializeThenDelete(spark,
+      Dedup.simhashPairs(loaded.simhash, "doc_id", maxHamming = 8)
+        .orderBy("a_id", "b_id"),
+      java.nio.file.Paths.get(root))
+  }
+
   // ----------------------------------------------------------- similarity
 
   /** DuckDB cosine between two `array<double>` expressions, mirroring
@@ -730,6 +754,7 @@ object DataQueries {
     ("d16_containment", d16ContainmentPairs _, Some(d16Oracle)),
     ("d05_simhash", d05Simhash _, Some(d05Oracle)),
     ("d06_simhash_pairs", d06SimhashPairs _, Some(d06Oracle)),
+    ("d28_persisted_sig_index", d28PersistedSigIndex _, Some(d06Oracle)),
     ("d07_split_assign", d07SplitAssign _, Some(d07Oracle)),
     ("d08_contamination", d08Contamination _, Some(d08Oracle)),
     ("e01_embed_neardup", e01EmbedNearDup _, Some(e01Oracle)),
