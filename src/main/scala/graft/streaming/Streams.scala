@@ -27,13 +27,15 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
-  /** The streaming form: parquet source → watermark → windowed agg.
-    * Late data beyond 10 minutes is dropped once the watermark passes.
+  /** The streaming form: parquet source over `streamDir` → watermark →
+    * windowed agg. Late data beyond 10 minutes is dropped once the
+    * watermark passes. StreamingSpec drives this against an
+    * incrementally-staged copy of the batch table and pins equality with
+    * [[windowedEventCounts]] over the batch form.
     */
-  def streamingEventCounts(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Lake.table(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(s"$dir/events_stream") // directory of batch-shaped files
+  def streamingEventCounts(spark: SparkSession, streamDir: String,
+                           schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
     windowedEventCounts(stream.withWatermark("ts", "10 minutes"))
   }
 

@@ -14,6 +14,17 @@ class SimilaritySpec extends SparkSpec {
     .select(col("vec_id"),
       graft.functions.VectorFns.toDoubleArray(col("embedding")).as("vec"))
 
+  test("lshTopK convenience form equals lshTopKIndexed over derived signatures") {
+    val hyperplanes = emb.filter(col("vec_id").between(1, 4))
+      .select((col("vec_id") - 1).as("hp_id"), col("vec").as("hvec"))
+    val inline = Similarity.lshTopK(emb, hyperplanes, queryId = 0L, k = 10)
+      .collect().map(_.mkString("|"))
+    val indexed = Similarity.lshTopKIndexed(emb,
+        Similarity.hyperplaneSignatures(emb, hyperplanes), queryId = 0L, k = 10)
+      .collect().map(_.mkString("|"))
+    assert(inline.toSeq === indexed.toSeq)
+  }
+
   test("empty centroid set fails fast, not with scored.head on Array()") {
     val empty = Seq.empty[(Long, Array[Double])].toDF("centroid_id", "cvec")
     val e = intercept[IllegalArgumentException] {

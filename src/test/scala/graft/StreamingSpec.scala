@@ -18,8 +18,7 @@ class StreamingSpec extends SparkSpec {
     events.filter(org.apache.spark.sql.functions.col("event_id") % 2 === 1)
       .write.mode("append").parquet(stage)
 
-    val stream = spark.readStream.schema(events.schema).parquet(stage)
-    val agg = Streams.windowedEventCounts(stream.withWatermark("ts", "10 minutes"))
+    val agg = Streams.streamingEventCounts(spark, stage, events.schema)
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName("wincounts")
       .trigger(Trigger.AvailableNow()).start()

@@ -30,4 +30,28 @@ class TagStoreSpec extends SparkSpec {
       .select("asset_uri", "field_value").as[(String, String)].collect().toMap
     assert(out === Map("a" -> "new", "b" -> "keep"))
   }
+
+  test("dropAllEmptyTags: removes only tag instances whose every field is empty") {
+    // asset a: one empty + one non-empty field → the instance SURVIVES
+    // (not all-empty); asset b: all fields empty → dropped whole
+    val incoming = Seq(
+      ("a", "f1", ""), ("a", "f2", "v"), ("b", "f1", ""), ("b", "f2", ""))
+      .toDF("asset_uri", "field_id", "field_value")
+      .select($"asset_uri", org.apache.spark.sql.functions.lit("").as("column"),
+        org.apache.spark.sql.functions.lit("t").as("template_id"),
+        $"field_id", $"field_value")
+    val out = TagStore.dropAllEmptyTags(incoming)
+      .select("asset_uri", "field_id").as[(String, String)].collect().toSet
+    assert(out === Set("a" -> "f1", "a" -> "f2"))
+  }
+
+  test("reconcileCommit: the ACID form equals reconcile applied through the store") {
+    val path = java.nio.file.Files.createTempDirectory("graft_reccommit").toString
+    val v0 = TagStore.reconcileCommit(spark, path, tags("a" -> "old", "b" -> "keep"))
+    val v1 = TagStore.reconcileCommit(spark, path, tags("a" -> "new"))
+    assert(v0 === 0L && v1 === 1L)
+    val stored = graft.sources.AtomicStore.read(spark, path)
+      .select("asset_uri", "field_value").as[(String, String)].collect().toMap
+    assert(stored === Map("a" -> "new", "b" -> "keep"))
+  }
 }
