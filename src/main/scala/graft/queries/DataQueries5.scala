@@ -738,7 +738,9 @@ object DataQueries5 {
     * use the tail-collapse formulation).
     */
   def t18BpeTrain(spark: SparkSession, dir: String): DataFrame =
-    Bpe.train(docs(spark, dir), "text", steps = 3)
+    // SERVED from the session DocIndex (IndexServeSpec pins equality
+    // with a fresh Bpe.train); t21's encode shares the same table
+    DocIndex.index(spark, dir).bpeMerges3
 
   val t18Oracle: String = {
     def pairCte(i: Int): String =

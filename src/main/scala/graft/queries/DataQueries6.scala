@@ -662,7 +662,10 @@ object DataQueries6 {
     */
   def t21BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val merges = Bpe.train(d, "text", steps = 3).orderBy("step")
+    // merge table SERVED from the session DocIndex — the 3-round corpus
+    // aggregation t18 gates is a pure corpus function, re-paid per t21
+    // run otherwise (the collect is 3 model-sized rows)
+    val merges = DocIndex.index(spark, dir).bpeMerges3.orderBy("step")
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     val vocabEnc = Bpe.encode(d, "text", merges)
       .select(col("w"), size(col("symbols")).as("n_tok"),

@@ -55,6 +55,15 @@ object DocIndex {
       */
     lazy val minhashSigs: DataFrame =
       Dedup.minhashFromSets(shingleSets5, "doc_id").localCheckpoint()
+    /** BPE merge table (3 steps) trained on the corpus, checkpointed —
+      * a MODEL-sized (3-row) pure function of the text, the same
+      * "train once at write time, serve every later query" artifact as
+      * the signature tables: t18 gates the training algorithm and t21's
+      * encode consumes the merges, so without the memo every t21 run
+      * re-pays the 3-round corpus aggregation t18 already ran.
+      */
+    lazy val bpeMerges3: DataFrame =
+      graft.operators.Bpe.train(docs, "text", steps = 3).localCheckpoint()
   }
 
   // Same single-session weak-ref cache discipline as AnnEval.index —

@@ -38,6 +38,15 @@ class IndexServeSpec extends SparkSpec {
     assert(servedCands === freshCands)
   }
 
+  test("DocIndex.bpeMerges3 == fresh Bpe.train at 3 steps") {
+    val ix = DocIndex.index(spark, sf)
+    val served = ix.bpeMerges3.collect().map(_.mkString("|")).toSet
+    val fresh = graft.operators.Bpe.train(
+        Lake.table(spark, sf, "documents"), "text", steps = 3)
+      .collect().map(_.mkString("|")).toSet
+    assert(served === fresh)
+  }
+
   test("AnnEval.assignedMulti2 == fresh ivfAssignMulti at nprobe=2") {
     val ix = AnnEval.index(spark, sf)
     val served = ix.assignedMulti2
