@@ -245,11 +245,17 @@ object ConfigDispatch {
           require(cols.nonEmpty, s"no parseable json fields: $name")
           // num_rows counts PARSEABLE records only: a junk line in an
           // otherwise-valid file lands in _corrupt_record and must not
-          // inflate the tag (consistent with the all-corrupt rejection)
+          // inflate the tag (consistent with the all-corrupt rejection).
+          // Spark refuses a query referencing ONLY the corrupt-record
+          // column of a raw json scan (UNSUPPORTED_FEATURE.QUERY_ONLY_
+          // CORRUPT_RECORD_COLUMN) — cache the parsed result first, the
+          // documented workaround; these are single metadata-sized files.
           val nRows =
-            if (df.schema.fieldNames.contains("_corrupt_record"))
-              df.filter(col("_corrupt_record").isNull).count()
-            else df.count()
+            if (df.schema.fieldNames.contains("_corrupt_record")) {
+              val parsed = df.cache()
+              try parsed.filter(col("_corrupt_record").isNull).count()
+              finally parsed.unpersist()
+            } else df.count()
           ("JSONL", nRows, cols.length)
         }).toOption
           .map { case (ftype, nRows, nCols) =>

@@ -327,13 +327,6 @@ object Dedup {
     jaccardVerifySets(cands, sets, idCol, Some(minJaccard))
       .filter(col("jaccard") >= minJaccard)
 
-  /** Shared candidate front end of [[jaccardPairs]] and
-    * [[containmentPairs]]: per-doc shingle-set arrays plus the (a_id, b_id)
-    * pairs sharing at least one *rare* shingle (document frequency ≤
-    * maxDf — the classic prefix/rare-token pruning that keeps the
-    * self-join from exploding on stopword-like shingles). Returns
-    * `(sets, candidates)`; both are safe to consume more than once.
-    */
   /** Rare-shingle candidate pairs from a PREBUILT (id, hs) set table —
     * the servable form of the d04/d16 front end: the explode → df-agg →
     * semi-join → self-join chain runs off whatever materialization the
@@ -356,6 +349,13 @@ object Dedup {
       .distinct()
   }
 
+  /** Shared candidate front end of [[jaccardPairs]] and
+    * [[containmentPairs]]: per-doc shingle-set arrays plus the (a_id, b_id)
+    * pairs sharing at least one *rare* shingle (document frequency ≤
+    * maxDf — the classic prefix/rare-token pruning that keeps the
+    * self-join from exploding on stopword-like shingles). Returns
+    * `(sets, candidates)`; both are safe to consume more than once.
+    */
   private def rareShingleCandidates(docs: DataFrame, idCol: String,
                                     textCol: String, k: Int,
                                     maxDf: Int): (DataFrame, DataFrame) = {
@@ -546,9 +546,14 @@ object Dedup {
     // observed as a bimodal 1.2 s / 9.8 s runtime) without leaking a
     // CacheManager entry per call. An input that IS already a
     // checkpointed/materialized relation (DocIndex's served signature
-    // table — its plan is a bare LogicalRDD) skips the redundant copy.
+    // table) skips the redundant copy — but a bare LogicalRDD plan node
+    // alone is NOT proof of materialization (createDataFrame over an
+    // expensive uncached RDD is also a LogicalRDD), so the underlying
+    // RDD must actually be checkpointed or persisted.
     val alreadyMaterialized = sigs.queryExecution.analyzed match {
-      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.isCheckpointed ||
+          r.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
       case _ => false
     }
     val sigsP = if (alreadyMaterialized) sigs else sigs.localCheckpoint()

@@ -14,33 +14,6 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Connected components by iterative min-label propagation: every vertex
-    * repeatedly adopts the smallest label among itself and its neighbors
-    * until fixpoint. Output: `(id, component)` with `component` = the
-    * minimum vertex id of the component — a deterministic canonical
-    * representative (the "keeper" under a min-id survivor rule).
-    *
-    * Scale shape: each iteration is one equi-join (edges ⨝ labels, keyed
-    * on vertex id) plus one map-side-combined `min` aggregation — both
-    * shuffle-partitioned by vertex id, so a cluster co-partitions them
-    * and the per-iteration cost is linear in |E|. Iteration count is the
-    * graph diameter; near-dup clusters are dense (diameter 2–4), so the
-    * loop converges in a handful of rounds. For adversarial long-chain
-    * graphs switch to the alternating large-star/small-star contraction,
-    * which converges in O(log n) rounds; plain propagation is the right
-    * trade for dedup workloads.
-    *
-    * The driver loop is orchestration only (no data on the driver): each
-    * round materializes the new label table EAGERLY with
-    * `localCheckpoint()` and probes convergence with a `limit(1)`
-    * existence join. The checkpoint is load-bearing, not an optimization:
-    * `next` references `labels` twice (union + join), so without lineage
-    * truncation the logical plan doubles per round and Catalyst analysis
-    * goes exponential by iteration ~10 — the standard iterative-DataFrame
-    * trap (GraphX/ML checkpoint for the same reason). On a real cluster
-    * use `spark.sparkContext.setCheckpointDir` + `checkpoint()` for
-    * executor-loss resilience; local mode has no such failure domain.
-    */
   /** One-task union-find over a SMALL edge set — the local tail of the
     * distributed loop, not a driver collect: the edges coalesce into a
     * single executor partition and the component labels come back as a
@@ -83,6 +56,33 @@ object Graph {
       .toDF("id", "label")
   }
 
+  /** Connected components by iterative min-label propagation: every vertex
+    * repeatedly adopts the smallest label among itself and its neighbors
+    * until fixpoint. Output: `(id, component)` with `component` = the
+    * minimum vertex id of the component — a deterministic canonical
+    * representative (the "keeper" under a min-id survivor rule).
+    *
+    * Scale shape: each iteration is one equi-join (edges ⨝ labels, keyed
+    * on vertex id) plus one map-side-combined `min` aggregation — both
+    * shuffle-partitioned by vertex id, so a cluster co-partitions them
+    * and the per-iteration cost is linear in |E|. Iteration count is the
+    * graph diameter; near-dup clusters are dense (diameter 2–4), so the
+    * loop converges in a handful of rounds. For adversarial long-chain
+    * graphs switch to the alternating large-star/small-star contraction,
+    * which converges in O(log n) rounds; plain propagation is the right
+    * trade for dedup workloads.
+    *
+    * The driver loop is orchestration only (no data on the driver): each
+    * round materializes the new label table EAGERLY with
+    * `localCheckpoint()` and probes convergence with a `limit(1)`
+    * existence join. The checkpoint is load-bearing, not an optimization:
+    * `next` references `labels` twice (union + join), so without lineage
+    * truncation the logical plan doubles per round and Catalyst analysis
+    * goes exponential by iteration ~10 — the standard iterative-DataFrame
+    * trap (GraphX/ML checkpoint for the same reason). On a real cluster
+    * use `spark.sparkContext.setCheckpointDir` + `checkpoint()` for
+    * executor-loss resilience; local mode has no such failure domain.
+    */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
                           verbose: Boolean = false,

@@ -123,6 +123,19 @@ object TagStore {
                       incoming: DataFrame): Long =
     casCommit(spark, path, incoming, reconcile)
 
+  /** CONSECUTIVE vacuum-race retries allowed before concluding the
+    * missing file is a persistent failure, not a transient race. A real
+    * race resolves on the next re-read (the racing writer's manifest is
+    * already durable), and the counter resets whenever a round completes
+    * without a race (a plain lost CAS is other writers' progress, not a
+    * failure), so the cap never fires under contention however long the
+    * commit loop runs; it exists so a genuinely vanished input — the
+    * CALLER's temp dir deleted, lost checkpoint blocks — surfaces as the
+    * original error instead of a hot loop re-running the same failing
+    * job forever.
+    */
+  private val MaxRaceRetries = 8
+
   /** A racing writer's vacuum removed a manifest (or a data dir past the
     * grace window) between our listStatus and open. Inside a Spark job the
     * raw FileNotFoundException surfaces wrapped (SparkException from task
@@ -130,16 +143,6 @@ object TagStore {
     * whole cause chain is walked and the path-not-found AnalysisException
     * class is matched by message.
     */
-  /** Vacuum-race retries allowed before concluding the missing file is a
-    * persistent failure, not a transient race. A real race resolves on
-    * the next re-read (the racing writer's manifest is already durable),
-    * so the cap never fires under contention; it exists so a genuinely
-    * vanished input — the CALLER's temp dir deleted, lost checkpoint
-    * blocks — surfaces as the original error instead of a hot loop
-    * re-running the same failing job forever.
-    */
-  private val MaxRaceRetries = 8
-
   private[operators] def isVacuumRace(e: Throwable): Boolean = {
     var c: Throwable = e
     while (c != null) {
@@ -167,7 +170,11 @@ object TagStore {
         try {
           val base = AtomicStore.currentVersion(spark, path)
           val state = next(load(spark, path, incoming), incoming)
-          AtomicStore.commitSnapshotIfUnchanged(state, path, base)
+          val r = AtomicStore.commitSnapshotIfUnchanged(state, path, base)
+          races = 0 // round completed race-free (a lost CAS is other
+          // writers' progress, not failure): only CONSECUTIVE races count
+          // toward the cap — a vanished input fails every round
+          r
         } catch {
           case e: Throwable if isVacuumRace(e) =>
             races += 1
@@ -230,7 +237,9 @@ object TagStore {
           .flatMap(AtomicStore.filesAt(spark, path, _))
           .map(p => new org.apache.hadoop.fs.Path(p).getName)
         if (AtomicStore.publish(spark, path, parents :+ rel, v)) return v
-        // conflict: the stamp no longer matches the next version — rewrite
+        // conflict: the stamp no longer matches the next version — rewrite.
+        // Round completed race-free, so the consecutive-race cap resets.
+        races = 0
       } catch {
         // resolved manifest vacuumed by a racing compaction (possibly
         // surfacing wrapped in a Spark/Analysis exception) — same as a
@@ -292,8 +301,10 @@ object TagStore {
             val state = readLatestState(spark, path)
               .withColumn("__op", lit("upsert"))
               .withColumn("__batch", lit(v))
-            if (AtomicStore.commitSnapshotIfUnchanged(state, path, base).isDefined)
-              Some(true)
+            val won =
+              AtomicStore.commitSnapshotIfUnchanged(state, path, base).isDefined
+            races = 0 // round completed race-free — consecutive-race cap resets
+            if (won) Some(true)
             else None // lost the CAS — re-read the winner's log and re-fold
           }
         } catch {

@@ -87,7 +87,7 @@ object BulkScale {
       val v0 = graft.operators.TagStore.mergeCommit(spark, store, out)
       val dtCommit = (System.nanoTime() - t1) / 1e9
       println(f"BULKSCALE_COMMIT assets=$n%7d first_merge wall=$dtCommit%6.1fs " +
-        f"version=$v0 store_bytes=${dirBytes(store)}")
+        f"version=$v0 store_bytes=${Fs.dirBytes(store)}")
       if (n == 1000000) {
         // steady state at the 1M envelope: a SECOND full merge pays the
         // read-existing + MERGE + snapshot rewrite (the write-amplified
@@ -96,7 +96,7 @@ object BulkScale {
         val v1 = graft.operators.TagStore.mergeCommit(spark, store, out)
         val dtRe = (System.nanoTime() - t2) / 1e9
         println(f"BULKSCALE_COMMIT assets=$n%7d re_merge    wall=$dtRe%6.1fs " +
-          f"version=$v1 store_bytes=${dirBytes(store)}")
+          f"version=$v1 store_bytes=${Fs.dirBytes(store)}")
         // ...while the delta-log path appends only the batch: seed the
         // log with the full 1M-asset state, then land a 1k-asset
         // incremental batch — committed bytes must scale with the BATCH,
@@ -104,32 +104,20 @@ object BulkScale {
         val logStore = java.nio.file.Files
           .createTempDirectory("graft_bulk_log").toString
         graft.operators.TagStore.appendMergeCommit(spark, logStore, out)
-        val seeded = dirBytes(logStore)
+        val seeded = Fs.dirBytes(logStore)
         val inc = out.filter(col("asset_uri") <
           "bigquery/project/p/dataset/lake/events_0000999")
         val t3 = System.nanoTime()
         graft.operators.TagStore.appendMergeCommit(spark, logStore, inc)
         val dtApp = (System.nanoTime() - t3) / 1e9
         println(f"BULKSCALE_COMMIT assets=$n%7d append_1k   wall=$dtApp%6.1fs " +
-          f"batch_bytes=${dirBytes(logStore) - seeded} log_bytes=${dirBytes(logStore)}")
-        deleteRec(logStore)
+          f"batch_bytes=${Fs.dirBytes(logStore) - seeded} log_bytes=${Fs.dirBytes(logStore)}")
+        Fs.deleteRec(logStore)
       }
-      deleteRec(store)
+      Fs.deleteRec(store)
     }
     spark.stop()
   }
 
-  private def dirBytes(p: String): Long = {
-    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
-    try s.filter(java.nio.file.Files.isRegularFile(_))
-      .mapToLong(java.nio.file.Files.size(_)).sum()
-    finally s.close()
-  }
 
-  private def deleteRec(p: String): Unit = {
-    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
-    try s.sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    finally s.close()
-  }
 }

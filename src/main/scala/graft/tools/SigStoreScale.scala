@@ -30,7 +30,7 @@ object SigStoreScale {
     graft.operators.DocIndexStore.write(spark, root,
       graft.operators.DocIndexStore.Components(sim, mh))
     val dtSeed = (System.nanoTime() - t0) / 1e9
-    val seeded = dirBytes(root)
+    val seeded = Fs.dirBytes(root)
     println(f"SIGSTORE docs=$nDocs%7d seed        wall=$dtSeed%6.2fs bytes=$seeded")
     // incremental batch: signatures for `batchDocs` docs (re-stamped ids
     // so they read as NEW ingest rows)
@@ -43,22 +43,10 @@ object SigStoreScale {
     graft.operators.DocIndexStore.appendMinhash(spark, root, batchMh)
     val dtApp = (System.nanoTime() - t1) / 1e9
     println(f"SIGSTORE docs=$nDocs%7d append_$batchDocs%-4d wall=$dtApp%6.2fs " +
-      f"batch_bytes=${dirBytes(root) - seeded} total_bytes=${dirBytes(root)}")
-    deleteRec(root)
+      f"batch_bytes=${Fs.dirBytes(root) - seeded} total_bytes=${Fs.dirBytes(root)}")
+    Fs.deleteRec(root)
     spark.stop()
   }
 
-  private def dirBytes(p: String): Long = {
-    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
-    try s.filter(java.nio.file.Files.isRegularFile(_))
-      .mapToLong(java.nio.file.Files.size(_)).sum()
-    finally s.close()
-  }
 
-  private def deleteRec(p: String): Unit = {
-    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
-    try s.sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    finally s.close()
-  }
 }

@@ -185,6 +185,12 @@ class ConfigDispatchSpec extends SparkSpec {
     java.nio.file.Files.writeString(dir.resolve("recs.jsonl"),
       "{\"a\":1,\"b\":\"x\"}\n{\"a\":2,\"b\":\"y\"}\n")
     java.nio.file.Files.writeString(dir.resolve("bad.jsonl"), "not json at all")
+    // PARTIALLY corrupt: one junk line among valid records — the file is
+    // tagged, the junk line doesn't inflate num_rows (this is the case
+    // that throws QUERY_ONLY_CORRUPT_RECORD_COLUMN without the cache in
+    // the sniff's counting path)
+    java.nio.file.Files.writeString(dir.resolve("mixed.jsonl"),
+      "{\"a\":1,\"b\":\"x\"}\nnot json\n{\"a\":2,\"b\":\"y\"}\n")
     // a real Avro container (avro-core writer; no Spark datasource needed
     // for the sniff — it reads header + block counts directly)
     locally {
@@ -218,8 +224,9 @@ class ConfigDispatchSpec extends SparkSpec {
     val rows = out.collect().map(r => (r.getString(0), r.getString(3), r.getString(5)))
     // bad.jsonl infers only _corrupt_record → rejected like junk.txt
     assert(rows.map(_._1).distinct.sorted.toSeq ===
-      Seq("fileset/events", "fileset/nation", "fileset/notes",
-        "fileset/people", "fileset/recs", "fileset/region"))
+      Seq("fileset/events", "fileset/mixed", "fileset/nation",
+        "fileset/notes", "fileset/people", "fileset/recs",
+        "fileset/region"))
     def field(uri: String, f: String): String =
       rows.collectFirst { case (`uri`, `f`, v) => v }.get
     // the any-text-file edge: .csv name + no magic bytes → its one line
@@ -233,6 +240,10 @@ class ConfigDispatchSpec extends SparkSpec {
     assert(field("fileset/recs", "type") === "JSONL")
     assert(field("fileset/recs", "num_rows") === "2")
     assert(field("fileset/recs", "num_cols") === "2")
+    // the junk middle line is excluded from the count, not fatal
+    assert(field("fileset/mixed", "type") === "JSONL")
+    assert(field("fileset/mixed", "num_rows") === "2")
+    assert(field("fileset/mixed", "num_cols") === "2")
     assert(field("fileset/people", "type") === "CSV")
     assert(field("fileset/people", "num_rows") === "3") // header excluded
     assert(field("fileset/people", "num_cols") === "2")
