@@ -17,9 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Pii {
 
-  /** (infotype, pattern) inspection rules. Patterns are deliberately
+  /** (infotype, pattern) inspection rules. The two numeric shapes are
     * disjoint (a US_SSN 3-2-4 span can never also match the 3-3-4 phone
-    * shape), so redaction order does not affect the output.
+    * shape), but EMAIL is NOT disjoint from them — a phone/SSN-shaped
+    * local part ("555-123-4567@x.com") matches both EMAIL and the
+    * numeric rule, because `\b` holds at the `@`. findingCounts
+    * therefore counts each rule independently (one span can contribute
+    * to two infotypes, like a real DLP inspector reporting overlapping
+    * findings), and [[redact]]'s output depends on rule ORDER: the
+    * fixed Rules order is the contract, applied email-first so an
+    * address redacts as one `[EMAIL_ADDRESS]` token, and the oracle
+    * replays the same rules in the same order.
     */
   val Rules: Seq[(String, String)] = Seq(
     ("EMAIL_ADDRESS", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),

@@ -94,13 +94,17 @@ object TextFns {
     size(filter(ws, w => w.isInCollection(list)))
 
   /** Language-ID by stopword-hit argmax with a fixed tie order
-    * (de < en < es < fr); all-zero → "und". The oracle mirrors the exact
-    * CASE chain, so parity holds by construction.
+    * (de < en < es < fr); all-zero → "und". NULL text also lands in
+    * "und": the hit counts are NULL there, and without the coalesce
+    * every `when` condition would evaluate NULL and fall through to the
+    * `otherwise` — confidently labeling a null document French. The
+    * oracle mirrors the exact CASE chain (coalesce included), so parity
+    * holds by construction.
     */
   def langId(text: Column): Column = {
     val ws = words(text)
     val s = Seq("de", "en", "es", "fr").map(l => l -> stopwordHits(ws, stopwords(l))).toMap
-    when(s("de") + s("en") + s("es") + s("fr") === 0, lit("und"))
+    when(coalesce(s("de") + s("en") + s("es") + s("fr"), lit(0)) === 0, lit("und"))
       .when(s("de") >= s("en") && s("de") >= s("es") && s("de") >= s("fr"), lit("de"))
       .when(s("en") >= s("es") && s("en") >= s("fr"), lit("en"))
       .when(s("es") >= s("fr"), lit("es"))
@@ -115,15 +119,21 @@ object TextFns {
 
   /** The t02 composite quality score, 4-dp rounded (engine-exact for
     * argmax/threshold comparisons): half length saturation at 100 tokens,
-    * half all-language stopword ratio. Shared by the quality query (t02)
-    * and cluster survivorship (d21) so the formula cannot drift.
+    * half all-language stopword ratio. A zero-token (or NULL) document
+    * scores an explicit 0.0 — without the guard the stopword ratio is
+    * double 0.0/0.0 = NaN, and NaN sorts ABOVE every real double in
+    * Spark, so empty documents would WIN argmax survivor selection (and
+    * diverge from DuckDB, whose division by zero yields NULL). Shared by
+    * the quality query (t02) and cluster survivorship (d21) so the
+    * formula cannot drift.
     */
   def qualityScore(text: Column): Column = {
     val ws = words(text)
     val nTokens = size(ws)
     val allStop = stopwords.values.flatten.toSeq.distinct.sorted
-    round(least(nTokens / lit(100.0), lit(1.0)) * lit(0.5) +
-      stopwordHits(ws, allStop) * lit(1.0) / nTokens * lit(0.5), 4)
+    when(coalesce(nTokens, lit(0)) === 0, lit(0.0))
+      .otherwise(round(least(nTokens / lit(100.0), lit(1.0)) * lit(0.5) +
+        stopwordHits(ws, allStop) * lit(1.0) / nTokens * lit(0.5), 4))
   }
 
   /** Canonical URL for crawl dedup (the CCNet/RefinedWeb normalization

@@ -132,7 +132,12 @@ object Bpe {
       .as[String]
       .mapPartitions { it =>
         it.map { w =>
-          var syms = w.map(_.toString).toArray
+          // split by CODE POINT, not UTF-16 unit: Spark's substr (the
+          // train/encode seeding) counts code points, so a supplementary
+          // char (emoji, CJK-ext) is ONE seed symbol there — splitting
+          // it into surrogate halves here would diverge the encoders
+          var syms = w.codePoints().toArray
+            .map(cp => new String(Character.toChars(cp)))
           var r = 0
           while (r < rules.length) {
             val (ml, mr) = rules(r)

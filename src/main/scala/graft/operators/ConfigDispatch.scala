@@ -66,15 +66,19 @@ object ConfigDispatch {
         // caller declared the sharded physical source, expansions larger
         // than the threshold compile set-based to ONE statement whose
         // plan width is O(#fields), independent of asset count. The
-        // expansion is computed ONCE per dispatch (the count is one
-        // aggregate over the metadata-sized catalog).
+        // The expansion PLAN is built once; the per-asset route consumes
+        // it directly (one collect — no second expansion job), while the
+        // sharded route pays one guard count and re-derives the asset
+        // view inside its own SQL rewrite (it must never collect — the
+        // whole point is expansions beyond driver scale).
+        val expanded = expandOnce(config, in)
         in.shardedSource match {
           case Some((source, shardExpr))
-            if expandOnce(config, in).count() > in.shardRouteThreshold =>
+            if expanded.count() > in.shardRouteThreshold =>
             GroupedEval.applyDynamicTableConfigSharded(
               spark, config, in.catalog, source, shardExpr)
           case _ =>
-            TagEngine.applyDynamicTableConfig(spark, config, in.catalog)
+            TagEngine.applyOverAssets(spark, config, collectUris(expanded))
         }
       case "DYNAMIC_TAG_COLUMN" =>
         // same scale switch as the table branch: above the threshold the
@@ -356,14 +360,26 @@ object ConfigDispatch {
         col("classification_result").as("field_value"))
   }
 
+  /** Asset-key columns of an import header, per the inferred asset type
+    * (main.py:3445–3461) — shared by [[importCsv]] and
+    * [[requiredViolations]] so their anti-join always agrees on the
+    * using-columns (a fileset/spanner header has no `dataset`/`table`).
+    */
+  private def importKeyCols(columns: Seq[String]): Seq[String] =
+    (graft.model.ConfigIO.inferAssetType(columns) match {
+      case "fileset" => Seq("project", "entry_group", "fileset", "column")
+      case "spanner" => Seq("project", "instance", "database", "schema",
+        "table", "column")
+      case _         => Seq("project", "dataset", "table", "column")
+    }).filter(columns.contains)
+
   /** The key of assets whose import row leaves a REQUIRED template field
     * empty (DataCatalogController.py:1347–1355: the reference raises per
     * entry, failing that task). Exposed so callers can surface the ERROR
     * task rows the reference would log.
     */
   def requiredViolations(rows: DataFrame, template: TagTemplate): DataFrame = {
-    val keyCols = Seq("project", "dataset", "table", "column")
-      .filter(rows.columns.contains)
+    val keyCols = importKeyCols(rows.columns.toSeq)
     val required = template.fields.filter(_.isRequired).map(_.fieldId)
       .filter(rows.columns.contains)
     val anyEmpty = required.map(f =>
@@ -388,12 +404,7 @@ object ConfigDispatch {
     // asset type from the header keys (main.py:3445–3461): dataset →
     // bigquery; entry_group+fileset → fileset; instance+database → spanner
     val assetType = ConfigIO.inferAssetType(rows.columns.toSeq)
-    val keyCols = (assetType match {
-      case "fileset" => Seq("project", "entry_group", "fileset", "column")
-      case "spanner" => Seq("project", "instance", "database", "schema",
-        "table", "column")
-      case _         => Seq("project", "dataset", "table", "column")
-    }).filter(rows.columns.contains)
+    val keyCols = importKeyCols(rows.columns.toSeq)
     val fieldCols = rows.columns.filterNot(keyCols.contains).toSeq
     val unknown = fieldCols.filterNot(template.byId.contains)
     require(unknown.isEmpty, s"unknown fields in import: ${unknown.mkString(",")}")

@@ -57,7 +57,9 @@ object Similarity {
     require(head.nonEmpty,
       "ivfAssign: centroid set is empty — provide at least one trained centroid")
     val extras = emb.columns.filterNot(c => c == "vec_id" || c == "vec").toSeq
-    val reserved = extras.filter(Set("centroid_id", "cos", "neg_id"))
+    // "cvec" included: it would be AMBIGUOUS against the broadcast
+    // centroid side's cvec on the >MaxInlineCentroids cross-join path
+    val reserved = extras.filter(Set("centroid_id", "cos", "neg_id", "cvec"))
     require(reserved.isEmpty,
       s"ivfAssign: input columns ${reserved.mkString(", ")} collide with " +
         "the assignment's output/struct fields — rename them before assigning")

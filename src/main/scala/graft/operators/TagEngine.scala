@@ -208,12 +208,7 @@ object TagEngine {
              eventTime: Column = current_timestamp(),
              jobUuid: Column = lit("")): DataFrame = {
     val computed = applyDynamicTableConfig(spark, config, catalog)
-    val incoming =
-      if (config.overwrite) computed
-      else Expander.minusExisting(computed,
-        existingTags.filter(col("template_id") === config.templateId)
-          .select("asset_uri").distinct(),
-        Seq("asset_uri"))
+    val incoming = incomingFor(config, computed, existingTags)
     if (config.tagHistory)
       historyPath.foreach(p =>
         Sinks.writeHistory(historyRows(incoming, config, eventTime, jobUuid), p))
@@ -258,15 +253,25 @@ object TagEngine {
           Some(r.getString(2)), Some(r.getString(3)), None))).toMap
     val perConfig = configs.map { case (id, cfg) =>
       val computed = applyOverAssets(spark, cfg, expanded.getOrElse(id, Nil))
-      val incoming =
-        if (cfg.overwrite) computed
-        else Expander.minusExisting(computed,
-          existingTags.filter(col("template_id") === cfg.templateId)
-            .select("asset_uri").distinct(),
-          Seq("asset_uri"))
+      val incoming = incomingFor(cfg, computed, existingTags)
       TagStore.applyWithDeletes(existingTags, incoming)
         .withColumn("config_uuid", lit(id))
     }
     balancedUnion(perConfig)
   }
+
+  /** The incoming set a job MERGEs: computed rows, minus (when
+    * `overwrite=false`) assets already tagged with this config's template
+    * (DataCatalogController.py:230–243). ONE definition shared by
+    * [[runJob]] and [[runJobs]] so the overwrite semantics cannot diverge
+    * between the single-job path and the batch tick whose equivalence
+    * TagEngineSpec pins.
+    */
+  private def incomingFor(config: TagConfig, computed: DataFrame,
+                          existingTags: DataFrame): DataFrame =
+    if (config.overwrite) computed
+    else Expander.minusExisting(computed,
+      existingTags.filter(col("template_id") === config.templateId)
+        .select("asset_uri").distinct(),
+      Seq("asset_uri"))
 }

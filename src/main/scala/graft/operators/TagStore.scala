@@ -27,15 +27,21 @@ object TagStore {
   /** Upsert (create-or-update, DataCatalogController.py:1608–1652): incoming
     * rows win over existing on the same key; existing rows without a match
     * survive. Equivalent MERGE: `whenMatched.update whenNotMatched.insert`.
+    * "Win" is by ROW PRESENCE, not per-column coalesce: a matched incoming
+    * row replaces the existing value even when the incoming value is NULL
+    * (a value-level coalesce would silently keep stale data on a
+    * legitimate NULL update — and diverge from the append-log path, whose
+    * latest-wins replay lets the newest row win outright).
     */
   def upsert(existing: DataFrame, incoming: DataFrame): DataFrame = {
     val cols = existing.columns.toSeq
-    val valueCols = cols.filterNot(keyCols.contains)
+    val inc = incoming.withColumn("__inc", lit(true))
     val ex = cols.foldLeft(existing)((d, c) => d.withColumnRenamed(c, s"ex_$c"))
-    val joinCond = keyCols.map(k => incoming(k) <=> ex(s"ex_$k")).reduce(_ && _)
-    incoming.join(ex, joinCond, "full_outer")
+    val joinCond = keyCols.map(k => inc(k) <=> ex(s"ex_$k")).reduce(_ && _)
+    inc.join(ex, joinCond, "full_outer")
       .select(cols.map { c =>
-        coalesce(incoming(c), ex(s"ex_$c")).as(c)
+        if (keyCols.contains(c)) coalesce(inc(c), ex(s"ex_$c")).as(c)
+        else when(inc("__inc"), inc(c)).otherwise(ex(s"ex_$c")).as(c)
       }: _*)
   }
 

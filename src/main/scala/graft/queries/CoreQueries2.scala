@@ -192,7 +192,8 @@ object CoreQueries2 {
       |       coalesce(n."column", k."column") AS "column",
       |       coalesce(n.template_id, k.template_id) AS template_id,
       |       coalesce(n.field_id, k.field_id) AS field_id,
-      |       coalesce(n.field_value, k.field_value) AS field_value
+      |       CASE WHEN n.asset_uri IS NOT NULL THEN n.field_value
+      |            ELSE k.field_value END AS field_value
       |FROM nonempty n FULL OUTER JOIN kept k
       |  ON n.asset_uri = k.asset_uri AND n."column" = k."column"
       |     AND n.template_id = k.template_id AND n.field_id = k.field_id

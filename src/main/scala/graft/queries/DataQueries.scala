@@ -415,12 +415,12 @@ object DataQueries {
     }.mkString(", ")
     s"""WITH s AS (SELECT doc_id, lang, $scores FROM documents)
        |SELECT doc_id,
-       |  CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+       |  CASE WHEN coalesce(s_de + s_en + s_es + s_fr, 0) = 0 THEN 'und'
        |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
        |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang,
        |  lang AS labeled_lang,
-       |  (CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+       |  (CASE WHEN coalesce(s_de + s_en + s_es + s_fr, 0) = 0 THEN 'und'
        |        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
        |        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
        |        WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = lang AS is_match
@@ -434,10 +434,17 @@ object DataQueries {
     val sumLen = aggregate(ws, lit(0), (acc, w) => acc + length(w))
     val hits = TextFns.stopwordHits(ws, allStop)
     val stopRatioRaw = hits * lit(1.0) / nTokens
+    // zero-token docs: the ratio columns are NULL (double 0.0/0.0 would
+    // be NaN here vs DuckDB's divide-by-zero NULL — a latent hash
+    // divergence), and the composite score is an explicit 0.0 (the
+    // qualityScore guard; see TextFns)
+    val guard = nTokens === 0
     docs(spark, dir).select(
         col("doc_id"), nTokens.as("n_tokens"),
-        round(sumLen * lit(1.0) / nTokens, 4).as("avg_token_len"),
-        round(stopRatioRaw, 4).as("stop_ratio"),
+        when(guard, lit(null).cast("double"))
+          .otherwise(round(sumLen * lit(1.0) / nTokens, 4)).as("avg_token_len"),
+        when(guard, lit(null).cast("double"))
+          .otherwise(round(stopRatioRaw, 4)).as("stop_ratio"),
         TextFns.qualityScore(col("text")).as("quality_score"))
       .orderBy("doc_id")
   }
@@ -453,8 +460,9 @@ object DataQueries {
        |SELECT doc_id, n_tokens,
        |  round(sum_len * 1.0 / n_tokens, 4) AS avg_token_len,
        |  round(hits * 1.0 / n_tokens, 4) AS stop_ratio,
-       |  round(least(n_tokens / 100.0, 1.0) * 0.5 + (hits * 1.0 / n_tokens) * 0.5, 4)
-       |    AS quality_score
+       |  CASE WHEN n_tokens = 0 THEN 0.0
+       |    ELSE round(least(n_tokens / 100.0, 1.0) * 0.5 + (hits * 1.0 / n_tokens) * 0.5, 4)
+       |  END AS quality_score
        |FROM m ORDER BY doc_id""".stripMargin
   }
 

@@ -351,7 +351,7 @@ object DataQueries3 {
        |    len(list_distinct(ws)) AS wdistinct, $scores
        |  FROM d),
        |f AS (SELECT doc_id,
-       |    (CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+       |    (CASE WHEN coalesce(s_de + s_en + s_es + s_fr, 0) = 0 THEN 'und'
        |          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
        |          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
        |          WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = 'en' AS r_lang,

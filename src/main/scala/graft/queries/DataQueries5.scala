@@ -315,9 +315,11 @@ object DataQueries5 {
        |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
        |  FROM documents),
        |q AS (SELECT doc_id,
-       |  round(least(len(ws) / 100.0, 1.0) * 0.5 +
-       |    len(list_filter(ws, w -> list_contains($allStop, w))) * 1.0
-       |      / len(ws) * 0.5, 4) AS quality_score
+       |  CASE WHEN len(ws) = 0 THEN 0.0
+       |    ELSE round(least(len(ws) / 100.0, 1.0) * 0.5 +
+       |      len(list_filter(ws, w -> list_contains($allStop, w))) * 1.0
+       |        / len(ws) * 0.5, 4)
+       |  END AS quality_score
        |  FROM t),
        |f AS (SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
        |             q.quality_score

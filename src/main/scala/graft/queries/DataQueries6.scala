@@ -203,9 +203,11 @@ object DataQueries6 {
        |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
        |  FROM reps),
        |q AS (SELECT doc_id,
-       |  round(least(len(ws) / 100.0, 1.0) * 0.5 +
-       |    len(list_filter(ws, w -> list_contains($allStop, w))) * 1.0
-       |      / len(ws) * 0.5, 4) AS quality_score
+       |  CASE WHEN len(ws) = 0 THEN 0.0
+       |    ELSE round(least(len(ws) / 100.0, 1.0) * 0.5 +
+       |      len(list_filter(ws, w -> list_contains($allStop, w))) * 1.0
+       |        / len(ws) * 0.5, 4)
+       |  END AS quality_score
        |  FROM t),
        |f AS (SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
        |             q.quality_score
@@ -391,9 +393,11 @@ object DataQueries6 {
        |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
        |  FROM reps),
        |q AS (SELECT doc_id,
-       |  round(least(len(ws) / 100.0, 1.0) * 0.5 +
-       |    len(list_filter(ws, w -> list_contains($allStop, w))) * 1.0
-       |      / len(ws) * 0.5, 4) AS quality_score
+       |  CASE WHEN len(ws) = 0 THEN 0.0
+       |    ELSE round(least(len(ws) / 100.0, 1.0) * 0.5 +
+       |      len(list_filter(ws, w -> list_contains($allStop, w))) * 1.0
+       |        / len(ws) * 0.5, 4)
+       |  END AS quality_score
        |  FROM t),
        |f AS (SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
        |             q.quality_score
@@ -763,9 +767,11 @@ object DataQueries6 {
        |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
        |  FROM documents),
        |q AS (SELECT doc_id, lang, text,
-       |  greatest(round(least(len(ws) / 100.0, 1.0) * 0.5 +
-       |    len(list_filter(ws, w -> list_contains($allStop, w))) * 1.0
-       |      / len(ws) * 0.5, 4), 0.0001) AS weight
+       |  greatest(CASE WHEN len(ws) = 0 THEN 0.0
+       |    ELSE round(least(len(ws) / 100.0, 1.0) * 0.5 +
+       |      len(list_filter(ws, w -> list_contains($allStop, w))) * 1.0
+       |        / len(ws) * 0.5, 4)
+       |  END, 0.0001) AS weight
        |  FROM t),
        |p AS (SELECT doc_id, lang, weight,
        |  round(-ln((('0x' || substr(md5(text), 1, 15))::BIGINT + 1)

@@ -120,6 +120,20 @@ class BpeSpec extends SparkSpec {
       assert(keyed(Bpe.encodeTyped(texts, "text", rules)) ===
         keyed(Bpe.encode(texts, "text", rules)), s"trial $trial")
     }
+    // supplementary characters: Spark's substr seeds by CODE POINT, so a
+    // non-BMP char (here U+1F600) must be ONE symbol in both encoders —
+    // a UTF-16 split would seed it as two surrogate halves in the typed
+    // form only and the rule ("😀","a") could never fire there
+    locally {
+      val texts = Seq("😀a b😀").toDF("text")
+      val rules = Seq(("😀", "a"))
+      def keyed(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val typed = keyed(Bpe.encodeTyped(texts, "text", rules))
+      assert(typed("😀a") === Seq("😀a"))
+      assert(typed("b😀") === Seq("b", "😀"))
+      assert(typed === keyed(Bpe.encode(texts, "text", rules)))
+    }
     // production-shaped rule count (500 — far beyond what nested
     // expressions can plan): verified against an independent driver fold
     val manyRules = (1 to 500).map { i =>

@@ -112,6 +112,17 @@ class ConfigDispatchSpec extends SparkSpec {
       ConfigDispatch.applyConfig(spark, cfg,
         base.copy(importRows = Some(rows.drop("is_pii")), template = Some(tpl)))
     }
+    // non-bigquery headers: the required-violation anti-join must key on
+    // the INFERRED asset key (a fileset header has no dataset/table —
+    // keying on the bigquery columns was an unresolved-USING crash)
+    val fsRows = Seq(
+      ("p", "eg", "fs1", "c", "TRUE", "x"),
+      ("p", "eg", "fs2", "c", "", "y"))
+      .toDF("project", "entry_group", "fileset", "column", "is_pii", "note")
+    val fsOut = ConfigDispatch.applyConfig(spark, cfg,
+        base.copy(importRows = Some(fsRows), template = Some(tpl)))
+      .select("asset_uri").distinct().as[String].collect()
+    assert(fsOut.toSeq === Seq("fileset/project/p/entry_group/eg/fs1"))
   }
 
   test("TAG_RESTORE rebuilds tag rows from a JSONL backup") {

@@ -35,4 +35,19 @@ class PiiSpec extends SparkSpec {
       .select(Pii.redact(col("text")).as("r")).head.getString(0)
     assert(out == "p [PHONE_NUMBER] s [US_SSN]")
   }
+
+  test("EMAIL overlaps the numeric rules: counts are independent, redact is email-first") {
+    // a phone-shaped local part matches BOTH rules (`\b` holds at '@');
+    // the contract is independent per-rule counts + fixed email-first
+    // redaction order (see the Rules scaladoc) — this pins it so a rule
+    // reorder can't silently change redaction output
+    val tricky = "call 555-123-4567@mail.com now"
+    val df = Seq(tricky).toDF("text")
+    val counts = df.select(Pii.findingCounts(col("text"))
+      .map { case (n, c) => c.as(n) }: _*).head
+    assert(counts.getInt(0) == 1) // EMAIL_ADDRESS
+    assert(counts.getInt(1) == 1) // PHONE_NUMBER (same span, counted too)
+    val out = df.select(Pii.redact(col("text")).as("r")).head.getString(0)
+    assert(out == "call [EMAIL_ADDRESS] now") // email-first consumes the span
+  }
 }

@@ -18,6 +18,16 @@ class TagStoreSpec extends SparkSpec {
     assert(out === Map("a" -> "new", "b" -> "keep"))
   }
 
+  test("upsert: a matched incoming row wins by PRESENCE — NULL value included") {
+    // a value-level coalesce would keep "old" here, silently surviving
+    // stale data on a legitimate NULL update and diverging from the
+    // append-log path's latest-wins replay
+    val out = TagStore.upsert(
+        tags("a" -> "old", "b" -> "keep"), tags("a" -> null))
+      .select("asset_uri", "field_value").as[(String, String)].collect().toMap
+    assert(out === Map("a" -> null, "b" -> "keep"))
+  }
+
   test("applyWithDeletes: all-empty incoming deletes the existing tag") {
     val out = TagStore.applyWithDeletes(
         tags("a" -> "old", "b" -> "keep"), tags("a" -> "", "c" -> "new"))

@@ -3,34 +3,38 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
-/** URL canonicalization edges (t19's row-local kernel). */
+/** Edge semantics of the row-local text functions: zero-token and NULL
+  * documents must not fall through argmax/ratio arithmetic (NULL text →
+  * every stopword count NULL → an unguarded CASE chain labels it 'fr';
+  * zero tokens → 0.0/0.0 = NaN, which sorts ABOVE every real double in
+  * Spark and would win survivor selection).
+  */
 class TextFnsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def canon(urls: String*): Seq[String] =
-    urls.toDF("url").select(TextFns.canonicalUrl(col("url")).as("c"))
-      .as[String].collect().toSeq
-
-  test("canonicalUrl: scheme/fragment stripped, utm dropped, params sorted") {
-    assert(canon(
-      "https://a.example/p",
-      "http://a.example/p#frag",
-      "https://a.example/p?utm_source=x",
-      "https://a.example/p?b=2&a=1",
-      "https://a.example/p?a=1&utm_campaign=c&b=2#frag"
-    ) === Seq(
-      "a.example/p",
-      "a.example/p",
-      "a.example/p",          // only-utm query → no query at all
-      "a.example/p?a=1&b=2",  // params sorted
-      "a.example/p?a=1&b=2")) // permutation + utm + fragment collide
+  test("langId: NULL, empty, and whitespace-only text → 'und', not 'fr'") {
+    val rows = Seq((1L, null: String), (2L, ""), (3L, "   "),
+        (4L, "le chat est un animal et la mer"))
+      .toDF("id", "text")
+      .select($"id", TextFns.langId($"text").as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(rows(1L) === "und")
+    assert(rows(2L) === "und")
+    assert(rows(3L) === "und")
+    assert(rows(4L) === "fr") // real French stopwords still win
   }
 
-  test("canonicalUrl: permutations and tracking variants share one key") {
-    val variants = Seq(
-      "https://h.example/x?id=7&utm_source=feed",
-      "http://h.example/x?id=7",
-      "https://h.example/x?utm_campaign=z&id=7#top")
-    assert(canon(variants: _*).distinct === Seq("h.example/x?id=7"))
+  test("qualityScore: zero-token and NULL text score an explicit 0.0") {
+    val rows = Seq((1L, null: String), (2L, ""), (3L, "   "),
+        (4L, "the and is of"))
+      .toDF("id", "text")
+      .select($"id", TextFns.qualityScore($"text").as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(rows(1L) === 0.0)
+    assert(rows(2L) === 0.0)
+    assert(rows(3L) === 0.0)
+    assert(!rows(4L).isNaN && rows(4L) > 0.0)
+    // the hazard the guard removes: NaN would out-rank every real score
+    assert(!rows.values.exists(_.isNaN))
   }
 }
