@@ -25,7 +25,10 @@ object ConfigIO {
 
   private def uris(v: JValue): Seq[String] = v match {
     case JString(s)  => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    case JArray(els) => els.flatMap(str)
+    // same normalization as the comma-string form: a padded array entry
+    // ("bigquery/.../orders ") would otherwise throw in AssetUri.parse or
+    // silently match nothing as a glob fragment
+    case JArray(els) => els.flatMap(str).map(_.trim).filter(_.nonEmpty)
     case _           => Nil
   }
 

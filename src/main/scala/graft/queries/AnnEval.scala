@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -85,26 +84,10 @@ object AnnEval {
     }
   }
 
-  // Single-session cache, weak-referenced and REPLACED when a different
-  // session arrives. Not a WeakHashMap keyed by the session: the Index
-  // values reference their session through every Dataset, which would
-  // keep a weak key strongly reachable forever (the WeakHashMap javadoc
-  // anti-pattern) — entries would never die. Replacing on session change
-  // bounds residency to the most-recent session, whose index is exactly
-  // the thing being served.
-  private var cached: (java.lang.ref.WeakReference[SparkSession],
-    ConcurrentHashMap[String, Index]) = _
+  // weak-ref single-session memoizer — see SessionCache for the
+  // discipline (and why not a WeakHashMap keyed by the session)
+  private val cache = new SessionCache[Index]
 
-  def index(spark: SparkSession, dir: String): Index = {
-    val perSession = synchronized {
-      Option(cached).map(c => (c._1.get(), c._2)) match {
-        case Some((s, m)) if s eq spark => m
-        case _ =>
-          val m = new ConcurrentHashMap[String, Index]()
-          cached = (new java.lang.ref.WeakReference(spark), m)
-          m
-      }
-    }
-    perSession.computeIfAbsent(dir, _ => new Index(spark, dir))
-  }
+  def index(spark: SparkSession, dir: String): Index =
+    cache.get(spark, dir)(new Index(spark, dir))
 }

@@ -696,8 +696,8 @@ object CoreQueries3 {
       .select(col("config_uuid"), col("config_type"),
         md5(concat_ws("|", col("config_uuid"), col("version"))).as("job_uuid"),
         lit("PENDING").as("job_status"),
-        timestamp_seconds(unix_timestamp(col("next_run")) +
-          col("refresh_frequency_minutes") * 60).as("next_run"),
+        expr("timestampadd(MINUTE, refresh_frequency_minutes, next_run)")
+          .as("next_run"),
         (col("version") + 1).as("version"))
       .orderBy("config_uuid")
 

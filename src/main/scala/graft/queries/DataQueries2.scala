@@ -494,7 +494,10 @@ object DataQueries2 {
       .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("vec"))
     val centroids = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
-    val assigned = Similarity.ivfAssign(e, centroids)
+    // materialized: the bucket self-join reads the assignment on BOTH
+    // sides — unmaterialized, the corpus scan + 8-cosine argmax projection
+    // would re-evaluate once per side, every run
+    val assigned = Similarity.ivfAssign(e, centroids).localCheckpoint()
     val w = Window.partitionBy(col("a_id"))
       .orderBy(col("cos").desc, col("b_id").asc)
     assigned.as("l").join(assigned.as("r"),

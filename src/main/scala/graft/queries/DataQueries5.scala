@@ -220,7 +220,7 @@ object DataQueries5 {
        |FROM inter i
        |JOIN sizes sa ON sa.doc_id = i.a_id
        |JOIN sizes sb ON sb.doc_id = i.b_id
-       |WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+       |WHERE round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) >= 0.5
        |ORDER BY new_id, dup_of""".stripMargin
 
   // ------------------------------ perplexity-band filtering (t17)
@@ -461,13 +461,12 @@ object DataQueries5 {
     * convention as s10 (seed vectors 0–3).
     */
   def s11PqAdc(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val codebook = e.filter(col("vec_id") < 4).orderBy("vec_id")
-      .select("vec").collect().map(_.getSeq[Double](0).toArray).toSeq
-    val query = e.filter(col("vec_id") === 0)
-      .select("vec").head.getSeq[Double](0).toArray
-    val codes = Similarity.pqEncode(e, codebook, numSub = 8)
-    Similarity.pqTopK(codes, codebook, numSub = 8, query, k = 10,
+    // served from the session index (same fixed codebook/query/codes
+    // convention): rebuilding here re-paid two driver collects and a
+    // full-corpus pqEncode pass per run — the per-query-rebuild
+    // anti-pattern AnnEval exists to avoid
+    val ix = AnnEval.index(spark, dir)
+    Similarity.pqTopK(ix.codes, ix.codebook, numSub = 8, ix.query, k = 10,
       excludeId = Some(0L)).orderBy("rank")
   }
 

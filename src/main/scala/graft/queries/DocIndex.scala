@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -66,21 +65,10 @@ object DocIndex {
       graft.operators.Bpe.train(docs, "text", steps = 3).localCheckpoint()
   }
 
-  // Same single-session weak-ref cache discipline as AnnEval.index —
-  // replaced on session change so entries die with their session.
-  private var cached: (java.lang.ref.WeakReference[SparkSession],
-    ConcurrentHashMap[String, Index]) = _
+  // weak-ref single-session memoizer shared with AnnEval — see
+  // SessionCache for the discipline
+  private val cache = new SessionCache[Index]
 
-  def index(spark: SparkSession, dir: String): Index = {
-    val perSession = synchronized {
-      Option(cached).map(c => (c._1.get(), c._2)) match {
-        case Some((s, m)) if s eq spark => m
-        case _ =>
-          val m = new ConcurrentHashMap[String, Index]()
-          cached = (new java.lang.ref.WeakReference(spark), m)
-          m
-      }
-    }
-    perSession.computeIfAbsent(dir, _ => new Index(spark, dir))
-  }
+  def index(spark: SparkSession, dir: String): Index =
+    cache.get(spark, dir)(new Index(spark, dir))
 }

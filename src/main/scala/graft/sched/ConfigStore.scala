@@ -66,9 +66,13 @@ object ConfigStore {
     * `config_status == 'INACTIVE'`; active configs of the type survive).
     */
   def purge(store: DataFrame, configType: String): DataFrame = {
+    // null-safe on BOTH columns: a row with NULL config_type is in no
+    // type (a plain === would make !inType NULL and `NULL || false`
+    // drop the row from every type-scoped purge), and a NULL status is
+    // not INACTIVE
     val inType =
-      if (configType == "ALL") lit(true) else col("config_type") === configType
-    // keep-side predicate must hold rows with a NULL status
+      if (configType == "ALL") lit(true)
+      else col("config_type") <=> configType
     store.filter(!inType ||
       coalesce(col("config_status") =!= "INACTIVE", lit(true)))
   }
@@ -192,6 +196,11 @@ object ConfigStore {
       fs.rename(trash, live) // roll back: old log restored intact
       throw new java.io.IOException(s"compact: cannot publish $tmp")
     }
-    fs.delete(trash, true)
+    // The trash copy is deliberately NOT deleted here: a reader that
+    // [[readablePath]] routed to the trash path during the swap may still
+    // be mid-scan. It is reclaimed by the NEXT compact's delete above —
+    // the same bounded-grace discipline as AtomicStore.vacuum (one stale
+    // copy on disk; a reader must stay in flight a full compact cycle to
+    // race the reclaim).
   }
 }

@@ -44,9 +44,12 @@ object Scheduler {
       .withColumn("__launched", lit(true))
     configs.join(hit, Seq("config_uuid"), "left_outer")
       .withColumn("next_run",
+        // interval arithmetic, not unix_timestamp round-trip: the latter
+        // floors to whole seconds, silently drifting a schedule with
+        // sub-second next_run 0-1 s earlier per advance (and diverging
+        // from the oracle's `+ n * INTERVAL 1 MINUTE`)
         when(col("__launched"),
-          timestamp_seconds(unix_timestamp(col("next_run")) +
-            col("refresh_frequency_minutes") * 60))
+          expr("timestampadd(MINUTE, refresh_frequency_minutes, next_run)"))
           .otherwise(col("next_run")))
       .withColumn("version",
         when(col("__launched"), col("version") + 1).otherwise(col("version")))

@@ -180,7 +180,8 @@ object Streams {
     import spark.implicits._
     val due = Scheduler.readReadyConfigs(configs, now)
     val dueRows = due
-      .select("config_uuid", "template_id", "included_uris", "version")
+      .select("config_uuid", "template_id", "included_uris", "version",
+        "config_type")
       .collect().sortBy(_.getString(0))
     val emptyTick = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -189,10 +190,25 @@ object Streams {
           "n_assets bigint, n_tag_rows bigint, sum_n_rows double, " +
           "next_run timestamp, version bigint"))
     if (dueRows.isEmpty) return emptyTick // idle tick: nothing due
+    // the stored config_type is HONORED, not assumed: runJobs batches
+    // only the dynamic-table evaluation, so a due config of any other
+    // type must fail the tick loudly (silently rebuilding it as a table
+    // config would produce wrong tag rows or a broken field spec)
+    val offType = dueRows.filter(r =>
+      r.getString(4).toUpperCase != "DYNAMIC_TAG_TABLE")
+    require(offType.isEmpty,
+      "schedulerTick batches DYNAMIC_TAG_TABLE configs only; due configs " +
+        s"of other types: ${offType.map(r => s"${r.getString(0)}(" +
+          s"${r.getString(4)})").mkString(", ")} — run them through " +
+        "ConfigDispatch.applyConfig per config")
     val cfgs = dueRows.toSeq.map { r =>
+      // NULL included_uris = a config that matches nothing: expansion is
+      // empty and the rollup's left join reports the no-op job, instead
+      // of an NPE killing the whole tick
+      val uris = Option(r.getString(2)).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       r.getString(0) -> TagConfig("DYNAMIC_TAG_TABLE", r.getString(1),
-        fieldsOf(r.getString(0)),
-        includedUris = r.getString(2).split(",").map(_.trim).toSeq)
+        fieldsOf(r.getString(0)), includedUris = uris)
     }
     val tagRows = TagEngine.runJobs(spark, cfgs, catalog, existingTags)
     val versions = dueRows.toSeq.map(r => (r.getString(0), r.getLong(3)))

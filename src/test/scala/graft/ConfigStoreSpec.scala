@@ -103,14 +103,20 @@ class ConfigStoreSpec extends SparkSpec {
     // Crash-injection: make the publish rename fail by pre-seeding the
     // temp path as an unrenameable target is filesystem-dependent, so
     // instead pin the OBSERVABLE contract — after a compact the live dir
-    // exists with a complete batch-0 log, and the trash/temp siblings are
-    // gone (the swap completed, nothing half-written left behind).
+    // exists with a complete batch-0 log and the temp sibling is gone.
+    // The trash copy DELIBERATELY survives as the reader grace copy (a
+    // reader readablePath routed to it during the swap may still be
+    // mid-scan); the NEXT compact reclaims it.
     ConfigStore.compact(spark, dir, snap)
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir)))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__compact_tmp")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__compact_old")))
+    // grace copy on disk, but the LIVE path wins resolution
+    assert(ConfigStore.readLatest(spark, dir).count() === 2)
+    // second compact: reclaims the previous grace copy, leaves its own
+    val snap2 = java.nio.file.Files.createTempDirectory("graft_cfg_asnap2").toString
+    ConfigStore.compact(spark, dir, snap2)
     assert(ConfigStore.readLatest(spark, dir).count() === 2)
   }
 
@@ -129,10 +135,11 @@ class ConfigStoreSpec extends SparkSpec {
     assert(ConfigStore.readLatest(spark, dir).count() === 2)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
     // the next WRITE-side compact promotes the copy back and proceeds
+    // (leaving its OWN aside copy as the reader grace copy — the live
+    // path wins resolution)
     val snap = java.nio.file.Files.createTempDirectory("graft_cfg_hsnap").toString
     ConfigStore.compact(spark, dir, snap)
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir)))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__compact_old")))
     assert(ConfigStore.readLatest(spark, dir).count() === 2)
   }
 
