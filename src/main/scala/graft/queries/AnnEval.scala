@@ -1,6 +1,5 @@
 package graft.queries
 
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 

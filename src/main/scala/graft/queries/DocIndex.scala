@@ -1,6 +1,5 @@
 package graft.queries
 
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Lake

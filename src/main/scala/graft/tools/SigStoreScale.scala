@@ -48,5 +48,4 @@ object SigStoreScale {
     spark.stop()
   }
 
-
 }
