@@ -420,14 +420,33 @@ object Dedup {
     * a per-doc window — partition-parallel, no global sort.
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int = 5, minDocs: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                     n: Int = 5, minDocs: Int = 2): DataFrame =
     // materialized once: feeds the df aggregation AND the dup semi-join
-    val grams = docs.select(col(idCol),
+    duplicateSpansFromGrams(
+      gramPositions(docs, idCol, textCol, n).localCheckpoint(false),
+      idCol, n, minDocs)
+
+  /** `(id, pos, h)` hashed word-n-gram positions — the corpus text pass
+    * [[duplicateSpans]] and its served form share. Built once per
+    * session by [[graft.queries.DocIndex]] (at n=5) so span detection
+    * reads the signature table like every other d-family consumer
+    * instead of re-exploding the corpus per run.
+    */
+  def gramPositions(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame =
+    docs.select(col(idCol),
         posexplode(TextFns.wordNgramsNative(col(textCol), n))
           .as(Seq("pos", "g")))
       .select(col(idCol), col("pos"), TextFns.hash60(col("g")).as("h"))
-      .localCheckpoint(false)
+
+  /** [[duplicateSpans]] SERVED from a prebuilt [[gramPositions]] table
+    * (the DocIndex form). `n` only widens the reported span length
+    * (`span_tokens = n_grams + n - 1`); it must match the `n` the gram
+    * table was built with.
+    */
+  def duplicateSpansFromGrams(grams: DataFrame, idCol: String,
+                              n: Int, minDocs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dup = grams.groupBy("h")
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= minDocs).select("h")

@@ -372,7 +372,8 @@ object DataQueries5 {
     * spans, quotes and shared boilerplate as short interior ones.
     */
   def d23DupSpans(spark: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateSpans(docs(spark, dir), "doc_id", "text",
+    Dedup.duplicateSpansFromGrams(
+        DocIndex.index(spark, dir).wordGramPositions5, "doc_id",
         n = 5, minDocs = 2)
       .orderBy("doc_id", "span_start")
 

@@ -53,6 +53,15 @@ object DocIndex {
       */
     lazy val minhashSigs: DataFrame =
       Dedup.minhashFromSets(shingleSets5, "doc_id").localCheckpoint()
+    /** (doc_id, pos, h) hashed word-5-gram positions, checkpointed — the
+      * front table of span-level dedup (d23): the df aggregation and the
+      * dup semi-join both read it, and without the memo each d23 run
+      * re-explodes the corpus text. One long + one int per gram
+      * occurrence resident — the positional sibling of the signature
+      * tables above.
+      */
+    lazy val wordGramPositions5: DataFrame =
+      Dedup.gramPositions(docs, "doc_id", "text", 5).localCheckpoint()
     /** BPE merge table (3 steps) trained on the corpus, checkpointed —
       * a MODEL-sized (3-row) pure function of the text, the same
       * "train once at write time, serve every later query" artifact as

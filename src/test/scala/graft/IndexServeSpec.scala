@@ -38,6 +38,24 @@ class IndexServeSpec extends SparkSpec {
     assert(servedCands === freshCands)
   }
 
+  test("DocIndex.wordGramPositions5 == fresh gramPositions, spans identical") {
+    val ix = DocIndex.index(spark, sf)
+    val served = ix.wordGramPositions5
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fresh = Dedup.gramPositions(Lake.table(spark, sf, "documents"),
+        "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served === fresh)
+    // and the served span query == the one-shot composed form
+    val servedSpans = Dedup.duplicateSpansFromGrams(
+        ix.wordGramPositions5, "doc_id", n = 5, minDocs = 2)
+      .collect().map(_.mkString("|")).toSet
+    val oneShot = Dedup.duplicateSpans(Lake.table(spark, sf, "documents"),
+        "doc_id", "text", n = 5, minDocs = 2)
+      .collect().map(_.mkString("|")).toSet
+    assert(servedSpans === oneShot)
+  }
+
   test("DocIndex.bpeMerges3 == fresh Bpe.train at 3 steps") {
     val ix = DocIndex.index(spark, sf)
     val served = ix.bpeMerges3.collect().map(_.mkString("|")).toSet

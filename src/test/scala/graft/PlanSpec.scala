@@ -214,6 +214,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("windowspecdefinition(doc_id"), p)
+    // served shape: both sides read the session gram table (checkpoint
+    // RDD scans), never a re-explode of the documents parquet
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("FileScan"), p)
   }
 
   test("q39: the whole (asset x column x field) grid costs ONE source scan") {
