@@ -79,15 +79,33 @@ object Graph {
     * `next` references `labels` twice (union + join), so without lineage
     * truncation the logical plan doubles per round and Catalyst analysis
     * goes exponential by iteration ~10 — the standard iterative-DataFrame
-    * trap (GraphX/ML checkpoint for the same reason). On a real cluster
-    * use `spark.sparkContext.setCheckpointDir` + `checkpoint()` for
-    * executor-loss resilience; local mode has no such failure domain.
+    * trap (GraphX/ML checkpoint for the same reason).
+    *
+    * `reliableCheckpoint = true` swaps every per-round `localCheckpoint()`
+    * for a RELIABLE `checkpoint()` against the configured
+    * `spark.sparkContext.setCheckpointDir` — the cluster mode: a local
+    * checkpoint pins blocks to the executors that computed them, so one
+    * lost executor aborts a long CC job mid-loop; a reliable checkpoint
+    * survives executor loss at the cost of one filesystem round-trip per
+    * round (GraphX's `checkpointInterval` exists for the same reason).
+    * Local mode has no executor-loss failure domain, so the default
+    * stays local; the label evolution is identical either way
+    * (GraphSpec runs the same graph through both modes).
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
                           verbose: Boolean = false,
                           contractMinEdges: Long = 500000L,
-                          localFinishEdges: Long = 200000L): DataFrame = {
+                          localFinishEdges: Long = 200000L,
+                          reliableCheckpoint: Boolean = false): DataFrame = {
+    require(!reliableCheckpoint ||
+        edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "connectedComponents(reliableCheckpoint=true) needs " +
+        "spark.sparkContext.setCheckpointDir(...) configured first")
+    // both checkpoint forms are EAGER (materialize now) and truncate
+    // lineage; they differ only in where the materialized blocks live
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
     // persist the edge input BEFORE symmetrizing: the union's two branches
     // would otherwise each evaluate the (often expensive) upstream pair
     // pipeline; the count() barrier stops the branches racing the cold cache
@@ -105,7 +123,7 @@ object Graph {
     // super-graph shrinks, so the long tail of a 100 TB run finishes in
     // one task instead of log-many near-empty rounds.
     if (e0Count <= localFinishEdges) {
-      val r = localFinish(e0).localCheckpoint() // materialize before unpersist
+      val r = ckpt(localFinish(e0)) // materialize before unpersist
       e0.unpersist()
       return r
     }
@@ -115,8 +133,8 @@ object Graph {
     // in-memory concat — a second persist would just buy an extra
     // materialization pass
     val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-    var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    var labels = ckpt(sym.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")))
     // pointer jumping: adopt the label OF one's label (labels are always
     // vertex ids, so the self-join resolves; identical subplans share one
     // exchange via ReuseExchange)
@@ -161,11 +179,10 @@ object Graph {
       // jump(jump(prop)) references prop 4×, and each re-derivation would
       // repeat the nmin edge-join aggregation — measured 2× the whole
       // query when this checkpoint is dropped
-      val prop = phase("prop-ckpt")(labels.as("l")
+      val prop = phase("prop-ckpt")(ckpt(labels.as("l")
         .join(nmin.as("nm"), col("l.id") === col("nm.id"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.label"), col("nm.nmin")).as("label"))
-        .localCheckpoint())
+          least(col("l.label"), col("nm.nmin")).as("label"))))
       // Convergence detection depends on whether the edges have been
       // contracted. UNCONTRACTED (e is the original graph): a neighbor-min
       // fixpoint over the FULL edge set means every edge joins equal
@@ -191,8 +208,8 @@ object Graph {
         // O(log diameter) rounds. NOT more jumps: each jump references its
         // input twice (the p/pl self-join), so k chained jumps cost 2^k−1
         // joins — measured slower than the rounds they save from k=3 up.
-        next = phase("jump-ckpt")(jump(jump(prop))
-          .localCheckpoint()) // eager: materializes AND truncates lineage
+        next = phase("jump-ckpt")( // eager: materializes AND truncates lineage
+          ckpt(jump(jump(prop))))
         val sNext = phase("labelSum")(labelSum(next))
         if (hasContracted) converged = sNext.compareTo(prevSum) == 0
         prevSum = sNext
@@ -226,12 +243,11 @@ object Graph {
         // whose cluster has no external edges left keep their label.
         if (eSize <= localFinishEdges) {
           val tail = phase("local-tail")(localFinish(e))
-          next = next.as("l")
+          next = ckpt(next.as("l")
             .join(tail.select(col("id").as("tid"), col("label").as("tlabel")),
               col("l.label") === col("tid"), "left")
             .select(col("l.id").as("id"),
-              coalesce(col("tlabel"), col("l.label")).as("label"))
-            .localCheckpoint()
+              coalesce(col("tlabel"), col("l.label")).as("label")))
           converged = true
         }
       }

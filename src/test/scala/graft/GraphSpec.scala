@@ -74,4 +74,29 @@ class GraphSpec extends SparkSpec {
     assert(tailed === reference)
     assert(tailed.values.toSet === Set(0L, 100L, 200L))
   }
+
+  test("reliable-checkpoint mode matches local-checkpoint labels (both paths)") {
+    // the cluster mode: every per-round lineage truncation goes through
+    // setCheckpointDir + checkpoint() instead of executor-pinned blocks.
+    // Same graph through the BSP loop AND the forced-contraction path in
+    // both modes must label identically; without a checkpoint dir the
+    // flag must fail fast instead of dying mid-loop in round 1.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    val chain = (0L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L))
+    def ccReliable(contract: Long): Map[Long, Long] =
+      Graph.connectedComponents(chain.toDF("a", "b"), "a", "b",
+          contractMinEdges = contract, localFinishEdges = 0L,
+          reliableCheckpoint = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    intercept[IllegalArgumentException] { ccReliable(0L) } // no dir yet
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      assert(ccReliable(Long.MaxValue) === ccDist(chain)) // plain BSP
+      assert(ccReliable(0L) ===
+        ccDist(chain, contractMinEdges = 0L)) // contraction engaged
+      // the reliable rounds actually hit the configured dir
+      assert(java.nio.file.Files.list(dir).count() > 0)
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
 }
