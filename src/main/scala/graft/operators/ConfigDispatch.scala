@@ -192,6 +192,11 @@ object ConfigDispatch {
         (r.getAs[String]("path"), r.getAs[String]("name"),
           r.getAs[Long]("size"), r.getAs[Long]("modification_time"))))
       .flatMap { case (path, name, size, mtime) =>
+        // 0-byte files short-circuit to skipped: they carry no schema and
+        // no rows, but the ORC reader would otherwise CLAIM them (ORC
+        // treats zero-length files as valid empty ORC for Hive compat),
+        // tagging junk as an ORC entry — caught by SniffPropertySpec
+        if (size == 0L) None else
         // the footer read doubles as the is-it-parquet validation
         scala.util.Try {
           val reader = ParquetFileReader.open(
@@ -234,6 +239,9 @@ object ConfigDispatch {
         }).orElse(scala.util.Try {
           require(name.toLowerCase.endsWith(".csv"), s"not a csv: $name")
           val df = spark.read.option("header", true).csv(path)
+          // an EMPTY .csv infers a zero-column schema — a 0-col entry is
+          // junk, rejected like the no-parseable-fields JSONL below
+          require(df.schema.fields.nonEmpty, s"empty csv: $name")
           ("CSV", df.count(), df.schema.fields.length)
         }).orElse(scala.util.Try {
           // JSONL filesets (the reference round-trips jsonlines catalog
