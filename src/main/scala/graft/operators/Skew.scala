@@ -27,4 +27,62 @@ object Skew {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     bigS.join(smallS, keys :+ "__salt").drop("__salt")
   }
+
+  /** Pick the salt factor for a bucketed SELF-join from its observed key
+    * histogram — the decision rule `tools.SaltProbe`'s measurements
+    * calibrate (SCALING.md "salting crossover").
+    *
+    * Cost model: a bucket of size c costs c² comparisons; the shuffle
+    * spreads whole buckets over P partitions, so the unsalted bottleneck
+    * partition carries ~max(c_max², W/P) with W = Σ c². Salting by s cuts
+    * the top bucket to c_max²/s but replicates one join side ×s — a cost
+    * proportional to the WHOLE base job (measured ~0.2× per salt at the
+    * 10× lake), not to the one hot bucket. So salting pays only when the
+    * top bucket's square alone dwarfs a fair partition share:
+    * c_max² > hotFactor × W/P. Below the bar: 0 (AQE's runtime skew
+    * split stays the only mitigation — measured strictly faster).
+    * Above it: the smallest s bringing c_max²/s back under the bar,
+    * capped at `maxSalts` (replication cost is linear in s, so past the
+    * cap the job has a partitioning problem salting cannot fix).
+    *
+    * `hotFactor` default 16: SaltProbe's 10× point (c_max=13.4k,
+    * W=1.81e9, ratio c_max²/(W/P) = 3.2) measured salts=4 at 1.35–1.8×
+    * the unsalted wall — firmly negative — so the bar sits 5× above
+    * that measured-negative ratio; a boilerplate corpus whose top
+    * bucket holds millions of rows sits orders of magnitude past it.
+    */
+  def chooseSalts(bucketSizes: Seq[Long], partitions: Int,
+                  hotFactor: Double = 16.0, maxSalts: Int = 64): Int = {
+    require(partitions > 0, "chooseSalts: partitions must be positive")
+    if (bucketSizes.isEmpty) return 0
+    val w = bucketSizes.iterator.map(c => c.toDouble * c).sum
+    val cmax = bucketSizes.max.toDouble
+    val bar = hotFactor * w / partitions
+    if (cmax * cmax <= bar || bar == 0.0) 0
+    else math.min(maxSalts.toDouble, math.ceil(cmax * cmax / bar)).toInt
+  }
+
+  /** [[chooseSalts]] from the bucketed rows themselves: ONE distributed
+    * aggregation derives (c_max, W) — the histogram never reaches the
+    * driver, so the decision costs a metadata-sized job at any corpus
+    * size. `keyCols` are the join's bucket key columns exactly as the
+    * join shuffles on them (the SaltProbe discipline: measure the
+    * buckets the join actually uses).
+    */
+  def chooseSalts(bucketed: DataFrame, keyCols: Seq[String],
+                  partitions: Int, hotFactor: Double,
+                  maxSalts: Int): Int = {
+    val h = bucketed.groupBy(keyCols.map(col): _*).count()
+      .agg(max(col("count")).as("cmax"),
+        sum(col("count") * col("count")).as("w"))
+      .head()
+    if (h.isNullAt(0)) 0 // empty input
+    else {
+      val cmax = h.getLong(0).toDouble
+      val w = h.getLong(1).toDouble
+      val bar = hotFactor * w / partitions
+      if (cmax * cmax <= bar || bar == 0.0) 0
+      else math.min(maxSalts.toDouble, math.ceil(cmax * cmax / bar)).toInt
+    }
+  }
 }

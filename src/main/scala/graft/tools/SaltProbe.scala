@@ -32,6 +32,18 @@ object SaltProbe {
       .orderBy(col("count").desc).limit(5).collect()
     println("[salt] top buckets: " +
       top.map(r => s"(${r.get(0)},${r.get(1)})=${r.getLong(2)}").mkString(", "))
+    // the crossover inputs (Skew.chooseSalts / SCALING.md formula):
+    // c_max, W = Σc², the fair per-partition share W/P, and the decision
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val h = chunks.groupBy("chunk_idx", "chunk_val").count()
+      .agg(max("count").as("cmax"), sum(col("count") * col("count")).as("w"))
+      .head()
+    val (cmax, w) = (h.getLong(0).toDouble, h.getLong(1).toDouble)
+    val chosen = graft.operators.Skew.chooseSalts(
+      chunks, Seq("chunk_idx", "chunk_val"), parts, hotFactor = 16.0,
+      maxSalts = 64)
+    println(f"[salt] cmax=${cmax.toLong} W=${w.toLong} fair=W/P=${w / parts}%.0f " +
+      f"ratio=cmax2/fair=${cmax * cmax * parts / w}%.2f chooseSalts=$chosen")
     salts.foreach { s =>
       val t0 = System.nanoTime()
       val n = graft.operators.Dedup.simhashPairs(sigs, "doc_id", maxHamming,

@@ -75,4 +75,34 @@ class SkewSpec extends SparkSpec {
     assert(saltedMax <= plainMax / 4,
       s"hot key must spread ≥4x under 8 salts ($plainMax -> $saltedMax)")
   }
+
+  test("chooseSalts: crossover rule from the bucket histogram (both overloads)") {
+    // below the bar: the SaltProbe-measured 10× shape scaled down — top
+    // bucket ~3× a fair partition share, salting measured NEGATIVE there
+    val probeShape = Seq(13428L, 12936L, 12135L, 11304L, 8486L) ++
+      Seq.fill(2000)(900L)
+    assert(Skew.chooseSalts(probeShape, partitions = 32) === 0)
+    // uniform histogram: never salt
+    assert(Skew.chooseSalts(Seq.fill(100)(1000L), partitions = 32) === 0)
+    // empty: no decision to make
+    assert(Skew.chooseSalts(Seq.empty, partitions = 32) === 0)
+    // the boilerplate regime: one bucket carries nearly all the square
+    // work — c_max²≈2.5e11 vs fair=(2.5e11+1e4)/32, ratio≈32 → bar=16
+    // exceeded, smallest s restoring the bar is 2
+    val boiler = Seq(500000L) ++ Seq.fill(100)(10L)
+    assert(Skew.chooseSalts(boiler, partitions = 32) === 2)
+    // more partitions make the same hot bucket relatively hotter:
+    // fair share shrinks ×32, ratio≈1024 → s=64 (the cap)
+    assert(Skew.chooseSalts(boiler, partitions = 1024) === 64)
+    // DataFrame overload agrees with the Seq form on the same histogram:
+    // materialize bucketed ROWS with those counts and re-derive
+    val rows = boiler.zipWithIndex.flatMap { case (c, k) =>
+      (0L until c).map(i => (k.toLong, i))
+    }.toDF("bucket", "row_id")
+    assert(Skew.chooseSalts(rows, Seq("bucket"), partitions = 32,
+      hotFactor = 16.0, maxSalts = 64) === 2)
+    // and on an empty frame
+    assert(Skew.chooseSalts(rows.limit(0), Seq("bucket"), partitions = 32,
+      hotFactor = 16.0, maxSalts = 64) === 0)
+  }
 }
