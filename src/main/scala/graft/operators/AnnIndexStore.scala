@@ -39,9 +39,10 @@ object AnnIndexStore {
     "codes", "sigs")
 
   /** Write every component as its own atomic table under `root`.
-    * Returns the committed version per component.
+    * Returns the committed version per component. (No session parameter:
+    * the write executes on the components' own session.)
     */
-  def write(spark: SparkSession, root: String, c: Components): Map[String, Long] = {
+  def write(root: String, c: Components): Map[String, Long] = {
     val frames = Map(
       "centroids" -> c.centroids,
       "assigned" -> c.assigned.select("vec_id", "centroid_id"),

@@ -31,9 +31,10 @@ object DocIndexStore {
       minhashSigs: DataFrame) // (doc_id, mh_0..mh_7, band_0, band_1)
 
   /** Write both components as atomic tables under `root`. Returns the
-    * committed version per component.
+    * committed version per component. (No session parameter: the write
+    * executes on the components' own session, like every commit.)
     */
-  def write(spark: SparkSession, root: String, c: Components): Map[String, Long] =
+  def write(root: String, c: Components): Map[String, Long] =
     Map(
       "simhash" -> AtomicStore.commitSnapshot(c.simhash, s"$root/simhash"),
       "minhash" -> AtomicStore.commitSnapshot(c.minhashSigs, s"$root/minhash"))
@@ -49,12 +50,10 @@ object DocIndexStore {
     * functions, so append IS the whole incremental maintenance story —
     * no rebuild, no merge.
     */
-  def appendSimhash(spark: SparkSession, root: String,
-                    newSigs: DataFrame): Long =
+  def appendSimhash(root: String, newSigs: DataFrame): Long =
     AtomicStore.commitAppend(newSigs, s"$root/simhash")
 
   /** Same, for the minhash signature/band table. */
-  def appendMinhash(spark: SparkSession, root: String,
-                    newSigs: DataFrame): Long =
+  def appendMinhash(root: String, newSigs: DataFrame): Long =
     AtomicStore.commitAppend(newSigs, s"$root/minhash")
 }

@@ -102,10 +102,43 @@ object Graph {
         edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "connectedComponents(reliableCheckpoint=true) needs " +
         "spark.sparkContext.setCheckpointDir(...) configured first")
+    // reliable mode bookkeeping (the GraphX PeriodicCheckpointer
+    // discipline): Spark never deletes reliable checkpoint files — not
+    // on unreference, not on job end — so an unmanaged loop leaks two
+    // label-table-sized dirs per round until the checkpoint filesystem
+    // fills. Track every file this invocation writes and keep only the
+    // 2 newest mid-loop (the 2nd-newest can still back a cached
+    // contracted edge set's lineage under executor loss); the final
+    // cleanup below keeps just the returned table's backing file.
+    val ckptFiles = scala.collection.mutable.Queue.empty[String]
+    def dropCkpt(file: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(file)
+      p.getFileSystem(edges.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
     // both checkpoint forms are EAGER (materialize now) and truncate
     // lineage; they differ only in where the materialized blocks live
     def ckpt(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+      if (!reliableCheckpoint) df.localCheckpoint()
+      else {
+        // persist first: checkpoint()'s eager count materializes the
+        // plan, but the checkpoint WRITE is a second job that would
+        // otherwise recompute every partition from scratch (the RDD
+        // .checkpoint contract) — for the prop/jump rounds that second
+        // pass is the whole nmin join again
+        df.persist()
+        val out = df.checkpoint()
+        df.unpersist()
+        out.queryExecution.analyzed match {
+          case r: org.apache.spark.sql.execution.LogicalRDD =>
+            r.rdd.getCheckpointFile.foreach(ckptFiles.enqueue(_))
+          case _ => ()
+        }
+        while (ckptFiles.size > 2) dropCkpt(ckptFiles.dequeue())
+        out
+      }
+    def finishCkpts(): Unit =
+      while (ckptFiles.size > 1) dropCkpt(ckptFiles.dequeue())
     // persist the edge input BEFORE symmetrizing: the union's two branches
     // would otherwise each evaluate the (often expensive) upstream pair
     // pipeline; the count() barrier stops the branches racing the cold cache
@@ -125,6 +158,7 @@ object Graph {
     if (e0Count <= localFinishEdges) {
       val r = ckpt(localFinish(e0)) // materialize before unpersist
       e0.unpersist()
+      finishCkpts()
       return r
     }
     var eSize = e0Count * 2
@@ -258,6 +292,7 @@ object Graph {
     if (e ne sym) e.unpersist()
     e0.unpersist() // sym itself was never persisted — only e0 is
     require(converged, s"connectedComponents: no fixpoint after $maxIter iterations")
+    finishCkpts() // keep only the returned table's backing file
     labels
   }
 }

@@ -217,10 +217,10 @@ object DataQueries {
     val ix = DocIndex.index(spark, dir)
     val root = java.nio.file.Files.createTempDirectory("graft_d28").toString
     val split = col("doc_id") % 5 < 4
-    DocIndexStore.write(spark, root, DocIndexStore.Components(
+    DocIndexStore.write(root, DocIndexStore.Components(
       ix.simhash.filter(split), ix.minhashSigs.filter(split)))
-    DocIndexStore.appendSimhash(spark, root, ix.simhash.filter(!split))
-    DocIndexStore.appendMinhash(spark, root, ix.minhashSigs.filter(!split))
+    DocIndexStore.appendSimhash(root, ix.simhash.filter(!split))
+    DocIndexStore.appendMinhash(root, ix.minhashSigs.filter(!split))
     val loaded = DocIndexStore.load(spark, root)
     CoreQueries.materializeThenDelete(spark,
       Dedup.simhashPairs(loaded.simhash, "doc_id", maxHamming = 8)
@@ -330,7 +330,7 @@ object DataQueries {
     import graft.operators.AnnIndexStore
     val ix = AnnEval.index(spark, dir)
     val root = java.nio.file.Files.createTempDirectory("graft_s16").toString
-    AnnIndexStore.write(spark, root, AnnIndexStore.Components(
+    AnnIndexStore.write(root, AnnIndexStore.Components(
       ix.centroids, ix.assigned, ix.assignedMulti2, ix.codes, ix.sigs))
     val loaded = AnnIndexStore.load(spark, root)
     val assignedWithVec = loaded.assigned.join(ix.emb, "vec_id")

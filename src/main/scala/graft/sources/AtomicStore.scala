@@ -179,9 +179,41 @@ object AtomicStore {
 
   /** Commit `df` as an appended batch: the new version sees every
     * previously committed file plus this batch (history semantics).
+    * Retry-on-conflict re-resolves the parent file set and republishes
+    * the SAME batch — correct ONLY when the batch does not derive from a
+    * read of the current table state. A batch that DOES (e.g. an ingest
+    * wave filtered by novelty probes against the store) must use
+    * [[commitAppendIfUnchanged]] and recompute on conflict, exactly like
+    * the snapshot MERGE rule above.
     */
   def commitAppend(df: DataFrame, root: String): Long =
     commit(df, root, append = true)
+
+  /** Compare-and-swap append commit — the derived-batch sibling of
+    * [[commitSnapshotIfUnchanged]]: publish `df` as an appended batch at
+    * `expectedBase + 1` and return None when some other writer committed
+    * first (the caller re-reads the new state, recomputes its batch
+    * against it, and retries). A blind retry here would append rows
+    * filtered against a stale base — e.g. a doc the racing winner just
+    * committed would land a second time.
+    */
+  def commitAppendIfUnchanged(df: DataFrame, root: String,
+                              expectedBase: Option[Long]): Option[Long] = {
+    val spark = df.sparkSession
+    // cheap early-out before materializing the batch for a lost race
+    if (currentVersion(spark, root) != expectedBase) return None
+    val rel = writeData(df, root)
+    val v = expectedBase.getOrElse(-1L) + 1
+    val dirs = expectedBase.toSeq.flatMap(filesAt(spark, root, _))
+      .map(p => new Path(p).getName) :+ rel
+    if (publish(spark, root, dirs, v)) Some(v)
+    else {
+      // known-unpublished loser batch — reclaim immediately
+      val fs = dataDir(root).getFileSystem(hconf(spark))
+      fs.delete(new Path(dataDir(root), rel), true)
+      None
+    }
+  }
 
   /** Drop data dirs no manifest within `keepVersions` of latest
     * references, and older manifests (Delta's VACUUM). Safe for readers

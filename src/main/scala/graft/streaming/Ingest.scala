@@ -112,17 +112,33 @@ object Ingest {
     * is genuinely novel and lands. StreamingSpec kills a query mid-wave
     * (data landed, manifest not) and proves the restarted stream
     * converges to the batch fold.
+    *
+    * The accepted set DERIVES from a read of the store (the novelty
+    * probes), so the commit is compare-and-swap, not a blind append
+    * (the Delta conflict rule, [[AtomicStore.commitSnapshotIfUnchanged]]
+    * doc): when another writer — a backfill job racing the live stream,
+    * or two streams sharing one store — commits between our read and
+    * our publish, the probes ran against a stale base and a doc the
+    * winner just committed would land a SECOND time, silently breaking
+    * the store's one-row-per-fingerprint invariant every later probe
+    * relies on. On conflict the wave recomputes against the new state
+    * and retries; IngestRaceSpec races two writers over the same docs.
     */
   def ingestBatchCommit(spark: SparkSession, storePath: String,
                         batch: DataFrame, batchId: Long,
                         minTokens: Int = 20, maxHamming: Int = 4): Long = {
     import graft.sources.AtomicStore
-    val store =
-      if (AtomicStore.currentVersion(spark, storePath).isDefined)
-        AtomicStore.read(spark, storePath)
-      else emptyStore(spark)
-    AtomicStore.commitAppend(
-      ingestBatch(store, batch, batchId, minTokens, maxHamming), storePath)
+    var committed: Option[Long] = None
+    while (committed.isEmpty) {
+      val base = AtomicStore.currentVersion(spark, storePath)
+      val store =
+        if (base.isDefined) AtomicStore.read(spark, storePath)
+        else emptyStore(spark)
+      committed = AtomicStore.commitAppendIfUnchanged(
+        ingestBatch(store, batch, batchId, minTokens, maxHamming),
+        storePath, base)
+    }
+    committed.get
   }
 
   /** Ordered batch fold (the oracle-gated form): documents arrive in

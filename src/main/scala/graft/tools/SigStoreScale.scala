@@ -27,7 +27,7 @@ object SigStoreScale {
       .localCheckpoint()
     val root = java.nio.file.Files.createTempDirectory("graft_sigscale").toString
     val t0 = System.nanoTime()
-    graft.operators.DocIndexStore.write(spark, root,
+    graft.operators.DocIndexStore.write(root,
       graft.operators.DocIndexStore.Components(sim, mh))
     val dtSeed = (System.nanoTime() - t0) / 1e9
     val seeded = Fs.dirBytes(root)
@@ -39,8 +39,8 @@ object SigStoreScale {
     val batchMh = mh.limit(batchDocs)
       .withColumn("doc_id", col("doc_id") + lit(10000000L))
     val t1 = System.nanoTime()
-    graft.operators.DocIndexStore.appendSimhash(spark, root, batchSim)
-    graft.operators.DocIndexStore.appendMinhash(spark, root, batchMh)
+    graft.operators.DocIndexStore.appendSimhash(root, batchSim)
+    graft.operators.DocIndexStore.appendMinhash(root, batchMh)
     val dtApp = (System.nanoTime() - t1) / 1e9
     println(f"SIGSTORE docs=$nDocs%7d append_$batchDocs%-4d wall=$dtApp%6.2fs " +
       f"batch_bytes=${Fs.dirBytes(root) - seeded} total_bytes=${Fs.dirBytes(root)}")

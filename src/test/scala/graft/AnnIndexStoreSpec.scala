@@ -15,7 +15,7 @@ class AnnIndexStoreSpec extends SparkSpec {
   test("write → load round-trips every component and serves the same pairs") {
     val ix = AnnEval.index(spark, sf)
     val root = java.nio.file.Files.createTempDirectory("graft_annidx").toString
-    val versions = AnnIndexStore.write(spark, root,
+    val versions = AnnIndexStore.write(root,
       AnnIndexStore.Components(ix.centroids, ix.assigned, ix.assignedMulti2,
         ix.codes, ix.sigs))
     assert(versions.values.forall(_ == 0L)) // first commit of each table
@@ -43,7 +43,7 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(fromLake === fromMemo)
 
     // a re-write lands as the next version of each table, atomically
-    val v2 = AnnIndexStore.write(spark, root,
+    val v2 = AnnIndexStore.write(root,
       AnnIndexStore.Components(ix.centroids, ix.assigned, ix.assignedMulti2,
         ix.codes, ix.sigs))
     assert(v2.values.forall(_ == 1L))

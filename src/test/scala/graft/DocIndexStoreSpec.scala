@@ -16,13 +16,13 @@ class DocIndexStoreSpec extends SparkSpec {
     val ix = DocIndex.index(spark, sf)
     val root = java.nio.file.Files.createTempDirectory("graft_docidx").toString
     val split = col("doc_id") % 5 < 4
-    val versions = DocIndexStore.write(spark, root, DocIndexStore.Components(
+    val versions = DocIndexStore.write(root, DocIndexStore.Components(
       ix.simhash.filter(split), ix.minhashSigs.filter(split)))
     assert(versions.values.forall(_ == 0L)) // first commit of each table
 
     // incremental ingest: the remaining docs land as appended batches
-    DocIndexStore.appendSimhash(spark, root, ix.simhash.filter(!split))
-    DocIndexStore.appendMinhash(spark, root, ix.minhashSigs.filter(!split))
+    DocIndexStore.appendSimhash(root, ix.simhash.filter(!split))
+    DocIndexStore.appendMinhash(root, ix.minhashSigs.filter(!split))
 
     val loaded = DocIndexStore.load(spark, root)
     def setOf(df: org.apache.spark.sql.DataFrame) =
@@ -46,7 +46,7 @@ class DocIndexStoreSpec extends SparkSpec {
 
     // a re-write lands as the next version of each table, atomically
     // (append burned one version per table, so snapshot v is 2)
-    val v2 = DocIndexStore.write(spark, root, DocIndexStore.Components(
+    val v2 = DocIndexStore.write(root, DocIndexStore.Components(
       ix.simhash, ix.minhashSigs))
     assert(v2.values.forall(_ == 2L))
   }
@@ -68,7 +68,7 @@ class DocIndexStoreSpec extends SparkSpec {
     def mh(ids: Seq[Long]) =
       ids.map(id => (id, id, id + 1, id % 3, id % 5)).toDF(
         "doc_id", "mh_0", "mh_1", "band_0", "band_1")
-    DocIndexStore.write(spark, root,
+    DocIndexStore.write(root,
       DocIndexStore.Components(sim(Seq(0L)), mh(Seq(0L))))
     val rounds = 10
     def ids(w: Int, i: Int): Seq[Long] =
@@ -81,8 +81,8 @@ class DocIndexStoreSpec extends SparkSpec {
     val writers = (0 until 2).map { w =>
       new Thread(() => {
         try (0 until rounds).foreach { i =>
-          simVs.add(DocIndexStore.appendSimhash(spark, root, sim(ids(w, i))))
-          mhVs.add(DocIndexStore.appendMinhash(spark, root, mh(ids(w, i))))
+          simVs.add(DocIndexStore.appendSimhash(root, sim(ids(w, i))))
+          mhVs.add(DocIndexStore.appendMinhash(root, mh(ids(w, i))))
         } catch { case t: Throwable => failures.add(t) }
       })
     }

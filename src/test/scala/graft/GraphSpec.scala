@@ -91,12 +91,25 @@ class GraphSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     intercept[IllegalArgumentException] { ccReliable(0L) } // no dir yet
     spark.sparkContext.setCheckpointDir(dir.toString)
+    def rddDirs(): Seq[String] = {
+      val buf = scala.collection.mutable.ListBuffer.empty[String]
+      val s = java.nio.file.Files.walk(dir)
+      try s.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("rdd-")) buf += n
+      }
+      finally s.close()
+      buf.toList
+    }
     try {
       assert(ccReliable(Long.MaxValue) === ccDist(chain)) // plain BSP
+      // the reliable rounds hit the configured dir, and the
+      // PeriodicCheckpointer cleanup kept ONLY the returned table's
+      // backing file — an unmanaged loop leaves 2 dirs per round
+      assert(rddDirs().size === 1, rddDirs())
       assert(ccReliable(0L) ===
         ccDist(chain, contractMinEdges = 0L)) // contraction engaged
-      // the reliable rounds actually hit the configured dir
-      assert(java.nio.file.Files.list(dir).count() > 0)
+      assert(rddDirs().size === 2, rddDirs()) // one more, not round-many
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 }
