@@ -439,17 +439,37 @@ object Dedup {
           .as(Seq("pos", "g")))
       .select(col(idCol), col("pos"), TextFns.hash60(col("g")).as("h"))
 
+  /** Grams shared by at least `minDocs` documents — the `(h)` set the
+    * span semi-join probes. A pure function of the gram table, so a
+    * near-dup service persists it next to the positions (the
+    * [[graft.queries.DocIndex]] memo does exactly that); the df
+    * aggregation is the expensive half of a span run and is identical
+    * across runs.
+    */
+  def duplicatedGrams(grams: DataFrame, idCol: String,
+                      minDocs: Int): DataFrame =
+    grams.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs).select("h")
+
   /** [[duplicateSpans]] SERVED from a prebuilt [[gramPositions]] table
     * (the DocIndex form). `n` only widens the reported span length
     * (`span_tokens = n_grams + n - 1`); it must match the `n` the gram
     * table was built with.
     */
   def duplicateSpansFromGrams(grams: DataFrame, idCol: String,
-                              n: Int, minDocs: Int): DataFrame = {
+                              n: Int, minDocs: Int): DataFrame =
+    duplicateSpansFromIndex(grams, duplicatedGrams(grams, idCol, minDocs),
+      idCol, n)
+
+  /** [[duplicateSpans]] SERVED from BOTH prebuilt index tables — gram
+    * positions and the [[duplicatedGrams]] set. The per-run work drops
+    * to semi-join + per-doc island window; the df aggregation is paid
+    * once at index-build time.
+    */
+  def duplicateSpansFromIndex(grams: DataFrame, dup: DataFrame,
+                              idCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dup = grams.groupBy("h")
-      .agg(countDistinct(col(idCol)).as("df"))
-      .filter(col("df") >= minDocs).select("h")
     val hits = grams.join(dup, Seq("h"), "left_semi")
     val w = Window.partitionBy(idCol).orderBy("pos")
     hits

@@ -371,11 +371,12 @@ object DataQueries5 {
     * the near-dup copies in the corpus surface as long from-position-0
     * spans, quotes and shared boilerplate as short interior ones.
     */
-  def d23DupSpans(spark: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateSpansFromGrams(
-        DocIndex.index(spark, dir).wordGramPositions5, "doc_id",
-        n = 5, minDocs = 2)
+  def d23DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val ix = DocIndex.index(spark, dir)
+    Dedup.duplicateSpansFromIndex(ix.wordGramPositions5, ix.dupGrams5,
+        "doc_id", n = 5)
       .orderBy("doc_id", "span_start")
+  }
 
   val d23Oracle: String =
     """WITH w AS (SELECT doc_id,

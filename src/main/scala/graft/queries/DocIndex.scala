@@ -62,6 +62,15 @@ object DocIndex {
       */
     lazy val wordGramPositions5: DataFrame =
       Dedup.gramPositions(docs, "doc_id", "text", 5).localCheckpoint()
+    /** `(h)` grams shared by ≥2 documents over [[wordGramPositions5]],
+      * checkpointed — the other half of the span index: the df
+      * aggregation is the expensive per-run piece of d23, and like the
+      * positions it is a pure function of the corpus, so the service
+      * persists both and a span query is semi-join + island window only.
+      */
+    lazy val dupGrams5: DataFrame =
+      Dedup.duplicatedGrams(wordGramPositions5, "doc_id", 2)
+        .localCheckpoint()
     /** BPE merge table (3 steps) trained on the corpus, checkpointed —
       * a MODEL-sized (3-row) pure function of the text, the same
       * "train once at write time, serve every later query" artifact as

@@ -46,9 +46,17 @@ class IndexServeSpec extends SparkSpec {
         "doc_id", "text", 5)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(served === fresh)
-    // and the served span query == the one-shot composed form
-    val servedSpans = Dedup.duplicateSpansFromGrams(
-        ix.wordGramPositions5, "doc_id", n = 5, minDocs = 2)
+    // served dup set == fresh df aggregation over a fresh gram table
+    val servedDup = ix.dupGrams5.collect().map(_.getLong(0)).toSet
+    val freshDup = Dedup.duplicatedGrams(
+        Dedup.gramPositions(Lake.table(spark, sf, "documents"),
+          "doc_id", "text", 5), "doc_id", 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(servedDup === freshDup)
+    // and the fully-served span query (both index tables) == the
+    // one-shot composed form
+    val servedSpans = Dedup.duplicateSpansFromIndex(
+        ix.wordGramPositions5, ix.dupGrams5, "doc_id", n = 5)
       .collect().map(_.mkString("|")).toSet
     val oneShot = Dedup.duplicateSpans(Lake.table(spark, sf, "documents"),
         "doc_id", "text", n = 5, minDocs = 2)

@@ -214,10 +214,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("windowspecdefinition(doc_id"), p)
-    // served shape: both sides read the session gram table (checkpoint
-    // RDD scans), never a re-explode of the documents parquet
+    // served shape: both semi-join sides read session index tables
+    // (checkpoint RDD scans) — never a re-explode of the documents
+    // parquet, and never a per-run df aggregation (the dup-gram set is
+    // itself a served index table, so no count-distinct survives)
     assert(p.contains("ExistingRDD"), p)
     assert(!p.contains("FileScan"), p)
+    assert(!p.toLowerCase.contains("distinct"), p)
   }
 
   test("q39: the whole (asset x column x field) grid costs ONE source scan") {
