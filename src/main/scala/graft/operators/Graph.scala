@@ -137,8 +137,36 @@ object Graph {
         while (ckptFiles.size > 2) dropCkpt(ckptFiles.dequeue())
         out
       }
-    def finishCkpts(): Unit =
+    // the contracted edge set lives for ALL later rounds, so in reliable
+    // mode it cannot lean on the label queue: its lineage would point at
+    // a label checkpoint the keep-2 GC deletes two rounds later, and an
+    // executor loss after that aborts the job this mode exists to
+    // survive. It gets its own slot — one file, replaced per contraction
+    // (contractions are rare: once or twice per job), dropped at exit.
+    var edgeCkptFile: Option[String] = None
+    def ckptEdges(df: DataFrame): DataFrame = {
+      df.persist() // same write-from-cache discipline as ckpt()
+      val out = df.checkpoint()
+      df.unpersist()
+      val newFile = out.queryExecution.analyzed match {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.getCheckpointFile
+        case _ => None
+      }
+      edgeCkptFile.foreach(dropCkpt)
+      edgeCkptFile = newFile
+      out
+    }
+    def finishCkpts(): Unit = {
       while (ckptFiles.size > 1) dropCkpt(ckptFiles.dequeue())
+      edgeCkptFile.foreach(dropCkpt)
+      edgeCkptFile = None
+    }
+    def abortCkpts(): Unit = {
+      while (ckptFiles.nonEmpty) dropCkpt(ckptFiles.dequeue())
+      edgeCkptFile.foreach(dropCkpt)
+      edgeCkptFile = None
+    }
     // persist the edge input BEFORE symmetrizing: the union's two branches
     // would otherwise each evaluate the (often expensive) upstream pair
     // pipeline; the count() barrier stops the branches racing the cold cache
@@ -261,11 +289,16 @@ object Graph {
         // either way, GraphSpec covers both sides of the threshold).
         val lmU = next.select(col("id").as("cu"), col("label").as("lu"))
         val lmV = next.select(col("id").as("cv"), col("label").as("lv"))
-        val newE = e.join(lmU, e("u") === col("cu"))
+        val contracted = e.join(lmU, e("u") === col("cu"))
           .join(lmV, e("v") === col("cv"))
           .select(col("lu").as("u"), col("lv").as("v"))
           .filter(col("u") =!= col("v")).distinct()
-          .persist()
+        // local mode: persist is enough (no executor-loss domain, blocks
+        // stay evictable); reliable mode: the super-graph must survive
+        // executor loss on its own file, not via the label queue
+        val newE =
+          if (reliableCheckpoint) ckptEdges(contracted)
+          else contracted.persist()
         eSize = phase("contract")(newE.count())
         if (e ne sym) e.unpersist()
         e = newE
@@ -291,7 +324,11 @@ object Graph {
     }
     if (e ne sym) e.unpersist()
     e0.unpersist() // sym itself was never persisted — only e0 is
-    require(converged, s"connectedComponents: no fixpoint after $maxIter iterations")
+    if (!converged) {
+      abortCkpts() // a failed job must not leak round-many reliable dirs
+      throw new IllegalArgumentException(
+        s"requirement failed: connectedComponents: no fixpoint after $maxIter iterations")
+    }
     finishCkpts() // keep only the returned table's backing file
     labels
   }

@@ -72,14 +72,17 @@ object Skew {
   def chooseSalts(bucketed: DataFrame, keyCols: Seq[String],
                   partitions: Int, hotFactor: Double,
                   maxSalts: Int): Int = {
+    // square in DOUBLE: ANSI mode makes a Long c*c past ~3e9 rows THROW
+    // (overflow), and a degenerate boilerplate key at corpus scale is
+    // exactly when this helper must answer, not crash
     val h = bucketed.groupBy(keyCols.map(col): _*).count()
       .agg(max(col("count")).as("cmax"),
-        sum(col("count") * col("count")).as("w"))
+        sum(col("count").cast("double") * col("count")).as("w"))
       .head()
     if (h.isNullAt(0)) 0 // empty input
     else {
       val cmax = h.getLong(0).toDouble
-      val w = h.getLong(1).toDouble
+      val w = h.getDouble(1)
       val bar = hotFactor * w / partitions
       if (cmax * cmax <= bar || bar == 0.0) 0
       else math.min(maxSalts.toDouble, math.ceil(cmax * cmax / bar)).toInt

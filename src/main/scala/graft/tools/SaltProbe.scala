@@ -36,9 +36,10 @@ object SaltProbe {
     // c_max, W = Σc², the fair per-partition share W/P, and the decision
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val h = chunks.groupBy("chunk_idx", "chunk_val").count()
-      .agg(max("count").as("cmax"), sum(col("count") * col("count")).as("w"))
+      .agg(max("count").as("cmax"), // double-squared: see Skew.chooseSalts
+        sum(col("count").cast("double") * col("count")).as("w"))
       .head()
-    val (cmax, w) = (h.getLong(0).toDouble, h.getLong(1).toDouble)
+    val (cmax, w) = (h.getLong(0).toDouble, h.getDouble(1))
     val chosen = graft.operators.Skew.chooseSalts(
       chunks, Seq("chunk_idx", "chunk_val"), parts, hotFactor = 16.0,
       maxSalts = 64)

@@ -110,6 +110,15 @@ class GraphSpec extends SparkSpec {
       assert(ccReliable(0L) ===
         ccDist(chain, contractMinEdges = 0L)) // contraction engaged
       assert(rddDirs().size === 2, rddDirs()) // one more, not round-many
+      // abort path: a no-fixpoint failure cleans up EVERYTHING it wrote
+      // (labels queue AND the edge-checkpoint slot) instead of leaking
+      // round-many reliable dirs on the checkpoint filesystem
+      intercept[IllegalArgumentException] {
+        Graph.connectedComponents(chain.toDF("a", "b"), "a", "b",
+          maxIter = 1, contractMinEdges = 0L, localFinishEdges = 0L,
+          reliableCheckpoint = true).collect()
+      }
+      assert(rddDirs().size === 2, rddDirs()) // unchanged by the abort
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 }
