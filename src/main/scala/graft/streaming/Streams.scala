@@ -109,7 +109,19 @@ object Streams {
       incoming.foreach { e =>
         open match {
           case Some(s) if e.ts.getTime - s.session_end.getTime < gapMs =>
-            open = Some(s.copy(session_end = e.ts, n_events = s.n_events + 1))
+            // merge with min/max, NOT `session_end = e.ts`: an event from a
+            // later micro-batch may be out-of-order vs the open session's
+            // tail (its ts only has to clear the watermark, which lags by
+            // gap) — an unconditional overwrite would REGRESS session_end,
+            // emitting a corrupt session AND shrinking the event-time
+            // timeout so the session flushes early. Batch sessionize takes
+            // the session's max ts; this must match it.
+            open = Some(s.copy(
+              session_start =
+                if (e.ts.before(s.session_start)) e.ts else s.session_start,
+              session_end =
+                if (e.ts.after(s.session_end)) e.ts else s.session_end,
+              n_events = s.n_events + 1))
           case Some(s) =>
             closed += s
             open = Some(Session(userId, e.ts, e.ts, 1))

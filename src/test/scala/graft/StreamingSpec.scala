@@ -63,6 +63,46 @@ class StreamingSpec extends SparkSpec {
       Session(2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), 1L)))
   }
 
+  test("sessionize stream: a cross-batch out-of-order event cannot regress session_end") {
+    // an event from a later micro-batch only has to clear the WATERMARK
+    // (which lags by gap), so it can be older than the open session's
+    // tail. The merge must take min/max — an unconditional
+    // `session_end = e.ts` emits a corrupt session AND pulls the
+    // event-time timeout earlier. Batch sessionize (max ts per session)
+    // is the contract.
+    import spark.implicits._
+    import graft.streaming.Streams.{Session, SessionEvent}
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val stage = Files.createTempDirectory("graft_sess_ooo").toString
+    Seq( // batch 1: open session [00:00, 00:20]
+      SessionEvent(1L, 1L, ts("2024-01-01 00:00:00")),
+      SessionEvent(1L, 2L, ts("2024-01-01 00:20:00")))
+      .toDF().coalesce(1).write.mode("append").parquet(stage)
+    Thread.sleep(150)
+    Seq( // batch 2: out-of-order 00:10 (within gap AND watermark) + a
+      // sentinel far enough ahead to flush user 1 via timeout
+      SessionEvent(1L, 3L, ts("2024-01-01 00:10:00")),
+      SessionEvent(99L, 4L, ts("2024-01-01 10:00:00")))
+      .toDF().coalesce(1).write.mode("append").parquet(stage)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .as[SessionEvent]
+    val q = graft.streaming.Streams.sessionizeStream(stream, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_ooo")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val closed = spark.table("sessions_ooo").as[Session].collect()
+      .filter(_.user_id == 1L).toSet
+    // end stays 00:20 (NOT the out-of-order 00:10) and the merged event
+    // is counted — exactly what batch sessionize produces on the union
+    assert(closed === Set(
+      Session(1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:20:00"), 3L)))
+  }
+
   test("stream-static join enriches streaming events with a dimension table") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
