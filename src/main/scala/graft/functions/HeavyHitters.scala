@@ -87,6 +87,15 @@ final class HeavyHitters(capacity: Int)
     if (s.counts.size >= capacity) math.max(s.err, s.tree.head._1) else s.err
 
   override def merge(a: SSBuf, b: SSBuf): SSBuf = {
+    // identity merges first: an EMPTY sketch with zero error carries no
+    // information about any key, so merging it must be a no-op. Without
+    // the short-circuit, the other (full) side's absent-key bound leaks
+    // into the merged `err`, and every LATER merge charges absent keys
+    // with that inflated bound — still a valid overestimate, but looser
+    // than necessary, and empty partial buffers are routine (every empty
+    // partition contributes one).
+    if (a.counts.isEmpty && a.err == 0L) return b
+    if (b.counts.isEmpty && b.err == 0L) return a
     val ba = absentBound(a)
     val bb = absentBound(b)
     val out = new SSBuf(mutable.HashMap.empty, ba + bb)

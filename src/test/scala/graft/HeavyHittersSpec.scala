@@ -58,4 +58,22 @@ class HeavyHittersSpec extends SparkSpec {
     val h = out.toMap.getOrElse("H", 0L)
     assert(h >= 105L, s"split hitter H must be >= its true 105, got $h")
   }
+
+  test("merging an empty zero-error buffer is an identity, not an err inflation") {
+    // empty partial buffers are routine (one per empty partition); before
+    // the identity short-circuit, zero ⋈ full set err to the full side's
+    // absent-key bound, and every LATER merge charged absent keys with
+    // that inflated bound — valid but needlessly loose
+    val agg = new HeavyHitters(4)
+    val full = Seq.fill(10)("x") ++ Seq.fill(7)("y") ++
+      Seq.fill(3)("z") ++ Seq.fill(2)("w")
+    val b = full.foldLeft(agg.zero)(agg.reduce)
+    assert(b.counts.size === 4 && b.err === 0L)
+    val viaLeft = agg.merge(agg.zero, b)
+    assert(viaLeft.err === 0L)
+    assert(viaLeft.counts.toMap === b.counts.toMap)
+    val viaRight = agg.merge(b, agg.zero)
+    assert(viaRight.err === 0L)
+    assert(viaRight.counts.toMap === b.counts.toMap)
+  }
 }
