@@ -102,6 +102,41 @@ class AtomicStoreSpec extends SparkSpec {
       .select("field_value").as[String].collect().toSeq === Seq("2"))
   }
 
+  test("CAS append: stale base refused with the loser's data reclaimed") {
+    // the derived-batch contract (Ingest's commit path): publish at
+    // expectedBase+1 or return None so the caller recomputes against the
+    // winner's rows — a blind retry would land rows probed against a
+    // stale base (e.g. a doc the winner just committed, twice)
+    val r = root()
+    // None base on an empty store seeds version 0
+    assert(AtomicStore.commitAppendIfUnchanged(tags("a" -> "1"), r, None)
+      === Some(0L))
+    // correct base appends and bumps
+    assert(AtomicStore.commitAppendIfUnchanged(tags("b" -> "2"), r, Some(0L))
+      === Some(1L))
+    assert(AtomicStore.read(spark, r)
+      .select("asset_uri", "field_value").as[(String, String)].collect().toSet
+      === Set("a" -> "1", "b" -> "2"))
+    def dataDirs(): Int =
+      new java.io.File(r, "data").listFiles().count(_.isDirectory)
+    val before = dataDirs()
+    // stale base (the early-out) → None, table and data dir census intact
+    assert(AtomicStore.commitAppendIfUnchanged(tags("c" -> "3"), r, Some(0L))
+      .isEmpty)
+    assert(dataDirs() === before)
+    // and the refused call left the committed state readable and intact
+    assert(AtomicStore.currentVersion(spark, r) === Some(1L))
+    assert(AtomicStore.read(spark, r)
+      .select("asset_uri", "field_value").as[(String, String)].collect().toSet
+      === Set("a" -> "1", "b" -> "2"))
+    // The OTHER loser branch — version moves between the early-out check
+    // and the publish rename — cannot be sequenced deterministically from
+    // outside (the early-out always fires once the version is visible);
+    // IngestRaceSpec's two racing writers exercise it for real and the
+    // dense-version + one-row-per-fingerprint asserts prove both the CAS
+    // refusal and the loser's recompute happened.
+  }
+
   test("CAS snapshot commit refuses a stale base; merge retry converges") {
     val r = root()
     TagStore.mergeCommit(spark, r, tags("a" -> "1"))          // v0
