@@ -167,169 +167,181 @@ object Graph {
       edgeCkptFile.foreach(dropCkpt)
       edgeCkptFile = None
     }
-    // persist the edge input BEFORE symmetrizing: the union's two branches
-    // would otherwise each evaluate the (often expensive) upstream pair
-    // pipeline; the count() barrier stops the branches racing the cold cache
-    val e0 = edges.select(col(aCol).cast("long").as("u"),
-      col(bCol).cast("long").as("v")).persist()
-    val e0Count = e0.count()
-    // SIZE-ADAPTIVE local finish (the move every production distributed-CC
-    // makes — BSP rounds are for graphs that don't fit one task): an edge
-    // set this small is pure fixed job overhead to iterate on (measured:
-    // a 658-edge chain forest cost 9 rounds × ~0.75 s of scheduling to
-    // converge distributed, 0.3 s locally). ~200k edges ≈ a few MB in one
-    // executor partition — broadcast-threshold-order, not "the data on
-    // the driver". Big graphs take the distributed rounds + contraction
-    // below, and the contraction path re-checks this threshold as the
-    // super-graph shrinks, so the long tail of a 100 TB run finishes in
-    // one task instead of log-many near-empty rounds.
-    if (e0Count <= localFinishEdges) {
-      val r = ckpt(localFinish(e0)) // materialize before unpersist
-      e0.unpersist()
-      finishCkpts()
-      return r
-    }
-    var eSize = e0Count * 2
-    // lazy over the persisted input: sym is only consumed through round 1
-    // (nmin + the first contraction), and each consumption is a narrow
-    // in-memory concat — a second persist would just buy an extra
-    // materialization pass
-    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-    var labels = ckpt(sym.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")))
-    // pointer jumping: adopt the label OF one's label (labels are always
-    // vertex ids, so the self-join resolves; identical subplans share one
-    // exchange via ReuseExchange)
-    def jump(df: DataFrame): DataFrame =
-      df.as("p").join(
-          df.select(col("id").as("lid"), col("label").as("llabel")).as("pl"),
-          col("p.label") === col("pl.lid"), "left")
-        .select(col("p.id").as("id"),
-          coalesce(col("pl.llabel"), col("p.label")).as("label"))
-    // labels decrease monotonically per element, so the exact decimal SUM
-    // of labels is a fixpoint detector: unchanged sum ⇔ unchanged labels —
-    // one narrow aggregation per round instead of a change-probe join
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-    var converged = labels.head(1).isEmpty // no edges → nothing to do
-    var prevSum = if (converged) null else labelSum(labels)
-    var it = 0
-    var e = sym
-    var hasContracted = false
-    def phase[T](label: String)(f: => T): T =
-      if (!verbose) f else {
-        val t0 = System.nanoTime()
-        val r = f
-        System.err.println(f"[cc]   $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        r
+    // Cleanup must survive ANY exit: normal return and the no-fixpoint
+    // abort below, but also a mid-loop job failure, executor OOM surfacing
+    // as a SparkException, or a user cancel — each would otherwise leak up
+    // to three reliable checkpoint dirs on the checkpoint filesystem
+    // (Spark never deletes them itself). `completed` flips only on the
+    // success exits (which already ran finishCkpts, keeping the returned
+    // table's backing file); every other unwind aborts.
+    var completed = false
+    try {
+      // persist the edge input BEFORE symmetrizing: the union's two branches
+      // would otherwise each evaluate the (often expensive) upstream pair
+      // pipeline; the count() barrier stops the branches racing the cold cache
+      val e0 = edges.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v")).persist()
+      val e0Count = e0.count()
+      // SIZE-ADAPTIVE local finish (the move every production distributed-CC
+      // makes — BSP rounds are for graphs that don't fit one task): an edge
+      // set this small is pure fixed job overhead to iterate on (measured:
+      // a 658-edge chain forest cost 9 rounds × ~0.75 s of scheduling to
+      // converge distributed, 0.3 s locally). ~200k edges ≈ a few MB in one
+      // executor partition — broadcast-threshold-order, not "the data on
+      // the driver". Big graphs take the distributed rounds + contraction
+      // below, and the contraction path re-checks this threshold as the
+      // super-graph shrinks, so the long tail of a 100 TB run finishes in
+      // one task instead of log-many near-empty rounds.
+      if (e0Count <= localFinishEdges) {
+        val r = ckpt(localFinish(e0)) // materialize before unpersist
+        e0.unpersist()
+        finishCkpts()
+        completed = true
+        return r
       }
-    while (!converged && it < maxIter) {
-      // neighbor minima first, then a left join back onto labels (`least`
-      // skips nulls for isolated-this-round vertices). Formulated WITHOUT
-      // a self-referencing union: Union children sharing a checkpointed
-      // relation trip a Catalyst constraint-rewrite bug ("key not found"
-      // in UnionBase.rewriteConstraints). Round 1 skips the join: labels
-      // are the identity map there, so neighbor-min is a plain groupBy
-      // over the symmetrized edges.
-      val nmin =
-        if (it == 0) e.groupBy(col("u").as("id")).agg(min("v").as("nmin"))
-        else e.join(
-            labels.select(col("id").as("nid"), col("label").as("nlabel")),
-            e("v") === col("nid"))
-          .groupBy(e("u").as("id")).agg(min("nlabel").as("nmin"))
-      // materialized BEFORE the convergence probe and the jumps:
-      // jump(jump(prop)) references prop 4×, and each re-derivation would
-      // repeat the nmin edge-join aggregation — measured 2× the whole
-      // query when this checkpoint is dropped
-      val prop = phase("prop-ckpt")(ckpt(labels.as("l")
-        .join(nmin.as("nm"), col("l.id") === col("nm.id"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.label"), col("nm.nmin")).as("label"))))
-      // Convergence detection depends on whether the edges have been
-      // contracted. UNCONTRACTED (e is the original graph): a neighbor-min
-      // fixpoint over the FULL edge set means every edge joins equal
-      // labels ⇒ labels are constant per true component, and the
-      // component-min vertex always keeps its own id ⇒ prop == labels ==
-      // the final answer — so the test runs on PROP and the confirm round
-      // skips both pointer jumps. CONTRACTED: prop only proves stability
-      // on the SUPER-graph; non-representative vertices may still hold
-      // stale pointers that exactly the jumps resolve (a 41-node path
-      // under forced contraction returns labels like 24→4 with
-      // label(4)=0 if the loop stops at prop — GraphSpec pins this), so
-      // the test must run on the post-jump labels, where an unchanged
-      // sum additionally proves pointer self-consistency. Labels decrease
-      // monotonically, so equal decimal sums ⇔ equal label tables.
-      var next: DataFrame = null
-      if (!hasContracted) {
-        val sProp = phase("labelSum")(labelSum(prop))
-        converged = sProp.compareTo(prevSum) == 0
-        if (converged) { next = prop; prevSum = sProp }
-      }
-      if (!converged) {
-        // neighbor-min + two jumps ≈ 4× the propagation distance per round:
-        // O(log diameter) rounds. NOT more jumps: each jump references its
-        // input twice (the p/pl self-join), so k chained jumps cost 2^k−1
-        // joins — measured slower than the rounds they save from k=3 up.
-        next = phase("jump-ckpt")( // eager: materializes AND truncates lineage
-          ckpt(jump(jump(prop))))
-        val sNext = phase("labelSum")(labelSum(next))
-        if (hasContracted) converged = sNext.compareTo(prevSum) == 0
-        prevSum = sNext
-      }
-      if (!converged && eSize >= contractMinEdges) {
-        // contract the edge set through the new labels: intra-cluster
-        // edges (the vast majority once dense near-dup cliques collapse)
-        // vanish, so later rounds join against a rapidly-shrinking
-        // super-graph instead of the full |E|. ADAPTIVE: below
-        // `contractMinEdges` the per-round rewrite-join + materialization
-        // costs more than the full-|E| nmin join it saves — fixed job
-        // overhead dominates small graphs — so contraction engages only
-        // when the edge volume is what the rounds actually pay for (the
-        // 100 TB regime; the label evolution and fixpoint are identical
-        // either way, GraphSpec covers both sides of the threshold).
-        val lmU = next.select(col("id").as("cu"), col("label").as("lu"))
-        val lmV = next.select(col("id").as("cv"), col("label").as("lv"))
-        val contracted = e.join(lmU, e("u") === col("cu"))
-          .join(lmV, e("v") === col("cv"))
-          .select(col("lu").as("u"), col("lv").as("v"))
-          .filter(col("u") =!= col("v")).distinct()
-        // local mode: persist is enough (no executor-loss domain, blocks
-        // stay evictable); reliable mode: the super-graph must survive
-        // executor loss on its own file, not via the label queue
-        val newE =
-          if (reliableCheckpoint) ckptEdges(contracted)
-          else contracted.persist()
-        eSize = phase("contract")(newE.count())
-        if (e ne sym) e.unpersist()
-        e = newE
-        hasContracted = true
-        // the super-graph just shrank through `next`, so edges and labels
-        // are CONSISTENT here (every remaining merge is between current
-        // label values): once it fits one task, finish it locally and
-        // compose — tail(label) resolves the remaining merges, vertices
-        // whose cluster has no external edges left keep their label.
-        if (eSize <= localFinishEdges) {
-          val tail = phase("local-tail")(localFinish(e))
-          next = ckpt(next.as("l")
-            .join(tail.select(col("id").as("tid"), col("label").as("tlabel")),
-              col("l.label") === col("tid"), "left")
-            .select(col("l.id").as("id"),
-              coalesce(col("tlabel"), col("l.label")).as("label")))
-          converged = true
+      var eSize = e0Count * 2
+      // lazy over the persisted input: sym is only consumed through round 1
+      // (nmin + the first contraction), and each consumption is a narrow
+      // in-memory concat — a second persist would just buy an extra
+      // materialization pass
+      val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      var labels = ckpt(sym.select(col("u").as("id")).distinct()
+        .withColumn("label", col("id")))
+      // pointer jumping: adopt the label OF one's label (labels are always
+      // vertex ids, so the self-join resolves; identical subplans share one
+      // exchange via ReuseExchange)
+      def jump(df: DataFrame): DataFrame =
+        df.as("p").join(
+            df.select(col("id").as("lid"), col("label").as("llabel")).as("pl"),
+            col("p.label") === col("pl.lid"), "left")
+          .select(col("p.id").as("id"),
+            coalesce(col("pl.llabel"), col("p.label")).as("label"))
+      // labels decrease monotonically per element, so the exact decimal SUM
+      // of labels is a fixpoint detector: unchanged sum ⇔ unchanged labels —
+      // one narrow aggregation per round instead of a change-probe join
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      var converged = labels.head(1).isEmpty // no edges → nothing to do
+      var prevSum = if (converged) null else labelSum(labels)
+      var it = 0
+      var e = sym
+      var hasContracted = false
+      def phase[T](label: String)(f: => T): T =
+        if (!verbose) f else {
+          val t0 = System.nanoTime()
+          val r = f
+          System.err.println(f"[cc]   $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          r
         }
+      while (!converged && it < maxIter) {
+        // neighbor minima first, then a left join back onto labels (`least`
+        // skips nulls for isolated-this-round vertices). Formulated WITHOUT
+        // a self-referencing union: Union children sharing a checkpointed
+        // relation trip a Catalyst constraint-rewrite bug ("key not found"
+        // in UnionBase.rewriteConstraints). Round 1 skips the join: labels
+        // are the identity map there, so neighbor-min is a plain groupBy
+        // over the symmetrized edges.
+        val nmin =
+          if (it == 0) e.groupBy(col("u").as("id")).agg(min("v").as("nmin"))
+          else e.join(
+              labels.select(col("id").as("nid"), col("label").as("nlabel")),
+              e("v") === col("nid"))
+            .groupBy(e("u").as("id")).agg(min("nlabel").as("nmin"))
+        // materialized BEFORE the convergence probe and the jumps:
+        // jump(jump(prop)) references prop 4×, and each re-derivation would
+        // repeat the nmin edge-join aggregation — measured 2× the whole
+        // query when this checkpoint is dropped
+        val prop = phase("prop-ckpt")(ckpt(labels.as("l")
+          .join(nmin.as("nm"), col("l.id") === col("nm.id"), "left")
+          .select(col("l.id").as("id"),
+            least(col("l.label"), col("nm.nmin")).as("label"))))
+        // Convergence detection depends on whether the edges have been
+        // contracted. UNCONTRACTED (e is the original graph): a neighbor-min
+        // fixpoint over the FULL edge set means every edge joins equal
+        // labels ⇒ labels are constant per true component, and the
+        // component-min vertex always keeps its own id ⇒ prop == labels ==
+        // the final answer — so the test runs on PROP and the confirm round
+        // skips both pointer jumps. CONTRACTED: prop only proves stability
+        // on the SUPER-graph; non-representative vertices may still hold
+        // stale pointers that exactly the jumps resolve (a 41-node path
+        // under forced contraction returns labels like 24→4 with
+        // label(4)=0 if the loop stops at prop — GraphSpec pins this), so
+        // the test must run on the post-jump labels, where an unchanged
+        // sum additionally proves pointer self-consistency. Labels decrease
+        // monotonically, so equal decimal sums ⇔ equal label tables.
+        var next: DataFrame = null
+        if (!hasContracted) {
+          val sProp = phase("labelSum")(labelSum(prop))
+          converged = sProp.compareTo(prevSum) == 0
+          if (converged) { next = prop; prevSum = sProp }
+        }
+        if (!converged) {
+          // neighbor-min + two jumps ≈ 4× the propagation distance per round:
+          // O(log diameter) rounds. NOT more jumps: each jump references its
+          // input twice (the p/pl self-join), so k chained jumps cost 2^k−1
+          // joins — measured slower than the rounds they save from k=3 up.
+          next = phase("jump-ckpt")( // eager: materializes AND truncates lineage
+            ckpt(jump(jump(prop))))
+          val sNext = phase("labelSum")(labelSum(next))
+          if (hasContracted) converged = sNext.compareTo(prevSum) == 0
+          prevSum = sNext
+        }
+        if (!converged && eSize >= contractMinEdges) {
+          // contract the edge set through the new labels: intra-cluster
+          // edges (the vast majority once dense near-dup cliques collapse)
+          // vanish, so later rounds join against a rapidly-shrinking
+          // super-graph instead of the full |E|. ADAPTIVE: below
+          // `contractMinEdges` the per-round rewrite-join + materialization
+          // costs more than the full-|E| nmin join it saves — fixed job
+          // overhead dominates small graphs — so contraction engages only
+          // when the edge volume is what the rounds actually pay for (the
+          // 100 TB regime; the label evolution and fixpoint are identical
+          // either way, GraphSpec covers both sides of the threshold).
+          val lmU = next.select(col("id").as("cu"), col("label").as("lu"))
+          val lmV = next.select(col("id").as("cv"), col("label").as("lv"))
+          val contracted = e.join(lmU, e("u") === col("cu"))
+            .join(lmV, e("v") === col("cv"))
+            .select(col("lu").as("u"), col("lv").as("v"))
+            .filter(col("u") =!= col("v")).distinct()
+          // local mode: persist is enough (no executor-loss domain, blocks
+          // stay evictable); reliable mode: the super-graph must survive
+          // executor loss on its own file, not via the label queue
+          val newE =
+            if (reliableCheckpoint) ckptEdges(contracted)
+            else contracted.persist()
+          eSize = phase("contract")(newE.count())
+          if (e ne sym) e.unpersist()
+          e = newE
+          hasContracted = true
+          // the super-graph just shrank through `next`, so edges and labels
+          // are CONSISTENT here (every remaining merge is between current
+          // label values): once it fits one task, finish it locally and
+          // compose — tail(label) resolves the remaining merges, vertices
+          // whose cluster has no external edges left keep their label.
+          if (eSize <= localFinishEdges) {
+            val tail = phase("local-tail")(localFinish(e))
+            next = ckpt(next.as("l")
+              .join(tail.select(col("id").as("tid"), col("label").as("tlabel")),
+                col("l.label") === col("tid"), "left")
+              .select(col("l.id").as("id"),
+                coalesce(col("tlabel"), col("l.label")).as("label")))
+            converged = true
+          }
+        }
+        labels = next
+        it += 1
+        if (verbose) System.err.println(s"[cc] round $it sum=$prevSum")
       }
-      labels = next
-      it += 1
-      if (verbose) System.err.println(s"[cc] round $it sum=$prevSum")
+      if (e ne sym) e.unpersist()
+      e0.unpersist() // sym itself was never persisted — only e0 is
+      if (!converged)
+        throw new IllegalArgumentException(
+          s"requirement failed: connectedComponents: no fixpoint after $maxIter iterations")
+      finishCkpts() // keep only the returned table's backing file
+      completed = true
+      labels
+    } finally {
+      if (!completed) abortCkpts()
     }
-    if (e ne sym) e.unpersist()
-    e0.unpersist() // sym itself was never persisted — only e0 is
-    if (!converged) {
-      abortCkpts() // a failed job must not leak round-many reliable dirs
-      throw new IllegalArgumentException(
-        s"requirement failed: connectedComponents: no fixpoint after $maxIter iterations")
-    }
-    finishCkpts() // keep only the returned table's backing file
-    labels
   }
 }

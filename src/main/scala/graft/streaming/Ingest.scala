@@ -126,10 +126,25 @@ object Ingest {
     */
   def ingestBatchCommit(spark: SparkSession, storePath: String,
                         batch: DataFrame, batchId: Long,
-                        minTokens: Int = 20, maxHamming: Int = 4): Long = {
+                        minTokens: Int = 20, maxHamming: Int = 4,
+                        maxAttempts: Int = 16): Long = {
     import graft.sources.AtomicStore
     var committed: Option[Long] = None
+    var attempt = 0
     while (committed.isEmpty) {
+      // BOUNDED retry: each lost race re-runs the full novelty-probe join,
+      // so a co-writer committing continuously (or a conflict-detection
+      // bug) would otherwise livelock the stream silently. Past the cap
+      // the wave fails LOUDLY — checkpointed streaming replays it, and
+      // replay is idempotent (the probes reject already-landed docs).
+      attempt += 1
+      if (attempt > maxAttempts)
+        throw new IllegalStateException(
+          s"ingestBatchCommit: lost the append CAS $maxAttempts times in a " +
+            s"row at $storePath — a co-writer is committing continuously " +
+            "(or conflict detection is broken); failing the wave for replay")
+      if (attempt > 1) // linear backoff so racing writers interleave
+        Thread.sleep(50L * (attempt - 1))
       val base = AtomicStore.currentVersion(spark, storePath)
       val store =
         if (base.isDefined) AtomicStore.read(spark, storePath)

@@ -31,7 +31,7 @@ class SniffPropertySpec extends SparkSpec {
 
     // -- case A: junk bytes wearing real format magic, honest extension.
     // Parquet checks the FOOTER (trailing "PAR1" + garbage length), ORC
-    // the postscript at the tail, Avro the header ("Obj" + a
+    // the postscript at the tail, Avro the header ("Obj\u0001" + a
     // garbage metadata map) — all three must throw into the Try chain
     // and classify as skipped, never tag and never escape the sniff.
     val junkBytes: Gen[Array[Byte]] = Gen.choose(8, 64).flatMap(n =>
@@ -59,7 +59,7 @@ class SniffPropertySpec extends SparkSpec {
     val jsonLine: Gen[String] =
       Gen.choose(0, 999).map(v => s"""{"a":$v,"b":"x$v"}""")
     val junkLine: Gen[String] = Gen.choose(3, 12).flatMap(n =>
-      Gen.listOfN(n, Gen.oneOf('q', 'z', '%', '', 'ÿ'))
+      Gen.listOfN(n, Gen.oneOf('q', 'z', '%', '\u0001', 'ÿ'))
         .map(_.mkString))
     val halfBinary: Gen[(String, Array[Byte], Expect)] = for {
       valid <- Gen.choose(1, 5).flatMap(Gen.listOfN(_, jsonLine))
