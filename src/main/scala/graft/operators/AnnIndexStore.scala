@@ -58,4 +58,16 @@ object AnnIndexStore {
     Components(t("centroids"), t("assigned"), t("assigned_multi"),
       t("codes"), t("sigs"))
   }
+
+  /** Periodic maintenance, the [[DocIndexStore.compact]] sibling: fold
+    * any accumulated batch dirs per component and vacuum superseded
+    * manifests/dirs. [[write]] commits whole snapshots, so the fold
+    * itself is usually a no-op (one data dir already) — the value here
+    * is the vacuum: every index REBUILD otherwise leaves its superseded
+    * manifest + full-size data dirs on the lake forever.
+    */
+  def compact(spark: SparkSession, root: String,
+              graceMs: Long = 15 * 60 * 1000L): Map[String, Option[Long]] =
+    parts.map(p =>
+      p -> AtomicStore.compact(spark, s"$root/$p", graceMs = graceMs)).toMap
 }

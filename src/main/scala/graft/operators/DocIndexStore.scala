@@ -56,4 +56,23 @@ object DocIndexStore {
   /** Same, for the minhash signature/band table. */
   def appendMinhash(root: String, newSigs: DataFrame): Long =
     AtomicStore.commitAppend(newSigs, s"$root/minhash")
+
+  /** Periodic maintenance for a long-lived ingest store: fold each
+    * component's accumulated append batches back into one snapshot
+    * ([[AtomicStore.compact]] — CAS against racing appenders, vacuum of
+    * the superseded batch dirs). Without it every ingest wave leaves one
+    * manifest + one small batch dir forever, so probe joins pay a
+    * file-listing + open cost linear in wave count; after the fold the
+    * probe cost is flat again. Signatures are pure per-row functions, so
+    * the fold is exactly row-preserving — loaded components and every
+    * banded join off them are identical before and after
+    * (DocIndexStoreSpec pins this, plus a racing appender/compactor
+    * soak). Returns the fold version per component (None = that
+    * component was already compact or lost its CAS budget to appenders).
+    */
+  def compact(spark: SparkSession, root: String,
+              graceMs: Long = 15 * 60 * 1000L): Map[String, Option[Long]] =
+    Map(
+      "simhash" -> AtomicStore.compact(spark, s"$root/simhash", graceMs = graceMs),
+      "minhash" -> AtomicStore.compact(spark, s"$root/minhash", graceMs = graceMs))
 }

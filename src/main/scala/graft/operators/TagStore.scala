@@ -143,27 +143,11 @@ object TagStore {
   private val MaxRaceRetries = 8
 
   /** A racing writer's vacuum removed a manifest (or a data dir past the
-    * grace window) between our listStatus and open. Inside a Spark job the
-    * raw FileNotFoundException surfaces wrapped (SparkException from task
-    * failure, AnalysisException from spark.read on a vanished path), so the
-    * whole cause chain is walked and the path-not-found AnalysisException
-    * class is matched by message.
+    * grace window) between our listStatus and open — the shared detector
+    * now lives with vacuum itself ([[AtomicStore.isVacuumRace]]).
     */
-  private[operators] def isVacuumRace(e: Throwable): Boolean = {
-    var c: Throwable = e
-    while (c != null) {
-      c match {
-        case _: java.io.FileNotFoundException => return true
-        case a: org.apache.spark.sql.AnalysisException
-            if a.getMessage != null &&
-               (a.getMessage.contains("PATH_NOT_FOUND") ||
-                a.getMessage.contains("Path does not exist")) => return true
-        case _ => ()
-      }
-      c = if (c.getCause eq c) null else c.getCause
-    }
-    false
-  }
+  private[operators] def isVacuumRace(e: Throwable): Boolean =
+    AtomicStore.isVacuumRace(e)
 
   private def casCommit(spark: SparkSession, path: String,
                         incoming: DataFrame,

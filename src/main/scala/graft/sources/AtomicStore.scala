@@ -74,14 +74,36 @@ object AtomicStore {
     finally in.close()
   }
 
+  /** Bounded go-around for resolve steps racing a concurrent [[vacuum]]:
+    * a vanished manifest between listStatus and open is indistinguishable
+    * from losing a publish race — re-resolve. Bounded so a genuinely
+    * vanished store surfaces as the original error, not a hot loop.
+    */
+  private def retryingOnVacuumRace[T](f: => T): T = {
+    var races = 0
+    while (true) {
+      try return f
+      catch {
+        case e: Throwable if isVacuumRace(e) =>
+          races += 1
+          if (races > MaxVacuumRaceRetries) throw e
+          Thread.sleep(20L * races)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private val MaxVacuumRaceRetries = 8
+
   /** Latest committed snapshot. Fails if nothing was ever committed —
     * use [[currentVersion]] to probe.
     */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val v = currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"AtomicStore: no commits at $root"))
-    spark.read.parquet(filesAt(spark, root, v): _*)
-  }
+  def read(spark: SparkSession, root: String): DataFrame =
+    retryingOnVacuumRace {
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"AtomicStore: no commits at $root"))
+      spark.read.parquet(filesAt(spark, root, v): _*)
+    }
 
   /** Step 1 of the protocol: land the batch in a fresh, UNPUBLISHED data
     * dir; returns its manifest-relative name. `private[graft]` so specs
@@ -93,6 +115,16 @@ object AtomicStore {
       .parquet(new Path(dataDir(root), rel).toString)
     rel
   }
+
+  /** TEST-ONLY seam for the CAS commits: invoked after the base check and
+    * the batch's data write, immediately before the manifest publish.
+    * IngestRaceSpec reaches the publish-race loser branch stochastically
+    * (two real writers); this hook lets AtomicStoreSpec land a racing
+    * winner at exactly the lost-race instant, pinning the loser's
+    * return-None + reclaim behavior deterministically. Production never
+    * sets it (default no-op).
+    */
+  @volatile private[graft] var testPrePublishHook: () => Unit = () => ()
 
   /** Step 2: publish a manifest at `version` atomically. Returns false
     * when a concurrent writer already published that version (the
@@ -127,16 +159,22 @@ object AtomicStore {
     var done = false
     var v = 0L
     while (!done) {
-      val base = currentVersion(spark, root)
-      v = base.getOrElse(-1L) + 1
-      // append: re-resolve the parent file set EVERY attempt, so losing a
-      // publish race never drops the winner's batch from our manifest
-      val dirs =
-        if (append)
-          base.toSeq.flatMap(filesAt(spark, root, _))
-            .map(p => new Path(p).getName) :+ rel
-        else Seq(rel)
-      done = publish(spark, root, dirs, v)
+      // resolve + publish under the vacuum-race go-around: a concurrent
+      // [[compact]]'s vacuum can remove the manifest resolved by
+      // currentVersion before filesAt opens it — same remedy as a lost
+      // publish race, re-resolve at the new latest
+      retryingOnVacuumRace {
+        val base = currentVersion(spark, root)
+        v = base.getOrElse(-1L) + 1
+        // append: re-resolve the parent file set EVERY attempt, so losing a
+        // publish race never drops the winner's batch from our manifest
+        val dirs =
+          if (append)
+            base.toSeq.flatMap(filesAt(spark, root, _))
+              .map(p => new Path(p).getName) :+ rel
+          else Seq(rel)
+        done = publish(spark, root, dirs, v)
+      }
     }
     v
   }
@@ -167,6 +205,7 @@ object AtomicStore {
     if (currentVersion(spark, root) != expectedBase) return None
     val rel = writeData(df, root)
     val v = expectedBase.getOrElse(-1L) + 1
+    testPrePublishHook()
     if (publish(spark, root, Seq(rel), v)) Some(v)
     else {
       // reclaim the loser's materialized snapshot immediately — it is
@@ -204,15 +243,118 @@ object AtomicStore {
     if (currentVersion(spark, root) != expectedBase) return None
     val rel = writeData(df, root)
     val v = expectedBase.getOrElse(-1L) + 1
-    val dirs = expectedBase.toSeq.flatMap(filesAt(spark, root, _))
-      .map(p => new Path(p).getName) :+ rel
-    if (publish(spark, root, dirs, v)) Some(v)
-    else {
+    def reclaim(): Unit = {
       // known-unpublished loser batch — reclaim immediately
       val fs = dataDir(root).getFileSystem(hconf(spark))
       fs.delete(new Path(dataDir(root), rel), true)
-      None
     }
+    val dirs =
+      try expectedBase.toSeq.flatMap(filesAt(spark, root, _))
+        .map(p => new Path(p).getName) :+ rel
+      catch {
+        // expectedBase's manifest vacuumed from under us — only possible
+        // when a fold superseded it, i.e. the CAS is already lost
+        case e: Throwable if isVacuumRace(e) => reclaim(); return None
+      }
+    testPrePublishHook()
+    if (publish(spark, root, dirs, v)) Some(v)
+    else { reclaim(); None }
+  }
+
+  /** A racing writer's vacuum removed a manifest (or a data dir past the
+    * grace window) between a listStatus and the open/read. Inside a Spark
+    * job the raw FileNotFoundException surfaces wrapped (SparkException
+    * from task failure, AnalysisException from spark.read on a vanished
+    * path), so the whole cause chain is walked and the path-not-found
+    * AnalysisException class is matched by message. Owned here because
+    * vacuum is what creates the race; TagStore's log folds and [[compact]]
+    * share it.
+    */
+  private[graft] def isVacuumRace(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if a.getMessage != null &&
+               (a.getMessage.contains("PATH_NOT_FOUND") ||
+                a.getMessage.contains("Path does not exist")) => return true
+        case _ => ()
+      }
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    false
+  }
+
+  /** Fold an APPEND-ONLY store's accumulated batch dirs back into one
+    * snapshot — the steady-state maintenance the persisted index stores
+    * need ([[graft.operators.DocIndexStore]], [[graft.operators.AnnIndexStore]],
+    * the ingest fingerprint store of [[graft.streaming.Ingest]]): every
+    * ingest wave lands one manifest + one small batch dir, so a long-lived
+    * store otherwise decays into unbounded manifest resolution plus the
+    * classic small-files problem — every probe join pays a file-listing +
+    * open cost linear in WAVE COUNT instead of data size. The fold reads
+    * the current visible row set and re-lands it as ONE snapshot commit
+    * (file sizes re-binned by the scan's `maxPartitionBytes` packing), so
+    * post-compaction probe cost is flat in wave count.
+    *
+    * Correct for any store whose visible state IS its row multiset (the
+    * append-only stores above): the fold preserves rows exactly. Stores
+    * with REDUCIBLE log semantics have their own folds that also shrink
+    * the state (`TagStore.compactLog`, `ConfigStore.compact`); this is
+    * the row-preserving primitive underneath.
+    *
+    * Concurrency: the fold DERIVES from a read of the store, so it
+    * commits via CAS ([[commitSnapshotIfUnchanged]]) — a racing appender
+    * winning the version makes the compactor re-resolve and retry
+    * (bounded by `maxAttempts`: compaction is opportunistic maintenance,
+    * so under sustained append pressure it gives up with None rather
+    * than livelock; the racing appender itself never loses rows, its
+    * retry re-resolves the folded manifest). The post-fold [[vacuum]]
+    * reclaims superseded batch dirs past the grace window.
+    *
+    * Returns the fold's committed version, or None when there was
+    * nothing to fold (0 or 1 visible data dirs — already compact) or the
+    * CAS budget ran out. Old manifests are vacuumed either way.
+    */
+  def compact(spark: SparkSession, root: String, keepVersions: Int = 2,
+              graceMs: Long = 15 * 60 * 1000L,
+              maxAttempts: Int = 8): Option[Long] = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val folded: Option[Option[Long]] =
+        try {
+          val base = currentVersion(spark, root)
+          if (base.isEmpty) return None // nothing ever committed
+          val files = filesAt(spark, root, base.get)
+          if (files.lengthCompare(1) <= 0) Some(None) // already one dir
+          else {
+            // the fold must MATERIALIZE from the resolved file set before
+            // publishing: commitSnapshotIfUnchanged's write scans `files`,
+            // and a lost CAS means those rows were re-read against a
+            // superseded manifest — re-resolve and re-fold, never publish
+            // a stale fold (the same conflict rule as every derived commit)
+            val state = spark.read.parquet(files: _*)
+            commitSnapshotIfUnchanged(state, root, base).map(v => Some(v))
+          }
+        } catch {
+          // resolved manifest/dirs vacuumed by a racing compactor
+          // mid-read — re-resolve (bounded by the same attempt budget)
+          case e: Throwable if isVacuumRace(e) => None
+        }
+      folded match {
+        case Some(result) =>
+          // vacuum OUTSIDE the retry decision: its failure must not
+          // re-run a successful fold (a double fold burns a version)
+          try vacuum(spark, root, keepVersions, graceMs)
+          catch { case e: Throwable if isVacuumRace(e) => () }
+          return result
+        case None => // lost the CAS or hit a vacuum race — go around
+          Thread.sleep(20L * attempt)
+      }
+    }
+    None // append pressure won every round — compaction is opportunistic
   }
 
   /** Drop data dirs no manifest within `keepVersions` of latest

@@ -44,6 +44,54 @@ object SigStoreScale {
     val dtApp = (System.nanoTime() - t1) / 1e9
     println(f"SIGSTORE docs=$nDocs%7d append_$batchDocs%-4d wall=$dtApp%6.2fs " +
       f"batch_bytes=${Fs.dirBytes(root) - seeded} total_bytes=${Fs.dirBytes(root)}")
+
+    // steady-state decay + compaction: land `waves` more small appends
+    // (the ingest loop's shape — one manifest + one small batch dir per
+    // wave), measure the probe join against the accumulated store, fold
+    // it with DocIndexStore.compact, measure again. The claim under test:
+    // post-compaction probe cost is flat in wave count (the uncompacted
+    // probe pays file listing + open per WAVE, not per byte).
+    val waves = args.lift(2).map(_.toInt).getOrElse(40)
+    (1 to waves).foreach { w =>
+      val off = 20000000L + w * 100000L
+      graft.operators.DocIndexStore.appendSimhash(root,
+        sim.limit(20).withColumn("doc_id", col("doc_id") + lit(off)))
+      graft.operators.DocIndexStore.appendMinhash(root,
+        mh.limit(20).withColumn("doc_id", col("doc_id") + lit(off)))
+    }
+    def census(part: String): (Int, Int) = {
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      (fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$part", "data")).length,
+       fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$part", "_commits")).length)
+    }
+    def probe(): Double = {
+      // best-of-2 (multi-tenant box): the incremental near-dup probe —
+      // a fresh batch's signatures against the LOADED persisted index
+      (0 until 2).map { _ =>
+        val t = System.nanoTime()
+        val ix = graft.operators.DocIndexStore.load(spark, root)
+        graft.operators.Dedup.simhashPairsBetween(
+          batchSim, ix.simhash.filter(col("simhash").isNotNull),
+          "doc_id", maxHamming = 4).count()
+        graft.operators.Dedup.lshCandidatesBetween(
+          batchMh, ix.minhashSigs, "doc_id").count()
+        (System.nanoTime() - t) / 1e9
+      }.min
+    }
+    val (d0, m0) = census("simhash")
+    val pUn = probe()
+    println(f"SIGSTORE waves=$waves%3d probe_uncompacted wall=$pUn%6.2fs " +
+      f"sim_dirs=$d0 sim_manifests=$m0")
+    val tc = System.nanoTime()
+    graft.operators.DocIndexStore.compact(spark, root, graceMs = 0L)
+    Seq("simhash", "minhash").foreach(p => graft.sources.AtomicStore
+      .vacuum(spark, s"$root/$p", keepVersions = 1, graceMs = 0L))
+    val dtC = (System.nanoTime() - tc) / 1e9
+    val (d1, m1) = census("simhash")
+    val pC = probe()
+    println(f"SIGSTORE waves=$waves%3d probe_compacted   wall=$pC%6.2fs " +
+      f"sim_dirs=$d1 sim_manifests=$m1 compact_wall=$dtC%6.2fs")
     Fs.deleteRec(root)
     spark.stop()
   }

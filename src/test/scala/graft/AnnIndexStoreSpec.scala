@@ -47,5 +47,28 @@ class AnnIndexStoreSpec extends SparkSpec {
       AnnIndexStore.Components(ix.centroids, ix.assigned, ix.assignedMulti2,
         ix.codes, ix.sigs))
     assert(v2.values.forall(_ == 1L))
+
+    // maintenance: writes are whole snapshots (one data dir each), so
+    // compact's fold is a no-op — but the REBUILD above left every
+    // component's superseded v0 manifest + full-size data dir on the
+    // lake. compact's own vacuum keeps 2 versions for pinned readers;
+    // the follow-up keepVersions=1 vacuum reclaims fully. Served pairs
+    // unchanged throughout.
+    val folded = AnnIndexStore.compact(spark, root, graceMs = 0L)
+    assert(folded.values.forall(_.isEmpty), "snapshot tables: nothing to fold")
+    Seq("centroids", "assigned", "assigned_multi", "codes", "sigs").foreach {
+      p =>
+        graft.sources.AtomicStore.vacuum(spark, s"$root/$p",
+          keepVersions = 1, graceMs = 0L)
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        assert(fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/$p", "data")).length === 1,
+          s"$p superseded rebuild not reclaimed")
+    }
+    val served = AnnIndexStore.load(spark, root)
+    assert(Similarity.bucketedNearDupPairsFromAssigned(
+        served.assignedMulti, ix.emb, threshold = 0.4)
+      .collect().map(_.mkString("|")).toSet === fromMemo)
   }
 }

@@ -286,6 +286,114 @@ class AtomicStoreSpec extends SparkSpec {
     assert(state(TagStore.readLatestState(spark, logRoot)) === snap)
   }
 
+  test("compact folds an append-only store to one data dir, rows exact") {
+    // the steady-state maintenance of the persisted index/ingest stores:
+    // every wave leaves one manifest + one small batch dir, compact folds
+    // them back so probe cost stays flat in wave count
+    val r = root()
+    (0 until 5).foreach(i => AtomicStore.commitAppend(tags(s"a$i" -> s"$i"), r))
+    val fs = new org.apache.hadoop.fs.Path(r).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(r, "data")).length
+    def manifests = fs.listStatus(new org.apache.hadoop.fs.Path(r, "_commits")).length
+    assert(dataDirs === 5 && manifests === 5)
+    def state() = AtomicStore.read(spark, r)
+      .select("asset_uri", "field_value").as[(String, String)].collect().toSet
+    val before = state()
+    assert(AtomicStore.compact(spark, r, keepVersions = 1, graceMs = 0L)
+      === Some(5L))
+    assert(state() === before) // fold is exactly row-preserving
+    assert(dataDirs === 1 && manifests === 1)
+    // idempotent: one data dir means nothing to fold — no version burned
+    assert(AtomicStore.compact(spark, r, keepVersions = 1, graceMs = 0L).isEmpty)
+    assert(AtomicStore.currentVersion(spark, r) === Some(5L))
+    // the folded store keeps appending normally
+    AtomicStore.commitAppend(tags("z" -> "9"), r)
+    assert(state() === before + ("z" -> "9"))
+  }
+
+  test("deterministic publish-race: the CAS append loser returns None, reclaims its dir, winner intact") {
+    // IngestRaceSpec reaches this branch stochastically; the pre-publish
+    // hook sequences it exactly — a winner commits between the loser's
+    // base check and its manifest rename
+    val r = root()
+    assert(AtomicStore.commitAppendIfUnchanged(tags("a" -> "1"), r, None)
+      === Some(0L))
+    val base = AtomicStore.currentVersion(spark, r) // Some(0)
+    def dataDirs(): Int =
+      new java.io.File(r, "data").listFiles().count(_.isDirectory)
+    var fired = false
+    AtomicStore.testPrePublishHook = () => if (!fired) {
+      fired = true
+      AtomicStore.commitAppend(tags("w" -> "win"), r) // the racing winner
+    }
+    val res =
+      try AtomicStore.commitAppendIfUnchanged(tags("l" -> "lose"), r, base)
+      finally AtomicStore.testPrePublishHook = () => ()
+    assert(fired, "hook must have fired past the early-out base check")
+    assert(res.isEmpty, "loser must refuse, not blind-bump")
+    // winner's state intact at v1; loser's rows absent; loser's
+    // materialized batch dir reclaimed (v0 batch + winner batch only)
+    assert(AtomicStore.currentVersion(spark, r) === Some(1L))
+    assert(AtomicStore.read(spark, r)
+      .select("asset_uri", "field_value").as[(String, String)].collect().toSet
+      === Set("a" -> "1", "w" -> "win"))
+    assert(dataDirs() === 2)
+    // the loser's recompute-against-new-state retry (the ingest
+    // discipline) lands cleanly
+    assert(AtomicStore.commitAppendIfUnchanged(tags("l" -> "lose"), r,
+      Some(1L)) === Some(2L))
+    assert(AtomicStore.read(spark, r).count() === 3)
+  }
+
+  test("deterministic publish-race: the CAS snapshot loser reclaims and leaves the winner's merge intact") {
+    val r = root()
+    TagStore.mergeCommit(spark, r, tags("a" -> "1")) // v0
+    val base = AtomicStore.currentVersion(spark, r)
+    def dataDirs(): Int =
+      new java.io.File(r, "data").listFiles().count(_.isDirectory)
+    var fired = false
+    AtomicStore.testPrePublishHook = () => if (!fired) {
+      fired = true
+      AtomicStore.commitSnapshot(tags("a" -> "1", "b" -> "2"), r)
+    }
+    val res =
+      try AtomicStore.commitSnapshotIfUnchanged(tags("a" -> "99"), r, base)
+      finally AtomicStore.testPrePublishHook = () => ()
+    assert(fired && res.isEmpty)
+    assert(dataDirs() === 2) // v0 + winner; the loser's snapshot reclaimed
+    assert(AtomicStore.read(spark, r)
+      .select("asset_uri", "field_value").as[(String, String)].collect().toSet
+      === Set("a" -> "1", "b" -> "2"))
+  }
+
+  test("compact under sustained append pressure gives up without corrupting") {
+    // opportunistic-maintenance contract: a co-writer winning every CAS
+    // round must starve the compactor into None — never livelock, never
+    // lose a row, never burn a version on a stale fold
+    val r = root()
+    (0 until 3).foreach(i => AtomicStore.commitAppend(tags(s"a$i" -> s"$i"), r))
+    var appended = 0
+    AtomicStore.testPrePublishHook = () => {
+      // fires inside the compactor's CAS commit only (blind appends skip
+      // the hook), so every fold attempt loses to a fresh append
+      appended += 1
+      AtomicStore.commitAppend(tags(s"p$appended" -> "x"), r)
+    }
+    val res =
+      try AtomicStore.compact(spark, r, graceMs = 0L, maxAttempts = 3)
+      finally AtomicStore.testPrePublishHook = () => ()
+    assert(res.isEmpty, "starved compactor must give up, not loop")
+    assert(appended === 3)
+    // every append — original and racing — survived
+    assert(AtomicStore.read(spark, r).count() === 6)
+    // with the pressure gone the fold lands
+    assert(AtomicStore.compact(spark, r, keepVersions = 1, graceMs = 0L)
+      .isDefined)
+    assert(AtomicStore.read(spark, r).count() === 6)
+    assert(new java.io.File(r, "data").listFiles().count(_.isDirectory) === 1)
+  }
+
   test("atomic history append accumulates batches") {
     val r = root()
     val rows = Seq(("2024-03-01 10:00:00", "p/dataset/lake/table/t1", "j1"))

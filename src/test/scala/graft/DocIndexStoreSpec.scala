@@ -51,6 +51,125 @@ class DocIndexStoreSpec extends SparkSpec {
     assert(v2.values.forall(_ == 2L))
   }
 
+  test("compact folds wave appends result-invisibly and collapses the store") {
+    // the 100 TB steady-state gap: each ingest wave lands one manifest +
+    // one small batch dir, so an uncompacted store's probe cost grows
+    // linearly in WAVE COUNT; the fold re-lands the same rows as one
+    // snapshot. Result-invisibility is the whole contract — loaded
+    // components and the banded joins off them must be byte-identical.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_docidx_cpt")
+      .toString
+    def sim(ids: Seq[Long]) =
+      ids.map(id => (id, id * 7L)).toDF("doc_id", "simhash")
+    def mh(ids: Seq[Long]) =
+      ids.map(id => (id, id, id + 1, id % 3, id % 5)).toDF(
+        "doc_id", "mh_0", "mh_1", "band_0", "band_1")
+    DocIndexStore.write(root,
+      DocIndexStore.Components(sim(0L to 9L), mh(0L to 9L)))
+    (1 to 6).foreach { w =>
+      val ids = (10L * w) until (10L * w + 10L)
+      DocIndexStore.appendSimhash(root, sim(ids))
+      DocIndexStore.appendMinhash(root, mh(ids))
+    }
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def dataDirs(part: String): Int = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/$part", "data")).length
+    assert(dataDirs("simhash") === 7 && dataDirs("minhash") === 7)
+    val before = DocIndexStore.load(spark, root)
+    val simBefore = before.simhash.as[(Long, Long)].collect().toSet
+    val pairsBefore = Dedup.simhashPairs(before.simhash, "doc_id",
+      maxHamming = 8).collect().map(_.mkString("|")).toSet
+    val candBefore = Dedup.lshCandidates(before.minhashSigs, "doc_id")
+      .collect().map(_.mkString("|")).toSet
+
+    val folded = DocIndexStore.compact(spark, root, graceMs = 0L)
+    assert(folded("simhash").isDefined && folded("minhash").isDefined)
+    // keepVersions=2 retains the pre-fold manifest's dirs for pinned
+    // readers; the next vacuum (here: explicit, production: any later
+    // compact) reclaims them
+    Seq("simhash", "minhash").foreach(p => graft.sources.AtomicStore
+      .vacuum(spark, s"$root/$p", keepVersions = 1, graceMs = 0L))
+    assert(dataDirs("simhash") === 1 && dataDirs("minhash") === 1)
+
+    val after = DocIndexStore.load(spark, root)
+    assert(after.simhash.as[(Long, Long)].collect().toSet === simBefore)
+    assert(Dedup.simhashPairs(after.simhash, "doc_id", maxHamming = 8)
+      .collect().map(_.mkString("|")).toSet === pairsBefore)
+    assert(Dedup.lshCandidates(after.minhashSigs, "doc_id")
+      .collect().map(_.mkString("|")).toSet === candBefore)
+    // and the compacted store keeps ingesting
+    DocIndexStore.appendSimhash(root, sim(Seq(999L)))
+    assert(DocIndexStore.load(spark, root).simhash.count()
+      === simBefore.size + 1)
+  }
+
+  test("racing appenders + periodic compactor: no signature row lost, final fold collapses") {
+    // the soak the compaction fold has to survive: live ingest writers
+    // appending while maintenance folds the store under them. Appends
+    // re-resolve on lost races AND on vacuumed manifests; the compactor
+    // CAS-refuses folds computed against superseded bases. Version
+    // density is NOT asserted here — folds legitimately consume versions
+    // between appends; the invariant is zero row loss + row integrity.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_docidx_cc")
+      .toString
+    def sim(ids: Seq[Long]) =
+      ids.map(id => (id, id * 7L)).toDF("doc_id", "simhash")
+    def mh(ids: Seq[Long]) =
+      ids.map(id => (id, id, id + 1, id % 3, id % 5)).toDF(
+        "doc_id", "mh_0", "mh_1", "band_0", "band_1")
+    DocIndexStore.write(root,
+      DocIndexStore.Components(sim(Seq(0L)), mh(Seq(0L))))
+    val rounds = 8
+    def ids(w: Int, i: Int): Seq[Long] =
+      Seq(1000L * (w + 1) + 2 * i, 1000L * (w + 1) + 2 * i + 1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var writersDone = false
+    val writers = (0 until 2).map { w =>
+      new Thread(() => {
+        try (0 until rounds).foreach { i =>
+          DocIndexStore.appendSimhash(root, sim(ids(w, i)))
+          DocIndexStore.appendMinhash(root, mh(ids(w, i)))
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    val compactor = new Thread(() => {
+      // default grace: superseded dirs linger through the race (pinned
+      // readers / in-flight publishes stay safe); reclamation is
+      // asserted on the quiesced final fold below
+      try while (!writersDone) {
+        DocIndexStore.compact(spark, root)
+        Thread.sleep(25)
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    writers.foreach(_.start())
+    compactor.start()
+    writers.foreach(_.join(600000))
+    writersDone = true
+    compactor.join(600000)
+    assert(failures.isEmpty, s"thread failed: ${Option(failures.peek())}")
+    val wantIds = (0L +: (for (w <- 0 until 2; i <- 0 until rounds)
+      yield ids(w, i)).flatten).toSet
+    // quiesced: fold whatever the race left, then reclaim fully
+    DocIndexStore.compact(spark, root, graceMs = 0L)
+    Seq("simhash", "minhash").foreach(p => graft.sources.AtomicStore
+      .vacuum(spark, s"$root/$p", keepVersions = 1, graceMs = 0L))
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("simhash", "minhash").foreach { p =>
+      assert(fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/$p", "data")).length === 1,
+        s"$p not collapsed to one data dir")
+    }
+    val loaded = DocIndexStore.load(spark, root)
+    assert(loaded.simhash.as[(Long, Long)].collect().toSet
+      === wantIds.map(id => (id, id * 7L)))
+    assert(loaded.minhashSigs.select("doc_id").as[Long].collect().toSet
+      === wantIds)
+  }
+
   test("concurrent-append soak: racing ingest batches lose no signature row") {
     // the AtomicStoreSpec append soak, run against the index-store entry
     // points: d28/s16 made the persisted signature tables load-bearing
