@@ -134,6 +134,63 @@ object Dedup {
         struct(lit(b).as("band_idx"), col(s"band_$b").as("band_hash"))): _*)).as("b"))
       .select(col("id"), col("b.band_idx"), col("b.band_hash"))
 
+  /** Sentinel for the band joins' `salts` parameter: derive the salt
+    * factor from the OBSERVED bucket histogram at call time
+    * ([[Skew.chooseSalts]] — one distributed metadata-sized aggregation
+    * over the band table, the histogram never reaches the driver). This
+    * is the default: a boilerplate-heavy corpus gets the mitigation
+    * without the operator author remembering to probe, and a healthy
+    * corpus pays only the histogram pass — the rule resolves to 0 there
+    * (AQE's runtime skew split stays the only mitigation, measured
+    * strictly faster below the crossover; SCALING.md "salting
+    * crossover"). Note the crossover accounts for the band layout
+    * itself: a pure-duplicate corpus heats ALL `nChunks` chunk buckets
+    * equally, so c_max² ≤ W/nChunks and the rule correctly stays at 0
+    * until the partition count (cluster scale) makes one bucket's square
+    * dwarf a fair share. Pass an explicit 0 to skip the histogram pass,
+    * or an explicit s > 1 to force the salted form.
+    */
+  val AutoSalts: Int = -1
+
+  /** Whether `df` is an already-materialized relation (a checkpointed or
+    * persisted LogicalRDD) — a bare LogicalRDD plan node alone is NOT
+    * proof (createDataFrame over an expensive uncached RDD is also a
+    * LogicalRDD), so the underlying RDD must actually be checkpointed or
+    * persisted. Gate for skipping a redundant localCheckpoint copy in
+    * the self-join builders.
+    */
+  private def isMaterialized(df: DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.isCheckpointed ||
+          r.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+      case _ => false
+    }
+
+  /** Resolve a `salts` argument: explicit values pass through, the
+    * [[AutoSalts]] sentinel derives from `buckets`' key histogram under
+    * the session's shuffle partitioning (the P the join will shuffle
+    * with). The decision is MEMOIZED on the bucket table's canonicalized
+    * plan: the dedup pipelines run several band joins over one served
+    * signature table per session (d06/d09/d24 share it), and the
+    * histogram can't change between them — so only the first call pays
+    * the probe job. Safe even on a (negligible) hash collision: EVERY
+    * salts value is lossless (SkewSpec), a stale factor only shifts the
+    * shuffle layout.
+    */
+  private val saltMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Integer]
+  private def resolveSalts(salts: Int, buckets: DataFrame,
+                           keyCols: Seq[String]): Int =
+    if (salts != AutoSalts) salts
+    else {
+      val p = buckets.sparkSession.sessionState.conf.numShufflePartitions
+      saltMemo.computeIfAbsent(
+        (buckets.queryExecution.analyzed.semanticHash(), p),
+        _ => Skew.chooseSalts(buckets, keyCols, p,
+          hotFactor = 16.0, maxSalts = 64)).intValue
+    }
+
   /** Salted SELF-pair join sides (the [[Skew.saltedJoin]] technique
     * specialized to pair generation): the left side takes ONE
     * deterministic salt per row, the right side replicates ×salts, and the
@@ -161,9 +218,15 @@ object Dedup {
     * pathological boilerplate-heavy case.
     */
   def lshCandidates(sigs: DataFrame, idCol: String, numBands: Int = 2,
-                    salts: Int = 0): DataFrame = {
-    val bands = bandRows(sigs, idCol, numBands)
-    val (lS, rS, saltCond) = saltedSides(bands, salts, col("id"))
+                    salts: Int = AutoSalts): DataFrame = {
+    // same materialization rule as [[simhashPairs]]: the band table feeds
+    // both self-join sides AND (under AutoSalts) the histogram probe, so
+    // an unmaterialized signature pipeline would evaluate 3×; a served
+    // (already checkpointed/persisted) input skips the redundant copy
+    val sigsP = if (isMaterialized(sigs)) sigs else sigs.localCheckpoint()
+    val bands = bandRows(sigsP, idCol, numBands)
+    val (lS, rS, saltCond) = saltedSides(bands,
+      resolveSalts(salts, bands, Seq("band_idx", "band_hash")), col("id"))
     lS.as("l").join(rS.as("r"),
         col("l.band_idx") === col("r.band_idx") &&
         col("l.band_hash") === col("r.band_hash") &&
@@ -577,7 +640,7 @@ object Dedup {
     * form; the plan swaps an O(n²) nested-loop for a shuffled equi-join.
     */
   def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int,
-                   bits: Int = 60, salts: Int = 0): DataFrame = {
+                   bits: Int = 60, salts: Int = AutoSalts): DataFrame = {
     val nChunks = maxHamming + 1
     // materialized: chunk rows feed both sides of the candidate self-join.
     // Eager localCheckpoint = the persist+count barrier (the self-join's
@@ -585,22 +648,16 @@ object Dedup {
     // observed as a bimodal 1.2 s / 9.8 s runtime) without leaking a
     // CacheManager entry per call. An input that IS already a
     // checkpointed/materialized relation (DocIndex's served signature
-    // table) skips the redundant copy — but a bare LogicalRDD plan node
-    // alone is NOT proof of materialization (createDataFrame over an
-    // expensive uncached RDD is also a LogicalRDD), so the underlying
-    // RDD must actually be checkpointed or persisted.
-    val alreadyMaterialized = sigs.queryExecution.analyzed match {
-      case r: org.apache.spark.sql.execution.LogicalRDD =>
-        r.rdd.isCheckpointed ||
-          r.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
-      case _ => false
-    }
-    val sigsP = if (alreadyMaterialized) sigs else sigs.localCheckpoint()
+    // table) skips the redundant copy ([[isMaterialized]]).
+    val sigsP = if (isMaterialized(sigs)) sigs else sigs.localCheckpoint()
     val chunks = simhashChunks(sigsP, idCol, nChunks, bits)
     // `salts > 1` = the lossless salted self-join ([[saltedSides]]) for
     // boilerplate-heavy corpora whose hottest (chunk_idx, chunk_val)
-    // outgrows AQE's skew split; default relies on AQE
-    val (lS, rS, saltCond) = saltedSides(chunks, salts, col("id"))
+    // outgrows AQE's skew split; the [[AutoSalts]] default derives the
+    // factor from the chunk histogram (cheap here: chunks re-derive
+    // narrowly from the materialized sigsP)
+    val (lS, rS, saltCond) = saltedSides(chunks,
+      resolveSalts(salts, chunks, Seq("chunk_idx", "chunk_val")), col("id"))
     lS.as("l").join(rS.as("r"),
         col("l.chunk_idx") === col("r.chunk_idx") &&
         col("l.chunk_val") === col("r.chunk_val") &&

@@ -76,6 +76,44 @@ class SkewSpec extends SparkSpec {
       s"hot key must spread ≥4x under 8 salts ($plainMax -> $saltedMax)")
   }
 
+  test("AutoSalts default: no-op at local partitioning, engages at cluster partitioning, lossless") {
+    // the band joins now consume chooseSalts by DEFAULT (salts=AutoSalts)
+    // instead of leaving the probe an opt-in helper. Two regimes, same
+    // boilerplate corpus:
+    //  - P=32 (local): a pure-duplicate corpus heats all nChunks chunk
+    //    buckets equally, so c_max² ≤ W/nChunks and the crossover
+    //    correctly stays at 0 — the auto plan must be the unsalted one
+    //  - P=2048 (cluster-scale shuffle): a fair share shrinks 64×, the
+    //    same histogram crosses the bar — auto must salt, and the pair
+    //    set must be IDENTICAL (losslessness is the whole contract)
+    import graft.operators.Dedup
+    val sigs = Dedup.simhash(boilerplateDocs, "doc_id", "text")
+      .localCheckpoint()
+    val plain = Dedup.simhashPairs(sigs, "doc_id", maxHamming = 4, salts = 0)
+    val auto32 = Dedup.simhashPairs(sigs, "doc_id", maxHamming = 4)
+    assert(!auto32.queryExecution.executedPlan.toString.contains("__salt"),
+      "auto must resolve to 0 below the crossover (AQE stays the mitigation)")
+    assert(auto32.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(auto32).count() === 0)
+    val p0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", 2048)
+      val autoBig = Dedup.simhashPairs(sigs, "doc_id", maxHamming = 4)
+      assert(autoBig.queryExecution.executedPlan.toString.contains("__salt"),
+        "auto must engage once the partition count makes the bucket hot")
+      assert(autoBig.exceptAll(plain).count() === 0)
+      assert(plain.exceptAll(autoBig).count() === 0)
+      // lshCandidates rides the same resolver
+      val mhSigs = Dedup.minhashSignatures(boilerplateDocs, "doc_id", "text")
+        .localCheckpoint()
+      val lshAuto = Dedup.lshCandidates(mhSigs, "doc_id")
+      assert(lshAuto.queryExecution.executedPlan.toString.contains("__salt"))
+      val lshPlain = Dedup.lshCandidates(mhSigs, "doc_id", salts = 0)
+      assert(lshAuto.exceptAll(lshPlain).count() === 0)
+      assert(lshPlain.exceptAll(lshAuto).count() === 0)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", p0)
+  }
+
   test("chooseSalts: crossover rule from the bucket histogram (both overloads)") {
     // below the bar: the SaltProbe-measured 10× shape scaled down — top
     // bucket ~3× a fair partition share, salting measured NEGATIVE there
