@@ -114,8 +114,26 @@ object Streams {
             // tail (its ts only has to clear the watermark, which lags by
             // gap) — an unconditional overwrite would REGRESS session_end,
             // emitting a corrupt session AND shrinking the event-time
-            // timeout so the session flushes early. Batch sessionize takes
-            // the session's max ts; this must match it.
+            // timeout so the session flushes early. This makes merging
+            // into the OPEN session batch-consistent (batch sessionize
+            // takes the session's max ts). It does NOT make the whole
+            // operator batch-equivalent: emitting on observed silence is
+            // eager, so a late event landing within gap of an
+            // ALREADY-EMITTED session's end (reachable when the silence
+            // that closed it was < 2×gap — the accepted-event window is
+            // [wm, closed_end + gap), nonempty exactly then) merges into
+            // the newer open session here, where batch would have
+            // extended the closed one. That divergence is inherent to
+            // gap-width watermarks + Append emission (avoiding it means
+            // holding every session until the watermark passes
+            // session_end + gap, i.e. one extra gap of emission latency
+            // for every session to cover a narrow cross-batch window);
+            // SessionBoundarySpec pins its exact bound: divergent
+            // neighbors are separated by < gap with the newer session
+            // starting inside (prev_end, prev_end + gap), events are
+            // conserved, sessions stay disjoint, and any user whose
+            // sessions all respect the gap separation matches batch
+            // EXACTLY.
             open = Some(s.copy(
               session_start =
                 if (e.ts.before(s.session_start)) e.ts else s.session_start,
