@@ -50,6 +50,17 @@ object Skew {
     * the unsalted wall — firmly negative — so the bar sits 5× above
     * that measured-negative ratio; a boilerplate corpus whose top
     * bucket holds millions of rows sits orders of magnitude past it.
+    * Round-13 calibrated BOTH sides of the bar on a synthetic dominant
+    * bucket (`SaltProbe boiler:8000:3000`, SCALING.md): ratio 12.8 →
+    * 0 correct (salting ~neutral there — AQE's runtime skew split
+    * already covers the below-bar regime), ratio 51 → salting clearly
+    * positive, CONFIRMING engagement — but the bar-clearing s=4 was
+    * measured no better than unsalted while s=2 won by ~15%: AQE's
+    * split composes with the salt, so the formula's "restore the bar
+    * exactly" magnitude over-replicates. The magnitude is therefore
+    * HALF the bar-clearing factor (min 2 — one salt is no split),
+    * matching the measured optimum at ratio 51 and still scaling with
+    * the ratio for the orders-of-magnitude-past-it corpus.
     */
   def chooseSalts(bucketSizes: Seq[Long], partitions: Int,
                   hotFactor: Double = 16.0, maxSalts: Int = 64): Int = {
@@ -57,9 +68,18 @@ object Skew {
     if (bucketSizes.isEmpty) return 0
     val w = bucketSizes.iterator.map(c => c.toDouble * c).sum
     val cmax = bucketSizes.max.toDouble
+    salted(cmax, w, partitions, hotFactor, maxSalts)
+  }
+
+  /** The shared decision: 0 below the bar; above it, half the
+    * bar-clearing split factor (≥2), capped.
+    */
+  private def salted(cmax: Double, w: Double, partitions: Int,
+                     hotFactor: Double, maxSalts: Int): Int = {
     val bar = hotFactor * w / partitions
     if (cmax * cmax <= bar || bar == 0.0) 0
-    else math.min(maxSalts.toDouble, math.ceil(cmax * cmax / bar)).toInt
+    else math.min(maxSalts.toDouble,
+      math.max(2.0, math.ceil(cmax * cmax / (2.0 * bar)))).toInt
   }
 
   /** [[chooseSalts]] from the bucketed rows themselves: ONE distributed
@@ -80,12 +100,7 @@ object Skew {
         sum(col("count").cast("double") * col("count")).as("w"))
       .head()
     if (h.isNullAt(0)) 0 // empty input
-    else {
-      val cmax = h.getLong(0).toDouble
-      val w = h.getDouble(1)
-      val bar = hotFactor * w / partitions
-      if (cmax * cmax <= bar || bar == 0.0) 0
-      else math.min(maxSalts.toDouble, math.ceil(cmax * cmax / bar)).toInt
-    }
+    else salted(h.getLong(0).toDouble, h.getDouble(1), partitions,
+      hotFactor, maxSalts)
   }
 }

@@ -8,18 +8,39 @@ import org.apache.spark.sql.functions._
   * wall time of `Dedup.simhashPairs` at several salt factors (losslessness
   * is SkewSpec's contract; this probe informs the auto-salting threshold).
   *
-  * args: [sfDir] [maxHamming] [salts...]
+  * args: [sfDir] [maxHamming] [partitions] [salts...]
+  *
+  * `sfDir` may be `boiler:<hotDocs>:<uniqueDocs>` to synthesize the
+  * degenerate boilerplate corpus instead of reading a lake: `hotDocs`
+  * identical texts (ONE simhash — every chunk bucket hot) + `uniqueDocs`
+  * diverse ones. With a dominant group the crossover ratio is
+  * structurally c_max²/(W/P) ≈ P/nChunks, so sweeping `partitions`
+  * sweeps the ratio across the hotFactor bar — the near-bar calibration
+  * the round-12 probe (ratio 3.2, firmly below) couldn't reach.
   */
 object SaltProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1_synth")
     val maxHamming = args.lift(1).map(_.toInt).getOrElse(8)
-    val salts = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(0, 4, 8)
+    val partitions = args.lift(2).map(_.toInt).getOrElse(32)
+    val salts = if (args.length > 3) args.drop(3).map(_.toInt).toSeq else Seq(0, 4, 8)
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = graft.Lake.table(spark, sfDir, "documents")
+    val docs =
+      if (sfDir.startsWith("boiler:")) {
+        val parts = sfDir.split(":")
+        val (hot, uniq) = (parts(1).toLong, parts(2).toLong)
+        spark.range(hot).select(col("id").as("doc_id"),
+            lit("the same boilerplate footer text repeated on every " +
+              "page of the corpus site year after year").as("text"))
+          .union(spark.range(uniq).select((col("id") + 100000000L).as("doc_id"),
+            concat(lit("unique document number "), col("id"),
+              lit(" carries words w"), col("id") * 7, lit(" w"),
+              col("id") * 13, lit(" w"), col("id") * 29, lit(" tail"),
+              col("id")).as("text")))
+      } else graft.Lake.table(spark, sfDir, "documents")
     val sigs = graft.operators.Dedup.simhash(docs, "doc_id", "text")
       .localCheckpoint()
     // bucket histogram: the candidate join's per-bucket work is size².

@@ -126,12 +126,14 @@ class SkewSpec extends SparkSpec {
     assert(Skew.chooseSalts(Seq.empty, partitions = 32) === 0)
     // the boilerplate regime: one bucket carries nearly all the square
     // work — c_max²≈2.5e11 vs fair=(2.5e11+1e4)/32, ratio≈32 → bar=16
-    // exceeded, smallest s restoring the bar is 2
+    // exceeded; magnitude = half the bar-clearing factor, floored at 2
+    // (the round-13 calibration: the exact-bar s measured no better
+    // than unsalted, half of it won)
     val boiler = Seq(500000L) ++ Seq.fill(100)(10L)
     assert(Skew.chooseSalts(boiler, partitions = 32) === 2)
     // more partitions make the same hot bucket relatively hotter:
-    // fair share shrinks ×32, ratio≈1024 → s=64 (the cap)
-    assert(Skew.chooseSalts(boiler, partitions = 1024) === 64)
+    // fair share shrinks ×32, ratio≈1024 → s=ceil(1024/32)=32
+    assert(Skew.chooseSalts(boiler, partitions = 1024) === 32)
     // DataFrame overload agrees with the Seq form on the same histogram:
     // materialize bucketed ROWS with those counts and re-derive
     val rows = boiler.zipWithIndex.flatMap { case (c, k) =>
