@@ -152,43 +152,58 @@ object Dedup {
     */
   val AutoSalts: Int = -1
 
-  /** Whether `df` is an already-materialized relation (a checkpointed or
-    * persisted LogicalRDD) — a bare LogicalRDD plan node alone is NOT
+  /** Whether `df` is an already-materialized relation — a checkpointed or
+    * persisted LogicalRDD, or any frame the CALLER persisted (the cache
+    * manager knows: `df.storageLevel`, which covers a served parquet
+    * table the caller cached). A bare LogicalRDD plan node alone is NOT
     * proof (createDataFrame over an expensive uncached RDD is also a
     * LogicalRDD), so the underlying RDD must actually be checkpointed or
     * persisted. Gate for skipping a redundant localCheckpoint copy in
     * the self-join builders.
     */
   private def isMaterialized(df: DataFrame): Boolean =
-    df.queryExecution.analyzed match {
-      case r: org.apache.spark.sql.execution.LogicalRDD =>
-        r.rdd.isCheckpointed ||
-          r.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
-      case _ => false
-    }
+    df.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
+      (df.queryExecution.analyzed match {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.isCheckpointed ||
+            r.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+        case _ => false
+      })
 
   /** Resolve a `salts` argument: explicit values pass through, the
     * [[AutoSalts]] sentinel derives from `buckets`' key histogram under
     * the session's shuffle partitioning (the P the join will shuffle
     * with). The decision is MEMOIZED on the bucket table's canonicalized
-    * plan: the dedup pipelines run several band joins over one served
+    * plan: the dedup pipelines run several band joins over one SERVED
     * signature table per session (d06/d09/d24 share it), and the
-    * histogram can't change between them — so only the first call pays
-    * the probe job. Safe even on a (negligible) hash collision: EVERY
-    * salts value is lossless (SkewSpec), a stale factor only shifts the
-    * shuffle layout.
+    * histogram can't change between them — so repeat calls over a served
+    * table skip the probe job (a fresh/unmaterialized input gets a fresh
+    * plan and legitimately pays a fresh probe). Safe even on a
+    * (negligible) hash collision: EVERY salts value is lossless
+    * (SkewSpec), a stale factor only shifts the shuffle layout. The
+    * probe runs OUTSIDE any map lock (a racing duplicate probe is
+    * cheaper than serializing two queries on a bin lock), and the memo
+    * is bounded — it holds (int, int) → int entries, but a long-lived
+    * driver ingesting forever should not accrete even those.
     */
   private val saltMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Integer]
+  private val SaltMemoMax = 256
   private def resolveSalts(salts: Int, buckets: DataFrame,
                            keyCols: Seq[String]): Int =
     if (salts != AutoSalts) salts
     else {
       val p = buckets.sparkSession.sessionState.conf.numShufflePartitions
-      saltMemo.computeIfAbsent(
-        (buckets.queryExecution.analyzed.semanticHash(), p),
-        _ => Skew.chooseSalts(buckets, keyCols, p,
-          hotFactor = 16.0, maxSalts = 64)).intValue
+      val key = (buckets.queryExecution.analyzed.semanticHash(), p)
+      val hit = saltMemo.get(key)
+      if (hit != null) hit.intValue
+      else {
+        val s = Skew.chooseSalts(buckets, keyCols, p,
+          hotFactor = 16.0, maxSalts = 64)
+        if (saltMemo.size >= SaltMemoMax) saltMemo.clear()
+        saltMemo.put(key, s)
+        s
+      }
     }
 
   /** Salted SELF-pair join sides (the [[Skew.saltedJoin]] technique

@@ -125,10 +125,13 @@ object Graph {
         // plan, but the checkpoint WRITE is a second job that would
         // otherwise recompute every partition from scratch (the RDD
         // .checkpoint contract) — for the prop/jump rounds that second
-        // pass is the whole nmin join again
+        // pass is the whole nmin join again. unpersist in finally: a
+        // FAILED checkpoint write is exactly when the transient blocks
+        // must not linger in the cache
         df.persist()
-        val out = df.checkpoint()
-        df.unpersist()
+        val out =
+          try df.checkpoint()
+          finally df.unpersist()
         out.queryExecution.analyzed match {
           case r: org.apache.spark.sql.execution.LogicalRDD =>
             r.rdd.getCheckpointFile.foreach(ckptFiles.enqueue(_))
@@ -146,8 +149,9 @@ object Graph {
     var edgeCkptFile: Option[String] = None
     def ckptEdges(df: DataFrame): DataFrame = {
       df.persist() // same write-from-cache discipline as ckpt()
-      val out = df.checkpoint()
-      df.unpersist()
+      val out =
+        try df.checkpoint()
+        finally df.unpersist()
       val newFile = out.queryExecution.analyzed match {
         case r: org.apache.spark.sql.execution.LogicalRDD =>
           r.rdd.getCheckpointFile
@@ -171,15 +175,21 @@ object Graph {
     // abort below, but also a mid-loop job failure, executor OOM surfacing
     // as a SparkException, or a user cancel — each would otherwise leak up
     // to three reliable checkpoint dirs on the checkpoint filesystem
-    // (Spark never deletes them itself). `completed` flips only on the
-    // success exits (which already ran finishCkpts, keeping the returned
-    // table's backing file); every other unwind aborts.
+    // (Spark never deletes them itself) PLUS the persisted edge frames
+    // (|E|-sized cache blocks that would otherwise sit until the
+    // ContextCleaner's eventual GC). `completed` flips only on the
+    // success exits (which already ran finishCkpts and their own
+    // unpersists); every other unwind aborts both. The frames are
+    // hoisted so the finally can see them.
     var completed = false
+    var e0: DataFrame = null
+    var sym: DataFrame = null
+    var e: DataFrame = null
     try {
       // persist the edge input BEFORE symmetrizing: the union's two branches
       // would otherwise each evaluate the (often expensive) upstream pair
       // pipeline; the count() barrier stops the branches racing the cold cache
-      val e0 = edges.select(col(aCol).cast("long").as("u"),
+      e0 = edges.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v")).persist()
       val e0Count = e0.count()
       // SIZE-ADAPTIVE local finish (the move every production distributed-CC
@@ -204,7 +214,7 @@ object Graph {
       // (nmin + the first contraction), and each consumption is a narrow
       // in-memory concat — a second persist would just buy an extra
       // materialization pass
-      val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       var labels = ckpt(sym.select(col("u").as("id")).distinct()
         .withColumn("label", col("id")))
       // pointer jumping: adopt the label OF one's label (labels are always
@@ -224,7 +234,7 @@ object Graph {
       var converged = labels.head(1).isEmpty // no edges → nothing to do
       var prevSum = if (converged) null else labelSum(labels)
       var it = 0
-      var e = sym
+      e = sym
       var hasContracted = false
       def phase[T](label: String)(f: => T): T =
         if (!verbose) f else {
@@ -341,7 +351,21 @@ object Graph {
       completed = true
       labels
     } finally {
-      if (!completed) abortCkpts()
+      // best-effort: when the unwind IS a filesystem outage, the cleanup
+      // deletes fail too — swallowing them (NonFatal only: a VM error
+      // must still fly, and an interrupt must re-flag the thread) keeps
+      // the original exception, the one the caller can act on, from
+      // being masked by the finally
+      if (!completed) {
+        def quietly(f: => Unit): Unit =
+          try f catch {
+            case _: InterruptedException => Thread.currentThread().interrupt()
+            case scala.util.control.NonFatal(_) => ()
+          }
+        quietly(abortCkpts())
+        if (e != null && (e ne sym)) quietly(e.unpersist())
+        if (e0 != null) quietly(e0.unpersist())
+      }
     }
   }
 }

@@ -129,6 +129,19 @@ object AtomicStore {
   /** Step 2: publish a manifest at `version` atomically. Returns false
     * when a concurrent writer already published that version (the
     * optimistic-concurrency conflict — retry at the next version).
+    *
+    * The claim primitive is scheme-dependent, exactly like Delta's
+    * LogStore split. On HDFS-like filesystems `FileContext.rename`
+    * with `Rename.NONE` is a single atomic fail-if-exists namenode op.
+    * On the LOCAL filesystem that same call is check-then-rename (and
+    * ChecksumFs moves the .crc sidecar in a separate step), so two
+    * racing publishers can interleave into BOTH believing they won —
+    * observed as a manifest whose data and .crc come from different
+    * writers (ChecksumException on read; AtomicStoreSpec's append soak
+    * caught it at ~1-in-20). There the claim is a HARD LINK instead:
+    * link(2) fails EEXIST atomically at the syscall level, and linking
+    * only the data file means no .crc ever attaches to a manifest, so
+    * the mismatched-sidecar state is unrepresentable.
     */
   private[graft] def publish(spark: SparkSession, root: String,
                              dataDirs: Seq[String], version: Long): Boolean = {
@@ -139,17 +152,31 @@ object AtomicStore {
     try out.write(dataDirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val target = new Path(commitsDir(root), manifestName(version))
-    try {
-      // FileContext.rename(NONE) is the atomic fail-if-exists primitive
-      // (FileSystem.rename on a local fs silently overwrites)
-      FileContext.getFileContext(target.toUri, hconf(spark))
-        .rename(tmp, target, Options.Rename.NONE)
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.io.FileNotFoundException =>
-        fs.delete(tmp, false)
-        false
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem =>
+        val dir = java.nio.file.Paths.get(
+          fs.makeQualified(commitsDir(root)).toUri)
+        try {
+          java.nio.file.Files.createLink(
+            dir.resolve(manifestName(version)), dir.resolve(tmp.getName))
+          fs.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            fs.delete(tmp, false)
+            false
+        }
+      case _ =>
+        try {
+          FileContext.getFileContext(target.toUri, hconf(spark))
+            .rename(tmp, target, Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.io.FileNotFoundException =>
+            fs.delete(tmp, false)
+            false
+        }
     }
   }
 
@@ -320,6 +347,14 @@ object AtomicStore {
   def compact(spark: SparkSession, root: String, keepVersions: Int = 2,
               graceMs: Long = 15 * 60 * 1000L,
               maxAttempts: Int = 8): Option[Long] = {
+    // vacuum is best-effort on EVERY exit: a fold that committed must
+    // never be reported as a failure because reclamation hiccuped (an
+    // objstore throttle on one delete), and the give-up path still owes
+    // the manifest cleanup — so swallow any non-fatal vacuum error, not
+    // just the concurrent-compactor race
+    def vacuumBestEffort(): Unit =
+      try vacuum(spark, root, keepVersions, graceMs)
+      catch { case scala.util.control.NonFatal(_) => () }
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -334,8 +369,12 @@ object AtomicStore {
             // publishing: commitSnapshotIfUnchanged's write scans `files`,
             // and a lost CAS means those rows were re-read against a
             // superseded manifest — re-resolve and re-fold, never publish
-            // a stale fold (the same conflict rule as every derived commit)
-            val state = spark.read.parquet(files: _*)
+            // a stale fold (the same conflict rule as every derived commit).
+            // mergeSchema: commitAppend imposes no schema check, so later
+            // waves may carry columns older batches lack — a sampled-file
+            // schema would silently DROP them from the whole store
+            val state = spark.read.option("mergeSchema", "true")
+              .parquet(files: _*)
             commitSnapshotIfUnchanged(state, root, base).map(v => Some(v))
           }
         } catch {
@@ -345,16 +384,16 @@ object AtomicStore {
         }
       folded match {
         case Some(result) =>
-          // vacuum OUTSIDE the retry decision: its failure must not
-          // re-run a successful fold (a double fold burns a version)
-          try vacuum(spark, root, keepVersions, graceMs)
-          catch { case e: Throwable if isVacuumRace(e) => () }
+          vacuumBestEffort()
           return result
         case None => // lost the CAS or hit a vacuum race — go around
           Thread.sleep(20L * attempt)
       }
     }
-    None // append pressure won every round — compaction is opportunistic
+    // append pressure won every round — compaction is opportunistic, but
+    // the manifest cleanup is still owed
+    vacuumBestEffort()
+    None
   }
 
   /** Drop data dirs no manifest within `keepVersions` of latest

@@ -312,6 +312,22 @@ class AtomicStoreSpec extends SparkSpec {
     assert(state() === before + ("z" -> "9"))
   }
 
+  test("compact preserves columns only some appended batches carry (mergeSchema fold)") {
+    // commitAppend imposes no schema check, so a later wave may add a
+    // column; a sampled-file fold schema would rewrite the store WITHOUT
+    // it — silent, irreversible loss the fold must be immune to
+    val r = root()
+    AtomicStore.commitAppend(Seq(("a", "1")).toDF("k", "v"), r)
+    AtomicStore.commitAppend(
+      Seq(("b", "2", "fr")).toDF("k", "v", "lang"), r) // evolved wave
+    assert(AtomicStore.compact(spark, r, keepVersions = 1, graceMs = 0L)
+      .isDefined)
+    val got = AtomicStore.read(spark, r)
+    assert(got.columns.sorted.toSeq === Seq("k", "lang", "v"))
+    assert(got.select("k", "v", "lang").as[(String, String, Option[String])]
+      .collect().toSet === Set(("a", "1", None), ("b", "2", Some("fr"))))
+  }
+
   test("deterministic publish-race: the CAS append loser returns None, reclaims its dir, winner intact") {
     // IngestRaceSpec reaches this branch stochastically; the pre-publish
     // hook sequences it exactly — a winner commits between the loser's
