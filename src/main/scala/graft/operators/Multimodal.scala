@@ -67,13 +67,17 @@ object Multimodal {
     * target dims → payload) is the real contract.
     */
   val fakeResize: (Array[Byte], Int, Int, Int, Int) => Array[Byte] =
-    (bytes, w, h, tw, th) => {
-      val srcPixels = math.max(1, w * h)
-      val outLen = math.max(1,
-        (bytes.length.toLong * (tw * th) / srcPixels).toInt.min(bytes.length))
-      Array.tabulate(outLen)(i =>
-        bytes((i.toLong * bytes.length / outLen).toInt))
-    }
+    (bytes, w, h, tw, th) =>
+      // a zero-length payload resizes to itself — the max(1, …) floor on
+      // outLen below would otherwise index bytes(0) of an empty array
+      if (bytes.isEmpty) bytes
+      else {
+        val srcPixels = math.max(1, w * h)
+        val outLen = math.max(1,
+          (bytes.length.toLong * (tw * th) / srcPixels).toInt.min(bytes.length))
+        Array.tabulate(outLen)(i =>
+          bytes((i.toLong * bytes.length / outLen).toInt))
+      }
 
   /** Batch resize — 1 row in, 1 row out, payload and dims rewritten.
     * Same mapPartitions shape as [[extractFeatures]].

@@ -99,15 +99,6 @@ object Similarity {
     }
   }
 
-  /** Rank the top-k of a scored corpus WITHOUT a global window: the
-    * `orderBy().limit(k)` plans as `TakeOrderedAndProject` — each input
-    * partition keeps its local top-k and only k×partitions candidate rows
-    * ever leave the scan stage — then `row_number` labels the k survivors
-    * on one (intentional, k-row) partition. The naive global
-    * `row_number().over(Window.orderBy(...))` form instead funnels every
-    * scored row through a single-partition WindowExec — the #1 scale trap
-    * for top-k on a 100 TB corpus.
-    */
   /** Rank k pre-limited survivors without a window: a global window (even
     * over k rows) plans as an unpartitioned WindowExec (Spark 4's
     * EliminateWindowPartitions folds away constant partition keys);
@@ -125,6 +116,15 @@ object Similarity {
       .select((col("pos") + 1).as("rank"), col("s.vec_id").as("vec_id"),
         score(col("s.k")).as(scoreName))
 
+  /** Rank the top-k of a scored corpus WITHOUT a global window: the
+    * `orderBy().limit(k)` plans as `TakeOrderedAndProject` — each input
+    * partition keeps its local top-k and only k×partitions candidate rows
+    * ever leave the scan stage — then [[rankCollected]] labels the k
+    * survivors from one sorted k-row array. The naive global
+    * `row_number().over(Window.orderBy(...))` form instead funnels every
+    * scored row through a single-partition WindowExec — the #1 scale trap
+    * for top-k on a 100 TB corpus.
+    */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     rankCollected(
       scored.orderBy(col("cos").desc, col("vec_id").asc).limit(k),
@@ -165,13 +165,29 @@ object Similarity {
     * the candidate filter for cosine search at corpus scale (the
     * alternative to IVF when no centroids exist).
     */
-  def hyperplaneSignatures(emb: DataFrame, hyperplanes: DataFrame): DataFrame =
+  def hyperplaneSignatures(emb: DataFrame, hyperplanes: DataFrame): DataFrame = {
+    // hp_id is a BIT POSITION in a positive Long: shiftleft wraps mod 64
+    // past 63 (aliased bits whose sum() carries corrupt EVERY signature
+    // silently), and bit 63 is the sign bit — a negative bucket_sig would
+    // break the positive-Long signature convention the banded consumers
+    // share. The hyperplane table is model-sized, so the guard is a free
+    // driver-side check; sum() == bit_or for distinct positions < 63.
+    val ids = hyperplanes.select(col("hp_id").cast("long"))
+      .collect().map(_.getLong(0))
+    require(ids.distinct.length == ids.length,
+      "hyperplaneSignatures: hp_id must be unique (duplicate bit positions" +
+        " would carry-corrupt the summed signature)")
+    require(ids.forall(id => id >= 0 && id <= 62),
+      s"hyperplaneSignatures: hp_id must be in [0, 62], got " +
+        s"${ids.filterNot(id => id >= 0 && id <= 62).mkString(", ")} — " +
+        "shiftleft wraps mod 64 and bit 63 is the sign bit")
     emb.crossJoin(broadcast(hyperplanes))
       .withColumn("bit",
         when(VectorFns.cosine(col("vec"), col("hvec")) >= 0,
           expr("shiftleft(1L, cast(hp_id as int))")).otherwise(0L))
       .groupBy("vec_id")
       .agg(sum(col("bit")).as("bucket_sig"))
+  }
 
   /** LSH-bucketed top-k against a PRECOMPUTED signature table — the
     * at-scale form: the index (`sigs`) is built once ([[hyperplaneSignatures]],
@@ -180,14 +196,23 @@ object Similarity {
     */
   def lshTopKIndexed(emb: DataFrame, sigs: DataFrame, queryId: Long,
                      k: Int): DataFrame = {
-    val withSig = emb.join(sigs, "vec_id")
     val qSig = sigs.filter(col("vec_id") === queryId)
       .select(col("bucket_sig").as("q_sig"))
+    // bucket FIRST: the narrow signature table prunes to one bucket
+    // BEFORE any corpus join — joining emb⨝sigs first would pay a
+    // corpus-by-corpus shuffle join per query (the q_sig predicate is a
+    // runtime column, so Catalyst cannot push it below that join), which
+    // is exactly the corpus pass the docstring promises to avoid. The
+    // surviving bucket is broadcast into a pruning hash join against emb
+    // (bucket-sized by the LSH contract; a degenerate all-one-bucket
+    // corpus needs more hyperplanes, not a bigger broadcast).
+    val bucketIds = sigs.crossJoin(broadcast(qSig))
+      .filter(col("bucket_sig") === col("q_sig") && col("vec_id") =!= queryId)
+      .select("vec_id")
     val query = emb.filter(col("vec_id") === queryId)
       .select(col("vec").as("qvec"))
     rankTopK(
-      withSig.crossJoin(broadcast(qSig)).crossJoin(broadcast(query))
-        .filter(col("bucket_sig") === col("q_sig") && col("vec_id") =!= queryId)
+      emb.join(broadcast(bucketIds), "vec_id").crossJoin(broadcast(query))
         .withColumn("cos", VectorFns.cosine(col("vec"), col("qvec"))),
       k)
   }
@@ -245,6 +270,17 @@ object Similarity {
     val head = centsDf.take(MaxInlineCentroids + 1)
     require(head.nonEmpty,
       "ivfAssignMulti: centroid set is empty — provide at least one trained centroid")
+    // the ivfAssign reserved-column guard, for the same reason: without
+    // it an input carrying e.g. `centroid_id` sails through the inline
+    // path and only dies (ambiguous reference) once the centroid count
+    // crosses MaxInlineCentroids and the cross-join path engages — a
+    // scale-triggered failure the guard exists to surface immediately
+    val reserved = emb.columns
+      .filterNot(c => c == "vec_id" || c == "vec")
+      .filter(Set("centroid_id", "cos", "cvec", "__rn"))
+    require(reserved.isEmpty,
+      s"ivfAssignMulti: input columns ${reserved.mkString(", ")} collide " +
+        "with the assignment's output/rank fields — rename them first")
     if (head.length <= MaxInlineCentroids) {
       val cents = head
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -330,23 +366,6 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
-  /** Product-quantization encode (Jégou et al., "Product Quantization for
-    * Nearest Neighbor Search", TPAMI 2011): split each vector into
-    * `numSub` contiguous subspaces and replace every subvector with the id
-    * of its nearest codebook entry (squared-L2, ties → smaller code id).
-    * Output: `(vec_id, code_0..code_{numSub-1}, recon_err)` where
-    * `recon_err` is the total squared reconstruction error — the memory
-    * step that makes 100 TB of embeddings searchable: 64 floats (256 B)
-    * compress to `numSub` small ints, so a billion-vector index fits in
-    * executor memory while IVF (s02) prunes which codes get scored.
-    *
-    * The codebook is model data by the same contract as [[ivfAssign]]'s
-    * centroids (trained offline, k ≪ corpus); it is inlined as literals,
-    * so encoding is ONE narrow codegen'd projection — per-row arithmetic
-    * only, zero shuffle, zero join at any corpus size. Distances compare
-    * rounded to 6 dp (argmin stability across summation orders); the
-    * chosen subspace errors accumulate unrounded.
-    */
   /** PQ asymmetric-distance top-k (ADC — Jégou 2011 §III): the query
     * stays full-precision; every corpus vector is represented ONLY by its
     * PQ codes, and the approximate squared L2 distance is a sum of
@@ -362,7 +381,16 @@ object Similarity {
   def pqTopK(codes: DataFrame, codebook: Seq[Array[Double]], numSub: Int,
              query: Array[Double], k: Int,
              excludeId: Option[Long] = None): DataFrame = {
-    val subDim = codebook.head.length / numSub
+    val dim = codebook.head.length
+    // same split contract as pqEncode — a mismatched numSub would
+    // floor-truncate subDim, misalign every subspace boundary against
+    // the encoded codes, and return confidently-ranked garbage
+    require(dim % numSub == 0,
+      s"pqTopK: codebook dim $dim not divisible by numSub $numSub — must " +
+        "match the numSub the codes were pqEncode'd with")
+    require(query.length == dim,
+      s"pqTopK: query length ${query.length} != codebook dim $dim")
+    val subDim = dim / numSub
     // lookup[m][j] = ||query_sub(m) - codebook(j)_sub(m)||^2
     val lookup = (0 until numSub).map { m =>
       codebook.map { cv =>
@@ -526,11 +554,17 @@ object Similarity {
     val oneMinus = 1 - lambda // single IEEE subtraction, mirrored in SQL
     var picked = Vector.empty[(Int, Long, Double, Double)]
     var remaining = rels.sortBy(_._1).toVector
+    // running max-sim per remaining candidate, updated only against the
+    // single newly-picked item each step: the same max (associative, and
+    // folded with the collection Ordering so a NaN behaves as the .max
+    // call did) in O(n·k) lookups instead of rescanning the whole picked
+    // set per candidate per step (O(n·k²) at the n=k=512 ceiling)
+    val maxSim = scala.collection.mutable.HashMap.empty[Long, Double]
     for (step <- 1 to math.min(k, rels.length)) {
       val scored = remaining.map { case (id, rel) =>
         val score =
           if (picked.isEmpty) rel
-          else lambda * rel - oneMinus * picked.map(s => sims((id, s._2))).max
+          else lambda * rel - oneMinus * maxSim(id)
         (id, rel, score)
       }
       val best = scored.reduceLeft { (x, y) =>
@@ -538,6 +572,10 @@ object Similarity {
       }
       picked :+= ((step, best._1, best._2, best._3))
       remaining = remaining.filterNot(_._1 == best._1)
+      remaining.foreach { case (id, _) =>
+        val s = sims((id, best._1))
+        maxSim(id) = maxSim.get(id).fold(s)(cur => List(cur, s).max)
+      }
     }
     import spark.implicits._
     picked.toDF("rank", "vec_id", "rel_raw", "score_raw")
@@ -546,6 +584,23 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** Product-quantization encode (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): split each vector into
+    * `numSub` contiguous subspaces and replace every subvector with the id
+    * of its nearest codebook entry (squared-L2, ties → smaller code id).
+    * Output: `(vec_id, code_0..code_{numSub-1}, recon_err)` where
+    * `recon_err` is the total squared reconstruction error — the memory
+    * step that makes 100 TB of embeddings searchable: 64 floats (256 B)
+    * compress to `numSub` small ints, so a billion-vector index fits in
+    * executor memory while IVF (s02) prunes which codes get scored.
+    *
+    * The codebook is model data by the same contract as [[ivfAssign]]'s
+    * centroids (trained offline, k ≪ corpus); it is inlined as literals,
+    * so encoding is ONE narrow codegen'd projection — per-row arithmetic
+    * only, zero shuffle, zero join at any corpus size. Distances compare
+    * rounded to 6 dp (argmin stability across summation orders); the
+    * chosen subspace errors accumulate unrounded.
+    */
   def pqEncode(emb: DataFrame, codebook: Seq[Array[Double]],
                numSub: Int): DataFrame = {
     val dim = codebook.head.length

@@ -116,4 +116,13 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(got(1L) ^ got(2L)) === 1)
     assert(got(3L) === got(1L))
   }
+
+  test("resize of a zero-length payload is the empty payload, not a crash") {
+    // an empty document encodes to 0 content bytes; the pixel-budget
+    // floor max(1, ...) must not index into the empty array
+    import graft.operators.Multimodal
+    assert(Multimodal.fakeResize(Array.emptyByteArray, 4, 4, 2, 2).isEmpty)
+    assert(Multimodal.fakeResize(Array[Byte](7), 1, 1, 2, 2).toSeq
+      === Seq(7.toByte))
+  }
 }

@@ -25,6 +25,75 @@ class SimilaritySpec extends SparkSpec {
     assert(inline.toSeq === indexed.toSeq)
   }
 
+  test("hyperplaneSignatures rejects bit positions that wrap or hit the sign bit") {
+    // shiftleft(1L, n) wraps mod 64, and the bits combine via sum(): an
+    // hp_id >= 64 aliases a low bit whose carry silently corrupts EVERY
+    // signature; hp_id = 63 sets the sign bit, breaking the positive-Long
+    // signature convention the banded consumers share. Must fail fast.
+    val hp63 = emb.limit(1).select(lit(63L).as("hp_id"), col("vec").as("hvec"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hyperplaneSignatures(emb, hp63)
+    }
+    assert(e.getMessage.contains("[0, 62]"))
+    val dup = emb.limit(2).select(lit(5L).as("hp_id"), col("vec").as("hvec"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.hyperplaneSignatures(emb, dup)
+    }
+    assert(e2.getMessage.contains("unique"))
+    // the full legal range works and stays non-negative
+    val hpMax = emb.filter(col("vec_id") < 63)
+      .select(col("vec_id").as("hp_id"), col("vec").as("hvec"))
+    val sigs = Similarity.hyperplaneSignatures(emb.limit(20), hpMax)
+    assert(sigs.filter(col("bucket_sig") < 0).count() === 0L)
+  }
+
+  test("lshTopKIndexed prunes to the bucket BEFORE touching the corpus (broadcast join)") {
+    // the at-scale promise: a query costs one bucket's worth of scoring —
+    // the signature table prunes first and the surviving ids broadcast
+    // into a hash join against emb, never a corpus-by-corpus shuffle join
+    val hyperplanes = emb.filter(col("vec_id").between(1, 4))
+      .select((col("vec_id") - 1).as("hp_id"), col("vec").as("hvec"))
+    val plan = Similarity.lshTopKIndexed(emb,
+        Similarity.hyperplaneSignatures(emb, hyperplanes), queryId = 0L,
+        k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket ids must broadcast into the emb join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-by-corpus shuffle join on the query path:\n$plan")
+  }
+
+  test("ivfAssignMulti rejects reserved passenger columns on BOTH paths") {
+    // without the guard a passenger `centroid_id` works at <= 64
+    // centroids (inline path) and dies with an ambiguous-reference
+    // AnalysisException the day the centroid count crosses the bound —
+    // a scale-triggered failure; it must fail fast at any scale
+    val cents = (0L to 2L).map(i => (i, Array(i.toDouble, 1.0)))
+      .toDF("centroid_id", "cvec")
+    val bad = emb.withColumn("centroid_id", lit(7L))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAssignMulti(bad, cents, nprobe = 2)
+    }
+    assert(e.getMessage.contains("centroid_id"))
+  }
+
+  test("pqTopK validates the split contract against the codebook and query") {
+    val codebook = Seq(Array(0.0, 0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0, 1.0))
+    val codes = Seq((0L, 0, 1)).toDF("vec_id", "code_0", "code_1")
+    // numSub that floor-truncates subDim: every approximate distance
+    // would be silently wrong — must throw instead
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(codes, codebook, numSub = 3,
+        query = Array(0.5, 0.5, 0.5, 0.5), k = 1)
+    }
+    assert(e.getMessage.contains("not divisible"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(codes, codebook, numSub = 2,
+        query = Array(0.5, 0.5), k = 1)
+    }
+    assert(e2.getMessage.contains("query length"))
+  }
+
   test("empty centroid set fails fast, not with scored.head on Array()") {
     val empty = Seq.empty[(Long, Array[Double])].toDF("centroid_id", "cvec")
     val e = intercept[IllegalArgumentException] {
