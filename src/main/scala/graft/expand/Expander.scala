@@ -77,7 +77,12 @@ object Expander {
     val base = concat_ws("/", assetType, lit("project"), project)
     val withInst = when(assetType === "spanner",
       concat_ws("/", base, lit("instance"), instance)).otherwise(base)
-    concat_ws("/", withInst, label, dataset, table)
+    // a NULL dataset must drop the whole container SEGMENT, matching
+    // AssetUri.render's Option fold — concat_ws alone skips only the
+    // null VALUE and would emit a dangling ".../dataset" label, a URI
+    // that joins nothing (no tag/history key ever renders that way)
+    when(dataset.isNull, withInst)
+      .otherwise(concat_ws("/", withInst, label, dataset, table))
   }
 
   /** Incremental-skip semantics (`overwrite=false`,

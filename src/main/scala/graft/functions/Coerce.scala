@@ -15,10 +15,15 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Coerce {
 
-  /** bool: string `'TRUE'` (case-insensitive) → true, anything else → false
-    * (DataCatalogController.py:1510–1521, 1872–1875).
+  /** bool: string `'TRUE'` (case-insensitive) → true, ANYTHING else →
+    * false — including NULL: the reference runs `str(value).upper() ==
+    * 'TRUE'`, and `str(None)` is `'NONE'` → False
+    * (DataCatalogController.py:1510–1521, 1872–1875). A bare `===`
+    * propagates NULL instead, silently dropping such rows from any
+    * `= false` filter downstream.
     */
-  def bool(v: Column): Column = upper(trim(v)) === lit("TRUE")
+  def bool(v: Column): Column =
+    coalesce(upper(trim(v)) === lit("TRUE"), lit(false))
 
   /** string: passthrough `str(value)` (1523–1526). */
   def string(v: Column): Column = v.cast("string")

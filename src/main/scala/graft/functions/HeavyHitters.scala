@@ -56,6 +56,11 @@ final class SSBuf(val counts: mutable.HashMap[String, Long], var err: Long)
   */
 final class HeavyHitters(capacity: Int)
     extends Aggregator[String, SSBuf, Seq[(String, Long)]] {
+  // fail at construction, not as an opaque NoSuchElementException inside
+  // a distributed task (capacity 0 would take the eviction branch on the
+  // FIRST item and call tree.head on an empty set) — the KmvDistinct
+  // require(k >= 2) discipline
+  require(capacity >= 1, s"HeavyHitters: capacity $capacity must be >= 1")
 
   override def zero: SSBuf = new SSBuf(mutable.HashMap.empty, 0L)
 

@@ -11,11 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
-  /** Whitespace tokens, empties dropped (split keeps empty strings on
-    * consecutive separators in both Spark and DuckDB, so filter them).
+  /** Whitespace tokens (maximal `\s+`-separated runs — the
+    * [[graft.plans.Ws]] contract, identical in Java regex and DuckDB's
+    * RE2), empties dropped: the regex split still yields a leading/
+    * trailing empty string when the text starts/ends with whitespace in
+    * both engines, so filter them. A literal single-space split here
+    * would silently merge line-straddling words of any newline-formatted
+    * document (i.e. most real corpora) into pseudo-tokens that defeat
+    * stopword matching, quality ratios, and fingerprints.
     */
   def words(c: Column): Column =
-    filter(split(c, " "), w => length(w) > 0)
+    filter(split(c, "\\s+"), w => length(w) > 0)
 
   /** Word n-gram shingles (space-joined) at every token position; fewer
     * than n tokens → empty array. Reference HOF form — same `when` guard

@@ -47,7 +47,14 @@ final class DecimalVecSum(scale: Int)
   override def zero: VecSumBuf = new VecSumBuf(0L, Array.empty)
 
   override def reduce(b: VecSumBuf, v: Seq[Double]): VecSumBuf = {
-    if (b.sums.length == 0) b.sums = Array.fill(v.length)(JBigDecimal.ZERO)
+    // initialize on n == 0, NOT sums.length == 0: a zero-length input
+    // vector would otherwise leave the buffer re-armed for lazy init, so
+    // a later full-length row silently re-dimensions it — the group
+    // finishes with an inflated n (halved means downstream) in the
+    // same-partition order, or a ragged-merge crash cross-partition.
+    // With n as the init flag, empty-vs-nonempty is a deterministic
+    // ragged failure regardless of partitioning.
+    if (b.n == 0) b.sums = Array.fill(v.length)(JBigDecimal.ZERO)
     require(v.length == b.sums.length,
       s"DecimalVecSum: ragged input — ${v.length} dims vs ${b.sums.length}")
     var i = 0

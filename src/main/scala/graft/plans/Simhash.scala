@@ -16,19 +16,22 @@ object SimhashOps {
     */
   def eval(s: UTF8String, bits: Int): Long = {
     val counts = new Array[Int](bits)
-    val toks = s.split(UTF8String.fromString(" "), -1)
+    // whitespace-run tokenization on the raw UTF-8 bytes (the [[Ws]]
+    // contract — every separator byte is single-byte ASCII, so
+    // byte-splitting == char-splitting), tokens hashed in place
+    val bytes = s.getBytes
     var i = 0
-    while (i < toks.length) {
-      val t = toks(i)
-      if (t.numBytes() > 0) {
-        val h = Md5.prefixLong(t, 15)
+    while (i < bytes.length) {
+      if (!Ws.is(bytes(i))) {
+        val st = i
+        while (i < bytes.length && !Ws.is(bytes(i))) i += 1
+        val h = Md5.prefixLong(UTF8String.fromBytes(bytes, st, i - st), 15)
         var j = 0
         while (j < bits) {
           if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
           j += 1
         }
-      }
-      i += 1
+      } else i += 1
     }
     var sig = 0L
     var j = 0

@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object TokenStatsOps {
   def eval(s: UTF8String): InternalRow = {
     val toks = new java.util.ArrayList[String](64)
-    val it = s.toString.split(" ", -1)
+    val it = s.toString.split("\\s+", -1) // the Ws tokenizer contract
     var i = 0
     while (i < it.length) {
       if (it(i).nonEmpty) toks.add(it(i))
@@ -57,13 +57,14 @@ object TokenStatsOps {
   * document (`regexp_replace`) just to take their lengths — per-row
   * garbage proportional to document size, measured 6× the DuckDB oracle
   * at sf0.1. The counts are pure run/char arithmetic:
-  *  - whitespace tokens = maximal non-space runs (split-on-' ' semantics);
-  *  - `[a-z]+|[0-9]+|[^a-z0-9 ]` matches = letter-run starts + digit-run
-  *    starts + every other non-space code point (regex alternation scans
-  *    left-to-right, so each run is one match and each residual char its
-  *    own match);
-  *  - punct = code points outside `[a-z0-9 ]` (`regexp_replace` + `length`
-  *    counts code points, as does DuckDB's `length`).
+  *  - whitespace tokens = maximal non-whitespace runs (the [[Ws]]
+  *    contract, = `\s+`-split semantics);
+  *  - `[a-z]+|[0-9]+|[^a-z0-9\s]` matches = letter-run starts + digit-run
+  *    starts + every other non-whitespace code point (regex alternation
+  *    scans left-to-right, so each run is one match and each residual
+  *    char its own match);
+  *  - punct = code points outside `[a-z0-9\s]` (`regexp_replace` +
+  *    `length` counts code points, as does DuckDB's `length`).
   * TokenStatsSpec holds this equal to the regex form.
   */
 object TokenCountsOps {
@@ -81,7 +82,7 @@ object TokenCountsOps {
       val cls =
         if (cp >= 'a' && cp <= 'z') 0
         else if (cp >= '0' && cp <= '9') 1
-        else if (cp == ' ') 3
+        else if (Ws.is(cp)) 3
         else 2
       if (cls != 3 && prev == 3) ws += 1
       if (cls == 2) { bpe += 1; punct += 1 }

@@ -20,26 +20,43 @@ import org.apache.spark.unsafe.types.UTF8String
   * in is a pure plan optimization, the same move round 2 made for
   * character-shingle minhash ([[ShingleOps]]).
   */
+/** THE tokenizer whitespace class, shared by every native expression and
+  * matched exactly by `TextFns.words`' regex split and the oracle SQL's
+  * `regexp_split_to_array(text, '\s+')`: ASCII `\s` = space, \t, \n, \v,
+  * \f, \r (identical in Java regex and DuckDB's RE2). One definition so
+  * the tokenizations can never fork — real corpora are newline-formatted,
+  * and a single-space split silently merges line-straddling words into
+  * pseudo-tokens that break stopword matching, quality ratios, and
+  * fingerprints.
+  */
+object Ws {
+  def is(b: Byte): Boolean =
+    b == ' ' || (b >= 0x09 && b <= 0x0d) // \t \n \v \f \r
+  def is(cp: Int): Boolean =
+    cp == ' ' || (cp >= 0x09 && cp <= 0x0d)
+}
+
 object WordNgramOps {
 
-  /** Space-separated word n-grams of `s` (split on ' ', empty tokens
-    * dropped — the [[graft.functions.TextFns.words]] contract). Fewer than
-    * n tokens → empty array. `distinct` keeps the first occurrence of each
-    * gram (order is set-semantic for every consumer; first-occurrence is
-    * deterministic).
+  /** Space-joined word n-grams of `s` (split on whitespace runs — the
+    * [[Ws]] / [[graft.functions.TextFns.words]] contract; empty tokens
+    * dropped). Fewer than n tokens → empty array. `distinct` keeps the
+    * first occurrence of each gram (order is set-semantic for every
+    * consumer; first-occurrence is deterministic).
     */
   def wordNgrams(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val bytes = s.getBytes
-    // token boundaries on the raw UTF-8 bytes: ' ' is a single byte and
-    // never part of a multi-byte sequence, so byte-splitting == char-splitting
+    // token boundaries on the raw UTF-8 bytes: every Ws byte is
+    // single-byte ASCII and never part of a multi-byte sequence, so
+    // byte-splitting == char-splitting
     var starts = new Array[Int](16)
     var ends = new Array[Int](16)
     var nw = 0
     var i = 0
     while (i < bytes.length) {
-      if (bytes(i) != ' ') {
+      if (!Ws.is(bytes(i))) {
         val st = i
-        while (i < bytes.length && bytes(i) != ' ') i += 1
+        while (i < bytes.length && !Ws.is(bytes(i))) i += 1
         if (nw == starts.length) {
           starts = java.util.Arrays.copyOf(starts, nw * 2)
           ends = java.util.Arrays.copyOf(ends, nw * 2)
@@ -53,9 +70,9 @@ object WordNgramOps {
     var k = 0
     var g = 0
     while (g <= nw - n) {
-      // one copy per gram: bytes [starts(g), ends(g+n-1)) with the
-      // original single-space separators — but tokens may be separated by
-      // RUNS of spaces, so rebuild with exactly one space between tokens
+      // one copy per gram: tokens may be separated by RUNS of arbitrary
+      // whitespace in the source, so rebuild the gram with exactly one
+      // space between tokens (the canonical join both engines emit)
       var len = n - 1
       var t = g
       while (t < g + n) { len += ends(t) - starts(t); t += 1 }

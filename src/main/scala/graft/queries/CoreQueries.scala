@@ -218,7 +218,8 @@ object CoreQueries {
        |      FROM csv)
        |SELECT m.project, m.dataset, m."table", m."column", m.field_id, t.field_type,
        | s.task_status,
-       | CASE WHEN field_type = 'bool' THEN upper(trim(raw_value)) = 'TRUE' END AS v_bool,
+       | CASE WHEN field_type = 'bool'
+       |      THEN coalesce(upper(trim(raw_value)) = 'TRUE', false) END AS v_bool,
        | CASE WHEN field_type = 'string' THEN raw_value
        |      WHEN field_type = 'enum' THEN
        |        (CASE WHEN raw_value IN ('DEV','STAGING','PROD') THEN raw_value END)

@@ -652,10 +652,12 @@ object CoreQueries3 {
        |    config_status, refresh_mode, scheduling_status,
        |    refresh_frequency_minutes, next_run, version) AS (
        |  VALUES ${values(incomingRows)}),
-       |store_m AS (SELECT *, md5(template_id || '|' || config_type || '|'
-       |  || included_uris) AS content_md5 FROM store),
-       |inc_m AS (SELECT *, md5(template_id || '|' || config_type || '|'
-       |  || included_uris) AS content_md5 FROM inc),
+       |store_m AS (SELECT *, md5(coalesce(template_id,'<null>') || '|'
+       |  || coalesce(config_type,'<null>') || '|'
+       |  || coalesce(included_uris,'<null>')) AS content_md5 FROM store),
+       |inc_m AS (SELECT *, md5(coalesce(template_id,'<null>') || '|'
+       |  || coalesce(config_type,'<null>') || '|'
+       |  || coalesce(included_uris,'<null>')) AS content_md5 FROM inc),
        |maxv AS (SELECT content_md5, max(version) AS mv FROM store_m GROUP BY 1),
        |inc_v AS (SELECT i.config_uuid, i.config_type, i.template_id,
        |    i.included_uris, i.config_status, i.refresh_mode,

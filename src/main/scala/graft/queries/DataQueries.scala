@@ -178,7 +178,7 @@ object DataQueries {
       .map(j => s"CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
     s"""toks AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $src)
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM $src)
        |  WHERE length(w) > 0),
        |bitsums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id),
        |sims AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bitsums)"""
@@ -411,7 +411,7 @@ object DataQueries {
 
   val t01Oracle: String = {
     val scores = Seq("de", "en", "es", "fr").map { l =>
-      s"len(list_filter(string_split(text, ' '), w -> list_contains(${sqlList(TextFns.stopwords(l))}, w))) AS s_$l"
+      s"len(list_filter(regexp_split_to_array(text, '\\s+'), w -> list_contains(${sqlList(TextFns.stopwords(l))}, w))) AS s_$l"
     }.mkString(", ")
     s"""WITH s AS (SELECT doc_id, lang, $scores FROM documents)
        |SELECT doc_id,
@@ -452,7 +452,7 @@ object DataQueries {
   val t02Oracle: String = {
     val allStop = sqlList(TextFns.stopwords.values.flatten.toSeq.distinct.sorted)
     s"""WITH t AS (SELECT doc_id,
-       |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+       |  list_filter(regexp_split_to_array(text, '\\s+'), w -> length(w) > 0) AS ws
        |  FROM documents),
        |m AS (SELECT doc_id, len(ws) AS n_tokens,
        |  list_sum(list_transform(ws, w -> length(w))) AS sum_len,
@@ -486,9 +486,9 @@ object DataQueries {
 
   val t03Oracle: String =
     """SELECT doc_id,
-      |  len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS n_ws_tokens,
-      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
-      |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+      |  len(list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0)) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+      |  length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) AS n_punct
       |FROM documents ORDER BY doc_id""".stripMargin
 
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -500,9 +500,9 @@ object DataQueries {
   val t04Oracle: String =
     """SELECT doc_id,
       |  md5(array_to_string(list_sort(list_distinct(
-      |    list_filter(string_split(text, ' '), w -> length(w) > 0))), ' '))
+      |    list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0))), ' '))
       |    AS fingerprint,
-      |  len(list_distinct(list_filter(string_split(text, ' '), w -> length(w) > 0)))
+      |  len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0)))
       |    AS n_distinct_words
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -566,7 +566,7 @@ object DataQueries {
     """WITH d AS (
       |  SELECT doc_id,
       |    md5(array_to_string(list_sort(list_distinct(
-      |      list_filter(string_split(text, ' '), w -> length(w) > 0))), ' ')) AS fp,
+      |      list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0))), ' ')) AS fp,
       |    CASE WHEN ('0x' || substr(md5(text), 1, 7))::BIGINT % 100 < 80
       |         THEN 'train' ELSE 'held_out' END AS split
       |  FROM documents)
@@ -607,7 +607,7 @@ object DataQueries {
 
   val t05Oracle: String =
     """WITH words AS (
-      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
       |                                    w -> length(w) > 0)) AS w
       |  FROM documents),
       |freq AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),

@@ -87,7 +87,7 @@ object DataQueries2 {
 
   val t07Oracle: String =
     """WITH t AS (SELECT doc_id,
-      |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+      |  list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0) AS ws
       |  FROM documents),
       |g AS (SELECT doc_id, ws, len(ws) AS n,
       |  CASE WHEN len(ws) >= 2
@@ -248,7 +248,7 @@ object DataQueries2 {
     """SELECT w, cnt FROM (
       |  SELECT w, count(*) AS cnt,
       |    row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rn
-      |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+      |  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
       |                                  w -> length(w) > 0)) AS w
       |        FROM documents)
       |  GROUP BY w)
@@ -341,7 +341,7 @@ object DataQueries2 {
 
   val t10Oracle: String =
     """WITH words AS (
-      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
       |                                    w -> length(w) > 0)) AS w
       |  FROM documents),
       |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
@@ -380,7 +380,7 @@ object DataQueries2 {
 
   val t11Oracle: String =
     """WITH t AS (SELECT source, doc_id,
-      |    len(list_filter(string_split(text, ' '), w -> length(w) > 0))
+      |    len(list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0))
       |      AS n_tokens
       |  FROM documents),
       |c AS (SELECT source, doc_id, n_tokens,
@@ -439,7 +439,7 @@ object DataQueries2 {
 
   val t13Oracle: String =
     """WITH t AS (SELECT doc_id,
-      |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+      |    list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0) AS ws
       |  FROM documents),
       |c AS (SELECT doc_id, ws,
       |    unnest(range(1, greatest(len(ws) - 1, 1) + 1, 20)) AS s,
@@ -475,7 +475,7 @@ object DataQueries2 {
     """SELECT w, cnt FROM (
       |  SELECT w, count(*) AS cnt,
       |    row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rn
-      |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+      |  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
       |                                  w -> length(w) > 0)) AS w
       |        FROM documents)
       |  GROUP BY w)

@@ -56,7 +56,7 @@ object DataQueries3 {
 
   val d13Oracle: String =
     """WITH d AS (SELECT doc_id,
-      |    list_filter(string_split(text,' '), w -> length(w)>0) AS ws,
+      |    list_filter(regexp_split_to_array(text,'\s+'), w -> length(w)>0) AS ws,
       |    CASE WHEN ('0x'||substr(md5(text),1,7))::BIGINT % 100 < 80
       |         THEN 'train' ELSE 'held' END AS split FROM documents),
       |g AS (SELECT doc_id, split,
@@ -101,7 +101,7 @@ object DataQueries3 {
 
   val t08Oracle: String =
     """WITH d AS (SELECT doc_id,
-      |    list_filter(string_split(text,' '), w -> length(w)>0) AS ws
+      |    list_filter(regexp_split_to_array(text,'\s+'), w -> length(w)>0) AS ws
       |  FROM documents),
       |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
       |       FROM d, unnest(generate_series(1, len(ws)-1)) AS t(i)),
@@ -343,7 +343,7 @@ object DataQueries3 {
       s"len(list_filter(ws, w -> list_contains(${sqlList(TextFns.stopwords(l))}, w))) AS s_$l"
     }.mkString(", ")
     s"""WITH d AS (SELECT doc_id,
-       |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+       |    list_filter(regexp_split_to_array(text, '\\s+'), w -> length(w) > 0) AS ws
        |  FROM documents),
        |s AS (SELECT doc_id, ws, len(ws) AS wc,
        |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)

@@ -250,7 +250,7 @@ object DataQueries5 {
 
   val t17Oracle: String =
     """WITH words AS (
-      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
       |                                    w -> length(w) > 0)) AS w
       |  FROM documents),
       |freq AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
@@ -312,7 +312,7 @@ object DataQueries5 {
        |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
        |         FROM reach GROUP BY u),
        |t AS (SELECT doc_id,
-       |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+       |  list_filter(regexp_split_to_array(text, '\\s+'), w -> length(w) > 0) AS ws
        |  FROM documents),
        |q AS (SELECT doc_id,
        |  CASE WHEN len(ws) = 0 THEN 0.0
@@ -380,7 +380,7 @@ object DataQueries5 {
 
   val d23Oracle: String =
     """WITH w AS (SELECT doc_id,
-      |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS ws
       |  FROM documents),
       |g AS (SELECT doc_id, i - 1 AS pos,
       |    ('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15))::BIGINT
@@ -763,7 +763,7 @@ object DataQueries5 {
          |        ELSE a || b END) END AS s
          |  FROM s${i - 1} LEFT JOIN b$i ON TRUE)""".stripMargin
     s"""WITH words AS (
-       |  SELECT unnest(list_filter(string_split(text, ' '),
+       |  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
        |                            w -> length(w) > 0)) AS w
        |  FROM documents),
        |v AS (SELECT w, count(*) AS freq FROM words GROUP BY w),

@@ -200,7 +200,7 @@ object DataQueries6 {
        |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
        |         FROM reach GROUP BY u),
        |t AS (SELECT doc_id,
-       |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+       |  list_filter(regexp_split_to_array(text, '\\s+'), w -> length(w) > 0) AS ws
        |  FROM reps),
        |q AS (SELECT doc_id,
        |  CASE WHEN len(ws) = 0 THEN 0.0
@@ -247,7 +247,7 @@ object DataQueries6 {
   private val ingestCtes: String =
     s"""${DataQueries.simhashCtesOver("documents")},
        |tok AS (SELECT doc_id, doc_id % 3 AS b, md5(text) AS h,
-       |          len(list_filter(string_split(text, ' '),
+       |          len(list_filter(regexp_split_to_array(text, '\\s+'),
        |              w -> length(w) > 0)) AS n
        |        FROM documents),
        |f AS (SELECT t.doc_id, t.b, t.h, s.simhash
@@ -370,7 +370,7 @@ object DataQueries6 {
       .map(s => s"'$s'").mkString("[", ", ", "]")
     s"""WITH RECURSIVE
        |g AS (SELECT doc_id, text FROM documents
-       |      WHERE len(list_filter(string_split(text, ' '),
+       |      WHERE len(list_filter(regexp_split_to_array(text, '\\s+'),
        |            w -> length(w) > 0)) >= 20),
        |m AS (SELECT doc_id, md5(text) AS content_hash FROM g),
        |ex AS (SELECT content_hash, min(doc_id) AS rep_id FROM m GROUP BY 1),
@@ -390,7 +390,7 @@ object DataQueries6 {
        |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
        |         FROM reach GROUP BY u),
        |t AS (SELECT doc_id,
-       |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+       |  list_filter(regexp_split_to_array(text, '\\s+'), w -> length(w) > 0) AS ws
        |  FROM reps),
        |q AS (SELECT doc_id,
        |  CASE WHEN len(ws) = 0 THEN 0.0
@@ -627,7 +627,7 @@ object DataQueries6 {
 
   val t20Oracle: String =
     """WITH w AS (SELECT source,
-      |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS ws
       |  FROM documents),
       |g AS (SELECT source,
       |    ('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15))::BIGINT
@@ -704,7 +704,7 @@ object DataQueries6 {
          |        ELSE a || b END) END AS s
          |  FROM s${i - 1} LEFT JOIN b$i ON TRUE)""".stripMargin
     s"""WITH words AS (
-       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
        |                                    w -> length(w) > 0)) AS w
        |  FROM documents),
        |v AS (SELECT w, count(*) AS freq FROM words GROUP BY w),
@@ -764,7 +764,7 @@ object DataQueries6 {
     val allStop = TextFns.stopwords.values.flatten.toSeq.distinct.sorted
       .map(s => s"'$s'").mkString("[", ", ", "]")
     s"""WITH t AS (SELECT doc_id, lang, text,
-       |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+       |  list_filter(regexp_split_to_array(text, '\\s+'), w -> length(w) > 0) AS ws
        |  FROM documents),
        |q AS (SELECT doc_id, lang, text,
        |  greatest(CASE WHEN len(ws) = 0 THEN 0.0
@@ -824,7 +824,7 @@ object DataQueries6 {
     """WITH d AS (SELECT doc_id, text,
       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 8
       |      AS shard,
-      |    len(list_filter(string_split(text, ' '), w -> length(w) > 0))
+      |    len(list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0))
       |      AS n_tok
       |  FROM documents),
       |c AS (SELECT doc_id, shard, n_tok,
@@ -935,7 +935,7 @@ object DataQueries6 {
 
   val t23Oracle: String =
     """WITH v AS (SELECT w, count(*) AS cnt
-      |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+      |  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
       |                                  x -> length(x) > 0)) AS w
       |        FROM documents)
       |  GROUP BY w),

@@ -22,10 +22,17 @@ object ConfigStore {
   /** Semantic identity (TagEngineStoreHandler.py:366–392: md5 over the
     * config's included uris + template): one deterministic hash column —
     * duplicate configs collide, re-creates of the same config supersede.
+    * NULL-SAFE: `concat_ws` silently SKIPS null columns, so a bare form
+    * would hash (NULL, "x", u) and ("x", NULL, u) to the same identity —
+    * and deactivateSuperseded would then flip an unrelated ACTIVE config
+    * INACTIVE, silently unscheduling it. Each component carries an
+    * explicit null marker instead (mirrored in the q33 oracle).
     */
   def contentMd5: Column =
-    md5(concat_ws("|", col("template_id"), col("config_type"),
-      col("included_uris")))
+    md5(concat_ws("|",
+      coalesce(col("template_id"), lit("<null>")),
+      coalesce(col("config_type"), lit("<null>")),
+      coalesce(col("included_uris"), lit("<null>"))))
 
   def withIdentity(configs: DataFrame): DataFrame =
     configs.withColumn("content_md5", contentMd5)

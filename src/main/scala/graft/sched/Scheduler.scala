@@ -42,7 +42,7 @@ object Scheduler {
   def advanceNextRun(configs: DataFrame, launched: DataFrame): DataFrame = {
     val hit = launched.select(col("config_uuid")).distinct()
       .withColumn("__launched", lit(true))
-    configs.join(hit, Seq("config_uuid"), "left_outer")
+    val advanced = configs.join(hit, Seq("config_uuid"), "left_outer")
       .withColumn("next_run",
         // interval arithmetic, not unix_timestamp round-trip: the latter
         // floors to whole seconds, silently drifting a schedule with
@@ -53,7 +53,19 @@ object Scheduler {
           .otherwise(col("next_run")))
       .withColumn("version",
         when(col("__launched"), col("version") + 1).otherwise(col("version")))
-      .drop("__launched")
+    // the reference EXPLICITLY resets launched configs to READY
+    // (TagEngineStoreHandler.py:290–309) — without this, the moment a
+    // launch path models the PENDING state, advanced configs would stay
+    // non-READY forever and readReadyConfigs (which filters
+    // scheduling_status = 'READY') would never select them again: a
+    // schedule that silently halts after one tick. Conditional: narrow
+    // projections without the column advance next_run/version only.
+    val withStatus =
+      if (!advanced.columns.contains("scheduling_status")) advanced
+      else advanced.withColumn("scheduling_status",
+        when(col("__launched"), lit("READY"))
+          .otherwise(col("scheduling_status")))
+    withStatus.drop("__launched")
   }
 
   /** Config identity for idempotence: md5 over the semantic content

@@ -18,13 +18,27 @@ object FileScan {
   final case class FileAsset(path: String, name: String, size: Long,
                              modification_time: Long)
 
-  /** Expand a glob to non-directory files as a DataFrame. */
+  /** Expand a glob to non-directory files as a DataFrame. A matched
+    * DIRECTORY expands to the files under it (recursively) — the
+    * reference's prefix-list semantics: a config naming a plain folder
+    * URI (`gs://bucket/folder`, no wildcard) lists every blob under the
+    * prefix (Resources.py:271–336). Previously a directory match was
+    * simply dropped, so such configs silently produced an EMPTY work set
+    * — valid in the reference, a no-op here, with no error anywhere.
+    */
   def listFiles(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
     val p = new Path(glob)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
-    statuses.filterNot(_.isDirectory)
+    val files = statuses.iterator.flatMap { s =>
+      if (!s.isDirectory) Iterator.single(s)
+      else {
+        val it = fs.listFiles(s.getPath, true)
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      }
+    }
+    files
       .map(s => FileAsset(s.getPath.toString, s.getPath.getName,
         s.getLen, s.getModificationTime))
       .toSeq.toDF()

@@ -16,6 +16,10 @@ class CoerceSpec extends SparkSpec {
     assert(one(Coerce.bool(lit(" True "))) === true)
     assert(one(Coerce.bool(lit("yes"))) === false)
     assert(one(Coerce.bool(lit(""))) === false)
+    // NULL → false, not NULL: the reference's str(None).upper() == 'TRUE'
+    // chain maps missing values to False; a propagated NULL silently
+    // vanishes from any `= false` filter downstream
+    assert(one(Coerce.bool(lit(null).cast("string"))) === false)
   }
 
   test("double: invalid input nulls, not fails (ANSI-safe)") {

@@ -63,4 +63,29 @@ class ExpanderSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       AssetUri.parse("spanner/project/p/database/sales"))
   }
+
+  test("renderUri: NULL dataset drops the container segment, matching AssetUri.render") {
+    // concat_ws skips only the null VALUE, so an unguarded form emitted a
+    // dangling ".../dataset" label for project-level rows — a URI no
+    // tag/history key ever renders, so such rows joined nothing
+    import org.apache.spark.sql.functions._
+    import graft.expand.Expander
+    import spark.implicits._
+    val rows = Seq(
+      ("bigquery", "p", Some("lake"), Some("orders"), None: Option[String]),
+      ("bigquery", "p", Some("lake"), None, None),
+      ("bigquery", "p", None, None, None),
+      ("spanner", "p", Some("salesdb"), Some("accounts"), Some("prod")))
+      .toDF("asset_type", "project", "dataset", "table", "instance")
+    val got = rows.select(Expander.renderUri(col("asset_type"),
+        col("project"), col("dataset"), col("table"), col("instance"))
+        .as("uri")).as[String].collect().toSeq
+    val want = Seq(
+      AssetUri("bigquery", "p", Some("lake"), Some("orders"), None).render,
+      AssetUri("bigquery", "p", Some("lake"), None, None).render,
+      AssetUri("bigquery", "p", None, None, None).render,
+      AssetUri("spanner", "p", Some("salesdb"), Some("accounts"), None,
+        Some("prod")).render)
+    assert(got === want)
+  }
 }

@@ -24,6 +24,30 @@ class TextFnsSpec extends SparkSpec {
     assert(rows(4L) === "fr") // real French stopwords still win
   }
 
+  test("newline-formatted text tokenizes like space-formatted text (the Ws contract)") {
+    // real corpora are newline-heavy: a literal single-space split used
+    // to merge line-straddling words into pseudo-tokens ("cat\nthe"),
+    // silently defeating stopword matching (langId → 'und' on real
+    // English), token counts, and fingerprints. All tokenizer consumers
+    // must see \n and \t exactly as ' '.
+    val spaced = "the cat sat and the dog ran of course it was the best"
+    val lined = spaced.replaceAll("(\\w+ \\w+ \\w+) ", "$1\n")
+      .replace("dog ", "dog\t")
+    val rows = Seq((1L, spaced), (2L, lined)).toDF("doc_id", "text")
+    val got = rows.select($"doc_id",
+        TextFns.langId($"text").as("lang"),
+        size(TextFns.words($"text")).as("n"),
+        TextFns.fingerprint($"text").as("fp"),
+        TextFns.wordNgramsNative($"text", 3).as("grams"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getString(3), r.getSeq[String](4))))
+      .toMap
+    assert(got(1L) === got(2L),
+      "whitespace form must not change tokens, language, fingerprint, or grams")
+    assert(got(2L)._1 === "en")
+    assert(got(2L)._2 === 13)
+  }
+
   test("qualityScore: zero-token and NULL text score an explicit 0.0") {
     val rows = Seq((1L, null: String), (2L, ""), (3L, "   "),
         (4L, "the and is of"))

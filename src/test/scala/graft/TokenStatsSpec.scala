@@ -45,18 +45,19 @@ class TokenStatsSpec extends SparkSpec {
   }
 
   test("TokenCounts == regex reference on all three counters") {
-    // edge shapes beyond the lake rows: uppercase/newline/tab are BOTH
-    // bpe tokens and punct (they fall in [^a-z0-9 ]); digit/letter run
-    // boundaries; multi-byte code points count once
+    // edge shapes beyond the lake rows: uppercase is BOTH a bpe token
+    // and punct (it falls in [^a-z0-9\s]); newline/tab are SEPARATORS
+    // (the Ws contract — same class the words() split uses); digit/letter
+    // run boundaries; multi-byte code points count once
     val t = texts.union(Seq(
       (9101L, "abc123def"), (9102L, "A B\tC\nD"), (9103L, "a,b;c!?"),
       (9104L, "héllo wörld"), (9105L, "1 22 333 a1b2"))
       .toDF("doc_id", "text"))
     val regex = t.select(col("doc_id"),
       size(TextFns.words(col("text"))).as("n_ws_tokens"),
-      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-        .as("n_bpe_tokens"),
-      length(regexp_replace(col("text"), "[a-z0-9 ]", "")).as("n_punct"))
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+      length(regexp_replace(col("text"), "[a-z0-9\\s]", "")).as("n_punct"))
     val native = t.select(col("doc_id"),
         B.column(TokenCounts(B.expression(col("text")))).as("tc"))
       .select(col("doc_id"), col("tc.n_ws_tokens"), col("tc.n_bpe_tokens"),

@@ -48,4 +48,30 @@ class VecAggSpec extends SparkSpec {
     assert(e.getMessage.contains("ragged") ||
       e.getCause != null && e.getCause.getMessage.contains("ragged"))
   }
+
+  test("a zero-length vector cannot re-arm lazy init (deterministic ragged failure)") {
+    // the empty row used to initialize sums to length 0 and LEAVE the
+    // buffer re-armed: the next full-length row silently re-dimensioned
+    // it, finishing with n inflated by the empty rows — a halved mean
+    // downstream — in same-partition order, or a ragged crash across
+    // partitions. Init now keys on n == 0, so empty-vs-nonempty is the
+    // same deterministic ragged failure REGARDLESS of partitioning.
+    val mixed = Seq((1L, Seq.empty[Double]), (2L, Seq(1.0, 2.0)))
+      .toDF("id", "v")
+    Seq(1, 2).foreach { parts => // same-partition AND cross-partition
+      val e = intercept[Exception] {
+        mixed.repartition(parts).groupBy()
+          .agg(DecimalVecSum.sum12($"v").as("cs")).collect()
+      }
+      assert(e.getMessage.contains("ragged") ||
+        e.getCause != null && e.getCause.getMessage.contains("ragged"),
+        s"parts=$parts")
+    }
+    // an all-empty group is consistent either way: (n, zero-dim sums)
+    val allEmpty = Seq((1L, Seq.empty[Double]), (2L, Seq.empty[Double]))
+      .toDF("id", "v")
+      .groupBy().agg(DecimalVecSum.sum12($"v").as("cs"))
+      .select($"cs._1", $"cs._2").as[(Long, Seq[Double])].collect()
+    assert(allEmpty.toSeq === Seq((2L, Seq.empty[Double])))
+  }
 }
