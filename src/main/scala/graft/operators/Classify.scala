@@ -27,11 +27,19 @@ object Classify {
     * back with a `field_value=true` bool field
     * (DataCatalogController.py:781–799).
     */
-  def glossaryMatch(mapping: DataFrame, columns: DataFrame): DataFrame =
+  def glossaryMatch(mapping: DataFrame, columns: DataFrame): DataFrame = {
+    // the BROADCAST side must be bounded at any scale: the mapping is
+    // tiny reference data, but `columns` can be a catalog-wide frame —
+    // broadcasting it raw would ship the big side to every executor.
+    // Distinct the observed NAMES first (map-side combined, vocabulary-
+    // sized at any catalog size) and semi-join the mapping against THAT;
+    // the semi keeps each mapping row at most once, same as before.
+    val observed = columns.select(col("column_name")).distinct()
     mapping.join(
-        broadcast(columns),
-        mapping("source_name") === columns("column_name"), "left_semi")
+        broadcast(observed),
+        mapping("source_name") === observed("column_name"), "left_semi")
       .select(col("canonical_name"), lit(true).as("field_value"))
+  }
 
   /** Containment predicate: every element of `observed` appears in
     * `candidate` (BQ-generated `unnest` equalities ≡ DuckDB

@@ -65,6 +65,13 @@ object GroupedEval {
       if (!inLit && c == '\'') {
         if (cur.nonEmpty) { out += ((cur.toString, false)); cur.clear() }
         inLit = true; cur.append(c)
+      } else if (inLit && c == '\\' && i + 1 < sql.length) {
+        // Spark's default parser honors backslash escapes inside string
+        // literals (escapedStringLiterals=false), so \' does NOT close
+        // the literal — consuming the pair keeps the boundary where the
+        // parser puts it (otherwise every later region classifies
+        // INVERTED and the $var rewrites misfire on literal text)
+        cur.append(c); cur.append(sql.charAt(i + 1)); i += 1
       } else if (inLit && c == '\'') {
         if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
           cur.append("''"); i += 1
@@ -107,7 +114,12 @@ object GroupedEval {
     * (bare or inside literals) become asset-row columns.
     */
   private[operators] def rewriteCorrelated(expr: String): String = {
-    val fromTable = "(?i)\\bfrom\\s+\\$table\\b".r
+    // case-insensitive on the FROM keyword only: the $table TOKEN is
+    // case-sensitive everywhere else (ConfigEval.substitute's literal
+    // replace), so accepting `$Table` here would make a config evaluate
+    // on the sharded path and fail on the per-asset one — breaking the
+    // sharded == per-asset equivalence TagEngineSpec pins
+    val fromTable = "(?i:\\bfrom\\s+)\\$table\\b".r
     segments(expr).map {
       case (text, true)  => bindLiteral(text)
       case (text, false) =>

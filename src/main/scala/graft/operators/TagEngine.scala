@@ -140,14 +140,23 @@ object TagEngine {
       config.includedColumnsQuery.getOrElse(
         throw new IllegalArgumentException("included_columns_query required")),
       uri)
-    val columns = spark.sql(colsQuery).first().toSeq.map(_.toString)
+    // a zero-row columns query (or NULL column values in the row) is the
+    // established match-nothing no-op ([[emptyTagRows]]), not a
+    // NoSuchElementException from first() / an NPE mid-map
+    val columns = spark.sql(colsQuery).take(1).toSeq
+      .flatMap(_.toSeq).flatMap(Option(_)).map(_.toString)
+    if (columns.isEmpty || config.fields.isEmpty)
+      return emptyTagRows(spark)
     val cells = for {
       (c, i) <- columns.zipWithIndex
       (f, j) <- config.fields.zipWithIndex
     } yield {
+      // static values are ESCAPED into the literal ('' doubling — the
+      // GroupedEval.sq rule): an apostrophe in field_value must neither
+      // kill the statement with a ParseException nor inject into it
       val q = f.queryExpression.map(e =>
           s"(${ConfigEval.substitute(e, uri, Some(c))})")
-        .getOrElse(s"'${f.fieldValue.getOrElse("")}'")
+        .getOrElse(s"'${f.fieldValue.getOrElse("").replace("'", "''")}'")
       s"CAST($q AS STRING) AS `__v_${i}_$j`"
     }
     val evaluated = spark.sql(cells.mkString("SELECT ", ", ", ""))
@@ -188,10 +197,13 @@ object TagEngine {
       .groupBy(col("asset_uri"), col("column"))
       .pivot("field_id", config.fields.map(_.fieldId))
       .agg(first("field_value"))
-    Sinks.withHistoryPartition(pivoted.select(
+    // no withHistoryPartition here: the SINKS own the event_date
+    // derivation (writeHistory/writeHistoryAtomic both apply it) — doing
+    // it twice invites the two call sites drifting apart
+    pivoted.select(
       Seq(eventTime.as("event_time"), assetName.as("asset_name"),
         jobUuid.as("job_uuid")) ++
-        config.fields.map(f => typed(f, col(f.fieldId)).as(f.fieldId)): _*))
+        config.fields.map(f => typed(f, col(f.fieldId)).as(f.fieldId)): _*)
   }
 
   /** Full job: evaluate + MERGE into the existing tag state, honoring
@@ -208,10 +220,23 @@ object TagEngine {
              eventTime: Column = current_timestamp(),
              jobUuid: Column = lit("")): DataFrame = {
     val computed = applyDynamicTableConfig(spark, config, catalog)
-    val incoming = incomingFor(config, computed, existingTags)
-    if (config.tagHistory)
-      historyPath.foreach(p =>
-        Sinks.writeHistory(historyRows(incoming, config, eventTime, jobUuid), p))
+    val incoming0 = incomingFor(config, computed, existingTags)
+    val writeHist = config.tagHistory && historyPath.isDefined
+    // with the history side-channel on, the evaluation is consumed TWICE
+    // (the eager history write, then the caller's action on the merge) —
+    // materialize once so the full config evaluation doesn't run 2×, and
+    // so history can never record values that differ from the state
+    // actually merged (the lake may change between the two actions)
+    val incoming = if (writeHist) incoming0.localCheckpoint() else incoming0
+    if (writeHist)
+      historyPath.foreach { p =>
+        // history = the WRITTEN tag instances (create/update only,
+        // DataCatalogController.py:324–327): an all-empty instance fires
+        // the delete trigger in the merge below, so it must not append a
+        // phantom all-empty history row
+        val written = TagStore.dropAllEmptyTags(incoming)
+        Sinks.writeHistory(historyRows(written, config, eventTime, jobUuid), p)
+      }
     TagStore.applyWithDeletes(existingTags, incoming)
   }
 

@@ -16,7 +16,11 @@ object TagOps {
                tgtColumns: DataFrame): DataFrame = {
     val src = tags.filter(col("asset_uri") === srcAsset)
       .withColumn("asset_uri", lit(tgtAsset))
-    val entryLevel = src.filter(col("column") === "")
+    // NULL column = an entry-level tag (it addresses the asset, not a
+    // column — TagStore's <=> key join treats NULL as a legal key, so
+    // such rows exist); a bare === ""/=!= "" pair matches NEITHER side
+    // and would silently LOSE the row from the copy
+    val entryLevel = src.filter(col("column").isNull || col("column") === "")
     val columnLevel = src.filter(col("column") =!= "")
       .join(broadcast(tgtColumns), src("column") === tgtColumns("column_name"),
         "left_semi")
@@ -40,8 +44,25 @@ object TagOps {
     * schema and rebuild it with the annotation; unmatched schema columns
     * pass through, requests for unknown columns are dropped (the
     * existence check).
+    *
+    * RE-ANNOTATION-SAFE: requests carry their tag under a private name so
+    * an already-annotated schema (the natural output of a prior run — the
+    * "rebuild" shape) never hits an ambiguous `policy_tag` reference, and
+    * a request covering a SUBSET of columns preserves the other columns'
+    * existing tags instead of clearing them. Requests are deduped per
+    * column (max — deterministic) so a duplicated request row cannot fan
+    * schema rows out.
     */
-  def annotatePolicyTags(schemaCols: DataFrame, requests: DataFrame): DataFrame =
-    schemaCols.join(broadcast(requests), Seq("column_name"), "left_outer")
-      .withColumn("policy_tag", coalesce(col("policy_tag"), lit("")))
+  def annotatePolicyTags(schemaCols: DataFrame, requests: DataFrame): DataFrame = {
+    val req = requests.groupBy("column_name")
+      .agg(max(col("policy_tag")).as("__new_pt"))
+    val existing =
+      if (schemaCols.columns.contains("policy_tag")) col("policy_tag")
+      else lit("")
+    schemaCols.join(broadcast(req), Seq("column_name"), "left_outer")
+      .withColumn("__pt", coalesce(col("__new_pt"), existing, lit("")))
+      .drop("__new_pt")
+      .drop("policy_tag")
+      .withColumnRenamed("__pt", "policy_tag")
+  }
 }

@@ -15,6 +15,31 @@ class GroupedEvalSpec extends AnyFunSuite {
       ("'x'", true)))
   }
 
+  test("segments honor backslash-escaped quotes, matching Spark's parser") {
+    // Spark's default parser (escapedStringLiterals=false) treats \' as
+    // an escaped quote INSIDE the literal; closing the literal there
+    // inverts every later region, so '$dataset' in the tail would be
+    // rewritten as a bare identifier instead of staying literal text
+    val s = GroupedEval.segments("""x = 'O\'Brien' and d = '$d'""")
+    assert(s === Seq(("x = ", false), ("""'O\'Brien'""", true),
+      (" and d = ", false), ("'$d'", true)))
+    // escaped backslash before a REAL closing quote still closes
+    val s2 = GroupedEval.segments("""x = 'a\\' and y""")
+    assert(s2 === Seq(("x = ", false), ("""'a\\'""", true), (" and y", false)))
+  }
+
+  test("the $table token is case-sensitive on BOTH evaluation paths") {
+    // ConfigEval.substitute's literal replace never fires on $Table, so
+    // the sharded rewrite must not silently accept it either — a config
+    // that evaluates sharded but breaks per-asset would fork the
+    // sharded == per-asset equivalence
+    val out = GroupedEval.rewriteCorrelated("select count(*) FROM $Table")
+    assert(!out.contains("__graft_src"), s"must NOT rewrite \\$$Table: $out")
+    // the FROM keyword itself stays case-insensitive (legal SQL)
+    val ok = GroupedEval.rewriteCorrelated("select count(*) FROM $table")
+    assert(ok.contains("__graft_src"))
+  }
+
   test("rewriteCorrelated binds FROM $table to the correlated slice") {
     val out = GroupedEval.rewriteCorrelated("select count(*) from $table")
     assert(out.contains("FROM (SELECT * FROM __graft_src WHERE " +

@@ -289,6 +289,32 @@ class TagEngineSpec extends SparkSpec {
     assert(perAsset.exceptAll(grid).count() === 0)
   }
 
+  test("dynamic-COLUMN config: empty columns query no-ops; quoted static values escape") {
+    import graft.model.{AssetUri, FieldSpec, TagConfig}
+    val uri = AssetUri("bigquery", "p", Some("lake"), Some("orders"), None)
+    // zero-row included_columns_query = the established match-nothing
+    // no-op, not a NoSuchElementException from first(); a NULL column
+    // value in the row is skipped the same way
+    val cfgEmpty = TagConfig(configType = "DYNAMIC_TAG_COLUMN",
+      templateId = "t", fields = Seq(FieldSpec("f", "string", None, Some("v"))),
+      includedColumnsQuery = Some("select 'c' where 1 = 0"))
+    assert(TagEngine.applyDynamicColumnConfig(spark, cfgEmpty, uri)
+      .count() === 0)
+    val cfgNull = cfgEmpty.copy(
+      includedColumnsQuery = Some("select cast(null as string), 'real_col'"))
+    val outNull = TagEngine.applyDynamicColumnConfig(spark, cfgNull, uri)
+    assert(outNull.select("column").as[String].collect().toSeq
+      === Seq("real_col"))
+    // an apostrophe in a STATIC field value must neither ParseException
+    // the statement nor inject into it (the GroupedEval.sq '' rule)
+    val cfgQuote = cfgEmpty.copy(
+      includedColumnsQuery = Some("select 'c1'"),
+      fields = Seq(FieldSpec("note", "string", None, Some("it's restricted"))))
+    assert(TagEngine.applyDynamicColumnConfig(spark, cfgQuote, uri)
+      .select("field_value").as[String].collect().toSeq
+      === Seq("it's restricted"))
+  }
+
   test("dispatch auto-routes dynamic-COLUMN configs set-based above the threshold") {
     // same contract as the table route: identical tag rows on both sides
     // of the threshold, with the included-columns query resolved ONCE

@@ -48,4 +48,43 @@ class TagOpsSpec extends SparkSpec {
     assert(out(("a1", "", "t", "owner")) === "alice")
     assert(out.size === 5)
   }
+
+  test("copyTags: a NULL-column source tag copies as entry-level, not silently dropped") {
+    val withNull = tagState.unionByName(
+      Seq(("a1", "t", "note", "keep")).toDF("asset_uri", "template_id",
+          "field_id", "field_value")
+        .withColumn("column", lit(null).cast("string"))
+        .select("asset_uri", "column", "template_id", "field_id",
+          "field_value"))
+    val tgtCols = Seq("c0").toDF("column_name")
+    val out = TagOps.copyTags(withNull, "a1", "a9", tgtCols)
+      .filter(col("asset_uri") === "a9")
+    // the NULL-column row survives the copy (=== ""/=!= "" both miss it)
+    assert(out.filter(col("column").isNull &&
+      col("field_id") === "note").count() === 1)
+  }
+
+  test("annotatePolicyTags: re-annotation preserves existing tags and never goes ambiguous") {
+    import graft.operators.TagOps
+    val schema = Seq(("ssn", "STRING"), ("name", "STRING"), ("age", "INT"))
+      .toDF("column_name", "data_type")
+    val first = TagOps.annotatePolicyTags(schema,
+      Seq(("ssn", "pii_high"), ("name", "pii_low")).toDF("column_name",
+        "policy_tag"))
+    // re-annotate the ALREADY-annotated output with a SUBSET request:
+    // previously an ambiguous policy_tag reference; and the untouched
+    // column's existing tag must survive, not reset to ""
+    val second = TagOps.annotatePolicyTags(first,
+      Seq(("ssn", "pii_redacted")).toDF("column_name", "policy_tag"))
+    val got = second.select("column_name", "policy_tag")
+      .as[(String, String)].collect().toMap
+    assert(got === Map("ssn" -> "pii_redacted", "name" -> "pii_low",
+      "age" -> ""))
+    // a duplicated request row must not fan schema rows out
+    val dup = TagOps.annotatePolicyTags(schema,
+      Seq(("ssn", "a"), ("ssn", "b")).toDF("column_name", "policy_tag"))
+    assert(dup.count() === 3)
+    assert(dup.filter(col("column_name") === "ssn")
+      .select("policy_tag").as[String].collect().toSeq === Seq("b"))
+  }
 }
