@@ -11,17 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
-  /** Whitespace tokens (maximal `\s+`-separated runs — the
-    * [[graft.plans.Ws]] contract, identical in Java regex and DuckDB's
-    * RE2), empties dropped: the regex split still yields a leading/
-    * trailing empty string when the text starts/ends with whitespace in
-    * both engines, so filter them. A literal single-space split here
-    * would silently merge line-straddling words of any newline-formatted
-    * document (i.e. most real corpora) into pseudo-tokens that defeat
-    * stopword matching, quality ratios, and fingerprints.
+  /** Whitespace tokens (maximal whitespace-run-separated tokens — the
+    * [[graft.plans.Ws]] contract: RE2's `\s` class spelled explicitly,
+    * because Java's `\s` also matches \v and would fork from the
+    * oracle's `regexp_split_to_array(text, '\s+')`), empties dropped:
+    * the split still yields a leading/trailing empty string when the
+    * text starts/ends with whitespace in both engines, so filter them.
+    * A literal single-space split here would silently merge
+    * line-straddling words of any newline-formatted document (i.e. most
+    * real corpora) into pseudo-tokens that defeat stopword matching,
+    * quality ratios, and fingerprints.
     */
   def words(c: Column): Column =
-    filter(split(c, "\\s+"), w => length(w) > 0)
+    filter(split(c, s"[${graft.plans.Ws.ClassBody}]+"), w => length(w) > 0)
 
   /** Word n-gram shingles (space-joined) at every token position; fewer
     * than n tokens → empty array. Reference HOF form — same `when` guard

@@ -112,10 +112,15 @@ object ConfigDispatch {
               def columnsFor(r: org.apache.spark.sql.Row): Seq[String] = {
                 val uri = AssetUri("bigquery", r.getString(0),
                   Some(r.getString(1)), Some(r.getString(2)), None)
-                spark.sql(ConfigEval.substitute(
-                  config.includedColumnsQuery.getOrElse(throw
-                    new IllegalArgumentException("included_columns_query required")),
-                  uri)).first().toSeq.map(_.toString)
+                // the TOLERANT resolver TagEngine's per-asset path uses:
+                // a zero-row/NULL columns probe must no-op on this route
+                // too, not crash the dispatch the moment the catalog
+                // crosses the shard threshold
+                TagEngine.resolveIncludedColumns(spark,
+                  ConfigEval.substitute(
+                    config.includedColumnsQuery.getOrElse(throw
+                      new IllegalArgumentException("included_columns_query required")),
+                    uri))
               }
               val columns = columnsFor(stats.getStruct(1))
               val columnsLast = columnsFor(stats.getStruct(2))
@@ -124,7 +129,8 @@ object ConfigDispatch {
                   s"sharded family (first asset → $columns, last → " +
                   s"$columnsLast); the set-based route requires a uniform " +
                   "schema — drop shardedSource to use the per-asset loop")
-              GroupedEval.applyDynamicColumnConfigSharded(
+              if (columns.isEmpty) TagEngine.emptyTagRows(spark)
+              else GroupedEval.applyDynamicColumnConfigSharded(
                 spark, config, in.catalog, source, shardExpr, columns)
             } else perAsset()
           case None => perAsset()

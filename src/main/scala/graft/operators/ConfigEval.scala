@@ -39,10 +39,18 @@ object ConfigEval {
     * `qi` must be a scalar subquery (`select <agg> from …`).
     */
   def combinedQuery(fields: Seq[FieldSpec], uri: AssetUri,
-                    column: Option[String] = None): String =
-    fields.flatMap { f =>
+                    column: Option[String] = None): String = {
+    val parts = fields.flatMap { f =>
       f.queryExpression.map(e => s"(${substitute(e, uri, column)}) AS ${f.fieldId}")
-    }.mkString("SELECT ", ", ", "")
+    }
+    // zero expression-bearing fields would render the string "SELECT "
+    // and surface as a cryptic ParseException pointing at generated SQL;
+    // name the actual config problem instead
+    require(parts.nonEmpty,
+      "combinedQuery: the config has no query_expression fields to " +
+        "evaluate — static-only fields take the static path")
+    parts.mkString("SELECT ", ", ", "")
+  }
 
   /** Evaluate the combined query for one asset
     * (`run_combined_query`, :1823–1846) — a single one-row DataFrame with

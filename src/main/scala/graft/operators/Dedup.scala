@@ -571,7 +571,12 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 60): DataFrame = {
     import org.apache.spark.sql.graft.{Bridge => B}
-    docs.filter(length(trim(col(textCol))) > 0)
+    // the token-less gate must trim the FULL Ws separator class, not
+    // bare trim's ASCII space: a "\n"-only doc has zero tokens, and
+    // letting it through would give every such doc signature 0 — all of
+    // them pairing as hamming-0 near-dups of each other — while the
+    // exploded form (and the oracle) emit no row at all
+    docs.filter(length(trim(col(textCol), " \t\n\f\r")) > 0)
       .select(col(idCol),
         B.column(graft.plans.Simhash60(B.expression(col(textCol)), bits))
           .as("simhash"))

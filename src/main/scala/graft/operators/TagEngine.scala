@@ -126,6 +126,18 @@ object TagEngine {
     meltToTagRows(balancedUnion(perStatement), config)
   }
 
+  /** Resolve an `included_columns_query` to its column list — tolerant of
+    * a zero-row result and NULL values (both mean "this column slot
+    * matches nothing", the same no-op contract as an empty expansion).
+    * SHARED by the per-asset path below and ConfigDispatch's sharded
+    * probe, so the two routes can never diverge on these edges (a config
+    * that no-ops below the shard threshold must not crash above it).
+    */
+  private[operators] def resolveIncludedColumns(spark: SparkSession,
+                                                sqlText: String): Seq[String] =
+    spark.sql(sqlText).take(1).toSeq
+      .flatMap(_.toSeq).flatMap(Option(_)).map(_.toString)
+
   /** Apply a dynamic-column config (DataCatalogController.py:363–485):
     * `included_columns_query` yields the target columns (a 1-row query —
     * driver metadata), then ALL (column × field) cells evaluate in ONE
@@ -143,8 +155,7 @@ object TagEngine {
     // a zero-row columns query (or NULL column values in the row) is the
     // established match-nothing no-op ([[emptyTagRows]]), not a
     // NoSuchElementException from first() / an NPE mid-map
-    val columns = spark.sql(colsQuery).take(1).toSeq
-      .flatMap(_.toSeq).flatMap(Option(_)).map(_.toString)
+    val columns = resolveIncludedColumns(spark, colsQuery)
     if (columns.isEmpty || config.fields.isEmpty)
       return emptyTagRows(spark)
     val cells = for {

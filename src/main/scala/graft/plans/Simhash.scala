@@ -25,7 +25,13 @@ object SimhashOps {
       if (!Ws.is(bytes(i))) {
         val st = i
         while (i < bytes.length && !Ws.is(bytes(i))) i += 1
-        val h = Md5.prefixLong(UTF8String.fromBytes(bytes, st, i - st), 15)
+        // hash the token IN PLACE on the backing array (the ShingleExprs
+        // discipline): a per-token UTF8String wrapper would force a
+        // defensive copy inside prefixLong for every token of every doc
+        val len = i - st
+        val h =
+          if (len <= 55) Md5.singleBlockPrefix(bytes, st, len, 15)
+          else Md5.prefixLong(UTF8String.fromBytes(bytes, st, len), 15)
         var j = 0
         while (j < bits) {
           if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
@@ -55,8 +61,10 @@ object SimhashOps {
   * [[ShingleMinHash]] / [[TokenStats]].
   *
   * Returns 0 for token-less text (the exploded form produces no row at
-  * all there — callers gate on `length(trim(text)) > 0` to match, as
-  * [[graft.operators.Dedup.simhash]] does).
+  * all there — callers gate on `length(trim(text, <Ws chars>)) > 0` to
+  * match, as [[graft.operators.Dedup.simhash]] does; bare `trim` strips
+  * only ASCII space, which would let a "\n"-only doc through as a
+  * spurious signature-0 row).
   */
 case class Simhash60(child: Expression, bits: Int = 60)
     extends UnaryExpression {

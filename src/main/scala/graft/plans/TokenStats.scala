@@ -18,9 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * unchanged (TokenStatsSpec asserts equality with the HOF form).
   */
 object TokenStatsOps {
+  // hoisted: String.split(regex) compiles the Pattern per CALL, a per-row
+  // cost in an expression whose whole point is avoiding per-row regex
+  // work. The class is Ws's (RE2-compatible — no \v), not Java's \s.
+  private val WsRun =
+    java.util.regex.Pattern.compile(s"[${Ws.ClassBody}]+")
   def eval(s: UTF8String): InternalRow = {
     val toks = new java.util.ArrayList[String](64)
-    val it = s.toString.split("\\s+", -1) // the Ws tokenizer contract
+    val it = WsRun.split(s.toString, -1) // the Ws tokenizer contract
     var i = 0
     while (i < it.length) {
       if (it(i).nonEmpty) toks.add(it(i))

@@ -22,18 +22,24 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 /** THE tokenizer whitespace class, shared by every native expression and
   * matched exactly by `TextFns.words`' regex split and the oracle SQL's
-  * `regexp_split_to_array(text, '\s+')`: ASCII `\s` = space, \t, \n, \v,
-  * \f, \r (identical in Java regex and DuckDB's RE2). One definition so
-  * the tokenizations can never fork — real corpora are newline-formatted,
+  * `regexp_split_to_array(text, '\s+')`: space, \t, \n, \f, \r — RE2's
+  * `\s` class, which the DuckDB oracle evaluates. Deliberately NOT
+  * Java's `\s`: Java includes vertical tab (0x0B), RE2 does not, so the
+  * Spark side spells the class explicitly everywhere instead of writing
+  * `\s` and silently forking from the oracle on a \v byte (which both
+  * engines must treat as a token character). One definition so the
+  * tokenizations can never fork — real corpora are newline-formatted,
   * and a single-space split silently merges line-straddling words into
   * pseudo-tokens that break stopword matching, quality ratios, and
   * fingerprints.
   */
 object Ws {
+  /** The class as a Java-regex character-class body, for `split`s. */
+  val ClassBody = " \\t\\n\\f\\r"
   def is(b: Byte): Boolean =
-    b == ' ' || (b >= 0x09 && b <= 0x0d) // \t \n \v \f \r
+    b == ' ' || b == '\t' || b == '\n' || b == '\f' || b == '\r'
   def is(cp: Int): Boolean =
-    cp == ' ' || (cp >= 0x09 && cp <= 0x0d)
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r'
 }
 
 object WordNgramOps {

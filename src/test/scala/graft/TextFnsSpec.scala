@@ -46,6 +46,13 @@ class TextFnsSpec extends SparkSpec {
       "whitespace form must not change tokens, language, fingerprint, or grams")
     assert(got(2L)._1 === "en")
     assert(got(2L)._2 === 13)
+    // vertical tab is NOT a separator: the contract is RE2's \s class
+    // (what the DuckDB oracle's '\s+' evaluates), which excludes \v —
+    // writing Java's \s on the Spark side would fork the engines here
+    val vt = Seq((1L, "a\u000Bb c")).toDF("doc_id", "text")
+      .select(TextFns.words($"text").as("ws"))
+      .as[Seq[String]].head()
+    assert(vt === Seq("a\u000Bb", "c"))
   }
 
   test("qualityScore: zero-token and NULL text score an explicit 0.0") {

@@ -55,9 +55,13 @@ class TokenStatsSpec extends SparkSpec {
       .toDF("doc_id", "text"))
     val regex = t.select(col("doc_id"),
       size(TextFns.words(col("text"))).as("n_ws_tokens"),
+      // explicit Ws class, not Java \s: the mirror must match the RE2
+      // class the DuckDB oracle evaluates (no \v)
       size(regexp_extract_all(col("text"),
-        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
-      length(regexp_replace(col("text"), "[a-z0-9\\s]", "")).as("n_punct"))
+        lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]"), lit(0)))
+        .as("n_bpe_tokens"),
+      length(regexp_replace(col("text"), "[a-z0-9 \\t\\n\\f\\r]", ""))
+        .as("n_punct"))
     val native = t.select(col("doc_id"),
         B.column(TokenCounts(B.expression(col("text")))).as("tc"))
       .select(col("doc_id"), col("tc.n_ws_tokens"), col("tc.n_bpe_tokens"),
