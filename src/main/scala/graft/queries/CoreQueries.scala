@@ -209,7 +209,8 @@ object CoreQueries {
     s"""WITH csv(project, dataset, "table", "column", is_compliant, reason, env, eval_time) AS (
        |  VALUES $values),
        |m AS (SELECT project, dataset, "table", "column", field_id, raw_value FROM csv
-       |      UNPIVOT (raw_value FOR field_id IN (is_compliant, reason, env, eval_time))),
+       |      UNPIVOT INCLUDE NULLS
+       |        (raw_value FOR field_id IN (is_compliant, reason, env, eval_time))),
        |t(field_id, field_type) AS (VALUES ('is_compliant','bool'), ('reason','string'),
        |                                   ('env','enum'), ('eval_time','timestamp')),
        |s AS (SELECT project, dataset, "table", "column",

@@ -122,7 +122,7 @@ object CoreQueries2 {
       |FROM documents
       |UNION ALL
       |SELECT 'p', source, 'doc_' || doc_id, 'doc_quality', 'keywords',
-      |  lang || ', ' || source, TIMESTAMP '2024-02-01 00:00:00'
+      |  concat_ws(', ', lang, source), TIMESTAMP '2024-02-01 00:00:00'
       |FROM documents
       |ORDER BY dataset, "table", tag_field""".stripMargin
 
@@ -183,11 +183,15 @@ object CoreQueries2 {
       |  GROUP BY 1, 2, 3
       |  HAVING count(*) = count(CASE WHEN coalesce(field_value,'') = '' THEN 1 END)),
       |nonempty AS (SELECT n.* FROM new n WHERE NOT EXISTS (
-      |  SELECT 1 FROM empty_keys e WHERE e.asset_uri = n.asset_uri
-      |    AND e."column" = n."column" AND e.template_id = n.template_id)),
+      |  SELECT 1 FROM empty_keys e
+      |  WHERE e.asset_uri IS NOT DISTINCT FROM n.asset_uri
+      |    AND e."column" IS NOT DISTINCT FROM n."column"
+      |    AND e.template_id IS NOT DISTINCT FROM n.template_id)),
       |kept AS (SELECT o.* FROM old o WHERE NOT EXISTS (
-      |  SELECT 1 FROM empty_keys e WHERE e.asset_uri = o.asset_uri
-      |    AND e."column" = o."column" AND e.template_id = o.template_id))
+      |  SELECT 1 FROM empty_keys e
+      |  WHERE e.asset_uri IS NOT DISTINCT FROM o.asset_uri
+      |    AND e."column" IS NOT DISTINCT FROM o."column"
+      |    AND e.template_id IS NOT DISTINCT FROM o.template_id))
       |SELECT coalesce(n.asset_uri, k.asset_uri) AS asset_uri,
       |       coalesce(n."column", k."column") AS "column",
       |       coalesce(n.template_id, k.template_id) AS template_id,
@@ -195,8 +199,10 @@ object CoreQueries2 {
       |       CASE WHEN n.asset_uri IS NOT NULL THEN n.field_value
       |            ELSE k.field_value END AS field_value
       |FROM nonempty n FULL OUTER JOIN kept k
-      |  ON n.asset_uri = k.asset_uri AND n."column" = k."column"
-      |     AND n.template_id = k.template_id AND n.field_id = k.field_id
+      |  ON n.asset_uri IS NOT DISTINCT FROM k.asset_uri
+      |     AND n."column" IS NOT DISTINCT FROM k."column"
+      |     AND n.template_id IS NOT DISTINCT FROM k.template_id
+      |     AND n.field_id IS NOT DISTINCT FROM k.field_id
       |ORDER BY asset_uri, field_id""".stripMargin
 
   /** D7/H4: job fan-in accounting — per-job task counters + pct_complete +
@@ -205,20 +211,25 @@ object CoreQueries2 {
     */
   def q12JobRollup(spark: SparkSession, dir: String): DataFrame =
     Lake.table(spark, dir, "events")
-      .select((col("user_id") % 20).as("job_uuid"),
-        col("event_type"),
-        when(col("event_type") === "error", lit("ERROR"))
-          .otherwise(lit("SUCCESS")).as("status"))
+      .select((col("user_id") % 20).as("job_uuid"), col("event_type"))
       .groupBy("job_uuid")
       .agg(
         count(lit(1)).as("task_count"),
         count(when(col("event_type") =!= "view", 1)).as("tasks_ran"),
-        count(when(col("status") === "SUCCESS", 1)).as("tasks_success"),
-        count(when(col("status") === "ERROR", 1)).as("tasks_failed"))
+        // reference accounting (JobManager.py:84–139): SUCCESS is a
+        // subset of RAN — a not-yet-ran ('view') task is neither a
+        // success nor a failure, it is the reason the job is RUNNING
+        count(when(col("event_type") =!= "view" &&
+          col("event_type") =!= "error", 1)).as("tasks_success"),
+        count(when(col("event_type") === "error", 1)).as("tasks_failed"))
       .withColumn("pct_complete",
         round(col("tasks_ran") * lit(100.0) / col("task_count"), 1))
       .withColumn("job_status",
-        when(col("tasks_failed") > 0, lit("ERROR")).otherwise(lit("SUCCESS")))
+        // RUNNING until every task reported (the reference derives
+        // SUCCESS/ERROR only at pct_complete = 100)
+        when(col("tasks_ran") < col("task_count"), lit("RUNNING"))
+          .when(col("tasks_failed") > 0, lit("ERROR"))
+          .otherwise(lit("SUCCESS")))
       // A13: job-metadata JSON payload (BigQueryUtils.py:504–557 `to_json`)
       .withColumn("metadata",
         to_json(struct(col("task_count"), col("job_status"))))
@@ -228,16 +239,22 @@ object CoreQueries2 {
     """SELECT user_id % 20 AS job_uuid,
       |  count(*) AS task_count,
       |  count(CASE WHEN event_type <> 'view' THEN 1 END) AS tasks_ran,
-      |  count(CASE WHEN event_type <> 'error' THEN 1 END) AS tasks_success,
+      |  count(CASE WHEN event_type NOT IN ('view', 'error') THEN 1 END)
+      |    AS tasks_success,
       |  count(CASE WHEN event_type = 'error' THEN 1 END) AS tasks_failed,
       |  round(count(CASE WHEN event_type <> 'view' THEN 1 END) * 100.0 / count(*), 1)
       |    AS pct_complete,
-      |  CASE WHEN count(CASE WHEN event_type = 'error' THEN 1 END) > 0
+      |  CASE WHEN count(CASE WHEN event_type <> 'view' THEN 1 END) < count(*)
+      |       THEN 'RUNNING'
+      |       WHEN count(CASE WHEN event_type = 'error' THEN 1 END) > 0
       |       THEN 'ERROR' ELSE 'SUCCESS' END AS job_status,
       |  to_json(struct_pack(
       |    task_count := count(*),
-      |    job_status := CASE WHEN count(CASE WHEN event_type = 'error' THEN 1 END) > 0
-      |                       THEN 'ERROR' ELSE 'SUCCESS' END)) AS metadata
+      |    job_status := CASE
+      |      WHEN count(CASE WHEN event_type <> 'view' THEN 1 END) < count(*)
+      |      THEN 'RUNNING'
+      |      WHEN count(CASE WHEN event_type = 'error' THEN 1 END) > 0
+      |      THEN 'ERROR' ELSE 'SUCCESS' END)) AS metadata
       |FROM events
       |GROUP BY 1 ORDER BY job_uuid""".stripMargin
 
@@ -246,8 +263,13 @@ object CoreQueries2 {
     */
   def q13WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
     val li = Lake.table(spark, dir, "lineitem")
+    // null order EXPLICIT on both sides: Spark defaults ASC to NULLS
+    // FIRST, DuckDB to NULLS LAST — inside a window this is
+    // content-affecting (rn selection + running sums), not mere output
+    // order, and a null-free fixture would mask the fork
     val w = Window.partitionBy("l_suppkey")
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate").asc_nulls_last,
+        col("l_orderkey").asc_nulls_last, col("l_linenumber").asc_nulls_last)
     li.withColumn("rn", row_number().over(w))
       .withColumn("running_qty",
         sum(col("l_quantity").cast("decimal(18,2)"))
@@ -266,7 +288,8 @@ object CoreQueries2 {
       |      AS running_qty
       |  FROM lineitem
       |  WINDOW w AS (PARTITION BY l_suppkey
-      |               ORDER BY l_shipdate, l_orderkey, l_linenumber))
+      |               ORDER BY l_shipdate NULLS LAST, l_orderkey NULLS LAST,
+      |                        l_linenumber NULLS LAST))
       |WHERE rn <= 3
       |ORDER BY l_suppkey, rn""".stripMargin
 

@@ -305,6 +305,15 @@ class TagEngineSpec extends SparkSpec {
     val outNull = TagEngine.applyDynamicColumnConfig(spark, cfgNull, uri)
     assert(outNull.select("column").as[String].collect().toSeq
       === Seq("real_col"))
+    // the reference's NATURAL shape — one column per ROW (an
+    // information_schema query): truncating to the first row would
+    // silently leave every other column untagged
+    val cfgRows = cfgEmpty.copy(
+      includedColumnsQuery = Some(
+        "select c from values ('c1'), ('c2'), ('c3') t(c)"))
+    assert(TagEngine.applyDynamicColumnConfig(spark, cfgRows, uri)
+      .select("column").as[String].collect().toSeq.sorted
+      === Seq("c1", "c2", "c3"))
     // an apostrophe in a STATIC field value must neither ParseException
     // the statement nor inject into it (the GroupedEval.sq '' rule)
     val cfgQuote = cfgEmpty.copy(
