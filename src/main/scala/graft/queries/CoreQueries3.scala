@@ -59,11 +59,14 @@ object CoreQueries3 {
        |  AND scheduling_status = 'READY' AND next_run <= TIMESTAMP '$nowLit'
        |ORDER BY config_uuid""".stripMargin
 
-  /** H2: next_run += frequency, version += 1 for launched configs only. */
+  /** H2: next_run = now + frequency, version += 1 for launched configs
+    * only (the now-anchor is the reference's utcnow()+delta,
+    * TagEngineStoreHandler.py:296–301).
+    */
   def q20NextRunAdvance(spark: SparkSession, dir: String): DataFrame = {
     val configs = configsDf(spark)
     val launched = Scheduler.readReadyConfigs(configs, to_timestamp(lit(nowLit)))
-    Scheduler.advanceNextRun(configs, launched)
+    Scheduler.advanceNextRun(configs, launched, to_timestamp(lit(nowLit)))
       .select("config_uuid", "next_run", "version")
       .orderBy("config_uuid")
   }
@@ -74,7 +77,8 @@ object CoreQueries3 {
        |  CASE WHEN refresh_mode = 'AUTO' AND config_status = 'ACTIVE'
        |            AND scheduling_status = 'READY'
        |            AND next_run <= TIMESTAMP '$nowLit'
-       |       THEN next_run + refresh_frequency_minutes * INTERVAL 1 MINUTE
+       |       THEN TIMESTAMP '$nowLit'
+       |            + refresh_frequency_minutes * INTERVAL 1 MINUTE
        |       ELSE next_run END AS next_run,
        |  CASE WHEN refresh_mode = 'AUTO' AND config_status = 'ACTIVE'
        |            AND scheduling_status = 'READY'
@@ -596,7 +600,9 @@ object CoreQueries3 {
   /** A14 store round trip: write configs → md5-identity dedupe/supersede →
     * read_ready. Fixture shared with the oracle as VALUES; c3 re-creates
     * c1's content (same template+type+uris ⇒ same md5 ⇒ c1 flips INACTIVE,
-    * c3 lands at version 2), c4 is novel content.
+    * c3 restarts at version 1 — TagEngineStoreHandler.py:420 re-creates at
+    * `'version': 1`; version counts runs, not re-creations), c4 is novel
+    * content.
     */
   private val storeRows = Seq(
     // uuid, type, template, uris, status, mode, sched, freq, next_run, ver
@@ -658,26 +664,21 @@ object CoreQueries3 {
        |inc_m AS (SELECT *, md5(coalesce(template_id,'<null>') || '|'
        |  || coalesce(config_type,'<null>') || '|'
        |  || coalesce(included_uris,'<null>')) AS content_md5 FROM inc),
-       |maxv AS (SELECT content_md5, max(version) AS mv FROM store_m GROUP BY 1),
-       |inc_v AS (SELECT i.config_uuid, i.config_type, i.template_id,
-       |    i.included_uris, i.config_status, i.refresh_mode,
-       |    i.scheduling_status, i.refresh_frequency_minutes, i.next_run,
-       |    coalesce(m.mv, 0) + 1 AS version, i.content_md5
-       |  FROM inc_m i LEFT JOIN maxv m USING (content_md5)),
-       |allrows AS (
-       |  SELECT config_uuid, config_type, config_status, refresh_mode,
-       |         scheduling_status, next_run, version, content_md5
+       |inc_v AS (SELECT config_uuid, config_type, template_id,
+       |    included_uris, config_status, refresh_mode,
+       |    scheduling_status, refresh_frequency_minutes, next_run,
+       |    1 AS version, content_md5
+       |  FROM inc_m),
+       |final AS (
+       |  SELECT config_uuid, config_type, content_md5, version,
+       |         CASE WHEN content_md5 IN (SELECT content_md5 FROM inc_v)
+       |              THEN 'INACTIVE' ELSE config_status END AS config_status,
+       |         refresh_mode, scheduling_status, next_run
        |  FROM store_m
        |  UNION ALL
-       |  SELECT config_uuid, config_type, config_status, refresh_mode,
-       |         scheduling_status, next_run, version, content_md5
-       |  FROM inc_v),
-       |sup AS (SELECT *, row_number() OVER (PARTITION BY content_md5
-       |    ORDER BY version DESC, config_uuid) AS rn FROM allrows),
-       |final AS (SELECT config_uuid, config_type, content_md5, version,
-       |    CASE WHEN rn > 1 THEN 'INACTIVE' ELSE config_status END
-       |      AS config_status,
-       |    refresh_mode, scheduling_status, next_run FROM sup)
+       |  SELECT config_uuid, config_type, content_md5, version,
+       |         config_status, refresh_mode, scheduling_status, next_run
+       |  FROM inc_v)
        |SELECT config_uuid, config_type, content_md5, version, config_status,
        |  (refresh_mode = 'AUTO' AND config_status = 'ACTIVE'
        |   AND scheduling_status = 'READY'
@@ -698,8 +699,8 @@ object CoreQueries3 {
       .select(col("config_uuid"), col("config_type"),
         md5(concat_ws("|", col("config_uuid"), col("version"))).as("job_uuid"),
         lit("PENDING").as("job_status"),
-        expr("timestampadd(MINUTE, refresh_frequency_minutes, next_run)")
-          .as("next_run"),
+        timestamp_add("MINUTE", col("refresh_frequency_minutes"),
+          to_timestamp(lit(nowLit))).as("next_run"),
         (col("version") + 1).as("version"))
       .orderBy("config_uuid")
 
@@ -708,7 +709,8 @@ object CoreQueries3 {
        |SELECT config_uuid, config_type,
        |  md5(config_uuid || '|' || CAST(version AS VARCHAR)) AS job_uuid,
        |  'PENDING' AS job_status,
-       |  next_run + refresh_frequency_minutes * INTERVAL 1 MINUTE AS next_run,
+       |  TIMESTAMP '$nowLit' + refresh_frequency_minutes * INTERVAL 1 MINUTE
+       |    AS next_run,
        |  version + 1 AS version
        |FROM configs
        |WHERE refresh_mode = 'AUTO' AND config_status = 'ACTIVE'

@@ -170,13 +170,13 @@ object CoreQueries5 {
        |  CAST(2 AS BIGINT) AS n_assets, CAST(4 AS BIGINT) AS n_tag_rows,
        |  CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
        |    AS DOUBLE) AS sum_n_rows,
-       |  TIMESTAMP '2024-03-01 11:00:00' AS next_run, CAST(2 AS BIGINT) AS version
+       |  TIMESTAMP '2024-03-01 13:00:00' AS next_run, CAST(2 AS BIGINT) AS version
        |UNION ALL
        |SELECT 'cB', md5('cB|3'), 'SUCCEEDED',
        |  CAST(2 AS BIGINT), CAST(2 AS BIGINT),
        |  CAST((SELECT count(*) FROM supplier) + (SELECT count(*) FROM part)
        |    AS DOUBLE),
-       |  TIMESTAMP '2024-03-01 11:30:00', CAST(4 AS BIGINT)
+       |  TIMESTAMP '2024-03-01 12:30:00', CAST(4 AS BIGINT)
        |ORDER BY config_uuid""".stripMargin
 
   // --------------- usage-tracking extension parity (q41)

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * INACTIVE (:366–392 `_check_config_type`/dedupe path). Here the store is
   * a DataFrame (backing table: parquet/Delta `configs`), identity is a
   * `content_md5` column computed from the semantic content, and the
-  * supersede step is [[Scheduler.deactivateSuperseded]]'s window — newest
-  * version per identity stays, older duplicates flip INACTIVE. All
+  * supersede step flips every pre-existing same-identity row INACTIVE
+  * (see [[create]] — the incoming re-create wins regardless of the old
+  * row's run-count version, exactly the reference's explicit flip). All
   * operations are set-based transforms producing the NEXT state, so they
   * batch (1 config or 10⁶) and MERGE onto any ACID table format.
   */
@@ -37,21 +38,32 @@ object ConfigStore {
   def withIdentity(configs: DataFrame): DataFrame =
     configs.withColumn("content_md5", contentMd5)
 
-  /** Create (append) configs: incoming rows get their identity hash and a
-    * version one above the store's max for that identity, then older
-    * same-identity rows are deactivated ([[Scheduler.deactivateSuperseded]]).
-    * Returns the next store state (INACTIVE history rows retained, like the
-    * reference's Firestore docs).
+  /** Create (append) configs: incoming rows get their identity hash and
+    * start at VERSION 1 — the reference re-creates at `'version': 1`
+    * (TagEngineStoreHandler.py:420, 508) because version counts RUNS of one
+    * config document (`increment_version_next_run`), not re-creations —
+    * and every pre-existing same-identity row is flipped INACTIVE
+    * explicitly (:382–391), NOT by version comparison: a long-running old
+    * config (version N from N launches) must still lose to its version-1
+    * re-create. Two same-identity rows WITHIN one incoming batch resolve
+    * by [[Scheduler.deactivateSuperseded]]'s deterministic tie-break (the
+    * reference writes sequentially so last-write-wins; a batch has no
+    * order, so lowest config_uuid stays ACTIVE). Returns the next store
+    * state (INACTIVE history rows retained, like the reference's
+    * Firestore docs).
     */
   def create(store: DataFrame, incoming: DataFrame): DataFrame = {
     val cur = withIdentity(store)
-    val maxV = cur.groupBy("content_md5").agg(max("version").as("__maxv"))
-    val incV = withIdentity(incoming)
-      .join(maxV, Seq("content_md5"), "left_outer")
-      .withColumn("version", coalesce(col("__maxv"), lit(0L)) + 1)
-      .drop("__maxv")
-    Scheduler.deactivateSuperseded(
-      cur.unionByName(incV.select(cur.columns.map(col): _*)))
+    val incV = Scheduler.deactivateSuperseded(
+      withIdentity(incoming).withColumn("version", lit(1L)))
+    val hit = incV.select("content_md5").distinct()
+      .withColumn("__superseded", lit(true))
+    val deact = cur.join(hit, Seq("content_md5"), "left_outer")
+      .withColumn("config_status",
+        when(col("__superseded"), lit("INACTIVE"))
+          .otherwise(col("config_status")))
+      .drop("__superseded")
+    deact.unionByName(incV.select(cur.columns.map(col): _*))
   }
 
   /** List configs, optionally filtered by type and/or status

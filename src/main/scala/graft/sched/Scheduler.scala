@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
   * B6, D7).
   *
   * The reference polls Firestore for due configs (Cloud Scheduler →
-  * `read_ready_configs`, TagEngineStoreHandler.py:1374–1392), bumps
-  * `next_run += refresh_frequency` and `version += 1` per launch
-  * (:290–309, 623–646), and fans jobs out over two Cloud Tasks queues with
+  * `read_ready_configs`, TagEngineStoreHandler.py:1374–1392), re-anchors
+  * `next_run = now + refresh_frequency` and bumps `version += 1` per
+  * launch (:290–309, 623–646), and fans jobs out over two Cloud Tasks queues with
   * per-shard counters (TaskManager.py, JobManager.py). Here config state is
   * a DataFrame (backing table: the `configs` lake table); selection is a
   * filter, the next-run advance is a MERGE-shaped transform, and the job
@@ -34,12 +34,18 @@ object Scheduler {
       col("scheduling_status") === "READY" &&
       col("next_run") <= now)
 
-  /** H2: advance launched configs — `next_run += frequency`, `version += 1`,
-    * scheduling_status back to READY (TagEngineStoreHandler.py:290–309).
-    * MERGE semantics: only rows present in `launched` (by config_uuid)
-    * change.
+  /** H2: advance launched configs — `next_run = now + frequency`,
+    * `version += 1`, scheduling_status back to READY. The anchor is `now`,
+    * NOT the previous next_run: the reference computes
+    * `datetime.utcnow() + timedelta(...)` (TagEngineStoreHandler.py:
+    * 296–301), so a config that fell behind schedule drifts forward to
+    * one full period from the launch instant rather than replaying every
+    * missed slot — an overdue 5-minute config launches once, not
+    * back-to-back until it catches up. MERGE semantics: only rows present
+    * in `launched` (by config_uuid) change.
     */
-  def advanceNextRun(configs: DataFrame, launched: DataFrame): DataFrame = {
+  def advanceNextRun(configs: DataFrame, launched: DataFrame,
+                     now: Column): DataFrame = {
     val hit = launched.select(col("config_uuid")).distinct()
       .withColumn("__launched", lit(true))
     val advanced = configs.join(hit, Seq("config_uuid"), "left_outer")
@@ -49,12 +55,14 @@ object Scheduler {
         // sub-second next_run 0-1 s earlier per advance (and diverging
         // from the oracle's `+ n * INTERVAL 1 MINUTE`)
         when(col("__launched"),
-          expr("timestampadd(MINUTE, refresh_frequency_minutes, next_run)"))
+          timestamp_add("MINUTE", col("refresh_frequency_minutes"), now))
           .otherwise(col("next_run")))
       .withColumn("version",
         when(col("__launched"), col("version") + 1).otherwise(col("version")))
-    // the reference EXPLICITLY resets launched configs to READY
-    // (TagEngineStoreHandler.py:290–309) — without this, the moment a
+    // the reference keeps launched configs READY through the whole cycle
+    // (the launch only marks job_status PENDING, main.py:3097–3098, and
+    // the fan-in path re-asserts READY, main.py:3645) — without this, the
+    // moment a
     // launch path models the PENDING state, advanced configs would stay
     // non-READY forever and readReadyConfigs (which filters
     // scheduling_status = 'READY') would never select them again: a

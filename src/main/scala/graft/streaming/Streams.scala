@@ -261,7 +261,7 @@ object Streams {
           .as("job_uuid"),
         lit("SUCCEEDED").as("job_status"),
         col("n_assets"), col("n_tag_rows"), col("sum_n_rows"))
-    val advanced = graft.sched.Scheduler.advanceNextRun(configs, due)
+    val advanced = graft.sched.Scheduler.advanceNextRun(configs, due, now)
       .select("config_uuid", "next_run", "version")
     rollup.join(advanced, "config_uuid")
   }

@@ -19,14 +19,30 @@ class ConfigStoreSpec extends SparkSpec {
     ("c1", "DYNAMIC_TAG_TABLE", "gov", "u1", "ACTIVE", 1L),
     ("c2", "STATIC_TAG_ASSET", "ops", "u2", "ACTIVE", 1L)))
 
-  test("create supersedes same-content configs and bumps version") {
+  test("create supersedes same-content configs; re-create restarts at v1") {
     val next = ConfigStore.create(store,
       mk(Seq(("c3", "DYNAMIC_TAG_TABLE", "gov", "u1", "ACTIVE", 0L))))
     val byUuid = next.select("config_uuid", "config_status", "version")
       .as[(String, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(byUuid("c1") === ("INACTIVE", 1L))
-    assert(byUuid("c3") === ("ACTIVE", 2L))
+    // reference re-creates at 'version': 1 (TagEngineStoreHandler.py:420)
+    // — version counts RUNS of one document, not re-creations
+    assert(byUuid("c3") === ("ACTIVE", 1L))
     assert(byUuid("c2") === ("ACTIVE", 1L))
+  }
+
+  test("a many-run old config still loses to its version-1 re-create") {
+    // c1 has launched 40 times (version 41 via increment_version_next_run);
+    // the reference's supersede is an EXPLICIT flip of the old doc
+    // (:382-391), not a version comparison — a version-ordered window
+    // would keep the stale v41 config ACTIVE and discard the re-create
+    val veteran = mk(Seq(("c1", "DYNAMIC_TAG_TABLE", "gov", "u1", "ACTIVE", 41L)))
+    val next = ConfigStore.create(veteran,
+      mk(Seq(("c9", "DYNAMIC_TAG_TABLE", "gov", "u1", "ACTIVE", 0L))))
+    val byUuid = next.select("config_uuid", "config_status", "version")
+      .as[(String, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byUuid("c1") === ("INACTIVE", 41L))
+    assert(byUuid("c9") === ("ACTIVE", 1L))
   }
 
   test("delete removes one doc; purge removes only INACTIVE of a type") {

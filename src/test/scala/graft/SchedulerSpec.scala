@@ -18,18 +18,22 @@ class SchedulerSpec extends SparkSpec {
     assert(out === Map("c1" -> "INACTIVE", "c2" -> "ACTIVE", "c3" -> "ACTIVE"))
   }
 
-  test("advanceNextRun only touches launched configs") {
+  test("advanceNextRun only touches launched configs, anchored to now") {
     val configs = Seq(
       ("c1", 5L, "2024-03-01 11:00:00", 3L),
       ("c2", 5L, "2024-03-01 13:00:00", 1L))
       .toDF("config_uuid", "refresh_frequency_minutes", "nr", "version")
       .withColumn("next_run", to_timestamp($"nr")).drop("nr")
     val launched = Seq("c1").toDF("config_uuid")
-    val out = Scheduler.advanceNextRun(configs, launched)
+    val out = Scheduler.advanceNextRun(configs, launched,
+        to_timestamp(lit("2024-03-01 12:00:00")))
       .select($"config_uuid", $"next_run".cast("string"), $"version")
       .as[(String, String, Long)].collect()
       .map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
-    assert(out("c1") === ("2024-03-01 11:05:00", 4L))
+    // NOT 11:05 — the reference re-anchors at utcnow()+delta
+    // (TagEngineStoreHandler.py:296–301), so an overdue config lands one
+    // full period after the launch instant, not after its missed slot
+    assert(out("c1") === ("2024-03-01 12:05:00", 4L))
     assert(out("c2") === ("2024-03-01 13:00:00", 1L))
   }
 
