@@ -15,19 +15,21 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Coerce {
 
-  /** bool: string `'TRUE'` (case-insensitive) → true, ANYTHING else →
-    * false — including NULL: the reference runs `str(value).upper() ==
-    * 'TRUE'`, and `str(None)` is `'NONE'` → False
-    * (DataCatalogController.py:1510–1521, 1872–1875). A bare `===`
-    * propagates NULL instead, silently dropping such rows from any
-    * `= false` filter downstream.
+  /** bool: string `'TRUE'` → true, ANYTHING else → false — including
+    * NULL: the reference's string path is `if field_value == 'TRUE'` with
+    * else → False (DataCatalogController.py:1510–1518), so None and every
+    * non-'TRUE' string land False. A bare `===` propagates NULL instead,
+    * silently dropping such rows from any `= false` filter downstream.
+    * (The non-import path, :1872–1875, is Python `bool(field_value)` on an
+    * already-typed query result — no string parsing to mirror there.)
     *
     * DELIBERATE DEVIATION, mirrored by the oracle: the reference compares
-    * the value UNTRIMMED, so a CSV cell `'TRUE '` (trailing pad — routine
-    * in hand-edited imports) is silently False there. We trim first (here
-    * and in [[timestamp]]'s length heuristic) because padding is noise,
-    * not signal; the q05/q06 oracles encode the same trimmed rule so the
-    * gate pins the deviation rather than hiding it.
+    * the value UNTRIMMED and CASE-SENSITIVELY, so a CSV cell `'TRUE '`
+    * (trailing pad) or `'true'` (lowercase — routine in hand-edited
+    * imports) is silently False there. We trim + uppercase first (trim
+    * also in [[timestamp]]'s length heuristic) because padding and case
+    * are noise, not signal; the q05/q06 oracles encode the same lenient
+    * rule so the gate pins the deviation rather than hiding it.
     */
   def bool(v: Column): Column =
     coalesce(upper(trim(v)) === lit("TRUE"), lit(false))
@@ -39,7 +41,11 @@ object Coerce {
   def double(v: Column): Column = v.try_cast(DoubleType)
 
   /** enum: value must be a member of the template's enum_values, else NULL
-    * (skip) — DataCatalogController.py:1539–1542, 1889–1892.
+    * (skip). The reference assigns the display_name unchecked
+    * (DataCatalogController.py:1539–1542, 1889–1892) and lets the Data
+    * Catalog API reject a non-member at write time; with no API here, the
+    * membership check models that rejection as a skipped field (the
+    * template's enum_values come from the template read, :107–142).
     */
   def enumOf(v: Column, allowed: Seq[String]): Column =
     when(v.isInCollection(allowed), v)

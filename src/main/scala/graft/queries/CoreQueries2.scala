@@ -223,7 +223,8 @@ object CoreQueries2 {
           col("event_type") =!= "error", 1)).as("tasks_success"),
         count(when(col("event_type") === "error", 1)).as("tasks_failed"))
       .withColumn("pct_complete",
-        round(col("tasks_ran") * lit(100.0) / col("task_count"), 1))
+        // 2 decimals — JobManager.py:112 `round(tasks_ran/task_count*100, 2)`
+        round(col("tasks_ran") * lit(100.0) / col("task_count"), 2))
       .withColumn("job_status",
         // RUNNING until every task reported (the reference derives
         // SUCCESS/ERROR only at pct_complete = 100)
@@ -242,7 +243,7 @@ object CoreQueries2 {
       |  count(CASE WHEN event_type NOT IN ('view', 'error') THEN 1 END)
       |    AS tasks_success,
       |  count(CASE WHEN event_type = 'error' THEN 1 END) AS tasks_failed,
-      |  round(count(CASE WHEN event_type <> 'view' THEN 1 END) * 100.0 / count(*), 1)
+      |  round(count(CASE WHEN event_type <> 'view' THEN 1 END) * 100.0 / count(*), 2)
       |    AS pct_complete,
       |  CASE WHEN count(CASE WHEN event_type <> 'view' THEN 1 END) < count(*)
       |       THEN 'RUNNING'
