@@ -25,12 +25,29 @@ object CoreQueries {
   private[queries] def materializeThenDelete(spark: SparkSession,
       df: DataFrame, path: java.nio.file.Path): DataFrame =
     try spark.createDataFrame(df.collectAsList(), df.schema)
-    finally {
-      import scala.jdk.CollectionConverters._
+    finally deleteRec(path)
+
+  private def deleteRec(path: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(path))
       java.nio.file.Files.walk(path).sorted(
           java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+  }
+
+  /** The staged-fixture bracket: create a temp dir, run `body`'s writes
+    * and read-back against it, materialize, delete the dir. The delete
+    * fires even when a WRITE inside `body` throws — the bare
+    * materializeThenDelete form only guarded the read-back, so a failed
+    * pre-read step (a store commit, an Avro append) leaked the dir on
+    * every bench/verify retry.
+    */
+  private[queries] def withTempDir(spark: SparkSession, prefix: String)
+      (body: java.nio.file.Path => DataFrame): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(prefix)
+    try materializeThenDelete(spark, body(path), path)
+    finally deleteRec(path) // no-op when materializeThenDelete got there
+  }
 
   /** The flagship dynamic-table config (FIXTURES.md §1.1 realized over
     * `orders`): N per-field SQL expressions with `$table` substitution,
@@ -85,7 +102,7 @@ object CoreQueries {
   val q02Oracle: String =
     """SELECT 'p' AS project, source AS dataset, 'doc_' || doc_id AS "table"
       |FROM documents
-      |WHERE source LIKE '%src1%' AND NOT (('doc_' || doc_id) LIKE '%doc_1%')
+      |WHERE source LIKE '%src1%' AND NOT contains('doc_' || doc_id, 'doc_1')
       |ORDER BY dataset, "table"""".stripMargin
 
   /** H5/B5 + static-asset config: expand work set, anti-join away assets

@@ -511,15 +511,14 @@ object CoreQueries3 {
         "asset_uri string, column string, template_id string, " +
         "field_id string, field_value string"))
     // unique dir per invocation: the sink is append-mode by contract
-    val histPath = java.nio.file.Files.createTempDirectory("graft_hist")
-    TagEngine.runJob(spark, config, catalog, empty, Some(histPath.toString),
-      lit("2024-03-01 12:00:00").cast("timestamp"), lit("job-1"))
-    CoreQueries.materializeThenDelete(spark,
+    CoreQueries.withTempDir(spark, "graft_hist") { histPath =>
+      TagEngine.runJob(spark, config, catalog, empty, Some(histPath.toString),
+        lit("2024-03-01 12:00:00").cast("timestamp"), lit("job-1"))
       spark.read.parquet(histPath.toString)
         .select("event_time", "asset_name", "job_uuid", "n_rows", "env",
           "event_date")
-        .orderBy("asset_name"),
-      histPath)
+        .orderBy("asset_name")
+    }
   }
 
   val q31Oracle: String =

@@ -46,15 +46,14 @@ object CoreQueries4 {
     */
   def q34BackupRestore(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.BackupParser
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bak")
-    java.nio.file.Files.write(tmp.resolve("backup.jsonl"),
-      backupLines.mkString("\n").getBytes("UTF-8"))
-    val backup = BackupParser.read(spark, tmp.toString)
-    CoreQueries.materializeThenDelete(spark,
+    CoreQueries.withTempDir(spark, "graft_bak") { tmp =>
+      java.nio.file.Files.write(tmp.resolve("backup.jsonl"),
+        backupLines.mkString("\n").getBytes("UTF-8"))
+      val backup = BackupParser.read(spark, tmp.toString)
       BackupParser.toTagRows(
           BackupParser.filterByTemplate(backup, "gov", "p1"))
-        .orderBy("entry_id", "column", "field_id"),
-      tmp)
+        .orderBy("entry_id", "column", "field_id")
+    }
   }
 
   /** The fixture is driver-authored, so the oracle states the expected

@@ -611,16 +611,15 @@ object CoreQueries5 {
       ("c3", "DYNAMIC_TAG_COLUMN", "u3", "ACTIVE", 1L)))
       .unionByName(ConfigStore.tombstone(batch0, "c2"))
     // unique dir per invocation: the log is append-mode by contract
-    val logPath = java.nio.file.Files.createTempDirectory("graft_q45")
-    val logDir = logPath.toString
-    ConfigStore.appendDelta(batch0, logDir, batchId = 0L)
-    ConfigStore.appendDelta(delta, logDir, batchId = 1L)
-    CoreQueries.materializeThenDelete(spark,
+    CoreQueries.withTempDir(spark, "graft_q45") { logPath =>
+      val logDir = logPath.toString
+      ConfigStore.appendDelta(batch0, logDir, batchId = 0L)
+      ConfigStore.appendDelta(delta, logDir, batchId = 1L)
       ConfigStore.readLatest(spark, logDir)
         .select("config_uuid", "config_type", "included_uris",
           "config_status", "version")
-        .orderBy("config_uuid"),
-      logPath)
+        .orderBy("config_uuid")
+    }
   }
 
   val q45Oracle: String =
@@ -651,28 +650,27 @@ object CoreQueries5 {
       rows.toDF("asset_uri", "field_id", "field_value")
         .select(col("asset_uri"), lit("").as("column"),
           lit("gov").as("template_id"), col("field_id"), col("field_value"))
-    val storePath = java.nio.file.Files.createTempDirectory("graft_q48")
-    val storeDir = storePath.toString
-    TagStore.mergeCommit(spark, storeDir, mk(Seq(
-      ("bigquery/project/p/dataset/lake/orders", "n_rows", "100"),
-      ("bigquery/project/p/dataset/lake/orders", "env", "DEV"),
-      ("bigquery/project/p/dataset/lake/region", "n_rows", "5"))))
-    TagStore.mergeCommit(spark, storeDir, mk(Seq(
-      ("bigquery/project/p/dataset/lake/orders", "env", "PROD"),
-      ("bigquery/project/p/dataset/lake/nation", "n_rows", "25"))))
-    // crashed merge: next-state data lands, manifest never publishes
-    AtomicStore.writeData(TagStore.applyWithDeletes(
-      AtomicStore.read(spark, storeDir),
-      mk(Seq(("bigquery/project/p/dataset/lake/orders", "env", "GONE")))),
-      storeDir)
-    // committed merge: all-empty tag instance deletes the region tag
-    TagStore.mergeCommit(spark, storeDir, mk(Seq(
-      ("bigquery/project/p/dataset/lake/region", "n_rows", ""))))
-    CoreQueries.materializeThenDelete(spark,
+    CoreQueries.withTempDir(spark, "graft_q48") { storePath =>
+      val storeDir = storePath.toString
+      TagStore.mergeCommit(spark, storeDir, mk(Seq(
+        ("bigquery/project/p/dataset/lake/orders", "n_rows", "100"),
+        ("bigquery/project/p/dataset/lake/orders", "env", "DEV"),
+        ("bigquery/project/p/dataset/lake/region", "n_rows", "5"))))
+      TagStore.mergeCommit(spark, storeDir, mk(Seq(
+        ("bigquery/project/p/dataset/lake/orders", "env", "PROD"),
+        ("bigquery/project/p/dataset/lake/nation", "n_rows", "25"))))
+      // crashed merge: next-state data lands, manifest never publishes
+      AtomicStore.writeData(TagStore.applyWithDeletes(
+        AtomicStore.read(spark, storeDir),
+        mk(Seq(("bigquery/project/p/dataset/lake/orders", "env", "GONE")))),
+        storeDir)
+      // committed merge: all-empty tag instance deletes the region tag
+      TagStore.mergeCommit(spark, storeDir, mk(Seq(
+        ("bigquery/project/p/dataset/lake/region", "n_rows", ""))))
       AtomicStore.read(spark, storeDir)
         .select("asset_uri", "field_id", "field_value")
-        .orderBy("asset_uri", "field_id"),
-      storePath)
+        .orderBy("asset_uri", "field_id")
+    }
   }
 
   val q48Oracle: String =
@@ -813,29 +811,29 @@ object CoreQueries5 {
   def q49EntryCsv(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{ConfigDispatch, EngineInputs}
     val conf = spark.sparkContext.hadoopConfiguration
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q49").toString
-    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
-    Seq("region", "nation").foreach { t =>
-      val stage = new org.apache.hadoop.fs.Path(s"$tmp/_stage_$t")
-      Lake.table(spark, dir, t).coalesce(1)
-        .write.mode("overwrite").option("header", true).csv(stage.toString)
-      val part = fs.listStatus(stage).map(_.getPath)
-        .find(_.getName.startsWith("part-"))
-        .getOrElse(sys.error(s"q49: no csv part file under $stage"))
-      fs.rename(part, new org.apache.hadoop.fs.Path(s"$tmp/$t.csv"))
-      fs.delete(stage, true)
-    }
-    val config = TagConfig(
-      configType = "ENTRY_CREATE",
-      templateId = "file_metadata",
-      fields = Seq("name", "type", "num_rows", "num_cols")
-        .map(f => FieldSpec(f)),
-      includedUris = Seq(s"$tmp/*.csv", s"$dir/supplier.parquet"))
-    val none = spark.emptyDataFrame
-    CoreQueries.materializeThenDelete(spark,
+    CoreQueries.withTempDir(spark, "graft_q49") { tmpPath =>
+      val tmp = tmpPath.toString
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+      Seq("region", "nation").foreach { t =>
+        val stage = new org.apache.hadoop.fs.Path(s"$tmp/_stage_$t")
+        Lake.table(spark, dir, t).coalesce(1)
+          .write.mode("overwrite").option("header", true).csv(stage.toString)
+        val part = fs.listStatus(stage).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"q49: no csv part file under $stage"))
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$tmp/$t.csv"))
+        fs.delete(stage, true)
+      }
+      val config = TagConfig(
+        configType = "ENTRY_CREATE",
+        templateId = "file_metadata",
+        fields = Seq("name", "type", "num_rows", "num_cols")
+          .map(f => FieldSpec(f)),
+        includedUris = Seq(s"$tmp/*.csv", s"$dir/supplier.parquet"))
+      val none = spark.emptyDataFrame
       ConfigDispatch.applyConfig(spark, config, EngineInputs(none, none))
-        .orderBy("asset_uri", "field_id"),
-      java.nio.file.Paths.get(tmp))
+        .orderBy("asset_uri", "field_id")
+    }
   }
 
   val q49Oracle: String =
@@ -874,27 +872,27 @@ object CoreQueries5 {
   def q51EntryJsonl(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{ConfigDispatch, EngineInputs}
     val conf = spark.sparkContext.hadoopConfiguration
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q51").toString
-    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
-    val stage = new org.apache.hadoop.fs.Path(s"$tmp/_stage_nation")
-    Lake.table(spark, dir, "nation").coalesce(1)
-      .write.mode("overwrite").json(stage.toString)
-    val part = fs.listStatus(stage).map(_.getPath)
-      .find(_.getName.startsWith("part-"))
-      .getOrElse(sys.error(s"q51: no json part file under $stage"))
-    fs.rename(part, new org.apache.hadoop.fs.Path(s"$tmp/nation.jsonl"))
-    fs.delete(stage, true)
-    val config = TagConfig(
-      configType = "ENTRY_CREATE",
-      templateId = "file_metadata",
-      fields = Seq("name", "type", "num_rows", "num_cols")
-        .map(f => FieldSpec(f)),
-      includedUris = Seq(s"$tmp/*.jsonl", s"$dir/region.parquet"))
-    val none = spark.emptyDataFrame
-    CoreQueries.materializeThenDelete(spark,
+    CoreQueries.withTempDir(spark, "graft_q51") { tmpPath =>
+      val tmp = tmpPath.toString
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+      val stage = new org.apache.hadoop.fs.Path(s"$tmp/_stage_nation")
+      Lake.table(spark, dir, "nation").coalesce(1)
+        .write.mode("overwrite").json(stage.toString)
+      val part = fs.listStatus(stage).map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"q51: no json part file under $stage"))
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$tmp/nation.jsonl"))
+      fs.delete(stage, true)
+      val config = TagConfig(
+        configType = "ENTRY_CREATE",
+        templateId = "file_metadata",
+        fields = Seq("name", "type", "num_rows", "num_cols")
+          .map(f => FieldSpec(f)),
+        includedUris = Seq(s"$tmp/*.jsonl", s"$dir/region.parquet"))
+      val none = spark.emptyDataFrame
       ConfigDispatch.applyConfig(spark, config, EngineInputs(none, none))
-        .orderBy("asset_uri", "field_id"),
-      java.nio.file.Paths.get(tmp))
+        .orderBy("asset_uri", "field_id")
+    }
   }
 
   val q51Oracle: String =
@@ -929,34 +927,35 @@ object CoreQueries5 {
     */
   def q52EntryAvro(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{ConfigDispatch, EngineInputs}
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q52").toString
-    val rows = Lake.table(spark, dir, "nation")
-      .select(col("n_nationkey").cast("long"), col("n_name").cast("string"),
-        col("n_regionkey").cast("long"))
-      .collect()
-    val schema = org.apache.avro.SchemaBuilder.record("nation").fields()
-      .requiredLong("n_nationkey").requiredString("n_name")
-      .requiredLong("n_regionkey").endRecord()
-    val w = new org.apache.avro.file.DataFileWriter(
-      new org.apache.avro.generic.GenericDatumWriter[
-        org.apache.avro.generic.GenericRecord](schema))
-    w.create(schema, new java.io.File(s"$tmp/nation.avro"))
-    rows.foreach(r => w.append(
-      new org.apache.avro.generic.GenericRecordBuilder(schema)
-        .set("n_nationkey", r.getLong(0)).set("n_name", r.getString(1))
-        .set("n_regionkey", r.getLong(2)).build()))
-    w.close()
-    val config = TagConfig(
-      configType = "ENTRY_CREATE",
-      templateId = "file_metadata",
-      fields = Seq("name", "type", "num_rows", "num_cols")
-        .map(f => FieldSpec(f)),
-      includedUris = Seq(s"$tmp/*.avro", s"$dir/region.parquet"))
-    val none = spark.emptyDataFrame
-    CoreQueries.materializeThenDelete(spark,
+    CoreQueries.withTempDir(spark, "graft_q52") { tmpPath =>
+      val tmp = tmpPath.toString
+      val rows = Lake.table(spark, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name").cast("string"),
+          col("n_regionkey").cast("long"))
+        .collect()
+      val schema = org.apache.avro.SchemaBuilder.record("nation").fields()
+        .requiredLong("n_nationkey").requiredString("n_name")
+        .requiredLong("n_regionkey").endRecord()
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](schema))
+      try {
+        w.create(schema, new java.io.File(s"$tmp/nation.avro"))
+        rows.foreach(r => w.append(
+          new org.apache.avro.generic.GenericRecordBuilder(schema)
+            .set("n_nationkey", r.getLong(0)).set("n_name", r.getString(1))
+            .set("n_regionkey", r.getLong(2)).build()))
+      } finally w.close() // a failed append must not leak the file handle
+      val config = TagConfig(
+        configType = "ENTRY_CREATE",
+        templateId = "file_metadata",
+        fields = Seq("name", "type", "num_rows", "num_cols")
+          .map(f => FieldSpec(f)),
+        includedUris = Seq(s"$tmp/*.avro", s"$dir/region.parquet"))
+      val none = spark.emptyDataFrame
       ConfigDispatch.applyConfig(spark, config, EngineInputs(none, none))
-        .orderBy("asset_uri", "field_id"),
-      java.nio.file.Paths.get(tmp))
+        .orderBy("asset_uri", "field_id")
+    }
   }
 
   val q52Oracle: String =

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Lake
-import graft.functions.{TextFns, VectorFns}
+import graft.functions.TextFns
 import graft.operators.{Bloom, Dedup, Multimodal, Similarity}
 import graft.streaming.Streams
 import graft.queries.CoreQueries.Q
@@ -16,14 +16,7 @@ import graft.queries.CoreQueries.Q
   */
 object DataQueries {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
-    Lake.table(spark, dir, "documents")
-
-  private def emb(spark: SparkSession, dir: String): DataFrame = {
-    VectorFns.register(spark)
-    Lake.table(spark, dir, "embeddings")
-      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("vec"))
-  }
+  import Shared.{docs, emb, cosSql, embCte, sqlList}
 
   // ---------------------------------------------------------------- dedup
 
@@ -215,29 +208,21 @@ object DataQueries {
   def d28PersistedSigIndex(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.DocIndexStore
     val ix = DocIndex.index(spark, dir)
-    val root = java.nio.file.Files.createTempDirectory("graft_d28").toString
-    val split = col("doc_id") % 5 < 4
-    DocIndexStore.write(root, DocIndexStore.Components(
-      ix.simhash.filter(split), ix.minhashSigs.filter(split)))
-    DocIndexStore.appendSimhash(root, ix.simhash.filter(!split))
-    DocIndexStore.appendMinhash(root, ix.minhashSigs.filter(!split))
-    val loaded = DocIndexStore.load(spark, root)
-    CoreQueries.materializeThenDelete(spark,
+    CoreQueries.withTempDir(spark, "graft_d28") { rootPath =>
+      val root = rootPath.toString
+      val split = col("doc_id") % 5 < 4
+      DocIndexStore.write(root, DocIndexStore.Components(
+        ix.simhash.filter(split), ix.minhashSigs.filter(split)))
+      DocIndexStore.appendSimhash(root, ix.simhash.filter(!split))
+      DocIndexStore.appendMinhash(root, ix.minhashSigs.filter(!split))
+      val loaded = DocIndexStore.load(spark, root)
       Dedup.simhashPairs(loaded.simhash, "doc_id", maxHamming = 8)
-        .orderBy("a_id", "b_id"),
-      java.nio.file.Paths.get(root))
+        .orderBy("a_id", "b_id")
+    }
   }
 
   // ----------------------------------------------------------- similarity
 
-  /** DuckDB cosine between two `array<double>` expressions, mirroring
-    * CosineSimilarity's accumulation exactly.
-    */
-  private def cosSql(a: String, b: String): String =
-    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
-
-  private val embCte: String =
-    "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)"
 
   /** Exact all-pairs baseline, kept under the oracle gate as ground truth
     * for e03's recall eval — the O(n²) plan is behind an EXPLICIT opt-in
@@ -329,23 +314,23 @@ object DataQueries {
   def s16AnnPersistedIndex(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.AnnIndexStore
     val ix = AnnEval.index(spark, dir)
-    val root = java.nio.file.Files.createTempDirectory("graft_s16").toString
-    AnnIndexStore.write(root, AnnIndexStore.Components(
-      ix.centroids, ix.assigned, ix.assignedMulti2, ix.codes, ix.sigs))
-    val loaded = AnnIndexStore.load(spark, root)
-    val assignedWithVec = loaded.assigned.join(ix.emb, "vec_id")
-    val query = {
-      import spark.implicits._
-      Seq(Tuple1(ix.query.toSeq)).toDF("qvec")
-    }
-    // the probe result is LAZY over the loaded lake tables: materialize
-    // before deleting the temp index root (and delete it — repeated
-    // bench sampling must not accumulate index copies under /tmp)
-    CoreQueries.materializeThenDelete(spark,
+    CoreQueries.withTempDir(spark, "graft_s16") { rootPath =>
+      val root = rootPath.toString
+      AnnIndexStore.write(root, AnnIndexStore.Components(
+        ix.centroids, ix.assigned, ix.assignedMulti2, ix.codes, ix.sigs))
+      val loaded = AnnIndexStore.load(spark, root)
+      val assignedWithVec = loaded.assigned.join(ix.emb, "vec_id")
+      val query = {
+        import spark.implicits._
+        Seq(Tuple1(ix.query.toSeq)).toDF("qvec")
+      }
+      // the probe result is LAZY over the loaded lake tables: the bracket
+      // materializes before deleting the temp index root (and deletes it —
+      // repeated bench sampling must not accumulate index copies under /tmp)
       Similarity.ivfTopK(assignedWithVec, loaded.centroids, query, k = 10,
           nprobe = 2, excludeId = Some(0L))
-        .orderBy("rank"),
-      java.nio.file.Paths.get(root))
+        .orderBy("rank")
+    }
   }
 
   val s02Oracle: String =
@@ -399,8 +384,6 @@ object DataQueries {
 
   // -------------------------------------------------------- text analysis
 
-  private def sqlList(ws: Seq[String]): String =
-    ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
   def t01LangId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(

@@ -16,8 +16,7 @@ import graft.queries.CoreQueries.Q
   */
 object DataQueries2 {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
-    Lake.table(spark, dir, "documents")
+  import Shared.{docs, cosSql}
 
   // ---------------------------------------------------- dedup clustering
 
@@ -180,8 +179,6 @@ object DataQueries2 {
       .orderBy("label", "pred_label")
   }
 
-  private def cosSql(a: String, b: String): String =
-    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
   val s05Oracle: String =
     s"""WITH e AS (SELECT vec_id, label,

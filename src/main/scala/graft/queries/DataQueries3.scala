@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Lake
-import graft.functions.{TextFns, VectorFns}
+import graft.functions.TextFns
 import graft.operators.Similarity
 import graft.queries.CoreQueries.Q
 
@@ -16,8 +16,7 @@ import graft.queries.CoreQueries.Q
   */
 object DataQueries3 {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
-    Lake.table(spark, dir, "documents")
+  import Shared.{docs, emb, cosSql, sqlList}
 
   // ----------------------------------------- n-gram decontamination (d13)
 
@@ -115,11 +114,6 @@ object DataQueries3 {
 
   // --------------------------------------------- ANN recall eval (s07)
 
-  private def emb(spark: SparkSession, dir: String): DataFrame = {
-    VectorFns.register(spark)
-    Lake.table(spark, dir, "embeddings")
-      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("vec"))
-  }
 
   /** ANN index evaluation: recall@10 of the IVF (s02 configuration,
     * nprobe=2) and hyperplane-LSH (s03 configuration) indexes against the
@@ -158,8 +152,6 @@ object DataQueries3 {
       .orderBy("method")
   }
 
-  private def cosSql(a: String, b: String): String =
-    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
   val s07Oracle: String = {
     val embCte =
@@ -302,8 +294,6 @@ object DataQueries3 {
 
   // ------------------------------------ composite quality filter (t14)
 
-  private def sqlList(xs: Seq[String]): String =
-    xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   /** The C4/Gopher-style filter STACK as one verdict operator: language
     * (t01's stopword-argmax langid must say 'en'), length bounds, mean

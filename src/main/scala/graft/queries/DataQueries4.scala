@@ -3,8 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Lake
-import graft.functions.{Pii, VectorFns}
+import graft.functions.Pii
 import graft.operators.KMeans
 import graft.queries.CoreQueries.Q
 
@@ -18,14 +17,7 @@ import graft.queries.CoreQueries.Q
   */
 object DataQueries4 {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
-    Lake.table(spark, dir, "documents")
-
-  private def emb(spark: SparkSession, dir: String): DataFrame = {
-    VectorFns.register(spark)
-    Lake.table(spark, dir, "embeddings")
-      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("vec"))
-  }
+  import Shared.{docs, emb, cosSql}
 
   // ------------------------------------------ PII inspect + redact (t15)
 
@@ -131,8 +123,6 @@ object DataQueries4 {
 
   // ------------------------------------------- K-Means training (s09)
 
-  private def cosSql(a: String, b: String): String =
-    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
   /** Two Lloyd iterations from the same 8 seed vectors the IVF queries
     * use as their fixed "model" — the training loop that would produce

@@ -3,8 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Lake
-import graft.functions.{TextFns, VectorFns}
+import graft.functions.TextFns
 import graft.operators.{Bloom, Bpe, Clean, Dedup, Multimodal, Similarity}
 import graft.queries.CoreQueries.Q
 
@@ -19,14 +18,7 @@ import graft.queries.CoreQueries.Q
   */
 object DataQueries5 {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
-    Lake.table(spark, dir, "documents")
-
-  private def emb(spark: SparkSession, dir: String): DataFrame = {
-    VectorFns.register(spark)
-    Lake.table(spark, dir, "embeddings")
-      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("vec"))
-  }
+  import Shared.{docs, emb}
 
   // ------------------------------------ Bloom incremental dedup (d18)
 
@@ -47,8 +39,14 @@ object DataQueries5 {
       .localCheckpoint(false)
     val existing = d.filter(col("doc_id") % 10 < 8).select("fp")
     val incoming = d.filter(col("doc_id") % 10 >= 8)
+    // sketch capacity tracks the corpus (d08's rule; the count is cheap —
+    // d is already checkpointed): a FIXED capacity quietly saturates past
+    // its design point, the false-positive rate climbs, and nearly every
+    // incoming doc falls through to the exact verify join — the shuffle
+    // this stage exists to avoid
+    val expected = math.max(1000L, d.count())
     val bf = Bloom.build(existing, col("fp"),
-      expectedItems = 1000000L, numBits = 8L * 1000000L)
+      expectedItems = expected, numBits = 8L * expected)
     val flagged = incoming.withColumn("cand", Bloom.mightContain(bf, col("fp")))
     val novelByBloom = flagged.filter(!col("cand"))
       .select(col("doc_id"), lit(true).as("is_novel"))
@@ -742,8 +740,11 @@ object DataQueries5 {
     */
   def t18BpeTrain(spark: SparkSession, dir: String): DataFrame =
     // SERVED from the session DocIndex (IndexServeSpec pins equality
-    // with a fresh Bpe.train); t21's encode shares the same table
-    DocIndex.index(spark, dir).bpeMerges3
+    // with a fresh Bpe.train); t21's encode shares the same table.
+    // orderBy: the driver compare sorts rows, but the repo discipline is
+    // a deterministic ORDER BY on every gated query — a future shuffle
+    // in the index path must not change what this query RETURNS
+    DocIndex.index(spark, dir).bpeMerges3.orderBy("step")
 
   val t18Oracle: String = {
     def pairCte(i: Int): String =

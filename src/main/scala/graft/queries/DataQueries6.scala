@@ -3,8 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Lake
-import graft.functions.{TextFns, VectorFns}
+import graft.functions.TextFns
 import graft.operators.{Bpe, Dedup, Similarity}
 import graft.queries.CoreQueries.Q
 
@@ -21,20 +20,8 @@ import graft.queries.CoreQueries.Q
   */
 object DataQueries6 {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
-    Lake.table(spark, dir, "documents")
+  import Shared.{docs, emb, cosSql, embCte}
 
-  private def emb(spark: SparkSession, dir: String): DataFrame = {
-    VectorFns.register(spark)
-    Lake.table(spark, dir, "embeddings")
-      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("vec"))
-  }
-
-  private def cosSql(a: String, b: String): String =
-    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
-
-  private val embCte: String =
-    "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)"
 
   // ------------------- bucketed near-dup recall eval (e03)
 
@@ -476,7 +463,7 @@ object DataQueries6 {
       |    regexp_replace(regexp_replace(base, '\?.*$', ''), '^https?://', '')
       |      AS hostpath,
       |    list_sort(list_filter(str_split(regexp_extract(base, '\?(.*)$', 1), '&'),
-      |      x -> x NOT LIKE 'utm_%' AND x <> '')) AS params
+      |      x -> NOT starts_with(x, 'utm_') AND x <> '')) AS params
       |  FROM c),
       |k AS (
       |  SELECT doc_id, url,
