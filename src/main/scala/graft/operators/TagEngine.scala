@@ -289,7 +289,36 @@ object TagEngine {
     * a rollup can attribute to the jobs.
     */
   def runJobs(spark: SparkSession, configs: Seq[(String, TagConfig)],
-              catalog: DataFrame, existingTags: DataFrame): DataFrame = {
+              catalog: DataFrame, existingTags: DataFrame): DataFrame =
+    balancedUnion(perConfigIncoming(spark, configs, catalog, existingTags)
+      .map { case (id, incoming) =>
+        TagStore.applyWithDeletes(existingTags, incoming)
+          .withColumn("config_uuid", lit(id))
+      })
+
+  /** The PRODUCED rows of each job in a batched tick — the incoming set
+    * each config's MERGE applies (computed rows after the overwrite=false
+    * restriction), tagged with config_uuid. This is what a job ROLLUP
+    * must count: [[runJobs]]' post-merge state repeats every untouched
+    * pre-existing store row under each config's uuid, so aggregating THAT
+    * reports store size, not job work — on a store with N tags, a due
+    * config whose expansion matched nothing would "report" an N-row job
+    * instead of the reference's (SUCCEEDED, 0 tasks) no-op.
+    */
+  def runJobsProduced(spark: SparkSession, configs: Seq[(String, TagConfig)],
+                      catalog: DataFrame, existingTags: DataFrame): DataFrame =
+    balancedUnion(perConfigIncoming(spark, configs, catalog, existingTags)
+      .map { case (id, incoming) => incoming.withColumn("config_uuid", lit(id)) })
+
+  /** Shared tick pass: ONE catalog expansion for every config, then each
+    * config's incoming MERGE set. Backbone of [[runJobs]] (post-merge
+    * states) and [[runJobsProduced]] (the jobs' own rows).
+    */
+  private def perConfigIncoming(spark: SparkSession,
+                                configs: Seq[(String, TagConfig)],
+                                catalog: DataFrame,
+                                existingTags: DataFrame)
+      : Seq[(String, DataFrame)] = {
     require(configs.nonEmpty, "runJobs: no configs to run")
     val expandFrames = configs.map { case (id, cfg) =>
       Expander.expand(catalog, cfg.includedUris, cfg.excludedUris)
@@ -301,13 +330,10 @@ object TagEngine {
         .groupBy(_.getString(0))
         .view.mapValues(_.toSeq.map(r => AssetUri("bigquery", r.getString(1),
           Some(r.getString(2)), Some(r.getString(3)), None))).toMap
-    val perConfig = configs.map { case (id, cfg) =>
+    configs.map { case (id, cfg) =>
       val computed = applyOverAssets(spark, cfg, expanded.getOrElse(id, Nil))
-      val incoming = incomingFor(cfg, computed, existingTags)
-      TagStore.applyWithDeletes(existingTags, incoming)
-        .withColumn("config_uuid", lit(id))
+      id -> incomingFor(cfg, computed, existingTags)
     }
-    balancedUnion(perConfig)
   }
 
   /** The incoming set a job MERGEs: computed rows, minus (when

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Lake
 
 /** Structured-Streaming surface (SURVEY.md §2 H).
   *
@@ -21,10 +20,19 @@ object Streams {
     * the watermark before calling).
     */
   def windowedEventCounts(events: DataFrame): DataFrame =
-    events.groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+    windowedAgg(events, "event_type")
+
+  /** The shared tumbling-window aggregation shape (5-minute epoch-aligned
+    * window, count, exact-decimal value sum): ONE definition for the
+    * event-type and the enriched-segment forms, so the window width and
+    * the decimal-sum convention cannot fork between their batch/stream
+    * oracle pairs.
+    */
+  private def windowedAgg(events: DataFrame, keyCol: String): DataFrame =
+    events.groupBy(window(col("ts"), "5 minutes"), col(keyCol))
       .agg(count(lit(1)).as("n"),
            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
+      .select(col("window.start").as("window_start"), col(keyCol),
               col("n"), col("sum_value"))
 
   /** The streaming form: parquet source over `streamDir` → watermark →
@@ -48,12 +56,7 @@ object Streams {
     * the hot path.
     */
   def enrichedWindowCounts(events: DataFrame, dim: DataFrame): DataFrame =
-    events.join(broadcast(dim), "user_id")
-      .groupBy(window(col("ts"), "5 minutes"), col("segment"))
-      .agg(count(lit(1)).as("n"),
-           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-      .select(col("window.start").as("window_start"), col("segment"),
-              col("n"), col("sum_value"))
+    windowedAgg(events.join(broadcast(dim), "user_id"), "segment")
 
   /** Stream-stream interval-join shape: for each purchase, the count of
     * views by the same user in the preceding `minutes`. Written once,
@@ -108,6 +111,19 @@ object Streams {
       val closed = scala.collection.mutable.ListBuffer.empty[Session]
       incoming.foreach { e =>
         open match {
+          case Some(s)
+              if s.session_start.getTime - e.ts.getTime >= gapMs =>
+            // out-of-order event a FULL gap (or more) before the open
+            // session's start: batch splits here (diff >= gap starts a
+            // new session), so merging — which the bare forward test
+            // below would do, its diff being negative — would fuse two
+            // batch-distinct sessions SILENTLY (the merged output shows
+            // no < gap separation for the bound invariant to catch).
+            // The event is its own session, already closed by the very
+            // silence in front of the open one. Reachable only at the
+            // exact boundary: accepted events sit >= the watermark,
+            // which lags max event time by exactly gap.
+            closed += Session(userId, e.ts, e.ts, 1)
           case Some(s) if e.ts.getTime - s.session_end.getTime < gapMs =>
             // merge with min/max, NOT `session_end = e.ts`: an event from a
             // later micro-batch may be out-of-order vs the open session's
@@ -122,8 +138,11 @@ object Streams {
             // ALREADY-EMITTED session's end (reachable when the silence
             // that closed it was < 2×gap — the accepted-event window is
             // [wm, closed_end + gap), nonempty exactly then) merges into
-            // the newer open session here, where batch would have
-            // extended the closed one. That divergence is inherent to
+            // the newer open session here when it lands strictly inside
+            // gap of its start (a full-gap-or-more backward event takes
+            // the split branch above instead, exactly like batch), where
+            // batch would have extended the closed one. That divergence
+            // is inherent to
             // gap-width watermarks + Append emission (avoiding it means
             // holding every session until the watermark passes
             // session_end + gap, i.e. one extra gap of emission latency
@@ -223,14 +242,23 @@ object Streams {
     // the stored config_type is HONORED, not assumed: runJobs batches
     // only the dynamic-table evaluation, so a due config of any other
     // type must fail the tick loudly (silently rebuilding it as a table
-    // config would produce wrong tag rows or a broken field spec)
+    // config would produce wrong tag rows or a broken field spec).
+    // NULL-safe + Locale.ROOT: a NULL config_type must land in the same
+    // loud require (not an NPE that skips its message), and a Turkish
+    // default locale must not uppercase 'dynamic' to 'DYNAMİC' and fail
+    // a valid config
     val offType = dueRows.filter(r =>
-      r.getString(4).toUpperCase != "DYNAMIC_TAG_TABLE")
+      Option(r.getString(4)).map(_.toUpperCase(java.util.Locale.ROOT))
+        .orNull != "DYNAMIC_TAG_TABLE")
     require(offType.isEmpty,
       "schedulerTick batches DYNAMIC_TAG_TABLE configs only; due configs " +
         s"of other types: ${offType.map(r => s"${r.getString(0)}(" +
           s"${r.getString(4)})").mkString(", ")} — run them through " +
         "ConfigDispatch.applyConfig per config")
+    val noVersion = dueRows.filter(_.isNullAt(3))
+    require(noVersion.isEmpty,
+      "schedulerTick: due configs with NULL version (job identity is " +
+        s"md5(uuid|version)): ${noVersion.map(_.getString(0)).mkString(", ")}")
     val cfgs = dueRows.toSeq.map { r =>
       // NULL included_uris = a config that matches nothing: expansion is
       // empty and the rollup's left join reports the no-op job, instead
@@ -240,7 +268,12 @@ object Streams {
       r.getString(0) -> TagConfig("DYNAMIC_TAG_TABLE", r.getString(1),
         fieldsOf(r.getString(0)), includedUris = uris)
     }
-    val tagRows = TagEngine.runJobs(spark, cfgs, catalog, existingTags)
+    // runJobsProduced, NOT runJobs: the rollup must count the rows each
+    // job PRODUCED. runJobs returns post-merge store state per config, so
+    // on a nonempty store every untouched pre-existing tag row would be
+    // counted into every due config's n_tag_rows/sum_n_rows — a no-op job
+    // would "report" the whole store instead of (SUCCEEDED, 0, 0)
+    val tagRows = TagEngine.runJobsProduced(spark, cfgs, catalog, existingTags)
     val versions = dueRows.toSeq.map(r => (r.getString(0), r.getLong(3)))
       .toDF("config_uuid", "job_version")
     // LEFT join from the due list: a due config whose expansion matched

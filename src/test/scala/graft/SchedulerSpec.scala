@@ -37,6 +37,46 @@ class SchedulerSpec extends SparkSpec {
     assert(out("c2") === ("2024-03-01 13:00:00", 1L))
   }
 
+  test("tick rollup counts the job's OWN rows, not the pre-existing store") {
+    val configs = Seq(
+      ("cHit", "gov", "bigquery/project/p/dataset/lake/region",
+        60L, "2024-03-01 10:00:00", 1L),
+      ("cMiss", "gov", "bigquery/project/p/dataset/lake/no_such_table",
+        60L, "2024-03-01 10:00:00", 1L))
+      .toDF("config_uuid", "template_id", "included_uris",
+        "refresh_frequency_minutes", "nr", "version")
+      .withColumn("next_run", to_timestamp($"nr")).drop("nr")
+      .withColumn("config_type", lit("DYNAMIC_TAG_TABLE"))
+      .withColumn("config_status", lit("ACTIVE"))
+      .withColumn("refresh_mode", lit("AUTO"))
+      .withColumn("scheduling_status", lit("READY"))
+    val catalog = Seq(("p", "lake", "region")).toDF("project", "dataset", "table")
+    spark.sql("CREATE OR REPLACE TEMP VIEW region AS SELECT 1 AS r_regionkey")
+    // a NONEMPTY store: 3 pre-existing tags from earlier ticks. The
+    // rollup must NOT count them — runJobs' post-merge state repeats the
+    // whole store under each config's uuid, so aggregating that would report
+    // n_tag_rows=4/3 (store + produced) and cMiss's no-op job would
+    // "report" the store instead of (SUCCEEDED, 0, 0)
+    val existing = Seq(
+      ("doc_a", "", "gov", "n_rows", "500"),
+      ("doc_b", "", "gov", "n_rows", "700"),
+      ("doc_c", "", "other", "env", "DEV"))
+      .toDF("asset_uri", "column", "template_id", "field_id", "field_value")
+    val fields = Map("cHit" -> Seq(graft.model.FieldSpec("n_rows", "double",
+      Some("select count(*) from $table"))),
+      "cMiss" -> Seq(graft.model.FieldSpec("n_rows", "double",
+        Some("select count(*) from $table"))))
+    val out = graft.streaming.Streams.schedulerTick(spark, configs,
+        to_timestamp(lit("2024-03-01 12:00:00")), catalog, existing, fields)
+      .select($"config_uuid", $"n_assets", $"n_tag_rows", $"sum_n_rows")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("cHit") === ((1L, 1L, 1.0)),
+      "one asset, one produced tag row, n_rows=1 — not store-sized counts")
+    assert(out("cMiss") === ((0L, 0L, 0.0)),
+      "empty expansion must be the reference's no-op job")
+  }
+
   test("an idle scheduler tick (nothing due) is an empty tick-shaped frame") {
     val configs = Seq(("c1", "gov", "bigquery/project/p/dataset/lake/region",
         60L, "2024-03-01 14:00:00", 1L))

@@ -58,11 +58,16 @@ class SessionBoundarySpec extends SparkSpec {
   test("pinned divergence: a late event in (closed_end, closed_end+gap) joins the newer session") {
     // gap=20min. Batch 1 closes [00:00,00:15] on the observed 35-min
     // silence and opens [00:50]; watermark after it is 00:30. Batch 2's
-    // late 00:30 clears the watermark and sits within gap of BOTH the
-    // emitted session's end (15 < 20) and the open session's start
-    // (20 ≤ 20 keeps them separate in batch) — batch fuses it into the
-    // CLOSED session; the stream, having already emitted it, merges the
-    // late event into the newer open one. Both shapes pinned exactly.
+    // late 00:30 clears the watermark and sits within gap of the emitted
+    // session's end (15 < 20) but a FULL gap before the open session's
+    // start (50 − 30 = 20) — batch fuses it into the CLOSED session and
+    // keeps [00:50] separate. The stream, having already emitted
+    // [00:00, 00:15], can neither extend it nor (batch-consistently)
+    // merge backwards across a full gap: the event becomes its own
+    // singleton session. Divergence stays VISIBLE as the < gap
+    // separation between [..00:15] and [00:30..]. (A late event strictly
+    // INSIDE gap of the open start — e.g. 00:35 here — still merges into
+    // the newer session; the generated-arrivals test drives that form.)
     val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     def t(min: Long) = ts(h0 + min * 60000L)
     val events = Seq(
@@ -75,19 +80,49 @@ class SessionBoundarySpec extends SparkSpec {
       .filter(_.user_id == 1L).toSet
     assert(got === Set(
       Session(1L, t(0), t(15), 2L),
-      Session(1L, t(30), t(50), 2L)),
-      "stream: eager close, late event backs into the newer session")
+      Session(1L, t(30), t(30), 1L),
+      Session(1L, t(50), t(50), 1L)),
+      "stream: eager close; the full-gap-backward late event is its own session")
     val batch = Streams.sessionize(
         events.filter(_.user_id == 1L).toDF(), gapMinutes = GapMin)
       .select("session_start", "session_end", "n_events")
       .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
     assert(batch === Set((t(0), t(30), 3L), (t(50), t(50), 1L)),
       "batch: the same late event extends the first session instead")
-    // the divergence is exactly the documented bound: the stream pair is
-    // separated by 15 min < gap, with the newer start inside
-    // (prev_end, prev_end + gap) — and events are conserved (4 == 4)
+    // the divergence is exactly the documented bound: the stream pair
+    // ([..15], [30..]) is separated by 15 min < gap, with the newer start
+    // inside (prev_end, prev_end + gap); [50,50] matches batch exactly —
+    // and events are conserved (4 == 4)
     assert(got.toSeq.map(_.n_events).sum ===
       batch.toSeq.map(_._3).sum)
+  }
+
+  test("backward boundary: an event exactly gap BEFORE the open session splits like batch") {
+    // gap=20min. Batch 1 opens [40,40] for user 1; the watermark after it
+    // is exactly 40-20=20. Batch 2's event at 20 clears the watermark by
+    // equality and sits exactly gap before the open session's start —
+    // batch SPLITS here (diff >= gap starts a new session), so the stream
+    // must too. The bare forward merge test (e.ts - session_end < gap,
+    // diff negative) would fuse them into one [20,40] session — a SILENT
+    // divergence: the merged output shows no < gap separation for the
+    // bound invariant to catch.
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(min: Long) = ts(h0 + min * 60000L)
+    val got = runStream(Seq(
+        Seq(SessionEvent(1L, 1L, t(40))),
+        Seq(SessionEvent(1L, 2L, t(20))),
+        Seq(SessionEvent(99L, 3L, t(600)))), "backward")
+      .filter(_.user_id == 1L).toSet
+    assert(got === Set(
+      Session(1L, t(20), t(20), 1L),
+      Session(1L, t(40), t(40), 1L)),
+      "exactly-gap backward event must be its own session, as in batch")
+    val batch = Streams.sessionize(
+        Seq(SessionEvent(1L, 1L, t(40)), SessionEvent(1L, 2L, t(20)))
+          .toDF(), gapMinutes = GapMin)
+      .select("session_start", "session_end", "n_events")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    assert(batch === Set((t(20), t(20), 1L), (t(40), t(40), 1L)))
   }
 
   test("generated arrivals: clean users == batch exactly; divergence only in the documented window") {
