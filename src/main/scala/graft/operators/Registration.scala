@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Product-registration workflow parity
   * (extensions/product_registration_pipeline/main.py): a data-product tag
-  * whose `status` field flips to 'Pending' triggers generation of the
+  * whose `status` field flips to 'PENDING' triggers generation of the
   * product's resource tags over all of its data assets; once generated,
-  * the product's status moves to 'Review' so the data steward can sign
+  * the product's status moves to 'REVIEW' so the data steward can sign
   * off before access is granted.
   *
   * The reference is event-driven glue (Data Catalog tag-update event →
@@ -26,7 +26,7 @@ object Registration {
     *  - `mapping(product_uri, asset_uri)`: the product's data assets;
     *  - `assetFacts(asset_uri, n_rows)`: per-asset facts for the dynamic
     *    resource field (catalog metadata, computed once upstream).
-    * Output: the NEXT tag state — product tags with Pending→Review
+    * Output: the NEXT tag state — product tags with PENDING→REVIEW
     * flipped, plus the generated `data_resource` tags (static
     * steward/env fields + the n_rows fact) for every pending product's
     * assets.
@@ -35,7 +35,10 @@ object Registration {
                       assetFacts: DataFrame,
                       resourceTemplateId: String): DataFrame = {
     val pending = productTags
-      .filter(col("field_id") === "status" && col("field_value") === "Pending")
+      // the trigger value and the written value are UPPERCASE in the
+      // reference (the pubsub filter matches displayName="PENDING",
+      // README:98; the function writes 'REVIEW', main.py:139)
+      .filter(col("field_id") === "status" && col("field_value") === "PENDING")
       .select(col("asset_uri").as("product_uri")).distinct()
     // trigger → generation fan-out: assets of pending products only
     val assets = mapping.join(pending, Seq("product_uri"), "left_semi")
@@ -54,10 +57,10 @@ object Registration {
         explode(array(fields: _*)).as("f"))
       .select(col("asset_uri"), col("column"), col("template_id"),
         col("f.field_id"), col("f.field_type"), col("f.field_value"))
-    // status flip: Pending → Review on exactly the triggering rows
+    // status flip: PENDING → REVIEW on exactly the triggering rows
     val flipped = productTags.withColumn("field_value",
-      when(col("field_id") === "status" && col("field_value") === "Pending",
-        lit("Review")).otherwise(col("field_value")))
+      when(col("field_id") === "status" && col("field_value") === "PENDING",
+        lit("REVIEW")).otherwise(col("field_value")))
     flipped.unionByName(generated)
   }
 }

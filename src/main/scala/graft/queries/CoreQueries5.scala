@@ -400,15 +400,17 @@ object CoreQueries5 {
   // --------------- product-registration workflow parity (q43)
 
   private val productRows = Seq(
-    ("product/p1", "Pending"), ("product/p2", "Pending"),
-    ("product/p3", "Approved"))
+    ("product/p1", "PENDING"), ("product/p2", "PENDING"),
+    ("product/p3", "APPROVED"))
 
   private val mappingRows = Seq(
     ("product/p1", "region"), ("product/p1", "nation"),
     ("product/p2", "supplier"), ("product/p3", "orders"))
 
   /** Product-registration parity: pending products trigger resource-tag
-    * generation over their assets + the Pending→Review status flip, as
+    * generation over their assets + the PENDING→REVIEW status flip
+    * (uppercase — the reference's trigger filter and written value,
+    * extensions/product_registration_pipeline README:98 / main.py:139), as
     * one set-based sweep ([[graft.operators.Registration]]). The n_rows
     * resource field is data-dependent (per-asset counts), so the oracle
     * gates the generation path, not just the fixture.
@@ -435,8 +437,8 @@ object CoreQueries5 {
 
   val q43Oracle: String =
     """WITH prod(asset_uri, status) AS (VALUES
-      |  ('product/p1', 'Pending'), ('product/p2', 'Pending'),
-      |  ('product/p3', 'Approved')),
+      |  ('product/p1', 'PENDING'), ('product/p2', 'PENDING'),
+      |  ('product/p3', 'APPROVED')),
       |assets(asset_uri, n_rows) AS (
       |  SELECT 'bigquery/project/p/dataset/lake/region',
       |         (SELECT count(*) FROM region)
@@ -448,7 +450,7 @@ object CoreQueries5 {
       |         (SELECT count(*) FROM supplier))
       |SELECT asset_uri, '' AS "column", 'data_product' AS template_id,
       |       'status' AS field_id, 'enum' AS field_type,
-      |       CASE WHEN status = 'Pending' THEN 'Review' ELSE status END
+      |       CASE WHEN status = 'PENDING' THEN 'REVIEW' ELSE status END
       |         AS field_value
       |FROM prod
       |UNION ALL

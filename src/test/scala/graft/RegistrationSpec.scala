@@ -17,13 +17,13 @@ class RegistrationSpec extends SparkSpec {
     .toDF("product_uri", "asset_uri")
   private val facts = Seq(("a1", 5L), ("a2", 7L)).toDF("asset_uri", "n_rows")
 
-  test("only PENDING products fan out; their status flips to Review") {
+  test("only PENDING products fan out; their status flips to REVIEW") {
     val out = Registration.registerPending(
-      tags("product/p1" -> "Pending", "product/p2" -> "Approved"),
+      tags("product/p1" -> "PENDING", "product/p2" -> "APPROVED"),
       mapping, facts, "data_resource")
     val statuses = out.filter(col("template_id") === "data_product")
       .select("asset_uri", "field_value").as[(String, String)].collect().toMap
-    assert(statuses === Map("product/p1" -> "Review", "product/p2" -> "Approved"))
+    assert(statuses === Map("product/p1" -> "REVIEW", "product/p2" -> "APPROVED"))
     // generation scoped to the pending product's assets only
     val generated = out.filter(col("template_id") === "data_resource")
     assert(generated.select("asset_uri").distinct()
@@ -34,7 +34,7 @@ class RegistrationSpec extends SparkSpec {
   }
 
   test("no pending products: status table unchanged, nothing generated") {
-    val in = tags("product/p1" -> "Review", "product/p2" -> "Approved")
+    val in = tags("product/p1" -> "REVIEW", "product/p2" -> "APPROVED")
     val out = Registration.registerPending(in, mapping, facts, "data_resource")
     assert(out.count() === in.count())
     assert(out.exceptAll(in).count() === 0)
