@@ -33,13 +33,23 @@ import org.apache.spark.sql.functions._
   *   sbt -batch "runMain graft.tools.IngestFailover"
   * }}}
   *
-  * args: [nDocs] [nWaves] [killAfterJobs]
+  * Two regimes via the 4th arg (task retry budget):
+  *  - default (4): Spark absorbs the kill INSIDE the wave job — task
+  *    retries land on the surviving executor, the commit publishes, and
+  *    the driver replay path stays cold (replays=0 is expected);
+  *  - 1: the first lost task aborts the whole wave job, so the kill is
+  *    guaranteed to surface as a FAILED wave and the driver-level replay
+  *    (the streaming runtime's checkpoint-replay contract) must carry the
+  *    run — the gate asserts replays >= 1 in this mode.
+  *
+  * args: [nDocs] [nWaves] [killAfterJobs] [taskMaxFailures]
   */
 object IngestFailover {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(40000)
     val nWaves = args.lift(1).map(_.toInt).getOrElse(6)
     val killAfterJobs = args.lift(2).map(_.toInt).getOrElse(8)
+    val taskMaxFailures = args.lift(3).map(_.toInt).getOrElse(4)
     require(sys.env.contains("SPARK_HOME"),
       "local-cluster needs SPARK_HOME (the worker launches executor JVMs " +
         "through it): SPARK_HOME=/opt/spark sbt ...")
@@ -59,22 +69,51 @@ object IngestFailover {
         "java.base/sun.security.action", "java.base/sun.util.calendar")
         .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" "))
       .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.task.maxFailures", taskMaxFailures)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     @volatile var jobsDone = 0
     @volatile var executorsRemoved = 0
+    @volatile var processKilled = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobsDone += 1
       override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit = {
         executorsRemoved += 1
         println(s"[ing-failover] executor ${e.executorId} removed: ${e.reason}")
       }
+      override def onTaskStart(e: org.apache.spark.scheduler
+          .SparkListenerTaskStart): Unit = {
+        // replay regime: the kill must land while a wave TASK is in
+        // flight, or Spark has nothing to fail — a separate killer JOB
+        // can't do that on 1-core executors (its task queues behind the
+        // wave task it means to interrupt), so the driver destroys the
+        // executor OS processes directly at a task-start instant. Both
+        // backends die → the in-flight task fails → maxFailures=1 aborts
+        // the wave job → the driver-level replay must carry the run.
+        if (taskMaxFailures == 1 && !processKilled &&
+            jobsDone >= killAfterJobs) {
+          processKilled = true
+          import scala.jdk.CollectionConverters._
+          // the driver JVM's only java child processes in this run ARE
+          // the two launched executor backends (the worker runs
+          // in-process), so no command-line class filter is needed —
+          // and /proc cmdline inspection proved unreliable for one
+          val desc = ProcessHandle.current().descendants().iterator()
+            .asScala.toList
+            .filter(_.info().command().orElse("").endsWith("java"))
+          println(s"[ing-failover] task-start kill: destroying " +
+            s"${desc.size} executor JVMs (${desc.map(_.pid).mkString(", ")})")
+          desc.foreach(_.destroyForcibly())
+        }
+      }
     })
 
-    // one-shot killer, identical discipline to CcFailover: the
-    // replacement executor gets a fresh id and is never targeted
+    // one-shot killer for the DEFAULT regime, identical discipline to
+    // CcFailover: the replacement executor gets a fresh id and is never
+    // targeted. (In the replay regime the task-start listener above is
+    // the kill instead.)
     val killer = new Thread(() => {
       while (jobsDone < killAfterJobs) Thread.sleep(100)
       println(s"[ing-failover] $jobsDone jobs done - killing executor 0")
@@ -107,7 +146,7 @@ object IngestFailover {
 
 
     val t0 = System.nanoTime()
-    killer.start()
+    if (taskMaxFailures != 1) killer.start()
 
     // the DURABLE loop under fire: one ingestBatchCommit per wave; a wave
     // whose job the kill aborts is replayed (the streaming runtime's
@@ -156,6 +195,10 @@ object IngestFailover {
     assert(executorsRemoved >= 1,
       "no executor was removed - the kill landed after the loop finished; " +
         "raise nDocs or lower killAfterJobs and rerun")
+    if (taskMaxFailures == 1)
+      assert(replays >= 1,
+        "replay mode (taskMaxFailures=1): the kill must abort a wave job " +
+          "and exercise the driver-level replay; it did not - rerun")
     println("[ing-failover] PASS - durable ingest survived executor loss")
     spark.stop()
     Fs.deleteRec(storeDir.toString)
