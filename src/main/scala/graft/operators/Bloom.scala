@@ -34,6 +34,19 @@ object Bloom {
     */
   def build(df: DataFrame, key: Column, expectedItems: Long,
             numBits: Long): Array[Byte] = {
+    // BloomFilterAggregate SILENTLY Math.min-clamps both parameters to
+    // the session's runtime-filter ceilings (defaults: 4M items / 67M
+    // bits ≈ 8 MB — confirmed in the shipped 4.1.2 bytecode). Sized-from-
+    // the-corpus callers would sail past that around ~8M docs and the
+    // fpp would quietly climb toward 1, refilling the exact verify join
+    // this operator exists to drain. RAISE the ceilings to the request
+    // (never lower them) so the sketch built is the sketch asked for.
+    val conf = df.sparkSession.conf
+    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+      .foreach { case (k, v) =>
+        if (conf.get(k).toLong < v) conf.set(k, v.toString)
+      }
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(B.expression(key))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()

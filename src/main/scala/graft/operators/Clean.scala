@@ -26,7 +26,13 @@ object Clean {
     */
   def removeBoilerplate(segs: DataFrame, idCol: String, posCol: String,
                         segCol: String, minDf: Int): DataFrame = {
-    val hashed = segs.withColumn("__seg_hash", md5(col(segCol)))
+    // a NULL segment is NO CONTENT and is dropped on entry. Left in, it
+    // breaks every downstream step in a different direction: md5(NULL)
+    // is NULL so the df join can never flag it boilerplate however often
+    // it recurs, it inflates n_kept, and array_join silently omits its
+    // text — n_kept would disagree with the reassembled clean_text
+    val hashed = segs.filter(col(segCol).isNotNull)
+      .withColumn("__seg_hash", md5(col(segCol)))
     val bp = hashed.groupBy(col("__seg_hash"))
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDf)

@@ -327,11 +327,13 @@ object Dedup {
     import graft.plans.LongSetIntersectSize
     val pruned = ratio match {
       case Some((num, den)) =>
-        // materialized once: the pair set feeds the size joins and then
-        // the array joins
-        val cand = candidates.localCheckpoint(false)
+        // NO checkpoint here: the candidate table has exactly one
+        // consumer chain (size joins → ratio filter → array joins), so a
+        // block-cache materialization of the largest intermediate in the
+        // stage bought nothing; the function-result checkpoint below is
+        // the real threshold barrier
         val sizes = sets.select(col(idCol), size(col("hs")).as("sz"))
-        cand
+        candidates
           .join(sizes.toDF("a_id", "sz_a"), "a_id")
           .join(sizes.toDF("b_id", "sz_b"), "b_id")
           .filter(least(col("sz_a"), col("sz_b")) * den >=
@@ -602,14 +604,6 @@ object Dedup {
     agg.select(col(idCol), sig.as("simhash"))
   }
 
-  /** Cross-side Hamming near-dup pairs: `left` signatures against `right`
-    * signatures — the PROBE shape of an incremental simhash index (new
-    * batch vs persisted corpus signatures), the simhash counterpart of
-    * [[lshCandidatesBetween]]. Same (maxHamming+1)-chunk pigeonhole as
-    * [[simhashPairs]] (lossless for the threshold); no `a < b` ordering
-    * because the sides are disjoint by contract, and at scale the small
-    * batch side broadcasts against the chunk-bucketed index.
-    */
   /** The (chunk_idx, chunk_val) explosion every banded simhash join keys
     * on: signature split into `nChunks` pigeonhole chunks (widths
     * `bits/nChunks`, the first `bits%nChunks` one wider). ONE definition
@@ -635,6 +629,14 @@ object Dedup {
         col("ch.chunk_val"))
   }
 
+  /** Cross-side Hamming near-dup pairs: `left` signatures against `right`
+    * signatures — the PROBE shape of an incremental simhash index (new
+    * batch vs persisted corpus signatures), the simhash counterpart of
+    * [[lshCandidatesBetween]]. Same (maxHamming+1)-chunk pigeonhole as
+    * [[simhashPairs]] (lossless for the threshold); no `a < b` ordering
+    * because the sides are disjoint by contract, and at scale the small
+    * batch side broadcasts against the chunk-bucketed index.
+    */
   def simhashPairsBetween(leftSigs: DataFrame, rightSigs: DataFrame,
                           idCol: String, maxHamming: Int,
                           bits: Int = 60): DataFrame = {

@@ -72,9 +72,15 @@ object Multimodal {
       // outLen below would otherwise index bytes(0) of an empty array
       if (bytes.isEmpty) bytes
       else {
-        val srcPixels = math.max(1, w * h)
-        val outLen = math.max(1,
-          (bytes.length.toLong * (tw * th) / srcPixels).toInt.min(bytes.length))
+        // ALL of this stays in Long until after the length cap: tw*th in
+        // Int can overflow, and a large Long quotient .toInt-wrapped
+        // BEFORE .min went negative — an upscale of a degenerate source
+        // (w*h = 0 → srcPixels 1) produced a 1-byte payload instead of
+        // the intended source-length cap
+        val srcPixels = math.max(1L, w.toLong * h)
+        val outLen = math.max(1L,
+          (bytes.length.toLong * (tw.toLong * th) / srcPixels)
+            .min(bytes.length.toLong)).toInt
         Array.tabulate(outLen)(i =>
           bytes((i.toLong * bytes.length / outLen).toInt))
       }

@@ -45,6 +45,18 @@ class MultimodalSpec extends SparkSpec {
     resized.foreach(r => assert(again(r.doc_id) === r.content.toSeq))
   }
 
+  test("resize: upscaling a degenerate (0-pixel) source caps at the payload") {
+    // w*h = 0 → srcPixels floor 1; a large-target upscale used to wrap
+    // the Long byte budget through toInt BEFORE the length cap, going
+    // negative and collapsing the payload to 1 byte instead of capping
+    // at the source length
+    val bytes = Array.tabulate(9600)(_.toByte)
+    val out = Multimodal.fakeResize(bytes, 0, 0, 640, 480)
+    assert(out.length === bytes.length,
+      "upscale must cap at the source payload, not wrap negative")
+    assert(out.toSeq === bytes.toSeq)
+  }
+
   test("frame sampling fans each video into n evenly-spaced frames") {
     implicit val s = spark
     import s.implicits._
