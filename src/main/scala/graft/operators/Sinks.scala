@@ -14,12 +14,24 @@ import graft.functions.Coerce
   */
 object Sinks {
 
+  /** UTC day of a timestamp, independent of `spark.sql.session.timeZone`
+    * — epoch-floor arithmetic, not `to_date` (which renders in the
+    * session zone: a Los-Angeles-configured writer would file a
+    * 02:00 UTC event under the PREVIOUS day, splitting one UTC day's
+    * rows across two partitions between differently-configured clusters
+    * and diverging from the reference's UTC day-partitioned history
+    * table, whose timestamps are UTC by construction).
+    */
+  private def utcDay(ts: Column): Column =
+    date_add(lit("1970-01-01").cast("date"),
+      floor(unix_seconds(ts) / lit(86400L)).cast("int"))
+
   /** Tag-history rows (BigQueryUtils.py:344–440; FIXTURES.md §3.1): the
     * standard prefix columns + one column per template field, plus the
-    * `event_date` day-partition column derived from `event_time`.
+    * `event_date` UTC day-partition column derived from `event_time`.
     */
   def withHistoryPartition(rows: DataFrame): DataFrame =
-    rows.withColumn("event_date", to_date(col("event_time")))
+    rows.withColumn("event_date", utcDay(col("event_time")))
 
   /** Append-mode day-partitioned history write (the A11 sink). */
   def writeHistory(rows: DataFrame, path: String): Unit =
@@ -65,7 +77,7 @@ object Sinks {
     * (BigQueryUtils.py:35–50) → overwrite vs append mode, day-partitioned.
     */
   def writeReport(rows: DataFrame, path: String, truncate: Boolean): Unit =
-    rows.withColumn("export_date", to_date(col("export_time")))
+    rows.withColumn("export_date", utcDay(col("export_time")))
       .write.mode(if (truncate) "overwrite" else "append")
       .partitionBy("export_date").parquet(path)
 }

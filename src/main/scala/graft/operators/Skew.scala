@@ -21,12 +21,20 @@ object Skew {
     * column of `big` that spreads rows (a row id, not the join key).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
-                 salts: Int, bigUnique: Column): DataFrame = {
-    val bigS = big.withColumn("__salt", pmod(xxhash64(bigUnique), lit(salts.toLong)))
-    val smallS = small.withColumn("__salt",
-      explode(sequence(lit(0L), lit(salts.toLong - 1))))
-    bigS.join(smallS, keys :+ "__salt").drop("__salt")
-  }
+                 salts: Int, bigUnique: Column): DataFrame =
+    // salts <= 1 = plain join, the same guard as Dedup.saltedSides:
+    // [[chooseSalts]] legitimately returns 0 ("below the bar"), and
+    // feeding that here unguarded would pmod by zero — a silent
+    // zero-row result (NULL salt matches nothing) or an ANSI
+    // DIVIDE_BY_ZERO, depending on mode
+    if (salts <= 1) big.join(small, keys)
+    else {
+      val bigS = big.withColumn("__salt",
+        pmod(xxhash64(bigUnique), lit(salts.toLong)))
+      val smallS = small.withColumn("__salt",
+        explode(sequence(lit(0L), lit(salts.toLong - 1))))
+      bigS.join(smallS, keys :+ "__salt").drop("__salt")
+    }
 
   /** Pick the salt factor for a bucketed SELF-join from its observed key
     * histogram — the decision rule `tools.SaltProbe`'s measurements

@@ -24,7 +24,13 @@ private[queries] final class SessionCache[V] {
   def get(spark: SparkSession, key: String)(build: => V): V = {
     val perSession = synchronized {
       Option(cached).map(c => (c._1.get(), c._2)) match {
-        case Some((s, m)) if s eq spark => m
+        // a STOPPED session's artifacts are dead weight even when the
+        // caller hands back the same object: the weak reference alone
+        // cannot reclaim them because the cached values reference the
+        // session right back (the same cycle the class doc describes),
+        // so drop the entry and rebuild — pinned residency is bounded
+        // by the gap until the NEXT get() of any session, not forever
+        case Some((s, m)) if (s eq spark) && !s.sparkContext.isStopped => m
         case _ =>
           val m = new ConcurrentHashMap[String, V]()
           cached = (new java.lang.ref.WeakReference(spark), m)

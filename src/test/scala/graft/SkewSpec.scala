@@ -25,6 +25,19 @@ class SkewSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("saltedJoin with chooseSalts' below-the-bar 0 is the plain join") {
+    // chooseSalts legitimately returns 0; unguarded, pmod(h, 0) is NULL
+    // (or an ANSI DIVIDE_BY_ZERO) and the join silently returned zero
+    // rows — the natural composition must degrade to the plain join
+    val big = Seq((1L, 10L), (2L, 20L), (1L, 30L)).toDF("k", "payload")
+    val small = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Seq(0, 1).foreach { s =>
+      val out = Skew.saltedJoin(big, small, Seq("k"), salts = s,
+        bigUnique = col("payload"))
+      assert(out.count() === 3L, s"salts=$s must behave as the plain join")
+    }
+  }
+
   // ------------- salted near-dup band joins (boilerplate-heavy corpus)
 
   /** 250 of 300 docs share one exact boilerplate text — one hot simhash,
