@@ -29,12 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object QueryCookbook {
 
-  /** The five extraction dimensions the reference computes (top_users via
-    * summarize_users; the rest via summarize_sql prompts).
+  /** The six extraction dimensions the reference computes (top_users via
+    * summarize_users; the rest via summarize_sql prompts — fields, wheres,
+    * JOINS, group_bys, functions: query_cookbook_config.json lists all
+    * six field_ids, and summarize_sql/main.py:62–75 routes a prompt per
+    * operation including JOINS_PROMPT).
     */
   val Dimensions: Seq[String] =
-    Seq("top_users", "top_fields", "top_wheres", "top_groupbys",
-      "top_functions")
+    Seq("top_users", "top_fields", "top_wheres", "top_joins",
+      "top_groupbys", "top_functions")
 
   /** STUB for the reference's ML.GENERATE_TEXT extraction (temperature 0,
     * summarize_sql/main.py:145–147): deterministic regex pulls of the
@@ -49,6 +52,10 @@ object QueryCookbook {
         "(?i)SELECT\\s+(?:\\w+\\()?(\\w+)", 1),
       "top_wheres" -> regexp_extract(query,
         "(?i)WHERE\\s+(\\w+\\s*[<>=]+\\s*\\w+)", 1),
+      // the joins prompt's answer shape starts at FROM ("from oltp.A h
+      // join oltp.B i on h.x = i.x", prompts/joins_prompt.txt example)
+      "top_joins" -> regexp_extract(query,
+        "(?i)(FROM\\s+\\S+\\s+JOIN\\s+\\S+\\s+ON\\s+\\w+\\s*=\\s*\\w+)", 1),
       "top_groupbys" -> regexp_extract(query,
         "(?i)GROUP BY\\s+(\\w+)", 1),
       "top_functions" -> regexp_extract(query, "(?i)(\\w+)\\(", 1))
@@ -60,9 +67,17 @@ object QueryCookbook {
     * count desc, value asc.
     */
   def cookbookTagRows(jobs: DataFrame, templateId: String,
-                      k: Int = 3): DataFrame = {
+                      k: Int = 3,
+                      excludedAccounts: Seq[String] = Nil): DataFrame = {
     val dims = extractDims(col("query"), col("user_email"))
-    val dimRows = jobs.select(col("asset"),
+    // the reference's excluded_accounts knob filters the LOG rows
+    // (`user_email not in (…)`, summarize_users/main.py:55–69 and
+    // summarize_sql's identical clause), so service-account noise drops
+    // out of every dimension, not just top_users
+    val log =
+      if (excludedAccounts.isEmpty) jobs
+      else jobs.filter(!col("user_email").isin(excludedAccounts: _*))
+    val dimRows = log.select(col("asset"),
         explode(array(dims.map { case (d, c) =>
           struct(lit(d).as("dim"), c.as("value"))
         }: _*)).as("e"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Product-registration workflow parity
@@ -20,25 +20,47 @@ import org.apache.spark.sql.functions._
   */
 object Registration {
 
+  /** The workflow-state field the reference triggers on and rewrites:
+    * `data_product_status` (the log-router inclusion filter matches
+    * `…fields.data_product_status.enumValue.displayName="PENDING"`,
+    * README:98, and the update payload names the same field_id,
+    * main.py:139) — not a generic `status`.
+    */
+  val StatusFieldId = "data_product_status"
+
+  /** The companion field the reference's update_tag_subset call rewrites
+    * alongside the flip (main.py:140: `last_modified_date` ←
+    * now().strftime("%Y-%m-%d %H:%M:%S")).
+    */
+  val LastModifiedFieldId = "last_modified_date"
+
   /** One registration sweep. Inputs:
     *  - `productTags`: unified tag rows for the `data_product` template
-    *    (the status field rows carry the workflow state);
+    *    (the [[StatusFieldId]] field rows carry the workflow state);
     *  - `mapping(product_uri, asset_uri)`: the product's data assets;
     *  - `assetFacts(asset_uri, n_rows)`: per-asset facts for the dynamic
     *    resource field (catalog metadata, computed once upstream).
+    *  - `now`: the clock value written into `last_modified_date` on the
+    *    flip (injectable so batch runs and the oracle stay
+    *    deterministic; production passes the reference's second-truncated
+    *    wall clock).
     * Output: the NEXT tag state — product tags with PENDING→REVIEW
-    * flipped, plus the generated `data_resource` tags (static
-    * steward/env fields + the n_rows fact) for every pending product's
-    * assets.
+    * flipped and their `last_modified_date` stamped (the two
+    * changed_fields of the reference's update_tag_subset call), plus the
+    * generated `data_resource` tags (static steward/env fields + the
+    * n_rows fact) for every pending product's assets.
     */
   def registerPending(productTags: DataFrame, mapping: DataFrame,
                       assetFacts: DataFrame,
-                      resourceTemplateId: String): DataFrame = {
+                      resourceTemplateId: String,
+                      now: Column = date_format(current_timestamp(),
+                        "yyyy-MM-dd HH:mm:ss")): DataFrame = {
     val pending = productTags
       // the trigger value and the written value are UPPERCASE in the
       // reference (the pubsub filter matches displayName="PENDING",
       // README:98; the function writes 'REVIEW', main.py:139)
-      .filter(col("field_id") === "status" && col("field_value") === "PENDING")
+      .filter(col("field_id") === StatusFieldId &&
+        col("field_value") === "PENDING")
       .select(col("asset_uri").as("product_uri")).distinct()
     // trigger → generation fan-out: assets of pending products only
     val assets = mapping.join(pending, Seq("product_uri"), "left_semi")
@@ -57,10 +79,21 @@ object Registration {
         explode(array(fields: _*)).as("f"))
       .select(col("asset_uri"), col("column"), col("template_id"),
         col("f.field_id"), col("f.field_type"), col("f.field_value"))
-    // status flip: PENDING → REVIEW on exactly the triggering rows
-    val flipped = productTags.withColumn("field_value",
-      when(col("field_id") === "status" && col("field_value") === "PENDING",
-        lit("REVIEW")).otherwise(col("field_value")))
+    // status flip: the reference's update_tag_subset writes TWO
+    // changed_fields on the triggering product — data_product_status →
+    // 'REVIEW' and last_modified_date → now (main.py:139–141) — so the
+    // pending set joins back (broadcast: products are portfolio-sized)
+    // and both field rows rewrite together
+    val flipped = productTags
+      .join(broadcast(pending.withColumn("__pending", lit(true))),
+        productTags("asset_uri") === pending("product_uri"), "left")
+      .withColumn("field_value",
+        when(col("__pending") && col("field_id") === StatusFieldId,
+          lit("REVIEW"))
+        .when(col("__pending") && col("field_id") === LastModifiedFieldId,
+          now.cast("string"))
+        .otherwise(col("field_value")))
+      .drop("product_uri", "__pending")
     flipped.unionByName(generated)
   }
 }

@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
 object UsageTracking {
 
   /** The audit-log method names the reference's four functions filter on
-    * (public Data Catalog v1 API methods; …/entry_clicks/main.py:71 and
-    * siblings).
+    * (…/entry_clicks/main.py:71 and siblings), VERBATIM — including the
+    * entry-click one: `TestUpdateTagPermission` is not a documented
+    * public DataCatalog RPC, but it is the literal string the reference's
+    * entry_clicks function matches, and parity means matching the rows
+    * the reference would match, not the rows a cleaner filter might.
     */
   val MethodEntryClick = "google.cloud.datacatalog.v1.DataCatalog.TestUpdateTagPermission"
   val MethodTagCreate = "google.cloud.datacatalog.v1.DataCatalog.CreateTag"
@@ -47,11 +50,20 @@ object UsageTracking {
     * `audit(event_time, project, user_email, method, dc_entry)`;
     * `lookup(dc_entry, bq_resource)`.
     */
-  def allUsageEvents(audit: DataFrame, lookup: DataFrame): DataFrame = {
+  def allUsageEvents(audit: DataFrame, lookup: DataFrame,
+                     startDate: Option[String] = None): DataFrame = {
     val kindOf = Kinds.foldLeft(lit(null).cast("string")) { case (acc, (k, m)) =>
       when(col("method") === m, lit(k)).otherwise(acc)
     }
-    audit.withColumn("kind", kindOf).filter(col("kind").isNotNull)
+    // the reference's optional start_date window, with its exact DAY
+    // truncation (`timestamp_trunc(timestamp, DAY) >= timestamp(start)`,
+    // entry_clicks/main.py:73–74): an event at 03:00 on the start day is
+    // IN even though its raw timestamp precedes a midnight start bound
+    val windowed = startDate.fold(audit) { d =>
+      audit.filter(date_trunc("day", col("event_time")) >=
+        to_timestamp(lit(d)))
+    }
+    windowed.withColumn("kind", kindOf).filter(col("kind").isNotNull)
       .select(col("kind"),
         date_trunc("second", col("event_time")).as("event_time"),
         col("project"), col("user_email"), col("dc_entry"))
@@ -72,8 +84,9 @@ object UsageTracking {
     * melted to the tag-row shape every sink already consumes.
     */
   def usageTagRows(audit: DataFrame, lookup: DataFrame,
-                   templateId: String): DataFrame = {
-    val ev = allUsageEvents(audit, lookup)
+                   templateId: String,
+                   startDate: Option[String] = None): DataFrame = {
+    val ev = allUsageEvents(audit, lookup, startDate)
     val counts = Kinds.map { case (k, _) =>
       count(when(col("kind") === k, lit(1))).as(k)
     }

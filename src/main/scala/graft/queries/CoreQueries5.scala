@@ -334,6 +334,9 @@ object CoreQueries5 {
             concat(lit("avg(f"), k % 5, lit(")")))
           .otherwise(concat(lit("f"), k % 5)),
         lit(" FROM lake.t"), col("event_id") % 8,
+        when(k % 4 === 1,
+          concat(lit(" JOIN lake.t"), (col("event_id") + 1) % 8,
+            lit(" ON f"), k % 3, lit(" = f"), k % 3)).otherwise(lit("")),
         when(k % 3 === 0, concat(lit(" WHERE f"), k % 4, lit(" > 10")))
           .otherwise(lit("")),
         when(col("event_type") === "signup",
@@ -341,8 +344,9 @@ object CoreQueries5 {
         .as("query"))
   }
 
-  /** Query-cookbook extension parity: per-asset access-pattern tags
-    * (top users / fields / wheres / group-bys / functions) from the query
+  /** Query-cookbook extension parity: per-asset access-pattern tags (all
+    * six template fields — top users / fields / wheres / joins /
+    * group-bys / functions, query_cookbook_config.json) from the query
     * log in ONE pass — see [[QueryCookbook]] for the plan shape and the
     * clearly-marked LLM-extraction stub.
     */
@@ -361,6 +365,10 @@ object CoreQueries5 {
         |              WHEN event_type = 'purchase' THEN 'avg(f' || (k % 5) || ')'
         |              ELSE 'f' || (k % 5) END ||
         |         ' FROM lake.t' || (event_id % 8) ||
+        |         CASE WHEN k % 4 = 1 THEN ' JOIN lake.t' ||
+        |              ((event_id + 1) % 8) || ' ON f' || (k % 3) ||
+        |              ' = f' || (k % 3)
+        |              ELSE '' END ||
         |         CASE WHEN k % 3 = 0 THEN ' WHERE f' || (k % 4) || ' > 10'
         |              ELSE '' END ||
         |         CASE WHEN event_type = 'signup' THEN ' GROUP BY f' || (k % 2)
@@ -377,6 +385,11 @@ object CoreQueries5 {
        |  UNION ALL
        |  SELECT asset, 'top_wheres',
        |         regexp_extract(query, '(?i)WHERE\\s+(\\w+\\s*[<>=]+\\s*\\w+)', 1)
+       |  FROM jobs
+       |  UNION ALL
+       |  SELECT asset, 'top_joins',
+       |         regexp_extract(query,
+       |           '(?i)(FROM\\s+\\S+\\s+JOIN\\s+\\S+\\s+ON\\s+\\w+\\s*=\\s*\\w+)', 1)
        |  FROM jobs
        |  UNION ALL
        |  SELECT asset, 'top_groupbys',
@@ -407,20 +420,37 @@ object CoreQueries5 {
     ("product/p1", "region"), ("product/p1", "nation"),
     ("product/p2", "supplier"), ("product/p3", "orders"))
 
+  /** The deterministic clock q43 passes as the flip's
+    * `last_modified_date` value (the reference writes now().strftime —
+    * injectable here so the oracle can pin it).
+    */
+  private val q43Now = "2024-03-01 12:00:00"
+
   /** Product-registration parity: pending products trigger resource-tag
-    * generation over their assets + the PENDING→REVIEW status flip
-    * (uppercase — the reference's trigger filter and written value,
-    * extensions/product_registration_pipeline README:98 / main.py:139), as
-    * one set-based sweep ([[graft.operators.Registration]]). The n_rows
-    * resource field is data-dependent (per-asset counts), so the oracle
-    * gates the generation path, not just the fixture.
+    * generation over their assets + the PENDING→REVIEW flip of the
+    * `data_product_status` field WITH its `last_modified_date` co-update
+    * (the two changed_fields of the reference's update_tag_subset call —
+    * extensions/product_registration_pipeline README:98 / main.py:139–141),
+    * as one set-based sweep ([[graft.operators.Registration]]). The
+    * n_rows resource field is data-dependent (per-asset counts), so the
+    * oracle gates the generation path, not just the fixture.
     */
   def q43ProductRegistration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val productTags = productRows.toDF("asset_uri", "field_value")
+    val statusRows = productRows.map { case (p, s) =>
+      (p, "data_product_status", "enum", s)
+    }
+    // the product template carries last_modified_date alongside the
+    // status (finwire_data_product.json fields list) — its rows must
+    // restamp on the flip and pass through untouched otherwise
+    val lmRows = productRows.map { case (p, _) =>
+      (p, "last_modified_date", "timestamp", "2022-08-21")
+    }
+    val productTags = (statusRows ++ lmRows)
+      .toDF("asset_uri", "field_id", "field_type", "field_value")
       .select(col("asset_uri"), lit("").as("column"),
-        lit("data_product").as("template_id"), lit("status").as("field_id"),
-        lit("enum").as("field_type"), col("field_value"))
+        lit("data_product").as("template_id"), col("field_id"),
+        col("field_type"), col("field_value"))
     val mapping = mappingRows.toDF("product_uri", "table")
       .select(col("product_uri"),
         concat(lit("bigquery/project/p/dataset/lake/"), col("table"))
@@ -431,14 +461,22 @@ object CoreQueries5 {
           col("n_rows"))
     }.reduce(_ unionByName _)
     graft.operators.Registration
-      .registerPending(productTags, mapping, facts, "data_resource")
+      .registerPending(productTags, mapping, facts, "data_resource",
+        now = lit(q43Now))
       .orderBy("asset_uri", "template_id", "field_id")
   }
 
   val q43Oracle: String =
-    """WITH prod(asset_uri, status) AS (VALUES
-      |  ('product/p1', 'PENDING'), ('product/p2', 'PENDING'),
-      |  ('product/p3', 'APPROVED')),
+    s"""WITH prod(asset_uri, field_id, field_type, field_value) AS (VALUES
+      |  ('product/p1', 'data_product_status', 'enum', 'PENDING'),
+      |  ('product/p2', 'data_product_status', 'enum', 'PENDING'),
+      |  ('product/p3', 'data_product_status', 'enum', 'APPROVED'),
+      |  ('product/p1', 'last_modified_date', 'timestamp', '2022-08-21'),
+      |  ('product/p2', 'last_modified_date', 'timestamp', '2022-08-21'),
+      |  ('product/p3', 'last_modified_date', 'timestamp', '2022-08-21')),
+      |pending AS (SELECT asset_uri FROM prod
+      |            WHERE field_id = 'data_product_status'
+      |              AND field_value = 'PENDING'),
       |assets(asset_uri, n_rows) AS (
       |  SELECT 'bigquery/project/p/dataset/lake/region',
       |         (SELECT count(*) FROM region)
@@ -449,9 +487,12 @@ object CoreQueries5 {
       |  SELECT 'bigquery/project/p/dataset/lake/supplier',
       |         (SELECT count(*) FROM supplier))
       |SELECT asset_uri, '' AS "column", 'data_product' AS template_id,
-      |       'status' AS field_id, 'enum' AS field_type,
-      |       CASE WHEN status = 'PENDING' THEN 'REVIEW' ELSE status END
-      |         AS field_value
+      |       field_id, field_type,
+      |       CASE WHEN asset_uri IN (SELECT asset_uri FROM pending)
+      |              AND field_id = 'data_product_status' THEN 'REVIEW'
+      |            WHEN asset_uri IN (SELECT asset_uri FROM pending)
+      |              AND field_id = 'last_modified_date' THEN '$q43Now'
+      |            ELSE field_value END AS field_value
       |FROM prod
       |UNION ALL
       |SELECT a.asset_uri, '', 'data_resource', f.field_id, f.field_type,
