@@ -47,15 +47,38 @@ object DocIndexStore {
 
   /** Append a new ingest batch's simhash signatures: one atomic commit
     * whose bytes scale with the batch. Signatures are per-row pure
-    * functions, so append IS the whole incremental maintenance story —
-    * no rebuild, no merge.
+    * functions, so append is the whole incremental ROW story — no
+    * rebuild, no merge — but steady-state FILE maintenance is wired in
+    * rather than left to an operator who remembers to run [[compact]]:
+    * once the component's manifest lists more than `compactAboveDirs`
+    * batch dirs, the append folds it back to one snapshot (best-effort,
+    * CAS'd — same policy as `Ingest.ingestBatchCommit`; a long-lived
+    * ingest store otherwise pays probe-join listing/open cost linear in
+    * wave count).
     */
-  def appendSimhash(root: String, newSigs: DataFrame): Long =
-    AtomicStore.commitAppend(newSigs, s"$root/simhash")
+  def appendSimhash(root: String, newSigs: DataFrame,
+                    compactAboveDirs: Int = 64): Long =
+    appendCompacting(newSigs, s"$root/simhash", compactAboveDirs)
 
   /** Same, for the minhash signature/band table. */
-  def appendMinhash(root: String, newSigs: DataFrame): Long =
-    AtomicStore.commitAppend(newSigs, s"$root/minhash")
+  def appendMinhash(root: String, newSigs: DataFrame,
+                    compactAboveDirs: Int = 64): Long =
+    appendCompacting(newSigs, s"$root/minhash", compactAboveDirs)
+
+  private def appendCompacting(batch: DataFrame, table: String,
+                               aboveDirs: Int): Long = {
+    val v = AtomicStore.commitAppend(batch, table)
+    if (aboveDirs > 0) {
+      val spark = batch.sparkSession
+      // opportunistic: a committed append must never fail because its
+      // best-effort fold lost a race or hit an IO hiccup
+      try {
+        if (AtomicStore.filesAt(spark, table, v).size > aboveDirs)
+          AtomicStore.compact(spark, table)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    v
+  }
 
   /** Periodic maintenance for a long-lived ingest store: fold each
     * component's accumulated append batches back into one snapshot

@@ -206,7 +206,8 @@ object TagStore {
     * re-publishes (rare; conflicts cost one batch rewrite).
     */
   def appendMergeCommit(spark: SparkSession, path: String,
-                        incoming: DataFrame): Long = {
+                        incoming: DataFrame,
+                        compactAboveBatches: Int = 64): Long = {
     val emptyKeys = allEmptyTagKeys(incoming)
     val upserts = incoming.join(emptyKeys, TagInstanceKey, "left_anti")
       .withColumn("__op", lit("upsert"))
@@ -226,7 +227,19 @@ object TagStore {
         val parents = base.toSeq
           .flatMap(AtomicStore.filesAt(spark, path, _))
           .map(p => new org.apache.hadoop.fs.Path(p).getName)
-        if (AtomicStore.publish(spark, path, parents :+ rel, v)) return v
+        if (AtomicStore.publish(spark, path, parents :+ rel, v)) {
+          // steady-state maintenance wired in (the Ingest.ingestBatchCommit
+          // policy): each merge leaves one more batch dir, so a long-lived
+          // log otherwise decays into listing/open cost linear in MERGE
+          // COUNT. Past the threshold, fold opportunistically — bounded
+          // attempts and best-effort, because a merge that COMMITTED must
+          // never fail on its maintenance losing a race.
+          if (compactAboveBatches > 0 &&
+              parents.size + 1 > compactAboveBatches)
+            try compactLog(spark, path, maxAttempts = 4)
+            catch { case scala.util.control.NonFatal(_) => () }
+          return v
+        }
         // conflict: the stamp no longer matches the next version — rewrite.
         // Round completed race-free, so the consecutive-race cap resets.
         races = 0
@@ -272,10 +285,21 @@ object TagStore {
     * commit REPLACING the log (snapshot semantics via the manifest swap),
     * and [[AtomicStore.vacuum]] reclaims the superseded batches past the
     * grace window.
+    *
+    * `maxAttempts` bounds the lost-CAS go-arounds: a dedicated
+    * maintenance caller keeps the unbounded default (the fold MUST
+    * eventually land), while the write-path auto-fold passes a small
+    * budget — under sustained merge pressure from co-writers it gives up
+    * rather than stall the committing writer (opportunistic maintenance,
+    * the [[AtomicStore.compact]] rule).
     */
-  def compactLog(spark: SparkSession, path: String): Unit = {
+  def compactLog(spark: SparkSession, path: String,
+                 maxAttempts: Int = Int.MaxValue): Unit = {
     var races = 0
+    var attempts = 0
     while (true) {
+      attempts += 1
+      if (attempts > maxAttempts) return
       // Same guard discipline as casCommit: only resolve/fold/commit is
       // retryable; the post-commit vacuum runs OUTSIDE so its failure can
       // never swallow a successful fold and re-run it (double-fold burns a

@@ -123,11 +123,26 @@ object Ingest {
     * the store's one-row-per-fingerprint invariant every later probe
     * relies on. On conflict the wave recomputes against the new state
     * and retries; IngestRaceSpec races two writers over the same docs.
+    *
+    * Steady-state maintenance is WIRED IN, not left to an operator who
+    * remembers to run it: every append commit leaves one more manifest
+    * line + one more small batch dir, so a long-lived stream's probe
+    * joins would pay a file-listing/open cost linear in wave count.
+    * Once the committed manifest lists more than `compactAboveDirs`
+    * data dirs, the wave folds the store back to one snapshot
+    * ([[graft.sources.AtomicStore.compact]]) before returning.
+    * Best-effort by design: the fold is CAS'd (a racing appender winning
+    * the version makes it give up, never lose rows) and a fold failure
+    * is swallowed — correctness never depends on compaction, only
+    * steady-state probe cost does. Amortized fold cost per wave is
+    * O(store/compactAboveDirs); raise the threshold if the fold's
+    * full-store rewrite dominates a latency-sensitive stream.
     */
   def ingestBatchCommit(spark: SparkSession, storePath: String,
                         batch: DataFrame, batchId: Long,
                         minTokens: Int = 20, maxHamming: Int = 4,
-                        maxAttempts: Int = 16): Long = {
+                        maxAttempts: Int = 16,
+                        compactAboveDirs: Int = 64): Long = {
     import graft.sources.AtomicStore
     var committed: Option[Long] = None
     var attempt = 0
@@ -153,8 +168,25 @@ object Ingest {
         ingestBatch(store, batch, batchId, minTokens, maxHamming),
         storePath, base)
     }
+    maybeCompact(spark, storePath, committed.get, compactAboveDirs)
     committed.get
   }
+
+  /** Opportunistic post-commit fold (see [[ingestBatchCommit]]): fold the
+    * store to one snapshot when version `v`'s manifest has grown past
+    * `aboveDirs` data dirs. Never throws — compaction is maintenance, and
+    * a wave that COMMITTED must not be reported failed because its
+    * best-effort fold lost a race or hit an IO hiccup.
+    */
+  private def maybeCompact(spark: SparkSession, storePath: String,
+                           v: Long, aboveDirs: Int): Unit =
+    if (aboveDirs > 0) {
+      import graft.sources.AtomicStore
+      try {
+        if (AtomicStore.filesAt(spark, storePath, v).size > aboveDirs)
+          AtomicStore.compact(spark, storePath)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   /** Ordered batch fold (the oracle-gated form): documents arrive in
     * `nBatches` waves keyed by `batchOf`; each wave ingests against the

@@ -228,6 +228,32 @@ class AtomicStoreSpec extends SparkSpec {
     assert(stamps.subsetOf(versions.asScala.toSet))
   }
 
+  test("appendMergeCommit auto-folds the log past the batch threshold") {
+    // the wired-in maintenance (the Ingest.ingestBatchCommit policy): a
+    // long-lived delta log must not depend on an operator remembering to
+    // schedule compactLog — the merge itself folds once the manifest
+    // grows past compactAboveBatches, and latest-wins state is invariant
+    val r = root()
+    (0 until 8).foreach { i =>
+      TagStore.appendMergeCommit(spark, r,
+        tags(s"a$i" -> s"$i"), compactAboveBatches = 3)
+    }
+    val v = AtomicStore.currentVersion(spark, r).get
+    val nDirs = AtomicStore.filesAt(spark, r, v).size
+    // without the wiring the log would list 8 batch dirs; the threshold
+    // guarantees no merge can leave more than 4 behind
+    assert(nDirs <= 4, s"log lists $nDirs dirs — auto-fold not firing")
+    val got = TagStore.readLatestState(spark, r)
+      .select("asset_uri", "field_value").as[(String, String)].collect().toSet
+    assert(got === (0 until 8).map(i => s"a$i" -> s"$i").toSet)
+    // the folded log keeps merging, including the delete path
+    TagStore.appendMergeCommit(spark, r, tags("a0" -> ""),
+      compactAboveBatches = 3)
+    assert(TagStore.readLatestState(spark, r)
+      .select("asset_uri").as[String].collect().toSet
+      === (1 until 8).map(i => s"a$i").toSet)
+  }
+
   test("crash-mid-MERGE: tag store stays at the pre-merge state") {
     val r = root()
     TagStore.mergeCommit(spark, r, tags("a" -> "1", "b" -> "2"))

@@ -105,6 +105,41 @@ class DocIndexStoreSpec extends SparkSpec {
       === simBefore.size + 1)
   }
 
+  test("append auto-compacts past the dir threshold, row-preserving") {
+    // the wired-in form of the fold (same policy as ingestBatchCommit):
+    // a long-lived ingest store must not depend on an operator
+    // remembering to schedule compact — append itself folds once the
+    // manifest grows past compactAboveDirs
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_docidx_auto")
+      .toString
+    def sim(ids: Seq[Long]) =
+      ids.map(id => (id, id * 7L)).toDF("doc_id", "simhash")
+    def mh(ids: Seq[Long]) =
+      ids.map(id => (id, id, id + 1, id % 3, id % 5)).toDF(
+        "doc_id", "mh_0", "mh_1", "band_0", "band_1")
+    DocIndexStore.write(root,
+      DocIndexStore.Components(sim(Seq(0L)), mh(Seq(0L))))
+    (1 to 8).foreach { w =>
+      DocIndexStore.appendSimhash(root, sim(Seq(w.toLong)),
+        compactAboveDirs = 2)
+      DocIndexStore.appendMinhash(root, mh(Seq(w.toLong)),
+        compactAboveDirs = 2)
+    }
+    // without the wiring each table would list 9 dirs; with the
+    // threshold at 2 no append can leave more than 3 behind
+    Seq("simhash", "minhash").foreach { p =>
+      val v = graft.sources.AtomicStore.currentVersion(spark, s"$root/$p").get
+      val n = graft.sources.AtomicStore.filesAt(spark, s"$root/$p", v).size
+      assert(n <= 3, s"$p manifest lists $n dirs — auto-compact not firing")
+    }
+    val loaded = DocIndexStore.load(spark, root)
+    assert(loaded.simhash.as[(Long, Long)].collect().toSet
+      === (0L to 8L).map(id => (id, id * 7L)).toSet)
+    assert(loaded.minhashSigs.select("doc_id").as[Long].collect().toSet
+      === (0L to 8L).toSet)
+  }
+
   test("racing appenders + periodic compactor: no signature row lost, final fold collapses") {
     // the soak the compaction fold has to survive: live ingest writers
     // appending while maintenance folds the store under them. Appends

@@ -47,4 +47,36 @@ class IngestRaceSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(got === want)
   }
+
+  test("steady-state ingest auto-compacts the fingerprint store in-loop") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_autoc")
+      .toString
+    val nWaves = 10
+    val docs = (0 until nWaves * 5).map { i =>
+      (i.toLong, (0 until 25).map(w => s"w${(i * 131 + w * 17) % 1997}")
+        .mkString(" "))
+    }.toDF("doc_id", "text").withColumn("wave", col("doc_id") % nWaves)
+      .localCheckpoint()
+    (0 until nWaves).foreach { b =>
+      Ingest.ingestBatchCommit(spark, root,
+        docs.filter(col("wave") === b).drop("wave"), b,
+        compactAboveDirs = 3)
+    }
+    // the wired fold kept the manifest bounded: without it the store
+    // would list one data dir per wave (10); with compactAboveDirs = 3
+    // the dir count can never survive a wave above 4
+    val v = AtomicStore.currentVersion(spark, root).get
+    val nDirs = AtomicStore.filesAt(spark, root, v).size
+    assert(nDirs <= 4, s"manifest lists $nDirs dirs — auto-compact not firing")
+    assert(nDirs < nWaves)
+    // and compaction is row-preserving under ingest semantics: the
+    // compacted store equals the plain in-memory fold of the same waves
+    val want = Ingest.ingestFold(spark, docs.drop("wave"), col("doc_id") % nWaves,
+        nWaves).select("doc_id", "batch", "content_hash", "simhash")
+      .as[(Long, Long, String, Long)].collect().toSet
+    val got = AtomicStore.read(spark, root)
+      .select("doc_id", "batch", "content_hash", "simhash")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got === want)
+  }
 }
