@@ -40,20 +40,29 @@ object Bloom {
     // the-corpus callers would sail past that around ~8M docs and the
     // fpp would quietly climb toward 1, refilling the exact verify join
     // this operator exists to drain. RAISE the ceilings to the request
-    // (never lower them) so the sketch built is the sketch asked for.
+    // (never lower them) for the duration of the build action, then
+    // RESTORE them: the same ceilings also clamp the optimizer's
+    // auto-injected runtime bloom filters, so a leaked raise would let
+    // InjectRuntimeFilter build corpus-sized broadcast sketches for every
+    // unrelated join in the rest of the session. `head` is eager, so the
+    // aggregate has fully evaluated before the finally runs.
     val conf = df.sparkSession.conf
-    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
-      .foreach { case (k, v) =>
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val saved = keys.map { case (k, _) => k -> conf.get(k) }
+    try {
+      keys.foreach { case (k, v) =>
         if (conf.get(k).toLong < v) conf.set(k, v.toString)
       }
-    val agg = new BloomFilterAggregate(
-      new XxHash64(Seq(B.expression(key))),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    // an EMPTY corpus aggregates to a null sketch; [[mightContain]] maps
-    // that back to "definitely absent" rather than letting the SQL NULL
-    // swallow both branches of a cand / !cand split
-    df.select(B.column(agg).as("bf")).head.getAs[Array[Byte]]("bf")
+      val agg = new BloomFilterAggregate(
+        new XxHash64(Seq(B.expression(key))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+      // an EMPTY corpus aggregates to a null sketch; [[mightContain]]
+      // maps that back to "definitely absent" rather than letting the
+      // SQL NULL swallow both branches of a cand / !cand split
+      df.select(B.column(agg).as("bf")).head.getAs[Array[Byte]]("bf")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
   /** Membership probe: true ⇒ key MAY be in the indexed set (verify

@@ -68,15 +68,7 @@ object DocIndexStore {
   private def appendCompacting(batch: DataFrame, table: String,
                                aboveDirs: Int): Long = {
     val v = AtomicStore.commitAppend(batch, table)
-    if (aboveDirs > 0) {
-      val spark = batch.sparkSession
-      // opportunistic: a committed append must never fail because its
-      // best-effort fold lost a race or hit an IO hiccup
-      try {
-        if (AtomicStore.filesAt(spark, table, v).size > aboveDirs)
-          AtomicStore.compact(spark, table)
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
+    AtomicStore.compactIfAbove(batch.sparkSession, table, v, aboveDirs)
     v
   }
 

@@ -53,9 +53,16 @@ object QueryCookbook {
       "top_wheres" -> regexp_extract(query,
         "(?i)WHERE\\s+(\\w+\\s*[<>=]+\\s*\\w+)", 1),
       // the joins prompt's answer shape starts at FROM ("from oltp.A h
-      // join oltp.B i on h.x = i.x", prompts/joins_prompt.txt example)
+      // join oltp.B i on h.x = i.x", prompts/joins_prompt.txt example) —
+      // so the pattern must accept an optional table alias on each side
+      // and dotted qualified ON columns, or every realistically aliased
+      // log row extracts "". No lookaheads (the oracle runs this same
+      // pattern under RE2): on unaliased queries the optional alias slot
+      // can't eat the JOIN/ON keyword because the mandatory literal that
+      // follows would then fail, and the engine retries without it
       "top_joins" -> regexp_extract(query,
-        "(?i)(FROM\\s+\\S+\\s+JOIN\\s+\\S+\\s+ON\\s+\\w+\\s*=\\s*\\w+)", 1),
+        "(?i)(FROM\\s+\\S+(?:\\s+(?:AS\\s+)?\\w+)?\\s+JOIN\\s+\\S+" +
+          "(?:\\s+(?:AS\\s+)?\\w+)?\\s+ON\\s+[\\w.]+\\s*=\\s*[\\w.]+)", 1),
       "top_groupbys" -> regexp_extract(query,
         "(?i)GROUP BY\\s+(\\w+)", 1),
       "top_functions" -> regexp_extract(query, "(?i)(\\w+)\\(", 1))

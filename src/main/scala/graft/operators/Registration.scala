@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Product-registration workflow parity
   * (extensions/product_registration_pipeline/main.py): a data-product tag
-  * whose `status` field flips to 'PENDING' triggers generation of the
+  * whose `data_product_status` field ([[StatusFieldId]] — NOT a generic
+  * `status`) flips to 'PENDING' triggers generation of the
   * product's resource tags over all of its data assets; once generated,
   * the product's status moves to 'REVIEW' so the data steward can sign
   * off before access is granted.

@@ -58,10 +58,15 @@ object UsageTracking {
     // the reference's optional start_date window, with its exact DAY
     // truncation (`timestamp_trunc(timestamp, DAY) >= timestamp(start)`,
     // entry_clicks/main.py:73–74): an event at 03:00 on the start day is
-    // IN even though its raw timestamp precedes a midnight start bound
+    // IN even though its raw timestamp precedes a midnight start bound.
+    // BigQuery's timestamp_trunc(DAY) is UTC, so the comparison is done
+    // in epoch days (the Sinks.utcDay discipline) — date_trunc here
+    // would silently re-anchor the window to the session timezone and
+    // drop/admit boundary events on any non-UTC-configured cluster
     val windowed = startDate.fold(audit) { d =>
-      audit.filter(date_trunc("day", col("event_time")) >=
-        to_timestamp(lit(d)))
+      audit.filter(
+        floor(unix_seconds(col("event_time")) / lit(86400L)) >=
+          datediff(to_date(lit(d)), to_date(lit("1970-01-01"))))
     }
     windowed.withColumn("kind", kindOf).filter(col("kind").isNotNull)
       .select(col("kind"),

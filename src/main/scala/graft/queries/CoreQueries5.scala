@@ -389,7 +389,7 @@ object CoreQueries5 {
        |  UNION ALL
        |  SELECT asset, 'top_joins',
        |         regexp_extract(query,
-       |           '(?i)(FROM\\s+\\S+\\s+JOIN\\s+\\S+\\s+ON\\s+\\w+\\s*=\\s*\\w+)', 1)
+       |           '(?i)(FROM\\s+\\S+(?:\\s+(?:AS\\s+)?\\w+)?\\s+JOIN\\s+\\S+(?:\\s+(?:AS\\s+)?\\w+)?\\s+ON\\s+[\\w.]+\\s*=\\s*[\\w.]+)', 1)
        |  FROM jobs
        |  UNION ALL
        |  SELECT asset, 'top_groupbys',

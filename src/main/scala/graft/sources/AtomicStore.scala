@@ -396,6 +396,22 @@ object AtomicStore {
     None
   }
 
+  /** The shared write-path maintenance policy (Ingest.ingestBatchCommit,
+    * DocIndexStore.append*): opportunistically fold the store to one
+    * snapshot when version `v`'s manifest lists more than `aboveDirs`
+    * data dirs. Never throws — compaction is maintenance, and a commit
+    * that LANDED must not be reported failed because its best-effort
+    * fold lost a race or hit an IO hiccup. `aboveDirs <= 0` disables.
+    */
+  private[graft] def compactIfAbove(spark: SparkSession, root: String,
+                                    v: Long, aboveDirs: Int): Unit =
+    if (aboveDirs > 0) {
+      try {
+        if (filesAt(spark, root, v).size > aboveDirs)
+          compact(spark, root)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   /** Drop data dirs no manifest within `keepVersions` of latest
     * references, and older manifests (Delta's VACUUM). Safe for readers
     * because they resolve a retained manifest first; safe for CONCURRENT

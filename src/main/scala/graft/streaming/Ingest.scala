@@ -168,25 +168,10 @@ object Ingest {
         ingestBatch(store, batch, batchId, minTokens, maxHamming),
         storePath, base)
     }
-    maybeCompact(spark, storePath, committed.get, compactAboveDirs)
+    AtomicStore.compactIfAbove(spark, storePath, committed.get,
+      compactAboveDirs)
     committed.get
   }
-
-  /** Opportunistic post-commit fold (see [[ingestBatchCommit]]): fold the
-    * store to one snapshot when version `v`'s manifest has grown past
-    * `aboveDirs` data dirs. Never throws — compaction is maintenance, and
-    * a wave that COMMITTED must not be reported failed because its
-    * best-effort fold lost a race or hit an IO hiccup.
-    */
-  private def maybeCompact(spark: SparkSession, storePath: String,
-                           v: Long, aboveDirs: Int): Unit =
-    if (aboveDirs > 0) {
-      import graft.sources.AtomicStore
-      try {
-        if (AtomicStore.filesAt(spark, storePath, v).size > aboveDirs)
-          AtomicStore.compact(spark, storePath)
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
 
   /** Ordered batch fold (the oracle-gated form): documents arrive in
     * `nBatches` waves keyed by `batchOf`; each wave ingests against the

@@ -52,12 +52,18 @@ object SigStoreScale {
     // post-compaction probe cost is flat in wave count (the uncompacted
     // probe pays file listing + open per WAVE, not per byte).
     val waves = args.lift(2).map(_.toInt).getOrElse(40)
+    // compactAboveDirs = 0: this loop MEASURES the uncompacted decay, so
+    // the write-path auto-fold (default threshold 64) must not fire
+    // mid-benchmark and silently turn probe_uncompacted into a probe of
+    // a folded store (and bill full-store rewrites to append wall-time)
     (1 to waves).foreach { w =>
       val off = 20000000L + w * 100000L
       graft.operators.DocIndexStore.appendSimhash(root,
-        sim.limit(20).withColumn("doc_id", col("doc_id") + lit(off)))
+        sim.limit(20).withColumn("doc_id", col("doc_id") + lit(off)),
+        compactAboveDirs = 0)
       graft.operators.DocIndexStore.appendMinhash(root,
-        mh.limit(20).withColumn("doc_id", col("doc_id") + lit(off)))
+        mh.limit(20).withColumn("doc_id", col("doc_id") + lit(off)),
+        compactAboveDirs = 0)
     }
     def census(part: String): (Int, Int) = {
       val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(

@@ -7,6 +7,22 @@ import graft.operators.Bloom
 class BloomSpec extends SparkSpec {
   import spark.implicits._
 
+  test("build restores the session runtime-filter ceilings") {
+    // the ceilings Bloom.build raises also clamp the optimizer's
+    // auto-injected runtime bloom filters; a leaked raise would let
+    // unrelated joins build corpus-sized broadcast sketches for the
+    // rest of the session
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    val before = keys.map(spark.conf.get(_))
+    // one partition → one aggregation buffer of numBits/8 bytes
+    val corpus = (0L until 100L).map(i => s"k$i").toDF("k").coalesce(1)
+    // request above the default 4M-item / 67M-bit ceilings
+    Bloom.build(corpus, col("k"), expectedItems = 5000000L,
+      numBits = 80000000L)
+    assert(keys.map(spark.conf.get(_)) === before)
+  }
+
   test("no false negatives: bloom-negative keys are truly absent") {
     val corpus = (0L until 2000L).map(i => s"key_$i").toDF("k")
     val bf = Bloom.build(corpus, col("k"), expectedItems = 10000L,
