@@ -98,6 +98,39 @@ object SigStoreScale {
     val pC = probe()
     println(f"SIGSTORE waves=$waves%3d probe_compacted   wall=$pC%6.2fs " +
       f"sim_dirs=$d1 sim_manifests=$m1 compact_wall=$dtC%6.2fs")
+
+    // third regime: the WIRED write-path fold (compactAboveDirs — 16 here
+    // so several folds fire within the wave budget). The claim: appends
+    // self-maintain, so the dir census stays bounded by the threshold and
+    // the probe stays at the compacted cost with NO explicit maintenance
+    // call, at an amortized fold cost folded into append wall-time.
+    // the cost driver is the dir set the MANIFEST references (that's
+    // what every probe's load lists and opens) — physical dirs linger
+    // up to vacuum's grace window by design (concurrent-reader safety),
+    // so census() would overcount what a probe pays
+    def refDirs(part: String): Int = {
+      val t = s"$root/$part"
+      graft.sources.AtomicStore.currentVersion(spark, t)
+        .map(v => graft.sources.AtomicStore.filesAt(spark, t, v).size)
+        .getOrElse(0)
+    }
+    val tA = System.nanoTime()
+    var maxRef = 0
+    (1 to waves).foreach { w =>
+      val off = 40000000L + w * 100000L
+      graft.operators.DocIndexStore.appendSimhash(root,
+        sim.limit(20).withColumn("doc_id", col("doc_id") + lit(off)),
+        compactAboveDirs = 16)
+      graft.operators.DocIndexStore.appendMinhash(root,
+        mh.limit(20).withColumn("doc_id", col("doc_id") + lit(off)),
+        compactAboveDirs = 16)
+      maxRef = math.max(maxRef, refDirs("simhash"))
+    }
+    val dtAuto = (System.nanoTime() - tA) / 1e9
+    val pA = probe()
+    println(f"SIGSTORE waves=$waves%3d probe_autofold    wall=$pA%6.2fs " +
+      f"ref_dirs=${refDirs("simhash")} max_ref_dirs=$maxRef " +
+      f"append_total=$dtAuto%6.2fs")
     Fs.deleteRec(root)
     spark.stop()
   }
