@@ -33,13 +33,28 @@ object ConfigIO {
   }
 
   /** Minutes multiplier for the reference's refresh units
-    * (TagEngineStoreHandler.py:623–646).
+    * (TagEngineStoreHandler.py:637–644): an UNRECOGNIZED unit falls back
+    * to DAYS (`else: … timedelta(days=delta)` — the reference's explicit
+    * "default to days" branch), not minutes — a typo'd unit must slow a
+    * schedule down, never turn a 24-day cadence into a 24-minute one.
     */
   private def unitMinutes(unit: String): Long = unit.toLowerCase match {
     case "minutes" => 1L
     case "hours"   => 60L
     case "days"    => 1440L
-    case _         => 1L
+    case _         => 1440L
+  }
+
+  /** The reference's frequency normalization for AUTO configs
+    * (validate_auto_refresh, TagEngineStoreHandler.py:623–635): a
+    * positive int passes through; a string passes only if it is all
+    * digits (Python isdigit — so "-5", "1.5", " 12 " all fall back);
+    * everything else (zero, negative, junk) becomes 24.
+    */
+  private def normalizeAutoFrequency(v: org.json4s.JValue): Long = v match {
+    case JInt(i) if i > 0 => i.toLong
+    case JString(s) if s.nonEmpty && s.forall(_.isDigit) => s.toLong
+    case _ => 24L
   }
 
   def parse(json: String): TagConfig = {
@@ -59,11 +74,15 @@ object ConfigIO {
       uris(j \ "included_assets_uris")
     val excluded = uris(j \ "excluded_tables_uris") ++
       uris(j \ "excluded_assets_uris")
-    val freq = (j \ "refresh_frequency") match {
-      case JInt(i)    => i.toLong
-      case JString(s) => s.trim.toLongOption.getOrElse(0L)
-      case _          => 0L
-    }
+    val refreshMode = str(j \ "refresh_mode").getOrElse("ON_DEMAND")
+    // AUTO configs normalize through validate_auto_refresh; ON_DEMAND
+    // stores 0 ("N/A", TagEngineStoreHandler.py:443) — the reference's
+    // API rejects an AUTO config missing either parameter
+    // (get_refresh_parameters, main.py:1956–1978), and a missing unit
+    // here rides the same default-to-days branch as an unrecognized one
+    val freq =
+      if (refreshMode == "AUTO") normalizeAutoFrequency(j \ "refresh_frequency")
+      else 0L
     TagConfig(
       configType = str(j \ "config_type").getOrElse("DYNAMIC_TAG_TABLE"),
       templateId = str(j \ "template_id").getOrElse(""),
@@ -75,9 +94,9 @@ object ConfigIO {
         case JBool(b) => b
         case _        => true
       },
-      refreshMode = str(j \ "refresh_mode").getOrElse("ON_DEMAND"),
+      refreshMode = refreshMode,
       refreshFrequencyMinutes =
-        freq * unitMinutes(str(j \ "refresh_unit").getOrElse("minutes")),
+        freq * unitMinutes(str(j \ "refresh_unit").getOrElse("")),
       tagHistory = (j \ "tag_history") match {
         case JBool(b) => b
         case _        => false

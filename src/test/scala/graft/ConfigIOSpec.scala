@@ -44,6 +44,26 @@ class ConfigIOSpec extends AnyFunSuite {
     assert(cfg.refreshFrequencyMinutes === 120L)
   }
 
+  test("AUTO refresh normalizes like validate_auto_refresh") {
+    // TagEngineStoreHandler.py:623–646: zero/negative/junk frequency →
+    // 24; a digits-only string passes; an unrecognized unit defaults to
+    // DAYS (the reference's explicit else-branch), never minutes
+    def freqOf(frag: String): Long = ConfigIO.parse(
+      s"""{"template_id": "t", "refresh_mode": "AUTO", $frag}""")
+      .refreshFrequencyMinutes
+    assert(freqOf(""""refresh_frequency": 0, "refresh_unit": "hours"""") === 24L * 60)
+    assert(freqOf(""""refresh_frequency": -3, "refresh_unit": "minutes"""") === 24L)
+    assert(freqOf(""""refresh_frequency": "12", "refresh_unit": "hours"""") === 12L * 60)
+    // Python isdigit rejects signs, spaces and decimals → 24
+    assert(freqOf(""""refresh_frequency": "-5", "refresh_unit": "minutes"""") === 24L)
+    assert(freqOf(""""refresh_frequency": "1.5", "refresh_unit": "minutes"""") === 24L)
+    // unknown unit → days
+    assert(freqOf(""""refresh_frequency": 2, "refresh_unit": "weeks"""") === 2L * 1440)
+    // ON_DEMAND stores 0 ("N/A", TagEngineStoreHandler.py:443)
+    assert(ConfigIO.parse("""{"template_id": "t", "refresh_mode": "ON_DEMAND"}""")
+      .refreshFrequencyMinutes === 0L)
+  }
+
   test("import header asset-type inference (main.py:3445-3461)") {
     assert(ConfigIO.inferAssetType(
       Seq("project", "dataset", "table", "column", "x")) === "bigquery")
