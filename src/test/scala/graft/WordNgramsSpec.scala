@@ -40,6 +40,33 @@ class WordNgramsSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("fuzz: native == HOF on random multibyte + whitespace soup") {
+    // the native expression parses raw UTF-8 BYTES (WordNgrams.Ws.is(b));
+    // multibyte continuation bytes must never read as separators and
+    // token boundaries must land on codepoint edges — fuzz with 2/3/4-
+    // byte codepoints (é, 中, 😀 is a surrogate PAIR in the String) mixed
+    // with every Ws separator and a non-Ws unicode space (U+00A0 NBSP is
+    // NOT a separator in either form; its UTF-8 tail byte 0xA0 must not
+    // read as one)
+    val alphabet: IndexedSeq[String] = IndexedSeq(
+      "a", "bb", "é", "中", "😀", "\u00A0", ".",
+      " ", "\t", "\n", "\f", "\r", "  ", " \t ")
+    val rnd = new scala.util.Random(0x5eed)
+    val strings = Seq.fill(300) {
+      (0 until rnd.nextInt(12)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.size))).mkString
+    }
+    Seq(1, 2, 3).foreach { n =>
+      val diff = strings.toDF("t").select(
+          TextFns.wordNgramsNative(col("t"), n).as("nat"),
+          TextFns.wordNgramsBuiltin(TextFns.words(col("t")), n).as("hof"))
+        .filter(not(col("nat") <=> col("hof")))
+        .collect()
+      assert(diff.isEmpty,
+        s"n=$n diverged on: ${diff.take(3).mkString(" | ")}")
+    }
+  }
+
   test("distinct variant keeps first occurrence of each gram") {
     val out = Seq("x y x y x y")
       .toDF("t")
