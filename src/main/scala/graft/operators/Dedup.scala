@@ -75,7 +75,13 @@ object Dedup {
                         numBands: Int = 2): DataFrame = {
     import org.apache.spark.sql.graft.{Bridge => B}
     import graft.plans.ShingleMinHash
-    require(numHashes % numBands == 0 && numHashes <= MinhashA.length)
+    // numBands >= 1 must be explicit: 8 % -2 == 0 in Scala, and a
+    // non-positive band count would build ZERO band columns, silently
+    // emptying every LSH candidate set downstream
+    require(numBands >= 1 && numHashes % numBands == 0 &&
+      numHashes <= MinhashA.length,
+      s"minhash: need numBands >= 1 dividing numHashes <= ${MinhashA.length}" +
+        s" (got numHashes=$numHashes, numBands=$numBands)")
     // single-pass native minhash straight from the text — no intermediate
     // shingle array at all (min over non-distinct == min over the set)
     val mh = B.column(ShingleMinHash(B.expression(col(textCol)), k,
@@ -101,7 +107,13 @@ object Dedup {
                       numHashes: Int = 8, numBands: Int = 2): DataFrame = {
     import org.apache.spark.sql.graft.{Bridge => B}
     import graft.plans.MinhashFromSet
-    require(numHashes % numBands == 0 && numHashes <= MinhashA.length)
+    // numBands >= 1 must be explicit: 8 % -2 == 0 in Scala, and a
+    // non-positive band count would build ZERO band columns, silently
+    // emptying every LSH candidate set downstream
+    require(numBands >= 1 && numHashes % numBands == 0 &&
+      numHashes <= MinhashA.length,
+      s"minhash: need numBands >= 1 dividing numHashes <= ${MinhashA.length}" +
+        s" (got numHashes=$numHashes, numBands=$numBands)")
     val mh = B.column(MinhashFromSet(B.expression(col("hs")),
       MinhashA.take(numHashes), MinhashB.take(numHashes), MinhashP))
     // cheap emptiness precondition instead of isNotNull on the computed
@@ -128,11 +140,16 @@ object Dedup {
     * joins key on.
     */
   private def bandRows(sigs: DataFrame, idCol: String,
-                       numBands: Int): DataFrame =
+                       numBands: Int): DataFrame = {
+    // the signature builders enforce numBands >= 1 at build time; enforce
+    // it on the JOIN side too — explode over an empty band array would
+    // silently report zero candidates instead of a usage error
+    require(numBands >= 1, s"lshCandidates: numBands $numBands must be >= 1")
     sigs.select(col(idCol).as("id"),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band_idx"), col(s"band_$b").as("band_hash"))): _*)).as("b"))
       .select(col("id"), col("b.band_idx"), col("b.band_hash"))
+  }
 
   /** Sentinel for the band joins' `salts` parameter: derive the salt
     * factor from the OBSERVED bucket histogram at call time
@@ -276,6 +293,16 @@ object Dedup {
     * a small vocabulary makes most shingles near-universal — and is exactly
     * what LSH exists to avoid.
     */
+  /** The one jaccard scoring expression both verify paths share
+    * (|A∩B| / (|A| + |B| − |A∩B|), rounded to 6 — the oracle-pinned
+    * convention): [[jaccardVerify]] (exploded fallback) and
+    * [[jaccardVerifySets]] (set-based) are interchangeable, so the
+    * formula and rounding must not be able to fork between them.
+    */
+  private def jaccardExpr: Column =
+    round(col("inter") * lit(1.0) /
+      (col("sz_a") + col("sz_b") - col("inter")), 6)
+
   def jaccardVerify(candidates: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
     val shd = sh.distinct()
     val a = shd.select(col(idCol).as("a_id"), col("h"))
@@ -289,9 +316,7 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed(idCol, "a_id").withColumnRenamed("sz", "sz_a"), "a_id")
       .join(sizes.withColumnRenamed(idCol, "b_id").withColumnRenamed("sz", "sz_b"), "b_id")
-      .withColumn("jaccard",
-        round(col("inter") * lit(1.0) /
-          (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .withColumn("jaccard", jaccardExpr)
       .select("a_id", "b_id", "inter", "jaccard")
   }
 
@@ -380,9 +405,7 @@ object Dedup {
                         idCol: String,
                         minJaccard: Option[Double] = None): DataFrame =
     scoredPairs(candidates, sets, idCol, minJaccard.map(thresholdRatio))
-      .withColumn("jaccard",
-        round(col("inter") * lit(1.0) /
-          (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .withColumn("jaccard", jaccardExpr)
       .select("a_id", "b_id", "inter", "jaccard")
       .filter(col("inter") > 0)
 

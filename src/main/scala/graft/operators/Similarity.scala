@@ -196,18 +196,31 @@ object Similarity {
     */
   def lshTopKIndexed(emb: DataFrame, sigs: DataFrame, queryId: Long,
                      k: Int): DataFrame = {
-    val qSig = sigs.filter(col("vec_id") === queryId)
-      .select(col("bucket_sig").as("q_sig"))
+    // resolve the query's signature on the DRIVER — one row off the
+    // (vec_id-filtered) signature table. Two reasons: (a) an absent
+    // queryId fails LOUDLY like every other contract guard in this file,
+    // instead of returning an empty frame indistinguishable from "no
+    // similar documents" when probing a stale index; (b) the bucket
+    // predicate becomes a LITERAL, so it pushes into the index scan —
+    // partition pruning on a bucket_sig-partitioned store — where the
+    // former crossJoin(broadcast(qSig)) carried a runtime column no scan
+    // could prune by.
+    val qRows = sigs.filter(col("vec_id") === queryId)
+      .select("bucket_sig").limit(1).collect()
+    require(qRows.nonEmpty,
+      s"lshTopKIndexed: queryId $queryId is not in the signature index — " +
+        "stale or mismatched index? rebuild it (hyperplaneSignatures) or " +
+        "ingest the vector before probing")
+    val qSig = qRows.head.getLong(0)
     // bucket FIRST: the narrow signature table prunes to one bucket
     // BEFORE any corpus join — joining emb⨝sigs first would pay a
-    // corpus-by-corpus shuffle join per query (the q_sig predicate is a
-    // runtime column, so Catalyst cannot push it below that join), which
-    // is exactly the corpus pass the docstring promises to avoid. The
-    // surviving bucket is broadcast into a pruning hash join against emb
-    // (bucket-sized by the LSH contract; a degenerate all-one-bucket
-    // corpus needs more hyperplanes, not a bigger broadcast).
-    val bucketIds = sigs.crossJoin(broadcast(qSig))
-      .filter(col("bucket_sig") === col("q_sig") && col("vec_id") =!= queryId)
+    // corpus-by-corpus shuffle join per query, which is exactly the
+    // corpus pass the docstring promises to avoid. The surviving bucket
+    // is broadcast into a pruning hash join against emb (bucket-sized by
+    // the LSH contract; a degenerate all-one-bucket corpus needs more
+    // hyperplanes, not a bigger broadcast).
+    val bucketIds = sigs
+      .filter(col("bucket_sig") === lit(qSig) && col("vec_id") =!= queryId)
       .select("vec_id")
     val query = emb.filter(col("vec_id") === queryId)
       .select(col("vec").as("qvec"))
@@ -217,14 +230,18 @@ object Similarity {
       k)
   }
 
-  /** Convenience form: derives the signature table inline (two corpus
-    * passes — sigs for the index AND the query's own signature). Use
-    * [[lshTopKIndexed]] with a persisted signature table when more than
-    * one query probes the same corpus.
+  /** Convenience form: derives the signature table inline. The derived
+    * table is MATERIALIZED first (localCheckpoint — the [[graft.operators.Dedup]]
+    * self-join rule): lshTopKIndexed consumes it twice (the driver-side
+    * q_sig lookup + the bucket scan), and an unmaterialized signature
+    * build would re-run its corpus-wide crossJoin+aggregation per
+    * consumption. Use [[lshTopKIndexed]] with a persisted signature
+    * table when more than one query probes the same corpus.
     */
   def lshTopK(emb: DataFrame, hyperplanes: DataFrame, queryId: Long,
               k: Int): DataFrame =
-    lshTopKIndexed(emb, hyperplaneSignatures(emb, hyperplanes), queryId, k)
+    lshTopKIndexed(emb,
+      hyperplaneSignatures(emb, hyperplanes).localCheckpoint(), queryId, k)
 
   /** EXACT embedding near-duplicate pairs: all pairs with cosine ≥
     * threshold. The `a<b` theta self-join is an O(n²)

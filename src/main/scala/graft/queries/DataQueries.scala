@@ -666,7 +666,7 @@ object DataQueries {
   val st01Oracle: String =
     """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type,
       |  count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   /** Streaming-dedup semantics, batch form: exact duplicate drop by key

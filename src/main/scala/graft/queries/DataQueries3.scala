@@ -288,7 +288,7 @@ object DataQueries3 {
   val st07Oracle: String =
     """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
       |  c_mktsegment AS segment, count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin
 

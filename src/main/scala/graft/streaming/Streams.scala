@@ -31,7 +31,7 @@ object Streams {
   private def windowedAgg(events: DataFrame, keyCol: String): DataFrame =
     events.groupBy(window(col("ts"), "5 minutes"), col(keyCol))
       .agg(count(lit(1)).as("n"),
-           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+           sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col(keyCol),
               col("n"), col("sum_value"))
 
@@ -107,72 +107,62 @@ object Streams {
         return out.iterator
       }
       val incoming = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var open = state.getOption
-      val closed = scala.collection.mutable.ListBuffer.empty[Session]
-      incoming.foreach { e =>
-        open match {
-          case Some(s)
-              if s.session_start.getTime - e.ts.getTime >= gapMs =>
-            // out-of-order event a FULL gap (or more) before the open
-            // session's start: batch splits here (diff >= gap starts a
-            // new session), so merging — which the bare forward test
-            // below would do, its diff being negative — would fuse two
-            // batch-distinct sessions SILENTLY (the merged output shows
-            // no < gap separation for the bound invariant to catch).
-            // The event is its own session, already closed by the very
-            // silence in front of the open one. Reachable only at the
-            // exact boundary: accepted events sit >= the watermark,
-            // which lags max event time by exactly gap.
-            closed += Session(userId, e.ts, e.ts, 1)
-          case Some(s) if e.ts.getTime - s.session_end.getTime < gapMs =>
-            // merge with min/max, NOT `session_end = e.ts`: an event from a
-            // later micro-batch may be out-of-order vs the open session's
-            // tail (its ts only has to clear the watermark, which lags by
-            // gap) — an unconditional overwrite would REGRESS session_end,
-            // emitting a corrupt session AND shrinking the event-time
-            // timeout so the session flushes early. This makes merging
-            // into the OPEN session batch-consistent (batch sessionize
-            // takes the session's max ts). It does NOT make the whole
-            // operator batch-equivalent: emitting on observed silence is
-            // eager, so a late event landing within gap of an
-            // ALREADY-EMITTED session's end (reachable when the silence
-            // that closed it was < 2×gap — the accepted-event window is
-            // [wm, closed_end + gap), nonempty exactly then) merges into
-            // the newer open session here when it lands strictly inside
-            // gap of its start (a full-gap-or-more backward event takes
-            // the split branch above instead, exactly like batch), where
-            // batch would have extended the closed one. That divergence
-            // is inherent to
-            // gap-width watermarks + Append emission (avoiding it means
-            // holding every session until the watermark passes
-            // session_end + gap, i.e. one extra gap of emission latency
-            // for every session to cover a narrow cross-batch window);
-            // SessionBoundarySpec pins its exact bound: divergent
-            // neighbors are separated by < gap with the newer session
-            // starting inside (prev_end, prev_end + gap), events are
-            // conserved, sessions stay disjoint, and any user whose
-            // sessions all respect the gap separation matches batch
-            // EXACTLY.
-            open = Some(s.copy(
-              session_start =
-                if (e.ts.before(s.session_start)) e.ts else s.session_start,
+      // Sweep-merge the open session and the batch's events as INTERVALS,
+      // sorted by (start, end): neighbors separated by < gap fuse with
+      // min/max bounds and added counts. This IS batch sessionize over
+      // the observed data, so every within-invocation shape matches batch
+      // exactly — including the two the old one-event-at-a-time fold got
+      // wrong or only bounded: (a) two out-of-order events at the SAME ts
+      // a full gap before the open start emitted two overlapping
+      // singleton sessions where batch emits one 2-event session (a
+      // disjointness violation); (b) a backward chain that grows to
+      // within gap of the open start now fuses with it like batch,
+      // instead of leaving a split. Min/max (not last-write) bounds stay
+      // essential: a later micro-batch's event only has to clear the
+      // watermark, which lags max event time by exactly gap, so it may
+      // be out of order vs the open session's tail — an unconditional
+      // overwrite would REGRESS session_end, emitting a corrupt session
+      // AND shrinking the event-time timeout so the session flushes
+      // early.
+      //
+      // The operator still emits on observed >= gap silence (eager), so
+      // the residual divergence stands: a late event landing within gap
+      // of an ALREADY-EMITTED session's end (reachable when the silence
+      // that closed it was < 2×gap — the accepted-event window is
+      // [wm, closed_end + gap), nonempty exactly then) starts or joins a
+      // NEWER session here, where batch would have extended the closed
+      // one. That is inherent to gap-width watermarks + Append emission
+      // (avoiding it means holding every session until the watermark
+      // passes session_end + gap — one extra gap of latency per session);
+      // SessionBoundarySpec pins its exact bound: divergent neighbors are
+      // separated by < gap with the newer session starting inside
+      // (prev_end, prev_end + gap), events are conserved, sessions stay
+      // disjoint, and any user whose sessions all respect the gap
+      // separation matches batch EXACTLY.
+      val intervals =
+        (state.getOption.toSeq ++
+          incoming.map(e => Session(userId, e.ts, e.ts, 1L)))
+          .sortBy(s => (s.session_start.getTime, s.session_end.getTime))
+      val merged = scala.collection.mutable.ListBuffer.empty[Session]
+      intervals.foreach { iv =>
+        merged.lastOption match {
+          case Some(last) if iv.session_start.getTime -
+              last.session_end.getTime < gapMs =>
+            merged(merged.size - 1) = last.copy(
               session_end =
-                if (e.ts.after(s.session_end)) e.ts else s.session_end,
-              n_events = s.n_events + 1))
-          case Some(s) =>
-            closed += s
-            open = Some(Session(userId, e.ts, e.ts, 1))
-          case None =>
-            open = Some(Session(userId, e.ts, e.ts, 1))
+                if (iv.session_end.after(last.session_end)) iv.session_end
+                else last.session_end,
+              n_events = last.n_events + iv.n_events)
+          case _ => merged += iv
         }
       }
-      open match {
-        case Some(s) =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.session_end.getTime + gapMs)
-        case None => ()
+      // every merged session but the LAST is closed by an observed >= gap
+      // silence in front of a later one; the last stays open in state
+      merged.lastOption.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.session_end.getTime + gapMs)
       }
-      closed.iterator
+      merged.dropRight(1).iterator
     }
 
     events

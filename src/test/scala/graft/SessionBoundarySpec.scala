@@ -125,6 +125,45 @@ class SessionBoundarySpec extends SparkSpec {
     assert(batch === Set((t(20), t(20), 1L), (t(40), t(40), 1L)))
   }
 
+  test("backward chain: equal-ts and chained backward events merge like batch") {
+    // gap=20min. Batch 1 opens [40,40] for users 1 and 2 (watermark 20).
+    // Batch 2 delivers, per user, a backward CHAIN at the boundary:
+    //  - user 1: two events both at exactly t=20 — the old per-event fold
+    //    emitted two overlapping singleton [20,20] sessions (a
+    //    disjointness violation); batch emits ONE [20,20] n=2 session.
+    //  - user 2: t=20 then t=25 — the chain's tail is within gap of the
+    //    open start, so batch fuses everything into [20,40] n=3; the old
+    //    fold left a split ([20,20] + [25,40]).
+    // The sweep-merge makes both match batch exactly.
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(min: Long) = ts(h0 + min * 60000L)
+    val got = runStream(Seq(
+        Seq(SessionEvent(1L, 1L, t(40)), SessionEvent(2L, 2L, t(40))),
+        Seq(SessionEvent(1L, 3L, t(20)), SessionEvent(1L, 4L, t(20)),
+          SessionEvent(2L, 5L, t(20)), SessionEvent(2L, 6L, t(25))),
+        Seq(SessionEvent(99L, 7L, t(600)))), "backchain")
+    assert(got.filter(_.user_id == 1L).toSet === Set(
+      Session(1L, t(20), t(20), 2L),
+      Session(1L, t(40), t(40), 1L)),
+      "equal-ts backward pair must be ONE closed session, as in batch")
+    assert(got.filter(_.user_id == 2L).toSet === Set(
+      Session(2L, t(20), t(40), 3L)),
+      "a backward chain reaching within gap of the open start fuses")
+    Seq(1L, 2L).foreach { u =>
+      val batch = Streams.sessionize(
+          (if (u == 1L) Seq(SessionEvent(1L, 1L, t(40)),
+            SessionEvent(1L, 3L, t(20)), SessionEvent(1L, 4L, t(20)))
+          else Seq(SessionEvent(2L, 2L, t(40)),
+            SessionEvent(2L, 5L, t(20)), SessionEvent(2L, 6L, t(25))))
+            .toDF(), gapMinutes = GapMin)
+        .select("session_start", "session_end", "n_events")
+        .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      assert(got.filter(_.user_id == u)
+        .map(s => (s.session_start, s.session_end, s.n_events)).toSet
+        === batch, s"user $u must match batch exactly")
+    }
+  }
+
   test("generated arrivals: clean users == batch exactly; divergence only in the documented window") {
     // One global arrival sequence (the watermark is global, so scenarios
     // must share it): 24 users × session bursts separated by silences
