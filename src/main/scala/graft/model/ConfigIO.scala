@@ -38,7 +38,8 @@ object ConfigIO {
     * "default to days" branch), not minutes — a typo'd unit must slow a
     * schedule down, never turn a 24-day cadence into a 24-minute one.
     */
-  private def unitMinutes(unit: String): Long = unit.toLowerCase match {
+  private def unitMinutes(unit: String): Long =
+    unit.toLowerCase(java.util.Locale.ROOT) match {
     case "minutes" => 1L
     case "hours"   => 60L
     case "days"    => 1440L
@@ -103,15 +104,22 @@ object ConfigIO {
       })
   }
 
-  /** Import-CSV asset-type inference from header keys (main.py:3445–3461):
+  /** Import-CSV asset-type inference from header keys (main.py:3446–3452):
     * `dataset` → bigquery; `entry_group`+`fileset` → fileset;
-    * `instance`+`database` → spanner.
+    * `instance`+`database` → spanner. EXACT key match like the
+    * reference's `keys() >= {'dataset'}` — a lenient (lowercased) match
+    * here would classify a mixed-case header whose key columns then fail
+    * to resolve in the case-sensitive import melt, turning one clear
+    * error into a misleading 'unknown fields' downstream. Note the
+    * reference checks `dataset` FIRST, so a header carrying both
+    * `dataset` and `entry_group`+`fileset` is bigquery there — mirrored
+    * by the if-order here.
     */
   def inferAssetType(header: Seq[String]): String = {
-    val h = header.map(_.trim.toLowerCase).toSet
-    if (h.contains("entry_group") && h.contains("fileset")) "fileset"
+    val h = header.toSet
+    if (h.contains("dataset")) "bigquery"
+    else if (h.contains("entry_group") && h.contains("fileset")) "fileset"
     else if (h.contains("instance") && h.contains("database")) "spanner"
-    else if (h.contains("dataset")) "bigquery"
     else throw new IllegalArgumentException(
       s"cannot infer asset type from header: ${header.mkString(",")}")
   }

@@ -57,7 +57,10 @@ object ConfigDispatch {
   /** Route a config to its pipeline (ConfigType.py:3–12 names). */
   def applyConfig(spark: SparkSession, config: TagConfig,
                   in: EngineInputs): DataFrame =
-    config.configType.toUpperCase match {
+    // Locale.ROOT: under a Turkish default locale "dynamic".toUpperCase
+    // yields a dotted capital I that matches no arm — every config with an
+    // 'i' in its type would dispatch to the unknown-config error
+    config.configType.toUpperCase(java.util.Locale.ROOT) match {
       case "DYNAMIC_TAG_TABLE" =>
         // Scale switch (TaskManager.py:49's shard granularity): the
         // per-distinct-statement driver loop collects the expansion and
@@ -154,7 +157,10 @@ object ConfigDispatch {
     * (:578) — then emit the file-metadata tag the reference attaches to
     * the created entry. Pure driver-side metadata, zero Spark jobs,
     * bounded by physical file count like the reference's per-blob loop.
-    * Entry id = file base name minus extension, '/'→'_' (reference :518);
+    * Entry id = file name up to the FIRST dot, '/'→'_' — the reference's
+    * exact `filename.split('.')[0]` (:518), so `daily.01.parquet` and
+    * `daily.02.parquet` deliberately collide on entry id `daily` just as
+    * they do there;
     * files whose footer does not parse are skipped like the reference's
     * not-a-parquet ERROR path (:547–556). Emitted fields follow the
     * reference's field loop (:589–640): name/bucket/path/type/size/
@@ -243,7 +249,8 @@ object ConfigDispatch {
             ("AVRO", n, nCols)
           } finally rdr.close()
         }).orElse(scala.util.Try {
-          require(name.toLowerCase.endsWith(".csv"), s"not a csv: $name")
+          require(name.toLowerCase(java.util.Locale.ROOT).endsWith(".csv"),
+            s"not a csv: $name")
           val df = spark.read.option("header", true).csv(path)
           // an EMPTY .csv infers a zero-column schema — a 0-col entry is
           // junk, rejected like the no-parseable-fields JSONL below
@@ -255,7 +262,7 @@ object ConfigDispatch {
           // inferred object fields, row count a data pass like CSV.
           // A .jsonl whose lines never parse infers ONLY the
           // _corrupt_record column — rejected, so junk stays skipped.
-          val lower = name.toLowerCase
+          val lower = name.toLowerCase(java.util.Locale.ROOT)
           require(lower.endsWith(".jsonl") || lower.endsWith(".json"),
             s"not jsonl: $name")
           val df = spark.read.json(path)
@@ -476,10 +483,18 @@ object ConfigDispatch {
     */
   private def exportableTags(tags: DataFrame): DataFrame = {
     val parts = split(col("asset_uri"), "/")
+    // BigQuery URIs ONLY, like the reference (apply_export_config builds
+    // `//bigquery.googleapis.com/projects/<uri>` unconditionally,
+    // DataCatalogController.py:1125 — fileset/spanner tags never reach
+    // export). Without the filter a store that has run ENTRY_CREATE
+    // (2-part fileset URIs) or a spanner import would export null/garbage
+    // project/dataset/table rows — or die on element_at under ANSI.
+    // try_element_at on the leaf: a DATASET-level tag URI has 5 parts and
+    // exports with a null table (the reference's tagged_table = None).
     val base = Seq(
       element_at(parts, 3).as("project"),
       element_at(parts, 5).as("dataset"),
-      element_at(parts, 6).as("table"),
+      try_element_at(parts, lit(6)).as("table"),
       col("template_id").as("tag_template"),
       col("field_id").as("tag_field"),
       col("field_value").cast("string").as("tag_value"))
@@ -487,6 +502,7 @@ object ConfigDispatch {
       if (tags.columns.contains("field_type"))
         base :+ col("field_type").as("tag_type")
       else base
-    tags.select(withType: _*)
+    tags.filter(col("asset_uri").startsWith("bigquery/"))
+      .select(withType: _*)
   }
 }

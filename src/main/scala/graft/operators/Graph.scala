@@ -188,10 +188,24 @@ object Graph {
     try {
       // persist the edge input BEFORE symmetrizing: the union's two branches
       // would otherwise each evaluate the (often expensive) upstream pair
-      // pipeline; the count() barrier stops the branches racing the cold cache
-      e0 = edges.select(col(aCol).cast("long").as("u"),
-        col(bCol).cast("long").as("v")).persist()
-      val e0Count = e0.count()
+      // pipeline; the count() barrier stops the branches racing the cold cache.
+      // try_cast + null filter with a LOUD count check: a plain cast would
+      // turn an unparseable id (or a null endpoint) into a null that either
+      // crashes the local-finish path's non-nullable tuple encoder (an
+      // opaque error far from the bad input) or — worse — silently rides
+      // the distributed path, where null never equi-joins and components
+      // come back SPLIT with no error. Same input must fail the same way
+      // on both size-adaptive paths.
+      e0 = edges.select(expr(s"try_cast(`$aCol` as long)").as("u"),
+        expr(s"try_cast(`$bCol` as long)").as("v")).persist()
+      // one aggregate doubles as the cache barrier AND the null census
+      val eStats = e0.agg(count(lit(1)).as("n"),
+        count(when(col("u").isNull || col("v").isNull, 1)).as("bad")).first()
+      require(eStats.getLong(1) == 0L,
+        s"connectedComponents: ${eStats.getLong(1)} edge(s) have null/" +
+          s"unparseable endpoint ids in ($aCol, $bCol) — clean or cast " +
+          "the edge input explicitly before calling")
+      val e0Count = eStats.getLong(0)
       // SIZE-ADAPTIVE local finish (the move every production distributed-CC
       // makes — BSP rounds are for graphs that don't fit one task): an edge
       // set this small is pure fixed job overhead to iterate on (measured:

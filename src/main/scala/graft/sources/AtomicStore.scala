@@ -97,12 +97,19 @@ object AtomicStore {
 
   /** Latest committed snapshot. Fails if nothing was ever committed —
     * use [[currentVersion]] to probe.
+    *
+    * mergeSchema: [[commitAppend]] imposes no schema check, so later
+    * batches may carry columns earlier ones lack. A sampled-footer schema
+    * would silently DROP those columns whenever the sampled file predates
+    * the evolution — and results would flip after a [[compact]] (whose
+    * fold merges schemas) rewrote the store. Same rule as the fold.
     */
   def read(spark: SparkSession, root: String): DataFrame =
     retryingOnVacuumRace {
       val v = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"AtomicStore: no commits at $root"))
-      spark.read.parquet(filesAt(spark, root, v): _*)
+      spark.read.option("mergeSchema", "true")
+        .parquet(filesAt(spark, root, v): _*)
     }
 
   /** Step 1 of the protocol: land the batch in a fresh, UNPUBLISHED data
@@ -426,8 +433,10 @@ object AtomicStore {
     val cutoff = System.currentTimeMillis() - graceMs
     currentVersion(spark, root).foreach { latest =>
       val keepFrom = latest - keepVersions + 1
-      val versions = fs.listStatus(commitsDir(root))
-        .flatMap(s => versionOf(s.getPath.getName)).sorted.toSeq
+      val stats = fs.listStatus(commitsDir(root))
+        .flatMap(s => versionOf(s.getPath.getName)
+          .map(v => v -> s.getModificationTime)).toMap
+      val versions = stats.keys.toSeq.sorted
       val live = versions.filter(_ >= keepFrom)
         .flatMap(filesAt(spark, root, _)).map(p => new Path(p).getName).toSet
       if (fs.exists(dataDir(root)))
@@ -435,8 +444,23 @@ object AtomicStore {
           .filterNot(s => live.contains(s.getPath.getName))
           .filter(_.getModificationTime < cutoff)
           .foreach(s => fs.delete(s.getPath, true))
-      versions.filter(_ < keepFrom).foreach(v =>
-        fs.delete(new Path(commitsDir(root), manifestName(v)), false))
+      // A superseded manifest's NAME is still the CAS claim publish()
+      // checks: deleting it immediately would let a writer that resolved
+      // its base BEFORE this vacuum re-publish the freed version name,
+      // "win" a fail-if-exists race the store has already moved past, and
+      // report a commit that is invisible below latest (silent loss — the
+      // data dir then gets vacuumed too). So manifests get the same grace
+      // discipline as data dirs, anchored at the moment the version was
+      // SUPERSEDED (its earliest successor's publish mtime — the
+      // manifest's own mtime is its publish time, which may be arbitrarily
+      // old by the time a fold supersedes it). A writer stalled longer
+      // than the grace window between resolve and publish is outside the
+      // store's staleness contract, exactly like a reader.
+      versions.filter(_ < keepFrom).foreach { v =>
+        val supersededAt = versions.filter(_ > v).map(stats).min
+        if (supersededAt < cutoff)
+          fs.delete(new Path(commitsDir(root), manifestName(v)), false)
+      }
     }
   }
 }

@@ -312,6 +312,51 @@ class AtomicStoreSpec extends SparkSpec {
     assert(state(TagStore.readLatestState(spark, logRoot)) === snap)
   }
 
+  test("read merges schemas across append batches (columns never vanish)") {
+    // commitAppend imposes no schema check, so later waves may carry
+    // columns earlier batches lack; a sampled-footer read would drop
+    // them nondeterministically (and results would FLIP after compact,
+    // whose fold merges schemas)
+    import spark.implicits._
+    val r = root()
+    AtomicStore.commitAppend(Seq((1L, "a")).toDF("id", "x"), r)
+    AtomicStore.commitAppend(Seq((2L, "b", "new")).toDF("id", "x", "y"), r)
+    val got = AtomicStore.read(spark, r)
+    assert(got.columns.toSet === Set("id", "x", "y"))
+    assert(got.filter(col("y").isNotNull).count() === 1)
+    // and the fold sees the same merged schema (the documented parity)
+    AtomicStore.compact(spark, r, keepVersions = 1, graceMs = 0L)
+    assert(AtomicStore.read(spark, r).columns.toSet === Set("id", "x", "y"))
+  }
+
+  test("vacuum keeps superseded manifest NAMES claimed for the grace window") {
+    // the manifest name is the CAS claim publish() checks: if vacuum
+    // freed it immediately on supersession, a writer that resolved its
+    // base before the vacuum could re-publish the freed version name,
+    // win the fail-if-exists race, and report a commit that sits
+    // invisibly below latest — silent loss. Within the grace window the
+    // stale publish must LOSE.
+    val r = root()
+    AtomicStore.commitAppend(tags("a" -> "1"), r) // v0
+    // a zombie writer resolves base = v0 HERE, then stalls
+    AtomicStore.commitAppend(tags("b" -> "2"), r) // v1
+    AtomicStore.commitAppend(tags("c" -> "3"), r) // v2
+    AtomicStore.vacuum(spark, r, keepVersions = 1) // default grace
+    // the zombie wakes and publishes base+1 = v1: the name must still be
+    // claimed (superseded < grace ago), so the CAS correctly loses
+    assert(!AtomicStore.publish(spark, r, Seq("zombie"), 1L),
+      "superseded manifest name must stay claimed within the grace window")
+    assert(AtomicStore.currentVersion(spark, r) === Some(2L))
+    assert(AtomicStore.read(spark, r).count() === 3)
+    // past the grace window the name is reclaimable — a writer stalled
+    // that long is outside the store's staleness contract (same bound as
+    // the data-dir grace imposes on readers)
+    AtomicStore.vacuum(spark, r, keepVersions = 1, graceMs = 0L)
+    assert(AtomicStore.publish(spark, r, Seq("zombie"), 1L),
+      "past the grace window the name is free again")
+    assert(AtomicStore.currentVersion(spark, r) === Some(2L))
+  }
+
   test("compact folds an append-only store to one data dir, rows exact") {
     // the steady-state maintenance of the persisted index/ingest stores:
     // every wave leaves one manifest + one small batch dir, compact folds

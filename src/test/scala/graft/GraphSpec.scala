@@ -26,6 +26,23 @@ class GraphSpec extends SparkSpec {
   private val mixedExpect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
     10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
 
+  test("null/unparseable endpoint ids fail LOUDLY on both size paths") {
+    // a silent cast-to-null would crash the local finish's non-nullable
+    // encoder (opaque) but ride the distributed path as a (null, null)
+    // label row that never equi-joins — components back SPLIT, no error.
+    // Same input must fail the same named way regardless of edge count.
+    val junk = Seq(("1", "2"), ("doc_17", "3")).toDF("a", "b")
+    val eLocal = intercept[IllegalArgumentException] {
+      Graph.connectedComponents(junk, "a", "b").collect()
+    }
+    assert(eLocal.getMessage.contains("unparseable"))
+    val eDist = intercept[IllegalArgumentException] {
+      Graph.connectedComponents(junk, "a", "b",
+        localFinishEdges = 0L).collect()
+    }
+    assert(eDist.getMessage.contains("unparseable"))
+  }
+
   test("chain + clique + isolated pair resolve to min-id components") {
     assert(cc(mixed) == mixedExpect)
   }
