@@ -142,7 +142,17 @@ object GroupedEval {
       !isLit && "(?i)\\bfrom\\b".r.findFirstIn(t).isDefined
     }
 
-  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+  /** Escape a value into a Spark SQL single-quoted string literal. Under
+    * the default parser (escapedStringLiterals=false — the same semantics
+    * [[segments]] documents) backslash is an escape character INSIDE the
+    * literal, so quotes alone are not enough: a value ending in `\` turns
+    * the closing quote into an escaped quote (ParseException on benign
+    * values, literal-escape injection on crafted ones). Backslashes
+    * double first, then quotes. Shared with TagEngine's static-value
+    * path so the two escapers cannot fork.
+    */
+  private[operators] def sq(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
   /** One SELECT item per config field. */
   private[operators] def fieldItem(f: FieldSpec): String = f.queryExpression match {
@@ -239,8 +249,10 @@ object GroupedEval {
     val groupItems = groups.map { case (where, i) =>
       val members = flatFields.filter(f =>
         flatOf(f.fieldId).where.map(bindScalar) == where)
+      // field ids are sq-escaped too: an apostrophe or backslash in a
+      // template field id must not break out of the name literal
       val entries = members.map(f =>
-        s"'${f.fieldId}', (${bindScalar(flatOf(f.fieldId).selectList)})")
+        s"${sq(f.fieldId)}, (${bindScalar(flatOf(f.fieldId).selectList)})")
         .mkString(", ")
       s"(SELECT named_struct($entries) FROM $slice" +
         where.map(w => s" WHERE $w").getOrElse("") + s") AS `__g$i`"

@@ -80,6 +80,12 @@ object TagEngine {
     * it is catalog METADATA (distinct table names), and identical
     * substituted statements are evaluated once. For asset counts beyond
     * metadata scale use [[GroupedEval.applyDynamicTableConfigSharded]].
+    * Asset type is hardwired `bigquery` by REFERENCE scope, not oversight:
+    * dynamic/sensitive configs run their query_expression in BigQuery
+    * only (apply_dynamic_table_config → BigQuery jobs); fileset/spanner
+    * assets take the static/import/entry paths, which carry their own
+    * typed URIs. A spanner-globbed dynamic config has no reference
+    * semantics to match.
     */
   def applyDynamicTableConfig(spark: SparkSession, config: TagConfig,
                               catalog: DataFrame): DataFrame = {
@@ -145,10 +151,20 @@ object TagEngine {
   private[operators] val MaxIncludedColumns = 10000
   private[operators] def resolveIncludedColumns(spark: SparkSession,
                                                 sqlText: String): Seq[String] = {
-    val rows = spark.sql(sqlText).take(MaxIncludedColumns + 1).toSeq
+    val df = spark.sql(sqlText)
+    val rows = df.take(MaxIncludedColumns + 1).toSeq
     require(rows.lengthCompare(MaxIncludedColumns) <= 0,
       s"included_columns_query returned more than $MaxIncludedColumns rows " +
         "— that is a data table, not a column list")
+    // only 1×N and N×1 shapes are column LISTS; an N×M result (e.g.
+    // `select column_name, data_type from ...` — one stray SELECT item
+    // away from the legal shape) would silently interleave data_type
+    // cells into the column list and tag nonexistent columns named
+    // "STRING"/"INT64" — fail loudly instead
+    require(rows.lengthCompare(1) <= 0 || df.columns.length <= 1,
+      s"included_columns_query returned ${rows.length} rows x " +
+        s"${df.columns.length} columns — a column list must be one row " +
+        "or one column")
     rows.flatMap(_.toSeq).flatMap(Option(_)).map(_.toString)
   }
 
@@ -176,12 +192,14 @@ object TagEngine {
       (c, i) <- columns.zipWithIndex
       (f, j) <- config.fields.zipWithIndex
     } yield {
-      // static values are ESCAPED into the literal ('' doubling — the
-      // GroupedEval.sq rule): an apostrophe in field_value must neither
-      // kill the statement with a ParseException nor inject into it
+      // static values are ESCAPED into the literal (GroupedEval.sq — the
+      // ONE escaper, which also doubles backslashes: under the default
+      // parser a value ending in `\` would turn the closing quote into an
+      // escaped quote): an apostrophe or backslash in field_value must
+      // neither kill the statement with a ParseException nor inject into it
       val q = f.queryExpression.map(e =>
           s"(${ConfigEval.substitute(e, uri, Some(c))})")
-        .getOrElse(s"'${f.fieldValue.getOrElse("").replace("'", "''")}'")
+        .getOrElse(GroupedEval.sq(f.fieldValue.getOrElse("")))
       s"CAST($q AS STRING) AS `__v_${i}_$j`"
     }
     val evaluated = spark.sql(cells.mkString("SELECT ", ", ", ""))
@@ -207,9 +225,23 @@ object TagEngine {
   def historyRows(incoming: DataFrame, config: TagConfig, eventTime: Column,
                   jobUuid: Column): DataFrame = {
     val parts = split(col("asset_uri"), "/")
-    val tableName = concat_ws("/",
-      element_at(parts, 3), lit("dataset"), element_at(parts, 5),
-      lit("table"), element_at(parts, 6))
+    // The reference derives asset_name by RENAMING segments of the tagged
+    // asset's uri, never by reconstructing it (copy_tag,
+    // BigQueryUtils.py:122–128: '/datasets/'→'/dataset/', '/tables/'→
+    // '/table/', pass-through otherwise). Mirror that: bigquery URIs map
+    // to P/dataset/D[/table/T] (concat_ws skips the null table segment of
+    // a 5-part dataset-level tag, so no ANSI element_at throw); any other
+    // asset type passes through VERBATIM — the reference's no-op rename.
+    // Reconstructing through fixed element positions would mislabel
+    // spanner instance/database segments as dataset/table and drop the
+    // actual table.
+    val tableName = when(element_at(parts, 1) === "bigquery",
+      concat_ws("/",
+        try_element_at(parts, lit(3)), lit("dataset"),
+        try_element_at(parts, lit(5)),
+        when(size(parts) >= 6, lit("table")),
+        try_element_at(parts, lit(6))))
+      .otherwise(col("asset_uri"))
     val assetName = when(col("column") =!= "",
       concat(tableName, lit("/column/"), col("column"))).otherwise(tableName)
     // pivot over the KNOWN field list (no extra distinct-values job); enum
@@ -287,6 +319,17 @@ object TagEngine {
     * over a big store should pass the store pre-filtered to the configs'
     * templates/scopes (the MERGE join keys), which is also the only part
     * a rollup can attribute to the jobs.
+    *
+    * Intra-tick isolation: every job's overwrite=false filter reads the
+    * SAME pre-tick `existingTags` snapshot — sibling jobs' writes within
+    * the tick are invisible to each other, so two due configs sharing a
+    * template and an untagged asset can both emit it in one tick where
+    * strictly serialized runJob calls would make the second skip. That is
+    * the deterministic batch rendering of the reference's behavior (cloud
+    * tasks run CONCURRENTLY against Firestore; their read/write
+    * interleaving is unordered, so same-tick winners are arbitrary
+    * there); a caller needing serialized semantics chains runJob per
+    * config, merging between.
     */
   def runJobs(spark: SparkSession, configs: Seq[(String, TagConfig)],
               catalog: DataFrame, existingTags: DataFrame): DataFrame =

@@ -219,10 +219,15 @@ object TagStore {
     val delta = upserts.unionByName(deletes)
     var races = 0
     while (true) {
+      // hoisted so BOTH failure paths (lost publish, vacuum race) can
+      // reclaim the loser's already-materialized batch dir — otherwise a
+      // contended store below the auto-fold threshold accumulates dead
+      // full-size parquet dirs that only an explicit vacuum would sweep
+      var rel: String = null
       try {
         val base = AtomicStore.currentVersion(spark, path)
         val v = base.getOrElse(-1L) + 1
-        val rel = AtomicStore.writeData(
+        rel = AtomicStore.writeData(
           delta.withColumn("__batch", lit(v)), path)
         val parents = base.toSeq
           .flatMap(AtomicStore.filesAt(spark, path, _))
@@ -240,15 +245,19 @@ object TagStore {
             catch { case scala.util.control.NonFatal(_) => () }
           return v
         }
-        // conflict: the stamp no longer matches the next version — rewrite.
-        // Round completed race-free, so the consecutive-race cap resets.
+        // conflict: the stamp no longer matches the next version — the
+        // loser's batch is known-unpublished, reclaim it before the
+        // rewrite. Round completed race-free, so the race cap resets.
+        AtomicStore.reclaimData(spark, path, rel)
         races = 0
       } catch {
         // resolved manifest vacuumed by a racing compaction (possibly
         // surfacing wrapped in a Spark/Analysis exception) — same as a
-        // lost publish race: re-resolve and re-stamp (bounded: a missing
+        // lost publish race: reclaim the orphaned batch (when the write
+        // got that far), re-resolve and re-stamp (bounded: a missing
         // INPUT would throw identically forever)
         case e: Throwable if isVacuumRace(e) =>
+          if (rel != null) AtomicStore.reclaimData(spark, path, rel)
           races += 1
           if (races > MaxRaceRetries) throw e
           Thread.sleep(50L * races)
@@ -308,6 +317,12 @@ object TagStore {
         try {
           val base = AtomicStore.currentVersion(spark, path)
           if (base.isEmpty) Some(false) // nothing committed — nothing to fold
+          // already one batch dir → already compact: skip the full-table
+          // rewrite and the burned version (the AtomicStore.compact
+          // early-out rule — a periodic maintenance tick on a quiet store
+          // must be a metadata-sized no-op, not a snapshot per tick)
+          else if (AtomicStore.filesAt(spark, path, base.get)
+              .lengthCompare(1) <= 0) Some(false)
           else {
             // state resolved INSIDE the loop: a lost race must re-read the
             // winner's log, not republish a fold of the superseded file set

@@ -242,13 +242,25 @@ object AtomicStore {
     testPrePublishHook()
     if (publish(spark, root, Seq(rel), v)) Some(v)
     else {
-      // reclaim the loser's materialized snapshot immediately — it is
-      // known-unpublished here, no grace window needed
-      val fs = dataDir(root).getFileSystem(hconf(spark))
-      fs.delete(new Path(dataDir(root), rel), true)
+      // loser's materialized snapshot is known-unpublished — reclaim now
+      reclaimData(spark, root, rel)
       None
     }
   }
+
+  /** Reclaim a known-unpublished loser batch dir immediately (no grace
+    * window needed — the manifest never referenced it). Shared by the CAS
+    * commit paths here and TagStore's merge loop, so every lost race
+    * frees its materialized batch instead of leaving full-size orphans
+    * for a vacuum that may never be scheduled. Best-effort: a failed
+    * delete leaves an orphan for vacuum, never fails the caller.
+    */
+  private[graft] def reclaimData(spark: SparkSession, root: String,
+                                 rel: String): Unit =
+    try {
+      val fs = dataDir(root).getFileSystem(hconf(spark))
+      fs.delete(new Path(dataDir(root), rel), true)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Commit `df` as an appended batch: the new version sees every
     * previously committed file plus this batch (history semantics).
@@ -277,11 +289,7 @@ object AtomicStore {
     if (currentVersion(spark, root) != expectedBase) return None
     val rel = writeData(df, root)
     val v = expectedBase.getOrElse(-1L) + 1
-    def reclaim(): Unit = {
-      // known-unpublished loser batch — reclaim immediately
-      val fs = dataDir(root).getFileSystem(hconf(spark))
-      fs.delete(new Path(dataDir(root), rel), true)
-    }
+    def reclaim(): Unit = reclaimData(spark, root, rel)
     val dirs =
       try expectedBase.toSeq.flatMap(filesAt(spark, root, _))
         .map(p => new Path(p).getName) :+ rel

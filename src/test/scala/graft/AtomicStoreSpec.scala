@@ -310,6 +310,11 @@ class AtomicStoreSpec extends SparkSpec {
     assert(fs.listStatus(
       new org.apache.hadoop.fs.Path(logRoot, "data")).length === 1)
     assert(state(TagStore.readLatestState(spark, logRoot)) === snap)
+    // idempotent: an already-folded log skips the full-table rewrite —
+    // no version burned on a quiet maintenance tick
+    val vBefore = AtomicStore.currentVersion(spark, logRoot)
+    TagStore.compactLog(spark, logRoot)
+    assert(AtomicStore.currentVersion(spark, logRoot) === vBefore)
   }
 
   test("read merges schemas across append batches (columns never vanish)") {

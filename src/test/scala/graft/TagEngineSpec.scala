@@ -322,6 +322,18 @@ class TagEngineSpec extends SparkSpec {
     assert(TagEngine.applyDynamicColumnConfig(spark, cfgQuote, uri)
       .select("field_value").as[String].collect().toSeq
       === Seq("it's restricted"))
+    // BACKSLASHES too: under the default parser \' is an escaped quote,
+    // so a value ending in \ (or containing \') would turn the closing
+    // quote into part of the literal — ParseException on benign values,
+    // literal-escape injection on crafted ones. The value must round-trip
+    // byte-exactly.
+    Seq("C:\\tmp\\", "a\\'b", "x\\', junk ('").foreach { v =>
+      val cfgBs = cfgQuote.copy(
+        fields = Seq(FieldSpec("note", "string", None, Some(v))))
+      assert(TagEngine.applyDynamicColumnConfig(spark, cfgBs, uri)
+        .select("field_value").as[String].collect().toSeq === Seq(v),
+        s"static value must round-trip: <$v>")
+    }
   }
 
   test("dispatch auto-routes dynamic-COLUMN configs set-based above the threshold") {
