@@ -63,10 +63,15 @@ object Registration {
       .filter(col("field_id") === StatusFieldId &&
         col("field_value") === "PENDING")
       .select(col("asset_uri").as("product_uri")).distinct()
-    // trigger → generation fan-out: assets of pending products only
+    // trigger → generation fan-out: assets of pending products only.
+    // assetFacts dedupes to ONE row per asset before the join (min() —
+    // the deterministic-survivor rule UsageTracking's lookup join uses):
+    // a duplicate facts row would otherwise fan every generated field out
+    // twice, with conflicting n_rows if the duplicates disagree
     val assets = mapping.join(pending, Seq("product_uri"), "left_semi")
       .select("asset_uri").distinct()
-      .join(assetFacts, Seq("asset_uri"), "left")
+      .join(assetFacts.groupBy("asset_uri")
+        .agg(min(col("n_rows")).as("n_rows")), Seq("asset_uri"), "left")
     val fields = Seq(
       struct(lit("steward").as("field_id"), lit("string").as("field_type"),
         lit("governance").as("field_value")),
@@ -80,6 +85,10 @@ object Registration {
         explode(array(fields: _*)).as("f"))
       .select(col("asset_uri"), col("column"), col("template_id"),
         col("f.field_id"), col("f.field_type"), col("f.field_value"))
+      // an asset MISSING from assetFacts emits steward/env but NO n_rows
+      // row (the established skip-field-on-missing-value rule), instead
+      // of silently writing a typed double field whose value is NULL
+      .filter(col("field_id") =!= "n_rows" || col("field_value").isNotNull)
     // status flip: the reference's update_tag_subset writes TWO
     // changed_fields on the triggering product — data_product_status →
     // 'REVIEW' and last_modified_date → now (main.py:139–141) — so the

@@ -22,9 +22,15 @@ object Sinks {
     * and diverging from the reference's UTC day-partitioned history
     * table, whose timestamps are UTC by construction).
     */
+  /** UTC epoch day of `ts` — THE one session-tz-independent day rule
+    * (shared with UsageTracking's start_date window so the two cannot
+    * drift; floor handles pre-1970 instants correctly).
+    */
+  private[operators] def utcEpochDay(ts: Column): Column =
+    floor(unix_seconds(ts) / lit(86400L))
+
   private def utcDay(ts: Column): Column =
-    date_add(lit("1970-01-01").cast("date"),
-      floor(unix_seconds(ts) / lit(86400L)).cast("int"))
+    date_add(lit("1970-01-01").cast("date"), utcEpochDay(ts).cast("int"))
 
   /** Tag-history rows (BigQueryUtils.py:344–440; FIXTURES.md §3.1): the
     * standard prefix columns + one column per template field, plus the

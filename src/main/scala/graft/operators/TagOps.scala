@@ -19,8 +19,14 @@ object TagOps {
     // NULL column = an entry-level tag (it addresses the asset, not a
     // column — TagStore's <=> key join treats NULL as a legal key, so
     // such rows exist); a bare === ""/=!= "" pair matches NEITHER side
-    // and would silently LOSE the row from the copy
+    // and would silently LOSE the row from the copy. The copied row then
+    // NORMALIZES to column = "" — every producer in this codebase keys
+    // entry-level tags that way (UsageTracking, Registration,
+    // ConfigDispatch), and upsert's null-safe key treats NULL and "" as
+    // DISTINCT keys, so an un-normalized NULL copy would duplicate an
+    // existing ""-keyed tag on the target instead of merging with it
     val entryLevel = src.filter(col("column").isNull || col("column") === "")
+      .withColumn("column", coalesce(col("column"), lit("")))
     val columnLevel = src.filter(col("column") =!= "")
       .join(broadcast(tgtColumns), src("column") === tgtColumns("column_name"),
         "left_semi")

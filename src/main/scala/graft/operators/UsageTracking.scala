@@ -64,9 +64,8 @@ object UsageTracking {
     // would silently re-anchor the window to the session timezone and
     // drop/admit boundary events on any non-UTC-configured cluster
     val windowed = startDate.fold(audit) { d =>
-      audit.filter(
-        floor(unix_seconds(col("event_time")) / lit(86400L)) >=
-          datediff(to_date(lit(d)), to_date(lit("1970-01-01"))))
+      audit.filter(Sinks.utcEpochDay(col("event_time")) >=
+        datediff(to_date(lit(d)), to_date(lit("1970-01-01"))))
     }
     windowed.withColumn("kind", kindOf).filter(col("kind").isNotNull)
       .select(col("kind"),

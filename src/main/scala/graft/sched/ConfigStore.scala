@@ -76,9 +76,13 @@ object ConfigStore {
     status.map(s => byType.filter(col("config_status") === s)).getOrElse(byType)
   }
 
-  /** Delete one config document (TagEngineStoreHandler.py:  delete path). */
+  /** Delete one config document (TagEngineStoreHandler.py:  delete path).
+    * Null-safe like [[purge]]: a row with NULL config_uuid (malformed
+    * import/backup row) is NOT the deleted config — a bare =!= would
+    * evaluate NULL and silently drop it alongside the target.
+    */
   def deleteConfig(store: DataFrame, configUuid: String): DataFrame =
-    store.filter(col("config_uuid") =!= configUuid)
+    store.filter(!(col("config_uuid") <=> configUuid))
 
   /** Purge the INACTIVE configs of a type — `"ALL"` spans every type
     * (TagEngineStoreHandler.py:1317–1342 deletes only documents whose
@@ -202,6 +206,14 @@ object ConfigStore {
               snapshotPath: String): Unit = {
     import org.apache.hadoop.fs.Path
     recoverCompact(spark, logPath)
+    // nothing ever appended (and no crashed swap to recover) -> nothing
+    // to fold: a maintenance tick on a never-seeded store is a quiet
+    // no-op, not an AnalysisException from reading a nonexistent path
+    // (the TagStore.compactLog empty-store rule)
+    val liveProbe = new Path(logPath)
+    val fsProbe = liveProbe.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fsProbe.exists(liveProbe)) return
     write(readLatest(spark, logPath), snapshotPath)
     val live = new Path(logPath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)

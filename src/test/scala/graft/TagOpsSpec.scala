@@ -60,8 +60,12 @@ class TagOpsSpec extends SparkSpec {
     val out = TagOps.copyTags(withNull, "a1", "a9", tgtCols)
       .filter(col("asset_uri") === "a9")
     // the NULL-column row survives the copy (=== ""/=!= "" both miss it)
-    assert(out.filter(col("column").isNull &&
+    // AND normalizes to the codebase's entry-level key column = "" —
+    // upsert's null-safe key treats NULL and "" as DISTINCT, so a NULL
+    // copy would duplicate an existing ""-keyed tag instead of merging
+    assert(out.filter(col("column") === "" &&
       col("field_id") === "note").count() === 1)
+    assert(out.filter(col("column").isNull).count() === 0)
   }
 
   test("annotatePolicyTags: re-annotation preserves existing tags and never goes ambiguous") {
