@@ -81,9 +81,12 @@ object TextFns {
     ExpressionUtils.column(Md5PrefixLong(ExpressionUtils.expression(c), 15))
 
   /** 28-bit md5-derived hash — small enough that an affine permutation
-    * `(a*h + b) mod P` with a,b < 2^24, P < 2^30 stays inside exact BIGINT
-    * arithmetic in both engines (max product ≈ 2^52 < 2^63). Base hash for
-    * the minhash permutation family.
+    * `(a*h + b) mod P` with a < 2^24, b < 2^30, P < 2^30 stays inside
+    * exact BIGINT arithmetic in both engines (a*h ≈ 2^52 and the +b stays
+    * < 2^53, well under 2^63 — note the bound is asymmetric: the
+    * MinhashB offsets legitimately run up to ~2^27, it is only the
+    * MULTIPLIER a that must stay < 2^24). Base hash for the minhash
+    * permutation family.
     */
   def hash28(c: Column): Column =
     ExpressionUtils.column(Md5PrefixLong(ExpressionUtils.expression(c), 7))

@@ -47,6 +47,10 @@ final class DecimalVecSum(scale: Int)
   override def zero: VecSumBuf = new VecSumBuf(0L, Array.empty)
 
   override def reduce(b: VecSumBuf, v: Seq[Double]): VecSumBuf = {
+    // a NULL vector contributes nothing — sum()'s null-skipping rule;
+    // without this the typed lane NPEs deep inside the aggregation with
+    // no hint of which input row was bad
+    if (v == null) return b
     // initialize on n == 0, NOT sums.length == 0: a zero-length input
     // vector would otherwise leave the buffer re-armed for lazy init, so
     // a later full-length row silently re-dimensions it — the group
@@ -59,8 +63,17 @@ final class DecimalVecSum(scale: Int)
       s"DecimalVecSum: ragged input — ${v.length} dims vs ${b.sums.length}")
     var i = 0
     while (i < b.sums.length) {
+      val x = v(i)
+      // NaN/Infinity has no decimal value: cast(double AS decimal)
+      // rejects it under ANSI (this repo's mode), and
+      // JBigDecimal.valueOf would throw an opaque NumberFormatException
+      // mid-task — fail with the input named so the caller can filter
+      // the corrupt embedding (fp16-overflow artifacts are routine)
+      require(!x.isNaN && !x.isInfinity,
+        s"DecimalVecSum: non-finite element $x at dim $i — filter or " +
+          "clean non-finite embeddings before aggregating")
       b.sums(i) = b.sums(i).add(
-        JBigDecimal.valueOf(v(i)).setScale(scale, RoundingMode.HALF_UP))
+        JBigDecimal.valueOf(x).setScale(scale, RoundingMode.HALF_UP))
       i += 1
     }
     b.n += 1

@@ -20,7 +20,13 @@ object VectorFns {
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      cosineFn, exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+      cosineFn, { exprs =>
+        // same arity guard as the GraftExtensions registration — the two
+        // paths register the same SQL name and must fail the same way
+        // (a bare exprs(1) would throw an opaque IndexOutOfBounds)
+        require(exprs.length == 2, s"$cosineFn(arrayA, arrayB)")
+        CosineSimilarity(exprs.head, exprs(1))
+      }, "scala_udf")
 
   /** Cosine similarity via the codegen'd Catalyst expression
     * ([[graft.plans.CosineSimilarity]]).

@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression: cosine similarity of two double arrays.
   *
@@ -22,7 +23,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
   // Inputs must already be array<double> — callers go through
   // VectorFns.toDoubleArray (ExpectsInputTypes is private[sql], so implicit
-  // coercion isn't available to external expressions).
+  // COERCION isn't available to external expressions — but the analysis-
+  // time CHECK is: without it, graft_cosine_sim over the lake's raw
+  // array<float> embeddings would reinterpret packed floats as doubles
+  // and return plausible-looking garbage similarities with no error
+  // (the WordNgrams rule: fail at ANALYSIS, never silently mid-job).
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires two ARRAY<DOUBLE> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql} — cast float " +
+        "embeddings through VectorFns.toDoubleArray first")
+  }
+
+  // null on LENGTH MISMATCH (mixed embedding versions, a truncated row):
+  // the zip_with/aggregate builtin form yields NULL there, and a silent
+  // prefix cosine would confidently mis-rank — so nullable regardless of
+  // the children
+  override def nullable: Boolean = true
 
   override def dataType: DataType = DoubleType
 
@@ -31,7 +53,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -54,15 +77,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i);
-         |  double $yv = $b.getDouble($i);
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = $a.getDouble($i);
+         |    double $yv = $b.getDouble($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  ${ev.value} = ($den == 0.0) ? 0.0 : ($dot / $den);
          |}
-         |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($den == 0.0) ? 0.0 : ($dot / $den);
        """.stripMargin
     })
 

@@ -2,8 +2,9 @@ package graft.plans
 
 import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Digest helper shared by interpreted and generated code paths. */
@@ -132,6 +133,13 @@ object Md5 {
   */
 case class Md5PrefixLong(child: Expression, nibbles: Int)
     extends UnaryExpression {
+  // fail at ANALYSIS on a non-string child, never as a per-task
+  // ClassCastException mid-job (the WordNgrams rule)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING input, got ${child.dataType.sql}")
+
   require(nibbles > 0 && nibbles <= 15, "nibbles must be in [1, 15]")
 
   override def dataType: DataType = LongType

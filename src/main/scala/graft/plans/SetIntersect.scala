@@ -1,9 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Shared eval for interpreted and generated code paths. */
 object InterOps {
@@ -77,6 +78,20 @@ object InterOps {
   */
 case class LongSetIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
+  // fail at ANALYSIS on non-ARRAY<BIGINT> inputs: getLong over an
+  // array<int> would read 8 bytes per 4-byte element and return wrong
+  // (usually zero) intersection counts with no error — silently emptying
+  // every Jaccard verify downstream (the WordNgrams rule)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "long_set_intersect_size"
 

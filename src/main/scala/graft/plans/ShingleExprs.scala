@@ -1,9 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native front end of the MinHash/Jaccard shingle family.
@@ -103,6 +104,13 @@ object ShingleOps {
 /** text → array<long> of affine-minhash minima (one per permutation). */
 case class ShingleMinHash(child: Expression, k: Int, a: Seq[Long],
                           b: Seq[Long], p: Long) extends UnaryExpression {
+  // fail at ANALYSIS on a non-string child, never as a per-task
+  // ClassCastException mid-job (the WordNgrams rule)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING input, got ${child.dataType.sql}")
+
   require(k > 0 && a.length == b.length && a.nonEmpty)
   // Returns null for text shorter than k EVEN when the input is non-null,
   // so nullability must not be inherited from the child: with a
@@ -133,6 +141,13 @@ case class ShingleMinHash(child: Expression, k: Int, a: Seq[Long],
 
 /** text → sorted array<long> of DISTINCT 28-bit shingle hashes. */
 case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
+  // fail at ANALYSIS on a non-string child, never as a per-task
+  // ClassCastException mid-job (the WordNgrams rule)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING input, got ${child.dataType.sql}")
+
   require(k > 0)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hash_set"

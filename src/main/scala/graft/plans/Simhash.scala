@@ -1,8 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared eval for interpreted and generated code paths. */
@@ -68,6 +69,13 @@ object SimhashOps {
   */
 case class Simhash60(child: Expression, bits: Int = 60)
     extends UnaryExpression {
+  // fail at ANALYSIS on a non-string child, never as a per-task
+  // ClassCastException mid-job (the WordNgrams rule)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING input, got ${child.dataType.sql}")
+
   require(bits > 0 && bits <= 60, "bits must be in [1, 60]")
 
   override def dataType: DataType = LongType

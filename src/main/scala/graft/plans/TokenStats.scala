@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -74,31 +75,48 @@ object TokenStatsOps {
   */
 object TokenCountsOps {
   def eval(s: UTF8String): InternalRow = {
-    val str = s.toString
-    val n = str.length
+    // one scan over the raw UTF-8 BYTES (the SimhashOps discipline — the
+    // previous toString paid a full UTF-16 copy of every document per
+    // row, the dominant allocation of a corpus-wide t03 scan): every
+    // class the counters test for is ASCII (letter runs, digit runs, the
+    // Ws separators), so a non-ASCII code point is always class "other"
+    // — its LEAD byte counts it once and continuation bytes are skipped,
+    // which is exactly codePointAt iteration without the decode.
+    val bytes = s.getBytes
+    val n = bytes.length
     var i = 0
     var ws = 0
     var bpe = 0
     var punct = 0
     var prev = 3 // 0 = letter, 1 = digit, 2 = other, 3 = space
     while (i < n) {
-      val cp = str.codePointAt(i)
-      i += Character.charCount(cp)
+      val b = bytes(i)
+      i += 1
       val cls =
-        if (cp >= 'a' && cp <= 'z') 0
-        else if (cp >= '0' && cp <= '9') 1
-        else if (Ws.is(cp)) 3
+        if (b >= 'a' && b <= 'z') 0
+        else if (b >= '0' && b <= '9') 1
+        else if (Ws.is(b)) 3
+        else if ((b & 0xC0) == 0x80) 4 // continuation byte: same code point
         else 2
-      if (cls != 3 && prev == 3) ws += 1
-      if (cls == 2) { bpe += 1; punct += 1 }
-      else if (cls != 3 && cls != prev) bpe += 1
-      prev = cls
+      if (cls != 4) {
+        if (cls != 3 && prev == 3) ws += 1
+        if (cls == 2) { bpe += 1; punct += 1 }
+        else if (cls != 3 && cls != prev) bpe += 1
+        prev = cls
+      }
     }
     InternalRow(ws, bpe, punct)
   }
 }
 
 case class TokenCounts(child: Expression) extends UnaryExpression {
+  // fail at ANALYSIS on a non-string child, never as a per-task
+  // ClassCastException mid-job (the WordNgrams rule)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING input, got ${child.dataType.sql}")
+
   override def dataType: DataType = StructType(Seq(
     StructField("n_ws_tokens", IntegerType, nullable = false),
     StructField("n_bpe_tokens", IntegerType, nullable = false),
@@ -116,6 +134,13 @@ case class TokenCounts(child: Expression) extends UnaryExpression {
 }
 
 case class TokenStats(child: Expression) extends UnaryExpression {
+  // fail at ANALYSIS on a non-string child, never as a per-task
+  // ClassCastException mid-job (the WordNgrams rule)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING input, got ${child.dataType.sql}")
+
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
     StructField("n_distinct", LongType, nullable = false),
