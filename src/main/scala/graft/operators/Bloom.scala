@@ -20,9 +20,12 @@ import org.apache.spark.sql.types.BinaryType
   * is exactly the anti-join's (BloomSpec holds them equal).
   *
   * Built on Spark's native `BloomFilterAggregate` /
-  * `BloomFilterMightContain` expressions (codegen'd, XxHash64-keyed) rather
-  * than `DataFrameStatFunctions.bloomFilter`, whose sketch only probes on
-  * the driver.
+  * `BloomFilterMightContain` expressions (codegen'd, XxHash64-keyed).
+  * `DataFrameStatFunctions.bloomFilter` is NOT a way around the
+  * aggregate's ceiling clamp: in Spark 4 it routes through the same
+  * aggregate (measured: an 80M-bit request came back 67M-bit clamped,
+  * and an empty corpus NPE'd its readFrom) — so the build runs in a
+  * PRIVATE child session whose conf carries the raised ceilings.
   */
 object Bloom {
 
@@ -34,35 +37,34 @@ object Bloom {
     */
   def build(df: DataFrame, key: Column, expectedItems: Long,
             numBits: Long): Array[Byte] = {
-    // BloomFilterAggregate SILENTLY Math.min-clamps both parameters to
-    // the session's runtime-filter ceilings (defaults: 4M items / 67M
-    // bits ≈ 8 MB — confirmed in the shipped 4.1.2 bytecode). Sized-from-
+    // BloomFilterAggregate refuses/clamps requests above the session's
+    // runtime-filter ceilings (defaults: 4M items / 67M bits ≈ 8 MB —
+    // confirmed in the shipped 4.1.2 bytecode: a checkInputDataTypes
+    // require AND a lazy Math.min, both reading SQLConf.get). Sized-from-
     // the-corpus callers would sail past that around ~8M docs and the
     // fpp would quietly climb toward 1, refilling the exact verify join
-    // this operator exists to drain. RAISE the ceilings to the request
-    // (never lower them) for the duration of the build action, then
-    // RESTORE them: the same ceilings also clamp the optimizer's
-    // auto-injected runtime bloom filters, so a leaked raise would let
-    // InjectRuntimeFilter build corpus-sized broadcast sketches for every
-    // unrelated join in the rest of the session. `head` is eager, so the
-    // aggregate has fully evaluated before the finally runs.
-    val conf = df.sparkSession.conf
-    val keys = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
-    val saved = keys.map { case (k, _) => k -> conf.get(k) }
-    try {
-      keys.foreach { case (k, v) =>
-        if (conf.get(k).toLong < v) conf.set(k, v.toString)
+    // this operator exists to drain. RAISE the ceilings in a PRIVATE
+    // child session (fresh SQLConf, shared SparkContext) and re-root the
+    // ANALYZED plan there: the caller's session conf is never mutated,
+    // so concurrently planned queries can't see raised ceilings
+    // (InjectRuntimeFilter would size injected filters by them) and
+    // overlapping builds can't race a save/restore.
+    val owner = df.sparkSession
+    val session = owner.newSession()
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+      .foreach { case (k, v) =>
+        if (session.conf.get(k).toLong < v) session.conf.set(k, v.toString)
       }
-      val agg = new BloomFilterAggregate(
-        new XxHash64(Seq(B.expression(key))),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-      // an EMPTY corpus aggregates to a null sketch; [[mightContain]]
-      // maps that back to "definitely absent" rather than letting the
-      // SQL NULL swallow both branches of a cand / !cand split
-      df.select(B.column(agg).as("bf")).head.getAs[Array[Byte]]("bf")
-    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+    val isolated = B.ofRows(session, df.queryExecution.analyzed)
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(B.expression(key))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    // an EMPTY corpus aggregates to a null sketch; [[mightContain]] maps
+    // that back to "definitely absent" rather than letting the SQL NULL
+    // swallow both branches of a cand / !cand split
+    isolated.select(B.column(agg).as("bf")).head.getAs[Array[Byte]]("bf")
   }
 
   /** Membership probe: true ⇒ key MAY be in the indexed set (verify
@@ -70,9 +72,8 @@ object Bloom {
     * pushes to the scan like any other predicate. A null sketch (empty
     * indexed corpus — [[build]]) means NO key is present: the probe is a
     * constant false, so `!cand` correctly classifies everything as novel
-    * and the two-phase == anti-join contract holds on the empty edge too
-    * (`BloomFilterMightContain(null, …)` would instead return SQL NULL
-    * and silently drop every row from BOTH branches).
+    * and the two-phase == anti-join contract holds on the empty edge too (`BloomFilterMightContain(null, …)` would instead
+    * return SQL NULL and silently drop every row from BOTH branches).
     */
   def mightContain(filter: Array[Byte], key: Column): Column =
     if (filter == null) org.apache.spark.sql.functions.lit(false)

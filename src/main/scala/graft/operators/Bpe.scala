@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
@@ -19,6 +19,23 @@ import graft.functions.TextFns
   * lineage discipline as [[Graph.connectedComponents]].
   */
 object Bpe {
+
+  /** ONE merge rule applied to a symbol array as a row-local
+    * left-to-right non-overlapping fold: append each symbol unless the
+    * accumulated tail is exactly (ml, mr) — then the tail collapses into
+    * the merged symbol. A just-merged symbol can never re-merge in the
+    * same pass (standard BPE). THE shared definition for train and
+    * encode — the round trip and the DuckDB oracle both depend on the
+    * two sides folding bit-identically, so the expression must not be
+    * able to fork between them.
+    */
+  private def mergeFold(symbols: Column, ml: String, mr: String): Column =
+    aggregate(symbols, array().cast("array<string>"),
+      (acc, x) =>
+        when(try_element_at(acc, lit(-1)) === lit(ml) && x === lit(mr),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(ml + mr))))
+          .otherwise(concat(acc, array(x))))
+
 
   /** Learn `steps` merge rules over whitespace-tokenized text. Returns
     * `(step, merge_left, merge_right, merged, pair_freq)` — the ordered
@@ -60,13 +77,8 @@ object Bpe {
         // then the tail collapses into the merged symbol. A just-merged
         // symbol can never re-merge in the same pass (standard BPE).
           cur = cur.withColumn("s",
-            when(size(col("s")) < 2, col("s")).otherwise(
-              aggregate(col("s"), array().cast("array<string>"),
-                (acc, x) =>
-                  when(try_element_at(acc, lit(-1)) === ml && x === mr,
-                    concat(slice(acc, lit(1), size(acc) - 1),
-                      array(lit(ml + mr))))
-                    .otherwise(concat(acc, array(x))))))
+            when(size(col("s")) < 2, col("s"))
+              .otherwise(mergeFold(col("s"), ml, mr)))
             .localCheckpoint()
         }
         step += 1
@@ -102,11 +114,7 @@ object Bpe {
     // fold is a no-op on singleton arrays anyway, and a `when(cur, cur)`
     // wrapper would duplicate the nested expression tree per rule
     val sym = merges.foldLeft(chars) { case (cur, (ml, mr)) =>
-      aggregate(cur, array().cast("array<string>"),
-        (acc, x) =>
-          when(try_element_at(acc, lit(-1)) === lit(ml) && x === lit(mr),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(ml + mr))))
-            .otherwise(concat(acc, array(x))))
+      mergeFold(cur, ml, mr)
     }
     docs.select(explode(TextFns.words(col(textCol))).as("w")).distinct()
       .select(col("w"), sym.as("symbols"))

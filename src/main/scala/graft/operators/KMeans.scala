@@ -48,9 +48,19 @@ object KMeans {
     require(iters >= 1, "train: need at least one Lloyd iteration")
     var cents = init
     var out: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       out = lloydIteration(emb, cents).localCheckpoint()
       cents = out.select(col("centroid_id"), col("cvec"))
+      // an EMPTY corpus (or all centroids memberless) yields an empty
+      // update; iterating on would crash inside the next assign with a
+      // misleading "centroid set is empty — provide at least one trained
+      // centroid" blaming the caller's init, and iters = 1 would silently
+      // return an empty model. Name the real problem, every iteration
+      // (take(1) over the just-checkpointed table is metadata-cheap).
+      require(cents.take(1).nonEmpty,
+        s"KMeans.train: iteration $i produced NO centroids — the " +
+          "embedding table is empty (or every vector is null); nothing " +
+          "to train on")
     }
     out
   }

@@ -27,12 +27,18 @@ object Multimodal {
     */
   def toMediaTable(docs: DataFrame,
                    mediaType: String = "image/png"): DataFrame =
-    docs.select(
-      col("doc_id"),
-      lit(mediaType).as("media_type"),
-      encode(col("text"), "UTF-8").as("content"),
-      (col("n_chars") % 640).cast("int").as("width"),
-      (col("n_chars") % 480).cast("int").as("height"))
+    docs
+      // a NULL text row would produce NULL content/width/height, which
+      // every downstream .as[MediaRecord] encoder (primitive Int /
+      // Array[Byte] fields) kills with an opaque null-in-non-nullable
+      // error mid-job — a document with no payload simply has no media
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(
+        col("doc_id"),
+        lit(mediaType).as("media_type"),
+        encode(col("text"), "UTF-8").as("content"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"))
 
   /** STUB decoder — deterministic fake: "decodes" the payload to a 4-dim
     * feature from byte prefixes. Replace with a real codec in production.
@@ -78,9 +84,17 @@ object Multimodal {
         // (w*h = 0 → srcPixels 1) produced a 1-byte payload instead of
         // the intended source-length cap
         val srcPixels = math.max(1L, w.toLong * h)
-        val outLen = math.max(1L,
-          (bytes.length.toLong * (tw.toLong * th) / srcPixels)
-            .min(bytes.length.toLong)).toInt
+        // cap the SCALE FACTOR before multiplying: bytes.length * (tw*th)
+        // itself can wrap Long for a large payload x extreme target dims
+        // (the exact silent 1-byte collapse the Long move fixed) — an
+        // upscale never exceeds the source length anyway, so a target
+        // area >= the source area short-circuits to the cap
+        val tgtPixels = tw.toLong * th
+        val outLen =
+          if (tgtPixels >= srcPixels) math.max(1L, bytes.length.toLong).toInt
+          else math.max(1L,
+            (bytes.length.toLong * tgtPixels / srcPixels)
+              .min(bytes.length.toLong)).toInt
         Array.tabulate(outLen)(i =>
           bytes((i.toLong * bytes.length / outLen).toInt))
       }
@@ -231,6 +245,9 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRecord], nFrames: Int,
                    frame: (Array[Byte], Int, Int) => Array[Byte] = fakeFrame)
                   (implicit spark: SparkSession): Dataset[Frame] = {
+    // a miscomputed frame budget must fail loudly, not silently return
+    // an empty dataset (the segmentAudio/aHash60/Bpe.train rule)
+    require(nFrames >= 1, s"sampleFrames: nFrames $nFrames must be >= 1")
     import spark.implicits._
     media.flatMap(r =>
       (0 until nFrames).map(i => Frame(r.doc_id, i, frame(r.content, i, nFrames))))

@@ -85,5 +85,10 @@ object Sinks {
   def writeReport(rows: DataFrame, path: String, truncate: Boolean): Unit =
     rows.withColumn("export_date", utcDay(col("export_time")))
       .write.mode(if (truncate) "overwrite" else "append")
+      // BigQuery WRITE_TRUNCATE replaces the WHOLE table: pin static
+      // overwrite on this writer, or a session configured with dynamic
+      // partition-overwrite would keep any partition absent from this
+      // batch — a "truncated" report silently serving stale days
+      .option("partitionOverwriteMode", "static")
       .partitionBy("export_date").parquet(path)
 }

@@ -29,6 +29,13 @@ object Skew {
     // DIVIDE_BY_ZERO, depending on mode
     if (salts <= 1) big.join(small, keys)
     else {
+      // reserved-column guard (the ivfAssign rule): withColumn would
+      // silently OVERWRITE a user __salt column and drop it from the
+      // output — breaking the documented result-identical-to-plain-join
+      // contract with silent data loss instead of a named error
+      require(!big.columns.contains("__salt") &&
+        !small.columns.contains("__salt"),
+        "saltedJoin: inputs must not carry a __salt column (reserved)")
       val bigS = big.withColumn("__salt",
         pmod(xxhash64(bigUnique), lit(salts.toLong)))
       val smallS = small.withColumn("__salt",

@@ -16,4 +16,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Re-root an already-ANALYZED plan in another session (Dataset.ofRows
+    * is private[sql]). Used to run a query under a private session whose
+    * SQLConf differs from the caller's — e.g. Bloom.build raising the
+    * runtime-filter ceilings without mutating the shared session conf.
+    * The plan must be resolved (pass `df.queryExecution.analyzed`): a raw
+    * parsed plan could re-resolve differently against the new session's
+    * empty temp-view catalog.
+    */
+  def ofRows(spark: org.apache.spark.sql.classic.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
 }

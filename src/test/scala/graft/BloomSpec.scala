@@ -7,19 +7,25 @@ import graft.operators.Bloom
 class BloomSpec extends SparkSpec {
   import spark.implicits._
 
-  test("build restores the session runtime-filter ceilings") {
-    // the ceilings Bloom.build raises also clamp the optimizer's
-    // auto-injected runtime bloom filters; a leaked raise would let
-    // unrelated joins build corpus-sized broadcast sketches for the
-    // rest of the session
+  test("build leaves the session runtime-filter ceilings untouched") {
+    // the ceilings clamp the optimizer's auto-injected runtime bloom
+    // filters; the build must not touch the CALLER's session at all (a
+    // raise-and-restore would leak the raised values to every
+    // concurrently planned query in the session) — it raises them in a
+    // private child session instead, and the sketch asked for must come
+    // back unclamped past the 4M/67M defaults
     val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
     val before = keys.map(spark.conf.get(_))
     // one partition → one aggregation buffer of numBits/8 bytes
     val corpus = (0L until 100L).map(i => s"k$i").toDF("k").coalesce(1)
     // request above the default 4M-item / 67M-bit ceilings
-    Bloom.build(corpus, col("k"), expectedItems = 5000000L,
+    val bf = Bloom.build(corpus, col("k"), expectedItems = 5000000L,
       numBits = 80000000L)
+    // the sketch built is the sketch asked for: 80M bits ≈ 10 MB of
+    // serialized bitset — a silent clamp to the 67M-bit ceiling would
+    // come back ≈ 8.4 MB
+    assert(bf.length > 80000000 / 8)
     assert(keys.map(spark.conf.get(_)) === before)
   }
 
