@@ -53,8 +53,22 @@ object ConfigIO {
     * everything else (zero, negative, junk) becomes 24.
     */
   private def normalizeAutoFrequency(v: org.json4s.JValue): Long = v match {
-    case JInt(i) if i > 0 => i.toLong
-    case JString(s) if s.nonEmpty && s.forall(_.isDigit) => s.toLong
+    // clamp a BigInt beyond Long range instead of toLong (which silently
+    // WRAPS to a negative frequency — Python just keeps the huge value,
+    // i.e. effectively-never; 24 would be the opposite)
+    case JInt(i) if i > 0 =>
+      if (i > Long.MaxValue) Long.MaxValue else i.toLong
+    // Python isdigit+int() parses Unicode decimal digits too ("١٢" = 12),
+    // so fold through Character.digit instead of toLong (which throws
+    // NumberFormatException on non-ASCII digits, crashing parse() where
+    // the reference succeeds); "0"/"00" normalize to 24 like Python's
+    // `if frequency < 1` branch
+    case JString(s) if s.nonEmpty && s.forall(_.isDigit) =>
+      val v = s.foldLeft(BigInt(0))((acc, c) =>
+        acc * 10 + Character.digit(c, 10))
+      if (v > Long.MaxValue) Long.MaxValue
+      else if (v > 0) v.toLong
+      else 24L
     case _ => 24L
   }
 
@@ -96,8 +110,13 @@ object ConfigIO {
         case _        => true
       },
       refreshMode = refreshMode,
-      refreshFrequencyMinutes =
-        freq * unitMinutes(str(j \ "refresh_unit").getOrElse("")),
+      // saturating multiply: a clamped near-MaxValue frequency must stay
+      // "effectively never", not wrap negative (= due immediately)
+      refreshFrequencyMinutes = {
+        val u = unitMinutes(str(j \ "refresh_unit").getOrElse(""))
+        if (freq != 0L && freq > Long.MaxValue / u) Long.MaxValue
+        else freq * u
+      },
       tagHistory = (j \ "tag_history") match {
         case JBool(b) => b
         case _        => false

@@ -489,11 +489,15 @@ object ConfigDispatch {
     // export). Without the filter a store that has run ENTRY_CREATE
     // (2-part fileset URIs) or a spanner import would export null/garbage
     // project/dataset/table rows — or die on element_at under ANSI.
-    // try_element_at on the leaf: a DATASET-level tag URI has 5 parts and
-    // exports with a null table (the reference's tagged_table = None).
+    // try_element_at on EVERY position, not just the leaf: a
+    // DATASET-level tag URI has 5 parts and exports with a null table
+    // (the reference's tagged_table = None), and a malformed
+    // bigquery-prefixed URI with fewer than 5 segments must export null
+    // project/dataset rather than throw under ANSI element_at and fail
+    // the whole export job on one bad row.
     val base = Seq(
-      element_at(parts, 3).as("project"),
-      element_at(parts, 5).as("dataset"),
+      try_element_at(parts, lit(3)).as("project"),
+      try_element_at(parts, lit(5)).as("dataset"),
       try_element_at(parts, lit(6)).as("table"),
       col("template_id").as("tag_template"),
       col("field_id").as("tag_field"),

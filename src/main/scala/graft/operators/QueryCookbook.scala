@@ -59,7 +59,13 @@ object QueryCookbook {
       // log row extracts "". No lookaheads (the oracle runs this same
       // pattern under RE2): on unaliased queries the optional alias slot
       // can't eat the JOIN/ON keyword because the mandatory literal that
-      // follows would then fail, and the engine retries without it
+      // follows would then fail, and the engine retries without it.
+      // DELIBERATE broadening: the alias slot also consumes a join-TYPE
+      // keyword, so "FROM t LEFT JOIN u ON ..." / "INNER JOIN" match with
+      // the keyword in the alias position — qualified joins count toward
+      // top_joins too, which is what the reference's LLM extraction would
+      // return for those rows (an RE2-safe keyword exclusion would need a
+      // lookahead, so the broadened match is the documented contract)
       "top_joins" -> regexp_extract(query,
         "(?i)(FROM\\s+\\S+(?:\\s+(?:AS\\s+)?\\w+)?\\s+JOIN\\s+\\S+" +
           "(?:\\s+(?:AS\\s+)?\\w+)?\\s+ON\\s+[\\w.]+\\s*=\\s*[\\w.]+)", 1),

@@ -80,8 +80,14 @@ object TokenCountsOps {
     // row, the dominant allocation of a corpus-wide t03 scan): every
     // class the counters test for is ASCII (letter runs, digit runs, the
     // Ws separators), so a non-ASCII code point is always class "other"
-    // — its LEAD byte counts it once and continuation bytes are skipped,
-    // which is exactly codePointAt iteration without the decode.
+    // — its LEAD byte counts it once and its continuation bytes are
+    // skipped, which is exactly codePointAt iteration without the decode.
+    // INVALID UTF-8 keeps the replacement-char semantics of the old
+    // codepoint scan (each stray/invalid byte decodes to one U+FFFD = one
+    // "other"): a continuation byte is "same code point" ONLY while a
+    // lead byte still expects one, so a stray continuation, an invalid
+    // lead (0xF8+), or excess continuations past the lead's declared
+    // length each count as their own "other".
     val bytes = s.getBytes
     val n = bytes.length
     var i = 0
@@ -89,6 +95,7 @@ object TokenCountsOps {
     var bpe = 0
     var punct = 0
     var prev = 3 // 0 = letter, 1 = digit, 2 = other, 3 = space
+    var expect = 0 // continuation bytes still owed to the current lead
     while (i < n) {
       val b = bytes(i)
       i += 1
@@ -96,9 +103,15 @@ object TokenCountsOps {
         if (b >= 'a' && b <= 'z') 0
         else if (b >= '0' && b <= '9') 1
         else if (Ws.is(b)) 3
-        else if ((b & 0xC0) == 0x80) 4 // continuation byte: same code point
-        else 2
+        else if ((b & 0xC0) == 0x80) {
+          if (expect > 0) { expect -= 1; 4 } else 2
+        } else 2
       if (cls != 4) {
+        expect =
+          if ((b & 0xE0) == 0xC0) 1
+          else if ((b & 0xF0) == 0xE0) 2
+          else if ((b & 0xF8) == 0xF0) 3
+          else 0
         if (cls != 3 && prev == 3) ws += 1
         if (cls == 2) { bpe += 1; punct += 1 }
         else if (cls != 3 && cls != prev) bpe += 1

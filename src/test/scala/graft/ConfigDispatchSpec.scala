@@ -140,14 +140,27 @@ class ConfigDispatchSpec extends SparkSpec {
 
   test("TAG_EXPORT flattens the tag state into report rows") {
     val cfg = TagConfig("TAG_EXPORT", "", Nil)
-    val tags = Seq(("bigquery/project/p/dataset/d1/t1", "", "gov", "env", "PROD"))
+    val tags = Seq(
+      ("bigquery/project/p/dataset/d1/t1", "", "gov", "env", "PROD"),
+      // dataset-level tag (5 parts) exports a null table (reference's
+      // tagged_table = None); a MALFORMED bigquery-prefixed URI exports
+      // null project/dataset instead of throwing under ANSI element_at
+      // and killing the whole job on one bad row; fileset URIs never
+      // reach export (apply_export_config is bigquery-only)
+      ("bigquery/project/p/dataset/d2", "", "gov", "env", "DEV"),
+      ("bigquery/junk", "", "gov", "env", "BAD"),
+      ("fileset/f1", "", "gov", "env", "SKIP"))
       .toDF("asset_uri", "column", "template_id", "field_id", "field_value")
     val out = ConfigDispatch.applyConfig(spark, cfg,
         base.copy(existingTags = tags))
       .select("project", "dataset", "table", "tag_template", "tag_field",
         "tag_value")
-      .as[(String, String, String, String, String, String)].collect()
-    assert(out.toSeq === Seq(("p", "d1", "t1", "gov", "env", "PROD")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5))).toSeq.sortBy(_._6)
+    assert(out === Seq(
+      (null, null, null, "gov", "env", "BAD"),
+      ("p", "d2", null, "gov", "env", "DEV"),
+      ("p", "d1", "t1", "gov", "env", "PROD")))
   }
 
   test("unknown config_type is rejected") {

@@ -59,6 +59,16 @@ class ConfigIOSpec extends AnyFunSuite {
     assert(freqOf(""""refresh_frequency": "1.5", "refresh_unit": "minutes"""") === 24L)
     // unknown unit → days
     assert(freqOf(""""refresh_frequency": 2, "refresh_unit": "weeks"""") === 2L * 1440)
+    // Python isdigit+int parses Unicode decimal digits ("١٢" = 12) — the
+    // old forall(isDigit)+toLong crashed parse() here
+    assert(freqOf(""""refresh_frequency": "١٢", "refresh_unit": "hours"""") === 12L * 60)
+    // a frequency past Long.MaxValue clamps (effectively never) instead
+    // of wrapping negative (= due immediately) — int or digit string,
+    // through the unit multiply too
+    assert(freqOf(""""refresh_frequency": 99999999999999999999, "refresh_unit": "hours"""") === Long.MaxValue)
+    assert(freqOf(""""refresh_frequency": "99999999999999999999", "refresh_unit": "days"""") === Long.MaxValue)
+    // all-zero digit string rides the same < 1 fallback as the int 0
+    assert(freqOf(""""refresh_frequency": "00", "refresh_unit": "minutes"""") === 24L)
     // ON_DEMAND stores 0 ("N/A", TagEngineStoreHandler.py:443)
     assert(ConfigIO.parse("""{"template_id": "t", "refresh_mode": "ON_DEMAND"}""")
       .refreshFrequencyMinutes === 0L)

@@ -73,4 +73,37 @@ class TokenStatsSpec extends SparkSpec {
     assert(r.keySet === nv.keySet)
     r.foreach { case (id, v) => assert(nv(id) === v, s"doc_id=$id") }
   }
+
+  test("TokenCounts keeps replacement-char classification on invalid UTF-8") {
+    // the regex mirror decodes through String (each stray/invalid byte →
+    // one U+FFFD = one "other"); the native byte scan must classify the
+    // same way: a continuation byte is "same code point" only while a
+    // lead still expects one
+    val rows = Seq(
+      9201L -> Array[Byte]('a', 0x80.toByte, 'b'),          // stray continuation
+      9202L -> Array[Byte]('a', 0xF8.toByte, 'b'),          // invalid lead
+      9203L -> Array[Byte]('a', ' ', 0xC3.toByte),          // truncated seq at end
+      9204L -> Array[Byte](0xC3.toByte, 0xA9.toByte, 0xA9.toByte, 'x'), // é + excess cont
+      9205L -> Array[Byte](0xE2.toByte, 0x82.toByte, 'a'),  // truncated 3-byte prefix
+      9206L -> Array[Byte](0x80.toByte, 0x80.toByte, 0x80.toByte))      // all stray
+    val t = rows.toDF("doc_id", "b")
+      .select(col("doc_id"), col("b").cast("string").as("text"))
+    val regex = t.select(col("doc_id"),
+      size(TextFns.words(col("text"))).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]"), lit(0)))
+        .as("n_bpe_tokens"),
+      length(regexp_replace(col("text"), "[a-z0-9 \\t\\n\\f\\r]", ""))
+        .as("n_punct"))
+    val native = t.select(col("doc_id"),
+        B.column(TokenCounts(B.expression(col("text")))).as("tc"))
+      .select(col("doc_id"), col("tc.n_ws_tokens"), col("tc.n_bpe_tokens"),
+        col("tc.n_punct"))
+    val r = regex.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val nv = native.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(r.keySet === nv.keySet)
+    r.foreach { case (id, v) => assert(nv(id) === v, s"doc_id=$id") }
+  }
 }
