@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.sources.AtomicStore
 
 /** PERSISTED form of the ANN index: the artifacts the in-session memo
@@ -59,15 +60,130 @@ object AnnIndexStore {
       t("codes"), t("sigs"))
   }
 
+  /** The frozen MODEL behind the per-row components — everything
+    * [[appendVectors]] needs to extend the index consistently with how
+    * it was built: the PQ sub-quantizer codewords, the LSH hyperplanes,
+    * and the build parameters (probe width, subspace count). Centroids
+    * are already a [[Components]] table; the rest previously lived only
+    * in the building session, which is exactly why the store was
+    * rebuild-only: a later ingest session had no way to encode a new
+    * batch the same way the corpus was encoded.
+    */
+  final case class Model(
+      codebook: DataFrame,    // (code_id, cvec) — PQ codewords, id-ordered
+      hyperplanes: DataFrame, // (hp_id, hvec)   — LSH bit hyperplanes
+      nprobe: Int,            // assigned_multi probe width
+      numSub: Int)            // PQ subspace count
+
+  private val modelParts = Seq("codebook", "hyperplanes", "params")
+
+  /** Persist the model under the same root (each piece its own atomic
+    * table — all model-sized: a few codeword/hyperplane rows plus one
+    * params row). Write it alongside [[write]] at build time to make the
+    * index APPENDABLE; stores without it remain valid but rebuild-only.
+    */
+  def writeModel(root: String, m: Model): Map[String, Long] = {
+    val spark = m.codebook.sparkSession
+    import spark.implicits._
+    Map(
+      "codebook" -> AtomicStore.commitSnapshot(
+        m.codebook.select(col("code_id").cast("long"), col("cvec")),
+        s"$root/codebook"),
+      "hyperplanes" -> AtomicStore.commitSnapshot(
+        m.hyperplanes.select(col("hp_id").cast("long"), col("hvec")),
+        s"$root/hyperplanes"),
+      "params" -> AtomicStore.commitSnapshot(
+        Seq((m.nprobe, m.numSub)).toDF("nprobe", "num_sub"),
+        s"$root/params"))
+  }
+
+  /** Load the persisted model. The params row is one driver-side read;
+    * codebook/hyperplanes stay lazy frames for the batch-side joins.
+    */
+  def loadModel(spark: SparkSession, root: String): Model = {
+    val p = AtomicStore.read(spark, s"$root/params").head
+    Model(
+      AtomicStore.read(spark, s"$root/codebook"),
+      AtomicStore.read(spark, s"$root/hyperplanes"),
+      nprobe = p.getInt(p.fieldIndex("nprobe")),
+      numSub = p.getInt(p.fieldIndex("num_sub")))
+  }
+
+  /** Incremental index maintenance — the ingest-wave path that was
+    * missing while [[write]] was the only way to change the store (a
+    * growing corpus re-paid a FULL assignment/codes/sigs rewrite per
+    * wave). Assigns/encodes/signs the NEW BATCH ONLY against the pinned
+    * persisted model — centroids, PQ codebook, LSH hyperplanes, and the
+    * build parameters all come from the store, so a later session (or a
+    * different cluster) extends the index bit-identically to how the
+    * base was built — and lands each per-row component as one appended
+    * batch via the [[DocIndexStore]] auto-fold pattern: commit bytes
+    * scale with the batch, never the corpus, and once a component's
+    * manifest lists more than `compactAboveDirs` batch dirs the append
+    * folds it back to one snapshot (best-effort, CAS'd against racing
+    * appenders).
+    *
+    * Assignment/encoding/signatures are pure per-row functions of
+    * (vector, pinned model), so append-then-load is EXACTLY equal to a
+    * from-scratch rebuild of the grown corpus under the same model —
+    * s17's oracle pins that. What appends can NOT refresh is the model
+    * itself: centroids drift as the corpus grows, and the recall gap
+    * between the pinned-model index and a refreshed rebuild is the
+    * STALENESS the s18 eval measures (the refresh decision — retrain
+    * centroids, then one [[write]] — stays an operator policy, gated on
+    * that measurement, exactly like a FAISS index rebuild).
+    *
+    * `newEmb` is (vec_id, vec) with caller-owned id uniqueness, the
+    * DocIndexStore append contract (exactly-once sits with the ingest
+    * commit protocol, `Ingest.ingestBatchCommit`).
+    */
+  def appendVectors(root: String, newEmb: DataFrame,
+                    compactAboveDirs: Int = 64): Map[String, Long] = {
+    val spark = newEmb.sparkSession
+    val centroids = AtomicStore.read(spark, s"$root/centroids")
+    val m = loadModel(spark, root)
+    val codebook = m.codebook.orderBy("code_id").select("cvec")
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    require(codebook.nonEmpty,
+      s"appendVectors: persisted codebook at $root/codebook is empty")
+    val batch = newEmb.select("vec_id", "vec")
+    Map(
+      "assigned" -> appendCompacting(
+        Similarity.ivfAssign(batch, centroids)
+          .select("vec_id", "centroid_id"),
+        s"$root/assigned", compactAboveDirs),
+      "assigned_multi" -> appendCompacting(
+        Similarity.ivfAssignMulti(batch, centroids, m.nprobe)
+          .select("vec_id", "centroid_id"),
+        s"$root/assigned_multi", compactAboveDirs),
+      "codes" -> appendCompacting(
+        Similarity.pqEncode(batch, codebook, m.numSub),
+        s"$root/codes", compactAboveDirs),
+      "sigs" -> appendCompacting(
+        Similarity.hyperplaneSignatures(batch, m.hyperplanes),
+        s"$root/sigs", compactAboveDirs))
+  }
+
+  private def appendCompacting(batch: DataFrame, table: String,
+                               aboveDirs: Int): Long = {
+    val v = AtomicStore.commitAppend(batch, table)
+    AtomicStore.compactIfAbove(batch.sparkSession, table, v, aboveDirs)
+    v
+  }
+
   /** Periodic maintenance, the [[DocIndexStore.compact]] sibling: fold
     * any accumulated batch dirs per component and vacuum superseded
-    * manifests/dirs. [[write]] commits whole snapshots, so the fold
-    * itself is usually a no-op (one data dir already) — the value here
-    * is the vacuum: every index REBUILD otherwise leaves its superseded
-    * manifest + full-size data dirs on the lake forever.
+    * manifests/dirs. [[write]] commits whole snapshots, so for a
+    * snapshot-only store the fold is a no-op (one data dir already) and
+    * the value is the vacuum — every index REBUILD otherwise leaves its
+    * superseded manifest + full-size data dirs on the lake forever. For
+    * a store grown by [[appendVectors]], the fold is the real
+    * steady-state work the append path also self-triggers. Model tables
+    * (when present) get the same vacuum — compact returns None
+    * harmlessly for a store that never wrote one.
     */
   def compact(spark: SparkSession, root: String,
               graceMs: Long = 15 * 60 * 1000L): Map[String, Option[Long]] =
-    parts.map(p =>
+    (parts ++ modelParts).map(p =>
       p -> AtomicStore.compact(spark, s"$root/$p", graceMs = graceMs)).toMap
 }

@@ -75,12 +75,18 @@ object AnnEval {
       */
     lazy val assignedMulti2: DataFrame =
       Similarity.ivfAssignMulti(emb, centroids, nprobe = 2).localCheckpoint()
+    /** (code_id, cvec) frame form of [[codebook]] — what
+      * [[graft.operators.AnnIndexStore.writeModel]] persists so a later
+      * ingest session can PQ-encode new batches identically.
+      */
+    lazy val codebookDf: DataFrame = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code_id"), col("vec").as("cvec"))
+    /** (hp_id, hvec) LSH hyperplanes — vectors 1–4, bit = id − 1. */
+    lazy val hyperplanesDf: DataFrame = emb.filter(col("vec_id").between(1, 4))
+      .select((col("vec_id") - 1).as("hp_id"), col("vec").as("hvec"))
     /** LSH (vec_id, bucket_sig), checkpointed. */
-    lazy val sigs: DataFrame = {
-      val hyperplanes = emb.filter(col("vec_id").between(1, 4))
-        .select((col("vec_id") - 1).as("hp_id"), col("vec").as("hvec"))
-      Similarity.hyperplaneSignatures(emb, hyperplanes).localCheckpoint()
-    }
+    lazy val sigs: DataFrame =
+      Similarity.hyperplaneSignatures(emb, hyperplanesDf).localCheckpoint()
   }
 
   // weak-ref single-session memoizer — see SessionCache for the

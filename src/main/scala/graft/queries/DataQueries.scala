@@ -333,6 +333,157 @@ object DataQueries {
     }
   }
 
+  /** s02's answer served from an INCREMENTALLY GROWN persisted index:
+    * the base build covers only part of the corpus, the rest arrives as
+    * an ingest wave through [[graft.operators.AnnIndexStore.appendVectors]]
+    * — assigned/encoded/signed against the PINNED persisted model
+    * (centroids, PQ codebook, LSH hyperplanes, build params all loaded
+    * from the store, none from this session) and appended as
+    * batch-sized commits. Assignment is a pure per-row function of
+    * (vector, pinned model), so the grown index must EXACTLY equal the
+    * full-corpus build — same oracle as s02: incremental maintenance
+    * must be result-invisible, the property that makes append (bytes ∝
+    * batch) safe to prefer over the per-wave full rebuild (bytes ∝
+    * corpus) on the 100 TB steady state.
+    */
+  def s17AnnIncrementalIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndexStore
+    val ix = AnnEval.index(spark, dir)
+    CoreQueries.withTempDir(spark, "graft_s17") { rootPath =>
+      val root = rootPath.toString
+      // base = everything but the wave; the wave is a spread of non-model
+      // vectors (every third id past the centroid block)
+      val isWave = col("vec_id") >= 8 && col("vec_id") % 3 === 0
+      AnnIndexStore.write(root, AnnIndexStore.Components(
+        ix.centroids,
+        ix.assigned.filter(!isWave),
+        ix.assignedMulti2.filter(!isWave),
+        ix.codes.filter(!isWave),
+        ix.sigs.filter(!isWave)))
+      AnnIndexStore.writeModel(root, AnnIndexStore.Model(
+        ix.codebookDf, ix.hyperplanesDf, nprobe = 2, numSub = 8))
+      AnnIndexStore.appendVectors(root, ix.emb.filter(isWave))
+      val loaded = AnnIndexStore.load(spark, root)
+      val assignedWithVec = loaded.assigned.join(ix.emb, "vec_id")
+      val query = {
+        import spark.implicits._
+        Seq(Tuple1(ix.query.toSeq)).toDF("qvec")
+      }
+      Similarity.ivfTopK(assignedWithVec, loaded.centroids, query, k = 10,
+          nprobe = 2, excludeId = Some(0L))
+        .orderBy("rank")
+    }
+  }
+
+  /** The STALENESS eval behind the append-vs-rebuild policy: what
+    * [[graft.operators.AnnIndexStore.appendVectors]] can NOT refresh is
+    * the model — centroids drift as the corpus grows. Here the base
+    * index is deliberately built on STALE centroids (vectors 8–15), the
+    * corpus grows through the real store+append path, and the probe's
+    * recall@10 against brute-force truth is measured twice: the grown
+    * pinned-model index vs a from-scratch rebuild on refreshed centroids
+    * (the fixture rule, vectors 0–7). The recall delta is the number an
+    * operator gates the "retrain + rewrite" decision on (the FAISS
+    * re-train cadence), measured s07-style with an exact DuckDB oracle.
+    */
+  def s18AnnAppendStaleness(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndexStore
+    val ix = AnnEval.index(spark, dir)
+    CoreQueries.withTempDir(spark, "graft_s18") { rootPath =>
+      val root = rootPath.toString
+      val stale = ix.emb.filter(col("vec_id").between(8, 15))
+        .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+        .localCheckpoint() // model-sized; consumed by assign + probe + append
+      val isWave = col("vec_id") >= 16 && col("vec_id") % 3 === 0
+      val base = ix.emb.filter(!isWave)
+      AnnIndexStore.write(root, AnnIndexStore.Components(
+        stale,
+        Similarity.ivfAssign(base, stale).select("vec_id", "centroid_id"),
+        Similarity.ivfAssignMulti(base, stale, nprobe = 2),
+        Similarity.pqEncode(base, ix.codebook, numSub = 8),
+        Similarity.hyperplaneSignatures(base, ix.hyperplanesDf)))
+      AnnIndexStore.writeModel(root, AnnIndexStore.Model(
+        ix.codebookDf, ix.hyperplanesDf, nprobe = 2, numSub = 8))
+      AnnIndexStore.appendVectors(root, ix.emb.filter(isWave))
+      val loaded = AnnIndexStore.load(spark, root)
+      val query = {
+        import spark.implicits._
+        Seq(Tuple1(ix.query.toSeq)).toDF("qvec")
+      }
+      // k-row results; checkpoint before the comparison joins (s07's
+      // one-pass-per-index discipline)
+      val truth = Similarity.bruteForceTopK(ix.emb, query, k = 10,
+        excludeId = Some(0L)).select(col("vec_id")).localCheckpoint()
+      val grown = Similarity.ivfTopK(loaded.assigned.join(ix.emb, "vec_id"),
+          loaded.centroids, query, k = 10, nprobe = 2, excludeId = Some(0L))
+        .localCheckpoint()
+      // the refreshed rebuild on the grown corpus IS the session's
+      // fixture index (centroids 0–7 over all vectors)
+      val rebuilt = Similarity.ivfTopK(ix.assigned, ix.centroids, query,
+        k = 10, nprobe = 2, excludeId = Some(0L)).localCheckpoint()
+      def scoreOf(name: String, got: DataFrame): DataFrame =
+        got.select(col("vec_id"))
+          .join(truth.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+          .agg(count(lit(1)).as("n_retrieved"), count(col("hit")).as("n_hits"))
+          .select(lit(name).as("method"), col("n_retrieved"), col("n_hits"),
+            round(col("n_hits") * lit(1.0) / lit(10.0), 4).as("recall_at_10"))
+      scoreOf("grown_pinned", grown)
+        .unionByName(scoreOf("rebuilt_refreshed", rebuilt))
+        .orderBy("method")
+    }
+  }
+
+  val s18Oracle: String =
+    s"""WITH $embCte,
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |truth AS (SELECT vec_id FROM (
+       |  SELECT vec_id, row_number() OVER (
+       |    ORDER BY ${cosSql("e.v", "q.qv")} DESC, vec_id) AS rank
+       |  FROM e, q WHERE e.vec_id <> 0) WHERE rank <= 10),
+       |scent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+       |          WHERE vec_id BETWEEN 8 AND 15),
+       |fcent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+       |sassign AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.centroid_id) AS rn
+       |  FROM e CROSS JOIN scent c) WHERE rn = 1),
+       |fassign AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.centroid_id) AS rn
+       |  FROM e CROSS JOIN fcent c) WHERE rn = 1),
+       |sprobed AS (SELECT centroid_id FROM (
+       |  SELECT c.centroid_id, row_number() OVER (
+       |    ORDER BY ${cosSql("c.cv", "q.qv")} DESC, c.centroid_id) AS crank
+       |  FROM scent c, q) WHERE crank <= 2),
+       |fprobed AS (SELECT centroid_id FROM (
+       |  SELECT c.centroid_id, row_number() OVER (
+       |    ORDER BY ${cosSql("c.cv", "q.qv")} DESC, c.centroid_id) AS crank
+       |  FROM fcent c, q) WHERE crank <= 2),
+       |grown AS (SELECT vec_id FROM (
+       |  SELECT e.vec_id, row_number() OVER (
+       |    ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id) AS rank
+       |  FROM e JOIN (SELECT a.vec_id FROM sassign a JOIN sprobed p
+       |               USING (centroid_id) WHERE a.vec_id <> 0) cand
+       |    USING (vec_id), q) WHERE rank <= 10),
+       |rebuilt AS (SELECT vec_id FROM (
+       |  SELECT e.vec_id, row_number() OVER (
+       |    ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id) AS rank
+       |  FROM e JOIN (SELECT a.vec_id FROM fassign a JOIN fprobed p
+       |               USING (centroid_id) WHERE a.vec_id <> 0) cand
+       |    USING (vec_id), q) WHERE rank <= 10),
+       |scored AS (
+       |  SELECT 'grown_pinned' AS method, count(*) AS n_retrieved,
+       |    count(t.vec_id) AS n_hits
+       |  FROM grown g LEFT JOIN truth t ON g.vec_id = t.vec_id
+       |  UNION ALL
+       |  SELECT 'rebuilt_refreshed', count(*), count(t.vec_id)
+       |  FROM rebuilt g LEFT JOIN truth t ON g.vec_id = t.vec_id)
+       |SELECT method, n_retrieved, n_hits,
+       |  round(n_hits*1.0/10.0, 4) AS recall_at_10
+       |FROM scored ORDER BY method""".stripMargin
+
   val s02Oracle: String =
     s"""WITH $embCte,
        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
@@ -753,6 +904,8 @@ object DataQueries {
     ("s01_ann_topk", s01AnnBruteForce _, Some(s01Oracle)),
     ("s02_ann_ivf", s02AnnIvf _, Some(s02Oracle)),
     ("s16_ann_persisted_index", s16AnnPersistedIndex _, Some(s02Oracle)),
+    ("s17_ann_incremental_index", s17AnnIncrementalIndex _, Some(s02Oracle)),
+    ("s18_ann_append_staleness", s18AnnAppendStaleness _, Some(s18Oracle)),
     ("s03_ann_hyperplane", s03AnnHyperplane _, Some(s03Oracle)),
     ("t01_langid", t01LangId _, Some(t01Oracle)),
     ("t02_quality", t02Quality _, Some(t02Oracle)),

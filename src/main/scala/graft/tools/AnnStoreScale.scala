@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.operators.{AnnIndexStore, Similarity}
+
+/** Measures AnnIndexStore's incremental-maintenance contract at a given
+  * lake: seed the persisted ANN index with part of the corpus, then grow
+  * it wave by wave through [[AnnIndexStore.appendVectors]] — per-wave
+  * cost and committed bytes must stay FLAT (∝ batch) while the
+  * alternative the append path replaces, a full snapshot [[AnnIndexStore.write]]
+  * of the grown corpus, grows linearly with corpus size. The same claim
+  * SigStoreScale measures for the dedup signature store, on the index
+  * that was rebuild-only until round 14.
+  *
+  * args: [sfDir] [waves] [batchVecs] [mult]
+  *
+  * `mult` replicates the corpus (ids restamped past the original range)
+  * so the wall-clock divergence is visible: at the raw fixture size both
+  * paths are bounded by fixed per-job overhead and only the BYTES tell
+  * the story.
+  */
+object AnnStoreScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val waves = args.lift(1).map(_.toInt).getOrElse(10)
+    val mult = args.lift(3).map(_.toInt).getOrElse(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    VectorFns.register(spark)
+    val emb0 = graft.Lake.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("vec"))
+    val origN = emb0.count()
+    // replica ids shift by origN per copy, so ids 0..7 stay the ORIGINAL
+    // first vectors (the fixture model rule) rather than mult copies of
+    // vector 0
+    val emb = (if (mult <= 1) emb0
+      else emb0.crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("vec_id") + col("rep") * origN).as("vec_id"), col("vec")))
+      .localCheckpoint()
+    val nVecs = origN * math.max(1, mult)
+    val batchVecs = args.lift(2).map(_.toInt)
+      .getOrElse(math.max(100, (nVecs / 50).toInt))
+    // the fixture model (AnnEval contract): centroids 0–7, codebook 0–3
+    // (numSub 8), hyperplanes 1–4
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+      .localCheckpoint()
+    val codebookDf = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code_id"), col("vec").as("cvec"))
+      .localCheckpoint()
+    val codebook = codebookDf.orderBy("code_id").select("cvec")
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    val hyperplanes = emb.filter(col("vec_id").between(1, 4))
+      .select((col("vec_id") - 1).as("hp_id"), col("vec").as("hvec"))
+      .localCheckpoint()
+
+    def components(corpus: DataFrame) = AnnIndexStore.Components(
+      centroids,
+      Similarity.ivfAssign(corpus, centroids).select("vec_id", "centroid_id"),
+      Similarity.ivfAssignMulti(corpus, centroids, nprobe = 2),
+      Similarity.pqEncode(corpus, codebook, numSub = 8),
+      Similarity.hyperplaneSignatures(corpus, hyperplanes))
+
+    // seed: the first half of the corpus; the rest arrives in waves
+    val seedN = nVecs - waves.toLong * batchVecs
+    require(seedN > 8,
+      s"corpus $nVecs too small for $waves waves of $batchVecs")
+    val root = java.nio.file.Files.createTempDirectory("graft_annscale").toString
+    val t0 = System.nanoTime()
+    AnnIndexStore.write(root, components(emb.filter(col("vec_id") < seedN)))
+    AnnIndexStore.writeModel(root, AnnIndexStore.Model(
+      codebookDf, hyperplanes, nprobe = 2, numSub = 8))
+    val dtSeed = (System.nanoTime() - t0) / 1e9
+    val seedBytes = Fs.dirBytes(root)
+    println(f"ANNSTORE vecs=$nVecs%7d seed_$seedN%-7d wall=$dtSeed%6.2fs bytes=$seedBytes")
+
+    // grow wave by wave; per-wave wall and bytes must be flat in corpus
+    // size (auto-fold disabled here so fold cost doesn't ride a sampled
+    // wave — the fold regime is SigStoreScale's third measurement and the
+    // spec's threshold test; the default wiring is identical code)
+    var prevBytes = seedBytes
+    var appendWalls = List.empty[Double]
+    (1 to waves).foreach { w =>
+      val lo = seedN + (w - 1).toLong * batchVecs
+      val hi = seedN + w.toLong * batchVecs
+      val t = System.nanoTime()
+      AnnIndexStore.appendVectors(root,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi),
+        compactAboveDirs = 0)
+      val dt = (System.nanoTime() - t) / 1e9
+      appendWalls ::= dt
+      val nowBytes = Fs.dirBytes(root)
+      println(f"ANNSTORE wave=$w%3d corpus=$hi%7d append_$batchVecs%-5d " +
+        f"wall=$dt%6.2fs batch_bytes=${nowBytes - prevBytes}")
+      prevBytes = nowBytes
+    }
+
+    // the alternative per wave: a full snapshot rewrite of the grown
+    // corpus — measured at the final size (and half, for the slope)
+    Seq(seedN + waves.toLong * batchVecs / 2,
+        seedN + waves.toLong * batchVecs).foreach { n =>
+      val rroot = java.nio.file.Files.createTempDirectory("graft_annrw").toString
+      val t = System.nanoTime()
+      AnnIndexStore.write(rroot, components(emb.filter(col("vec_id") < n)))
+      val dt = (System.nanoTime() - t) / 1e9
+      println(f"ANNSTORE rewrite corpus=$n%7d wall=$dt%6.2fs " +
+        f"bytes=${Fs.dirBytes(rroot)}")
+      Fs.deleteRec(rroot)
+    }
+    println(f"ANNSTORE summary waves=$waves append_median=" +
+      f"${appendWalls.sorted.apply(appendWalls.size / 2)}%6.2fs " +
+      f"append_max=${appendWalls.max}%6.2fs")
+    Fs.deleteRec(root)
+    spark.stop()
+  }
+}

@@ -71,4 +71,160 @@ class AnnIndexStoreSpec extends SparkSpec {
         served.assignedMulti, ix.emb, threshold = 0.4)
       .collect().map(_.mkString("|")).toSet === fromMemo)
   }
+
+  // ---- incremental maintenance (appendVectors) on a fast synthetic
+  // corpus: dim-4 vectors, 2 centroids, 2 PQ codewords (numSub 2),
+  // 2 hyperplanes — the lake-fixture end-to-end form is s17/s18's oracle
+
+  import org.apache.spark.sql.DataFrame
+
+  private def sEmb(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.map(id => (id, Seq((1 + id % 3).toDouble, (id % 5).toDouble,
+        ((id * 7) % 11).toDouble, 1.0)))
+      .toDF("vec_id", "vec")
+  }
+  private def sCents: DataFrame = sEmb(Seq(0L, 1L))
+    .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+  private def sCodebookDf: DataFrame = sEmb(Seq(0L, 1L))
+    .select(col("vec_id").as("code_id"), col("vec").as("cvec"))
+  private def sCodebook: Seq[Array[Double]] = sCodebookDf.orderBy("code_id")
+    .select("cvec").collect().map(_.getSeq[Double](0).toArray).toSeq
+  private def sHyperplanes: DataFrame = sEmb(Seq(2L, 3L))
+    .select((col("vec_id") - 2).as("hp_id"), col("vec").as("hvec"))
+
+  private def sComponents(emb: DataFrame): AnnIndexStore.Components =
+    AnnIndexStore.Components(
+      sCents,
+      Similarity.ivfAssign(emb, sCents).select("vec_id", "centroid_id"),
+      Similarity.ivfAssignMulti(emb, sCents, nprobe = 2),
+      Similarity.pqEncode(emb, sCodebook, numSub = 2),
+      Similarity.hyperplaneSignatures(emb, sHyperplanes))
+
+  private def sModel = AnnIndexStore.Model(sCodebookDf, sHyperplanes,
+    nprobe = 2, numSub = 2)
+
+  private def setOf(df: DataFrame) = df.collect().map(_.mkString("|")).toSet
+
+  test("appendVectors grows the store exactly to the from-scratch rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_app")
+      .toString
+    val all = (0L until 40L).toSeq
+    val (baseIds, waveIds) = all.partition(_ < 30L)
+    AnnIndexStore.write(root, sComponents(sEmb(baseIds)))
+    AnnIndexStore.writeModel(root, sModel)
+    AnnIndexStore.appendVectors(root, sEmb(waveIds))
+
+    // model round-trips (the pinned artifacts a later session appends
+    // against)
+    val m = AnnIndexStore.loadModel(spark, root)
+    assert(m.nprobe === 2 && m.numSub === 2)
+    assert(setOf(m.codebook) === setOf(sCodebookDf))
+    assert(setOf(m.hyperplanes) === setOf(sHyperplanes))
+
+    // every per-row component equals the full-corpus build: assignment /
+    // encoding / signatures are pure per-row functions of (vector,
+    // pinned model), so append-then-load == rebuild, exactly
+    val grown = AnnIndexStore.load(spark, root)
+    val rebuilt = sComponents(sEmb(all))
+    assert(setOf(grown.assigned) ===
+      setOf(rebuilt.assigned.select("vec_id", "centroid_id")))
+    assert(setOf(grown.assignedMulti) ===
+      setOf(rebuilt.assignedMulti.select("vec_id", "centroid_id")))
+    assert(setOf(grown.codes) === setOf(rebuilt.codes))
+    assert(setOf(grown.sigs) === setOf(rebuilt.sigs))
+    assert(setOf(grown.centroids) === setOf(sCents))
+  }
+
+  test("appendVectors auto-folds past the dir threshold, row-preserving") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_fold")
+      .toString
+    AnnIndexStore.write(root, sComponents(sEmb(Seq(0L, 1L))))
+    AnnIndexStore.writeModel(root, sModel)
+    (1 to 8).foreach { w =>
+      AnnIndexStore.appendVectors(root,
+        sEmb(Seq(2L * w, 2L * w + 1)), compactAboveDirs = 2)
+    }
+    // without the wiring each per-row table would list 9 dirs; with the
+    // threshold at 2 no append can leave more than 3 behind
+    Seq("assigned", "assigned_multi", "codes", "sigs").foreach { p =>
+      val v = graft.sources.AtomicStore.currentVersion(spark, s"$root/$p").get
+      val n = graft.sources.AtomicStore.filesAt(spark, s"$root/$p", v).size
+      assert(n <= 3, s"$p manifest lists $n dirs — auto-compact not firing")
+    }
+    val loaded = AnnIndexStore.load(spark, root)
+    val want = (0L until 18L).toSet
+    assert(loaded.assigned.select("vec_id").collect().map(_.getLong(0)).toSet
+      === want)
+    assert(loaded.codes.select("vec_id").collect().map(_.getLong(0)).toSet
+      === want)
+    assert(loaded.sigs.select("vec_id").collect().map(_.getLong(0)).toSet
+      === want)
+    // nprobe=2 over 2 centroids → exactly 2 multi rows per vector
+    assert(loaded.assignedMulti.count() === want.size * 2L)
+  }
+
+  test("racing appendVectors waves + compactor lose no row") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_race")
+      .toString
+    AnnIndexStore.write(root, sComponents(sEmb(Seq(0L))))
+    AnnIndexStore.writeModel(root, sModel)
+    val rounds = 4
+    def ids(w: Int, i: Int): Seq[Long] =
+      Seq(100L * (w + 1) + 2 * i, 100L * (w + 1) + 2 * i + 1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var writersDone = false
+    val writers = (0 until 2).map { w =>
+      new Thread(() => {
+        try (0 until rounds).foreach { i =>
+          AnnIndexStore.appendVectors(root, sEmb(ids(w, i)))
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    val compactor = new Thread(() => {
+      try while (!writersDone) {
+        AnnIndexStore.compact(spark, root)
+        Thread.sleep(25)
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    writers.foreach(_.start())
+    compactor.start()
+    writers.foreach(_.join(600000))
+    writersDone = true
+    compactor.join(600000)
+    assert(failures.isEmpty, s"thread failed: ${Option(failures.peek())}")
+    val want = (0L +: (for (w <- 0 until 2; i <- 0 until rounds)
+      yield ids(w, i)).flatten).toSet
+    // quiesced: fold whatever the race left, then reclaim fully
+    AnnIndexStore.compact(spark, root, graceMs = 0L)
+    Seq("assigned", "assigned_multi", "codes", "sigs").foreach(p =>
+      graft.sources.AtomicStore.vacuum(spark, s"$root/$p",
+        keepVersions = 1, graceMs = 0L))
+    val loaded = AnnIndexStore.load(spark, root)
+    assert(loaded.assigned.select("vec_id").collect().map(_.getLong(0)).toSet
+      === want)
+    assert(loaded.codes.select("vec_id").collect().map(_.getLong(0)).toSet
+      === want)
+    assert(loaded.sigs.select("vec_id").collect().map(_.getLong(0)).toSet
+      === want)
+    assert(loaded.assignedMulti.count() === want.size * 2L)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("assigned", "codes", "sigs").foreach { p =>
+      assert(fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/$p", "data")).length === 1,
+        s"$p not collapsed to one data dir")
+    }
+  }
+
+  test("appendVectors on a model-less store fails loudly, not silently") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_noml")
+      .toString
+    AnnIndexStore.write(root, sComponents(sEmb(Seq(0L, 1L))))
+    val e = intercept[IllegalStateException] {
+      AnnIndexStore.appendVectors(root, sEmb(Seq(2L)))
+    }
+    assert(e.getMessage.contains("no commits"),
+      s"unexpected failure shape: ${e.getMessage}")
+  }
 }
