@@ -17,6 +17,15 @@ import org.apache.spark.sql.SparkSession
   * phantom regressions in the 1–3 s band (q39 3.5 s vs 1.1 s quiet-box)
   * because the old 3 s absolute bar left that band with only two
   * correlated samples and the 2×-spread tell alone didn't fire).
+  *
+  * Self-ACTING (round 14): recording the tells wasn't enough — round
+  * 13's driver artifact shipped 33% inflated through a contaminated
+  * window and only forensics caught it. When the box is busy (load avg
+  * > 1.5 at start or after sampling) or any query's two BEST samples
+  * still disagree > 2× after its third, the run adds ONE more full
+  * interleaved pass and stamps `"contaminated": true` plus the trigger
+  * in the contract line and both side files — a dirty headline number
+  * now declares itself instead of waiting to be adjudicated.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -65,7 +74,7 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (_, fn) => once(fn) }
     val pass2 = ordered.map { case (_, fn) => once(fn) }
-    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+    val sampled = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val two = Seq(pass1(i), pass2(i))
       // third sample when the best is slow in absolute terms OR the two
       // samples disagree strongly (>2× spread = at least one is dirty).
@@ -78,6 +87,50 @@ object Bench {
       val samples = if (noisy) two :+ once(fn) else two
       (name, samples.min, samples)
     }
+    // Contamination protocol (round 14): the harness previously RECORDED
+    // the external-load tells (raw samples + load averages) but nothing
+    // acted on them — round 13's driver artifact shipped 33% inflated
+    // (sum-of-first-samples 802 s vs 125 s for an identical suite) and
+    // only post-hoc forensics caught it. Now the tells trigger ONE more
+    // full interleaved pass (every query gets a sample outside the
+    // contaminated window) and the artifact self-declares. Tells:
+    //  - box busy at either end (1-min load average > 1.5); or
+    //  - some query's two BEST samples still disagree > 2× after the
+    //    third sample — meaning at most one clean sample exists and even
+    //    the best-of is untrustworthy (a single dirty max is fine; the
+    //    best-of already discards it).
+    def twoBestDisagree(s: Seq[Double]): Boolean = {
+      val b = s.sorted.take(2)
+      b.head > 0.3 && b(1) / b.head > 2.0
+    }
+    val loadMid = loadAvg
+    val spreadSuspects =
+      sampled.collect { case (k, _, s) if twoBestDisagree(s) => k }
+    val loadBar = 1.5
+    val loadDirty = math.max(loadStart, loadMid) > loadBar
+    val trigger: Option[String] =
+      if (loadDirty && spreadSuspects.nonEmpty)
+        Some(f"load_avg>$loadBar%.1f (start=$loadStart%.2f mid=$loadMid%.2f) + " +
+          s"two-best spread>2x: ${spreadSuspects.take(5).mkString(" ")}")
+      else if (loadDirty)
+        Some(f"load_avg>$loadBar%.1f (start=$loadStart%.2f mid=$loadMid%.2f)")
+      else if (spreadSuspects.nonEmpty)
+        Some("two-best spread>2x after 3rd sample: " +
+          spreadSuspects.take(5).mkString(" "))
+      else None
+    val results = trigger match {
+      case None => sampled
+      case Some(_) =>
+        val pass3 = ordered.map { case (_, fn) => once(fn) }
+        sampled.zipWithIndex.map { case ((k, _, s), i) =>
+          val all = s :+ pass3(i)
+          (k, all.min, all)
+        }
+    }
+    val contaminated = trigger.isDefined
+    val contaminationJson =
+      s""""contaminated":$contaminated""" + trigger
+        .map(t => s""","contamination_trigger":"$t"""").getOrElse("")
     val samplesJson = results
       .map { case (k, _, s) => s"\"$k\":[${s.map(fmt).mkString(",")}]" }
       .mkString("{", ",", "}")
@@ -101,7 +154,7 @@ object Bench {
     }
     val fullPath = repoRoot.resolve("BENCH_FULL.json")
     val samplesPath = repoRoot.resolve("BENCH_SAMPLES.json")
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"n_queries":${results.size},"queries_file":"$fullPath","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},$contaminationJson,"n_queries":${results.size},"queries_file":"$fullPath","queries":{"""
     val tail = "}}"
     val budget = 1700 - head.length - tail.length
     val bySlowest = results.sortBy(-_._2).map { case (k, v, _) => s"\"$k\":${fmt(v)}" }
@@ -118,9 +171,9 @@ object Bench {
     val qsFull = results.map { case (k, v, _) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     writeJson(fullPath,
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"queries":$qsFull}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},$contaminationJson,"queries":$qsFull}""")
     writeJson(samplesPath,
-      s"""{"sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"samples":$samplesJson}""")
+      s"""{"sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},$contaminationJson,"samples":$samplesJson}""")
     spark.stop()
   }
 }
