@@ -191,6 +191,60 @@ object ConfigStore {
     if (!fs.exists(live) && fs.exists(trash)) trash.toString else logPath
   }
 
+  /** Claim the exclusive compaction lease (`logPath.__compact_lease`)
+    * with a fail-if-exists create — the AtomicStore CAS primitive
+    * (atomic hard-link on LocalFileSystem, no-overwrite FileContext
+    * rename elsewhere). A lease older than `ttlMs` belonged to a crashed
+    * holder and is broken; a LIVE lease makes the second compactor fail
+    * loudly with ConcurrentModificationException.
+    */
+  private def claimLease(fs: org.apache.hadoop.fs.FileSystem,
+                         logPath: String, ttlMs: Long): org.apache.hadoop.fs.Path = {
+    import org.apache.hadoop.fs.Path
+    val lease = new Path(logPath + ".__compact_lease")
+    def busy() = throw new java.util.ConcurrentModificationException(
+      s"ConfigStore.compact: $lease is held — a compactor is already " +
+        "running against this log. compact's rename-swap recovery is " +
+        "single-writer; wait for the holder (or for its lease to age " +
+        s"past ${ttlMs / 1000}s if it crashed) instead of racing it")
+    val st =
+      try Some(fs.getFileStatus(lease))
+      catch { case _: java.io.FileNotFoundException => None }
+    st.foreach { s =>
+      if (System.currentTimeMillis() - s.getModificationTime <= ttlMs) busy()
+      else fs.delete(lease, false) // crashed holder past TTL: break it
+    }
+    fs.mkdirs(lease.getParent)
+    val tmp = new Path(logPath +
+      s".__lease_tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val out = fs.create(tmp, false)
+    try out.write(
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+        .getBytes("UTF-8"))
+    finally out.close()
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem =>
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(fs.makeQualified(lease).toUri),
+            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri))
+          fs.delete(tmp, false)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            fs.delete(tmp, false); busy()
+        }
+      case _ =>
+        try org.apache.hadoop.fs.FileContext
+          .getFileContext(lease.toUri, fs.getConf)
+          .rename(tmp, lease, org.apache.hadoop.fs.Options.Rename.NONE)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            fs.delete(tmp, false); busy()
+        }
+    }
+    lease
+  }
+
   /** Fold the delta log into a fresh snapshot + empty log (checkpoint):
     * after compaction the log restarts from the snapshot as batch 0.
     *
@@ -201,37 +255,46 @@ object ConfigStore {
     * self-heals: [[recoverCompact]] promotes the trash copy back when a
     * crash (or an unluckily timed reader) finds the live path missing.
     * The pre-fix delete-then-rewrite instead destroyed the only copy.
+    *
+    * Single-writer ENFORCED, not assumed: the rename-swap recovery is
+    * only safe with one compactor (two concurrent swaps can promote a
+    * stale trash copy over the winner's fresh log), so the whole fold
+    * runs under a CAS-claimed lease ([[claimLease]]) — a second
+    * concurrent compactor fails loudly instead of corrupting recovery; a
+    * crashed holder's lease is broken after `leaseTtlMs`.
     */
   def compact(spark: SparkSession, logPath: String,
-              snapshotPath: String): Unit = {
+              snapshotPath: String,
+              leaseTtlMs: Long = 15 * 60 * 1000L): Unit = {
     import org.apache.hadoop.fs.Path
-    recoverCompact(spark, logPath)
-    // nothing ever appended (and no crashed swap to recover) -> nothing
-    // to fold: a maintenance tick on a never-seeded store is a quiet
-    // no-op, not an AnalysisException from reading a nonexistent path
-    // (the TagStore.compactLog empty-store rule)
-    val liveProbe = new Path(logPath)
-    val fsProbe = liveProbe.getFileSystem(
+    val fs = new Path(logPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    if (!fsProbe.exists(liveProbe)) return
-    write(readLatest(spark, logPath), snapshotPath)
-    val live = new Path(logPath)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(logPath + ".__compact_tmp")
-    val trash = new Path(logPath + ".__compact_old")
-    fs.delete(tmp, true); fs.delete(trash, true)
-    appendDelta(read(spark, snapshotPath), tmp.toString, batchId = 0L)
-    if (fs.exists(live) && !fs.rename(live, trash))
-      throw new java.io.IOException(s"compact: cannot move $live aside")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(trash, live) // roll back: old log restored intact
-      throw new java.io.IOException(s"compact: cannot publish $tmp")
-    }
-    // The trash copy is deliberately NOT deleted here: a reader that
-    // [[readablePath]] routed to the trash path during the swap may still
-    // be mid-scan. It is reclaimed by the NEXT compact's delete above —
-    // the same bounded-grace discipline as AtomicStore.vacuum (one stale
-    // copy on disk; a reader must stay in flight a full compact cycle to
-    // race the reclaim).
+    val lease = claimLease(fs, logPath, leaseTtlMs)
+    try {
+      recoverCompact(spark, logPath)
+      // nothing ever appended (and no crashed swap to recover) -> nothing
+      // to fold: a maintenance tick on a never-seeded store is a quiet
+      // no-op, not an AnalysisException from reading a nonexistent path
+      // (the TagStore.compactLog empty-store rule)
+      val live = new Path(logPath)
+      if (!fs.exists(live)) return
+      write(readLatest(spark, logPath), snapshotPath)
+      val tmp = new Path(logPath + ".__compact_tmp")
+      val trash = new Path(logPath + ".__compact_old")
+      fs.delete(tmp, true); fs.delete(trash, true)
+      appendDelta(read(spark, snapshotPath), tmp.toString, batchId = 0L)
+      if (fs.exists(live) && !fs.rename(live, trash))
+        throw new java.io.IOException(s"compact: cannot move $live aside")
+      if (!fs.rename(tmp, live)) {
+        fs.rename(trash, live) // roll back: old log restored intact
+        throw new java.io.IOException(s"compact: cannot publish $tmp")
+      }
+      // The trash copy is deliberately NOT deleted here: a reader that
+      // [[readablePath]] routed to the trash path during the swap may
+      // still be mid-scan. It is reclaimed by the NEXT compact's delete
+      // above — the same bounded-grace discipline as AtomicStore.vacuum
+      // (one stale copy on disk; a reader must stay in flight a full
+      // compact cycle to race the reclaim).
+    } finally fs.delete(lease, false)
   }
 }

@@ -132,19 +132,47 @@ object Streams {
       // [wm, closed_end + gap), nonempty exactly then) starts or joins a
       // NEWER session here, where batch would have extended the closed
       // one. That is inherent to gap-width watermarks + Append emission
-      // (avoiding it means holding every session until the watermark
-      // passes session_end + gap — one extra gap of latency per session);
+      // — [[sessionizeStreamExact]] is the opt-in alternative that holds
+      // every session until the watermark passes session_end + gap (one
+      // extra gap of latency) and matches batch EXACTLY;
       // SessionBoundarySpec pins its exact bound: divergent neighbors are
       // separated by < gap with the newer session starting inside
       // (prev_end, prev_end + gap), events are conserved, sessions stay
       // disjoint, and any user whose sessions all respect the gap
       // separation matches batch EXACTLY.
-      val intervals =
-        (state.getOption.toSeq ++
-          incoming.map(e => Session(userId, e.ts, e.ts, 1L)))
-          .sortBy(s => (s.session_start.getTime, s.session_end.getTime))
+      val merged = SessionMerge.sweepMerge(
+        state.getOption.toSeq ++
+          incoming.map(e => Session(userId, e.ts, e.ts, 1L)), gapMs)
+      // every merged session but the LAST is closed by an observed >= gap
+      // silence in front of a later one; the last stays open in state
+      merged.lastOption.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.session_end.getTime + gapMs)
+      }
+      merged.dropRight(1).iterator
+    }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Interval sweep-merge shared by both sessionizer emission modes:
+    * sessions sorted by (start, end); neighbors separated by < gap fuse
+    * with min/max bounds and added counts. This IS batch [[sessionize]]
+    * over the given intervals, so every within-invocation shape matches
+    * batch exactly. Lives in its own Serializable module so the stateful
+    * functions that call it don't drag the whole (non-serializable)
+    * Streams object into their task closures.
+    */
+  private[streaming] object SessionMerge extends Serializable {
+    def sweepMerge(intervals: Seq[Session], gapMs: Long): Seq[Session] = {
+      val sorted = intervals
+        .sortBy(s => (s.session_start.getTime, s.session_end.getTime))
       val merged = scala.collection.mutable.ListBuffer.empty[Session]
-      intervals.foreach { iv =>
+      sorted.foreach { iv =>
         merged.lastOption match {
           case Some(last) if iv.session_start.getTime -
               last.session_end.getTime < gapMs =>
@@ -156,13 +184,58 @@ object Streams {
           case _ => merged += iv
         }
       }
-      // every merged session but the LAST is closed by an observed >= gap
-      // silence in front of a later one; the last stays open in state
-      merged.lastOption.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.session_end.getTime + gapMs)
+      merged.toList
+    }
+  }
+
+  /** State wrapper for [[sessionizeStreamExact]]: the held (not yet
+    * emission-safe) sessions, pairwise ≥ gap apart by the sweep-merge
+    * invariant.
+    */
+  final case class HeldSessions(sessions: Seq[Session])
+
+  /** EXACT-parity sessionizer: the documented alternative to
+    * [[sessionizeStream]]'s eager emission. The default mode emits a
+    * session as soon as a ≥gap silence is OBSERVED in the data, which
+    * leaves the pinned divergence window — a late event landing inside
+    * (closed_end, closed_end + gap) can no longer extend the emitted
+    * session. This mode holds every merged session in state until the
+    * WATERMARK passes `session_end + gap`: from then on no admissible
+    * event can fuse with it (extending needs ts < end + gap ≤ wm, and
+    * ts < wm is dropped by the watermark), so everything emitted equals
+    * batch [[sessionize]] over the admitted event set EXACTLY — at the
+    * price of one extra gap of emission latency per session and a
+    * state entry that holds every not-yet-safe session instead of just
+    * the open tail (still bounded: held sessions are pairwise ≥ gap
+    * apart, so at most ~(wm lag)/gap + 1 per user). Consumers choose:
+    * freshness (default) or batch-identical output (this).
+    */
+  def sessionizeStreamExact(events: org.apache.spark.sql.Dataset[SessionEvent],
+                            gapMinutes: Int): org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def fn(userId: Long, it: Iterator[SessionEvent],
+           state: GroupState[HeldSessions]): Iterator[Session] = {
+      // unified data/timeout path: on a timeout invocation `incoming` is
+      // empty and the advanced watermark releases what became safe
+      val held = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+      val incoming = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val merged = SessionMerge.sweepMerge(
+        held ++ incoming.map(e => Session(userId, e.ts, e.ts, 1L)), gapMs)
+      val wm = state.getCurrentWatermarkMs()
+      val (safe, unsafe) =
+        merged.partition(_.session_end.getTime + gapMs <= wm)
+      if (unsafe.isEmpty) state.remove()
+      else {
+        state.update(HeldSessions(unsafe))
+        // wake when the OLDEST held session becomes safe (end+gap > wm
+        // for every unsafe session, so the timeout is legally > wm)
+        state.setTimeoutTimestamp(
+          unsafe.map(_.session_end.getTime).min + gapMs)
       }
-      merged.dropRight(1).iterator
+      safe.iterator
     }
 
     events

@@ -1,0 +1,155 @@
+package graft.tools
+
+import java.nio.file.{Files, Path, Paths}
+
+/** One committed artifact per round for the failure-injection and
+  * streaming-scale gates. [[CcFailover]] and [[IngestFailover]] are
+  * real-process executor-kill gates and [[StreamingScale]] is the
+  * volume gate for the six streaming forms — until round 14 they were
+  * manual, fire-and-remember invocations whose evidence lived in
+  * SCALING.md prose, so a silently-skipped kill gate was invisible.
+  * This runner executes all of them and writes a single
+  * `GATES_r<N>.json` at the repo root: a regression (or a skipped run)
+  * now shows up as a committed diff, the BENCH/CORRECTNESS discipline
+  * applied to the failure gates.
+  *
+  * Each gate runs in a FORKED JVM: the kill gates need
+  * `local-cluster` masters and `System.exit(137)` executors, the
+  * streaming gate a `local[32]` session, and none of them may share a
+  * JVM with the runner (or each other — one SparkSession per process).
+  * The fork replicates the sbt harness's JDK17 module opens and passes
+  * SPARK_HOME/SPARK_SCALA_VERSION through (defaulting to /opt/spark and
+  * 2.13 — the standalone worker builds executor launch commands from
+  * them).
+  *
+  * {{{
+  * sbt -batch "runMain graft.tools.RoundGates 14"
+  * }}}
+  *
+  * args: [roundN] [sfDir]
+  */
+object RoundGates {
+
+  private case class Gate(name: String, cls: String, gateArgs: Seq[String])
+
+  def main(args: Array[String]): Unit = {
+    val round = args.headOption.getOrElse("0")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val gates = Seq(
+      Gate("streaming_scale", "graft.tools.StreamingScale", Seq(sfDir)),
+      Gate("cc_failover", "graft.tools.CcFailover", Seq.empty),
+      // default regime: task retries absorb the kill inside the wave job.
+      // killAfterJobs=5 (not the tool's 8): a fast box can finish all six
+      // waves before a late kill lands, which the gate rightly fails
+      Gate("ingest_failover", "graft.tools.IngestFailover",
+        Seq("40000", "6", "5")),
+      // replay regime: taskMaxFailures=1 forces the kill to abort a wave
+      // job so the driver-level checkpoint-replay path must carry it
+      Gate("ingest_failover_replay", "graft.tools.IngestFailover",
+        Seq("40000", "6", "8", "1")))
+
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
+      .toString
+    val cp = System.getProperty("java.class.path")
+    // the sbt harness's JDK17 opens (build.sbt jdk17AddOpens): forked
+    // drivers create SparkSession outside spark-submit, which would
+    // otherwise inject these
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+    // (ok, wall, verdict line, log path, kill-landed-too-late tell)
+    def runGate(g: Gate): (Boolean, Double, String, Path, Boolean) = {
+      val log = Files.createTempFile(s"graft_gate_${g.name}_", ".log")
+      val cmd = (Seq(javaBin) ++ opens ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-Xmx12g", "-cp", cp, g.cls) ++ g.gateArgs)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_HOME",
+        sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
+      pb.environment().put("SPARK_SCALA_VERSION",
+        sys.env.getOrElse("SPARK_SCALA_VERSION", "2.13"))
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log.toFile)
+      val t0 = System.nanoTime()
+      val p = pb.start()
+      val finished = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) p.destroyForcibly().waitFor()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val ok = finished && p.exitValue() == 0
+      val lines = scala.jdk.CollectionConverters
+        .ListHasAsScala(Files.readAllLines(log)).asScala.toVector
+      // the gate's own verdict line, in priority order: the PASS stamp /
+      // JSON summary / main-thread assertion — NOT the executor-shutdown
+      // exception noise that follows a failed local-cluster run
+      def lastMatching(p: String => Boolean): Option[String] =
+        lines.reverseIterator.find(p)
+      val detail =
+        if (!finished) s"TIMEOUT after ${wall.toInt}s (log: $log)"
+        else lastMatching(l => l.contains("PASS") || l.startsWith("{"))
+          .orElse(lastMatching(l =>
+            l.contains("AssertionError") || l.contains("FAIL")))
+          .orElse(lastMatching(_.contains("Exception")))
+          .orElse(lines.lastOption.map(_.trim))
+          .getOrElse("")
+      val killTooLate =
+        !ok && lines.exists(_.contains("no executor was removed"))
+      (ok, wall, detail, log, killTooLate)
+    }
+
+    def jesc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").take(400)
+
+    val results = gates.map { g =>
+      println(s"[gates] running ${g.name} ...")
+      var (ok, wall, detail, log, killTooLate) = runGate(g)
+      // one retry on the kill gates' documented timing race ONLY: "no
+      // executor was removed" means the kill landed after the loop
+      // finished — not a code failure, the gate's own remedy is a rerun.
+      // Anything else fails visibly on the first attempt.
+      var retried = false
+      if (killTooLate) {
+        println(s"[gates] ${g.name}: kill landed too late — one retry")
+        retried = true
+        val r = runGate(g)
+        ok = r._1; wall = r._2; detail = r._3; log = r._4
+      }
+      println(f"[gates] ${g.name}%-24s ${if (ok) "ok" else "FAIL"} " +
+        f"$wall%7.1fs  $detail")
+      if (!ok) println(s"[gates] ${g.name} full log: $log")
+      (g.name, ok, wall, if (retried) s"[retried] $detail" else detail)
+    }
+    val allOk = results.forall(_._2)
+
+    val repoRoot: Path = {
+      var p = Paths.get(sys.props("user.dir")).toAbsolutePath
+      while (p.getParent != null && !Files.exists(p.resolve("build.sbt")))
+        p = p.getParent
+      if (Files.exists(p.resolve("build.sbt"))) p
+      else Paths.get(sys.props("user.dir")).toAbsolutePath
+    }
+    val body = results.map { case (n, ok, wall, detail) =>
+      f"""    "$n": {"ok": $ok, "wall_sec": ${math.round(wall * 10) / 10.0}, "detail": "${jesc(detail)}"}"""
+    }.mkString(",\n")
+    val json =
+      s"""{
+         |  "round": $round,
+         |  "sf": "$sfDir",
+         |  "ok": $allOk,
+         |  "gates": {
+         |$body
+         |  }
+         |}
+         |""".stripMargin
+    val out = repoRoot.resolve(s"GATES_r$round.json")
+    Files.write(out, json.getBytes("UTF-8"))
+    println(s"[gates] wrote $out ok=$allOk")
+    if (!allOk) sys.exit(1)
+  }
+}

@@ -159,6 +159,77 @@ class ConfigStoreSpec extends SparkSpec {
     assert(ConfigStore.readLatest(spark, dir).count() === 2)
   }
 
+  test("compact: a held lease makes a second compactor fail loudly, store intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg_lease").toString
+    ConfigStore.appendDelta(store, dir, batchId = 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(dir + ".__compact_lease")
+    fs.create(lease, false).close() // a live concurrent compactor
+    val snap = java.nio.file.Files.createTempDirectory("graft_cfg_lsnap").toString
+    intercept[java.util.ConcurrentModificationException] {
+      ConfigStore.compact(spark, dir, snap)
+    }
+    // the loser touched nothing: log intact, no half-swap residue
+    assert(ConfigStore.readLatest(spark, dir).count() === 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__compact_tmp")))
+    // holder releases → the next compact proceeds and releases its own
+    fs.delete(lease, false)
+    ConfigStore.compact(spark, dir, snap)
+    assert(ConfigStore.readLatest(spark, dir).count() === 2)
+    assert(!fs.exists(lease), "winner must release the lease")
+  }
+
+  test("compact: a crashed holder's stale lease is broken after TTL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg_ttl").toString
+    ConfigStore.appendDelta(store, dir, batchId = 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(dir + ".__compact_lease")
+    fs.create(lease, false).close()
+    fs.setTimes(lease, System.currentTimeMillis() - 60000L, -1L)
+    val snap = java.nio.file.Files.createTempDirectory("graft_cfg_tsnap").toString
+    // TTL 1s: the minute-old lease is a crash residue, not a holder
+    ConfigStore.compact(spark, dir, snap, leaseTtlMs = 1000L)
+    assert(ConfigStore.readLatest(spark, dir).count() === 2)
+    assert(!fs.exists(lease))
+  }
+
+  test("racing compactors: any overlap loses loudly, store intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg_race").toString
+    ConfigStore.appendDelta(store, dir, batchId = 0L)
+    val snaps = Seq(
+      java.nio.file.Files.createTempDirectory("graft_cfg_rsnap1").toString,
+      java.nio.file.Files.createTempDirectory("graft_cfg_rsnap2").toString)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes =
+      new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Unit]]()
+    val threads = snaps.map { snap =>
+      new Thread(() => {
+        barrier.await()
+        try { ConfigStore.compact(spark, dir, snap); outcomes.add(Right(())) }
+        catch { case t: Throwable => outcomes.add(Left(t)) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(600000))
+    val results = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(outcomes).asScala.toSeq
+    assert(results.size === 2)
+    val losers = results.collect { case Left(t) => t }
+    // the ONLY legal failure is the lease conflict — never a swap error
+    // or corrupted-log read; serialized runs (both win) are legal too
+    losers.foreach(t => assert(
+      t.isInstanceOf[java.util.ConcurrentModificationException],
+      s"unexpected failure class: $t"))
+    assert(results.count(_.isRight) >= 1, "at least one compactor must win")
+    // the store survived the race intact, and no lease is left behind
+    assert(ConfigStore.readLatest(spark, dir).count() === 2)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__compact_lease")))
+  }
+
   test("write/read round-trips the store as a lake table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cfg").toString
     ConfigStore.write(ConfigStore.withIdentity(store), dir)

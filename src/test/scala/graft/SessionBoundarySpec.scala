@@ -37,7 +37,7 @@ class SessionBoundarySpec extends SparkSpec {
     * (observed-silence closes + event-time-timeout flushes).
     */
   private def runStream(batches: Seq[Seq[SessionEvent]],
-                        name: String): Seq[Session] = {
+                        name: String, exact: Boolean = false): Seq[Session] = {
     val stage = Files.createTempDirectory(s"graft_sessb_$name").toString
     batches.foreach { b =>
       b.toDF().coalesce(1).write.mode("append").parquet(stage)
@@ -47,7 +47,10 @@ class SessionBoundarySpec extends SparkSpec {
       .schema(spark.read.parquet(stage).schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
       .as[SessionEvent]
-    val q = Streams.sessionizeStream(stream, gapMinutes = GapMin)
+    val sessions =
+      if (exact) Streams.sessionizeStreamExact(stream, gapMinutes = GapMin)
+      else Streams.sessionizeStream(stream, gapMinutes = GapMin)
+    val q = sessions
       .writeStream.outputMode("append")
       .format("memory").queryName(s"sessb_$name")
       .trigger(Trigger.AvailableNow()).start()
@@ -164,15 +167,20 @@ class SessionBoundarySpec extends SparkSpec {
     }
   }
 
-  test("generated arrivals: clean users == batch exactly; divergence only in the documented window") {
-    // One global arrival sequence (the watermark is global, so scenarios
-    // must share it): 24 users × session bursts separated by silences
-    // drawn from BOTH regimes — ≥ 2×gap (boundary window empty: user
-    // must match batch) and [gap, 2×gap) with a targeted late event
-    // inside (closed_end ∨ wm, closed_end + gap) landing batches later
-    // (the divergence window). Arrival lateness is bounded < gap vs the
-    // running global max, so every generated event clears the watermark
-    // — the stream processes exactly the batch comparator's event set.
+  /** One global arrival sequence (the watermark is global, so scenarios
+    * must share it): 24 users × session bursts separated by silences
+    * drawn from BOTH regimes — ≥ 2×gap (boundary window empty: user
+    * must match batch) and [gap, 2×gap) with a targeted late event
+    * inside (closed_end ∨ wm, closed_end + gap) landing batches later
+    * (the divergence window). Arrival lateness is bounded < gap vs the
+    * running global max, so every generated event clears the watermark
+    * — the stream processes exactly the batch comparator's event set.
+    * Returns (arrival batches incl. the flush sentinel, accepted events).
+    * Shared by the default-mode bound test and the exact-parity test —
+    * the SAME generator that produces divergent users in default mode
+    * must produce exact batch equality in exact mode.
+    */
+  private def generatedArrivals(): (Seq[Seq[SessionEvent]], Vector[SessionEvent]) = {
     val rnd = new scala.util.Random(20260814L)
     val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val minute = 60000L
@@ -269,7 +277,11 @@ class SessionBoundarySpec extends SparkSpec {
       }
       runMax = math.max(runMax, b.map(_.ts.getTime).max)
     }
+    (batches, all)
+  }
 
+  test("generated arrivals: clean users == batch exactly; divergence only in the documented window") {
+    val (batches, all) = generatedArrivals()
     val emitted = runStream(batches, "gen").filter(_.user_id > 0L)
     val byUser = emitted.groupBy(_.user_id)
     val eventsByUser = all.groupBy(_.user_id)
@@ -324,5 +336,49 @@ class SessionBoundarySpec extends SparkSpec {
     assert(cleanUsers >= 8, s"want ≥8 clean users, got $cleanUsers")
     assert(divergentUsers >= 3,
       s"want ≥3 users driven into the boundary window, got $divergentUsers")
+  }
+
+  test("exact-parity mode: the pinned divergence case matches batch") {
+    // the SAME scenario the first test pins as divergent in default mode:
+    // holding emission until wm passes session_end + gap lets the late
+    // 00:30 event fuse into the still-held [00:00, 00:15] session, so the
+    // output is batch sessionize exactly — at one extra gap of latency
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(min: Long) = ts(h0 + min * 60000L)
+    val events = Seq(
+      SessionEvent(1L, 1L, t(0)), SessionEvent(1L, 2L, t(15)),
+      SessionEvent(1L, 3L, t(50)),
+      SessionEvent(1L, 4L, t(30)),
+      SessionEvent(99L, 5L, t(600)))
+    val got = runStream(
+      Seq(events.take(3), events.slice(3, 5)), "pinned_exact", exact = true)
+      .filter(_.user_id == 1L).toSet
+    assert(got === Set(
+      Session(1L, t(0), t(30), 3L),
+      Session(1L, t(50), t(50), 1L)),
+      "exact mode must fuse the late boundary event like batch")
+  }
+
+  test("exact-parity mode: generated arrivals == batch for EVERY user") {
+    // same adversarial generator that drives ≥3 users into the
+    // divergence window in default mode — exact mode must equal batch
+    // sessionize for all 24, divergent regime included
+    val (batches, all) = generatedArrivals()
+    val emitted = runStream(batches, "gen_exact", exact = true)
+      .filter(_.user_id > 0L)
+    val byUser = emitted.groupBy(_.user_id)
+    val eventsByUser = all.groupBy(_.user_id)
+    assert(byUser.keySet === eventsByUser.keySet, "every user flushed")
+    (1L to 24L).foreach { u =>
+      val streamSess = byUser(u).sortBy(_.session_start.getTime).map(s =>
+        (s.session_start.getTime, s.session_end.getTime, s.n_events))
+      val batchSess = Streams.sessionize(
+          eventsByUser(u).toDF(), gapMinutes = GapMin)
+        .select("session_start", "session_end", "n_events")
+        .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+        .map(r => (r._1.getTime, r._2.getTime, r._3)).sortBy(_._1).toSeq
+      assert(streamSess === batchSess,
+        s"user $u: exact mode must equal batch sessionize")
+    }
   }
 }
