@@ -8,15 +8,26 @@ import org.apache.spark.sql.functions._
   * incremental batch — committed bytes must scale with the BATCH, not
   * the corpus (the same claim BulkScale measures for the tag delta-log).
   *
-  * args: [sfDir] [batchDocs]
+  * args: [sfDir] [batchDocs] [waves] [opLatencyMs]
+  *
+  * `opLatencyMs` > 0 engages [[SlowFs]]: every Hadoop-FS metadata op
+  * (list/stat/open) against the store pays that synthetic latency — the
+  * object-store round-trip model the `compactAboveDirs` threshold
+  * actually exists to bound. The latency turns on AFTER the corpus
+  * fixtures are checkpointed, so only store traffic is taxed.
   */
 object SigStoreScale {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val batchDocs = args.lift(1).map(_.toInt).getOrElse(100)
-    val spark = SparkSession.builder().master("local[32]")
+    val opLatencyMs = args.lift(3).map(_.toLong).getOrElse(0L)
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    val spark = (if (opLatencyMs > 0)
+        builder.config("spark.hadoop.fs.file.impl",
+          classOf[SlowFs].getName)
+      else builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = graft.Lake.table(spark, sfDir, "documents")
     val nDocs = docs.count()
@@ -26,6 +37,10 @@ object SigStoreScale {
       graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 5), "doc_id")
       .localCheckpoint()
     val root = java.nio.file.Files.createTempDirectory("graft_sigscale").toString
+    if (opLatencyMs > 0) {
+      SlowFs.opLatencyMs = opLatencyMs
+      println(s"SIGSTORE op_latency_ms=$opLatencyMs (SlowFs engaged)")
+    }
     val t0 = System.nanoTime()
     graft.operators.DocIndexStore.write(root,
       graft.operators.DocIndexStore.Components(sim, mh))
