@@ -86,8 +86,15 @@ object TokenCountsOps {
     // codepoint scan (each stray/invalid byte decodes to one U+FFFD = one
     // "other"): a continuation byte is "same code point" ONLY while a
     // lead byte still expects one, so a stray continuation, an invalid
-    // lead (0xF8+), or excess continuations past the lead's declared
-    // length each count as their own "other".
+    // or overlong lead (0xC0/0xC1, 0xF5+), or excess continuations past
+    // the lead's declared length each count as their own "other".
+    // Pinned residual: a structurally-valid-SHAPED but semantically
+    // invalid sequence (a surrogate like ED A0 80, an out-of-range F4 9x)
+    // counts as ONE "other" where Java's decoder yields one U+FFFD per
+    // malformed subpart — matching that exactly needs per-lead
+    // second-byte range tables for input that is already garbage; the
+    // divergence is bounded by the sequence's byte length (≤ 3 per
+    // occurrence) and valid UTF-8 is exact.
     val bytes = s.getBytes
     val n = bytes.length
     var i = 0
@@ -107,10 +114,12 @@ object TokenCountsOps {
           if (expect > 0) { expect -= 1; 4 } else 2
         } else 2
       if (cls != 4) {
+        // overlong (C0/C1) and beyond-U+10FFFF (F5..F7) leads are
+        // rejected per byte by Java's decoder — expect no continuations
         expect =
-          if ((b & 0xE0) == 0xC0) 1
+          if ((b & 0xE0) == 0xC0) { if ((b & 0xFF) >= 0xC2) 1 else 0 }
           else if ((b & 0xF0) == 0xE0) 2
-          else if ((b & 0xF8) == 0xF0) 3
+          else if ((b & 0xF8) == 0xF0) { if ((b & 0xFF) <= 0xF4) 3 else 0 }
           else 0
         if (cls != 3 && prev == 3) ws += 1
         if (cls == 2) { bpe += 1; punct += 1 }

@@ -85,7 +85,9 @@ class TokenStatsSpec extends SparkSpec {
       9203L -> Array[Byte]('a', ' ', 0xC3.toByte),          // truncated seq at end
       9204L -> Array[Byte](0xC3.toByte, 0xA9.toByte, 0xA9.toByte, 'x'), // é + excess cont
       9205L -> Array[Byte](0xE2.toByte, 0x82.toByte, 'a'),  // truncated 3-byte prefix
-      9206L -> Array[Byte](0x80.toByte, 0x80.toByte, 0x80.toByte))      // all stray
+      9206L -> Array[Byte](0x80.toByte, 0x80.toByte, 0x80.toByte), // all stray
+      9207L -> Array[Byte]('a', 0xC0.toByte, 0x80.toByte, 'b'), // overlong lead: 2 FFFDs
+      9208L -> Array[Byte](0xF5.toByte, 0x80.toByte, 'x'))  // beyond-range lead: 2 FFFDs
     val t = rows.toDF("doc_id", "b")
       .select(col("doc_id"), col("b").cast("string").as("text"))
     val regex = t.select(col("doc_id"),
