@@ -94,26 +94,31 @@ object Bench {
     // only post-hoc forensics caught it. Now the tells trigger ONE more
     // full interleaved pass (every query gets a sample outside the
     // contaminated window) and the artifact self-declares. Tells:
-    //  - box busy at either end (1-min load average > 1.5); or
+    //  - box busy BEFORE we start (1-min load average > 1.5 at launch —
+    //    mid-run load measures our OWN local[32] work, observed 1.8–2.9
+    //    on an otherwise-idle box, so it cannot distinguish external
+    //    contamination and is recorded but never triggers); or
     //  - some query's two BEST samples still disagree > 2× after the
-    //    third sample — meaning at most one clean sample exists and even
-    //    the best-of is untrustworthy (a single dirty max is fine; the
-    //    best-of already discards it).
+    //    third sample with the smaller one above 1 s — meaning at most
+    //    one clean sample exists and even the best-of is untrustworthy.
+    //    (Floor 1.0 s: sub-second queries jitter 2–3× on JVM/GC noise
+    //    alone — observed q06/q08/s09 tripping a 0.3 s floor on a quiet
+    //    box — while the real r13 contamination was 40–60 s spikes.)
     def twoBestDisagree(s: Seq[Double]): Boolean = {
       val b = s.sorted.take(2)
-      b.head > 0.3 && b(1) / b.head > 2.0
+      b.head > 1.0 && b(1) / b.head > 2.0
     }
     val loadMid = loadAvg
     val spreadSuspects =
       sampled.collect { case (k, _, s) if twoBestDisagree(s) => k }
     val loadBar = 1.5
-    val loadDirty = math.max(loadStart, loadMid) > loadBar
+    val loadDirty = loadStart > loadBar
     val trigger: Option[String] =
       if (loadDirty && spreadSuspects.nonEmpty)
-        Some(f"load_avg>$loadBar%.1f (start=$loadStart%.2f mid=$loadMid%.2f) + " +
+        Some(f"load_avg_start>$loadBar%.1f ($loadStart%.2f) + " +
           s"two-best spread>2x: ${spreadSuspects.take(5).mkString(" ")}")
       else if (loadDirty)
-        Some(f"load_avg>$loadBar%.1f (start=$loadStart%.2f mid=$loadMid%.2f)")
+        Some(f"load_avg_start>$loadBar%.1f ($loadStart%.2f)")
       else if (spreadSuspects.nonEmpty)
         Some("two-best spread>2x after 3rd sample: " +
           spreadSuspects.take(5).mkString(" "))

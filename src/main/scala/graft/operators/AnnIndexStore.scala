@@ -147,6 +147,20 @@ object AnnIndexStore {
     require(codebook.nonEmpty,
       s"appendVectors: persisted codebook at $root/codebook is empty")
     val batch = newEmb.select("vec_id", "vec")
+    // write() and writeModel() are separate calls, so the seam where a
+    // params row disagrees with the components it describes EXISTS —
+    // and commitAppend imposes no schema check, so a numSub mismatch
+    // would land a codes batch whose columns merge as nulls into every
+    // later read (a silently-degraded ADC scan, not an error). Check the
+    // batch's code schema against the stored table's before committing.
+    val newCodes = Similarity.pqEncode(batch, codebook, m.numSub)
+    val storedCodeCols =
+      AtomicStore.read(spark, s"$root/codes").columns.toSeq
+    require(newCodes.columns.toSeq == storedCodeCols,
+      s"appendVectors: batch codes schema (${newCodes.columns.mkString(", ")}) " +
+        s"!= stored codes schema (${storedCodeCols.mkString(", ")}) — the " +
+        "params table (num_sub) disagrees with the codes the store was " +
+        "built with; fix the model or rebuild with write()")
     Map(
       "assigned" -> appendCompacting(
         Similarity.ivfAssign(batch, centroids)
@@ -157,7 +171,7 @@ object AnnIndexStore {
           .select("vec_id", "centroid_id"),
         s"$root/assigned_multi", compactAboveDirs),
       "codes" -> appendCompacting(
-        Similarity.pqEncode(batch, codebook, m.numSub),
+        newCodes,
         s"$root/codes", compactAboveDirs),
       "sigs" -> appendCompacting(
         Similarity.hyperplaneSignatures(batch, m.hyperplanes),

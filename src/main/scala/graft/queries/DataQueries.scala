@@ -396,12 +396,16 @@ object DataQueries {
         .localCheckpoint() // model-sized; consumed by assign + probe + append
       val isWave = col("vec_id") >= 16 && col("vec_id") % 3 === 0
       val base = ix.emb.filter(!isWave)
+      // assignments must be built fresh against the STALE centroids; the
+      // PQ codes and LSH sigs are functions of the (unchanged) codebook/
+      // hyperplane model only, so the session index's checkpointed
+      // artifacts ARE the base components — same values, no re-encode
       AnnIndexStore.write(root, AnnIndexStore.Components(
         stale,
         Similarity.ivfAssign(base, stale).select("vec_id", "centroid_id"),
         Similarity.ivfAssignMulti(base, stale, nprobe = 2),
-        Similarity.pqEncode(base, ix.codebook, numSub = 8),
-        Similarity.hyperplaneSignatures(base, ix.hyperplanesDf)))
+        ix.codes.filter(!isWave),
+        ix.sigs.filter(!isWave)))
       AnnIndexStore.writeModel(root, AnnIndexStore.Model(
         ix.codebookDf, ix.hyperplanesDf, nprobe = 2, numSub = 8))
       AnnIndexStore.appendVectors(root, ix.emb.filter(isWave))

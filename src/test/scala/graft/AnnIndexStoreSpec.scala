@@ -227,4 +227,24 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("no commits"),
       s"unexpected failure shape: ${e.getMessage}")
   }
+
+  test("appendVectors rejects a params row that disagrees with the stored codes") {
+    // write()/writeModel() are separate calls, so the inconsistent seam
+    // exists; an unchecked numSub mismatch would append a codes batch
+    // whose columns MERGE AS NULLS into every later read
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_mism")
+      .toString
+    AnnIndexStore.write(root, sComponents(sEmb(Seq(0L, 1L)))) // numSub=2 codes
+    AnnIndexStore.writeModel(root, AnnIndexStore.Model(
+      sCodebookDf, sHyperplanes, nprobe = 2, numSub = 4)) // wrong numSub
+    val e = intercept[IllegalArgumentException] {
+      AnnIndexStore.appendVectors(root, sEmb(Seq(2L)))
+    }
+    assert(e.getMessage.contains("num_sub"),
+      s"unexpected failure shape: ${e.getMessage}")
+    // the reject landed BEFORE any component commit: store unchanged
+    val loaded = AnnIndexStore.load(spark, root)
+    assert(loaded.codes.select("vec_id").collect().map(_.getLong(0)).toSet
+      === Set(0L, 1L))
+  }
 }
