@@ -42,8 +42,13 @@ object DataQueries4 {
         lit("-"), lpad((id % 100).cast("string"), 2, "0"),
         lit("-"), lpad((id % 10000).cast("string"), 4, "0")))
       .otherwise(lit(""))
+    // Locale.ROOT: under a Turkish default locale "EMAIL_ADDRESS" would
+    // lowercase its I to dotless ı, so the n_emaıl_address column never
+    // matches the col("n_email_address") reference below (the
+    // ConfigDispatch locale trap, r13)
     val counts = Pii.findingCounts(col("raw"))
-      .map { case (name, c) => c.as("n_" + name.toLowerCase) }
+      .map { case (name, c) =>
+        c.as("n_" + name.toLowerCase(java.util.Locale.ROOT)) }
     docs(spark, dir)
       .select(id, concat(col("text"), email, phone, ssn).as("raw"))
       .select(Seq(col("doc_id")) ++ counts :+

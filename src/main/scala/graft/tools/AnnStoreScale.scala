@@ -115,6 +115,46 @@ object AnnStoreScale {
     println(f"ANNSTORE summary waves=$waves append_median=" +
       f"${appendWalls.sorted.apply(appendWalls.size / 2)}%6.2fs " +
       f"append_max=${appendWalls.max}%6.2fs")
+
+    // steady-state PROBE decay + compaction — the SigStoreScale regime on
+    // the s-side: the wave loop above ran with the fold disabled, so the
+    // store now lists seed + `waves` batch dirs per component; measure
+    // the serve path (load + IVF top-k off the loaded assignment) against
+    // that, fold, measure again. The claim: post-fold probe cost is flat
+    // in wave count.
+    val queryDf = {
+      import spark.implicits._
+      Seq(Tuple1(emb.filter(col("vec_id") === 0)
+        .select("vec").head.getSeq[Double](0))).toDF("qvec")
+    }
+    def probe(): Double =
+      (0 until 2).map { _ =>
+        val t = System.nanoTime()
+        val loaded = AnnIndexStore.load(spark, root)
+        Similarity.ivfTopK(loaded.assigned.join(emb, "vec_id"),
+          loaded.centroids, queryDf, k = 10, nprobe = 2,
+          excludeId = Some(0L)).count()
+        (System.nanoTime() - t) / 1e9
+      }.min
+    def refDirs(part: String): Int = {
+      val t = s"$root/$part"
+      graft.sources.AtomicStore.currentVersion(spark, t)
+        .map(v => graft.sources.AtomicStore.filesAt(spark, t, v).size)
+        .getOrElse(0)
+    }
+    val pUn = probe()
+    println(f"ANNSTORE probe_uncompacted wall=$pUn%6.2fs " +
+      f"assigned_dirs=${refDirs("assigned")}")
+    val tc = System.nanoTime()
+    AnnIndexStore.compact(spark, root, graceMs = 0L)
+    Seq("centroids", "assigned", "assigned_multi", "codes", "sigs",
+        "codebook", "hyperplanes", "params").foreach(p =>
+      graft.sources.AtomicStore.vacuum(spark, s"$root/$p",
+        keepVersions = 1, graceMs = 0L))
+    val dtC = (System.nanoTime() - tc) / 1e9
+    val pC = probe()
+    println(f"ANNSTORE probe_compacted   wall=$pC%6.2fs " +
+      f"assigned_dirs=${refDirs("assigned")} compact_wall=$dtC%6.2fs")
     Fs.deleteRec(root)
     spark.stop()
   }
