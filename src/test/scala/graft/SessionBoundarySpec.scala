@@ -359,6 +359,50 @@ class SessionBoundarySpec extends SparkSpec {
       "exact mode must fuse the late boundary event like batch")
   }
 
+  test("sessionizer state survives a checkpointed restart, both modes") {
+    // the one streaming leg the equivalence tests never exercised: a
+    // query RESTART recovering per-user state from the checkpoint's
+    // state store — the open-session tail in default mode, the
+    // HeldSessions list (plural — two sessions held) in exact mode. The
+    // post-restart batch must fuse into the RECOVERED state, not restart
+    // sessions from scratch.
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(min: Long) = ts(h0 + min * 60000L)
+    Seq(("default", false), ("exact", true)).foreach { case (label, exact) =>
+      val stage = Files.createTempDirectory(s"graft_sessrst_src_$label").toString
+      val out = Files.createTempDirectory(s"graft_sessrst_out_$label").toString
+      val cp = Files.createTempDirectory(s"graft_sessrst_cp_$label").toString
+      def addBatch(b: Seq[SessionEvent]): Unit = {
+        b.toDF().coalesce(1).write.mode("append").parquet(stage)
+        Thread.sleep(150)
+      }
+      def runOnce(): Unit = {
+        val stream = spark.readStream
+          .schema(spark.read.parquet(stage).schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage).as[SessionEvent]
+        val sessions =
+          if (exact) Streams.sessionizeStreamExact(stream, gapMinutes = GapMin)
+          else Streams.sessionizeStream(stream, gapMinutes = GapMin)
+        val q = sessions.writeStream.outputMode("append")
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(240000)
+      }
+      addBatch(Seq(SessionEvent(1L, 1L, t(0)), SessionEvent(1L, 2L, t(5))))
+      addBatch(Seq(SessionEvent(1L, 3L, t(40))))
+      runOnce() // stops with user 1's tail (default) / both sessions (exact) in state
+      addBatch(Seq(SessionEvent(1L, 4L, t(45)), SessionEvent(99L, 5L, t(600))))
+      runOnce() // restart: 45 must fuse into the RECOVERED [40,40]
+      val got = spark.read.parquet(out).as[Session].collect()
+        .filter(_.user_id == 1L).toSet
+      assert(got === Set(
+        Session(1L, t(0), t(5), 2L),
+        Session(1L, t(40), t(45), 2L)),
+        s"$label mode diverged after a checkpointed restart")
+    }
+  }
+
   test("exact-parity mode: generated arrivals == batch for EVERY user") {
     // same adversarial generator that drives ≥3 users into the
     // divergence window in default mode — exact mode must equal batch
