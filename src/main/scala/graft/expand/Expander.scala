@@ -20,13 +20,48 @@ import graft.model.AssetUri
 object Expander {
 
   /** Wildcard predicate (Resources.py:238–251): all `*`-split fragments must
-    * be substrings; no `*` → exact match.
+    * be substrings; no `*` → exact match. The GENERIC form — the BigQuery
+    * segments use the reference's exact per-segment rules below
+    * ([[datasetPredicate]]/[[tableFragmentsPredicate]]); this one serves
+    * the fileset/spanner container and leaf, where the reference's import
+    * path takes exact names only and the wildcard support is this
+    * engine's generalization.
     */
   def globPredicate(c: Column, expr: String): Column =
     AssetUri.globFragments(expr) match {
       case None        => c === lit(expr)
       case Some(frags) =>
         frags.map(f => c.contains(f)).reduceOption(_ && _).getOrElse(lit(true))
+    }
+
+  /** The reference's DATASET-segment wildcard (get_datasets,
+    * Resources.py:153–158): ONLY a trailing `*` engages wildcarding, and
+    * everything before it — inner stars included — must appear as ONE
+    * substring of the dataset name (`dataset[:-1] in ds.dataset_id`).
+    * Any other expression, mid-star included, is a LITERAL dataset name
+    * (the else-branch appends it verbatim), so `a*b` matches only a
+    * dataset literally named `a*b` — i.e. nothing.
+    */
+  def datasetPredicate(c: Column, expr: String): Column =
+    if (expr.endsWith("*")) {
+      val frag = expr.dropRight(1)
+      if (frag.isEmpty) lit(true) else c.contains(frag)
+    } else c === lit(expr)
+
+  /** The reference's TABLE-segment wildcard (Resources.py:238–251): every
+    * `*`-split fragment is tested against `table.full_table_id` —
+    * `project:dataset.table` — NOT the bare table name, so a fragment
+    * that happens to match the project or dataset part matches every
+    * table of that dataset's listing. Faithful quirk, kept: `fullId` is
+    * the rendered full id of the candidate row.
+    */
+  def tableFragmentsPredicate(fullId: Column, tableCol: Column,
+                              expr: String): Column =
+    AssetUri.globFragments(expr) match {
+      case None        => tableCol === lit(expr)
+      case Some(frags) =>
+        frags.map(f => fullId.contains(f)).reduceOption(_ && _)
+          .getOrElse(lit(true))
     }
 
   /** Predicate for one URI pattern against catalog columns. A project-level
@@ -40,15 +75,30 @@ object Expander {
 
   def uriPredicate(uri: String, catalogCols: Set[String]): Column = {
     val u = AssetUri.parse(uri)
+    val isBq = u.assetType == "bigquery"
     val ty =
       if (catalogCols.contains("asset_type"))
         col("asset_type") === lit(u.assetType)
-      else lit(u.assetType == "bigquery")
+      else lit(isBq)
     val p = col("project") === lit(u.project)
     val i = u.instance.filter(_ => catalogCols.contains("instance"))
       .map(globPredicate(col("instance"), _)).getOrElse(lit(true))
-    val d = u.dataset.map(globPredicate(col("dataset"), _)).getOrElse(lit(true))
-    val t = u.table.map(globPredicate(col("table"), _)).getOrElse(lit(true))
+    // bigquery follows the reference's per-segment rules exactly
+    // (trailing-star datasets, full-table-id table fragments); the
+    // fileset/spanner shapes keep the generic glob — a generalization,
+    // the reference's import path takes exact names there
+    val d = u.dataset.map { e =>
+      if (isBq) datasetPredicate(col("dataset"), e)
+      else globPredicate(col("dataset"), e)
+    }.getOrElse(lit(true))
+    val t = u.table.map { e =>
+      if (isBq)
+        tableFragmentsPredicate(
+          concat(col("project"), lit(":"), col("dataset"), lit("."),
+            col("table")),
+          col("table"), e)
+      else globPredicate(col("table"), e)
+    }.getOrElse(lit(true))
     ty && p && i && d && t
   }
 

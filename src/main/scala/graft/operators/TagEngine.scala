@@ -250,7 +250,16 @@ object TagEngine {
       case "enum" | "richtext" => v.cast("string")
       case t                   => Coerce.coerce(t, v)
     }
+    // the reference's history writer SKIPS each individually-EMPTY field
+    // value (insert_history_row, BigQueryUtils.py:404–406: `if
+    // tagged_value['field_value'] == '': continue`) — the history column
+    // is NULL even though the TAG itself stores the empty string
+    // (create_update_delete_tag attaches string_value='' to the tag; the
+    // per-field history skip is its own rule, distinct from the
+    // all-empty delete trigger). Dropping those rows before the pivot
+    // makes the missing cell NULL, matching the omitted JSON key.
     val pivoted = incoming
+      .filter(coalesce(col("field_value").cast("string"), lit("")) =!= "")
       .groupBy(col("asset_uri"), col("column"))
       .pivot("field_id", config.fields.map(_.fieldId))
       .agg(first("field_value"))

@@ -29,6 +29,33 @@ class ExpanderSpec extends SparkSpec {
     assert(Expander.expand(catalog, Seq("bigquery/project/p"), Nil).count() === 4)
   }
 
+  test("dataset wildcard engages ONLY on a trailing star (get_datasets)") {
+    // Resources.py:153–158: `dataset.endswith("*")` gates wildcarding and
+    // the whole prefix — inner stars included — is ONE substring; a
+    // mid-star expression is a literal dataset name that matches nothing
+    assert(Expander.expand(catalog,
+      Seq("bigquery/project/p/dataset/sal*ops/leads"), Nil).count() === 0)
+    assert(Expander.expand(catalog,
+      Seq("bigquery/project/p/dataset/*ops/leads"), Nil).count() === 0)
+    // trailing star: substring, not prefix — "ales*" matches sales+salesops
+    // (orders, orders_archive, leads; hr/people stays out)
+    assert(Expander.expand(catalog,
+      Seq("bigquery/project/p/dataset/ales*/*"), Nil).count() === 3)
+  }
+
+  test("table wildcard fragments match the FULL table id (Resources.py:246)") {
+    // the reference tests `substring in table.full_table_id`
+    // (project:dataset.table) — a fragment matching the dataset name
+    // matches EVERY table in that dataset
+    val out = Expander.expand(catalog,
+      Seq("bigquery/project/p/dataset/salesops/*ops*"), Nil).collect()
+    assert(out.map(_.getString(2)).toSet === Set("leads"),
+      "fragment 'ops' hits the dataset part of p:salesops.leads")
+    // and an exact (no-star) table expression stays exact on the bare name
+    assert(Expander.expand(catalog,
+      Seq("bigquery/project/p/dataset/salesops/ops"), Nil).count() === 0)
+  }
+
   test("exclusion removes matching subset") {
     val out = Expander.expand(catalog,
       Seq("bigquery/project/p"), Seq("bigquery/project/p/dataset/hr/*"))

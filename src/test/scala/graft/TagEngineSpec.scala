@@ -69,6 +69,24 @@ class TagEngineSpec extends SparkSpec {
       ("p/dataset/lake/table/orders", 7.0, "y")))
   }
 
+  test("historyRows: an individually-empty field value is NULL in history") {
+    // insert_history_row skips each EMPTY field value
+    // (BigQueryUtils.py:404–406) even though the tag itself stores the
+    // empty string — the history column must be NULL, not ""
+    val cfg = TagConfig(configType = "DYNAMIC_TAG_TABLE", templateId = "t",
+      fields = Seq(FieldSpec("a", "string"), FieldSpec("b", "string")))
+    val incoming = Seq(
+      ("bigquery/project/p/dataset/lake/orders", "", "t", "a", "x"),
+      ("bigquery/project/p/dataset/lake/orders", "", "t", "b", ""))
+      .toDF("asset_uri", "column", "template_id", "field_id", "field_value")
+    val out = TagEngine.historyRows(incoming, cfg,
+        lit("2024-03-01 00:00:00").cast("timestamp"), lit("j"))
+      .select("asset_name", "a", "b").collect()
+    assert(out.length === 1)
+    assert(out.head.getString(1) === "x")
+    assert(out.head.isNullAt(2), "empty field value must be NULL in history")
+  }
+
   test("runJobs == per-config runJob loop, one expansion for all configs") {
     Lake.registerAll(spark, sf)
     val cfgB = config.copy(templateId = "ops",
