@@ -158,6 +158,40 @@ object Similarity {
       k)
   }
 
+  /** [[ivfTopK]] against the PERSISTED index shape — `assigned` is the
+    * bytes-per-row `(vec_id, centroid_id)` lake table and the
+    * full-precision vectors live only in the corpus `emb`
+    * (AnnIndexStore's storage contract). Order matters at lake scale:
+    * restrict the ASSIGNMENT by the probed buckets first (a broadcast
+    * join against the narrow table — the only corpus-wide work is that
+    * bytes-per-row scan), then attach vectors to the SHORTLIST only.
+    * The naive compose — `assigned.join(emb, "vec_id")` then bucket-
+    * restrict — pays a corpus-wide join per query for a two-bucket
+    * probe, and Catalyst cannot reorder it because the bucket
+    * restriction is itself a join (against the limit-derived probe set),
+    * not a pushable literal predicate. Same results as [[ivfTopK]] row
+    * for row (s16/s17 keep s02's oracle); the shortlist⨝emb join stays
+    * one corpus SCAN with AQE free to broadcast the bucket-sized
+    * shortlist — never a corpus-wide shuffle of the vectors.
+    */
+  def ivfTopKIndexed(assigned: DataFrame, emb: DataFrame,
+                     centroids: DataFrame, query: DataFrame, k: Int,
+                     nprobe: Int, excludeId: Option[Long] = None): DataFrame = {
+    val probed = centroids.crossJoin(broadcast(query))
+      .withColumn("ccos", VectorFns.cosine(col("cvec"), col("qvec")))
+      .orderBy(col("ccos").desc, col("centroid_id").asc).limit(nprobe)
+      .select("centroid_id")
+    val base = excludeId.map(id => assigned.filter(col("vec_id") =!= id))
+      .getOrElse(assigned)
+    val shortlist = base.join(broadcast(probed), "centroid_id")
+      .select("vec_id")
+    val bucket = emb.select("vec_id", "vec").join(shortlist, "vec_id")
+    rankTopK(
+      bucket.crossJoin(broadcast(query))
+        .withColumn("cos", VectorFns.cosine(col("vec"), col("qvec"))),
+      k)
+  }
+
   /** Random-hyperplane LSH signature: bit i = sign(v · hyperplane_i).
     * `hyperplanes(hp_id, hvec)` is tiny (broadcast); one narrow pass over
     * the corpus yields an integer bucket signature — Hamming-close

@@ -319,16 +319,18 @@ object DataQueries {
       AnnIndexStore.write(root, AnnIndexStore.Components(
         ix.centroids, ix.assigned, ix.assignedMulti2, ix.codes, ix.sigs))
       val loaded = AnnIndexStore.load(spark, root)
-      val assignedWithVec = loaded.assigned.join(ix.emb, "vec_id")
       val query = {
         import spark.implicits._
         Seq(Tuple1(ix.query.toSeq)).toDF("qvec")
       }
       // the probe result is LAZY over the loaded lake tables: the bracket
       // materializes before deleting the temp index root (and deletes it —
-      // repeated bench sampling must not accumulate index copies under /tmp)
-      Similarity.ivfTopK(assignedWithVec, loaded.centroids, query, k = 10,
-          nprobe = 2, excludeId = Some(0L))
+      // repeated bench sampling must not accumulate index copies under /tmp).
+      // Indexed form: bucket-restrict the bytes-per-row assignment FIRST,
+      // attach vectors to the shortlist only — the naive assigned⨝emb
+      // compose pays a corpus-wide join per probe at lake scale
+      Similarity.ivfTopKIndexed(loaded.assigned, ix.emb, loaded.centroids,
+          query, k = 10, nprobe = 2, excludeId = Some(0L))
         .orderBy("rank")
     }
   }
@@ -364,13 +366,12 @@ object DataQueries {
         ix.codebookDf, ix.hyperplanesDf, nprobe = 2, numSub = 8))
       AnnIndexStore.appendVectors(root, ix.emb.filter(isWave))
       val loaded = AnnIndexStore.load(spark, root)
-      val assignedWithVec = loaded.assigned.join(ix.emb, "vec_id")
       val query = {
         import spark.implicits._
         Seq(Tuple1(ix.query.toSeq)).toDF("qvec")
       }
-      Similarity.ivfTopK(assignedWithVec, loaded.centroids, query, k = 10,
-          nprobe = 2, excludeId = Some(0L))
+      Similarity.ivfTopKIndexed(loaded.assigned, ix.emb, loaded.centroids,
+          query, k = 10, nprobe = 2, excludeId = Some(0L))
         .orderBy("rank")
     }
   }
@@ -418,7 +419,7 @@ object DataQueries {
       // one-pass-per-index discipline)
       val truth = Similarity.bruteForceTopK(ix.emb, query, k = 10,
         excludeId = Some(0L)).select(col("vec_id")).localCheckpoint()
-      val grown = Similarity.ivfTopK(loaded.assigned.join(ix.emb, "vec_id"),
+      val grown = Similarity.ivfTopKIndexed(loaded.assigned, ix.emb,
           loaded.centroids, query, k = 10, nprobe = 2, excludeId = Some(0L))
         .localCheckpoint()
       // the refreshed rebuild on the grown corpus IS the session's
