@@ -101,7 +101,7 @@ object AnnIndexStore {
     * codebook/hyperplanes stay lazy frames for the batch-side joins.
     */
   def loadModel(spark: SparkSession, root: String): Model = {
-    val p = AtomicStore.read(spark, s"$root/params").head
+    val p = AtomicStore.read(spark, s"$root/params").head()
     Model(
       AtomicStore.read(spark, s"$root/codebook"),
       AtomicStore.read(spark, s"$root/hyperplanes"),

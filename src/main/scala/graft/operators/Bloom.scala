@@ -64,7 +64,7 @@ object Bloom {
     // an EMPTY corpus aggregates to a null sketch; [[mightContain]] maps
     // that back to "definitely absent" rather than letting the SQL NULL
     // swallow both branches of a cand / !cand split
-    isolated.select(B.column(agg).as("bf")).head.getAs[Array[Byte]]("bf")
+    isolated.select(B.column(agg).as("bf")).head().getAs[Array[Byte]]("bf")
   }
 
   /** Membership probe: true ⇒ key MAY be in the indexed set (verify

@@ -244,7 +244,7 @@ object Graph {
       // of labels is a fixpoint detector: unchanged sum ⇔ unchanged labels —
       // one narrow aggregation per round instead of a change-probe join
       def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+        df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       var converged = labels.head(1).isEmpty // no edges → nothing to do
       var prevSum = if (converged) null else labelSum(labels)
       var it = 0

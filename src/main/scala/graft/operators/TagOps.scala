@@ -42,7 +42,7 @@ object TagOps {
     val incoming = updates
       .withColumn("asset_uri", lit(assetUri))
       .withColumn("template_id", lit(templateId))
-    TagStore.upsert(tags, incoming.select(tags.columns.map(col): _*))
+    TagStore.upsert(tags, incoming.select(tags.columns.toIndexedSeq.map(col): _*))
   }
 
   /** C8 — policy-tag schema annotation (DataCatalogController.py:1064–1097,

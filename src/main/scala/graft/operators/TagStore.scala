@@ -214,7 +214,7 @@ object TagStore {
     val deletes = emptyKeys
       .withColumn("field_id", lit("")).withColumn("field_type", lit(""))
       .withColumn("field_value", lit(""))
-      .select(upserts.columns.filterNot(_ == "__op").map(col): _*)
+      .select(upserts.columns.filterNot(_ == "__op").toIndexedSeq.map(col): _*)
       .withColumn("__op", lit("delete_tag"))
     val delta = upserts.unionByName(deletes)
     var races = 0
@@ -286,7 +286,7 @@ object TagStore {
       .filter(col("__rn") === 1)
       .join(delB, TagInstanceKey, "left")
       .filter(col("__del_b").isNull || col("__batch") > col("__del_b"))
-      .select(dataCols.map(col): _*)
+      .select(dataCols.toIndexedSeq.map(col): _*)
   }
 
   /** Fold the merge log into one snapshot batch (ConfigStore.compact's

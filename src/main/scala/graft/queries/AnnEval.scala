@@ -59,7 +59,7 @@ object AnnEval {
       .select("vec").collect().map(_.getSeq[Double](0).toArray).toSeq
     /** vector 0. */
     lazy val query: Array[Double] = emb.filter(col("vec_id") === 0)
-      .select("vec").head.getSeq[Double](0).toArray
+      .select("vec").head().getSeq[Double](0).toArray
     /** pqEncode output, checkpointed. */
     lazy val codes: DataFrame =
       Similarity.pqEncode(emb, codebook, numSub = 8).localCheckpoint()

@@ -733,7 +733,7 @@ object DataQueries {
     // join) would otherwise each re-run the corpus-wide explode+groupBy
     val freq = words.groupBy("w").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    val total = freq.agg(sum("cnt")).head.getLong(0)
+    val total = freq.agg(sum("cnt")).head().getLong(0)
     words.join(freq, "w")
       .withColumn("nll",
         (-log(col("cnt") * lit(1.0) / lit(total.toDouble)))

@@ -63,7 +63,7 @@ object ConfigStore {
         when(col("__superseded"), lit("INACTIVE"))
           .otherwise(col("config_status")))
       .drop("__superseded")
-    deact.unionByName(incV.select(cur.columns.map(col): _*))
+    deact.unionByName(incV.select(cur.columns.toIndexedSeq.map(col): _*))
   }
 
   /** List configs, optionally filtered by type and/or status

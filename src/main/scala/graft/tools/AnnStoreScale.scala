@@ -125,15 +125,14 @@ object AnnStoreScale {
     val queryDf = {
       import spark.implicits._
       Seq(Tuple1(emb.filter(col("vec_id") === 0)
-        .select("vec").head.getSeq[Double](0))).toDF("qvec")
+        .select("vec").head().getSeq[Double](0))).toDF("qvec")
     }
     def probe(): Double =
       (0 until 2).map { _ =>
         val t = System.nanoTime()
         val loaded = AnnIndexStore.load(spark, root)
-        Similarity.ivfTopK(loaded.assigned.join(emb, "vec_id"),
-          loaded.centroids, queryDf, k = 10, nprobe = 2,
-          excludeId = Some(0L)).count()
+        Similarity.ivfTopKIndexed(loaded.assigned, emb, loaded.centroids,
+          queryDf, k = 10, nprobe = 2, excludeId = Some(0L)).count()
         (System.nanoTime() - t) / 1e9
       }.min
     def refDirs(part: String): Int = {
