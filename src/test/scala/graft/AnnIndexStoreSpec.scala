@@ -136,6 +136,39 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(setOf(grown.centroids) === setOf(sCents))
   }
 
+  test("appendVectors == rebuild under ANY wave partition (property)") {
+    // batching independence: however the remainder is split into waves
+    // (sizes, order, count), the grown store equals the one-shot rebuild
+    // — per-row purity under the pinned model means the store is a set,
+    // not a sequence
+    val rnd = new scala.util.Random(7L)
+    (0 until 3).foreach { trial =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_annidx_prop$trial").toString
+      val all = (0L until 30L).toVector
+      val baseN = 8 + rnd.nextInt(10)
+      val (baseIds, rest0) = all.splitAt(baseN)
+      val rest = rnd.shuffle(rest0)
+      AnnIndexStore.write(root, sComponents(sEmb(baseIds)))
+      AnnIndexStore.writeModel(root, sModel)
+      var remaining = rest
+      while (remaining.nonEmpty) {
+        val take = 1 + rnd.nextInt(remaining.size)
+        AnnIndexStore.appendVectors(root, sEmb(remaining.take(take)))
+        remaining = remaining.drop(take)
+      }
+      val grown = AnnIndexStore.load(spark, root)
+      val rebuilt = sComponents(sEmb(all))
+      assert(setOf(grown.assigned) ===
+        setOf(rebuilt.assigned.select("vec_id", "centroid_id")), s"trial $trial")
+      assert(setOf(grown.codes) === setOf(rebuilt.codes), s"trial $trial")
+      assert(setOf(grown.sigs) === setOf(rebuilt.sigs), s"trial $trial")
+      assert(setOf(grown.assignedMulti) ===
+        setOf(rebuilt.assignedMulti.select("vec_id", "centroid_id")),
+        s"trial $trial")
+    }
+  }
+
   test("appendVectors auto-folds past the dir threshold, row-preserving") {
     val root = java.nio.file.Files.createTempDirectory("graft_annidx_fold")
       .toString
