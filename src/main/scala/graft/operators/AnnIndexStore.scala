@@ -137,9 +137,48 @@ object AnnIndexStore {
     * DocIndexStore append contract (exactly-once sits with the ingest
     * commit protocol, `Ingest.ingestBatchCommit`).
     */
+  private def refreshLeasePath(root: String) = s"$root/.refresh_lease"
+
+  /** Atomically-intentioned MODEL REFRESH — the "retrain + rewrite"
+    * operation the s18 staleness eval gates: new centroids (and codebook/
+    * hyperplanes/params) plus the re-derived per-row components, written
+    * as the next snapshot of every table. The danger this method exists
+    * to contain: a refresh racing [[appendVectors]] would mix OLD-model
+    * batches into the NEW-model store — assignment rows bucketed under
+    * centroids that no longer exist, a SILENT recall degradation no
+    * single-table CAS can catch because the inconsistency spans tables.
+    * So the refresh runs under an exclusive lease
+    * ([[AtomicStore.claimLease]]) and [[appendVectors]] REFUSES loudly
+    * while it is held. Residual window, documented: an append that
+    * resolved the old model and is already mid-commit when the refresh
+    * claims the lease can still land old-model batches on top of the new
+    * snapshots — bounded by one append-commit latency; quiesce ingest for
+    * that long (or re-run the refresh) for a hard guarantee. The
+    * components/model are snapshot commits, so readers never see a
+    * half-written table at any point.
+    */
+  def refreshIndex(root: String, c: Components, m: Model,
+                   leaseTtlMs: Long = 15 * 60 * 1000L): Map[String, Long] = {
+    val spark = c.centroids.sparkSession
+    val lease = AtomicStore.claimLease(spark, refreshLeasePath(root),
+      leaseTtlMs, "AnnIndexStore.refreshIndex (exclusive model swap)")
+    try write(root, c) ++ writeModel(root, m)
+    finally AtomicStore.releaseLease(spark, lease)
+  }
+
   def appendVectors(root: String, newEmb: DataFrame,
                     compactAboveDirs: Int = 64): Map[String, Long] = {
     val spark = newEmb.sparkSession
+    // refuse while a model refresh holds the lease: our batch would be
+    // encoded under the OLD model and mix silently into the NEW store
+    // (see refreshIndex). Checked before any read so the loud path is
+    // also the cheap path.
+    if (AtomicStore.leaseHeld(spark, refreshLeasePath(root),
+        ttlMs = 15 * 60 * 1000L))
+      throw new java.util.ConcurrentModificationException(
+        s"appendVectors: a model refresh holds ${refreshLeasePath(root)} — " +
+          "an append encoded under the outgoing model would mix into the " +
+          "refreshed store; retry after the refresh releases the lease")
     val centroids = AtomicStore.read(spark, s"$root/centroids")
     val m = loadModel(spark, root)
     val codebook = m.codebook.orderBy("code_id").select("cvec")

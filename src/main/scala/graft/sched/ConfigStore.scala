@@ -191,59 +191,10 @@ object ConfigStore {
     if (!fs.exists(live) && fs.exists(trash)) trash.toString else logPath
   }
 
-  /** Claim the exclusive compaction lease (`logPath.__compact_lease`)
-    * with a fail-if-exists create — the AtomicStore CAS primitive
-    * (atomic hard-link on LocalFileSystem, no-overwrite FileContext
-    * rename elsewhere). A lease older than `ttlMs` belonged to a crashed
-    * holder and is broken; a LIVE lease makes the second compactor fail
-    * loudly with ConcurrentModificationException.
-    */
-  private def claimLease(fs: org.apache.hadoop.fs.FileSystem,
-                         logPath: String, ttlMs: Long): org.apache.hadoop.fs.Path = {
-    import org.apache.hadoop.fs.Path
-    val lease = new Path(logPath + ".__compact_lease")
-    def busy() = throw new java.util.ConcurrentModificationException(
-      s"ConfigStore.compact: $lease is held — a compactor is already " +
-        "running against this log. compact's rename-swap recovery is " +
-        "single-writer; wait for the holder (or for its lease to age " +
-        s"past ${ttlMs / 1000}s if it crashed) instead of racing it")
-    val st =
-      try Some(fs.getFileStatus(lease))
-      catch { case _: java.io.FileNotFoundException => None }
-    st.foreach { s =>
-      if (System.currentTimeMillis() - s.getModificationTime <= ttlMs) busy()
-      else fs.delete(lease, false) // crashed holder past TTL: break it
-    }
-    fs.mkdirs(lease.getParent)
-    val tmp = new Path(logPath +
-      s".__lease_tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-    val out = fs.create(tmp, false)
-    try out.write(
-      java.lang.management.ManagementFactory.getRuntimeMXBean.getName
-        .getBytes("UTF-8"))
-    finally out.close()
-    fs match {
-      case _: org.apache.hadoop.fs.LocalFileSystem =>
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(fs.makeQualified(lease).toUri),
-            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri))
-          fs.delete(tmp, false)
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            fs.delete(tmp, false); busy()
-        }
-      case _ =>
-        try org.apache.hadoop.fs.FileContext
-          .getFileContext(lease.toUri, fs.getConf)
-          .rename(tmp, lease, org.apache.hadoop.fs.Options.Rename.NONE)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            fs.delete(tmp, false); busy()
-        }
-    }
-    lease
-  }
+  // the exclusive compaction lease lives at `logPath.__compact_lease` —
+  // claimed through the shared AtomicStore CAS primitive (fail-if-exists
+  // create; a crashed holder's lease is TTL-broken; a live one throws
+  // ConcurrentModificationException)
 
   /** Fold the delta log into a fresh snapshot + empty log (checkpoint):
     * after compaction the log restarts from the snapshot as batch 0.
@@ -269,7 +220,9 @@ object ConfigStore {
     import org.apache.hadoop.fs.Path
     val fs = new Path(logPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val lease = claimLease(fs, logPath, leaseTtlMs)
+    val lease = graft.sources.AtomicStore.claimLease(spark,
+      logPath + ".__compact_lease", leaseTtlMs,
+      "ConfigStore.compact (single-writer rename-swap recovery)")
     try {
       recoverCompact(spark, logPath)
       // nothing ever appended (and no crashed swap to recover) -> nothing

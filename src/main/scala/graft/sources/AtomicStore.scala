@@ -471,4 +471,77 @@ object AtomicStore {
       }
     }
   }
+
+  // ------------------------------------------------------------- leases
+
+  /** Claim an exclusive LEASE at `leasePath` with a fail-if-exists create
+    * (the same CAS primitive as [[publish]]: atomic hard link on
+    * LocalFileSystem, no-overwrite FileContext rename elsewhere). A lease
+    * older than `ttlMs` belonged to a crashed holder and is broken; a
+    * LIVE lease throws ConcurrentModificationException. Shared by
+    * maintenance operations whose safety argument is single-writer
+    * (ConfigStore.compact's rename-swap, AnnIndexStore.refreshIndex's
+    * multi-table model swap) — enforcing the contract instead of assuming
+    * it. Release with [[releaseLease]] in a finally.
+    */
+  def claimLease(spark: SparkSession, leasePath: String, ttlMs: Long,
+                 what: String): Path = {
+    val lease = new Path(leasePath)
+    val fs = lease.getFileSystem(hconf(spark))
+    def busy() = throw new java.util.ConcurrentModificationException(
+      s"$what: $lease is held — a concurrent holder is running. Wait for " +
+        s"it (or for its lease to age past ${ttlMs / 1000}s if it crashed) " +
+        "instead of racing it")
+    val st =
+      try Some(fs.getFileStatus(lease))
+      catch { case _: java.io.FileNotFoundException => None }
+    st.foreach { s =>
+      if (System.currentTimeMillis() - s.getModificationTime <= ttlMs) busy()
+      else fs.delete(lease, false) // crashed holder past TTL: break it
+    }
+    fs.mkdirs(lease.getParent)
+    val tmp = new Path(leasePath +
+      s".__tmp_${UUID.randomUUID().toString.replace("-", "")}")
+    val out = fs.create(tmp, false)
+    try out.write(
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem =>
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(fs.makeQualified(lease).toUri),
+            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri))
+          fs.delete(tmp, false)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            fs.delete(tmp, false); busy()
+        }
+      case _ =>
+        try FileContext.getFileContext(lease.toUri, hconf(spark))
+          .rename(tmp, lease, Options.Rename.NONE)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            fs.delete(tmp, false); busy()
+        }
+    }
+    lease
+  }
+
+  /** Is a live (younger than `ttlMs`) lease present at `leasePath`? For
+    * operations that must REFUSE while a lease is held without claiming
+    * it themselves (concurrent appends during an index refresh).
+    */
+  def leaseHeld(spark: SparkSession, leasePath: String, ttlMs: Long): Boolean = {
+    val lease = new Path(leasePath)
+    val fs = lease.getFileSystem(hconf(spark))
+    try System.currentTimeMillis() -
+      fs.getFileStatus(lease).getModificationTime <= ttlMs
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  /** Release a lease claimed by [[claimLease]]. */
+  def releaseLease(spark: SparkSession, lease: Path): Unit =
+    lease.getFileSystem(hconf(spark)).delete(lease, false)
 }

@@ -261,6 +261,62 @@ class AnnIndexStoreSpec extends SparkSpec {
       s"unexpected failure shape: ${e.getMessage}")
   }
 
+  test("refreshIndex swaps the model under a lease; appends refuse meanwhile") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_rfr")
+      .toString
+    val all = (0L until 24L).toSeq
+    // STALE build: centroids/codebook from vectors 8,9 — then refresh to
+    // the standard model (vectors 0,1) and verify appends follow the NEW
+    // model
+    val staleCents = sEmb(Seq(8L, 9L))
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val staleCb = sEmb(Seq(8L, 9L))
+      .select(col("vec_id").as("code_id"), col("vec").as("cvec"))
+    val staleCbArr = staleCb.orderBy("code_id").select("cvec")
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    AnnIndexStore.write(root, AnnIndexStore.Components(
+      staleCents,
+      Similarity.ivfAssign(sEmb(all), staleCents)
+        .select("vec_id", "centroid_id"),
+      Similarity.ivfAssignMulti(sEmb(all), staleCents, nprobe = 2),
+      Similarity.pqEncode(sEmb(all), staleCbArr, numSub = 2),
+      Similarity.hyperplaneSignatures(sEmb(all), sHyperplanes)))
+    AnnIndexStore.writeModel(root,
+      AnnIndexStore.Model(staleCb, sHyperplanes, nprobe = 2, numSub = 2))
+
+    // a held refresh lease makes appends refuse LOUDLY (the silent
+    // alternative is old-model batches mixing into the refreshed store)
+    val lease = graft.sources.AtomicStore.claimLease(spark,
+      s"$root/.refresh_lease", ttlMs = 60000L, "test holder")
+    intercept[java.util.ConcurrentModificationException] {
+      AnnIndexStore.appendVectors(root, sEmb(Seq(100L)))
+    }
+    graft.sources.AtomicStore.releaseLease(spark, lease)
+
+    // the refresh itself: retrained (standard) model + re-derived
+    // components, snapshot-swapped under the lease
+    AnnIndexStore.refreshIndex(root, sComponents(sEmb(all)), sModel)
+    // a racing second refresh while one holds the lease fails loudly
+    val lease2 = graft.sources.AtomicStore.claimLease(spark,
+      s"$root/.refresh_lease", ttlMs = 60000L, "test holder")
+    intercept[java.util.ConcurrentModificationException] {
+      AnnIndexStore.refreshIndex(root, sComponents(sEmb(all)), sModel)
+    }
+    graft.sources.AtomicStore.releaseLease(spark, lease2)
+
+    // post-refresh appends encode under the NEW model: grown == rebuilt
+    val waveIds = (24L until 30L).toSeq
+    AnnIndexStore.appendVectors(root, sEmb(waveIds))
+    val grown = AnnIndexStore.load(spark, root)
+    val rebuilt = sComponents(sEmb(all ++ waveIds))
+    assert(setOf(grown.assigned) ===
+      setOf(rebuilt.assigned.select("vec_id", "centroid_id")))
+    assert(setOf(grown.codes) === setOf(rebuilt.codes))
+    val m = AnnIndexStore.loadModel(spark, root)
+    assert(setOf(m.codebook) === setOf(sCodebookDf),
+      "refresh must have swapped the codebook to the new model")
+  }
+
   test("appendVectors rejects a params row that disagrees with the stored codes") {
     // write()/writeModel() are separate calls, so the inconsistent seam
     // exists; an unchecked numSub mismatch would append a codes batch
