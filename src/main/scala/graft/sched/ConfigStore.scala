@@ -248,6 +248,6 @@ object ConfigStore {
       // above — the same bounded-grace discipline as AtomicStore.vacuum
       // (one stale copy on disk; a reader must stay in flight a full
       // compact cycle to race the reclaim).
-    } finally fs.delete(lease, false)
+    } finally graft.sources.AtomicStore.releaseLease(spark, lease)
   }
 }

@@ -474,44 +474,141 @@ object AtomicStore {
 
   // ------------------------------------------------------------- leases
 
-  /** Claim an exclusive LEASE at `leasePath` with a fail-if-exists create
-    * (the same CAS primitive as [[publish]]: atomic hard link on
-    * LocalFileSystem, no-overwrite FileContext rename elsewhere). A lease
-    * older than `ttlMs` belonged to a crashed holder and is broken; a
-    * LIVE lease throws ConcurrentModificationException. Shared by
-    * maintenance operations whose safety argument is single-writer
-    * (ConfigStore.compact's rename-swap, AnnIndexStore.refreshIndex's
-    * multi-table model swap) — enforcing the contract instead of assuming
-    * it. Release with [[releaseLease]] in a finally.
+  /** Default lease TTL, the ONE constant both sides of a lease protocol
+    * share: claimers that don't pick their own TTL, and `leaseHeld`
+    * callers probing a lease file old enough to predate TTL persistence.
+    * A lease claimed with a non-default TTL carries it INSIDE the lease
+    * file (`ttl_ms=` line), and every later check honors the holder's
+    * own TTL — a 60-minute retrain can't lose its exclusion at some
+    * other component's hardcoded 15-minute mark.
+    */
+  val DefaultLeaseTtlMs: Long = 15 * 60 * 1000L
+
+  /** Parse a lease-protocol file name for logical lease `base`:
+    * returns (epoch number, isEpochFile). Epoch files hold the lease —
+    * `<base>.e<n>`, plus a bare `<base>` file (a lease written by the
+    * pre-epoch protocol, or a test simulating a holder) as epoch 0.
+    * Release markers `<base>.r<n>` mark epoch n released WITHOUT
+    * freeing its path: epoch paths are never reusable (only the GC
+    * under a strictly higher live claim removes them), which is what
+    * keeps the max visible number monotone — the safety anchor of
+    * [[claimLease]]'s verify step.
+    */
+  private def leaseNumber(base: String, name: String): Option[(Long, Boolean)] =
+    if (name == base) Some((0L, true))
+    else if (name.startsWith(base + ".e"))
+      name.drop(base.length + 2).toLongOption.map((_, true))
+    else if (name.startsWith(base + ".r"))
+      name.drop(base.length + 2).toLongOption.map((_, false))
+    else None
+
+  /** All lease-protocol files for logical lease `lease`, ascending by
+    * epoch: (number, isEpochFile, status).
+    */
+  private def leaseFiles(fs: org.apache.hadoop.fs.FileSystem, lease: Path)
+      : Seq[(Long, Boolean, org.apache.hadoop.fs.FileStatus)] = {
+    val listed =
+      try fs.listStatus(lease.getParent)
+      catch { case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    listed.toSeq.flatMap { s =>
+      leaseNumber(lease.getName, s.getPath.getName)
+        .map { case (n, live) => (n, live, s) }
+    }.sortBy(_._1)
+  }
+
+  /** The TTL the lease's own holder claimed with (`ttl_ms=` line inside
+    * the file), if the file carries one.
+    */
+  private def persistedTtlMs(fs: org.apache.hadoop.fs.FileSystem,
+                             p: Path): Option[Long] =
+    try {
+      val in = fs.open(p)
+      val buf = new Array[Byte](1024)
+      val n = try in.read(buf) finally in.close()
+      if (n <= 0) None
+      else new String(buf, 0, n, StandardCharsets.UTF_8)
+        .linesIterator.collectFirst {
+          case l if l.startsWith("ttl_ms=") => l.stripPrefix("ttl_ms=")
+        }.flatMap(_.toLongOption).filter(_ > 0)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Claim an exclusive LEASE at logical path `leasePath`. A lease
+    * younger than its holder's TTL throws
+    * ConcurrentModificationException; a crashed holder's lease is broken
+    * once older. Shared by maintenance operations whose safety argument
+    * is single-writer (ConfigStore.compact's rename-swap recovery,
+    * AnnIndexStore.refreshIndex's multi-table model swap) — enforcing
+    * the contract instead of assuming it. Release with [[releaseLease]]
+    * in a finally.
+    *
+    * Protocol — EPOCH files, create-only: the live lease is the
+    * highest-epoch file `<leasePath>.e<n>` (unless its release marker
+    * `.r<n>` exists), and claiming is a fail-if-exists create of epoch
+    * `max(all numbers visible) + 1` (the same CAS primitive as
+    * [[publish]]: atomic hard link on LocalFileSystem, no-overwrite
+    * FileContext rename elsewhere). No claim path ever deletes or
+    * renames ANOTHER claimant's LIVE file — the round-14
+    * delete-then-create break had exactly that hole: two claimants that
+    * both stat'd the same crashed lease could interleave so the second
+    * breaker's delete removed the first's FRESH lease, yielding two
+    * concurrent "exclusive" holders. Here two claimants with the same
+    * view of the store compute the SAME next epoch and race to create
+    * the same file; the filesystem picks exactly one winner and the
+    * loser backs off loudly. Claimants whose views differ can only
+    * differ by a REAL protocol transition (a claim, release, or GC
+    * happened in between — never a clock tick), and two guarantees
+    * close that case. First, epoch numbers are NEVER reused:
+    * [[releaseLease]] marks release with a sibling `.r<n>` file and
+    * leaves the epoch file in place, so a stalled claimant can never
+    * land on a freed path (this spec's contention soak caught exactly
+    * that on a rename-away release: re-claiming a released number let a
+    * later claimant — whose listing predated the re-claim — claim ABOVE
+    * the live re-claimer and both proceed). Numbered files are removed
+    * only by the GC of a VERIFIED claim under its strictly higher live
+    * file, so the max number visible to any listing is monotone over
+    * time. Second, the post-create verify re-lists and backs out if any
+    * HIGHER number is visible — which by that monotonicity it always is
+    * whenever a stalled claimant landed a stale low epoch while a
+    * higher claim exists. The TTL is written into the lease file so
+    * later checks honor the holder's OWN deadline, not the checker's.
     */
   def claimLease(spark: SparkSession, leasePath: String, ttlMs: Long,
                  what: String): Path = {
+    require(ttlMs > 0, s"claimLease: ttlMs must be positive, got $ttlMs")
     val lease = new Path(leasePath)
     val fs = lease.getFileSystem(hconf(spark))
     def busy() = throw new java.util.ConcurrentModificationException(
       s"$what: $lease is held — a concurrent holder is running. Wait for " +
-        s"it (or for its lease to age past ${ttlMs / 1000}s if it crashed) " +
+        "it (or for its lease to age past its TTL if it crashed) " +
         "instead of racing it")
-    val st =
-      try Some(fs.getFileStatus(lease))
-      catch { case _: java.io.FileNotFoundException => None }
-    st.foreach { s =>
-      if (System.currentTimeMillis() - s.getModificationTime <= ttlMs) busy()
-      else fs.delete(lease, false) // crashed holder past TTL: break it
+    val before = leaseFiles(fs, lease)
+    val released = before.collect { case (n, false, _) => n }.toSet
+    before.filter(_._2).lastOption.foreach { case (n, _, s) =>
+      if (!released.contains(n)) {
+        val holderTtl = persistedTtlMs(fs, s.getPath).getOrElse(ttlMs)
+        if (System.currentTimeMillis() - s.getModificationTime <= holderTtl)
+          busy()
+      }
     }
+    val next = before.lastOption.map(_._1 + 1L).getOrElse(1L)
+    val mine = new Path(lease.getParent, s"${lease.getName}.e$next")
     fs.mkdirs(lease.getParent)
+    val content =
+      s"ttl_ms=$ttlMs\n" +
+      s"token=${UUID.randomUUID().toString.replace("-", "")}\n" +
+      s"holder=${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\n" +
+      s"what=$what\n"
     val tmp = new Path(leasePath +
       s".__tmp_${UUID.randomUUID().toString.replace("-", "")}")
     val out = fs.create(tmp, false)
-    try out.write(
-      java.lang.management.ManagementFactory.getRuntimeMXBean.getName
-        .getBytes(StandardCharsets.UTF_8))
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     fs match {
       case _: org.apache.hadoop.fs.LocalFileSystem =>
         try {
           java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(fs.makeQualified(lease).toUri),
+            java.nio.file.Paths.get(fs.makeQualified(mine).toUri),
             java.nio.file.Paths.get(fs.makeQualified(tmp).toUri))
           fs.delete(tmp, false)
         } catch {
@@ -519,29 +616,97 @@ object AtomicStore {
             fs.delete(tmp, false); busy()
         }
       case _ =>
-        try FileContext.getFileContext(lease.toUri, hconf(spark))
-          .rename(tmp, lease, Options.Rename.NONE)
+        try FileContext.getFileContext(mine.toUri, hconf(spark))
+          .rename(tmp, mine, Options.Rename.NONE)
         catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
             fs.delete(tmp, false); busy()
         }
     }
-    lease
+    // verify: a claimant whose pre-create listing was stale can win a
+    // create BELOW a live holder's epoch (its view predates a whole
+    // claim/release/GC cycle that freed this number). Its file is not
+    // the highest, so nothing consults it — back out and report busy
+    // instead of believing we hold. The witness monotonicity above
+    // guarantees a number > ours is still visible here in that case.
+    // (Deleting our OWN non-highest file is always safe.)
+    if (leaseFiles(fs, lease).lastOption.exists(_._1 > next)) {
+      fs.delete(mine, false)
+      busy()
+    }
+    // GC: numbers below ours are superseded — crashed holders' stale
+    // epoch files and released epoch+marker pairs, all inert now that
+    // our live file carries a higher witness. Reclaimed best-effort,
+    // EPOCH FILE FIRST per number: a GC that crashes between the two
+    // deletes must leave the marker (a pure number witness), never an
+    // unmarked epoch file of a finished holder (which would read as
+    // held-until-TTL).
+    before.sortBy { case (n, isEpoch, _) => (n, !isEpoch) }.foreach {
+      case (n, _, s) =>
+        if (n < next)
+          try fs.delete(s.getPath, false)
+          catch { case scala.util.control.NonFatal(_) => () }
+    }
+    mine
   }
 
-  /** Is a live (younger than `ttlMs`) lease present at `leasePath`? For
+  /** Is a live lease present at `leasePath`? Live = the highest-epoch
+    * lease file is younger than its holder's OWN persisted TTL (falling
+    * back to `fallbackTtlMs` for lease files that don't carry one). For
     * operations that must REFUSE while a lease is held without claiming
     * it themselves (concurrent appends during an index refresh).
     */
-  def leaseHeld(spark: SparkSession, leasePath: String, ttlMs: Long): Boolean = {
+  def leaseHeld(spark: SparkSession, leasePath: String,
+                fallbackTtlMs: Long = DefaultLeaseTtlMs): Boolean = {
     val lease = new Path(leasePath)
     val fs = lease.getFileSystem(hconf(spark))
-    try System.currentTimeMillis() -
-      fs.getFileStatus(lease).getModificationTime <= ttlMs
-    catch { case _: java.io.FileNotFoundException => false }
+    val files = leaseFiles(fs, lease)
+    val released = files.collect { case (n, false, _) => n }.toSet
+    files.filter(_._2).lastOption.exists { case (n, _, s) =>
+      !released.contains(n) && {
+        val ttl = persistedTtlMs(fs, s.getPath).getOrElse(fallbackTtlMs)
+        System.currentTimeMillis() - s.getModificationTime <= ttl
+      }
+    }
   }
 
-  /** Release a lease claimed by [[claimLease]]. */
-  def releaseLease(spark: SparkSession, lease: Path): Unit =
-    lease.getFileSystem(hconf(spark)).delete(lease, false)
+  /** Release a lease claimed by [[claimLease]] (the returned epoch-file
+    * path — only ever the holder's own file). Release CREATES the
+    * sibling marker `.r<n>` and leaves the epoch file in place, rather
+    * than deleting or renaming it: the claim protocol's safety rests on
+    * epoch paths never being reusable and the max visible lease number
+    * never regressing (see [[claimLease]]) — freed paths let a stalled
+    * claimant re-claim a released number while a later claimant claims
+    * above it, and both would believe they hold. The pair is swept by
+    * the next successful claim's GC. Falls back to delete for a path
+    * that doesn't parse as an epoch file (never produced by claimLease;
+    * degrades to the weaker pre-witness behavior instead of leaking a
+    * file that looks held).
+    */
+  def releaseLease(spark: SparkSession, lease: Path): Unit = {
+    val fs = lease.getFileSystem(hconf(spark))
+    val name = lease.getName
+    val i = name.lastIndexOf(".e")
+    val epoch =
+      if (i > 0) name.drop(i + 2).toLongOption else None
+    epoch match {
+      case Some(n) =>
+        val marker = new Path(lease.getParent, s"${name.take(i)}.r$n")
+        // raw-fs create (FileContext, no checksum side-files): the
+        // checksummed FileSystem.create writes-and-chmods a `.crc`
+        // sibling, which races a concurrent claimant's GC delete of the
+        // marker into spurious IOExceptions
+        try FileContext.getFileContext(marker.toUri, hconf(spark))
+          .create(marker,
+            java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+            Options.CreateOpts.createParent())
+          .close()
+        catch {
+          // an existing marker already records the release — idempotent
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+          case _: java.io.IOException if fs.exists(marker) => ()
+        }
+      case None => fs.delete(lease, false)
+    }
+  }
 }

@@ -15,21 +15,35 @@ import graft.operators.{AnnIndexStore, Similarity}
   * SigStoreScale measures for the dedup signature store, on the index
   * that was rebuild-only until round 14.
   *
-  * args: [sfDir] [waves] [batchVecs] [mult]
+  * args: [sfDir] [waves] [batchVecs] [mult] [opLatencyMs] [mode]
   *
   * `mult` replicates the corpus (ids restamped past the original range)
   * so the wall-clock divergence is visible: at the raw fixture size both
   * paths are bounded by fixed per-job overhead and only the BYTES tell
   * the story.
+  *
+  * `opLatencyMs` > 0 engages [[SlowFs]] (the SigStoreScale object-store
+  * cost model). `mode = race` runs the REFRESH-RACE integrity regime
+  * instead of the cost measurements: appends racing one mid-run
+  * [[AnnIndexStore.refreshIndex]] under that latency, asserting the
+  * loaded store equals a clean rebuild of exactly the vectors it serves
+  * (the multi-table swap's integrity measured under the cost model it
+  * will actually face). Exit 0 + `ANNRACE ... PASS` on success — a
+  * RoundGates gate.
   */
 object AnnStoreScale {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val waves = args.lift(1).map(_.toInt).getOrElse(10)
     val mult = args.lift(3).map(_.toInt).getOrElse(1)
-    val spark = SparkSession.builder().master("local[32]")
+    val opLatencyMs = args.lift(4).map(_.toLong).getOrElse(0L)
+    val mode = args.lift(5).getOrElse("cost")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    val spark = (if (opLatencyMs > 0)
+        builder.config("spark.hadoop.fs.file.impl", classOf[SlowFs].getName)
+      else builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     VectorFns.register(spark)
     val emb0 = graft.Lake.table(spark, sfDir, "embeddings")
@@ -65,6 +79,16 @@ object AnnStoreScale {
       Similarity.ivfAssignMulti(corpus, centroids, nprobe = 2),
       Similarity.pqEncode(corpus, codebook, numSub = 8),
       Similarity.hyperplaneSignatures(corpus, hyperplanes))
+
+    def model = AnnIndexStore.Model(codebookDf, hyperplanes,
+      nprobe = 2, numSub = 8)
+
+    if (mode == "race") {
+      raceRegime(spark, emb, nVecs, waves, batchVecs, opLatencyMs,
+        components, model)
+      spark.stop()
+      return
+    }
 
     // seed: the first half of the corpus; the rest arrives in waves
     val seedN = nVecs - waves.toLong * batchVecs
@@ -156,5 +180,119 @@ object AnnStoreScale {
       f"assigned_dirs=${refDirs("assigned")} compact_wall=$dtC%6.2fs")
     Fs.deleteRec(root)
     spark.stop()
+  }
+
+  /** REFRESH-RACE integrity regime (a RoundGates gate): ingest waves
+    * race one mid-run [[AnnIndexStore.refreshIndex]] under [[SlowFs]]
+    * latency, exercising every seam of the protocol at once — appends
+    * refusing while the lease is held and retrying through it, a
+    * possibly-straggling append fenced out by its model-version stamp,
+    * and the production repair (detect vectors the fence dropped,
+    * re-append them under the current model). PASS = the loaded store
+    * serves EXACTLY the full corpus and every component equals a clean
+    * from-scratch rebuild — the multi-table swap's integrity measured
+    * under the object-store cost model it will actually face.
+    */
+  private def raceRegime(spark: SparkSession, emb: DataFrame, nVecs: Long,
+                         waves: Int, batchVecs: Int, opLatencyMs: Long,
+                         components: DataFrame => AnnIndexStore.Components,
+                         model: => AnnIndexStore.Model): Unit = {
+    import spark.implicits._
+    val seedN = nVecs - waves.toLong * batchVecs
+    require(seedN > 8,
+      s"corpus $nVecs too small for $waves race waves of $batchVecs")
+    val root = java.nio.file.Files.createTempDirectory("graft_annrace").toString
+    AnnIndexStore.write(root, components(emb.filter(col("vec_id") < seedN)))
+    AnnIndexStore.writeModel(root, model)
+    if (opLatencyMs > 0) {
+      SlowFs.opLatencyMs = opLatencyMs
+      println(s"ANNRACE op_latency_ms=$opLatencyMs (SlowFs engaged)")
+    }
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val leaseRetries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() => {
+      try (1 to waves).foreach { w =>
+        val lo = seedN + (w - 1).toLong * batchVecs
+        val hi = seedN + w.toLong * batchVecs
+        val batch = emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+        var landed = false
+        while (!landed) {
+          try {
+            AnnIndexStore.appendVectors(root, batch, compactAboveDirs = 4)
+            landed = true
+          } catch {
+            // the refresh holds the lease — the documented remedy is
+            // retry-after-release, which is exactly what ingest would do
+            case _: java.util.ConcurrentModificationException
+                if System.nanoTime() < deadline =>
+              leaseRetries.incrementAndGet(); Thread.sleep(50)
+          }
+        }
+        done.incrementAndGet()
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    val t0 = System.nanoTime()
+    appender.start()
+    // launch the refresh once a third of the waves landed; the retrain
+    // input is the corpus state the refresher can SEE at that moment
+    while (done.get() < math.max(1, waves / 3) && appender.isAlive)
+      Thread.sleep(10)
+    val retrainN = seedN + done.get().toLong * batchVecs
+    val tR = System.nanoTime()
+    AnnIndexStore.refreshIndex(root,
+      components(emb.filter(col("vec_id") < retrainN)), model)
+    val dtR = (System.nanoTime() - tR) / 1e9
+    appender.join(600000)
+    val raceWall = (System.nanoTime() - t0) / 1e9
+    require(failures.isEmpty, s"appender failed: ${failures.peek()}")
+
+    // production repair: an append mid-commit at refresh time is fenced
+    // out (old model stamp) AND absent from the retrain snapshot — its
+    // vectors vanish from the served store until re-appended under the
+    // current model. Detect and re-append, as a real ingest would.
+    val served0 = AnnIndexStore.load(spark, root).assigned.select("vec_id")
+    val missing = emb.join(served0, Seq("vec_id"), "left_anti")
+      .select("vec_id", "vec").localCheckpoint()
+    val nMissing = missing.count()
+    if (nMissing > 0) {
+      println(s"ANNRACE fence dropped $nMissing straggler vectors — re-appending")
+      AnnIndexStore.appendVectors(root, missing, compactAboveDirs = 4)
+    }
+
+    // integrity: the loaded store serves the FULL corpus and every
+    // component equals the clean from-scratch rebuild, row for row
+    val loaded = AnnIndexStore.load(spark, root)
+    val rebuilt = components(emb)
+    def diff(a: DataFrame, b: DataFrame): Long =
+      a.exceptAll(b).count() + b.exceptAll(a).count()
+    val dAsg = diff(loaded.assigned,
+      rebuilt.assigned.select("vec_id", "centroid_id"))
+    val dMulti = diff(loaded.assignedMulti,
+      rebuilt.assignedMulti.select("vec_id", "centroid_id"))
+    val dCodes = diff(loaded.codes, rebuilt.codes)
+    val dSigs = diff(loaded.sigs, rebuilt.sigs)
+    val servedN = loaded.assigned.count()
+    // serve-path parity off the raced store
+    val queryDf = Seq(Tuple1(emb.filter(col("vec_id") === 0)
+      .select("vec").head().getSeq[Double](0))).toDF("qvec")
+    def top(assigned: DataFrame, cents: DataFrame) =
+      Similarity.ivfTopKIndexed(assigned, emb, cents, queryDf,
+        k = 10, nprobe = 2, excludeId = Some(0L))
+        .collect().map(_.mkString("|")).toSet
+    val probeMatch = top(loaded.assigned, loaded.centroids) ==
+      top(rebuilt.assigned.select("vec_id", "centroid_id"),
+        rebuilt.centroids)
+    val ok = dAsg == 0 && dMulti == 0 && dCodes == 0 && dSigs == 0 &&
+      servedN == nVecs && probeMatch
+    println(f"ANNRACE waves=$waves batch=$batchVecs latency_ms=$opLatencyMs " +
+      f"refresh_wall=$dtR%.2fs race_wall=$raceWall%.2fs " +
+      f"lease_retries=${leaseRetries.get()} fenced_repaired=$nMissing " +
+      f"served=$servedN/$nVecs diff_asg=$dAsg diff_multi=$dMulti " +
+      f"diff_codes=$dCodes diff_sigs=$dSigs probe_match=$probeMatch " +
+      (if (ok) "PASS" else "FAIL"))
+    Fs.deleteRec(root)
+    if (!ok) { spark.stop(); sys.exit(1) }
   }
 }

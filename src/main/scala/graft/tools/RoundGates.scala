@@ -46,7 +46,13 @@ object RoundGates {
       // replay regime: taskMaxFailures=1 forces the kill to abort a wave
       // job so the driver-level checkpoint-replay path must carry it
       Gate("ingest_failover_replay", "graft.tools.IngestFailover",
-        Seq("40000", "6", "8", "1")))
+        Seq("40000", "6", "8", "1")),
+      // ANN store refresh-vs-append race under object-store latency:
+      // waves retry through the refresh lease, a fenced straggler is
+      // repaired, loaded store must equal a clean rebuild (see
+      // AnnStoreScale.raceRegime)
+      Gate("ann_refresh_race", "graft.tools.AnnStoreScale",
+        Seq(sfDir, "6", "150", "1", "5", "race")))
 
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
       .toString
@@ -137,10 +143,24 @@ object RoundGates {
     val body = results.map { case (n, ok, wall, detail) =>
       f"""    "$n": {"ok": $ok, "wall_sec": ${math.round(wall * 10) / 10.0}, "detail": "${jesc(detail)}"}"""
     }.mkString(",\n")
+    // stamp the tree the gates actually ran against: Verify's freshness
+    // check diffs this hash vs HEAD over src/ — a gate artifact carried
+    // forward across code changes (or simply not re-run) becomes a loud,
+    // visible failure instead of silently-stale evidence
+    val gitHead = {
+      val pb = new ProcessBuilder("git", "rev-parse", "HEAD")
+      pb.directory(repoRoot.toFile)
+      try {
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else "unknown"
+      } catch { case scala.util.control.NonFatal(_) => "unknown" }
+    }
     val json =
       s"""{
          |  "round": $round,
          |  "sf": "$sfDir",
+         |  "git_head": "$gitHead",
          |  "ok": $allOk,
          |  "gates": {
          |$body

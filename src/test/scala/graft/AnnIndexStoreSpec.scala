@@ -336,4 +336,90 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(loaded.codes.select("vec_id").collect().map(_.getLong(0)).toSet
       === Set(0L, 1L))
   }
+
+  test("append exclusion honors the refresh holder's OWN TTL (60-min claim outlives the 15-min default)") {
+    // the round-14 seam: refreshIndex took leaseTtlMs as a parameter
+    // while appendVectors checked a hardcoded 15 minutes — a long
+    // retrain claimed with a 60-minute TTL silently lost append
+    // exclusion at minute 15. The TTL now travels INSIDE the lease file.
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_ttl")
+      .toString
+    AnnIndexStore.write(root, sComponents(sEmb(Seq(0L, 1L))))
+    AnnIndexStore.writeModel(root, sModel)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lease = graft.sources.AtomicStore.claimLease(spark,
+      s"$root/.refresh_lease", ttlMs = 60 * 60 * 1000L, "long retrain")
+    // +20 minutes into the refresh: past the old hardcoded deadline,
+    // well inside the holder's own — appends must STILL refuse
+    fs.setTimes(lease, System.currentTimeMillis() - 20 * 60 * 1000L, -1L)
+    intercept[java.util.ConcurrentModificationException] {
+      AnnIndexStore.appendVectors(root, sEmb(Seq(2L)))
+    }
+    // past the holder's own 60 minutes the refresh is presumed crashed:
+    // the lease stops excluding and the append proceeds
+    fs.setTimes(lease, System.currentTimeMillis() - 2 * 60 * 60 * 1000L, -1L)
+    AnnIndexStore.appendVectors(root, sEmb(Seq(2L)))
+    assert(AnnIndexStore.load(spark, root).assigned
+      .select("vec_id").collect().map(_.getLong(0)).toSet === Set(0L, 1L, 2L))
+  }
+
+  test("a straggler append that commits AFTER a refresh is fenced out by model version") {
+    // the residual window the lease cannot close: an append passes the
+    // lease check and resolves the OLD model, a refresh claims the
+    // lease and swaps everything, then the append's commit lands on the
+    // NEW snapshots. appendEncoded IS appendVectors after the lease
+    // check + model resolve, so driving it with the pre-refresh model
+    // forces exactly that interleaving.
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_fence")
+      .toString
+    val all = (0L until 24L).toSeq
+    // stale build (centroids/codebook from vectors 8,9 — the existing
+    // refresh test's fixture shape)
+    val staleCents = sEmb(Seq(8L, 9L))
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val staleCb = sEmb(Seq(8L, 9L))
+      .select(col("vec_id").as("code_id"), col("vec").as("cvec"))
+    val staleCbArr = staleCb.orderBy("code_id").select("cvec")
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    AnnIndexStore.write(root, AnnIndexStore.Components(
+      staleCents,
+      Similarity.ivfAssign(sEmb(all), staleCents)
+        .select("vec_id", "centroid_id"),
+      Similarity.ivfAssignMulti(sEmb(all), staleCents, nprobe = 2),
+      Similarity.pqEncode(sEmb(all), staleCbArr, numSub = 2),
+      Similarity.hyperplaneSignatures(sEmb(all), sHyperplanes)))
+    AnnIndexStore.writeModel(root,
+      AnnIndexStore.Model(staleCb, sHyperplanes, nprobe = 2, numSub = 2))
+
+    // the straggler resolves the old model (as appendVectors would,
+    // after its lease check)…
+    val mOld = AnnIndexStore.loadModel(spark, root)
+    // …the refresh completes in the meantime…
+    AnnIndexStore.refreshIndex(root, sComponents(sEmb(all)), sModel)
+    // …and the old-model batch commits anyway: rows bucketed under
+    // centroids/codewords that no longer exist
+    AnnIndexStore.appendEncoded(root, sEmb(Seq(100L)), mOld,
+      compactAboveDirs = 0)
+
+    // load fences the straggler out: the served store equals the clean
+    // rebuild under the refreshed model, with NO trace of vector 100
+    val loaded = AnnIndexStore.load(spark, root)
+    val rebuilt = sComponents(sEmb(all))
+    assert(setOf(loaded.assigned) ===
+      setOf(rebuilt.assigned.select("vec_id", "centroid_id")))
+    assert(setOf(loaded.assignedMulti) ===
+      setOf(rebuilt.assignedMulti.select("vec_id", "centroid_id")))
+    assert(setOf(loaded.codes) === setOf(rebuilt.codes))
+    assert(setOf(loaded.sigs) === setOf(rebuilt.sigs))
+
+    // a CURRENT-model append of the same vector lands normally — the
+    // fence keys on the model generation, not the vector id
+    AnnIndexStore.appendVectors(root, sEmb(Seq(100L)))
+    val grown = AnnIndexStore.load(spark, root)
+    val rebuiltGrown = sComponents(sEmb(all :+ 100L))
+    assert(setOf(grown.assigned) ===
+      setOf(rebuiltGrown.assigned.select("vec_id", "centroid_id")))
+    assert(setOf(grown.codes) === setOf(rebuiltGrown.codes))
+  }
 }

@@ -499,4 +499,134 @@ class AtomicStoreSpec extends SparkSpec {
     assert(got.count() === 2)
     assert(got.columns.contains("event_date"))
   }
+
+  // -------------------------------------------------------------- leases
+
+  private def leaseFs(p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private type Busy = java.util.ConcurrentModificationException
+
+  test("lease lifecycle: live blocks, release frees, a crashed holder breaks after TTL") {
+    val lp = s"${root()}/.lease"
+    val fs = leaseFs(lp)
+    val l1 = AtomicStore.claimLease(spark, lp, ttlMs = 60000L, "t")
+    assert(AtomicStore.leaseHeld(spark, lp))
+    intercept[Busy] { AtomicStore.claimLease(spark, lp, 60000L, "t") }
+    AtomicStore.releaseLease(spark, l1)
+    assert(!AtomicStore.leaseHeld(spark, lp))
+    // re-claim after release works; the crashed-holder path breaks
+    val l2 = AtomicStore.claimLease(spark, lp, 60000L, "t")
+    fs.setTimes(l2, System.currentTimeMillis() - 120000L, -1L)
+    assert(!AtomicStore.leaseHeld(spark, lp, fallbackTtlMs = 60000L))
+    val l3 = AtomicStore.claimLease(spark, lp, 60000L, "t")
+    assert(fs.exists(l3))
+    assert(!fs.exists(l2), "superseded crashed epoch must be GC'd")
+    assert(AtomicStore.leaseHeld(spark, lp))
+    AtomicStore.releaseLease(spark, l3)
+  }
+
+  test("lease: two coincident claimants breaking the same stale lease — exactly one wins") {
+    // the round-14 delete-then-create hole: both claimants stat the same
+    // crashed lease, interleave so the second breaker's delete removes
+    // the first's FRESH lease, and both proceed. Force the coincidence
+    // through a barrier, many rounds; the epoch-CAS protocol must pick
+    // exactly one winner every time.
+    val lp = s"${root()}/.lease"
+    val fs = leaseFs(lp)
+    (1 to 25).foreach { round =>
+      val crashed =
+        AtomicStore.claimLease(spark, lp, ttlMs = 1000L, s"crashed $round")
+      fs.setTimes(crashed, System.currentTimeMillis() - 600000L, -1L)
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val wins = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.hadoop.fs.Path]()
+      val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 2).map { t =>
+        new Thread(() => {
+          barrier.await()
+          try wins.add(
+            AtomicStore.claimLease(spark, lp, ttlMs = 60000L, s"claimant $t"))
+          catch {
+            case _: Busy => ()
+            case other: Throwable => unexpected.add(other)
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(60000))
+      assert(unexpected.isEmpty, s"round $round: ${Option(unexpected.peek())}")
+      assert(wins.size === 1, s"round $round: exactly one claimant must win")
+      assert(AtomicStore.leaseHeld(spark, lp), s"round $round: winner live")
+      AtomicStore.releaseLease(spark, wins.poll())
+    }
+  }
+
+  test("lease: claim/release soak under contention never overlaps two holders") {
+    val lp = s"${root()}/.lease"
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val acquired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 6).map { t =>
+      new Thread(() => {
+        (1 to 30).foreach { _ =>
+          try {
+            val l = AtomicStore.claimLease(spark, lp, 60000L, s"soak $t")
+            if (inside.incrementAndGet() > 1) overlaps.incrementAndGet()
+            acquired.incrementAndGet()
+            Thread.sleep(1)
+            inside.decrementAndGet()
+            AtomicStore.releaseLease(spark, l)
+          } catch {
+            case _: Busy => Thread.sleep(1)
+            case other: Throwable => unexpected.add(other)
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(unexpected.isEmpty, s"claimant failed: ${Option(unexpected.peek())}")
+    assert(overlaps.get === 0, "two holders overlapped inside the lease")
+    assert(acquired.get >= 20,
+      s"soak only acquired ${acquired.get} times — not enough contention proof")
+  }
+
+  test("lease: staleness honors the HOLDER's persisted TTL, not the checker's") {
+    val lp = s"${root()}/.lease"
+    val fs = leaseFs(lp)
+    // a long retrain claims with a 60-minute TTL…
+    val l = AtomicStore.claimLease(spark, lp,
+      ttlMs = 60 * 60 * 1000L, "long retrain")
+    // …and at +20 minutes (past every DEFAULT deadline) it still holds:
+    // checkers must read the TTL out of the lease file, not assume one
+    fs.setTimes(l, System.currentTimeMillis() - 20 * 60 * 1000L, -1L)
+    assert(AtomicStore.leaseHeld(spark, lp),
+      "default-TTL checker must honor the holder's persisted 60-min TTL")
+    assert(AtomicStore.leaseHeld(spark, lp, fallbackTtlMs = 1000L),
+      "persisted TTL must override even a 1s fallback")
+    intercept[Busy] {
+      AtomicStore.claimLease(spark, lp, ttlMs = 1000L, "impatient claimant")
+    }
+    // past the holder's OWN deadline it is crash residue for everyone
+    fs.setTimes(l, System.currentTimeMillis() - 2 * 60 * 60 * 1000L, -1L)
+    assert(!AtomicStore.leaseHeld(spark, lp))
+    val l2 = AtomicStore.claimLease(spark, lp, ttlMs = 1000L, "breaker")
+    AtomicStore.releaseLease(spark, l2)
+  }
+
+  test("lease: a legacy bare lease file blocks while fresh, breaks once stale") {
+    // pre-epoch leases (and tests that simulate holders with a bare
+    // create) sit at the logical path itself — epoch 0 of the protocol
+    val lp = s"${root()}/.lease"
+    val fs = leaseFs(lp)
+    val bare = new org.apache.hadoop.fs.Path(lp)
+    fs.create(bare, false).close()
+    assert(AtomicStore.leaseHeld(spark, lp))
+    intercept[Busy] { AtomicStore.claimLease(spark, lp, 60000L, "t") }
+    fs.setTimes(bare, System.currentTimeMillis() - 10000L, -1L)
+    assert(!AtomicStore.leaseHeld(spark, lp, fallbackTtlMs = 1000L))
+    val l = AtomicStore.claimLease(spark, lp, ttlMs = 1000L, "t")
+    assert(!fs.exists(bare), "superseded bare lease must be GC'd")
+    AtomicStore.releaseLease(spark, l)
+  }
 }
