@@ -484,37 +484,41 @@ object AtomicStore {
     */
   val DefaultLeaseTtlMs: Long = 15 * 60 * 1000L
 
-  /** Parse a lease-protocol file name for logical lease `base`:
-    * returns (epoch number, isEpochFile). Epoch files hold the lease —
-    * `<base>.e<n>`, plus a bare `<base>` file (a lease written by the
-    * pre-epoch protocol, or a test simulating a holder) as epoch 0.
-    * Release markers `<base>.r<n>` mark epoch n released WITHOUT
-    * freeing its path: epoch paths are never reusable (only the GC
-    * under a strictly higher live claim removes them), which is what
-    * keeps the max visible number monotone — the safety anchor of
-    * [[claimLease]]'s verify step.
+  /** Protocol files for logical lease `L` live under the dedicated
+    * directory `L.d/` — epoch files `e<n>` (a holder) and release
+    * markers `r<n>` (epoch n released WITHOUT freeing its path: epoch
+    * paths are never reusable, only the GC under a strictly higher live
+    * claim removes them, which is what keeps the max visible number
+    * monotone — the safety anchor of [[claimLease]]'s verify step).
+    * The dedicated directory bounds every lease op to a list of a few
+    * protocol files; listing the lease's PARENT would scale with
+    * whatever else shares that directory (on an object store, a LIST of
+    * a prefix holding thousands of sibling tables per claim/held
+    * check). A bare file at `L` itself — a lease written by the
+    * pre-epoch protocol, or a test simulating a holder — still counts
+    * as epoch 0.
     */
-  private def leaseNumber(base: String, name: String): Option[(Long, Boolean)] =
-    if (name == base) Some((0L, true))
-    else if (name.startsWith(base + ".e"))
-      name.drop(base.length + 2).toLongOption.map((_, true))
-    else if (name.startsWith(base + ".r"))
-      name.drop(base.length + 2).toLongOption.map((_, false))
-    else None
+  private def leaseDir(lease: Path) =
+    new Path(lease.getParent, lease.getName + ".d")
 
   /** All lease-protocol files for logical lease `lease`, ascending by
     * epoch: (number, isEpochFile, status).
     */
   private def leaseFiles(fs: org.apache.hadoop.fs.FileSystem, lease: Path)
       : Seq[(Long, Boolean, org.apache.hadoop.fs.FileStatus)] = {
-    val listed =
-      try fs.listStatus(lease.getParent)
+    val inDir =
+      try fs.listStatus(leaseDir(lease))
       catch { case _: java.io.FileNotFoundException =>
         Array.empty[org.apache.hadoop.fs.FileStatus] }
-    listed.toSeq.flatMap { s =>
-      leaseNumber(lease.getName, s.getPath.getName)
-        .map { case (n, live) => (n, live, s) }
-    }.sortBy(_._1)
+    val bare =
+      try Seq((0L, true, fs.getFileStatus(lease)))
+      catch { case _: java.io.FileNotFoundException => Nil }
+    (bare ++ inDir.toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("e")) n.drop(1).toLongOption.map((_, true, s))
+      else if (n.startsWith("r")) n.drop(1).toLongOption.map((_, false, s))
+      else None
+    }).sortBy(_._1)
   }
 
   /** The TTL the lease's own holder claimed with (`ttl_ms=` line inside
@@ -559,7 +563,7 @@ object AtomicStore {
     * differ by a REAL protocol transition (a claim, release, or GC
     * happened in between — never a clock tick), and two guarantees
     * close that case. First, epoch numbers are NEVER reused:
-    * [[releaseLease]] marks release with a sibling `.r<n>` file and
+    * [[releaseLease]] marks release with a sibling `r<n>` file and
     * leaves the epoch file in place, so a stalled claimant can never
     * land on a freed path (this spec's contention soak caught exactly
     * that on a rename-away release: re-claiming a released number let a
@@ -592,15 +596,15 @@ object AtomicStore {
       }
     }
     val next = before.lastOption.map(_._1 + 1L).getOrElse(1L)
-    val mine = new Path(lease.getParent, s"${lease.getName}.e$next")
-    fs.mkdirs(lease.getParent)
+    val mine = new Path(leaseDir(lease), s"e$next")
+    fs.mkdirs(leaseDir(lease))
     val content =
       s"ttl_ms=$ttlMs\n" +
       s"token=${UUID.randomUUID().toString.replace("-", "")}\n" +
       s"holder=${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\n" +
       s"what=$what\n"
-    val tmp = new Path(leasePath +
-      s".__tmp_${UUID.randomUUID().toString.replace("-", "")}")
+    val tmp = new Path(leaseDir(lease),
+      s".tmp_${UUID.randomUUID().toString.replace("-", "")}")
     val out = fs.create(tmp, false)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -686,25 +690,44 @@ object AtomicStore {
   def releaseLease(spark: SparkSession, lease: Path): Unit = {
     val fs = lease.getFileSystem(hconf(spark))
     val name = lease.getName
-    val i = name.lastIndexOf(".e")
     val epoch =
-      if (i > 0) name.drop(i + 2).toLongOption else None
+      if (name.startsWith("e") && lease.getParent.getName.endsWith(".d"))
+        name.drop(1).toLongOption
+      else None
     epoch match {
       case Some(n) =>
-        val marker = new Path(lease.getParent, s"${name.take(i)}.r$n")
-        // raw-fs create (FileContext, no checksum side-files): the
-        // checksummed FileSystem.create writes-and-chmods a `.crc`
-        // sibling, which races a concurrent claimant's GC delete of the
-        // marker into spurious IOExceptions
-        try FileContext.getFileContext(marker.toUri, hconf(spark))
-          .create(marker,
-            java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
-            Options.CreateOpts.createParent())
-          .close()
-        catch {
+        val marker = new Path(lease.getParent, s"r$n")
+        try fs match {
+          case _: org.apache.hadoop.fs.LocalFileSystem =>
+            // one atomic syscall, NO side effects: the checksummed
+            // local create writes-and-chmods a `.crc` sibling AFTER the
+            // marker is visible, and a claimant that saw the marker,
+            // claimed above it, and GC'd it races those trailing ops
+            // into spurious IOExceptions (observed in the contention
+            // soak). Once created the release stands; a later delete of
+            // the marker is the GC doing its job.
+            java.nio.file.Files.createFile(
+              java.nio.file.Paths.get(fs.makeQualified(marker).toUri))
+          case _ =>
+            FileContext.getFileContext(marker.toUri, hconf(spark))
+              .create(marker,
+                java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+                Options.CreateOpts.createParent())
+              .close()
+        } catch {
           // an existing marker already records the release — idempotent
+          case _: java.nio.file.FileAlreadyExistsException => ()
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
-          case _: java.io.IOException if fs.exists(marker) => ()
+          case e: java.io.IOException =>
+            // benign iff the release was OBSERVED: the marker is there,
+            // or someone already claimed a higher number (only possible
+            // having seen this release or this holder's crash — either
+            // way the hold is over)
+            val logical = new Path(lease.getParent.getParent,
+              lease.getParent.getName.dropRight(2))
+            if (!fs.exists(marker) &&
+                !leaseFiles(fs, logical).exists(_._1 > n))
+              throw e
         }
       case None => fs.delete(lease, false)
     }
