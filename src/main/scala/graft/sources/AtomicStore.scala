@@ -547,8 +547,8 @@ object AtomicStore {
     * in a finally.
     *
     * Protocol — EPOCH files, create-only: the live lease is the
-    * highest-epoch file `<leasePath>.e<n>` (unless its release marker
-    * `.r<n>` exists), and claiming is a fail-if-exists create of epoch
+    * highest-epoch file `<leasePath>.d/e<n>` (unless its release marker
+    * `r<n>` exists), and claiming is a fail-if-exists create of epoch
     * `max(all numbers visible) + 1` (the same CAS primitive as
     * [[publish]]: atomic hard link on LocalFileSystem, no-overwrite
     * FileContext rename elsewhere). No claim path ever deletes or
@@ -676,7 +676,7 @@ object AtomicStore {
 
   /** Release a lease claimed by [[claimLease]] (the returned epoch-file
     * path — only ever the holder's own file). Release CREATES the
-    * sibling marker `.r<n>` and leaves the epoch file in place, rather
+    * sibling marker `r<n>` and leaves the epoch file in place, rather
     * than deleting or renaming it: the claim protocol's safety rests on
     * epoch paths never being reusable and the max visible lease number
     * never regressing (see [[claimLease]]) — freed paths let a stalled

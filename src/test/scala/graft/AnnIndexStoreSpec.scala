@@ -422,4 +422,25 @@ class AnnIndexStoreSpec extends SparkSpec {
       setOf(rebuiltGrown.assigned.select("vec_id", "centroid_id")))
     assert(setOf(grown.codes) === setOf(rebuiltGrown.codes))
   }
+
+  test("the model-version fence keeps bucket pruning pushed to the scan") {
+    // the fence is a load-side filter on every per-row component read;
+    // at 100 TB the serve path's bucket restriction must STILL reach the
+    // parquet scan as a pushed filter next to it, or every probe reads
+    // the whole assignment table
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_push")
+      .toString
+    AnnIndexStore.write(root, sComponents(sEmb(Seq(0L, 1L))))
+    AnnIndexStore.writeModel(root, sModel)
+    AnnIndexStore.appendVectors(root, sEmb(Seq(2L, 3L))) // stamped batch
+    val probe = AnnIndexStore.load(spark, root).assigned
+      .filter(col("centroid_id") === 0L)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("EqualTo(centroid_id,0)"), p)
+    // and the fence itself pushes (single-column null-or-current OR)
+    assert(p.contains("IsNull(model_version)"), p)
+    // fence bookkeeping never leaks into the served schema
+    assert(!probe.columns.contains("model_version"))
+  }
 }
