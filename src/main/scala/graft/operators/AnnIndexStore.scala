@@ -83,7 +83,10 @@ object AnnIndexStore {
 
   /** The persisted model's generation: bumped by every [[writeModel]]
     * (so every [[refreshIndex]]); 0 for a store whose params predate
-    * version stamping or that has no model at all.
+    * version stamping or that has no model at all. Only the
+    * no-params-table case maps to 0 — a real read failure PROPAGATES,
+    * because defaulting the version on a transient error would make the
+    * fence in [[load]] silently drop every stamped row (stamps are ≥ 1).
     */
   def currentModelVersion(spark: SparkSession, root: String): Long =
     try {
@@ -91,7 +94,10 @@ object AnnIndexStore {
       if (p.columns.contains("model_version"))
         p.head().getAs[Long]("model_version")
       else 0L
-    } catch { case scala.util.control.NonFatal(_) => 0L }
+    } catch {
+      case e: IllegalStateException if e.getMessage != null &&
+          e.getMessage.contains("no commits") => 0L
+    }
 
   /** The frozen MODEL behind the per-row components — everything
     * [[appendVectors]] needs to extend the index consistently with how
@@ -115,6 +121,15 @@ object AnnIndexStore {
     * table — all model-sized: a few codeword/hyperplane rows plus one
     * params row). Write it alongside [[write]] at build time to make the
     * index APPENDABLE; stores without it remain valid but rebuild-only.
+    *
+    * Every call bumps the model GENERATION, which [[load]] fences
+    * appended batches by — so a standalone writeModel (without the
+    * [[refreshIndex]] components rewrite) deliberately INVALIDATES
+    * previously appended batches: they were encoded under codewords and
+    * centroids that no longer exist, and serving them against the new
+    * model is silent recall corruption. Snapshot rows from [[write]]
+    * are unstamped and keep serving; use refreshIndex to swap model and
+    * components together.
     */
   def writeModel(root: String, m: Model): Map[String, Long] = {
     val spark = m.codebook.sparkSession
