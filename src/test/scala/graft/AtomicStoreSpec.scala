@@ -614,6 +614,34 @@ class AtomicStoreSpec extends SparkSpec {
     AtomicStore.releaseLease(spark, l2)
   }
 
+  test("lease: crash-residue states resolve safely") {
+    val lp = s"${root()}/.lease"
+    val fs = leaseFs(lp)
+    // 1) marker-only residue: a GC that deleted the epoch file and
+    // crashed before its marker leaves {r<n>} — a pure number witness,
+    // never a holder
+    val l1 = AtomicStore.claimLease(spark, lp, 60000L, "t")
+    AtomicStore.releaseLease(spark, l1)
+    fs.delete(l1, false) // surgically simulate the GC's first delete
+    assert(!AtomicStore.leaseHeld(spark, lp), "marker-only is not held")
+    val l2 = AtomicStore.claimLease(spark, lp, 60000L, "t")
+    assert(l2.getName === "e2", s"witness must keep numbers monotone: $l2")
+    // 2) a FRESH unmarked epoch file BELOW a released higher claim — a
+    // claimant that crashed between its create and its verify back-out.
+    // It never held (its verify would busy), so claims proceed past it.
+    val low = new org.apache.hadoop.fs.Path(l2.getParent, "e1")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(
+      fs.makeQualified(low).toUri))
+    assert(AtomicStore.leaseHeld(spark, lp), "l2 still holds")
+    AtomicStore.releaseLease(spark, l2)
+    assert(!AtomicStore.leaseHeld(spark, lp),
+      "a stale-numbered crash residue below the released top is not a holder")
+    val l3 = AtomicStore.claimLease(spark, lp, 60000L, "t")
+    assert(l3.getName === "e3")
+    assert(!fs.exists(low), "the residue is GC'd by the next claim")
+    AtomicStore.releaseLease(spark, l3)
+  }
+
   test("lease: a legacy bare lease file blocks while fresh, breaks once stale") {
     // pre-epoch leases (and tests that simulate holders with a bare
     // create) sit at the logical path itself — epoch 0 of the protocol
