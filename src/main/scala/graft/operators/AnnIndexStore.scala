@@ -315,7 +315,41 @@ object AnnIndexStore {
     * harmlessly for a store that never wrote one.
     */
   def compact(spark: SparkSession, root: String,
-              graceMs: Long = 15 * 60 * 1000L): Map[String, Option[Long]] =
-    (parts ++ modelParts).map(p =>
+              graceMs: Long = 15 * 60 * 1000L): Map[String, Option[Long]] = {
+    val folded = (parts ++ modelParts).map(p =>
       p -> AtomicStore.compact(spark, s"$root/$p", graceMs = graceMs)).toMap
+    purgeFenced(spark, root)
+    folded
+  }
+
+  /** Drop rows the model-version fence permanently hides — a straggler
+    * append's old-model batch is invisible to [[load]] from the moment
+    * it lands, but its bytes ride every later fold forever unless some
+    * maintenance pass rewrites without them. Runs inside [[compact]]:
+    * per per-row component, if any stamped row predates the current
+    * model, snapshot the fenced view CAS'd against the version the scan
+    * resolved (a racing append wins the CAS and the purge simply skips —
+    * maintenance must never clobber a commit). Best-effort like the
+    * fold; the fence at load keeps correctness either way.
+    */
+  private def purgeFenced(spark: SparkSession, root: String): Unit =
+    try {
+      val v = currentModelVersion(spark, root)
+      Seq("assigned", "assigned_multi", "codes", "sigs").foreach { p =>
+        try {
+          val t = s"$root/$p"
+          AtomicStore.currentVersion(spark, t).foreach { base =>
+            val df = AtomicStore.read(spark, t)
+            if (df.columns.contains("model_version") &&
+                !df.filter(col("model_version").isNotNull &&
+                  col("model_version") =!= v).isEmpty) {
+              AtomicStore.commitSnapshotIfUnchanged(
+                df.filter(col("model_version").isNull ||
+                  col("model_version") === v),
+                t, Some(base))
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

@@ -421,6 +421,22 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(setOf(grown.assigned) ===
       setOf(rebuiltGrown.assigned.select("vec_id", "centroid_id")))
     assert(setOf(grown.codes) === setOf(rebuiltGrown.codes))
+
+    // maintenance PURGES what the fence hides: before compact the
+    // straggler's bytes are physically present (fence-only invisibility);
+    // after, the raw table carries no stale stamps and load is unchanged
+    def staleRows(p: String): Long =
+      graft.sources.AtomicStore.read(spark, s"$root/$p")
+        .filter(col("model_version").isNotNull &&
+          col("model_version") =!= lit(2L)).count()
+    assert(Seq("assigned", "codes", "sigs").map(staleRows).sum > 0,
+      "fixture must have fenced bytes on disk before the purge")
+    AnnIndexStore.compact(spark, root, graceMs = 0L)
+    Seq("assigned", "assigned_multi", "codes", "sigs").foreach { p =>
+      assert(staleRows(p) === 0L, s"$p still carries fenced rows post-purge")
+    }
+    assert(setOf(AnnIndexStore.load(spark, root).assigned) ===
+      setOf(rebuiltGrown.assigned.select("vec_id", "centroid_id")))
   }
 
   test("the model-version fence keeps bucket pruning pushed to the scan") {
