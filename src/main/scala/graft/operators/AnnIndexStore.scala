@@ -207,11 +207,15 @@ object AnnIndexStore {
     * single-table CAS can catch because the inconsistency spans tables.
     * So the refresh runs under an exclusive lease
     * ([[AtomicStore.claimLease]]) and [[appendVectors]] REFUSES loudly
-    * while it is held. Residual window, documented: an append that
-    * resolved the old model and is already mid-commit when the refresh
-    * claims the lease can still land old-model batches on top of the new
-    * snapshots — bounded by one append-commit latency; quiesce ingest for
-    * that long (or re-run the refresh) for a hard guarantee. The
+    * while it is held. The residual the lease cannot close — an append
+    * that resolved the old model and is already mid-commit when the
+    * refresh claims the lease lands old-model batches on top of the new
+    * snapshots — is closed by the model-version FENCE: every append
+    * batch is stamped with the generation it encoded against, [[load]]
+    * drops stamped rows that predate the current model, and [[compact]]
+    * purges their bytes. The straggler's VECTORS are simply absent until
+    * re-appended (an ingest that keeps a served-set check, like
+    * AnnStoreScale's race regime, repairs that in one pass). The
     * components/model are snapshot commits, so readers never see a
     * half-written table at any point.
     */
