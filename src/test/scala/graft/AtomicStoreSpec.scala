@@ -614,6 +614,51 @@ class AtomicStoreSpec extends SparkSpec {
     AtomicStore.releaseLease(spark, l2)
   }
 
+  test("lease: crash-mix stress — abandoned holders break by TTL, never two inside") {
+    // the soak covers claim/release; this mixes CRASHES in: a holder
+    // sometimes abandons without releasing, and later claimants must
+    // break it by TTL — the break path under live contention. Holders
+    // finish in ≤5 ms against a 500 ms TTL, so any overlap is a protocol
+    // bug, never an expired-but-running holder (the excluded contract
+    // violation).
+    val lp = s"${root()}/.lease"
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val acquired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val crashed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { t =>
+      new Thread(() => {
+        val rnd = new scala.util.Random(100L + t)
+        try (1 to 8).foreach { _ =>
+          // retry-until-acquired: a crashed predecessor blocks everyone
+          // for its 500 ms TTL, which must stall throughput, never
+          // correctness
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          var l: org.apache.hadoop.fs.Path = null
+          while (l == null) {
+            try l = AtomicStore.claimLease(spark, lp, ttlMs = 500L, s"crash $t")
+            catch {
+              case _: java.util.ConcurrentModificationException
+                  if System.nanoTime() < deadline => Thread.sleep(25)
+            }
+          }
+          if (inside.incrementAndGet() > 1) overlaps.incrementAndGet()
+          acquired.incrementAndGet()
+          Thread.sleep(1 + rnd.nextInt(4))
+          inside.decrementAndGet()
+          if (rnd.nextInt(10) == 0) crashed.incrementAndGet() // abandon
+          else AtomicStore.releaseLease(spark, l)
+        } catch { case other: Throwable => unexpected.add(other) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(unexpected.isEmpty, s"claimant failed: ${Option(unexpected.peek())}")
+    assert(overlaps.get === 0, "two holders overlapped inside the lease")
+    assert(acquired.get === 32, s"every op must eventually acquire " +
+      s"(got ${acquired.get}, crashes=${crashed.get})")
+  }
+
   test("lease: crash-residue states resolve safely") {
     val lp = s"${root()}/.lease"
     val fs = leaseFs(lp)
