@@ -439,6 +439,79 @@ class AnnIndexStoreSpec extends SparkSpec {
       setOf(rebuiltGrown.assigned.select("vec_id", "centroid_id")))
   }
 
+  test("fence invariant under random append/refresh/straggler/compact interleavings (property)") {
+    // generalizes the point specs: whatever order appends, model
+    // refreshes, old-model stragglers, and maintenance passes land in,
+    // the loaded store must equal a clean from-scratch rebuild of the
+    // EXPECTED served set under the CURRENT model — no phantom rows, no
+    // lost current-model appends, every component consistent
+    val rnd = new scala.util.Random(11L)
+    def modelOf(centIds: Seq[Long]) = (
+      sEmb(centIds).select(col("vec_id").as("centroid_id"),
+        col("vec").as("cvec")),
+      sEmb(centIds).select(col("vec_id").as("code_id"),
+        col("vec").as("cvec")))
+    def componentsUnder(emb: DataFrame, centIds: Seq[Long]) = {
+      val (cents, cbDf) = modelOf(centIds)
+      val cb = cbDf.orderBy("code_id").select("cvec")
+        .collect().map(_.getSeq[Double](0).toArray).toSeq
+      AnnIndexStore.Components(
+        cents,
+        Similarity.ivfAssign(emb, cents).select("vec_id", "centroid_id"),
+        Similarity.ivfAssignMulti(emb, cents, nprobe = 2),
+        Similarity.pqEncode(emb, cb, numSub = 2),
+        Similarity.hyperplaneSignatures(emb, sHyperplanes))
+    }
+    (0 until 3).foreach { trial =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_annidx_fuzz$trial").toString
+      val centChoices = Seq(Seq(0L, 1L), Seq(8L, 9L))
+      var centIdx = 0
+      var nextId = 200L
+      def fresh(k: Int): Seq[Long] = {
+        val ids = (nextId until nextId + k); nextId += k; ids
+      }
+      var served = (0L until 10L).toSet
+      AnnIndexStore.write(root,
+        componentsUnder(sEmb(served.toSeq), centChoices(centIdx)))
+      val (_, cb0) = modelOf(centChoices(centIdx))
+      AnnIndexStore.writeModel(root, AnnIndexStore.Model(
+        cb0, sHyperplanes, nprobe = 2, numSub = 2))
+      var staleModel: Option[AnnIndexStore.Model] = None
+      (0 until 8).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => // legit ingest wave
+            val ids = fresh(1 + rnd.nextInt(4))
+            AnnIndexStore.appendVectors(root, sEmb(ids))
+            served ++= ids
+          case 1 => // model refresh over the currently served corpus
+            staleModel = Some(AnnIndexStore.loadModel(spark, root))
+            centIdx = 1 - centIdx
+            val (_, cbDf) = modelOf(centChoices(centIdx))
+            AnnIndexStore.refreshIndex(root,
+              componentsUnder(sEmb(served.toSeq), centChoices(centIdx)),
+              AnnIndexStore.Model(cbDf, sHyperplanes, nprobe = 2, numSub = 2))
+          case 2 => // straggler: commits against a model a refresh replaced
+            staleModel.foreach { m =>
+              AnnIndexStore.appendEncoded(root, sEmb(fresh(2)), m,
+                compactAboveDirs = 0) // fenced: not served
+            }
+          case 3 => // maintenance (fold + purge)
+            AnnIndexStore.compact(spark, root, graceMs = 0L)
+        }
+      }
+      val loaded = AnnIndexStore.load(spark, root)
+      val rebuilt = componentsUnder(sEmb(served.toSeq), centChoices(centIdx))
+      assert(setOf(loaded.assigned) ===
+        setOf(rebuilt.assigned.select("vec_id", "centroid_id")), s"trial $trial")
+      assert(setOf(loaded.assignedMulti) ===
+        setOf(rebuilt.assignedMulti.select("vec_id", "centroid_id")),
+        s"trial $trial")
+      assert(setOf(loaded.codes) === setOf(rebuilt.codes), s"trial $trial")
+      assert(setOf(loaded.sigs) === setOf(rebuilt.sigs), s"trial $trial")
+    }
+  }
+
   test("the model-version fence keeps bucket pruning pushed to the scan") {
     // the fence is a load-side filter on every per-row component read;
     // at 100 TB the serve path's bucket restriction must STILL reach the
