@@ -33,11 +33,63 @@ object DocIndexStore {
   /** Write both components as atomic tables under `root`. Returns the
     * committed version per component. (No session parameter: the write
     * executes on the components' own session, like every commit.)
+    *
+    * `sigSpec` names the signature DEFINITION the rows were computed
+    * with (shingle k, hash/band counts, simhash width — an opaque
+    * caller-declared string; [[graft.queries.DocIndex.SigSpec]] is the
+    * session producer's). Signatures are caller-computed, so this store
+    * has the same seam [[AnnIndexStore.appendVectors]] guards on its
+    * params table: a later ingest session computing signatures under a
+    * DIFFERENT definition appends rows that merge silently and make
+    * every banded join under-detect duplicates — silently-degraded
+    * dedup, not an error. Declared on writes, checked on appends;
+    * empty = unspecified (the pre-spec caller contract).
     */
-  def write(root: String, c: Components): Map[String, Long] =
-    Map(
+  def write(root: String, c: Components,
+            sigSpec: String = ""): Map[String, Long] = {
+    val base = Map(
       "simhash" -> AtomicStore.commitSnapshot(c.simhash, s"$root/simhash"),
       "minhash" -> AtomicStore.commitSnapshot(c.minhashSigs, s"$root/minhash"))
+    if (sigSpec.isEmpty) base
+    else {
+      val spark = c.simhash.sparkSession
+      import spark.implicits._
+      base + ("spec" -> AtomicStore.commitSnapshot(
+        Seq(sigSpec).toDF("sig_spec"), s"$root/spec"))
+    }
+  }
+
+  /** The persisted signature definition, if the store declares one. */
+  def loadSpec(spark: SparkSession, root: String): Option[String] =
+    AtomicStore.currentVersion(spark, s"$root/spec")
+      .map(_ => AtomicStore.read(spark, s"$root/spec").head().getString(0))
+
+  /** Reject an append whose signature definition or schema disagrees
+    * with the store's. The schema leg is unconditional (a hash/band
+    * COUNT change shows up as different columns, which commitAppend
+    * would merge as nulls); the spec leg fires when both sides declare
+    * one (a shingle-k or seed change produces the SAME schema with
+    * incompatible values — only the declaration can catch it).
+    */
+  private def guardAppend(batch: DataFrame, table: String, root: String,
+                          declaredSpec: String, what: String): Unit = {
+    val spark = batch.sparkSession
+    if (AtomicStore.currentVersion(spark, table).isDefined) {
+      val stored = AtomicStore.read(spark, table).columns.toSeq
+      require(batch.columns.toSeq == stored,
+        s"$what: batch schema (${batch.columns.mkString(", ")}) != stored " +
+          s"schema (${stored.mkString(", ")}) — the batch was computed " +
+          "under a different signature definition; fix the producer or " +
+          "rebuild with write()")
+    }
+    if (declaredSpec.nonEmpty)
+      loadSpec(spark, root).foreach { storedSpec =>
+        require(storedSpec == declaredSpec,
+          s"$what: declared signature spec '$declaredSpec' != the store's " +
+            s"'$storedSpec' — appending would mix incompatible signatures " +
+            "and silently under-detect duplicates; rebuild with write()")
+      }
+  }
 
   /** Load the persisted components (each at its current version). */
   def load(spark: SparkSession, root: String): Components =
@@ -57,13 +109,19 @@ object DocIndexStore {
     * wave count).
     */
   def appendSimhash(root: String, newSigs: DataFrame,
-                    compactAboveDirs: Int = 64): Long =
+                    compactAboveDirs: Int = 64,
+                    sigSpec: String = ""): Long = {
+    guardAppend(newSigs, s"$root/simhash", root, sigSpec, "appendSimhash")
     appendCompacting(newSigs, s"$root/simhash", compactAboveDirs)
+  }
 
   /** Same, for the minhash signature/band table. */
   def appendMinhash(root: String, newSigs: DataFrame,
-                    compactAboveDirs: Int = 64): Long =
+                    compactAboveDirs: Int = 64,
+                    sigSpec: String = ""): Long = {
+    guardAppend(newSigs, s"$root/minhash", root, sigSpec, "appendMinhash")
     appendCompacting(newSigs, s"$root/minhash", compactAboveDirs)
+  }
 
   private def appendCompacting(batch: DataFrame, table: String,
                                aboveDirs: Int): Long = {
@@ -89,5 +147,8 @@ object DocIndexStore {
               graceMs: Long = 15 * 60 * 1000L): Map[String, Option[Long]] =
     Map(
       "simhash" -> AtomicStore.compact(spark, s"$root/simhash", graceMs = graceMs),
-      "minhash" -> AtomicStore.compact(spark, s"$root/minhash", graceMs = graceMs))
+      "minhash" -> AtomicStore.compact(spark, s"$root/minhash", graceMs = graceMs),
+      // snapshot-only when present (compact returns None harmlessly for
+      // a store that never declared one) — the value is the vacuum
+      "spec" -> AtomicStore.compact(spark, s"$root/spec", graceMs = graceMs))
 }

@@ -212,9 +212,12 @@ object DataQueries {
       val root = rootPath.toString
       val split = col("doc_id") % 5 < 4
       DocIndexStore.write(root, DocIndexStore.Components(
-        ix.simhash.filter(split), ix.minhashSigs.filter(split)))
-      DocIndexStore.appendSimhash(root, ix.simhash.filter(!split))
-      DocIndexStore.appendMinhash(root, ix.minhashSigs.filter(!split))
+        ix.simhash.filter(split), ix.minhashSigs.filter(split)),
+        sigSpec = DocIndex.SigSpec)
+      DocIndexStore.appendSimhash(root, ix.simhash.filter(!split),
+        sigSpec = DocIndex.SigSpec)
+      DocIndexStore.appendMinhash(root, ix.minhashSigs.filter(!split),
+        sigSpec = DocIndex.SigSpec)
       val loaded = DocIndexStore.load(spark, root)
       Dedup.simhashPairs(loaded.simhash, "doc_id", maxHamming = 8)
         .orderBy("a_id", "b_id")

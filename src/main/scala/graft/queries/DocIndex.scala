@@ -22,6 +22,16 @@ import graft.operators.Dedup
   */
 object DocIndex {
 
+  /** The signature definition this producer computes — declared to
+    * [[graft.operators.DocIndexStore]] on writes/appends so a later
+    * session building signatures under different knobs (shingle k,
+    * hash/band counts, simhash width, hash family) rejects loudly
+    * instead of silently mixing incompatible rows into the banded joins.
+    * Bump this string whenever any of those knobs changes.
+    */
+  val SigSpec: String =
+    "simhash60(words);minhash(numHashes=8,numBands=2,shingle_k=5,affine-builtin)"
+
   final class Index(spark: SparkSession, dir: String) {
     /** The documents scan — a plan, not a materialization. */
     lazy val docs: DataFrame = Lake.table(spark, dir, "documents")

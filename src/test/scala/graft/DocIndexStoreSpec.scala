@@ -260,4 +260,47 @@ class DocIndexStoreSpec extends SparkSpec {
     assert(loaded.simhash.as[(Long, Long)].collect().toSet
       === wantIds.map(id => (id, id * 7L)))
   }
+
+  test("appends reject a mismatched signature definition or schema") {
+    // the seam AnnIndexStore guards on its params table, d-side:
+    // signatures are caller-computed, so a producer with different knobs
+    // (shingle k, band count, simhash width) would otherwise mix rows
+    // that silently under-detect duplicates in every banded join
+    val ix = DocIndex.index(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_docidx_spec")
+      .toString
+    val split = col("doc_id") % 5 < 4
+    DocIndexStore.write(root, DocIndexStore.Components(
+      ix.simhash.filter(split), ix.minhashSigs.filter(split)),
+      sigSpec = DocIndex.SigSpec)
+    assert(DocIndexStore.loadSpec(spark, root) === Some(DocIndex.SigSpec))
+
+    // a DECLARED mismatch rejects loudly, store untouched
+    val e = intercept[IllegalArgumentException] {
+      DocIndexStore.appendSimhash(root, ix.simhash.filter(!split),
+        sigSpec = "simhash60(words);minhash(numHashes=16,numBands=4,shingle_k=9)")
+    }
+    assert(e.getMessage.contains("signature spec"), e.getMessage)
+    // a SCHEMA mismatch (band-count drift shows up as extra columns)
+    // rejects even without a declaration
+    val e2 = intercept[IllegalArgumentException] {
+      DocIndexStore.appendMinhash(root,
+        ix.minhashSigs.filter(!split).withColumn("band_2", lit(0L)))
+    }
+    assert(e2.getMessage.contains("schema"), e2.getMessage)
+    val before = DocIndexStore.load(spark, root)
+    assert(before.simhash.count() === ix.simhash.filter(split).count(),
+      "rejected appends must leave the store untouched")
+
+    // the matching declaration appends normally; legacy (undeclared)
+    // appends keep working against a spec'd store
+    DocIndexStore.appendSimhash(root, ix.simhash.filter(!split),
+      sigSpec = DocIndex.SigSpec)
+    DocIndexStore.appendMinhash(root, ix.minhashSigs.filter(!split))
+    val loaded = DocIndexStore.load(spark, root)
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).toSet
+    assert(setOf(loaded.simhash) === setOf(ix.simhash))
+    assert(setOf(loaded.minhashSigs) === setOf(ix.minhashSigs))
+  }
 }
