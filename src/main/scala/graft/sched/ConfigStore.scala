@@ -216,7 +216,8 @@ object ConfigStore {
     */
   def compact(spark: SparkSession, logPath: String,
               snapshotPath: String,
-              leaseTtlMs: Long = 15 * 60 * 1000L): Unit = {
+              leaseTtlMs: Long =
+                graft.sources.AtomicStore.DefaultLeaseTtlMs): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(logPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
