@@ -41,7 +41,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    gatesFreshnessCheck()
+    gatesFreshnessCheck(outDir)
     spark.stop()
   }
 
@@ -52,10 +52,32 @@ object Verify {
     * empty over those paths). A gate artifact that was simply not
     * re-run after code changes — previously an invisible absence — now
     * prints a loud GATES_STALE/GATES_MISSING verdict in the round's
-    * verify log. Diagnostic, not fatal: correctness dumping must not be
-    * held hostage by gate housekeeping, the judge reads the verdict.
+    * verify log AND writes it machine-readably as
+    * `<outDir>/gates_freshness.json` next to oracle_sql.json, so
+    * anything consuming the verify output (not just a log grep) sees
+    * it. Diagnostic, not fatal: correctness dumping must not be held
+    * hostage by gate housekeeping, the judge reads the verdict.
     */
-  private def gatesFreshnessCheck(): Unit = try {
+  private def gatesFreshnessCheck(outDir: String): Unit = try {
+    def jesc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ").take(400)
+    def emit(verdict: String, gatesFile: String, gitHead: String,
+             detail: String): Unit = {
+      println(s"[verify] gates: $verdict — " +
+        Seq(gatesFile, detail).filter(_.nonEmpty).mkString(": "))
+      try Files.writeString(Paths.get(s"$outDir/gates_freshness.json"),
+        s"""{
+           |  "verdict": "${jesc(verdict)}",
+           |  "gates_file": "${jesc(gatesFile)}",
+           |  "git_head": "${jesc(gitHead)}",
+           |  "detail": "${jesc(detail)}"
+           |}
+           |""".stripMargin)
+      catch { case scala.util.control.NonFatal(e) =>
+        println(s"[verify] gates: could not write gates_freshness.json: $e")
+      }
+    }
     var p = Paths.get(sys.props("user.dir")).toAbsolutePath
     while (p.getParent != null && !Files.exists(p.resolve("build.sbt")))
       p = p.getParent
@@ -67,8 +89,9 @@ object Verify {
       }.sortBy(_._1).lastOption
     gates match {
       case None =>
-        println("[verify] gates: GATES_MISSING — no GATES_r<N>.json at " +
-          s"$p; run `sbt \"runMain graft.tools.RoundGates <N>\"`")
+        emit("GATES_MISSING", "", "",
+          s"no GATES_r<N>.json at $p; run `sbt \"runMain " +
+            "graft.tools.RoundGates <N>\"`")
       case Some((n, f)) =>
         val body = Files.readString(f.toPath)
         val ok = "\"ok\"\\s*:\\s*(true|false)".r.findFirstMatchIn(body)
@@ -96,12 +119,13 @@ object Verify {
         }
         (ok, staleFiles) match {
           case (false, _) =>
-            println(s"[verify] gates: GATES_FAILING — ${f.getName} ok=false")
+            emit("GATES_FAILING", f.getName, head.getOrElse(""), "ok=false")
           case (true, Some(why)) =>
-            println(s"[verify] gates: GATES_STALE — ${f.getName}: $why; " +
-              s"re-run `sbt \"runMain graft.tools.RoundGates $n\"`")
+            emit("GATES_STALE", f.getName, head.getOrElse(""),
+              s"$why; re-run `sbt \"runMain graft.tools.RoundGates $n\"`")
           case (true, None) =>
-            println(s"[verify] gates: ${f.getName} ok=true, fresh vs HEAD")
+            emit("fresh", f.getName, head.getOrElse(""),
+              "ok=true, fresh vs HEAD")
         }
     }
   } catch { case scala.util.control.NonFatal(e) =>

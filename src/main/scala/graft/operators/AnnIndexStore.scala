@@ -134,21 +134,41 @@ object AnnIndexStore {
   def writeModel(root: String, m: Model): Map[String, Long] = {
     val spark = m.codebook.sparkSession
     import spark.implicits._
+    // COMMIT-ORDER INVARIANT (structural, not an evaluation-order
+    // accident): codebook and hyperplanes commit BEFORE params, and
+    // params commits LAST. The fence's safety against mixed reads
+    // depends on it — an appender stamps its batch with the generation
+    // it read from params, so the generation must never be visible
+    // before the model pieces it advertises; params-first would let an
+    // append observe a NEW stamp with OLD codewords and land
+    // wrongly-encoded rows the fence cannot drop. refreshIndex relies on
+    // the same ordering one level up (components before model).
+    val vCodebook = AtomicStore.commitSnapshot(
+      m.codebook.select(col("code_id").cast("long"), col("cvec")),
+      s"$root/codebook")
+    val vHyperplanes = AtomicStore.commitSnapshot(
+      m.hyperplanes.select(col("hp_id").cast("long"), col("hvec")),
+      s"$root/hyperplanes")
     // every writeModel is a new model GENERATION — the fence stamped
-    // into later append batches (see load). Monotonic over whatever the
-    // store already holds; 1 for a fresh store.
-    val newVersion = currentModelVersion(spark, root) + 1L
-    Map(
-      "codebook" -> AtomicStore.commitSnapshot(
-        m.codebook.select(col("code_id").cast("long"), col("cvec")),
-        s"$root/codebook"),
-      "hyperplanes" -> AtomicStore.commitSnapshot(
-        m.hyperplanes.select(col("hp_id").cast("long"), col("hvec")),
-        s"$root/hyperplanes"),
-      "params" -> AtomicStore.commitSnapshot(
+    // into later append batches (see load). The bump is a CAS'd
+    // read-increment-write: two concurrent writeModels (or one racing
+    // refreshIndex, a legitimate standalone-invalidation use) must never
+    // mint the SAME number for two DIFFERENT models — old-model append
+    // batches stamped with it would pass the load fence and serve
+    // silently corrupt assignments. So params commits via
+    // commitSnapshotIfUnchanged against the table version the bump was
+    // read from; a lost race re-reads and re-bumps.
+    var vParams: Option[Long] = None
+    while (vParams.isEmpty) {
+      val paramsBase = AtomicStore.currentVersion(spark, s"$root/params")
+      val newVersion = currentModelVersion(spark, root) + 1L
+      vParams = AtomicStore.commitSnapshotIfUnchanged(
         Seq((m.nprobe, m.numSub, newVersion))
           .toDF("nprobe", "num_sub", "model_version"),
-        s"$root/params"))
+        s"$root/params", paramsBase)
+    }
+    Map("codebook" -> vCodebook, "hyperplanes" -> vHyperplanes,
+      "params" -> vParams.get)
   }
 
   /** Load the persisted model. The params row is one driver-side read;
@@ -224,8 +244,16 @@ object AnnIndexStore {
     val spark = c.centroids.sparkSession
     val lease = AtomicStore.claimLease(spark, refreshLeasePath(root),
       leaseTtlMs, "AnnIndexStore.refreshIndex (exclusive model swap)")
-    try write(root, c) ++ writeModel(root, m)
-    finally AtomicStore.releaseLease(spark, lease)
+    try {
+      // COMMIT-ORDER INVARIANT: components FIRST, model SECOND (and
+      // inside writeModel, params last) — see writeModel. The new
+      // generation must never be observable before every table it
+      // describes; an appender that reads the new model_version must
+      // find the new centroids/codewords behind it.
+      val componentVersions = write(root, c)
+      val modelVersions = writeModel(root, m)
+      componentVersions ++ modelVersions
+    } finally AtomicStore.releaseLease(spark, lease)
   }
 
   def appendVectors(root: String, newEmb: DataFrame,
@@ -335,9 +363,23 @@ object AnnIndexStore {
     * resolved (a racing append wins the CAS and the purge simply skips —
     * maintenance must never clobber a commit). Best-effort like the
     * fold; the fence at load keeps correctness either way.
+    *
+    * Only STRICTLY-OLDER stamps are purged (`< v`, kept set
+    * `isNull || >= v`), never `!= v`: the model version is resolved
+    * ONCE up front, and a refreshIndex (bumping to v+1) plus a
+    * current-model append (rows stamped v+1) can both land before the
+    * per-table CAS resolves its base — an equality purge would then
+    * delete legitimately-served current-model rows with a CAS that
+    * succeeds. A stamp can only exceed our resolved v by having been
+    * read from a params row that already existed, so `>= v` rows are
+    * never fence-hidden garbage; a LATER purge (resolving the newer v)
+    * reclaims them if yet another refresh strands them. Belt-and-braces,
+    * the purge also skips entirely while the refresh lease is held —
+    * "current model" is about to change under it.
     */
   private def purgeFenced(spark: SparkSession, root: String): Unit =
     try {
+      if (AtomicStore.leaseHeld(spark, refreshLeasePath(root))) return
       val v = currentModelVersion(spark, root)
       Seq("assigned", "assigned_multi", "codes", "sigs").foreach { p =>
         try {
@@ -346,10 +388,10 @@ object AnnIndexStore {
             val df = AtomicStore.read(spark, t)
             if (df.columns.contains("model_version") &&
                 !df.filter(col("model_version").isNotNull &&
-                  col("model_version") =!= v).isEmpty) {
+                  col("model_version") < v).isEmpty) {
               AtomicStore.commitSnapshotIfUnchanged(
                 df.filter(col("model_version").isNull ||
-                  col("model_version") === v),
+                  col("model_version") >= v),
                 t, Some(base))
             }
           }

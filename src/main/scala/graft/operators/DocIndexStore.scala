@@ -47,29 +47,47 @@ object DocIndexStore {
     */
   def write(root: String, c: Components,
             sigSpec: String = ""): Map[String, Long] = {
+    val spark = c.simhash.sparkSession
+    import spark.implicits._
     val base = Map(
       "simhash" -> AtomicStore.commitSnapshot(c.simhash, s"$root/simhash"),
       "minhash" -> AtomicStore.commitSnapshot(c.minhashSigs, s"$root/minhash"))
-    if (sigSpec.isEmpty) base
-    else {
-      val spark = c.simhash.sparkSession
-      import spark.implicits._
+    if (sigSpec.nonEmpty)
       base + ("spec" -> AtomicStore.commitSnapshot(
         Seq(sigSpec).toDF("sig_spec"), s"$root/spec"))
-    }
+    else if (AtomicStore.currentVersion(spark, s"$root/spec").isDefined)
+      // an undeclared REBUILD of a store that declared a spec: the old
+      // declaration must not keep standing — it describes signatures the
+      // rebuild just replaced, and a later append declaring the OLD spec
+      // would pass the guard while mixing incompatible signatures.
+      // Overwrite with the unspecified sentinel (the empty declaration);
+      // loadSpec maps it back to None.
+      base + ("spec" -> AtomicStore.commitSnapshot(
+        Seq("").toDF("sig_spec"), s"$root/spec"))
+    else base
   }
 
-  /** The persisted signature definition, if the store declares one. */
+  /** The persisted signature definition, if the store declares one.
+    * The empty string is the "unspecified" sentinel an undeclared
+    * rebuild writes over a stale declaration — reported as None.
+    */
   def loadSpec(spark: SparkSession, root: String): Option[String] =
     AtomicStore.currentVersion(spark, s"$root/spec")
       .map(_ => AtomicStore.read(spark, s"$root/spec").head().getString(0))
+      .filter(_.nonEmpty)
 
   /** Reject an append whose signature definition or schema disagrees
     * with the store's. The schema leg is unconditional (a hash/band
     * COUNT change shows up as different columns, which commitAppend
-    * would merge as nulls); the spec leg fires when both sides declare
-    * one (a shingle-k or seed change produces the SAME schema with
-    * incompatible values — only the declaration can catch it).
+    * would merge as nulls); the spec leg fires whenever the STORE
+    * declares one (a shingle-k or seed change produces the SAME schema
+    * with incompatible values — only the declaration can catch it). An
+    * UNDECLARED append into a spec-declared store is rejected too: the
+    * producer that never heard of SigSpec is exactly the one the guard
+    * exists for — silently accepting its rows would re-open the
+    * mixed-signature under-detection hole from the undeclared side.
+    * Pre-spec stores (no spec table, or the unspecified sentinel) keep
+    * accepting undeclared appends — the original caller contract.
     */
   private def guardAppend(batch: DataFrame, table: String, root: String,
                           declaredSpec: String, what: String): Unit = {
@@ -82,13 +100,18 @@ object DocIndexStore {
           "under a different signature definition; fix the producer or " +
           "rebuild with write()")
     }
-    if (declaredSpec.nonEmpty)
-      loadSpec(spark, root).foreach { storedSpec =>
-        require(storedSpec == declaredSpec,
-          s"$what: declared signature spec '$declaredSpec' != the store's " +
-            s"'$storedSpec' — appending would mix incompatible signatures " +
-            "and silently under-detect duplicates; rebuild with write()")
-      }
+    loadSpec(spark, root).foreach { storedSpec =>
+      require(declaredSpec.nonEmpty,
+        s"$what: the store declares signature spec '$storedSpec' but this " +
+          "append declares none — an undeclared batch may have been " +
+          "computed under a different definition, which would mix " +
+          "incompatible signatures and silently under-detect duplicates; " +
+          "pass the producer's sigSpec (or rebuild with write())")
+      require(storedSpec == declaredSpec,
+        s"$what: declared signature spec '$declaredSpec' != the store's " +
+          s"'$storedSpec' — appending would mix incompatible signatures " +
+          "and silently under-detect duplicates; rebuild with write()")
+    }
   }
 
   /** Load the persisted components (each at its current version). */

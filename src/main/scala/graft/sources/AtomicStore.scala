@@ -522,16 +522,22 @@ object AtomicStore {
   }
 
   /** The TTL the lease's own holder claimed with (`ttl_ms=` line inside
-    * the file), if the file carries one.
+    * the file), if the file carries one. Read to EOF, not one read()
+    * call: a short read (legal for any InputStream, plausible on remote
+    * filesystems) could truncate the first line so `ttl_ms=` fails to
+    * parse and the check silently falls back to the caller's TTL —
+    * exactly the holder-TTL-ignored bug persistence exists to fix.
+    * Lease files are a few hundred bytes by construction.
     */
   private def persistedTtlMs(fs: org.apache.hadoop.fs.FileSystem,
                              p: Path): Option[Long] =
     try {
       val in = fs.open(p)
-      val buf = new Array[Byte](1024)
-      val n = try in.read(buf) finally in.close()
-      if (n <= 0) None
-      else new String(buf, 0, n, StandardCharsets.UTF_8)
+      val bytes =
+        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+      if (bytes.isEmpty) None
+      else new String(bytes, StandardCharsets.UTF_8)
         .linesIterator.collectFirst {
           case l if l.startsWith("ttl_ms=") => l.stripPrefix("ttl_ms=")
         }.flatMap(_.toLongOption).filter(_ > 0)
@@ -651,6 +657,25 @@ object AtomicStore {
           try fs.delete(s.getPath, false)
           catch { case scala.util.control.NonFatal(_) => () }
     }
+    // sweep aged `.tmp_` orphans in the same GC pass: a claimant that
+    // crashed between its temp create and the link/rename leaves
+    // `.tmp_<uuid>` in `lease.d/` forever — the numbered GC above never
+    // touches them, so crash residue accumulates and erodes the bounded-
+    // listing cost this directory exists for. Age-gated at the LARGER of
+    // this claim's TTL and the protocol default, so a mid-flight
+    // claimant's tmp (a milliseconds-wide window between create and
+    // link) is never stolen: a claimant stalled >15 min inside that
+    // window is outside the protocol's staleness contract, exactly like
+    // a crashed holder. One extra bounded LIST, on the success path only.
+    val tmpCutoff =
+      System.currentTimeMillis() - math.max(ttlMs, DefaultLeaseTtlMs)
+    try fs.listStatus(leaseDir(lease))
+      .filter(s => s.getPath.getName.startsWith(".tmp_") &&
+        s.getModificationTime < tmpCutoff)
+      .foreach(s =>
+        try fs.delete(s.getPath, false)
+        catch { case scala.util.control.NonFatal(_) => () })
+    catch { case scala.util.control.NonFatal(_) => () }
     mine
   }
 

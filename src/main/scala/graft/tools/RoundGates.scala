@@ -52,7 +52,19 @@ object RoundGates {
       // repaired, loaded store must equal a clean rebuild (see
       // AnnStoreScale.raceRegime)
       Gate("ann_refresh_race", "graft.tools.AnnStoreScale",
-        Seq(sfDir, "6", "150", "1", "5", "race")))
+        Seq(sfDir, "6", "150", "1", "5", "race")),
+      // same race at the 200 ms/op rung of the latency ladder — the
+      // deployment SCALING.md's compaction knob text promises behavior
+      // at ("per-call for 200 ms+ deployments"); fewer waves keep the
+      // gate bounded while every protocol op still pays the full rung
+      Gate("ann_refresh_race_200ms", "graft.tools.AnnStoreScale",
+        Seq(sfDir, "4", "150", "1", "200", "race")),
+      // lease-protocol edges isolated under SlowFs: the two-breaker
+      // barrier and a contention soak, where the list→create→verify
+      // windows widen ~3 orders of magnitude over the instant local FS
+      // the spec suite runs on (see LeaseSlowRace)
+      Gate("lease_slowfs", "graft.tools.LeaseSlowRace",
+        Seq("25", "25", "4", "6")))
 
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
       .toString

@@ -532,4 +532,95 @@ class AnnIndexStoreSpec extends SparkSpec {
     // fence bookkeeping never leaks into the served schema
     assert(!probe.columns.contains("model_version"))
   }
+
+  test("purge drops only STRICTLY-OLDER stamps and skips under a held refresh lease") {
+    // the maintenance-deletes-current-rows race: purgeFenced resolves the
+    // model version ONCE; a refresh bumping to v+1 plus a current-model
+    // append stamped v+1 can land before the per-table CAS resolves its
+    // base. An equality purge (!= v) would then delete legitimately
+    // served rows with a CAS that succeeds. Pin the fixed semantics on
+    // exactly that store state: stamps {1 (fenced straggler), 3 (ahead
+    // of the resolved version)} against params = 2.
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_purge")
+      .toString
+    val all = (0L until 12L).toSeq
+    AnnIndexStore.write(root, sComponents(sEmb(all)))
+    AnnIndexStore.writeModel(root, sModel)                 // generation 1
+    val mOld = AnnIndexStore.loadModel(spark, root)
+    AnnIndexStore.refreshIndex(root, sComponents(sEmb(all)), sModel) // → 2
+    // straggler: old-model batch lands after the refresh (stamp 1)
+    AnnIndexStore.appendEncoded(root, sEmb(Seq(100L)), mOld,
+      compactAboveDirs = 0)
+    // ahead-of-resolve batch: stamped 3, as if a concurrent refresh had
+    // bumped params to 3 and an append read it while THIS maintenance
+    // pass still resolves 2
+    AnnIndexStore.appendEncoded(root, sEmb(Seq(101L)),
+      mOld.copy(version = 3L), compactAboveDirs = 0)
+    def stamps(p: String): Set[Long] =
+      graft.sources.AtomicStore.read(spark, s"$root/$p")
+        .filter(col("model_version").isNotNull)
+        .select("model_version").collect().map(_.getLong(0)).toSet
+    assert(stamps("assigned") === Set(1L, 3L))
+    AnnIndexStore.compact(spark, root, graceMs = 0L)
+    Seq("assigned", "assigned_multi", "codes", "sigs").foreach { p =>
+      assert(stamps(p) === Set(3L),
+        s"$p: purge must drop stamp 1 (strictly older) and KEEP stamp 3 " +
+          "(a current-model append racing ahead of the resolved version)")
+    }
+    // once params catches up (the refresh that minted 3), the kept rows
+    // are served — deleting them would have been silent data loss
+    graft.sources.AtomicStore.commitSnapshot(
+      { import spark.implicits._
+        Seq((2, 2, 3L)).toDF("nprobe", "num_sub", "model_version") },
+      s"$root/params")
+    val servedIds = AnnIndexStore.load(spark, root).assigned
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(servedIds.contains(101L), "the ahead-stamped vector must serve")
+    assert(!servedIds.contains(100L), "the fenced straggler must not")
+
+    // and the purge SKIPS entirely while a refresh holds the lease:
+    // "current model" is about to change under it
+    AnnIndexStore.appendEncoded(root, sEmb(Seq(102L)), mOld,
+      compactAboveDirs = 0) // stamp 1 garbage again
+    val lease = graft.sources.AtomicStore.claimLease(spark,
+      s"$root/.refresh_lease", 60000L, "test refresh")
+    try {
+      AnnIndexStore.compact(spark, root, graceMs = 0L)
+      assert(stamps("assigned").contains(1L),
+        "purge must not run while the refresh lease is held")
+    } finally graft.sources.AtomicStore.releaseLease(spark, lease)
+    AnnIndexStore.compact(spark, root, graceMs = 0L)
+    assert(stamps("assigned") === Set(3L))
+  }
+
+  test("concurrent writeModel calls never mint the same generation") {
+    // a duplicate generation is fence poison: old-model batches stamped
+    // with the reused number pass the load fence and serve silently
+    // corrupt assignments. The bump is CAS'd against the params version
+    // it was read from; force the race with the pre-publish hook — a
+    // competing writeModel lands between the outer call's version read
+    // and its params publish, so the outer call must re-read and mint
+    // the NEXT number, never the same one.
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_wmrace")
+      .toString
+    AnnIndexStore.write(root, sComponents(sEmb(Seq(0L, 1L))))
+    AnnIndexStore.writeModel(root, sModel) // generation 1
+    val store = graft.sources.AtomicStore
+    @volatile var raced = false
+    store.testPrePublishHook = () => {
+      if (!raced) {
+        raced = true
+        store.testPrePublishHook = () => () // disarm before re-entering
+        AnnIndexStore.writeModel(root, sModel) // competing mint
+      }
+    }
+    try AnnIndexStore.writeModel(root, sModel)
+    finally store.testPrePublishHook = () => ()
+    assert(raced, "the competing writeModel must have fired mid-publish")
+    // 1 (seed) + 2 (competitor) + 3 (outer, re-minted after its lost CAS)
+    assert(AnnIndexStore.currentModelVersion(spark, root) === 3L,
+      "three writeModels must yield three DISTINCT generations")
+    // the params table never skipped or reused a table version either
+    assert(store.currentVersion(spark, s"$root/params") === Some(2L))
+  }
 }

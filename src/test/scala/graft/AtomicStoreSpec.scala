@@ -702,4 +702,81 @@ class AtomicStoreSpec extends SparkSpec {
     assert(!fs.exists(bare), "superseded bare lease must be GC'd")
     AtomicStore.releaseLease(spark, l)
   }
+
+  test("lease GC sweeps aged .tmp_ orphans, never a fresh mid-flight tmp") {
+    // a claimant crashing between its temp create and the link leaves
+    // `.tmp_<uuid>` in lease.d/ — invisible to the protocol (leaseFiles
+    // ignores it) but eroding the bounded-listing cost forever. The next
+    // successful claim's GC must sweep it, age-gated so a CONCURRENT
+    // claimant's seconds-old tmp is never stolen out of its create→link
+    // window.
+    val lp = s"${root()}/.lease"
+    val fs = leaseFs(lp)
+    val l1 = AtomicStore.claimLease(spark, lp, 60000L, "t")
+    AtomicStore.releaseLease(spark, l1)
+    val dir = l1.getParent
+    val aged = new org.apache.hadoop.fs.Path(dir, ".tmp_aged_crash_residue")
+    val fresh = new org.apache.hadoop.fs.Path(dir, ".tmp_midflight_claimant")
+    Seq(aged, fresh).foreach(p => fs.create(p, false).close())
+    fs.setTimes(aged, System.currentTimeMillis() - 20 * 60 * 1000L, -1L)
+    val l2 = AtomicStore.claimLease(spark, lp, 60000L, "t")
+    assert(!fs.exists(aged), "aged tmp residue must be swept by the claim GC")
+    assert(fs.exists(fresh), "a fresh tmp must NEVER be swept — it may be " +
+      "a live claimant mid create→link")
+    // residue never affects protocol semantics either way
+    assert(AtomicStore.leaseHeld(spark, lp))
+    AtomicStore.releaseLease(spark, l2)
+    fs.delete(fresh, false)
+  }
+
+  test("lease: randomized claim/release/crash/age traces never overlap holders (property)") {
+    // the hand-picked crash states each have a spec; this searches for
+    // states nobody thought of: 4 threads each run a random program of
+    // {claim, hold, release | abandon | abandon-and-age} with randomized
+    // hold times and backoffs, across fixed seeds. Invariants: never two
+    // holders inside, and the protocol always recovers (every op
+    // eventually acquires — an abandoned holder blocks for its TTL at
+    // most, an aged one not at all).
+    Seq(11L, 29L, 47L).foreach { seed =>
+      val lp = s"${root()}/.lease_fuzz_$seed"
+      val fs = leaseFs(lp)
+      val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
+      val acquired = new java.util.concurrent.atomic.AtomicInteger(0)
+      val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 4).map { t =>
+        new Thread(() => {
+          val rnd = new scala.util.Random(seed * 100 + t)
+          try (1 to 6).foreach { _ =>
+            val ttl = 500L + rnd.nextInt(3) * 250L
+            val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+            var l: org.apache.hadoop.fs.Path = null
+            while (l == null) {
+              try l = AtomicStore.claimLease(spark, lp, ttl, s"fuzz $t")
+              catch {
+                case _: Busy if System.nanoTime() < deadline =>
+                  Thread.sleep(1 + rnd.nextInt(10))
+              }
+            }
+            if (inside.incrementAndGet() > 1) overlaps.incrementAndGet()
+            acquired.incrementAndGet()
+            if (rnd.nextBoolean()) Thread.sleep(rnd.nextInt(3))
+            inside.decrementAndGet()
+            rnd.nextInt(6) match {
+              case 0 => () // crash: abandon — later claimants break by TTL
+              case 1 =>    // crash LONG ago: age own file past its TTL
+                fs.setTimes(l, System.currentTimeMillis() - 600000L, -1L)
+              case _ => AtomicStore.releaseLease(spark, l)
+            }
+          } catch { case other: Throwable => unexpected.add(other) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(300000))
+      assert(unexpected.isEmpty,
+        s"seed $seed: claimant failed: ${Option(unexpected.peek())}")
+      assert(overlaps.get === 0, s"seed $seed: two holders overlapped")
+      assert(acquired.get === 24,
+        s"seed $seed: every op must eventually acquire (got ${acquired.get})")
+    }
+  }
 }

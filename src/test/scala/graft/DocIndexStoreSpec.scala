@@ -292,15 +292,56 @@ class DocIndexStoreSpec extends SparkSpec {
     assert(before.simhash.count() === ix.simhash.filter(split).count(),
       "rejected appends must leave the store untouched")
 
-    // the matching declaration appends normally; legacy (undeclared)
-    // appends keep working against a spec'd store
+    // an UNDECLARED append into a spec-declared store rejects too: the
+    // producer that never heard of SigSpec is the one the guard exists
+    // for — its rows may come from any definition
+    val e3 = intercept[IllegalArgumentException] {
+      DocIndexStore.appendMinhash(root, ix.minhashSigs.filter(!split))
+    }
+    assert(e3.getMessage.contains("declares none"), e3.getMessage)
+
+    // the matching declaration appends normally
     DocIndexStore.appendSimhash(root, ix.simhash.filter(!split),
       sigSpec = DocIndex.SigSpec)
-    DocIndexStore.appendMinhash(root, ix.minhashSigs.filter(!split))
+    DocIndexStore.appendMinhash(root, ix.minhashSigs.filter(!split),
+      sigSpec = DocIndex.SigSpec)
     val loaded = DocIndexStore.load(spark, root)
     def setOf(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.mkString("|")).toSet
     assert(setOf(loaded.simhash) === setOf(ix.simhash))
     assert(setOf(loaded.minhashSigs) === setOf(ix.minhashSigs))
+  }
+
+  test("pre-spec stores accept undeclared appends; an undeclared rebuild clears a stale spec") {
+    val ix = DocIndex.index(spark, sf)
+    val split = col("doc_id") % 5 < 4
+    def comps(f: org.apache.spark.sql.Column) =
+      DocIndexStore.Components(ix.simhash.filter(f), ix.minhashSigs.filter(f))
+
+    // a store that never declared a spec keeps the original contract:
+    // undeclared appends land (the pre-spec caller population)
+    val legacy = java.nio.file.Files
+      .createTempDirectory("graft_docidx_legacy").toString
+    DocIndexStore.write(legacy, comps(split))
+    DocIndexStore.appendSimhash(legacy, ix.simhash.filter(!split))
+    assert(DocIndexStore.loadSpec(spark, legacy).isEmpty)
+    assert(DocIndexStore.load(spark, legacy).simhash.count() ===
+      ix.simhash.count())
+
+    // a spec-declared store REBUILT without a declaration must not keep
+    // advertising the old spec: the rebuild replaced the rows the
+    // declaration described, so a later append declaring the OLD spec
+    // would pass a guard that no longer means anything
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_docidx_respec").toString
+    DocIndexStore.write(root, comps(split), sigSpec = DocIndex.SigSpec)
+    assert(DocIndexStore.loadSpec(spark, root) === Some(DocIndex.SigSpec))
+    DocIndexStore.write(root, comps(split)) // undeclared rebuild
+    assert(DocIndexStore.loadSpec(spark, root).isEmpty,
+      "an undeclared rebuild must clear the stale declaration")
+    // …and the store behaves pre-spec again: undeclared appends land
+    DocIndexStore.appendSimhash(root, ix.simhash.filter(!split))
+    assert(DocIndexStore.load(spark, root).simhash.count() ===
+      ix.simhash.count())
   }
 }
