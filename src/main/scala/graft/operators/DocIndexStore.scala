@@ -49,22 +49,35 @@ object DocIndexStore {
             sigSpec: String = ""): Map[String, Long] = {
     val spark = c.simhash.sparkSession
     import spark.implicits._
-    val base = Map(
+    // COMMIT-ORDER INVARIANT: the spec DECLARATION commits FIRST, the
+    // component tables after — the mirror image of AnnIndexStore's
+    // params-LAST rule, because appends VALIDATE against the spec
+    // rather than stamping from it. An append's guard is CAS'd against
+    // the component-table version it read; components-first would open
+    // a window where that version is already the rebuild's but the
+    // declaration is still the old store's, so a stale-definition
+    // append could pass the guard AND win its CAS. Spec-first closes
+    // it: any append that sees a rebuilt component table sees the
+    // rebuild's declaration too (seeing the new spec with the OLD
+    // components is harmless — the rebuild's snapshot replaces whatever
+    // lands on the old table).
+    val spec: Map[String, Long] =
+      if (sigSpec.nonEmpty)
+        Map("spec" -> AtomicStore.commitSnapshot(
+          Seq(sigSpec).toDF("sig_spec"), s"$root/spec"))
+      else if (AtomicStore.currentVersion(spark, s"$root/spec").isDefined)
+        // an undeclared REBUILD of a store that declared a spec: the old
+        // declaration must not keep standing — it describes signatures
+        // the rebuild just replaced, and a later append declaring the
+        // OLD spec would pass the guard while mixing incompatible
+        // signatures. Overwrite with the unspecified sentinel (the
+        // empty declaration); loadSpec maps it back to None.
+        Map("spec" -> AtomicStore.commitSnapshot(
+          Seq("").toDF("sig_spec"), s"$root/spec"))
+      else Map.empty
+    spec ++ Map(
       "simhash" -> AtomicStore.commitSnapshot(c.simhash, s"$root/simhash"),
       "minhash" -> AtomicStore.commitSnapshot(c.minhashSigs, s"$root/minhash"))
-    if (sigSpec.nonEmpty)
-      base + ("spec" -> AtomicStore.commitSnapshot(
-        Seq(sigSpec).toDF("sig_spec"), s"$root/spec"))
-    else if (AtomicStore.currentVersion(spark, s"$root/spec").isDefined)
-      // an undeclared REBUILD of a store that declared a spec: the old
-      // declaration must not keep standing — it describes signatures the
-      // rebuild just replaced, and a later append declaring the OLD spec
-      // would pass the guard while mixing incompatible signatures.
-      // Overwrite with the unspecified sentinel (the empty declaration);
-      // loadSpec maps it back to None.
-      base + ("spec" -> AtomicStore.commitSnapshot(
-        Seq("").toDF("sig_spec"), s"$root/spec"))
-    else base
   }
 
   /** The persisted signature definition, if the store declares one.
@@ -133,24 +146,44 @@ object DocIndexStore {
     */
   def appendSimhash(root: String, newSigs: DataFrame,
                     compactAboveDirs: Int = 64,
-                    sigSpec: String = ""): Long = {
-    guardAppend(newSigs, s"$root/simhash", root, sigSpec, "appendSimhash")
-    appendCompacting(newSigs, s"$root/simhash", compactAboveDirs)
-  }
+                    sigSpec: String = ""): Long =
+    appendGuarded(newSigs, s"$root/simhash", root, sigSpec,
+      "appendSimhash", compactAboveDirs)
 
   /** Same, for the minhash signature/band table. */
   def appendMinhash(root: String, newSigs: DataFrame,
                     compactAboveDirs: Int = 64,
-                    sigSpec: String = ""): Long = {
-    guardAppend(newSigs, s"$root/minhash", root, sigSpec, "appendMinhash")
-    appendCompacting(newSigs, s"$root/minhash", compactAboveDirs)
-  }
+                    sigSpec: String = ""): Long =
+    appendGuarded(newSigs, s"$root/minhash", root, sigSpec,
+      "appendMinhash", compactAboveDirs)
 
-  private def appendCompacting(batch: DataFrame, table: String,
-                               aboveDirs: Int): Long = {
-    val v = AtomicStore.commitAppend(batch, table)
-    AtomicStore.compactIfAbove(batch.sparkSession, table, v, aboveDirs)
-    v
+  /** Guard-then-commit, atomically enough to survive a racing REBUILD:
+    * a blind-retry append ([[AtomicStore.commitAppend]]) whose guard
+    * passed against the OLD store could retry itself onto a store
+    * [[write]] just rebuilt under a NEW signature definition — the
+    * d-side analog of AnnIndexStore's straggler append, except
+    * signature rows carry no model stamp to fence them at load. So the
+    * commit is CAS'd against the component-table version the guard
+    * validated, and a lost CAS RE-RUNS the guard before retrying: if
+    * the table moved because of a rebuild, the re-guard sees the
+    * rebuild's declaration ([[write]] commits it first) and rejects; if
+    * it moved because of a sibling append, the re-guard passes and the
+    * retry lands. Costs one batch rewrite per lost race (the TagStore
+    * appendMergeCommit trade) — appends race rarely, rebuilds almost
+    * never, and the alternative is silent under-detection forever.
+    */
+  private def appendGuarded(batch: DataFrame, table: String, root: String,
+                            declaredSpec: String, what: String,
+                            aboveDirs: Int): Long = {
+    val spark = batch.sparkSession
+    var committed: Option[Long] = None
+    while (committed.isEmpty) {
+      val base = AtomicStore.currentVersion(spark, table)
+      guardAppend(batch, table, root, declaredSpec, what)
+      committed = AtomicStore.commitAppendIfUnchanged(batch, table, base)
+    }
+    AtomicStore.compactIfAbove(spark, table, committed.get, aboveDirs)
+    committed.get
   }
 
   /** Periodic maintenance for a long-lived ingest store: fold each

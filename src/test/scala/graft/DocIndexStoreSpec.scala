@@ -344,4 +344,65 @@ class DocIndexStoreSpec extends SparkSpec {
     assert(DocIndexStore.load(spark, root).simhash.count() ===
       ix.simhash.count())
   }
+
+  test("an append mid-commit when a rebuild lands re-guards and rejects — never mixes") {
+    // the d-side straggler: an append's guard passes against the OLD
+    // store, a write() rebuilds under a NEW signature definition, and a
+    // blind commit retry would land the old-definition batch on the
+    // rebuilt store — no model stamp exists to fence it at load. The
+    // pre-publish hook forces exactly that interleaving; the CAS'd
+    // append must lose, re-run its guard against the rebuild's
+    // declaration (committed FIRST by write), and reject loudly.
+    val ix = DocIndex.index(spark, sf)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_docidx_rebuildrace").toString
+    val split = col("doc_id") % 5 < 4
+    def comps(f: org.apache.spark.sql.Column) =
+      DocIndexStore.Components(ix.simhash.filter(f), ix.minhashSigs.filter(f))
+    DocIndexStore.write(root, comps(split), sigSpec = DocIndex.SigSpec)
+    val store = graft.sources.AtomicStore
+    val newSpec = "simhash64(words);minhash(numHashes=8,numBands=2,shingle_k=13)"
+    @volatile var raced = false
+    store.testPrePublishHook = () => {
+      if (!raced) {
+        raced = true
+        store.testPrePublishHook = () => ()
+        DocIndexStore.write(root, comps(split), sigSpec = newSpec) // rebuild
+      }
+    }
+    val e = intercept[IllegalArgumentException] {
+      try DocIndexStore.appendSimhash(root, ix.simhash.filter(!split),
+        sigSpec = DocIndex.SigSpec)
+      finally store.testPrePublishHook = () => ()
+    }
+    assert(raced, "the rebuild must have landed mid-commit")
+    assert(e.getMessage.contains("signature spec"), e.getMessage)
+    // the rebuilt store carries the rebuild's rows and declaration only
+    assert(DocIndexStore.loadSpec(spark, root) === Some(newSpec))
+    assert(DocIndexStore.load(spark, root).simhash.count() ===
+      ix.simhash.filter(split).count(),
+      "no old-definition batch row may survive the lost race")
+
+    // a SIBLING append landing mid-commit is the benign half: the lost
+    // CAS re-guards (spec unchanged — passes) and the retry lands both
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_docidx_siblingrace").toString
+    DocIndexStore.write(root2, comps(split), sigSpec = DocIndex.SigSpec)
+    val half = col("doc_id") % 10 < 5
+    @volatile var raced2 = false
+    store.testPrePublishHook = () => {
+      if (!raced2) {
+        raced2 = true
+        store.testPrePublishHook = () => ()
+        DocIndexStore.appendSimhash(root2,
+          ix.simhash.filter(!split && half), sigSpec = DocIndex.SigSpec)
+      }
+    }
+    try DocIndexStore.appendSimhash(root2,
+      ix.simhash.filter(!split && !half), sigSpec = DocIndex.SigSpec)
+    finally store.testPrePublishHook = () => ()
+    assert(raced2)
+    assert(DocIndexStore.load(spark, root2).simhash.count() ===
+      ix.simhash.count(), "both racing sibling appends must land")
+  }
 }
