@@ -42,8 +42,27 @@ object AnnIndexStore {
   /** Write every component as its own atomic table under `root`.
     * Returns the committed version per component. (No session parameter:
     * the write executes on the components' own session.)
+    *
+    * On a store that already persists a MODEL, a bare components
+    * rewrite is refused unless the refresh lease is held (i.e. unless
+    * called from [[refreshIndex]]): rewriting centroids WITHOUT bumping
+    * the generation leaves previously appended rows — stamped with the
+    * still-current generation but assigned under the OLD centroids —
+    * passing the load fence into a store whose centroid table no longer
+    * matches them, the exact silent mixing the fence exists to prevent
+    * (and one it cannot catch, because the stamps look current). Fresh
+    * and model-less (rebuild-only) stores are unaffected.
     */
   def write(root: String, c: Components): Map[String, Long] = {
+    val spark = c.centroids.sparkSession
+    if (AtomicStore.currentVersion(spark, s"$root/params").isDefined &&
+        !AtomicStore.leaseHeld(spark, refreshLeasePath(root)))
+      throw new IllegalStateException(
+        s"AnnIndexStore.write: $root persists a model — a bare components " +
+          "rewrite would leave current-generation append stamps pointing " +
+          "at replaced centroids, which the load fence cannot catch. Use " +
+          "refreshIndex(root, components, model) to swap components and " +
+          "model together under the refresh lease")
     val frames = Map(
       "centroids" -> c.centroids,
       "assigned" -> c.assigned.select("vec_id", "centroid_id"),

@@ -593,6 +593,37 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(stamps("assigned") === Set(3L))
   }
 
+  test("a bare write() on a model-ful store is refused — refreshIndex is the swap") {
+    // rewriting centroids without bumping the generation leaves
+    // previously appended rows stamped with the STILL-CURRENT generation
+    // but assigned under the replaced centroids — mixing the fence
+    // cannot catch because the stamps look current. write() must refuse
+    // once a model is persisted; refreshIndex (which holds the refresh
+    // lease through its internal write) remains the swap path.
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_barew")
+      .toString
+    AnnIndexStore.write(root, sComponents(sEmb(Seq(0L, 1L))))
+    // model-less rebuild-only stores keep the original contract
+    AnnIndexStore.write(root, sComponents(sEmb(Seq(0L, 1L, 2L))))
+    AnnIndexStore.writeModel(root, sModel)
+    AnnIndexStore.appendVectors(root, sEmb(Seq(5L)))
+    val e = intercept[IllegalStateException] {
+      AnnIndexStore.write(root, sComponents(sEmb(Seq(0L, 1L, 2L, 5L))))
+    }
+    assert(e.getMessage.contains("refreshIndex"), e.getMessage)
+    // the refused rewrite left the store intact and serving
+    val before = AnnIndexStore.load(spark, root)
+    assert(setOf(before.assigned) === setOf(
+      sComponents(sEmb(Seq(0L, 1L, 2L, 5L))).assigned
+        .select("vec_id", "centroid_id")))
+    // refreshIndex still swaps, and the store equals the clean rebuild
+    AnnIndexStore.refreshIndex(root,
+      sComponents(sEmb(Seq(0L, 1L, 2L, 5L))), sModel)
+    assert(setOf(AnnIndexStore.load(spark, root).assigned) === setOf(
+      sComponents(sEmb(Seq(0L, 1L, 2L, 5L))).assigned
+        .select("vec_id", "centroid_id")))
+  }
+
   test("concurrent writeModel calls never mint the same generation") {
     // a duplicate generation is fence poison: old-model batches stamped
     // with the reused number pass the load fence and serve silently
