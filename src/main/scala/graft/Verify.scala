@@ -26,18 +26,6 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
@@ -58,20 +46,37 @@ object Verify {
     * it. Diagnostic, not fatal: correctness dumping must not be held
     * hostage by gate housekeeping, the judge reads the verdict.
     */
+  /** JSON string escape (emits the surrounding quotes): backslash,
+    * quote, and ALL control chars (<0x20) — a tab or CR in
+    * builder-authored SQL would otherwise make the driver's json.load
+    * fail and silently zero the round's correctness. Shared by the
+    * oracle dump and the gates-freshness artifact.
+    */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   private def gatesFreshnessCheck(outDir: String): Unit = try {
-    def jesc(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\x00-\\x1f]", " ").take(400)
+    // truncate BEFORE escaping: a cut landing inside an escape pair
+    // would leave a trailing lone backslash that swallows the closing
+    // quote and makes the whole file unparseable
+    def jq(s: String): String = q(s.take(400))
     def emit(verdict: String, gatesFile: String, gitHead: String,
              detail: String): Unit = {
       println(s"[verify] gates: $verdict — " +
         Seq(gatesFile, detail).filter(_.nonEmpty).mkString(": "))
       try Files.writeString(Paths.get(s"$outDir/gates_freshness.json"),
         s"""{
-           |  "verdict": "${jesc(verdict)}",
-           |  "gates_file": "${jesc(gatesFile)}",
-           |  "git_head": "${jesc(gitHead)}",
-           |  "detail": "${jesc(detail)}"
+           |  "verdict": ${jq(verdict)},
+           |  "gates_file": ${jq(gatesFile)},
+           |  "git_head": ${jq(gitHead)},
+           |  "detail": ${jq(detail)}
            |}
            |""".stripMargin)
       catch { case scala.util.control.NonFatal(e) =>

@@ -55,14 +55,22 @@ object AnnIndexStore {
     */
   def write(root: String, c: Components): Map[String, Long] = {
     val spark = c.centroids.sparkSession
-    if (AtomicStore.currentVersion(spark, s"$root/params").isDefined &&
-        !AtomicStore.leaseHeld(spark, refreshLeasePath(root)))
+    // unconditional, not lease-gated: leaseHeld cannot distinguish THIS
+    // caller holding the refresh lease from a bystander racing someone
+    // else's refresh — and the bystander is the dangerous case. The one
+    // legitimate model-ful rewrite path is refreshIndex, which calls
+    // the private writeComponents below while holding the lease.
+    if (AtomicStore.currentVersion(spark, s"$root/params").isDefined)
       throw new IllegalStateException(
         s"AnnIndexStore.write: $root persists a model — a bare components " +
           "rewrite would leave current-generation append stamps pointing " +
           "at replaced centroids, which the load fence cannot catch. Use " +
           "refreshIndex(root, components, model) to swap components and " +
           "model together under the refresh lease")
+    writeComponents(root, c)
+  }
+
+  private def writeComponents(root: String, c: Components): Map[String, Long] = {
     val frames = Map(
       "centroids" -> c.centroids,
       "assigned" -> c.assigned.select("vec_id", "centroid_id"),
@@ -162,32 +170,40 @@ object AnnIndexStore {
     // append observe a NEW stamp with OLD codewords and land
     // wrongly-encoded rows the fence cannot drop. refreshIndex relies on
     // the same ordering one level up (components before model).
-    val vCodebook = AtomicStore.commitSnapshot(
-      m.codebook.select(col("code_id").cast("long"), col("cvec")),
-      s"$root/codebook")
-    val vHyperplanes = AtomicStore.commitSnapshot(
-      m.hyperplanes.select(col("hp_id").cast("long"), col("hvec")),
-      s"$root/hyperplanes")
-    // every writeModel is a new model GENERATION — the fence stamped
-    // into later append batches (see load). The bump is a CAS'd
-    // read-increment-write: two concurrent writeModels (or one racing
-    // refreshIndex, a legitimate standalone-invalidation use) must never
-    // mint the SAME number for two DIFFERENT models — old-model append
-    // batches stamped with it would pass the load fence and serve
-    // silently corrupt assignments. So params commits via
-    // commitSnapshotIfUnchanged against the table version the bump was
-    // read from; a lost race re-reads and re-bumps.
-    var vParams: Option[Long] = None
-    while (vParams.isEmpty) {
+    //
+    // The generation bump is a CAS'd read-increment-write: two
+    // concurrent writeModels (or one racing refreshIndex, a legitimate
+    // standalone-invalidation use) must never mint the SAME number for
+    // two DIFFERENT models — old-model append batches stamped with it
+    // would pass the load fence and serve silently corrupt assignments.
+    // So params commits via commitSnapshotIfUnchanged against the table
+    // version the bump was read from, and a lost race retries the WHOLE
+    // sequence — codebook and hyperplanes included, not just params:
+    // re-committing only params would publish our re-minted generation
+    // over the RACING WINNER's codebook/hyperplanes snapshots (a
+    // generation describing pieces that aren't ours). Re-running all
+    // three keeps the final state coherent (the last params writer's
+    // pieces end up behind its generation), and any append that read a
+    // mixed transient window carries a stamp that predates the final
+    // generation — fenced at load.
+    var versions: Option[Map[String, Long]] = None
+    while (versions.isEmpty) {
       val paramsBase = AtomicStore.currentVersion(spark, s"$root/params")
       val newVersion = currentModelVersion(spark, root) + 1L
-      vParams = AtomicStore.commitSnapshotIfUnchanged(
+      val vCodebook = AtomicStore.commitSnapshot(
+        m.codebook.select(col("code_id").cast("long"), col("cvec")),
+        s"$root/codebook")
+      val vHyperplanes = AtomicStore.commitSnapshot(
+        m.hyperplanes.select(col("hp_id").cast("long"), col("hvec")),
+        s"$root/hyperplanes")
+      versions = AtomicStore.commitSnapshotIfUnchanged(
         Seq((m.nprobe, m.numSub, newVersion))
           .toDF("nprobe", "num_sub", "model_version"),
         s"$root/params", paramsBase)
+        .map(vParams => Map("codebook" -> vCodebook,
+          "hyperplanes" -> vHyperplanes, "params" -> vParams))
     }
-    Map("codebook" -> vCodebook, "hyperplanes" -> vHyperplanes,
-      "params" -> vParams.get)
+    versions.get
   }
 
   /** Load the persisted model. The params row is one driver-side read;
@@ -268,8 +284,11 @@ object AnnIndexStore {
       // inside writeModel, params last) — see writeModel. The new
       // generation must never be observable before every table it
       // describes; an appender that reads the new model_version must
-      // find the new centroids/codewords behind it.
-      val componentVersions = write(root, c)
+      // find the new centroids/codewords behind it. writeComponents,
+      // not write(): the public write refuses model-ful stores
+      // unconditionally — this lease-holding swap is the one legitimate
+      // rewrite path.
+      val componentVersions = writeComponents(root, c)
       val modelVersions = writeModel(root, m)
       componentVersions ++ modelVersions
     } finally AtomicStore.releaseLease(spark, lease)

@@ -65,13 +65,16 @@ object DocIndexStore {
       if (sigSpec.nonEmpty)
         Map("spec" -> AtomicStore.commitSnapshot(
           Seq(sigSpec).toDF("sig_spec"), s"$root/spec"))
-      else if (AtomicStore.currentVersion(spark, s"$root/spec").isDefined)
+      else if (loadSpec(spark, root).isDefined)
         // an undeclared REBUILD of a store that declared a spec: the old
         // declaration must not keep standing — it describes signatures
         // the rebuild just replaced, and a later append declaring the
         // OLD spec would pass the guard while mixing incompatible
         // signatures. Overwrite with the unspecified sentinel (the
-        // empty declaration); loadSpec maps it back to None.
+        // empty declaration); loadSpec maps it back to None — which is
+        // also why the check is loadSpec, not a bare table-exists
+        // probe: once the sentinel stands, later undeclared rebuilds
+        // skip this commit instead of re-landing it forever.
         Map("spec" -> AtomicStore.commitSnapshot(
           Seq("").toDF("sig_spec"), s"$root/spec"))
       else Map.empty

@@ -624,6 +624,11 @@ object AtomicStore {
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             fs.delete(tmp, false); busy()
+          // our tmp was swept: we stalled past the staleness contract
+          // between create and link and a later claim's GC reclaimed it
+          // (see the sweep below). We hold nothing — report the
+          // protocol's retryable busy signal, not a raw IO error.
+          case _: java.nio.file.NoSuchFileException => busy()
         }
       case _ =>
         try FileContext.getFileContext(mine.toUri, hconf(spark))
@@ -631,6 +636,8 @@ object AtomicStore {
         catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
             fs.delete(tmp, false); busy()
+          // swept tmp (stalled claimant) — same remedy as above
+          case _: java.io.FileNotFoundException => busy()
         }
     }
     // verify: a claimant whose pre-create listing was stale can win a

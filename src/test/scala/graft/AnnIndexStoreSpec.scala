@@ -611,6 +611,15 @@ class AnnIndexStoreSpec extends SparkSpec {
       AnnIndexStore.write(root, sComponents(sEmb(Seq(0L, 1L, 2L, 5L))))
     }
     assert(e.getMessage.contains("refreshIndex"), e.getMessage)
+    // the refusal is UNCONDITIONAL — someone else's in-flight refresh
+    // (lease held by a different process) must not open the door for a
+    // bystander's bare rewrite to land between that refresh's write and
+    // its writeModel
+    val lease = graft.sources.AtomicStore.claimLease(spark,
+      s"$root/.refresh_lease", 60000L, "someone else's refresh")
+    try intercept[IllegalStateException] {
+      AnnIndexStore.write(root, sComponents(sEmb(Seq(0L, 1L, 2L, 5L))))
+    } finally graft.sources.AtomicStore.releaseLease(spark, lease)
     // the refused rewrite left the store intact and serving
     val before = AnnIndexStore.load(spark, root)
     assert(setOf(before.assigned) === setOf(
@@ -624,25 +633,32 @@ class AnnIndexStoreSpec extends SparkSpec {
         .select("vec_id", "centroid_id")))
   }
 
-  test("concurrent writeModel calls never mint the same generation") {
+  test("concurrent writeModel calls never mint the same generation — and the loser's retry republishes its OWN pieces") {
     // a duplicate generation is fence poison: old-model batches stamped
     // with the reused number pass the load fence and serve silently
     // corrupt assignments. The bump is CAS'd against the params version
     // it was read from; force the race with the pre-publish hook — a
-    // competing writeModel lands between the outer call's version read
-    // and its params publish, so the outer call must re-read and mint
-    // the NEXT number, never the same one.
+    // competing writeModel (with a DIFFERENT model) lands between the
+    // outer call's version read and its params publish. The outer call
+    // must (a) re-read and mint the NEXT number, never the same one,
+    // and (b) re-commit its codebook/hyperplanes too — a params-only
+    // retry would publish the re-minted generation over the COMPETING
+    // writer's pieces, a generation describing a model that isn't its.
     val root = java.nio.file.Files.createTempDirectory("graft_annidx_wmrace")
       .toString
     AnnIndexStore.write(root, sComponents(sEmb(Seq(0L, 1L))))
     AnnIndexStore.writeModel(root, sModel) // generation 1
+    val competing = AnnIndexStore.Model(
+      sEmb(Seq(8L, 9L)).select(col("vec_id").as("code_id"),
+        col("vec").as("cvec")),
+      sHyperplanes, nprobe = 3, numSub = 2)
     val store = graft.sources.AtomicStore
     @volatile var raced = false
     store.testPrePublishHook = () => {
       if (!raced) {
         raced = true
         store.testPrePublishHook = () => () // disarm before re-entering
-        AnnIndexStore.writeModel(root, sModel) // competing mint
+        AnnIndexStore.writeModel(root, competing) // competing mint
       }
     }
     try AnnIndexStore.writeModel(root, sModel)
@@ -651,7 +667,13 @@ class AnnIndexStoreSpec extends SparkSpec {
     // 1 (seed) + 2 (competitor) + 3 (outer, re-minted after its lost CAS)
     assert(AnnIndexStore.currentModelVersion(spark, root) === 3L,
       "three writeModels must yield three DISTINCT generations")
-    // the params table never skipped or reused a table version either
-    assert(store.currentVersion(spark, s"$root/params") === Some(2L))
+    // final state COHERENT: generation 3 describes the OUTER writer's
+    // model, not the competitor's pieces under the outer's params
+    val m = AnnIndexStore.loadModel(spark, root)
+    assert(m.version === 3L)
+    assert(m.nprobe === 2, "params must be the outer writer's")
+    assert(setOf(m.codebook) === setOf(sCodebookDf),
+      "generation 3 must sit over the OUTER writer's codebook — a " +
+        "params-only retry would have left the competitor's")
   }
 }

@@ -339,6 +339,12 @@ class DocIndexStoreSpec extends SparkSpec {
     DocIndexStore.write(root, comps(split)) // undeclared rebuild
     assert(DocIndexStore.loadSpec(spark, root).isEmpty,
       "an undeclared rebuild must clear the stale declaration")
+    // once cleared, later undeclared rebuilds skip the sentinel commit
+    // (no spec-table version growth per rebuild forever)
+    val specV = graft.sources.AtomicStore.currentVersion(spark, s"$root/spec")
+    DocIndexStore.write(root, comps(split))
+    assert(graft.sources.AtomicStore.currentVersion(spark, s"$root/spec")
+      === specV, "a second undeclared rebuild must not re-land the sentinel")
     // …and the store behaves pre-spec again: undeclared appends land
     DocIndexStore.appendSimhash(root, ix.simhash.filter(!split))
     assert(DocIndexStore.load(spark, root).simhash.count() ===
