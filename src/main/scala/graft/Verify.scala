@@ -116,7 +116,20 @@ object Verify {
             git("diff", "--name-only", s"$h..HEAD",
                 "--", "src/main", "build.sbt") match {
               case None => Some(s"cannot diff $h..HEAD (unknown commit?)")
-              case Some("") => None
+              case Some("") =>
+                // committed tree matches — but UNCOMMITTED src edits are
+                // invisible to a commit-range diff, and gates run against
+                // the working tree's compiled classes. A dirty src/ means
+                // the evidence may describe code that no longer exists.
+                // porcelain lines are "XY path"; strip the status token
+                // rather than a fixed offset — git()'s trim eats the
+                // first line's leading status space
+                git("status", "--porcelain", "--", "src/main", "build.sbt")
+                  .filter(_.nonEmpty)
+                  .map(dirty => "uncommitted src changes since gates ran: " +
+                    dirty.linesIterator.take(5)
+                      .map(_.trim.replaceFirst("^\\S{1,2}\\s+", ""))
+                      .mkString(", "))
               case Some(files) =>
                 Some(s"src changed since gates ran: " +
                   files.linesIterator.take(5).mkString(", "))

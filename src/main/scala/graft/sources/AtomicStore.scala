@@ -450,7 +450,12 @@ object AtomicStore {
       if (fs.exists(dataDir(root)))
         fs.listStatus(dataDir(root))
           .filterNot(s => live.contains(s.getPath.getName))
-          .filter(_.getModificationTime < cutoff)
+          // inclusive boundary ("at least graceMs old", not "strictly
+          // older"): immaterial against a real grace window, but with
+          // graceMs=0 a strict compare leaves anything stamped in the
+          // same millisecond as the vacuum unreclaimed — a fold whose
+          // cleanup runs immediately after it flakes on mtime ties
+          .filter(_.getModificationTime <= cutoff)
           .foreach(s => fs.delete(s.getPath, true))
       // A superseded manifest's NAME is still the CAS claim publish()
       // checks: deleting it immediately would let a writer that resolved
@@ -466,7 +471,7 @@ object AtomicStore {
       // store's staleness contract, exactly like a reader.
       versions.filter(_ < keepFrom).foreach { v =>
         val supersededAt = versions.filter(_ > v).map(stats).min
-        if (supersededAt < cutoff)
+        if (supersededAt <= cutoff) // inclusive — same rule as data dirs
           fs.delete(new Path(commitsDir(root), manifestName(v)), false)
       }
     }
@@ -583,6 +588,16 @@ object AtomicStore {
     * higher claim exists. The TTL is written into the lease file so
     * later checks honor the holder's OWN deadline, not the checker's.
     */
+  /** TEST-ONLY seam, the lease sibling of [[testPrePublishHook]]:
+    * invoked with the claimant's tmp path after its write, immediately
+    * before the link/rename CAS. Lets a spec force the
+    * stalled-claimant-swept-tmp state (a VM pause longer than the
+    * staleness contract between create and link) deterministically,
+    * pinning that the claimant surfaces the protocol's retryable busy
+    * signal rather than a raw IO error. Production never sets it.
+    */
+  @volatile private[graft] var testPreClaimLinkHook: Path => Unit = _ => ()
+
   def claimLease(spark: SparkSession, leasePath: String, ttlMs: Long,
                  what: String): Path = {
     require(ttlMs > 0, s"claimLease: ttlMs must be positive, got $ttlMs")
@@ -614,6 +629,7 @@ object AtomicStore {
     val out = fs.create(tmp, false)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    testPreClaimLinkHook(tmp)
     fs match {
       case _: org.apache.hadoop.fs.LocalFileSystem =>
         try {

@@ -729,6 +729,26 @@ class AtomicStoreSpec extends SparkSpec {
     fs.delete(fresh, false)
   }
 
+  test("a claimant whose tmp was swept mid-claim gets the busy signal, not a raw IO error") {
+    // the stalled-claimant state: a VM pause longer than the staleness
+    // contract between tmp create and link lets a later claim's GC sweep
+    // the tmp. The resumed claimant holds nothing — it must surface the
+    // protocol's retryable ConcurrentModificationException (what every
+    // caller's retry loop handles), never a NoSuchFileException.
+    val lp = s"${root()}/.lease"
+    val fs = leaseFs(lp)
+    AtomicStore.testPreClaimLinkHook = tmp => {
+      AtomicStore.testPreClaimLinkHook = _ => ()
+      fs.delete(tmp, false) // the sweep, surgically
+    }
+    try intercept[Busy] { AtomicStore.claimLease(spark, lp, 60000L, "t") }
+    finally AtomicStore.testPreClaimLinkHook = _ => ()
+    // the lease is unheld and the next claim proceeds normally
+    assert(!AtomicStore.leaseHeld(spark, lp))
+    val l = AtomicStore.claimLease(spark, lp, 60000L, "t")
+    AtomicStore.releaseLease(spark, l)
+  }
+
   test("lease: randomized claim/release/crash/age traces never overlap holders (property)") {
     // the hand-picked crash states each have a spec; this searches for
     // states nobody thought of: 4 threads each run a random program of
