@@ -16,10 +16,22 @@ import graft.sources.AtomicStore
   *
   * Each component is its own atomically-versioned table (readers never
   * see a half-written index component; a crashed write leaves the
-  * previous version readable — AtomicStore's contract). The components
-  * are independent lookups, so cross-component atomicity is not
-  * required: a consumer pins whatever component versions exist when it
-  * starts, exactly as it would with Delta/Iceberg table versions.
+  * previous version readable — AtomicStore's contract). PER-TABLE
+  * atomicity is the protocol's unit; CROSS-table consistency is layered
+  * on top by the refresh lease (writers), the model-version fence
+  * (appended rows), and the commit-order invariants (components before
+  * model, params last) — and those close the CONCURRENCY seams, not
+  * interruption: a refresh that crashes between its component commits
+  * and its model commit leaves tables from two generations standing
+  * (see [[refreshIndex]] for the residual and its remedy), and a reader
+  * that resolves tables while a refresh is mid-swap can pin a mixed
+  * cut. The structural fix is a store-level MANIFEST — one single-row
+  * atomic table pinning (component version × model version) per cut,
+  * CAS'd once per swap, resolved by load() — the Iceberg
+  * snapshot-of-snapshots shape; recorded in SCALING.md Round-16 as the
+  * designed next step. Until then the refresh-race gate's repair
+  * discipline (diff served vs expected, re-append, or re-run
+  * refreshIndex) is the operational remedy.
   *
   * Scale notes: the assignment tables are bytes per corpus row (two
   * longs), the codes table a few small ints per row; centroids are
@@ -71,12 +83,18 @@ object AnnIndexStore {
   }
 
   private def writeComponents(root: String, c: Components): Map[String, Long] = {
+    // canonical column selects everywhere the schema is fixed: a caller
+    // frame carrying extra columns would otherwise persist them, and
+    // every later APPEND (canonical-shaped) would merge-as-nulls into
+    // reads — the silent degradation the appendVectors schema guards
+    // reject. codes stays as-is (its shape is the model's numSub, which
+    // the append path checks against the stored table).
     val frames = Map(
-      "centroids" -> c.centroids,
+      "centroids" -> c.centroids.select("centroid_id", "cvec"),
       "assigned" -> c.assigned.select("vec_id", "centroid_id"),
       "assigned_multi" -> c.assignedMulti.select("vec_id", "centroid_id"),
       "codes" -> c.codes,
-      "sigs" -> c.sigs)
+      "sigs" -> c.sigs.select("vec_id", "bucket_sig"))
     parts.map(p => p -> AtomicStore.commitSnapshot(frames(p), s"$root/$p")).toMap
   }
 
@@ -272,7 +290,20 @@ object AnnIndexStore {
     * re-appended (an ingest that keeps a served-set check, like
     * AnnStoreScale's race regime, repairs that in one pass). The
     * components/model are snapshot commits, so readers never see a
-    * half-written table at any point.
+    * half-written TABLE at any point.
+    *
+    * KNOWN RESIDUAL — interruption, not concurrency: the swap spans
+    * eight single-table commits, so a crash (or unretried IO error)
+    * partway through leaves a store whose tables straddle two
+    * generations — worst, new components behind the OLD generation,
+    * where previously appended rows stamped with that still-current
+    * generation serve against replaced centroids and the fence cannot
+    * object. The lease makes this window single-writer but cannot make
+    * it atomic. Remedy: a refreshIndex that fails must be RE-RUN to
+    * completion (it is idempotent — every commit is a snapshot), and
+    * the race gate's served-vs-rebuilt diff detects the state. The
+    * structural fix is the store-level manifest described in the class
+    * header.
     */
   def refreshIndex(root: String, c: Components, m: Model,
                    leaseTtlMs: Long = AtomicStore.DefaultLeaseTtlMs): Map[String, Long] = {
@@ -330,40 +361,59 @@ object AnnIndexStore {
       .collect().map(_.getSeq[Double](0).toArray).toSeq
     require(codebook.nonEmpty,
       s"appendVectors: persisted codebook at $root/codebook is empty")
-    val batch = newEmb.select("vec_id", "vec")
-    def stamped(df: DataFrame): DataFrame =
-      df.withColumn("model_version", lit(m.version))
-    // write() and writeModel() are separate calls, so the seam where a
-    // params row disagrees with the components it describes EXISTS —
-    // and commitAppend imposes no schema check, so a numSub mismatch
-    // would land a codes batch whose columns merge as nulls into every
-    // later read (a silently-degraded ADC scan, not an error). Check the
-    // batch's code schema against the stored table's before committing
-    // (modulo the model_version stamp, which is load-side bookkeeping a
-    // pre-stamping store legitimately lacks).
-    val newCodes = Similarity.pqEncode(batch, codebook, m.numSub)
-    val storedCodeCols = AtomicStore.read(spark, s"$root/codes")
-      .columns.toSeq.filterNot(_ == "model_version")
-    require(newCodes.columns.toSeq == storedCodeCols,
-      s"appendVectors: batch codes schema (${newCodes.columns.mkString(", ")}) " +
-        s"!= stored codes schema (${storedCodeCols.mkString(", ")}) — the " +
-        "params table (num_sub) disagrees with the codes the store was " +
-        "built with; fix the model or rebuild with write()")
-    Map(
-      "assigned" -> appendCompacting(
-        stamped(Similarity.ivfAssign(batch, centroids)
-          .select("vec_id", "centroid_id")),
-        s"$root/assigned", compactAboveDirs),
-      "assigned_multi" -> appendCompacting(
-        stamped(Similarity.ivfAssignMulti(batch, centroids, m.nprobe)
-          .select("vec_id", "centroid_id")),
-        s"$root/assigned_multi", compactAboveDirs),
-      "codes" -> appendCompacting(
-        stamped(newCodes),
-        s"$root/codes", compactAboveDirs),
-      "sigs" -> appendCompacting(
-        stamped(Similarity.hyperplaneSignatures(batch, m.hyperplanes)),
-        s"$root/sigs", compactAboveDirs))
+    // the batch feeds FOUR independent encode+commit passes (assign,
+    // multi-assign, PQ codes, LSH sigs); without a persist each pass
+    // re-executes whatever upstream lineage produced the embeddings —
+    // roughly 4× the ingest cost per wave when that lineage is an
+    // expensive pipeline. Persisted for the scope of this call only.
+    val batch = newEmb.select("vec_id", "vec").persist()
+    try {
+      def stamped(df: DataFrame): DataFrame =
+        df.withColumn("model_version", lit(m.version))
+      // write() and writeModel() are separate calls, so the seam where a
+      // params row disagrees with the components it describes EXISTS —
+      // and commitAppend imposes no schema check, so a numSub mismatch
+      // would land a codes batch whose columns merge as nulls into every
+      // later read (a silently-degraded ADC scan, not an error). Check
+      // the batch's code schema against the stored table's before
+      // committing (modulo the model_version stamp, which is load-side
+      // bookkeeping a pre-stamping store legitimately lacks). sigs gets
+      // the same guard: writeComponents canonicalizes its shape now, but
+      // stores written before that canonicalization may persist extra
+      // columns the appended batches lack.
+      val newCodes = Similarity.pqEncode(batch, codebook, m.numSub)
+      def requireSchema(batchDf: DataFrame, table: String,
+                        why: String): Unit = {
+        val stored = AtomicStore.read(spark, s"$root/$table")
+          .columns.toSeq.filterNot(_ == "model_version")
+        require(batchDf.columns.toSeq == stored,
+          s"appendVectors: batch $table schema " +
+            s"(${batchDf.columns.mkString(", ")}) != stored schema " +
+            s"(${stored.mkString(", ")}) — $why; fix the model or rebuild " +
+            "with write()")
+      }
+      requireSchema(newCodes, "codes",
+        "the params table (num_sub) disagrees with the codes the store " +
+          "was built with")
+      val newSigs = Similarity.hyperplaneSignatures(batch, m.hyperplanes)
+      requireSchema(newSigs, "sigs",
+        "the store's signature table was written with a non-canonical shape")
+      Map(
+        "assigned" -> appendCompacting(
+          stamped(Similarity.ivfAssign(batch, centroids)
+            .select("vec_id", "centroid_id")),
+          s"$root/assigned", compactAboveDirs),
+        "assigned_multi" -> appendCompacting(
+          stamped(Similarity.ivfAssignMulti(batch, centroids, m.nprobe)
+            .select("vec_id", "centroid_id")),
+          s"$root/assigned_multi", compactAboveDirs),
+        "codes" -> appendCompacting(
+          stamped(newCodes),
+          s"$root/codes", compactAboveDirs),
+        "sigs" -> appendCompacting(
+          stamped(newSigs),
+          s"$root/sigs", compactAboveDirs))
+    } finally batch.unpersist()
   }
 
   private def appendCompacting(batch: DataFrame, table: String,

@@ -52,7 +52,11 @@ object DocIndexStore {
     // COMMIT-ORDER INVARIANT: the spec DECLARATION commits FIRST, the
     // component tables after — the mirror image of AnnIndexStore's
     // params-LAST rule, because appends VALIDATE against the spec
-    // rather than stamping from it. An append's guard is CAS'd against
+    // rather than stamping from it. (Interruption residual, same family
+    // as AnnIndexStore.refreshIndex's: a crash between the spec commit
+    // and the component snapshots leaves a declaration describing rows
+    // that never landed — re-run the write to completion; every commit
+    // is an idempotent snapshot.) An append's guard is CAS'd against
     // the component-table version it read; components-first would open
     // a window where that version is already the rebuild's but the
     // declaration is still the old store's, so a stale-definition

@@ -158,20 +158,40 @@ object AtomicStore {
     val out = fs.create(tmp, false)
     try out.write(dataDirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val target = new Path(commitsDir(root), manifestName(version))
+    atomicClaim(spark, fs, tmp, new Path(commitsDir(root), manifestName(version)))
+  }
+
+  /** The scheme-dependent fail-if-exists CAS both claim sites share —
+    * publishing a manifest and claiming a lease epoch are the same
+    * primitive, and keeping them one implementation keeps their
+    * exception mapping from drifting (the claimLease copy had grown a
+    * swept-tmp case the publish copy lacked). Returns true when this
+    * caller won the create of `target` from its written `tmp`; false
+    * when the target already exists (lost the race) or the tmp vanished
+    * from under us (an age-gated GC swept a stalled caller's tmp —
+    * equivalent to losing: we hold nothing). The tmp is deleted
+    * best-effort on every exit. See [[publish]] for why the local
+    * filesystem claims via hard link while everything else uses the
+    * no-overwrite [[FileContext.rename]].
+    */
+  private def atomicClaim(spark: SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          tmp: Path, target: Path): Boolean = {
+    def dropTmp(): Unit =
+      try fs.delete(tmp, false)
+      catch { case scala.util.control.NonFatal(_) => () }
     fs match {
       case _: org.apache.hadoop.fs.LocalFileSystem =>
-        val dir = java.nio.file.Paths.get(
-          fs.makeQualified(commitsDir(root)).toUri)
         try {
           java.nio.file.Files.createLink(
-            dir.resolve(manifestName(version)), dir.resolve(tmp.getName))
-          fs.delete(tmp, false)
+            java.nio.file.Paths.get(fs.makeQualified(target).toUri),
+            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri))
+          dropTmp()
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
-            fs.delete(tmp, false)
-            false
+            dropTmp(); false
+          case _: java.nio.file.NoSuchFileException => false
         }
       case _ =>
         try {
@@ -181,8 +201,7 @@ object AtomicStore {
         } catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException |
                _: java.io.FileNotFoundException =>
-            fs.delete(tmp, false)
-            false
+            dropTmp(); false
         }
     }
   }
@@ -474,6 +493,19 @@ object AtomicStore {
         if (supersededAt <= cutoff) // inclusive — same rule as data dirs
           fs.delete(new Path(commitsDir(root), manifestName(v)), false)
       }
+      // sweep aged `.tmp_` manifest orphans: a publisher crashing
+      // between its tmp create and the rename/link leaves the tmp in
+      // _commits/ forever — versionOf ignores it and nothing else
+      // deletes it, so crash residue grows the listing every
+      // currentVersion call pays (the same erosion the lease claim GC
+      // sweeps in lease.d/). Same grace discipline as data dirs: a tmp
+      // younger than the window may be a publish in flight.
+      fs.listStatus(commitsDir(root))
+        .filter(s => s.getPath.getName.startsWith(".tmp_") &&
+          s.getModificationTime <= cutoff)
+        .foreach(s =>
+          try fs.delete(s.getPath, false)
+          catch { case scala.util.control.NonFatal(_) => () })
     }
   }
 
@@ -535,18 +567,37 @@ object AtomicStore {
     * Lease files are a few hundred bytes by construction.
     */
   private def persistedTtlMs(fs: org.apache.hadoop.fs.FileSystem,
-                             p: Path): Option[Long] =
-    try {
-      val in = fs.open(p)
-      val bytes =
-        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-        finally in.close()
-      if (bytes.isEmpty) None
-      else new String(bytes, StandardCharsets.UTF_8)
-        .linesIterator.collectFirst {
-          case l if l.startsWith("ttl_ms=") => l.stripPrefix("ttl_ms=")
-        }.flatMap(_.toLongOption).filter(_ > 0)
-    } catch { case scala.util.control.NonFatal(_) => None }
+                             p: Path): Option[Long] = {
+    // a vanished file is the benign protocol race (the epoch was
+    // superseded and GC'd between listing and open — the claim loses at
+    // its own CAS/verify anyway); any OTHER read error must NOT map to
+    // None: the None fallback substitutes the CHECKER's TTL, so a
+    // transient IO hiccup reading a 60-minute holder's lease would let
+    // a 15-minute-default claimant break a live lease — two concurrent
+    // "exclusive" holders, the exact bug TTL persistence closes. Retry
+    // briefly, then propagate loudly.
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs.open(p)
+        val bytes =
+          try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+          finally in.close()
+        return if (bytes.isEmpty) None
+        else new String(bytes, StandardCharsets.UTF_8)
+          .linesIterator.collectFirst {
+            case l if l.startsWith("ttl_ms=") => l.stripPrefix("ttl_ms=")
+          }.flatMap(_.toLongOption).filter(_ > 0)
+      } catch {
+        case _: java.io.FileNotFoundException => return None
+        case scala.util.control.NonFatal(e) =>
+          attempt += 1
+          if (attempt > 3) throw e
+          Thread.sleep(20L * attempt)
+      }
+    }
+    None // unreachable
+  }
 
   /** Claim an exclusive LEASE at logical path `leasePath`. A lease
     * younger than its holder's TTL throws
@@ -630,32 +681,11 @@ object AtomicStore {
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     testPreClaimLinkHook(tmp)
-    fs match {
-      case _: org.apache.hadoop.fs.LocalFileSystem =>
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(fs.makeQualified(mine).toUri),
-            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri))
-          fs.delete(tmp, false)
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            fs.delete(tmp, false); busy()
-          // our tmp was swept: we stalled past the staleness contract
-          // between create and link and a later claim's GC reclaimed it
-          // (see the sweep below). We hold nothing — report the
-          // protocol's retryable busy signal, not a raw IO error.
-          case _: java.nio.file.NoSuchFileException => busy()
-        }
-      case _ =>
-        try FileContext.getFileContext(mine.toUri, hconf(spark))
-          .rename(tmp, mine, Options.Rename.NONE)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            fs.delete(tmp, false); busy()
-          // swept tmp (stalled claimant) — same remedy as above
-          case _: java.io.FileNotFoundException => busy()
-        }
-    }
+    // a lost CAS is busy: either another claimant won this epoch, or our
+    // tmp was swept (we stalled past the staleness contract between
+    // create and link and a later claim's GC reclaimed it — we hold
+    // nothing, and the retryable busy signal is what callers handle)
+    if (!atomicClaim(spark, fs, tmp, mine)) busy()
     // verify: a claimant whose pre-create listing was stale can win a
     // create BELOW a live holder's epoch (its view predates a whole
     // claim/release/GC cycle that freed this number). Its file is not

@@ -729,6 +729,27 @@ class AtomicStoreSpec extends SparkSpec {
     fs.delete(fresh, false)
   }
 
+  test("vacuum sweeps aged .tmp_ manifest orphans, never a fresh in-flight one") {
+    // a publisher crashing between its tmp create and the rename/link
+    // leaves .tmp_<uuid> in _commits/ — versionOf ignores it, so without
+    // the sweep it grows every currentVersion listing forever
+    val r = root()
+    AtomicStore.commitSnapshot(tags("a" -> "1"), r)
+    val fs = new org.apache.hadoop.fs.Path(r).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val commits = new org.apache.hadoop.fs.Path(r, "_commits")
+    val aged = new org.apache.hadoop.fs.Path(commits, ".tmp_aged_publish")
+    val fresh = new org.apache.hadoop.fs.Path(commits, ".tmp_inflight_publish")
+    Seq(aged, fresh).foreach(p => fs.create(p, false).close())
+    fs.setTimes(aged, System.currentTimeMillis() - 20 * 60 * 1000L, -1L)
+    AtomicStore.vacuum(spark, r) // default 15-min grace
+    assert(!fs.exists(aged), "aged publish tmp must be swept")
+    assert(fs.exists(fresh), "a fresh tmp may be a publish in flight")
+    // protocol state untouched
+    assert(AtomicStore.currentVersion(spark, r) === Some(0L))
+    fs.delete(fresh, false)
+  }
+
   test("a claimant whose tmp was swept mid-claim gets the busy signal, not a raw IO error") {
     // the stalled-claimant state: a VM pause longer than the staleness
     // contract between tmp create and link lets a later claim's GC sweep
