@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.AtomicStore
+import graft.sources.{AtomicStore, StoreCut}
 
 /** PERSISTED form of the ANN index: the artifacts the in-session memo
   * (`graft.queries.AnnEval`) keeps as localCheckpoints — coarse
@@ -14,28 +14,28 @@ import graft.sources.AtomicStore
   * 100 TB shape ("on a real lake the same artifacts persist as tables
   * written at index time") as a working code path.
   *
-  * Each component is its own atomically-versioned table (readers never
-  * see a half-written index component; a crashed write leaves the
-  * previous version readable — AtomicStore's contract). PER-TABLE
-  * atomicity is the protocol's unit; CROSS-table consistency is layered
-  * on top by the refresh lease (writers), the model-version fence
-  * (appended rows), and the commit-order invariants (components before
-  * model, params last) — and those close the CONCURRENCY seams, not
-  * interruption: a refresh that crashes between its component commits
-  * and its model commit leaves tables from two generations standing
-  * (see [[refreshIndex]] for the residual and its remedy), and a reader
-  * that resolves tables while a refresh is mid-swap can pin a mixed
-  * cut. The structural fix is a store-level MANIFEST — one single-row
-  * atomic table pinning (component version × model version) per cut,
-  * CAS'd once per swap, resolved by load() — the Iceberg
-  * snapshot-of-snapshots shape; recorded in SCALING.md Round-16 as the
-  * designed next step. Until then the refresh-race gate's repair
-  * discipline (diff served vs expected, re-append, or re-run
-  * refreshIndex) is the operational remedy.
+  * Each component is its own atomically-versioned table, and CROSS-table
+  * consistency is the store-level MANIFEST ([[StoreCut]], an
+  * [[AtomicStore.advanceKv]] cut at `<root>/manifest`): one versioned
+  * key→value map pinning every component table's version plus the model
+  * generation per CONSISTENT CUT, swapped with a single atomic publish —
+  * the Iceberg snapshot-of-snapshots shape. Readers ([[load]]/
+  * [[loadModel]]) resolve every table through the cut, so a torn
+  * multi-table read is unrepresentable, and a writer that crashes
+  * anywhere inside a multi-table swap ([[refreshIndex]], [[write]],
+  * [[writeModel]]) leaves the previous cut fully standing — its partial
+  * commits are invisible until the swap is re-run to completion (every
+  * step is idempotent). The refresh lease (single-writer swaps) and the
+  * model-version fence (straggler append batches dropped at load) close
+  * the CONCURRENCY seams on top. Stores written before the manifest
+  * existed load through the legacy current-version path and acquire a
+  * manifest on their next write/append/refresh.
   *
   * Scale notes: the assignment tables are bytes per corpus row (two
   * longs), the codes table a few small ints per row; centroids are
-  * model-sized. Writes are one pass each; loads are parquet scans that
+  * model-sized; the manifest is one metadata file (one LIST + one open
+  * to resolve a whole cut — cheaper than the per-table version probes it
+  * replaces). Writes are one pass each; loads are parquet scans that
   * prune to the probed buckets via the same pushed filters the served
   * (in-session) form enjoys.
   */
@@ -50,14 +50,29 @@ object AnnIndexStore {
 
   private val parts = Seq("centroids", "assigned", "assigned_multi",
     "codes", "sigs")
+  private val perRowParts = Seq("assigned", "assigned_multi", "codes", "sigs")
 
-  /** Write every component as its own atomic table under `root`.
-    * Returns the committed version per component. (No session parameter:
-    * the write executes on the components' own session.)
+  /** Manifest key for the served model generation (the fence value). */
+  private val GenKey = "model_generation"
+
+  private def cut(spark: SparkSession, root: String): Option[Map[String, Long]] =
+    StoreCut.cut(spark, root)
+
+  /** The current cut VERSION — the handle [[loadAt]] accepts, so an eval
+    * can pin an index cut and re-read it bit-identically later (within
+    * the vacuum retention window).
+    */
+  def currentCutVersion(spark: SparkSession, root: String): Option[Long] =
+    StoreCut.cutVersion(spark, root)
+
+  /** Write every component as its own atomic table under `root` and
+    * publish the cut. Returns the committed version per component plus
+    * the cut under `"manifest"`. (No session parameter: the write
+    * executes on the components' own session.)
     *
     * On a store that already persists a MODEL, a bare components
-    * rewrite is refused unless the refresh lease is held (i.e. unless
-    * called from [[refreshIndex]]): rewriting centroids WITHOUT bumping
+    * rewrite is refused unless called from [[refreshIndex]] (which swaps
+    * under the refresh lease): rewriting centroids WITHOUT bumping
     * the generation leaves previously appended rows — stamped with the
     * still-current generation but assigned under the OLD centroids —
     * passing the load fence into a store whose centroid table no longer
@@ -79,7 +94,9 @@ object AnnIndexStore {
           "at replaced centroids, which the load fence cannot catch. Use " +
           "refreshIndex(root, components, model) to swap components and " +
           "model together under the refresh lease")
-    writeComponents(root, c)
+    val versions = writeComponents(root, c)
+    val cutV = StoreCut.advance(spark, root, versions)
+    versions + ("manifest" -> cutV)
   }
 
   private def writeComponents(root: String, c: Components): Map[String, Long] = {
@@ -98,7 +115,10 @@ object AnnIndexStore {
     parts.map(p => p -> AtomicStore.commitSnapshot(frames(p), s"$root/$p")).toMap
   }
 
-  /** Load the persisted components (each at its current version).
+  /** Load the persisted components — every table resolved through ONE
+    * manifest cut, so concurrent swaps can never hand back a mixed
+    * store (torn multi-table reads were the one state the per-table
+    * protocol could not exclude; the cut makes them unrepresentable).
     *
     * Model-version fencing: per-row batches landed by [[appendVectors]]
     * carry the `model_version` they were ENCODED against. An append
@@ -107,14 +127,58 @@ object AnnIndexStore {
     * batch on top of the new snapshots (the one-append-commit residual
     * the lease cannot close) — those rows are assignments to centroids
     * and codewords that no longer exist, a silent recall corruption if
-    * served. So the load drops any stamped row whose version predates
-    * the CURRENT model's and strips the bookkeeping column; rows with
-    * no stamp are snapshot rows written by [[write]]/[[refreshIndex]]
-    * itself (by definition current — they ARE the swap).
+    * served. So the load drops any stamped row whose version differs
+    * from the cut's generation and strips the bookkeeping column; rows
+    * with no stamp are snapshot rows written by [[write]]/
+    * [[refreshIndex]] itself (by definition the cut's own — they ARE
+    * the swap). Within a cut no stamp can exceed the cut's generation:
+    * a higher-stamped batch only exists in table versions committed
+    * after the higher generation's cut published, which a lower cut
+    * never pins.
     */
-  def load(spark: SparkSession, root: String): Components = {
+  def load(spark: SparkSession, root: String): Components =
+    cut(spark, root) match {
+      case None => loadLegacy(spark, root)
+      case Some(pins) =>
+        try loadPinned(spark, root, pins)
+        catch { case e: Throwable if AtomicStore.isVacuumRace(e) =>
+          // a pinned table version vacuumed between the cut read and the
+          // component resolve — the store moved on; re-resolve once at
+          // the freshest cut (readPinned's own fallback covers a single
+          // table aging out; this covers the whole-cut case)
+          cut(spark, root) match {
+            case Some(p2) => loadPinned(spark, root, p2)
+            case None => loadLegacy(spark, root)
+          }
+        }
+    }
+
+  /** A Components view of one resolved cut (shared by [[load]] and
+    * [[loadAt]]). The fence compares stamps against the CUT's
+    * generation, so a time-travel read fences exactly as the cut did
+    * when it was current.
+    */
+  private def loadPinned(spark: SparkSession, root: String,
+                         pins: Map[String, Long]): Components = {
+    lazy val gen = pins.getOrElse(GenKey, paramsGeneration(spark, root))
+    def perRow(p: String): DataFrame = {
+      val df = StoreCut.readPinned(spark, root, p, pins)
+      if (!df.columns.contains("model_version")) df
+      else df.filter(col("model_version").isNull ||
+          col("model_version") === gen)
+        .drop("model_version")
+    }
+    Components(StoreCut.readPinned(spark, root, "centroids", pins),
+      perRow("assigned"), perRow("assigned_multi"),
+      perRow("codes"), perRow("sigs"))
+  }
+
+  /** Pre-manifest load path, byte-for-byte the old semantics: every
+    * table at its own current version, fence against the params row.
+    */
+  private def loadLegacy(spark: SparkSession, root: String): Components = {
     def t(p: String) = AtomicStore.read(spark, s"$root/$p")
-    lazy val current = currentModelVersion(spark, root)
+    lazy val current = paramsGeneration(spark, root)
     def perRow(p: String): DataFrame = {
       val df = t(p)
       if (!df.columns.contains("model_version")) df
@@ -126,14 +190,42 @@ object AnnIndexStore {
       perRow("codes"), perRow("sigs"))
   }
 
-  /** The persisted model's generation: bumped by every [[writeModel]]
-    * (so every [[refreshIndex]]); 0 for a store whose params predate
-    * version stamping or that has no model at all. Only the
-    * no-params-table case maps to 0 — a real read failure PROPAGATES,
-    * because defaulting the version on a transient error would make the
-    * fence in [[load]] silently drop every stamped row (stamps are ≥ 1).
+  /** TIME TRAVEL: the store as pinned by manifest cut `cutVersion` (a
+    * value captured earlier via [[currentCutVersion]]) — centroids,
+    * assignments, codes, sigs and the fence all resolved as of that
+    * cut, so a recall eval can re-read an index cut bit-identically
+    * after later appends/refreshes. Readable while the cut stays within
+    * the vacuum retention window ([[compact]] keeps the last 8 cuts and
+    * every table fold keeps `keepVersions` of data past the grace
+    * window); an aged-out cut fails loudly rather than silently serving
+    * newer files.
+    */
+  def loadAt(spark: SparkSession, root: String, cutVersion: Long): Components =
+    loadPinned(spark, root, StoreCut.cutAt(spark, root, cutVersion))
+
+  /** The persisted model's SERVED generation — what the load fence
+    * compares append stamps against: the manifest cut's generation when
+    * the store pins one, else (legacy) the params row. 0 for a store
+    * with no model at all. Only the no-params-table case maps to 0 — a
+    * real read failure PROPAGATES, because defaulting the version on a
+    * transient error would make the fence in [[load]] silently drop
+    * every stamped row (stamps are ≥ 1).
     */
   def currentModelVersion(spark: SparkSession, root: String): Long =
+    cut(spark, root).flatMap(_.get(GenKey))
+      .getOrElse(paramsGeneration(spark, root))
+
+  /** The generation in the params TABLE's current row — the MINT source
+    * for [[writeModel]] (strictly: the highest generation any writer
+    * ever committed, published or not), deliberately distinct from the
+    * SERVED generation above: a writeModel that crashed before its cut
+    * publish leaves the table's generation ahead of the manifest's, and
+    * minting from the manifest would re-issue the orphaned number for a
+    * DIFFERENT model — appends never saw the orphan (they resolve
+    * through the cut), but two models behind one number is exactly the
+    * fence poison the CAS'd mint exists to prevent.
+    */
+  private def paramsGeneration(spark: SparkSession, root: String): Long =
     try {
       val p = AtomicStore.read(spark, s"$root/params")
       if (p.columns.contains("model_version"))
@@ -164,8 +256,9 @@ object AnnIndexStore {
 
   /** Persist the model under the same root (each piece its own atomic
     * table — all model-sized: a few codeword/hyperplane rows plus one
-    * params row). Write it alongside [[write]] at build time to make the
-    * index APPENDABLE; stores without it remain valid but rebuild-only.
+    * params row) and publish the cut. Write it alongside [[write]] at
+    * build time to make the index APPENDABLE; stores without it remain
+    * valid but rebuild-only.
     *
     * Every call bumps the model GENERATION, which [[load]] fences
     * appended batches by — so a standalone writeModel (without the
@@ -175,19 +268,37 @@ object AnnIndexStore {
     * model is silent recall corruption. Snapshot rows from [[write]]
     * are unstamped and keep serving; use refreshIndex to swap model and
     * components together.
+    *
+    * Crash behavior: a writeModel that dies between its table commits
+    * and its cut publish leaves the PREVIOUS cut serving — its pieces
+    * and generation are invisible (appends resolve the model through
+    * the cut, so no batch is ever stamped with an unpublished
+    * generation); re-run it to completion. The orphaned generation
+    * number is never re-minted for a different model — the mint reads
+    * the params TABLE ([[paramsGeneration]]), not the cut.
     */
   def writeModel(root: String, m: Model): Map[String, Long] = {
+    val spark = m.codebook.sparkSession
+    val (versions, gen) = writeModelVersions(root, m)
+    val cutV = StoreCut.advance(spark, root, versions + (GenKey -> gen))
+    versions + ("manifest" -> cutV)
+  }
+
+  /** The commit half of [[writeModel]] — tables only, NO cut publish
+    * ([[refreshIndex]] publishes components and model as one cut;
+    * `private[graft]` so the crash spec can pin the exact
+    * tables-committed-cut-unpublished state). Returns (versions, minted
+    * generation).
+    */
+  private[graft] def writeModelVersions(root: String, m: Model): (Map[String, Long], Long) = {
     val spark = m.codebook.sparkSession
     import spark.implicits._
     // COMMIT-ORDER INVARIANT (structural, not an evaluation-order
     // accident): codebook and hyperplanes commit BEFORE params, and
-    // params commits LAST. The fence's safety against mixed reads
-    // depends on it — an appender stamps its batch with the generation
-    // it read from params, so the generation must never be visible
-    // before the model pieces it advertises; params-first would let an
-    // append observe a NEW stamp with OLD codewords and land
-    // wrongly-encoded rows the fence cannot drop. refreshIndex relies on
-    // the same ordering one level up (components before model).
+    // params commits LAST — the generation must never stand in the
+    // params table before the model pieces it advertises (the mint
+    // below reads that table, and a re-minted generation must always
+    // describe its own pieces).
     //
     // The generation bump is a CAS'd read-increment-write: two
     // concurrent writeModels (or one racing refreshIndex, a legitimate
@@ -204,55 +315,75 @@ object AnnIndexStore {
     // pieces end up behind its generation), and any append that read a
     // mixed transient window carries a stamp that predates the final
     // generation — fenced at load.
-    var versions: Option[Map[String, Long]] = None
-    while (versions.isEmpty) {
+    var result: Option[(Map[String, Long], Long)] = None
+    while (result.isEmpty) {
       val paramsBase = AtomicStore.currentVersion(spark, s"$root/params")
-      val newVersion = currentModelVersion(spark, root) + 1L
+      val newVersion = paramsGeneration(spark, root) + 1L
       val vCodebook = AtomicStore.commitSnapshot(
         m.codebook.select(col("code_id").cast("long"), col("cvec")),
         s"$root/codebook")
       val vHyperplanes = AtomicStore.commitSnapshot(
         m.hyperplanes.select(col("hp_id").cast("long"), col("hvec")),
         s"$root/hyperplanes")
-      versions = AtomicStore.commitSnapshotIfUnchanged(
+      result = AtomicStore.commitSnapshotIfUnchanged(
         Seq((m.nprobe, m.numSub, newVersion))
           .toDF("nprobe", "num_sub", "model_version"),
         s"$root/params", paramsBase)
-        .map(vParams => Map("codebook" -> vCodebook,
-          "hyperplanes" -> vHyperplanes, "params" -> vParams))
+        .map(vParams => (Map("codebook" -> vCodebook,
+          "hyperplanes" -> vHyperplanes, "params" -> vParams), newVersion))
     }
-    versions.get
+    result.get
   }
 
-  /** Load the persisted model. The params row is one driver-side read;
+  /** Load the persisted model at the store's current cut (one metadata
+    * read resolves codebook, hyperplanes, params and the generation
+    * consistently). The params row is one driver-side read;
     * codebook/hyperplanes stay lazy frames for the batch-side joins.
     */
-  def loadModel(spark: SparkSession, root: String): Model = {
-    val p = AtomicStore.read(spark, s"$root/params").head()
+  def loadModel(spark: SparkSession, root: String): Model =
+    cut(spark, root) match {
+      case None => loadModelPinned(spark, root, Map.empty)
+      case Some(pins) =>
+        try loadModelPinned(spark, root, pins)
+        catch { case e: Throwable if AtomicStore.isVacuumRace(e) =>
+          loadModelPinned(spark, root,
+            cut(spark, root).getOrElse(Map.empty))
+        }
+    }
+
+  private def loadModelPinned(spark: SparkSession, root: String,
+                              pins: Map[String, Long]): Model = {
+    val p = StoreCut.readPinned(spark, root, "params", pins).head()
     Model(
-      AtomicStore.read(spark, s"$root/codebook"),
-      AtomicStore.read(spark, s"$root/hyperplanes"),
+      StoreCut.readPinned(spark, root, "codebook", pins),
+      StoreCut.readPinned(spark, root, "hyperplanes", pins),
       nprobe = p.getInt(p.fieldIndex("nprobe")),
       numSub = p.getInt(p.fieldIndex("num_sub")),
-      version =
+      version = pins.get(GenKey).getOrElse(
         if (p.schema.fieldNames.contains("model_version"))
           p.getLong(p.fieldIndex("model_version"))
-        else 0L)
+        else 0L))
   }
+
+  /** [[loadModel]] at a pinned manifest cut — the model the cut's
+    * per-row tables were encoded under (see [[loadAt]]).
+    */
+  def loadModelAt(spark: SparkSession, root: String, cutVersion: Long): Model =
+    loadModelPinned(spark, root, StoreCut.cutAt(spark, root, cutVersion))
 
   /** Incremental index maintenance — the ingest-wave path that was
     * missing while [[write]] was the only way to change the store (a
     * growing corpus re-paid a FULL assignment/codes/sigs rewrite per
     * wave). Assigns/encodes/signs the NEW BATCH ONLY against the pinned
     * persisted model — centroids, PQ codebook, LSH hyperplanes, and the
-    * build parameters all come from the store, so a later session (or a
-    * different cluster) extends the index bit-identically to how the
-    * base was built — and lands each per-row component as one appended
-    * batch via the [[DocIndexStore]] auto-fold pattern: commit bytes
-    * scale with the batch, never the corpus, and once a component's
-    * manifest lists more than `compactAboveDirs` batch dirs the append
-    * folds it back to one snapshot (best-effort, CAS'd against racing
-    * appenders).
+    * build parameters all come from the store's current cut, so a later
+    * session (or a different cluster) extends the index bit-identically
+    * to how the base was built — and lands each per-row component as one
+    * appended batch via the [[DocIndexStore]] auto-fold pattern: commit
+    * bytes scale with the batch, never the corpus, and once a
+    * component's manifest lists more than `compactAboveDirs` batch dirs
+    * the append folds it back to one snapshot (best-effort, CAS'd
+    * against racing appenders, adopted into the cut in the same step).
     *
     * Assignment/encoding/signatures are pure per-row functions of
     * (vector, pinned model), so append-then-load is EXACTLY equal to a
@@ -261,8 +392,9 @@ object AnnIndexStore {
     * itself: centroids drift as the corpus grows, and the recall gap
     * between the pinned-model index and a refreshed rebuild is the
     * STALENESS the s18 eval measures (the refresh decision — retrain
-    * centroids, then one [[write]] — stays an operator policy, gated on
-    * that measurement, exactly like a FAISS index rebuild).
+    * centroids and components, then one [[refreshIndex]] under its
+    * lease — stays an operator policy, gated on that measurement,
+    * exactly like a FAISS index rebuild).
     *
     * `newEmb` is (vec_id, vec) with caller-owned id uniqueness, the
     * DocIndexStore append contract (exactly-once sits with the ingest
@@ -270,40 +402,38 @@ object AnnIndexStore {
     */
   private def refreshLeasePath(root: String) = s"$root/.refresh_lease"
 
-  /** Atomically-intentioned MODEL REFRESH — the "retrain + rewrite"
-    * operation the s18 staleness eval gates: new centroids (and codebook/
-    * hyperplanes/params) plus the re-derived per-row components, written
-    * as the next snapshot of every table. The danger this method exists
-    * to contain: a refresh racing [[appendVectors]] would mix OLD-model
-    * batches into the NEW-model store — assignment rows bucketed under
-    * centroids that no longer exist, a SILENT recall degradation no
-    * single-table CAS can catch because the inconsistency spans tables.
-    * So the refresh runs under an exclusive lease
-    * ([[AtomicStore.claimLease]]) and [[appendVectors]] REFUSES loudly
-    * while it is held. The residual the lease cannot close — an append
-    * that resolved the old model and is already mid-commit when the
-    * refresh claims the lease lands old-model batches on top of the new
-    * snapshots — is closed by the model-version FENCE: every append
-    * batch is stamped with the generation it encoded against, [[load]]
-    * drops stamped rows that predate the current model, and [[compact]]
-    * purges their bytes. The straggler's VECTORS are simply absent until
-    * re-appended (an ingest that keeps a served-set check, like
-    * AnnStoreScale's race regime, repairs that in one pass). The
-    * components/model are snapshot commits, so readers never see a
-    * half-written TABLE at any point.
+  /** TEST-ONLY crash seam for the multi-table swap: invoked with a
+    * stage label after each commit group inside [[refreshIndex]]
+    * ("components" — component snapshots landed; "model" — model tables
+    * landed; both BEFORE the single cut publish). A spec that throws
+    * here simulates a crash partway through the swap and asserts the
+    * previous cut still serves. Production never sets it.
+    */
+  @volatile private[graft] var testMidSwapHook: String => Unit = _ => ()
+
+  /** ATOMIC MODEL REFRESH — the "retrain + rewrite" operation the s18
+    * staleness eval gates: new centroids (and codebook/hyperplanes/
+    * params) plus the re-derived per-row components, committed table by
+    * table and then published as ONE manifest cut. Concurrency: the
+    * refresh runs under an exclusive lease ([[AtomicStore.claimLease]])
+    * and [[appendVectors]] REFUSES loudly while it is held; the one
+    * append the lease cannot exclude — already past its lease check and
+    * mid-commit when the refresh claims — lands an old-model batch that
+    * the model-version FENCE drops at load (its stamp predates the new
+    * cut's generation; [[compact]] purges the bytes; the straggler's
+    * vectors are simply absent until re-appended, which an ingest that
+    * keeps a served-set check repairs in one pass).
     *
-    * KNOWN RESIDUAL — interruption, not concurrency: the swap spans
-    * eight single-table commits, so a crash (or unretried IO error)
-    * partway through leaves a store whose tables straddle two
-    * generations — worst, new components behind the OLD generation,
-    * where previously appended rows stamped with that still-current
-    * generation serve against replaced centroids and the fence cannot
-    * object. The lease makes this window single-writer but cannot make
-    * it atomic. Remedy: a refreshIndex that fails must be RE-RUN to
-    * completion (it is idempotent — every commit is a snapshot), and
-    * the race gate's served-vs-rebuilt diff detects the state. The
-    * structural fix is the store-level manifest described in the class
-    * header.
+    * Interruption: a refresh that crashes ANYWHERE before its single
+    * cut publish leaves the previous cut serving — every partial table
+    * commit is invisible to readers (they resolve through the cut) and
+    * to appenders (the chain-extension check refuses to build on
+    * unpublished snapshots). Re-run the refresh to completion; every
+    * step is an idempotent snapshot and the re-run's cut adopts only
+    * its own commits. (This replaces the pre-manifest KNOWN RESIDUAL,
+    * where the eight-commit swap could strand tables across two
+    * generations with previously appended rows serving against replaced
+    * centroids.)
     */
   def refreshIndex(root: String, c: Components, m: Model,
                    leaseTtlMs: Long = AtomicStore.DefaultLeaseTtlMs): Map[String, Long] = {
@@ -311,17 +441,18 @@ object AnnIndexStore {
     val lease = AtomicStore.claimLease(spark, refreshLeasePath(root),
       leaseTtlMs, "AnnIndexStore.refreshIndex (exclusive model swap)")
     try {
-      // COMMIT-ORDER INVARIANT: components FIRST, model SECOND (and
-      // inside writeModel, params last) — see writeModel. The new
-      // generation must never be observable before every table it
-      // describes; an appender that reads the new model_version must
-      // find the new centroids/codewords behind it. writeComponents,
-      // not write(): the public write refuses model-ful stores
-      // unconditionally — this lease-holding swap is the one legitimate
-      // rewrite path.
+      // writeComponents, not write(): the public write refuses model-ful
+      // stores unconditionally — this lease-holding swap is the one
+      // legitimate rewrite path. Tables first, cut LAST: the new
+      // generation and the new snapshots become visible together or not
+      // at all.
       val componentVersions = writeComponents(root, c)
-      val modelVersions = writeModel(root, m)
-      componentVersions ++ modelVersions
+      testMidSwapHook("components")
+      val (modelVersions, gen) = writeModelVersions(root, m)
+      testMidSwapHook("model")
+      val cutV = StoreCut.advance(spark, root,
+        componentVersions ++ modelVersions + (GenKey -> gen))
+      componentVersions ++ modelVersions + ("manifest" -> cutV)
     } finally AtomicStore.releaseLease(spark, lease)
   }
 
@@ -329,18 +460,71 @@ object AnnIndexStore {
                     compactAboveDirs: Int = 64): Map[String, Long] = {
     val spark = newEmb.sparkSession
     // refuse while a model refresh holds the lease: our batch would be
-    // encoded under the OLD model and mix silently into the NEW store
-    // (see refreshIndex). Checked before any read so the loud path is
-    // also the cheap path. The deadline is the REFRESH HOLDER's own TTL,
-    // persisted inside its lease file at claim time — a long retrain
-    // claimed with a 60-minute TTL keeps excluding appends for the full
-    // 60 minutes, not until some appender-side constant expires.
+    // encoded under the OUTGOING model and mix silently into the
+    // refreshed store (see refreshIndex). Checked before any read so the
+    // loud path is also the cheap path. The deadline is the REFRESH
+    // HOLDER's own TTL, persisted inside its lease file at claim time —
+    // a long retrain claimed with a 60-minute TTL keeps excluding
+    // appends for the full 60 minutes, not until some appender-side
+    // constant expires. The retrain-or-append decision itself stays an
+    // operator policy gated on the s18 staleness measurement; the
+    // retrain path is [[refreshIndex]] (a bare [[write]] on a model-ful
+    // store is refused).
     if (AtomicStore.leaseHeld(spark, refreshLeasePath(root)))
       throw new java.util.ConcurrentModificationException(
         s"appendVectors: a model refresh holds ${refreshLeasePath(root)} — " +
           "an append encoded under the outgoing model would mix into the " +
           "refreshed store; retry after the refresh releases the lease")
     appendEncoded(root, newEmb, loadModel(spark, root), compactAboveDirs)
+  }
+
+  /** Resolve the store's cut and require every per-row table's CURRENT
+    * chain to EXTEND its pin ([[StoreCut.extendsPin]]) — refusing to
+    * build an append on a crashed swap's unpublished snapshot, which
+    * the append's own cut advance would otherwise adopt into the served
+    * cut (for a crashed refresh: new components under the OLD
+    * generation, with unstamped snapshot rows the fence cannot drop).
+    * Transient gaps (a sibling's commit→advance window, a live fold)
+    * clear in milliseconds and are retried through; a persistent gap
+    * under a held refresh lease is a live swap mid-flight (retryable
+    * busy, same signal as the lease check); with no lease it is a
+    * crashed swap — loud stop with the re-run remedy.
+    */
+  /** Retry budget for the transient chain-gap window (a sibling's
+    * commit→advance, a live fold) before the gap is declared a crashed
+    * swap — `private[graft]` so the crash-injection specs don't pay the
+    * full ~10 s production backoff to reach the loud path.
+    */
+  @volatile private[graft] var chainRetryBudget: Int = 12
+
+  private def consistentCutForAppend(spark: SparkSession,
+                                     root: String): Map[String, Long] = {
+    var attempt = 0
+    while (true) {
+      val pins = cut(spark, root).getOrElse(Map.empty)
+      val gaps = perRowParts.filterNot(p =>
+        StoreCut.chainExtendsCut(spark, root, p, pins))
+      if (gaps.isEmpty) return pins
+      attempt += 1
+      if (attempt > chainRetryBudget) {
+        if (AtomicStore.leaseHeld(spark, refreshLeasePath(root)))
+          throw new java.util.ConcurrentModificationException(
+            s"appendVectors: a model refresh is mid-swap at $root " +
+              s"(tables ${gaps.mkString(", ")} committed ahead of the " +
+              "cut under the refresh lease); retry after it completes")
+        throw new IllegalStateException(
+          s"appendVectors: tables ${gaps.mkString(", ")} at $root carry " +
+            "snapshots the store manifest never published — a multi-table " +
+            "swap (refreshIndex / write / a crashed maintenance pass) " +
+            "died between its table commits and its cut publish. Re-run " +
+            "the interrupted operation to completion (every step is " +
+            "idempotent; its cut publish repairs the store) before " +
+            "appending — building on an orphaned snapshot would adopt it " +
+            "into the served cut")
+      }
+      Thread.sleep(math.min(250L * attempt, 1000L))
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The encode-and-commit half of [[appendVectors]], against a model
@@ -350,13 +534,20 @@ object AnnIndexStore {
     * a test seam in the public API. Every committed row is stamped with
     * `m.version`, which is what makes that interleaving HARMLESS: the
     * straggler's rows land physically but [[load]] fences them out as
-    * predating the refreshed model.
+    * predating the refreshed cut's generation.
     */
   private[graft] def appendEncoded(root: String, newEmb: DataFrame,
                                    m: Model,
                                    compactAboveDirs: Int): Map[String, Long] = {
     val spark = newEmb.sparkSession
-    val centroids = AtomicStore.read(spark, s"$root/centroids")
+    val pins = consistentCutForAppend(spark, root)
+    // centroids at the CUT, not at current: after a partially-crashed
+    // swap the current centroid table may be an unpublished orphan
+    // snapshot — encoding against it while stamping the served
+    // generation would land exactly the mixed rows the fence cannot
+    // catch. The cut's centroids are by construction the ones the cut's
+    // generation describes.
+    val centroids = StoreCut.readPinned(spark, root, "centroids", pins)
     val codebook = m.codebook.orderBy("code_id").select("cvec")
       .collect().map(_.getSeq[Double](0).toArray).toSeq
     require(codebook.nonEmpty,
@@ -398,34 +589,74 @@ object AnnIndexStore {
       val newSigs = Similarity.hyperplaneSignatures(batch, m.hyperplanes)
       requireSchema(newSigs, "sigs",
         "the store's signature table was written with a non-canonical shape")
-      Map(
-        "assigned" -> appendCompacting(
+      val versions = Map(
+        "assigned" -> appendCompacting(root,
           stamped(Similarity.ivfAssign(batch, centroids)
             .select("vec_id", "centroid_id")),
-          s"$root/assigned", compactAboveDirs),
-        "assigned_multi" -> appendCompacting(
+          "assigned", compactAboveDirs),
+        "assigned_multi" -> appendCompacting(root,
           stamped(Similarity.ivfAssignMulti(batch, centroids, m.nprobe)
             .select("vec_id", "centroid_id")),
-          s"$root/assigned_multi", compactAboveDirs),
-        "codes" -> appendCompacting(
+          "assigned_multi", compactAboveDirs),
+        "codes" -> appendCompacting(root,
           stamped(newCodes),
-          s"$root/codes", compactAboveDirs),
-        "sigs" -> appendCompacting(
+          "codes", compactAboveDirs),
+        "sigs" -> appendCompacting(root,
           stamped(newSigs),
-          s"$root/sigs", compactAboveDirs))
+          "sigs", compactAboveDirs))
+      // publish the batch into the served cut: one monotone advance,
+      // restricted to tables whose committed version still EXTENDS the
+      // cut pin. The restriction closes the one window the up-front
+      // check can't see: a refreshIndex whose snapshots land BETWEEN
+      // that check and these commits (our batch then rides the swap's
+      // chain, parents = its snapshot) — advancing would adopt the
+      // swap's tables into the OLD cut mid-swap, and if the swap then
+      // crashed, publish unstamped new-model rows under the old
+      // generation, the one mix the fence cannot drop. Skipping the
+      // advance keeps the old cut intact either way: the swap's own cut
+      // publish (or its re-run) adopts our — fenced — batch, exactly
+      // the straggler semantics the repair contract already covers. An
+      // append that crashes between its table commits and this advance
+      // is likewise invisible until the next append/fold on those
+      // tables adopts its files (append parents resolve physically) —
+      // eventual visibility, never a torn cut. The generation is
+      // deliberately NOT pinned here: appends must never move the
+      // served generation.
+      val cutNow = cut(spark, root).getOrElse(Map.empty)
+      val publishable = versions.filter { case (p, v) =>
+        cutNow.get(p).forall(pin =>
+          StoreCut.extendsPin(spark, s"$root/$p", pin, v))
+      }
+      if (publishable.nonEmpty)
+        StoreCut.advance(spark, root, publishable)
+      versions
     } finally batch.unpersist()
   }
 
-  private def appendCompacting(batch: DataFrame, table: String,
+  private def appendCompacting(root: String, batch: DataFrame, part: String,
                                aboveDirs: Int): Long = {
+    val spark = batch.sparkSession
+    val table = s"$root/$part"
     val v = AtomicStore.commitAppend(batch, table)
-    AtomicStore.compactIfAbove(batch.sparkSession, table, v, aboveDirs)
-    v
+    // self-triggered fold: on a cut store a fold is a SNAPSHOT, so it
+    // must be adopted into the cut in the same step (foldAndAdvance) —
+    // its fold mark then tells every later chain check the replacement
+    // was row-preserving even if the advance itself crashes
+    val folded =
+      if (aboveDirs > 0 &&
+          (try AtomicStore.filesAt(spark, table, v).size > aboveDirs
+           catch { case scala.util.control.NonFatal(_) => false }))
+        StoreCut.foldAndAdvance(spark, root, part)
+      else None
+    folded.getOrElse(v)
   }
 
   /** Periodic maintenance, the [[DocIndexStore.compact]] sibling: fold
-    * any accumulated batch dirs per component and vacuum superseded
-    * manifests/dirs. [[write]] commits whole snapshots, so for a
+    * any accumulated batch dirs per component back to one snapshot
+    * (adopted into the cut — [[StoreCut.foldAndAdvance]]), purge
+    * fence-hidden rows, and vacuum superseded manifests/dirs including
+    * old cuts (the last 8 stay readable for [[loadAt]] pins within the
+    * grace window). [[write]] commits whole snapshots, so for a
     * snapshot-only store the fold is a no-op (one data dir already) and
     * the value is the vacuum — every index REBUILD otherwise leaves its
     * superseded manifest + full-size data dirs on the lake forever. For
@@ -433,54 +664,79 @@ object AnnIndexStore {
     * steady-state work the append path also self-triggers. Model tables
     * (when present) get the same vacuum — compact returns None
     * harmlessly for a store that never wrote one.
+    *
+    * A table whose chain does NOT extend the cut (an orphaned snapshot
+    * from a crashed swap) is skipped — folding it would adopt the
+    * orphan's rows into the served cut; the remedy for that state is
+    * re-running the interrupted swap, not maintenance.
     */
   def compact(spark: SparkSession, root: String,
               graceMs: Long = 15 * 60 * 1000L): Map[String, Option[Long]] = {
-    val folded = (parts ++ modelParts).map(p =>
+    val folded = parts.map(p =>
+      p -> StoreCut.foldAndAdvance(spark, root, p, graceMs)).toMap
+    // model tables are snapshot-only (never >1 data dir), so the fold is
+    // structurally None — run plain compact for its vacuum only
+    val modelFolded = modelParts.map(p =>
       p -> AtomicStore.compact(spark, s"$root/$p", graceMs = graceMs)).toMap
     purgeFenced(spark, root)
-    folded
+    StoreCut.vacuumCuts(spark, root, graceMs = graceMs)
+    folded ++ modelFolded
   }
 
   /** Drop rows the model-version fence permanently hides — a straggler
     * append's old-model batch is invisible to [[load]] from the moment
     * it lands, but its bytes ride every later fold forever unless some
     * maintenance pass rewrites without them. Runs inside [[compact]]:
-    * per per-row component, if any stamped row predates the current
-    * model, snapshot the fenced view CAS'd against the version the scan
-    * resolved (a racing append wins the CAS and the purge simply skips —
-    * maintenance must never clobber a commit). Best-effort like the
-    * fold; the fence at load keeps correctness either way.
+    * per per-row component, if any stamped row predates the served
+    * generation, snapshot the fenced view CAS'd against the version the
+    * scan resolved (a racing append wins the CAS and the purge simply
+    * skips — maintenance must never clobber a commit), fold-marked
+    * (row-preserving for the SERVED set — the dropped rows were already
+    * invisible) and adopted into the cut. Best-effort like the fold;
+    * the fence at load keeps correctness either way.
     *
     * Only STRICTLY-OLDER stamps are purged (`< v`, kept set
-    * `isNull || >= v`), never `!= v`: the model version is resolved
-    * ONCE up front, and a refreshIndex (bumping to v+1) plus a
+    * `isNull || >= v`), never `!= v`: the served generation is resolved
+    * ONCE up front, and a refreshIndex (publishing v+1) plus a
     * current-model append (rows stamped v+1) can both land before the
     * per-table CAS resolves its base — an equality purge would then
     * delete legitimately-served current-model rows with a CAS that
     * succeeds. A stamp can only exceed our resolved v by having been
-    * read from a params row that already existed, so `>= v` rows are
+    * read from a cut that already published it, so `>= v` rows are
     * never fence-hidden garbage; a LATER purge (resolving the newer v)
-    * reclaims them if yet another refresh strands them. Belt-and-braces,
-    * the purge also skips entirely while the refresh lease is held —
-    * "current model" is about to change under it.
+    * reclaims them if yet another refresh strands them. The purge also
+    * skips entirely while the refresh lease is held — "current model"
+    * is about to change under it. That skip is an OPTIMIZATION, not a
+    * guarantee (the lease can be claimed between the probe and the
+    * per-table CAS): the strictly-older kept-set is what actually
+    * protects correctness — do not lean on the probe's atomicity.
     */
   private def purgeFenced(spark: SparkSession, root: String): Unit =
     try {
       if (AtomicStore.leaseHeld(spark, refreshLeasePath(root))) return
       val v = currentModelVersion(spark, root)
-      Seq("assigned", "assigned_multi", "codes", "sigs").foreach { p =>
+      val pins = cut(spark, root).getOrElse(Map.empty)
+      perRowParts.foreach { p =>
         try {
           val t = s"$root/$p"
           AtomicStore.currentVersion(spark, t).foreach { base =>
-            val df = AtomicStore.read(spark, t)
-            if (df.columns.contains("model_version") &&
-                !df.filter(col("model_version").isNotNull &&
-                  col("model_version") < v).isEmpty) {
-              AtomicStore.commitSnapshotIfUnchanged(
-                df.filter(col("model_version").isNull ||
-                  col("model_version") >= v),
-                t, Some(base))
+            // same orphan guard as the fold: the purge snapshot reads
+            // the CURRENT rows, so it must not adopt a crashed swap's
+            // unpublished snapshot into the cut it then advances
+            val ok = pins.get(p).forall(pin =>
+              StoreCut.extendsPin(spark, t, pin, base))
+            if (ok) {
+              val df = AtomicStore.read(spark, t)
+              if (df.columns.contains("model_version") &&
+                  !df.filter(col("model_version").isNotNull &&
+                    col("model_version") < v).isEmpty) {
+                AtomicStore.commitFoldIfUnchanged(
+                  df.filter(col("model_version").isNull ||
+                    col("model_version") >= v),
+                  t, Some(base)).foreach { purgedV =>
+                  StoreCut.advance(spark, root, Map(p -> purgedV))
+                }
+              }
             }
           }
         } catch { case scala.util.control.NonFatal(_) => () }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.sources.AtomicStore
+import graft.sources.{AtomicStore, StoreCut}
 
 /** PERSISTED form of the document-signature index: the artifacts the
   * in-session memo (`graft.queries.DocIndex`) keeps as localCheckpoints —
@@ -16,13 +16,19 @@ import graft.sources.AtomicStore
   * verify joins that need sets re-derive them for the CANDIDATE subset
   * only, which is the cheaper trade at lake scale.
   *
-  * Each component is its own atomically-versioned table (readers never
-  * see a half-written component; a crashed write leaves the previous
-  * version readable). Signatures are pure per-row functions of the text,
-  * so incremental ingest is [[appendSimhash]]/[[appendMinhash]]: the new
-  * batch's signature rows land as an appended batch — commit bytes scale
-  * with the BATCH, never the corpus (the same write-path contract as
-  * `TagStore.appendMergeCommit`).
+  * Cross-table consistency is the store-level MANIFEST ([[StoreCut]]):
+  * one versioned cut pinning both signature tables and the spec
+  * declaration, published atomically after the table commits. Readers
+  * and the append guard resolve through the cut, so a [[write]] that
+  * crashes partway (any subset of spec/simhash/minhash landed) leaves
+  * the PREVIOUS cut fully serving — the pre-manifest residue (a
+  * declaration describing rows that never landed, or half a rebuild
+  * visible) is gone; re-run the write to completion and its single cut
+  * publish adopts its own commits. Signatures are pure per-row functions
+  * of the text, so incremental ingest is [[appendSimhash]]/
+  * [[appendMinhash]]: the new batch's signature rows land as an appended
+  * batch — commit bytes scale with the BATCH, never the corpus (the same
+  * write-path contract as `TagStore.appendMergeCommit`).
   */
 object DocIndexStore {
 
@@ -30,9 +36,9 @@ object DocIndexStore {
       simhash: DataFrame,     // (doc_id, simhash)
       minhashSigs: DataFrame) // (doc_id, mh_0..mh_7, band_0, band_1)
 
-  /** Write both components as atomic tables under `root`. Returns the
-    * committed version per component. (No session parameter: the write
-    * executes on the components' own session, like every commit.)
+  /** Write both components (and the spec declaration) as atomic tables
+    * under `root`, then publish ONE manifest cut. Returns the committed
+    * version per table plus the cut under `"manifest"`.
     *
     * `sigSpec` names the signature DEFINITION the rows were computed
     * with (shingle k, hash/band counts, simhash width — an opaque
@@ -43,58 +49,60 @@ object DocIndexStore {
     * DIFFERENT definition appends rows that merge silently and make
     * every banded join under-detect duplicates — silently-degraded
     * dedup, not an error. Declared on writes, checked on appends;
-    * empty = unspecified (the pre-spec caller contract).
+    * empty = unspecified (the pre-spec caller contract). An undeclared
+    * REBUILD of a spec-declared store overwrites the declaration with
+    * the unspecified sentinel — the old spec must not keep describing
+    * signatures the rebuild replaced.
+    *
+    * Table commit order no longer carries the consistency argument —
+    * the CUT does: the append guard reads the declaration through the
+    * same cut that pins the component versions, so it can never pair a
+    * rebuilt table with a stale declaration, and none of a rebuild is
+    * visible until its single cut publish.
     */
   def write(root: String, c: Components,
             sigSpec: String = ""): Map[String, Long] = {
     val spark = c.simhash.sparkSession
     import spark.implicits._
-    // COMMIT-ORDER INVARIANT: the spec DECLARATION commits FIRST, the
-    // component tables after — the mirror image of AnnIndexStore's
-    // params-LAST rule, because appends VALIDATE against the spec
-    // rather than stamping from it. (Interruption residual, same family
-    // as AnnIndexStore.refreshIndex's: a crash between the spec commit
-    // and the component snapshots leaves a declaration describing rows
-    // that never landed — re-run the write to completion; every commit
-    // is an idempotent snapshot.) An append's guard is CAS'd against
-    // the component-table version it read; components-first would open
-    // a window where that version is already the rebuild's but the
-    // declaration is still the old store's, so a stale-definition
-    // append could pass the guard AND win its CAS. Spec-first closes
-    // it: any append that sees a rebuilt component table sees the
-    // rebuild's declaration too (seeing the new spec with the OLD
-    // components is harmless — the rebuild's snapshot replaces whatever
-    // lands on the old table).
     val spec: Map[String, Long] =
       if (sigSpec.nonEmpty)
         Map("spec" -> AtomicStore.commitSnapshot(
           Seq(sigSpec).toDF("sig_spec"), s"$root/spec"))
       else if (loadSpec(spark, root).isDefined)
-        // an undeclared REBUILD of a store that declared a spec: the old
-        // declaration must not keep standing — it describes signatures
-        // the rebuild just replaced, and a later append declaring the
-        // OLD spec would pass the guard while mixing incompatible
-        // signatures. Overwrite with the unspecified sentinel (the
-        // empty declaration); loadSpec maps it back to None — which is
-        // also why the check is loadSpec, not a bare table-exists
-        // probe: once the sentinel stands, later undeclared rebuilds
-        // skip this commit instead of re-landing it forever.
+        // an undeclared REBUILD of a store that declared a spec: clear
+        // the stale declaration with the unspecified sentinel (the
+        // empty string); loadSpec maps it back to None — which is also
+        // why the probe is loadSpec, not a bare table-exists check:
+        // once the sentinel stands, later undeclared rebuilds skip this
+        // commit instead of re-landing it forever.
         Map("spec" -> AtomicStore.commitSnapshot(
           Seq("").toDF("sig_spec"), s"$root/spec"))
       else Map.empty
-    spec ++ Map(
+    val versions = spec ++ Map(
       "simhash" -> AtomicStore.commitSnapshot(c.simhash, s"$root/simhash"),
       "minhash" -> AtomicStore.commitSnapshot(c.minhashSigs, s"$root/minhash"))
+    val cutV = StoreCut.advance(spark, root, versions)
+    versions + ("manifest" -> cutV)
   }
 
-  /** The persisted signature definition, if the store declares one.
-    * The empty string is the "unspecified" sentinel an undeclared
-    * rebuild writes over a stale declaration — reported as None.
+  /** The persisted signature definition, if the store declares one —
+    * resolved through the manifest cut (so an unpublished rebuild's
+    * declaration is invisible); legacy stores read the spec table
+    * directly. The empty string is the "unspecified" sentinel an
+    * undeclared rebuild writes over a stale declaration — reported as
+    * None.
     */
-  def loadSpec(spark: SparkSession, root: String): Option[String] =
-    AtomicStore.currentVersion(spark, s"$root/spec")
-      .map(_ => AtomicStore.read(spark, s"$root/spec").head().getString(0))
-      .filter(_.nonEmpty)
+  def loadSpec(spark: SparkSession, root: String): Option[String] = {
+    val pins = StoreCut.cut(spark, root).getOrElse(Map.empty)
+    val declared =
+      if (pins.contains("spec"))
+        Some(StoreCut.readPinned(spark, root, "spec", pins)
+          .head().getString(0))
+      else
+        AtomicStore.currentVersion(spark, s"$root/spec")
+          .map(_ => AtomicStore.read(spark, s"$root/spec").head().getString(0))
+    declared.filter(_.nonEmpty)
+  }
 
   /** Reject an append whose signature definition or schema disagrees
     * with the store's. The schema leg is unconditional (a hash/band
@@ -134,34 +142,63 @@ object DocIndexStore {
     }
   }
 
-  /** Load the persisted components (each at its current version). */
-  def load(spark: SparkSession, root: String): Components =
+  /** Load the persisted components at the store's current cut (legacy
+    * stores: each table at its own current version).
+    */
+  def load(spark: SparkSession, root: String): Components = {
+    def attempt(pins: Map[String, Long]) = Components(
+      StoreCut.readPinned(spark, root, "simhash", pins),
+      StoreCut.readPinned(spark, root, "minhash", pins))
+    StoreCut.cut(spark, root) match {
+      case None => attempt(Map.empty)
+      case Some(pins) =>
+        try attempt(pins)
+        catch { case e: Throwable if AtomicStore.isVacuumRace(e) =>
+          attempt(StoreCut.cut(spark, root).getOrElse(Map.empty))
+        }
+    }
+  }
+
+  /** The current cut version — the [[loadAt]] handle (see
+    * [[AnnIndexStore.currentCutVersion]]).
+    */
+  def currentCutVersion(spark: SparkSession, root: String): Option[Long] =
+    StoreCut.cutVersion(spark, root)
+
+  /** TIME TRAVEL: both signature tables as pinned by manifest cut
+    * `cutVersion` — readable while the cut stays within the vacuum
+    * retention window ([[compact]] keeps the last 8 cuts).
+    */
+  def loadAt(spark: SparkSession, root: String, cutVersion: Long): Components = {
+    val pins = StoreCut.cutAt(spark, root, cutVersion)
     Components(
-      AtomicStore.read(spark, s"$root/simhash"),
-      AtomicStore.read(spark, s"$root/minhash"))
+      StoreCut.readPinned(spark, root, "simhash", pins),
+      StoreCut.readPinned(spark, root, "minhash", pins))
+  }
 
   /** Append a new ingest batch's simhash signatures: one atomic commit
-    * whose bytes scale with the batch. Signatures are per-row pure
+    * whose bytes scale with the batch, published into the served cut by
+    * one monotone manifest advance. Signatures are per-row pure
     * functions, so append is the whole incremental ROW story — no
     * rebuild, no merge — but steady-state FILE maintenance is wired in
     * rather than left to an operator who remembers to run [[compact]]:
     * once the component's manifest lists more than `compactAboveDirs`
     * batch dirs, the append folds it back to one snapshot (best-effort,
-    * CAS'd — same policy as `Ingest.ingestBatchCommit`; a long-lived
-    * ingest store otherwise pays probe-join listing/open cost linear in
-    * wave count).
+    * CAS'd — same policy as `Ingest.ingestBatchCommit` — and adopted
+    * into the cut in the same step; a long-lived ingest store otherwise
+    * pays probe-join listing/open cost linear in wave count).
     */
   def appendSimhash(root: String, newSigs: DataFrame,
                     compactAboveDirs: Int = 64,
                     sigSpec: String = ""): Long =
-    appendGuarded(newSigs, s"$root/simhash", root, sigSpec,
+    appendGuarded(newSigs, "simhash", root, sigSpec,
       "appendSimhash", compactAboveDirs)
 
   /** Same, for the minhash signature/band table. */
   def appendMinhash(root: String, newSigs: DataFrame,
                     compactAboveDirs: Int = 64,
                     sigSpec: String = ""): Long =
-    appendGuarded(newSigs, s"$root/minhash", root, sigSpec,
+    appendGuarded(newSigs, "minhash", root, sigSpec,
       "appendMinhash", compactAboveDirs)
 
   /** Guard-then-commit, atomically enough to survive a racing REBUILD:
@@ -171,47 +208,93 @@ object DocIndexStore {
     * d-side analog of AnnIndexStore's straggler append, except
     * signature rows carry no model stamp to fence them at load. So the
     * commit is CAS'd against the component-table version the guard
-    * validated, and a lost CAS RE-RUNS the guard before retrying: if
-    * the table moved because of a rebuild, the re-guard sees the
-    * rebuild's declaration ([[write]] commits it first) and rejects; if
-    * it moved because of a sibling append, the re-guard passes and the
-    * retry lands. Costs one batch rewrite per lost race (the TagStore
-    * appendMergeCommit trade) — appends race rarely, rebuilds almost
-    * never, and the alternative is silent under-detection forever.
+    * validated, that version is first required to EXTEND the cut pin
+    * ([[StoreCut.extendsPin]] — the base must not be a crashed swap's
+    * unpublished snapshot, which the append's own advance would adopt
+    * into the served cut), and a lost CAS RE-RUNS both before retrying:
+    * if the table moved because of a rebuild, the re-check waits for
+    * the rebuild's cut (transient) or the re-guard sees its declaration
+    * and rejects; if it moved because of a sibling append, both pass
+    * and the retry lands. Costs one batch rewrite per lost race (the
+    * TagStore appendMergeCommit trade) — appends race rarely, rebuilds
+    * almost never, and the alternative is silent under-detection
+    * forever. The committed batch is then published by one manifest
+    * advance; a crash between the two leaves the batch invisible until
+    * the next append/fold on the table adopts its files (append parents
+    * resolve physically) — eventual visibility, never a torn cut.
     */
-  private def appendGuarded(batch: DataFrame, table: String, root: String,
-                            declaredSpec: String, what: String,
+  /** Retry budget for the transient chain-gap window before it is
+    * declared a crashed swap (see AnnIndexStore.chainRetryBudget).
+    */
+  @volatile private[graft] var chainRetryBudget: Int = 12
+
+  private def appendGuarded(batch: DataFrame, part: String,
+                            root: String, declaredSpec: String, what: String,
                             aboveDirs: Int): Long = {
     val spark = batch.sparkSession
+    val table = s"$root/$part"
     var committed: Option[Long] = None
+    var attempt = 0
     while (committed.isEmpty) {
+      val pins = StoreCut.cut(spark, root).getOrElse(Map.empty)
       val base = AtomicStore.currentVersion(spark, table)
-      guardAppend(batch, table, root, declaredSpec, what)
-      committed = AtomicStore.commitAppendIfUnchanged(batch, table, base)
+      val chainOk = pins.get(part).forall(pin =>
+        base.exists(b => StoreCut.extendsPin(spark, table, pin, b)))
+      if (!chainOk) {
+        // a live rebuild/fold's commit→advance window (ms) or a crashed
+        // one (permanent): bounded retry, then the re-run remedy
+        attempt += 1
+        if (attempt > chainRetryBudget)
+          throw new IllegalStateException(
+            s"$what: $table carries a snapshot the store manifest never " +
+              "published — a write()/compact() crashed between its table " +
+              "commits and its cut publish. Re-run the interrupted " +
+              "operation to completion (idempotent; its cut publish " +
+              "repairs the store) before appending")
+        Thread.sleep(math.min(250L * attempt, 1000L))
+      } else {
+        guardAppend(batch, table, root, declaredSpec, what)
+        committed = AtomicStore.commitAppendIfUnchanged(batch, table, base)
+      }
     }
-    AtomicStore.compactIfAbove(spark, table, committed.get, aboveDirs)
-    committed.get
+    val v = committed.get
+    val folded =
+      if (aboveDirs > 0 &&
+          (try AtomicStore.filesAt(spark, table, v).size > aboveDirs
+           catch { case scala.util.control.NonFatal(_) => false }))
+        StoreCut.foldAndAdvance(spark, root, part)
+      else None
+    StoreCut.advance(spark, root, Map(part -> folded.getOrElse(v)))
+    v
   }
 
   /** Periodic maintenance for a long-lived ingest store: fold each
     * component's accumulated append batches back into one snapshot
-    * ([[AtomicStore.compact]] — CAS against racing appenders, vacuum of
-    * the superseded batch dirs). Without it every ingest wave leaves one
-    * manifest + one small batch dir forever, so probe joins pay a
-    * file-listing + open cost linear in wave count; after the fold the
-    * probe cost is flat again. Signatures are pure per-row functions, so
-    * the fold is exactly row-preserving — loaded components and every
-    * banded join off them are identical before and after
-    * (DocIndexStoreSpec pins this, plus a racing appender/compactor
-    * soak). Returns the fold version per component (None = that
-    * component was already compact or lost its CAS budget to appenders).
+    * ([[StoreCut.foldAndAdvance]] — CAS against racing appenders,
+    * adopted into the cut, vacuum of the superseded batch dirs), then
+    * vacuum old cuts (the last 8 stay readable for [[loadAt]]). Without
+    * the fold every ingest wave leaves one manifest + one small batch
+    * dir forever, so probe joins pay a file-listing + open cost linear
+    * in wave count; after the fold the probe cost is flat again.
+    * Signatures are pure per-row functions, so the fold is exactly
+    * row-preserving — loaded components and every banded join off them
+    * are identical before and after (DocIndexStoreSpec pins this, plus
+    * a racing appender/compactor soak). Returns the fold version per
+    * component (None = already compact, lost its CAS budget to
+    * appenders, or skipped because the table's chain does not extend
+    * the cut — an orphaned snapshot a crashed write left behind, whose
+    * remedy is re-running the write, not folding the orphan into the
+    * served cut).
     */
   def compact(spark: SparkSession, root: String,
-              graceMs: Long = 15 * 60 * 1000L): Map[String, Option[Long]] =
-    Map(
-      "simhash" -> AtomicStore.compact(spark, s"$root/simhash", graceMs = graceMs),
-      "minhash" -> AtomicStore.compact(spark, s"$root/minhash", graceMs = graceMs),
-      // snapshot-only when present (compact returns None harmlessly for
-      // a store that never declared one) — the value is the vacuum
+              graceMs: Long = 15 * 60 * 1000L): Map[String, Option[Long]] = {
+    val folded = Seq("simhash", "minhash").map(p =>
+      p -> StoreCut.foldAndAdvance(spark, root, p, graceMs)).toMap
+    // the spec table is snapshot-only when present — plain compact for
+    // its vacuum (returns None harmlessly for a store without one)
+    val specFolded = Map(
       "spec" -> AtomicStore.compact(spark, s"$root/spec", graceMs = graceMs))
+    StoreCut.vacuumCuts(spark, root, graceMs = graceMs)
+    folded ++ specFolded
+  }
 }

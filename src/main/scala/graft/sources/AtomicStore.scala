@@ -61,18 +61,25 @@ object AtomicStore {
       .sorted.lastOption
   }
 
-  /** The data dirs a version's manifest lists (absolute paths). */
-  private[graft] def filesAt(spark: SparkSession, root: String,
-                             version: Long): Seq[String] = {
+  /** The raw lines of a version's manifest file — data-dir names for the
+    * table flavor, `k=v` pins for the KV-cut flavor below. One open+read.
+    */
+  private def linesAt(spark: SparkSession, root: String,
+                      version: Long): Seq[String] = {
     val fs = commitsDir(root).getFileSystem(hconf(spark))
     val p = new Path(commitsDir(root), manifestName(version))
     val in = fs.open(p)
     try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
         StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
-      .map(rel => new Path(dataDir(root), rel).toString)
     finally in.close()
   }
+
+  /** The data dirs a version's manifest lists (absolute paths). */
+  private[graft] def filesAt(spark: SparkSession, root: String,
+                             version: Long): Seq[String] =
+    linesAt(spark, root, version).map(rel =>
+      new Path(dataDir(root), rel).toString)
 
   /** Bounded go-around for resolve steps racing a concurrent [[vacuum]]:
     * a vanished manifest between listStatus and open is indistinguishable
@@ -108,20 +115,47 @@ object AtomicStore {
     retryingOnVacuumRace {
       val v = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"AtomicStore: no commits at $root"))
-      spark.read.option("mergeSchema", "true")
-        .parquet(filesAt(spark, root, v): _*)
+      readAt(spark, root, v)
     }
+
+  /** The table AT a specific committed version — the pinned-read primitive
+    * the store-level manifest ([[readKv]]) resolves consistent cuts
+    * through. Fails (FileNotFoundException) when `version`'s manifest was
+    * vacuumed; callers re-resolve their cut (same staleness contract as
+    * any reader: a pin held past the vacuum grace window is stale).
+    */
+  private[graft] def readAt(spark: SparkSession, root: String,
+                            version: Long): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(filesAt(spark, root, version): _*)
 
   /** Step 1 of the protocol: land the batch in a fresh, UNPUBLISHED data
     * dir; returns its manifest-relative name. `private[graft]` so specs
     * can simulate a crash between data write and publish.
+    *
+    * Prefix is the dir's PROVENANCE MARK: `c_` for writer commits,
+    * [[FoldPrefix]] for maintenance snapshots ([[compact]]'s fold, the
+    * index stores' fence purges) — snapshots that preserve the SERVED
+    * row set of the chain they replaced. Store-level manifest cuts use
+    * the mark to tell a safe fold apart from an orphaned writer
+    * snapshot when a table's current chain no longer lists the cut's
+    * pinned dirs (see StoreCut.extendsPin).
     */
-  private[graft] def writeData(df: DataFrame, root: String): String = {
-    val rel = s"c_${UUID.randomUUID().toString.replace("-", "")}"
+  private[graft] def writeData(df: DataFrame, root: String,
+                               prefix: String = "c_"): String = {
+    val rel = s"$prefix${UUID.randomUUID().toString.replace("-", "")}"
     df.write.mode("errorifexists")
       .parquet(new Path(dataDir(root), rel).toString)
     rel
   }
+
+  /** The data-dir prefix marking maintenance snapshots (see
+    * [[writeData]]). The invariant that makes the mark trustworthy: a
+    * fold/purge only commits after verifying its base chain extends the
+    * store cut, so an `f_` dir always holds the served rows of a
+    * cut-consistent chain — never a half-published writer rewrite.
+    */
+  private[graft] val FoldPrefix = "f_"
 
   /** TEST-ONLY seam for the CAS commits: invoked after the base check and
     * the batch's data write, immediately before the manifest publish.
@@ -173,6 +207,13 @@ object AtomicStore {
     * best-effort on every exit. See [[publish]] for why the local
     * filesystem claims via hard link while everything else uses the
     * no-overwrite [[FileContext.rename]].
+    *
+    * Contract caveat: the LocalFileSystem arm's NoSuchFileException →
+    * "lost" mapping also fires if the TARGET's parent directory was
+    * deleted out-of-band (not just when our tmp was GC-swept) — the
+    * caller then reports busy rather than an error. Out-of-band deletion
+    * of a protocol directory is outside the store's contract; the
+    * symptom of that misuse is a permanently-busy claim, not corruption.
     */
   private def atomicClaim(spark: SparkSession,
                           fs: org.apache.hadoop.fs.FileSystem,
@@ -252,11 +293,25 @@ object AtomicStore {
     * lose the winner's update).
     */
   def commitSnapshotIfUnchanged(df: DataFrame, root: String,
-                                expectedBase: Option[Long]): Option[Long] = {
+                                expectedBase: Option[Long]): Option[Long] =
+    casSnapshot(df, root, expectedBase, "c_")
+
+  /** [[commitSnapshotIfUnchanged]] with the maintenance provenance mark
+    * ([[FoldPrefix]]) — ONLY for snapshots that preserve the served row
+    * set of the chain at `expectedBase` (folds, fence purges); see
+    * [[writeData]] for the invariant the mark carries.
+    */
+  private[graft] def commitFoldIfUnchanged(df: DataFrame, root: String,
+                                           expectedBase: Option[Long]): Option[Long] =
+    casSnapshot(df, root, expectedBase, FoldPrefix)
+
+  private def casSnapshot(df: DataFrame, root: String,
+                          expectedBase: Option[Long],
+                          prefix: String): Option[Long] = {
     val spark = df.sparkSession
     // cheap early-out before materializing a full snapshot for a lost race
     if (currentVersion(spark, root) != expectedBase) return None
-    val rel = writeData(df, root)
+    val rel = writeData(df, root, prefix)
     val v = expectedBase.getOrElse(-1L) + 1
     testPrePublishHook()
     if (publish(spark, root, Seq(rel), v)) Some(v)
@@ -409,7 +464,12 @@ object AtomicStore {
             // schema would silently DROP them from the whole store
             val state = spark.read.option("mergeSchema", "true")
               .parquet(files: _*)
-            commitSnapshotIfUnchanged(state, root, base).map(v => Some(v))
+            // fold-marked (FoldPrefix): the snapshot preserves the row
+            // set of the chain it folds. Tables governed by a store cut
+            // must reach this through their store's compact /
+            // fold-and-advance (which verify the chain extends the cut
+            // first) — the mark attests that verification.
+            commitFoldIfUnchanged(state, root, base).map(v => Some(v))
           }
         } catch {
           // resolved manifest/dirs vacuumed by a racing compactor
@@ -436,15 +496,100 @@ object AtomicStore {
     * data dirs. Never throws — compaction is maintenance, and a commit
     * that LANDED must not be reported failed because its best-effort
     * fold lost a race or hit an IO hiccup. `aboveDirs <= 0` disables.
+    * Returns the fold's committed version when one fired (manifest-cut
+    * callers pin the fold rather than the just-superseded append).
     */
   private[graft] def compactIfAbove(spark: SparkSession, root: String,
-                                    v: Long, aboveDirs: Int): Unit =
+                                    v: Long, aboveDirs: Int): Option[Long] =
     if (aboveDirs > 0) {
       try {
         if (filesAt(spark, root, v).size > aboveDirs)
           compact(spark, root)
-      } catch { case scala.util.control.NonFatal(_) => () }
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    } else None
+
+  // ------------------------------------------------- KV-cut store flavor
+
+  /** The store-level MANIFEST primitive (Iceberg's snapshot-of-snapshots
+    * shape, reduced to the protocol already here): a versioned single-cut
+    * key→value map committed through the SAME `_commits/v<n>` CAS as
+    * tables, except the manifest file's content IS the state (`k=v`
+    * lines) — no data dirs, no parquet, no Spark job. A multi-table
+    * store pins one version per component table ("assigned=7",
+    * "model_generation=3") and swaps the WHOLE cut with one
+    * fail-if-exists publish: readers resolve every component through one
+    * open+read and can never observe half a swap, and a writer that
+    * crashes between its table commits and its cut publish leaves the
+    * previous cut fully standing. Cost per commit: one LIST + one create
+    * + one atomic claim; per read: one LIST + one open — strictly
+    * cheaper than a one-row parquet table and driver-side throughout.
+    *
+    * Values are Longs (versions/generations) — all the cut needs, and a
+    * typed parse failure beats a silently-stringly manifest.
+    */
+  def readKv(spark: SparkSession, root: String): Option[(Long, Map[String, Long])] =
+    retryingOnVacuumRace {
+      currentVersion(spark, root).map(v => (v, readKvAt(spark, root, v)))
     }
+
+  /** The cut at a specific committed version (time travel for manifest
+    * readers). Fails when `version` was vacuumed — same staleness
+    * contract as [[readAt]].
+    */
+  def readKvAt(spark: SparkSession, root: String,
+               version: Long): Map[String, Long] =
+    linesAt(spark, root, version).flatMap { l =>
+      val i = l.indexOf('=')
+      if (i <= 0) None
+      else l.substring(i + 1).toLongOption.map(l.substring(0, i) -> _)
+    }.toMap
+
+  /** TEST-ONLY seam for the KV publish, the cut sibling of
+    * [[testPrePublishHook]] (deliberately separate: specs that race the
+    * TABLE CAS hooks must not also fire on every manifest advance).
+    */
+  @volatile private[graft] var testPreKvPublishHook: () => Unit = () => ()
+
+  /** Advance the cut MONOTONICALLY: per-key max-merge of `pins` into the
+    * current cut, committed via CAS and retried until it lands (or is
+    * discovered already-subsumed). Max-merge is what makes concurrent
+    * advancers order-insensitive: table versions only grow, an appended
+    * version's file set includes every file of the versions below it,
+    * and a model generation only moves forward — so whichever advance
+    * publishes last, the merged cut never regresses a key another writer
+    * already pinned. Returns the cut version whose contents subsume
+    * `pins` (a no-op advance returns the current version).
+    *
+    * Callers pin versions from their OWN commit results, never from a
+    * "current version" probe — a probe can observe another writer's
+    * uncommitted progress and publish a cut that was never any writer's
+    * intent (the straggler-manifest caution recorded in SCALING.md
+    * Round-16).
+    */
+  def advanceKv(spark: SparkSession, root: String,
+                pins: Map[String, Long]): Long = {
+    require(pins.nonEmpty, "advanceKv: empty pin set")
+    require(pins.keys.forall(k => k.nonEmpty && !k.contains('=') &&
+        !k.contains('\n') && !k.contains('\r')),
+      s"advanceKv: keys must be '='/newline-free: ${pins.keys.mkString(", ")}")
+    var attempt = 0
+    while (true) {
+      val base = readKv(spark, root)
+      val cur = base.map(_._2).getOrElse(Map.empty[String, Long])
+      val merged = cur ++ pins.map { case (k, v) =>
+        k -> math.max(v, cur.getOrElse(k, Long.MinValue))
+      }
+      if (base.isDefined && merged == cur) return base.get._1
+      val v = base.map(_._1).getOrElse(-1L) + 1
+      val lines = merged.toSeq.sortBy(_._1).map { case (k, x) => s"$k=$x" }
+      testPreKvPublishHook()
+      if (publish(spark, root, lines, v)) return v
+      attempt += 1
+      Thread.sleep(math.min(20L * attempt, 200L))
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Drop data dirs no manifest within `keepVersions` of latest
     * references, and older manifests (Delta's VACUUM). Safe for readers
@@ -493,20 +638,24 @@ object AtomicStore {
         if (supersededAt <= cutoff) // inclusive — same rule as data dirs
           fs.delete(new Path(commitsDir(root), manifestName(v)), false)
       }
-      // sweep aged `.tmp_` manifest orphans: a publisher crashing
-      // between its tmp create and the rename/link leaves the tmp in
-      // _commits/ forever — versionOf ignores it and nothing else
-      // deletes it, so crash residue grows the listing every
-      // currentVersion call pays (the same erosion the lease claim GC
-      // sweeps in lease.d/). Same grace discipline as data dirs: a tmp
-      // younger than the window may be a publish in flight.
+    }
+    // sweep aged `.tmp_` manifest orphans: a publisher crashing
+    // between its tmp create and the rename/link leaves the tmp in
+    // _commits/ forever — versionOf ignores it and nothing else
+    // deletes it, so crash residue grows the listing every
+    // currentVersion call pays (the same erosion the lease claim GC
+    // sweeps in lease.d/). Same grace discipline as data dirs: a tmp
+    // younger than the window may be a publish in flight. Runs whenever
+    // `_commits/` exists, NOT only when some version committed — a store
+    // whose publishes all crashed before their CAS is tmp residue with
+    // zero committed versions, exactly the store that needs the sweep.
+    if (fs.exists(commitsDir(root)))
       fs.listStatus(commitsDir(root))
         .filter(s => s.getPath.getName.startsWith(".tmp_") &&
           s.getModificationTime <= cutoff)
         .foreach(s =>
           try fs.delete(s.getPath, false)
           catch { case scala.util.control.NonFatal(_) => () })
-    }
   }
 
   // ------------------------------------------------------------- leases

@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The STORE-LEVEL MANIFEST shared by the multi-table index stores
+  * (`graft.operators.AnnIndexStore`, `graft.operators.DocIndexStore`) —
+  * the Iceberg snapshot-of-snapshots shape on top of [[AtomicStore]]:
+  * one [[AtomicStore.advanceKv]] cut per store root (`<root>/manifest`)
+  * pinning every component table's version (plus store-specific scalars
+  * like the ANN model generation) per CONSISTENT CUT. Multi-table swaps
+  * commit their tables and then publish the whole cut with ONE atomic
+  * advance; readers resolve every table through the cut. What that buys,
+  * and what each helper here enforces:
+  *
+  *  - TORN READS are unrepresentable: [[readPinned]] resolves each table
+  *    at the cut's pinned version, so a load racing a swap sees either
+  *    the whole old cut or the whole new one.
+  *  - INTERRUPTED SWAPS serve the previous cut: a writer crashing
+  *    anywhere between its table commits and its cut publish leaves
+  *    partial commits that no reader resolves; re-running the
+  *    (idempotent) swap publishes a cut of its own commits.
+  *  - APPENDS never build on unpublished snapshots: [[extendsPin]]
+  *    verifies a table's current chain EXTENDS its pin (every pinned
+  *    data dir still listed) before an append commits, and again before
+  *    its version is adopted into the cut — a crashed swap's orphan
+  *    snapshot fails the check and refuses loudly instead of being
+  *    silently adopted.
+  *  - FOLDS are distinguishable from orphans: maintenance snapshots
+  *    (folds/purges) carry [[AtomicStore.FoldPrefix]]-marked data dirs,
+  *    committed only after their own chain check — so [[extendsPin]]
+  *    accepts a fold-replaced chain (row-preserving by construction)
+  *    while still refusing a writer's half-published rewrite.
+  *
+  * Cost model (the 100 TB argument): resolving a whole cut is one LIST +
+  * one open of a metadata file — cheaper than the per-table version
+  * probes it replaces; an advance is one LIST + one create + one atomic
+  * claim. Nothing here scales with data size.
+  */
+object StoreCut {
+
+  def manifestRoot(root: String): String = s"$root/manifest"
+
+  /** The store's current cut (pins by table/key), if it has one. */
+  def cut(spark: SparkSession, root: String): Option[Map[String, Long]] =
+    AtomicStore.readKv(spark, manifestRoot(root)).map(_._2)
+
+  /** The current cut VERSION — the time-travel handle `loadAt` accepts. */
+  def cutVersion(spark: SparkSession, root: String): Option[Long] =
+    AtomicStore.readKv(spark, manifestRoot(root)).map(_._1)
+
+  /** The cut at a pinned version (time travel). */
+  def cutAt(spark: SparkSession, root: String, version: Long): Map[String, Long] =
+    AtomicStore.readKvAt(spark, manifestRoot(root), version)
+
+  /** Merge `pins` into the cut monotonically (see
+    * [[AtomicStore.advanceKv]]).
+    */
+  def advance(spark: SparkSession, root: String,
+              pins: Map[String, Long]): Long =
+    AtomicStore.advanceKv(spark, manifestRoot(root), pins)
+
+  /** Read one component at its cut-pinned version; keys the cut does not
+    * pin (legacy stores mid-upgrade) read at current. A pin whose table
+    * manifest aged past the vacuum retention window falls back to
+    * current — the only resolvable truth for a reader that stale.
+    */
+  def readPinned(spark: SparkSession, root: String, part: String,
+                 pins: Map[String, Long]): DataFrame =
+    pins.get(part) match {
+      case Some(v) =>
+        try AtomicStore.readAt(spark, s"$root/$part", v)
+        catch { case e: Throwable if AtomicStore.isVacuumRace(e) =>
+          AtomicStore.read(spark, s"$root/$part")
+        }
+      case None => AtomicStore.read(spark, s"$root/$part")
+    }
+
+  /** Is version `v` of `table` an append-extension of cut pin `pin` —
+    * every pinned data dir still listed at `v`, or the chain was
+    * replaced by a fold-marked maintenance snapshot (row-preserving by
+    * the [[AtomicStore.FoldPrefix]] invariant)? False means an orphaned
+    * WRITER snapshot sits in the gap: a multi-table swap committed this
+    * table but never published its cut — building on it would adopt the
+    * orphan into the served cut. A pin that aged past vacuum retention
+    * passes (nothing left to verify against).
+    */
+  def extendsPin(spark: SparkSession, table: String,
+                 pin: Long, v: Long): Boolean =
+    v == pin || (v > pin && {
+      try {
+        def names(x: Long) = AtomicStore.filesAt(spark, table, x)
+          .map(new org.apache.hadoop.fs.Path(_).getName).toSet
+        val cur = names(v)
+        names(pin).subsetOf(cur) ||
+          cur.exists(_.startsWith(AtomicStore.FoldPrefix))
+      } catch { case e: Throwable if AtomicStore.isVacuumRace(e) => true }
+    })
+
+  /** [[extendsPin]] against the table's CURRENT version (true when the
+    * cut does not pin `part` — nothing to contradict).
+    */
+  def chainExtendsCut(spark: SparkSession, root: String, part: String,
+                      pins: Map[String, Long]): Boolean =
+    pins.get(part).forall { pin =>
+      AtomicStore.currentVersion(spark, s"$root/$part")
+        .exists(cur => extendsPin(spark, s"$root/$part", pin, cur))
+    }
+
+  /** Fold `part` back to one snapshot and ADOPT the fold into the cut —
+    * the only fold path a cut-governed table may use: a fold replaces
+    * the table's file set, so it must advance the cut in the same
+    * maintenance step (its fold mark then tells later chain checks the
+    * replacement was row-preserving even if this advance crashes).
+    * Skips (None) when the table's chain does not extend its pin (a
+    * genuinely orphaned writer snapshot must not be folded into the
+    * served cut — re-run the crashed swap instead) or when there was
+    * nothing to fold.
+    */
+  def foldAndAdvance(spark: SparkSession, root: String, part: String,
+                     graceMs: Long = 15 * 60 * 1000L): Option[Long] = {
+    if (!chainExtendsCut(spark, root, part,
+        cut(spark, root).getOrElse(Map.empty))) None
+    else AtomicStore.compact(spark, s"$root/$part", graceMs = graceMs)
+      .map { fv => advance(spark, root, Map(part -> fv)); fv }
+  }
+
+  /** Housekeeping for the cut store itself: every advance is one tiny
+    * manifest file; keep a window of recent cuts readable for
+    * time-travel pins.
+    */
+  def vacuumCuts(spark: SparkSession, root: String, keepVersions: Int = 8,
+                 graceMs: Long = 15 * 60 * 1000L): Unit =
+    if (AtomicStore.currentVersion(spark, manifestRoot(root)).isDefined)
+      try AtomicStore.vacuum(spark, manifestRoot(root), keepVersions, graceMs)
+      catch { case scala.util.control.NonFatal(_) => () }
+}

@@ -567,12 +567,15 @@ class AnnIndexStoreSpec extends SparkSpec {
         s"$p: purge must drop stamp 1 (strictly older) and KEEP stamp 3 " +
           "(a current-model append racing ahead of the resolved version)")
     }
-    // once params catches up (the refresh that minted 3), the kept rows
-    // are served — deleting them would have been silent data loss
-    graft.sources.AtomicStore.commitSnapshot(
+    // once generation 3's cut publishes (the refresh that minted 3 —
+    // params commit + cut advance), the kept rows are served — deleting
+    // them would have been silent data loss
+    val vParams3 = graft.sources.AtomicStore.commitSnapshot(
       { import spark.implicits._
         Seq((2, 2, 3L)).toDF("nprobe", "num_sub", "model_version") },
       s"$root/params")
+    graft.sources.StoreCut.advance(spark, root,
+      Map("params" -> vParams3, "model_generation" -> 3L))
     val servedIds = AnnIndexStore.load(spark, root).assigned
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(servedIds.contains(101L), "the ahead-stamped vector must serve")
@@ -675,5 +678,184 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(setOf(m.codebook) === setOf(sCodebookDf),
       "generation 3 must sit over the OUTER writer's codebook — a " +
         "params-only retry would have left the competitor's")
+  }
+
+  // ---- store-level manifest (round 17): atomic multi-table swaps,
+  // crash states that serve the previous cut, time travel
+
+  private def staleModelFixture = {
+    val cents = sEmb(Seq(8L, 9L))
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val cb = sEmb(Seq(8L, 9L))
+      .select(col("vec_id").as("code_id"), col("vec").as("cvec"))
+    val cbArr = cb.orderBy("code_id").select("cvec")
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    (cents, cb, cbArr)
+  }
+  private def componentsUnderStale(emb: DataFrame): AnnIndexStore.Components = {
+    val (cents, _, cbArr) = staleModelFixture
+    AnnIndexStore.Components(
+      cents,
+      Similarity.ivfAssign(emb, cents).select("vec_id", "centroid_id"),
+      Similarity.ivfAssignMulti(emb, cents, nprobe = 2),
+      Similarity.pqEncode(emb, cbArr, numSub = 2),
+      Similarity.hyperplaneSignatures(emb, sHyperplanes))
+  }
+  private def staleModel: AnnIndexStore.Model = {
+    val (_, cb, _) = staleModelFixture
+    AnnIndexStore.Model(cb, sHyperplanes, nprobe = 2, numSub = 2)
+  }
+
+  test("a refresh crashing before its single cut publish leaves the OLD cut serving, readers and appenders included (crash injection)") {
+    // the pre-manifest KNOWN RESIDUAL: the swap spans eight table
+    // commits, and a crash partway stranded tables across two
+    // generations — worst-case new components behind the old generation,
+    // serving appended rows against replaced centroids with no fence to
+    // object. With the store-level manifest the swap is one cut publish:
+    // kill the refresh after ANY prefix of its commits and the previous
+    // cut must serve bit-identically.
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_crash")
+      .toString
+    val all = (0L until 16L).toSeq
+    AnnIndexStore.write(root, sComponents(sEmb(all)))
+    AnnIndexStore.writeModel(root, sModel)                // generation 1
+    AnnIndexStore.appendVectors(root, sEmb(Seq(50L)))     // stamped 1, serves
+    val grownCorpus = all :+ 50L
+    val servedBefore = setOf(AnnIndexStore.load(spark, root).assigned)
+    assert(servedBefore ===
+      setOf(sComponents(sEmb(grownCorpus)).assigned
+        .select("vec_id", "centroid_id")))
+
+    Seq("components", "model").foreach { crashAt =>
+      AnnIndexStore.testMidSwapHook = stage =>
+        if (stage == crashAt)
+          throw new RuntimeException(s"injected crash at $crashAt")
+      try intercept[RuntimeException] {
+        AnnIndexStore.refreshIndex(root,
+          componentsUnderStale(sEmb(grownCorpus)), staleModel)
+      } finally AnnIndexStore.testMidSwapHook = _ => ()
+      // the previous cut stands whole: same served rows, same
+      // generation, same model pieces — none of the crashed swap's
+      // table commits are visible through the cut
+      assert(setOf(AnnIndexStore.load(spark, root).assigned) === servedBefore,
+        s"crash at $crashAt must not change the served assignment")
+      assert(AnnIndexStore.currentModelVersion(spark, root) === 1L,
+        s"crash at $crashAt must not advance the served generation")
+      assert(setOf(AnnIndexStore.loadModel(spark, root).codebook) ===
+        setOf(sCodebookDf),
+        s"crash at $crashAt must not swap the served codebook")
+    }
+
+    // appends onto the crashed state refuse loudly (no lease is held —
+    // the crash released it — so the orphan snapshots read as a crashed
+    // swap, with the re-run remedy in the message), instead of silently
+    // adopting the orphans into the served cut
+    AnnIndexStore.chainRetryBudget = 2
+    val e =
+      try intercept[IllegalStateException] {
+        AnnIndexStore.appendVectors(root, sEmb(Seq(60L)))
+      } finally AnnIndexStore.chainRetryBudget = 12
+    assert(e.getMessage.contains("Re-run"), e.getMessage)
+
+    // the remedy: re-run the refresh to completion — its cut adopts its
+    // own commits and the store serves the refreshed state exactly
+    AnnIndexStore.refreshIndex(root,
+      componentsUnderStale(sEmb(grownCorpus)), staleModel)
+    assert(setOf(AnnIndexStore.load(spark, root).assigned) ===
+      setOf(componentsUnderStale(sEmb(grownCorpus)).assigned
+        .select("vec_id", "centroid_id")))
+    // and appends flow again, encoded under the refreshed cut
+    AnnIndexStore.appendVectors(root, sEmb(Seq(60L)))
+    assert(setOf(AnnIndexStore.load(spark, root).assigned) ===
+      setOf(componentsUnderStale(sEmb(grownCorpus :+ 60L)).assigned
+        .select("vec_id", "centroid_id")))
+  }
+
+  test("a writeModel crashing before its cut publish leaves the old generation serving; the orphaned number is never re-minted") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_wmcrash")
+      .toString
+    AnnIndexStore.write(root, sComponents(sEmb(Seq(0L, 1L))))
+    AnnIndexStore.writeModel(root, sModel)                // generation 1
+    AnnIndexStore.appendVectors(root, sEmb(Seq(5L)))      // stamped 1
+    // the exact crash state: model tables committed (generation 2 in the
+    // params TABLE), cut never published
+    val (_, orphanGen) = AnnIndexStore.writeModelVersions(root, staleModel)
+    assert(orphanGen === 2L)
+    // nothing of the orphan serves: generation, codebook, and the
+    // gen-1-stamped append all resolve through the old cut
+    assert(AnnIndexStore.currentModelVersion(spark, root) === 1L)
+    val m = AnnIndexStore.loadModel(spark, root)
+    assert(m.version === 1L)
+    assert(setOf(m.codebook) === setOf(sCodebookDf))
+    assert(AnnIndexStore.load(spark, root).assigned
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+      === Set(0L, 1L, 5L))
+    // a LATER writeModel mints PAST the orphan (the mint reads the
+    // params table, not the cut) — generation 2 is never re-issued for
+    // a different model, so no append stamp can ever alias two models
+    AnnIndexStore.writeModel(root, sModel)
+    assert(AnnIndexStore.currentModelVersion(spark, root) === 3L)
+    assert(AnnIndexStore.loadModel(spark, root).version === 3L)
+  }
+
+  test("a fold that crashed before its cut advance does not brick the store (fold provenance mark)") {
+    // a fold REPLACES a table's file set, so a fold that died between
+    // its snapshot CAS and its cut advance looks exactly like an
+    // orphaned writer snapshot to a naive chain check — refusing appends
+    // forever. The FoldPrefix mark (committed only by chain-verified
+    // maintenance) tells the two apart: appends proceed over a crashed
+    // fold (row-preserving by construction) and still refuse over a
+    // crashed rebuild.
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_fcrash")
+      .toString
+    AnnIndexStore.write(root, sComponents(sEmb(Seq(0L, 1L))))
+    AnnIndexStore.writeModel(root, sModel)
+    (1 to 3).foreach(w =>
+      AnnIndexStore.appendVectors(root, sEmb(Seq(2L * w, 2L * w + 1))))
+    // simulate StoreCut.foldAndAdvance dying right after its fold commit:
+    // the fold lands (fold-marked) but the cut still pins the pre-fold
+    // chain
+    assert(graft.sources.AtomicStore
+      .compact(spark, s"$root/assigned").isDefined, "fixture fold must fire")
+    // appends proceed (no refusal) and the store serves every row
+    AnnIndexStore.appendVectors(root, sEmb(Seq(20L, 21L)))
+    assert(AnnIndexStore.load(spark, root).assigned
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+      === (0L until 8L).toSet ++ Set(20L, 21L))
+  }
+
+  test("loadAt pins a manifest cut: an eval re-reads an index cut bit-identically after later appends AND a model refresh") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_tt")
+      .toString
+    val base = (0L until 10L).toSeq
+    AnnIndexStore.write(root, sComponents(sEmb(base)))
+    AnnIndexStore.writeModel(root, sModel)                // generation 1
+    AnnIndexStore.appendVectors(root, sEmb(Seq(10L, 11L)))
+    val cut1 = AnnIndexStore.currentCutVersion(spark, root).get
+    val snap1 = setOf(AnnIndexStore.load(spark, root).assigned)
+    assert(snap1 === setOf(sComponents(sEmb(base ++ Seq(10L, 11L))).assigned
+      .select("vec_id", "centroid_id")))
+
+    // the store moves on: more appends, then a full refresh to a new
+    // model generation over a grown corpus
+    AnnIndexStore.appendVectors(root, sEmb(Seq(12L, 13L)))
+    val grown = base ++ (10L until 14L)
+    AnnIndexStore.refreshIndex(root,
+      componentsUnderStale(sEmb(grown)), staleModel)      // generation 2
+    assert(setOf(AnnIndexStore.load(spark, root).assigned) ===
+      setOf(componentsUnderStale(sEmb(grown)).assigned
+        .select("vec_id", "centroid_id")))
+
+    // the pinned cut still serves EXACTLY its own state: old corpus, old
+    // assignments, old model — the reproducible-eval story (pin a cut,
+    // re-run a recall eval bit-identically) without a rebuild
+    assert(setOf(AnnIndexStore.loadAt(spark, root, cut1).assigned) === snap1)
+    val mOld = AnnIndexStore.loadModelAt(spark, root, cut1)
+    assert(mOld.version === 1L)
+    assert(setOf(mOld.codebook) === setOf(sCodebookDf))
+    // and the current cut handle round-trips to the live load
+    val cutNow = AnnIndexStore.currentCutVersion(spark, root).get
+    assert(setOf(AnnIndexStore.loadAt(spark, root, cutNow).assigned) ===
+      setOf(AnnIndexStore.load(spark, root).assigned))
   }
 }

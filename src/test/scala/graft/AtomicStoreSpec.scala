@@ -770,6 +770,138 @@ class AtomicStoreSpec extends SparkSpec {
     AtomicStore.releaseLease(spark, l)
   }
 
+  // ---- KV-cut flavor (the store-level manifest primitive, round 17)
+
+  test("kv cut: advance max-merges per key, reads round-trip, and old cuts stay readable") {
+    val r = s"${root()}/manifest"
+    assert(AtomicStore.readKv(spark, r).isEmpty)
+    val v0 = AtomicStore.advanceKv(spark, r, Map("a" -> 3L, "b" -> 1L))
+    assert(v0 === 0L)
+    assert(AtomicStore.readKv(spark, r) === Some((0L, Map("a" -> 3L, "b" -> 1L))))
+    // monotone: a lower pin never regresses a key; a fresh key merges in
+    val v1 = AtomicStore.advanceKv(spark, r, Map("a" -> 2L, "c" -> 7L))
+    assert(v1 === 1L)
+    assert(AtomicStore.readKv(spark, r) ===
+      Some((1L, Map("a" -> 3L, "b" -> 1L, "c" -> 7L))))
+    // a fully-subsumed advance is a no-op returning the current cut
+    assert(AtomicStore.advanceKv(spark, r, Map("a" -> 1L)) === 1L)
+    assert(AtomicStore.readKv(spark, r).map(_._1) === Some(1L))
+    // time travel: the superseded cut is still resolvable by version
+    assert(AtomicStore.readKvAt(spark, r, 0L) === Map("a" -> 3L, "b" -> 1L))
+    // malformed keys refuse loudly instead of corrupting the line format
+    intercept[IllegalArgumentException] {
+      AtomicStore.advanceKv(spark, r, Map("x=y" -> 1L))
+    }
+  }
+
+  test("kv cut: concurrent advancers never lose a key (CAS merge loop)") {
+    val r = s"${root()}/manifest_race"
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        try (0 until 6).foreach { i =>
+          AtomicStore.advanceKv(spark, r, Map(s"k$t" -> i.toLong))
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(failures.isEmpty, s"advancer failed: ${Option(failures.peek())}")
+    // every thread's final pin survives whatever interleaving happened
+    assert(AtomicStore.readKv(spark, r).map(_._2) ===
+      Some((0 until 4).map(t => s"k$t" -> 5L).toMap))
+    // and vacuum prunes old cut files without touching the current one
+    AtomicStore.vacuum(spark, r, keepVersions = 2, graceMs = 0L)
+    val fs = new org.apache.hadoop.fs.Path(r).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(r, "_commits"))
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+    assert(left.length === 2, s"cut manifests not pruned: ${left.toSeq}")
+    assert(AtomicStore.readKv(spark, r).map(_._2) ===
+      Some((0 until 4).map(t => s"k$t" -> 5L).toMap))
+  }
+
+  test("vacuum sweeps aged publish tmps even on a store with ZERO committed versions") {
+    // a store whose publishes all crashed before their CAS is tmp
+    // residue with no committed version — exactly the store that needs
+    // the sweep, and the one a latest-version-gated sweep never reaches
+    val r = root()
+    val fs = new org.apache.hadoop.fs.Path(r).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val commits = new org.apache.hadoop.fs.Path(r, "_commits")
+    fs.mkdirs(commits)
+    val orphan = new org.apache.hadoop.fs.Path(commits, ".tmp_crashed")
+    fs.create(orphan, false).close()
+    assert(AtomicStore.currentVersion(spark, r).isEmpty)
+    AtomicStore.vacuum(spark, r, keepVersions = 1, graceMs = 0L)
+    assert(!fs.exists(orphan), "aged tmp orphan must be swept")
+  }
+
+  test("lease: one property iteration under SlowFs object-store latency") {
+    // the randomized claim/release/crash/age property above runs on the
+    // instant local FS; LeaseSlowRace runs FIXED scenarios under
+    // latency. This merges the two strongest tools: one randomized
+    // iteration where every list/stat/open pays 25 ms, widening the
+    // claim protocol's list→create→verify windows ~3 orders of
+    // magnitude. Engaged by swapping the `file` scheme implementation
+    // for the suite-shared session (restored in finally; suites run
+    // sequentially in the forked test JVM).
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prevImpl = conf.get("fs.file.impl", "")
+    val lp = s"${root()}/.lease_slowfs_prop"
+    try {
+      conf.set("fs.file.impl", classOf[graft.tools.SlowFs].getName)
+      org.apache.hadoop.fs.FileSystem.closeAll()
+      val fs = new org.apache.hadoop.fs.Path(lp).getFileSystem(conf)
+      assert(fs.isInstanceOf[graft.tools.SlowFs],
+        s"SlowFs not engaged: ${fs.getClass}")
+      graft.tools.SlowFs.opLatencyMs = 25L
+      val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
+      val acquired = new java.util.concurrent.atomic.AtomicInteger(0)
+      val unexpected =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val seed = 31L
+      val threads = (1 to 4).map { t =>
+        new Thread(() => {
+          val rnd = new scala.util.Random(seed * 100 + t)
+          try (1 to 2).foreach { _ =>
+            val ttl = 2000L + rnd.nextInt(3) * 1000L
+            val deadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
+            var l: org.apache.hadoop.fs.Path = null
+            while (l == null) {
+              try l = AtomicStore.claimLease(spark, lp, ttl, s"slow $t")
+              catch {
+                case _: Busy if System.nanoTime() < deadline =>
+                  Thread.sleep(25 + rnd.nextInt(50))
+              }
+            }
+            if (inside.incrementAndGet() > 1) overlaps.incrementAndGet()
+            acquired.incrementAndGet()
+            Thread.sleep(rnd.nextInt(10))
+            inside.decrementAndGet()
+            rnd.nextInt(6) match {
+              case 0 => () // crash: abandon — later claimants break by TTL
+              case 1 =>    // crash LONG ago: age own file past its TTL
+                fs.setTimes(l, System.currentTimeMillis() - 600000L, -1L)
+              case _ => AtomicStore.releaseLease(spark, l)
+            }
+          } catch { case other: Throwable => unexpected.add(other) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(300000))
+      assert(unexpected.isEmpty,
+        s"claimant failed under SlowFs: ${Option(unexpected.peek())}")
+      assert(overlaps.get === 0, "two holders overlapped under SlowFs")
+      assert(acquired.get === 8,
+        s"every op must eventually acquire under SlowFs (got ${acquired.get})")
+    } finally {
+      graft.tools.SlowFs.opLatencyMs = 0L
+      if (prevImpl.isEmpty) conf.unset("fs.file.impl")
+      else conf.set("fs.file.impl", prevImpl)
+      org.apache.hadoop.fs.FileSystem.closeAll()
+    }
+  }
+
   test("lease: randomized claim/release/crash/age traces never overlap holders (property)") {
     // the hand-picked crash states each have a spec; this searches for
     // states nobody thought of: 4 threads each run a random program of

@@ -45,10 +45,12 @@ class DocIndexStoreSpec extends SparkSpec {
     assert(candLake === candMemo)
 
     // a re-write lands as the next version of each table, atomically
-    // (append burned one version per table, so snapshot v is 2)
+    // (append burned one version per table, so snapshot v is 2), and
+    // publishes a fresh manifest cut
     val v2 = DocIndexStore.write(root, DocIndexStore.Components(
       ix.simhash, ix.minhashSigs))
-    assert(v2.values.forall(_ == 2L))
+    assert((v2 - "manifest").values.forall(_ == 2L))
+    assert(v2.contains("manifest"))
   }
 
   test("compact folds wave appends result-invisibly and collapses the store") {
@@ -410,5 +412,98 @@ class DocIndexStoreSpec extends SparkSpec {
     assert(raced2)
     assert(DocIndexStore.load(spark, root2).simhash.count() ===
       ix.simhash.count(), "both racing sibling appends must land")
+  }
+
+  // ---- store-level manifest (round 17): crash states serve the old
+  // cut, time travel over signature cuts
+
+  test("a rebuild crashing before its cut publish leaves the old cut (rows AND declaration) serving; re-run repairs") {
+    // the pre-manifest residue: write() committed spec-first, so a crash
+    // between the spec commit and the component snapshots left a
+    // declaration describing rows that never landed (and the reverse
+    // order would have exposed half a rebuild). With the cut, any prefix
+    // of the rebuild's table commits is invisible until its single
+    // publish.
+    import spark.implicits._
+    val store = graft.sources.AtomicStore
+    def sim(ids: Seq[Long]) =
+      ids.map(id => (id, id * 7L)).toDF("doc_id", "simhash")
+    def mh(ids: Seq[Long]) =
+      ids.map(id => (id, id, id + 1, id % 3, id % 5)).toDF(
+        "doc_id", "mh_0", "mh_1", "band_0", "band_1")
+    val root = java.nio.file.Files.createTempDirectory("graft_docidx_crash")
+      .toString
+    val oldIds = (0L until 6L).toSeq
+    DocIndexStore.write(root,
+      DocIndexStore.Components(sim(oldIds), mh(oldIds)), sigSpec = "specA")
+    DocIndexStore.appendSimhash(root, sim(Seq(10L)), sigSpec = "specA")
+
+    // the crashed rebuild under a NEW definition: all three table
+    // commits land (exactly write()'s sequence), the cut never publishes
+    val newIds = (100L until 104L).toSeq
+    store.commitSnapshot(Seq("specB").toDF("sig_spec"), s"$root/spec")
+    store.commitSnapshot(sim(newIds), s"$root/simhash")
+    store.commitSnapshot(mh(newIds), s"$root/minhash")
+
+    // the served cut is fully the OLD store — declaration included (the
+    // guard reads it through the cut, so no old-spec append can be
+    // rejected by, or validated against, the unpublished rebuild)
+    assert(DocIndexStore.loadSpec(spark, root) === Some("specA"))
+    assert(DocIndexStore.load(spark, root).simhash
+      .select("doc_id").as[Long].collect().toSet
+      === (oldIds :+ 10L).toSet)
+
+    // appends refuse loudly with the re-run remedy — building on the
+    // orphan snapshots would adopt them into the served cut
+    DocIndexStore.chainRetryBudget = 2
+    val e =
+      try intercept[IllegalStateException] {
+        DocIndexStore.appendSimhash(root, sim(Seq(11L)), sigSpec = "specA")
+      } finally DocIndexStore.chainRetryBudget = 12
+    assert(e.getMessage.contains("Re-run"), e.getMessage)
+
+    // remedy: re-run the rebuild to completion — its cut adopts its own
+    // commits, and the store serves the NEW definition exclusively
+    DocIndexStore.write(root,
+      DocIndexStore.Components(sim(newIds), mh(newIds)), sigSpec = "specB")
+    assert(DocIndexStore.loadSpec(spark, root) === Some("specB"))
+    assert(DocIndexStore.load(spark, root).simhash
+      .select("doc_id").as[Long].collect().toSet === newIds.toSet)
+    // old-definition producers are rejected; the rebuild's spec lands
+    intercept[IllegalArgumentException] {
+      DocIndexStore.appendSimhash(root, sim(Seq(12L)), sigSpec = "specA")
+    }
+    DocIndexStore.appendSimhash(root, sim(Seq(12L)), sigSpec = "specB")
+    assert(DocIndexStore.load(spark, root).simhash
+      .select("doc_id").as[Long].collect().toSet
+      === (newIds :+ 12L).toSet)
+  }
+
+  test("loadAt pins a signature cut bit-identically across later appends and rebuilds") {
+    import spark.implicits._
+    def sim(ids: Seq[Long]) =
+      ids.map(id => (id, id * 7L)).toDF("doc_id", "simhash")
+    def mh(ids: Seq[Long]) =
+      ids.map(id => (id, id, id + 1, id % 3, id % 5)).toDF(
+        "doc_id", "mh_0", "mh_1", "band_0", "band_1")
+    val root = java.nio.file.Files.createTempDirectory("graft_docidx_tt")
+      .toString
+    DocIndexStore.write(root,
+      DocIndexStore.Components(sim(Seq(0L, 1L)), mh(Seq(0L, 1L))))
+    DocIndexStore.appendSimhash(root, sim(Seq(2L)))
+    DocIndexStore.appendMinhash(root, mh(Seq(2L)))
+    val cut1 = DocIndexStore.currentCutVersion(spark, root).get
+    // the store moves on: another wave, then a full rebuild
+    DocIndexStore.appendSimhash(root, sim(Seq(3L)))
+    DocIndexStore.write(root,
+      DocIndexStore.Components(sim(Seq(50L)), mh(Seq(50L))))
+    assert(DocIndexStore.load(spark, root).simhash
+      .select("doc_id").as[Long].collect().toSet === Set(50L))
+    // the pinned cut still serves exactly its own rows
+    val pinned = DocIndexStore.loadAt(spark, root, cut1)
+    assert(pinned.simhash.select("doc_id").as[Long].collect().toSet
+      === Set(0L, 1L, 2L))
+    assert(pinned.minhashSigs.select("doc_id").as[Long].collect().toSet
+      === Set(0L, 1L, 2L))
   }
 }
