@@ -121,15 +121,40 @@ object Verify {
                 // invisible to a commit-range diff, and gates run against
                 // the working tree's compiled classes. A dirty src/ means
                 // the evidence may describe code that no longer exists.
-                // porcelain lines are "XY path"; strip the status token
-                // rather than a fixed offset — git()'s trim eats the
-                // first line's leading status space
-                git("status", "--porcelain", "--", "src/main", "build.sbt")
+                // NUL-terminated porcelain (-z): entries are "XY path",
+                // renames carry the origin path as a SECOND NUL field and
+                // paths are never quoted — so rename entries and paths
+                // with spaces list exactly, instead of the "R  old ->
+                // new" / quoted forms a line split renders oddly
+                git("status", "--porcelain", "-z", "--",
+                    "src/main", "build.sbt")
                   .filter(_.nonEmpty)
-                  .map(dirty => "uncommitted src changes since gates ran: " +
-                    dirty.linesIterator.take(5)
-                      .map(_.trim.replaceFirst("^\\S{1,2}\\s+", ""))
-                      .mkString(", "))
+                  .map { dirty =>
+                    val fields = dirty.split('\u0000').filter(_.nonEmpty)
+                    val paths = scala.collection.mutable.ArrayBuffer[String]()
+                    var i = 0
+                    while (i < fields.length) {
+                      val f = fields(i)
+                      // an entry field is "XY path" (2 status chars + a
+                      // space) — except the FIRST one, whose leading
+                      // space status char (" M") the process helper's
+                      // trim may have eaten; a rename/copy's origin
+                      // path arrives as the NEXT bare field — list it
+                      // as "old -> new"
+                      val trimmedFirst =
+                        i == 0 && !(f.length > 2 && f.charAt(2) == ' ')
+                      val status =
+                        if (trimmedFirst) " " + f.take(1) else f.take(2)
+                      val path = if (trimmedFirst) f.drop(2) else f.drop(3)
+                      if ((status.startsWith("R") || status.startsWith("C"))
+                          && i + 1 < fields.length) {
+                        paths += s"${fields(i + 1)} -> $path"
+                        i += 2
+                      } else { paths += path; i += 1 }
+                    }
+                    "uncommitted src changes since gates ran: " +
+                      paths.take(5).mkString(", ")
+                  }
               case Some(files) =>
                 Some(s"src changed since gates ran: " +
                   files.linesIterator.take(5).mkString(", "))

@@ -264,7 +264,9 @@ object DocIndexStore {
            catch { case scala.util.control.NonFatal(_) => false }))
         StoreCut.foldAndAdvance(spark, root, part)
       else None
-    StoreCut.advance(spark, root, Map(part -> folded.getOrElse(v)))
+    // a fired fold already adopted itself (and this batch's rows) into
+    // the cut; otherwise publish the append version
+    if (folded.isEmpty) StoreCut.advance(spark, root, Map(part -> v))
     v
   }
 

@@ -441,6 +441,53 @@ object DataQueries {
     }
   }
 
+  /** MANIFEST-PINNED TIME TRAVEL (the round-17 store cut): capture the
+    * store's cut version after the build, let the store move on — a
+    * full [[graft.operators.AnnIndexStore.refreshIndex]] swaps the
+    * model to deliberately DIFFERENT (stale, s18-style) centroids over
+    * the same corpus — then serve the probe from
+    * [[graft.operators.AnnIndexStore.loadAt]] at the captured cut. The
+    * answer must be byte-identical to the ORIGINAL index's probe (s02's
+    * oracle): a pinned cut is immune to every later swap, which is the
+    * reproducible-eval contract (pin an index cut, re-run a recall eval
+    * bit-identically) that previously required a rebuild. Serving the
+    * CURRENT store here would bucket under the stale centroids and
+    * return a different shortlist — the query fails if the pin leaks.
+    */
+  def s19AnnTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndexStore
+    val ix = AnnEval.index(spark, dir)
+    CoreQueries.withTempDir(spark, "graft_s19") { rootPath =>
+      val root = rootPath.toString
+      AnnIndexStore.write(root, AnnIndexStore.Components(
+        ix.centroids, ix.assigned, ix.assignedMulti2, ix.codes, ix.sigs))
+      AnnIndexStore.writeModel(root, AnnIndexStore.Model(
+        ix.codebookDf, ix.hyperplanesDf, nprobe = 2, numSub = 8))
+      val cut = AnnIndexStore.currentCutVersion(spark, root).get
+      // the store moves on: refresh to the s18 stale-centroid model
+      // (vectors 8–15) over the same corpus — the CURRENT store now
+      // serves a different shortlist than the pinned cut
+      val stale = ix.emb.filter(col("vec_id").between(8, 15))
+        .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+        .localCheckpoint() // model-sized; assign + refresh inputs
+      AnnIndexStore.refreshIndex(root, AnnIndexStore.Components(
+        stale,
+        Similarity.ivfAssign(ix.emb, stale).select("vec_id", "centroid_id"),
+        Similarity.ivfAssignMulti(ix.emb, stale, nprobe = 2),
+        ix.codes, ix.sigs),
+        AnnIndexStore.Model(ix.codebookDf, ix.hyperplanesDf,
+          nprobe = 2, numSub = 8))
+      val pinned = AnnIndexStore.loadAt(spark, root, cut)
+      val query = {
+        import spark.implicits._
+        Seq(Tuple1(ix.query.toSeq)).toDF("qvec")
+      }
+      Similarity.ivfTopKIndexed(pinned.assigned, ix.emb, pinned.centroids,
+          query, k = 10, nprobe = 2, excludeId = Some(0L))
+        .orderBy("rank")
+    }
+  }
+
   val s18Oracle: String =
     s"""WITH $embCte,
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -914,6 +961,7 @@ object DataQueries {
     ("s16_ann_persisted_index", s16AnnPersistedIndex _, Some(s02Oracle)),
     ("s17_ann_incremental_index", s17AnnIncrementalIndex _, Some(s02Oracle)),
     ("s18_ann_append_staleness", s18AnnAppendStaleness _, Some(s18Oracle)),
+    ("s19_ann_time_travel", s19AnnTimeTravel _, Some(s02Oracle)),
     ("s03_ann_hyperplane", s03AnnHyperplane _, Some(s03Oracle)),
     ("t01_langid", t01LangId _, Some(t01Oracle)),
     ("t02_quality", t02Quality _, Some(t02Oracle)),
