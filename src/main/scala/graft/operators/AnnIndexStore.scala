@@ -154,21 +154,36 @@ object AnnIndexStore {
     }
 
   /** A Components view of one resolved cut (shared by [[load]] and
-    * [[loadAt]]). The fence compares stamps against the CUT's
-    * generation, so a time-travel read fences exactly as the cut did
-    * when it was current.
+    * [[loadAt]] — the latter passes `strict`, failing loudly on an
+    * aged-out pin instead of silently serving newer files). The fence
+    * compares stamps against the CUT's generation, so a time-travel
+    * read fences exactly as the cut did when it was current. Cuts that
+    * predate GenKey stamping fall back to the PINNED params row when
+    * the cut pins one (never the live table — a crashed writeModel's
+    * orphaned generation must not leak into the fence); a cut pinning
+    * neither (appends-only on a legacy store) keeps the legacy live
+    * read, i.e. pre-manifest semantics until the first completed
+    * writeModel/refresh publishes the generation.
     */
   private def loadPinned(spark: SparkSession, root: String,
-                         pins: Map[String, Long]): Components = {
-    lazy val gen = pins.getOrElse(GenKey, paramsGeneration(spark, root))
+                         pins: Map[String, Long],
+                         strict: Boolean = false): Components = {
+    lazy val gen = pins.get(GenKey).getOrElse {
+      if (pins.contains("params")) {
+        val p = StoreCut.readPinned(spark, root, "params", pins, strict)
+        if (p.columns.contains("model_version"))
+          p.head().getAs[Long]("model_version")
+        else 0L
+      } else paramsGeneration(spark, root)
+    }
     def perRow(p: String): DataFrame = {
-      val df = StoreCut.readPinned(spark, root, p, pins)
+      val df = StoreCut.readPinned(spark, root, p, pins, strict)
       if (!df.columns.contains("model_version")) df
       else df.filter(col("model_version").isNull ||
           col("model_version") === gen)
         .drop("model_version")
     }
-    Components(StoreCut.readPinned(spark, root, "centroids", pins),
+    Components(StoreCut.readPinned(spark, root, "centroids", pins, strict),
       perRow("assigned"), perRow("assigned_multi"),
       perRow("codes"), perRow("sigs"))
   }
@@ -201,7 +216,8 @@ object AnnIndexStore {
     * newer files.
     */
   def loadAt(spark: SparkSession, root: String, cutVersion: Long): Components =
-    loadPinned(spark, root, StoreCut.cutAt(spark, root, cutVersion))
+    loadPinned(spark, root, StoreCut.cutAt(spark, root, cutVersion),
+      strict = true)
 
   /** The persisted model's SERVED generation — what the load fence
     * compares append stamps against: the manifest cut's generation when
@@ -352,11 +368,12 @@ object AnnIndexStore {
     }
 
   private def loadModelPinned(spark: SparkSession, root: String,
-                              pins: Map[String, Long]): Model = {
-    val p = StoreCut.readPinned(spark, root, "params", pins).head()
+                              pins: Map[String, Long],
+                              strict: Boolean = false): Model = {
+    val p = StoreCut.readPinned(spark, root, "params", pins, strict).head()
     Model(
-      StoreCut.readPinned(spark, root, "codebook", pins),
-      StoreCut.readPinned(spark, root, "hyperplanes", pins),
+      StoreCut.readPinned(spark, root, "codebook", pins, strict),
+      StoreCut.readPinned(spark, root, "hyperplanes", pins, strict),
       nprobe = p.getInt(p.fieldIndex("nprobe")),
       numSub = p.getInt(p.fieldIndex("num_sub")),
       version = pins.get(GenKey).getOrElse(
@@ -366,10 +383,11 @@ object AnnIndexStore {
   }
 
   /** [[loadModel]] at a pinned manifest cut — the model the cut's
-    * per-row tables were encoded under (see [[loadAt]]).
+    * per-row tables were encoded under (see [[loadAt]]; strict like it).
     */
   def loadModelAt(spark: SparkSession, root: String, cutVersion: Long): Model =
-    loadModelPinned(spark, root, StoreCut.cutAt(spark, root, cutVersion))
+    loadModelPinned(spark, root, StoreCut.cutAt(spark, root, cutVersion),
+      strict = true)
 
   /** Incremental index maintenance — the ingest-wave path that was
     * missing while [[write]] was the only way to change the store (a
@@ -622,32 +640,43 @@ object AnnIndexStore {
       // eventual visibility, never a torn cut. The generation is
       // deliberately NOT pinned here: appends must never move the
       // served generation.
-      val cutNow = cut(spark, root).getOrElse(Map.empty)
-      val publishable = versions.filter { case (p, v) =>
-        cutNow.get(p).forall(pin =>
-          StoreCut.extendsPin(spark, s"$root/$p", pin, v))
-      }
-      if (publishable.nonEmpty)
-        StoreCut.advance(spark, root, publishable)
+      // post-commit publication is BEST-EFFORT end to end: the four
+      // batches are already durably committed, and a transient error
+      // here must never surface as a failed append — the caller would
+      // retry a LANDED batch and land it twice (duplicate served rows,
+      // permanent). An unpublished batch is delayed, not lost: the next
+      // append/fold on the table adopts its files, and compact()
+      // publishes it too.
+      try {
+        val cutNow = cut(spark, root).getOrElse(Map.empty)
+        val publishable = versions.filter { case (p, v) =>
+          cutNow.get(p).forall(pin =>
+            StoreCut.extendsPin(spark, s"$root/$p", pin, v))
+        }
+        if (publishable.nonEmpty)
+          StoreCut.advanceBestEffort(spark, root, publishable)
+      } catch { case scala.util.control.NonFatal(_) => () }
       versions
     } finally batch.unpersist()
   }
 
+  /** Commit the batch (errors HERE propagate — nothing landed yet),
+    * then self-fold past the dir threshold, fold adoption included,
+    * best-effort ([[StoreCut.publishAppend]]'s fold half; the collective
+    * cut advance for all four tables happens once in [[appendEncoded]]).
+    */
   private def appendCompacting(root: String, batch: DataFrame, part: String,
                                aboveDirs: Int): Long = {
     val spark = batch.sparkSession
     val table = s"$root/$part"
     val v = AtomicStore.commitAppend(batch, table)
-    // self-triggered fold: on a cut store a fold is a SNAPSHOT, so it
-    // must be adopted into the cut in the same step (foldAndAdvance) —
-    // its fold mark then tells every later chain check the replacement
-    // was row-preserving even if the advance itself crashes
     val folded =
-      if (aboveDirs > 0 &&
-          (try AtomicStore.filesAt(spark, table, v).size > aboveDirs
-           catch { case scala.util.control.NonFatal(_) => false }))
-        StoreCut.foldAndAdvance(spark, root, part)
-      else None
+      try {
+        if (aboveDirs > 0 &&
+            AtomicStore.filesAt(spark, table, v).size > aboveDirs)
+          StoreCut.foldAndAdvance(spark, root, part)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
     folded.getOrElse(v)
   }
 
@@ -675,9 +704,17 @@ object AnnIndexStore {
     val folded = parts.map(p =>
       p -> StoreCut.foldAndAdvance(spark, root, p, graceMs)).toMap
     // model tables are snapshot-only (never >1 data dir), so the fold is
-    // structurally None — run plain compact for its vacuum only
-    val modelFolded = modelParts.map(p =>
-      p -> AtomicStore.compact(spark, s"$root/$p", graceMs = graceMs)).toMap
+    // structurally None — run plain compact for its vacuum only, with
+    // retention reaching back to the CUT's pin: stacked crashed
+    // writeModels leave the table versions ahead of the cut, and a
+    // keep-2 vacuum could reclaim the pinned (served!) model version
+    // out from under the live cut
+    val pins = cut(spark, root).getOrElse(Map.empty)
+    val modelFolded = modelParts.map { p =>
+      val keep = StoreCut.pinAwareKeep(spark, s"$root/$p", pins.get(p))
+      p -> AtomicStore.compact(spark, s"$root/$p", keepVersions = keep,
+        graceMs = graceMs)
+    }.toMap
     purgeFenced(spark, root)
     StoreCut.vacuumCuts(spark, root, graceMs = graceMs)
     folded ++ modelFolded

@@ -167,13 +167,15 @@ object DocIndexStore {
 
   /** TIME TRAVEL: both signature tables as pinned by manifest cut
     * `cutVersion` — readable while the cut stays within the vacuum
-    * retention window ([[compact]] keeps the last 8 cuts).
+    * retention window ([[compact]] keeps the last 8 cuts); an aged-out
+    * pin fails loudly (strict) rather than silently serving newer files
+    * under the pinned-cut label.
     */
   def loadAt(spark: SparkSession, root: String, cutVersion: Long): Components = {
     val pins = StoreCut.cutAt(spark, root, cutVersion)
     Components(
-      StoreCut.readPinned(spark, root, "simhash", pins),
-      StoreCut.readPinned(spark, root, "minhash", pins))
+      StoreCut.readPinned(spark, root, "simhash", pins, strict = true),
+      StoreCut.readPinned(spark, root, "minhash", pins, strict = true))
   }
 
   /** Append a new ingest batch's simhash signatures: one atomic commit
@@ -245,12 +247,17 @@ object DocIndexStore {
         // one (permanent): bounded retry, then the re-run remedy
         attempt += 1
         if (attempt > chainRetryBudget)
+          // unlike AnnIndexStore there is no lease to tell a LIVE slow
+          // rebuild from a crashed one — say so, rather than advising an
+          // unconditional re-run that could start a second concurrent
+          // rebuild over one still in flight
           throw new IllegalStateException(
             s"$what: $table carries a snapshot the store manifest never " +
-              "published — a write()/compact() crashed between its table " +
-              "commits and its cut publish. Re-run the interrupted " +
-              "operation to completion (idempotent; its cut publish " +
-              "repairs the store) before appending")
+              "published — a write()/compact() either crashed between its " +
+              "table commits and its cut publish, or is still in flight. " +
+              "Wait for it to publish its cut; if it crashed, re-run the " +
+              "interrupted operation to completion (idempotent; its cut " +
+              "publish repairs the store) before appending")
         Thread.sleep(math.min(250L * attempt, 1000L))
       } else {
         guardAppend(batch, table, root, declaredSpec, what)
@@ -258,15 +265,12 @@ object DocIndexStore {
       }
     }
     val v = committed.get
-    val folded =
-      if (aboveDirs > 0 &&
-          (try AtomicStore.filesAt(spark, table, v).size > aboveDirs
-           catch { case scala.util.control.NonFatal(_) => false }))
-        StoreCut.foldAndAdvance(spark, root, part)
-      else None
-    // a fired fold already adopted itself (and this batch's rows) into
-    // the cut; otherwise publish the append version
-    if (folded.isEmpty) StoreCut.advance(spark, root, Map(part -> v))
+    // post-commit publication (+ self-fold) is best-effort: the batch is
+    // durably committed, and surfacing a transient publish error as a
+    // failed append would make the caller re-land the batch (duplicate
+    // rows); an unpublished batch is adopted by the next append/fold or
+    // by compact() — see StoreCut.publishAppend
+    StoreCut.publishAppend(spark, root, part, v, aboveDirs)
     v
   }
 
@@ -293,9 +297,15 @@ object DocIndexStore {
     val folded = Seq("simhash", "minhash").map(p =>
       p -> StoreCut.foldAndAdvance(spark, root, p, graceMs)).toMap
     // the spec table is snapshot-only when present — plain compact for
-    // its vacuum (returns None harmlessly for a store without one)
+    // its vacuum (returns None harmlessly for a store without one), with
+    // retention reaching back to the cut's pin (stacked crashed rebuilds
+    // leave the table ahead of the cut; the pinned declaration must
+    // survive their vacuum)
     val specFolded = Map(
-      "spec" -> AtomicStore.compact(spark, s"$root/spec", graceMs = graceMs))
+      "spec" -> AtomicStore.compact(spark, s"$root/spec",
+        keepVersions = StoreCut.pinAwareKeep(spark, s"$root/spec",
+          StoreCut.cut(spark, root).getOrElse(Map.empty).get("spec")),
+        graceMs = graceMs))
     StoreCut.vacuumCuts(spark, root, graceMs = graceMs)
     folded ++ specFolded
   }

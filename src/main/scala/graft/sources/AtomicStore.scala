@@ -535,14 +535,22 @@ object AtomicStore {
 
   /** The cut at a specific committed version (time travel for manifest
     * readers). Fails when `version` was vacuumed — same staleness
-    * contract as [[readAt]].
+    * contract as [[readAt]]. A malformed line FAILS LOUDLY rather than
+    * parsing to "key absent": a dropped key would make pinned readers
+    * silently fall back to the table's current version — exactly the
+    * mixed-cut read the manifest exists to make unrepresentable.
     */
   def readKvAt(spark: SparkSession, root: String,
                version: Long): Map[String, Long] =
-    linesAt(spark, root, version).flatMap { l =>
+    linesAt(spark, root, version).map { l =>
       val i = l.indexOf('=')
-      if (i <= 0) None
-      else l.substring(i + 1).toLongOption.map(l.substring(0, i) -> _)
+      val parsed =
+        if (i <= 0) None
+        else l.substring(i + 1).toLongOption.map(l.substring(0, i) -> _)
+      parsed.getOrElse(throw new IllegalStateException(
+        s"AtomicStore: malformed cut line '$l' in $root v$version — the " +
+          "manifest is corrupt; restore it from an earlier version or " +
+          "re-publish the cut"))
     }.toMap
 
   /** TEST-ONLY seam for the KV publish, the cut sibling of

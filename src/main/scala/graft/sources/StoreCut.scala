@@ -60,18 +60,37 @@ object StoreCut {
     AtomicStore.advanceKv(spark, manifestRoot(root), pins)
 
   /** Read one component at its cut-pinned version; keys the cut does not
-    * pin (legacy stores mid-upgrade) read at current. A pin whose table
-    * manifest aged past the vacuum retention window falls back to
-    * current — the only resolvable truth for a reader that stale.
+    * pin (legacy stores mid-upgrade) read at current.
+    *
+    * `strict` governs a pin whose table manifest aged past the vacuum
+    * retention window: a CURRENT-cut reader (strict = false) falls back
+    * to the table's current version — the only resolvable truth for a
+    * reader that stale, and for the live cut "current" is at worst a
+    * few in-flight commits ahead of the pin. A TIME-TRAVEL reader
+    * (strict = true) FAILS LOUDLY instead: silently serving newer files
+    * under a pinned-cut label would be exactly the
+    * wrong-data-without-an-error state loadAt promises away.
     */
   def readPinned(spark: SparkSession, root: String, part: String,
-                 pins: Map[String, Long]): DataFrame =
+                 pins: Map[String, Long],
+                 strict: Boolean = false): DataFrame =
     pins.get(part) match {
       case Some(v) =>
-        try AtomicStore.readAt(spark, s"$root/$part", v)
-        catch { case e: Throwable if AtomicStore.isVacuumRace(e) =>
-          AtomicStore.read(spark, s"$root/$part")
-        }
+        if (strict)
+          try AtomicStore.readAt(spark, s"$root/$part", v)
+          catch { case e: Throwable if AtomicStore.isVacuumRace(e) =>
+            throw new IllegalStateException(
+              s"pinned read of $root/$part at v$v failed — the cut aged " +
+                "out of the vacuum retention window (its table version " +
+                "was reclaimed). Pin a newer cut, or retain more history " +
+                "(compact keepVersions / grace) if time-travel reads this " +
+                "old are needed", e)
+          }
+        else
+          try AtomicStore.readAt(spark, s"$root/$part", v)
+          catch { case e: Throwable if AtomicStore.isVacuumRace(e) =>
+            AtomicStore.read(spark, s"$root/$part")
+          }
       case None => AtomicStore.read(spark, s"$root/$part")
     }
 
@@ -115,13 +134,76 @@ object StoreCut {
     * genuinely orphaned writer snapshot must not be folded into the
     * served cut — re-run the crashed swap instead) or when there was
     * nothing to fold.
+    *
+    * The fold's vacuum retains at least back to the table's PINNED
+    * version (`keepVersions = current − pin + 1`, min 2): a pin that
+    * lags the table — stacked crashed advances, a cut held by a
+    * concurrent reader — must never have its file set reclaimed from
+    * under the live cut by the fold that supersedes it.
     */
   def foldAndAdvance(spark: SparkSession, root: String, part: String,
                      graceMs: Long = 15 * 60 * 1000L): Option[Long] = {
-    if (!chainExtendsCut(spark, root, part,
-        cut(spark, root).getOrElse(Map.empty))) None
-    else AtomicStore.compact(spark, s"$root/$part", graceMs = graceMs)
-      .map { fv => advance(spark, root, Map(part -> fv)); fv }
+    val pins = cut(spark, root).getOrElse(Map.empty)
+    if (!chainExtendsCut(spark, root, part, pins)) None
+    else {
+      val keep = pinAwareKeep(spark, s"$root/$part", pins.get(part))
+      AtomicStore.compact(spark, s"$root/$part", keepVersions = keep,
+          graceMs = graceMs)
+        .map { fv => advance(spark, root, Map(part -> fv)); fv }
+    }
+  }
+
+  /** Vacuum retention that never reclaims the cut-pinned version: the
+    * distance from the table's current version back to its pin, plus
+    * one slot for the commit the caller is about to land on top
+    * (a fold bumps current by one before its vacuum counts back from
+    * it), floored at the protocol default of 2.
+    */
+  def pinAwareKeep(spark: SparkSession, table: String,
+                   pin: Option[Long]): Int =
+    (for {
+      p <- pin
+      cur <- AtomicStore.currentVersion(spark, table)
+    } yield math.max(2L, cur - p + 2L).toInt).getOrElse(2)
+
+  /** Post-commit publication (+ self-fold past `aboveDirs`) for an
+    * append path — EVERY step best-effort: the batch is already durably
+    * committed, so a transient IO error in the fold or the cut advance
+    * must never surface as a failed append (the caller would retry a
+    * LANDED batch — duplicate rows, permanent corruption). An
+    * unpublished batch is delayed, not lost: the next append or fold on
+    * the table adopts its files (append parents resolve physically),
+    * and `compact()` publishes it too. The advance is retried briefly
+    * before giving up. Returns the effective version (the fold's when
+    * one fired, else the append's).
+    */
+  def publishAppend(spark: SparkSession, root: String, part: String,
+                    v: Long, aboveDirs: Int): Long = {
+    val folded =
+      try {
+        if (aboveDirs > 0 &&
+            AtomicStore.filesAt(spark, s"$root/$part", v).size > aboveDirs)
+          foldAndAdvance(spark, root, part)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (folded.isEmpty) advanceBestEffort(spark, root, Map(part -> v))
+    folded.getOrElse(v)
+  }
+
+  /** [[advance]] with bounded retries, swallowing a persistent failure —
+    * for publication steps that run AFTER a durable commit (see
+    * [[publishAppend]] for why those must not throw).
+    */
+  def advanceBestEffort(spark: SparkSession, root: String,
+                        pins: Map[String, Long]): Unit = {
+    var attempt = 0
+    while (attempt < 3) {
+      try { advance(spark, root, pins); return }
+      catch { case scala.util.control.NonFatal(_) =>
+        attempt += 1
+        Thread.sleep(50L * attempt)
+      }
+    }
   }
 
   /** Housekeeping for the cut store itself: every advance is one tiny

@@ -89,6 +89,12 @@ object AnnStoreScale {
       spark.stop()
       return
     }
+    if (mode == "crash") {
+      crashRegime(spark, emb, nVecs, waves, batchVecs, opLatencyMs,
+        components, model)
+      spark.stop()
+      return
+    }
 
     // seed: the first half of the corpus; the rest arrives in waves
     val seedN = nVecs - waves.toLong * batchVecs
@@ -292,6 +298,145 @@ object AnnStoreScale {
       f"served=$servedN/$nVecs diff_asg=$dAsg diff_multi=$dMulti " +
       f"diff_codes=$dCodes diff_sigs=$dSigs probe_match=$probeMatch " +
       (if (ok) "PASS" else "FAIL"))
+    Fs.deleteRec(root)
+    if (!ok) { spark.stop(); sys.exit(1) }
+  }
+
+  /** SWAP-CRASH integrity regime (a RoundGates gate, round 17): kill a
+    * [[AnnIndexStore.refreshIndex]] mid-swap — component AND model
+    * tables committed, the single manifest-cut publish never reached —
+    * under [[SlowFs]] latency, and measure the whole crash story the
+    * store-level manifest promises:
+    *
+    *  1. the served store immediately after the crash equals the
+    *     PRE-CRASH build row-for-row (old generation, old centroids —
+    *     none of the crashed swap's eight table commits visible), and
+    *     provably differs from what the swap WOULD have served (the
+    *     assertion has teeth);
+    *  2. an append onto the crashed state refuses LOUDLY — the orphan
+    *     snapshots are never silently adopted into the served cut;
+    *  3. re-running the refresh to completion repairs the store (its
+    *     cut adopts its own commits);
+    *  4. the remaining ingest waves land on the repaired store and the
+    *     final state equals a clean from-scratch rebuild, exactly like
+    *     the race regime's bar.
+    *
+    * PASS requires all four. Exit 0 + `ANNCRASH ... PASS` on success.
+    */
+  private def crashRegime(spark: SparkSession, emb: DataFrame, nVecs: Long,
+                          waves: Int, batchVecs: Int, opLatencyMs: Long,
+                          components: DataFrame => AnnIndexStore.Components,
+                          model: => AnnIndexStore.Model): Unit = {
+    val seedN = nVecs - waves.toLong * batchVecs
+    require(seedN > 16,
+      s"corpus $nVecs too small for $waves crash waves of $batchVecs")
+    // the refreshed model must be DISTINGUISHABLE from the seed model or
+    // the crash assertions are vacuous: stale centroids (vectors 8–15,
+    // the s18/s19 fixture rule), same codebook/hyperplanes
+    val staleCents = emb.filter(col("vec_id").between(8, 15))
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+      .localCheckpoint()
+    def staleComponents(corpus: DataFrame) = {
+      val c = components(corpus)
+      AnnIndexStore.Components(
+        staleCents,
+        Similarity.ivfAssign(corpus, staleCents)
+          .select("vec_id", "centroid_id"),
+        Similarity.ivfAssignMulti(corpus, staleCents, nprobe = 2),
+        c.codes, c.sigs)
+    }
+    def staleModel = model // same codebook/hyperplanes; generation bumps
+
+    val root = java.nio.file.Files.createTempDirectory("graft_anncrash")
+      .toString
+    AnnIndexStore.write(root, components(emb.filter(col("vec_id") < seedN)))
+    AnnIndexStore.writeModel(root, model)
+    if (opLatencyMs > 0) {
+      SlowFs.opLatencyMs = opLatencyMs
+      println(s"ANNCRASH op_latency_ms=$opLatencyMs (SlowFs engaged)")
+    }
+    val t0 = System.nanoTime()
+    // first half of the waves land normally
+    val preWaves = math.max(1, waves / 2)
+    (1 to preWaves).foreach { w =>
+      val lo = seedN + (w - 1).toLong * batchVecs
+      AnnIndexStore.appendVectors(root,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < lo + batchVecs),
+        compactAboveDirs = 4)
+    }
+    val retrainN = seedN + preWaves.toLong * batchVecs
+    val grown = emb.filter(col("vec_id") < retrainN)
+
+    // kill the refresh after ALL its table commits, before the cut
+    val tC = System.nanoTime()
+    AnnIndexStore.testMidSwapHook = stage =>
+      if (stage == "model")
+        throw new RuntimeException("injected mid-swap crash")
+    val crashed =
+      try {
+        AnnIndexStore.refreshIndex(root, staleComponents(grown), staleModel)
+        false
+      } catch {
+        case e: RuntimeException
+            if e.getMessage == "injected mid-swap crash" => true
+      } finally AnnIndexStore.testMidSwapHook = _ => ()
+    val dtCrash = (System.nanoTime() - tC) / 1e9
+
+    def diff(a: DataFrame, b: DataFrame): Long =
+      a.exceptAll(b).count() + b.exceptAll(a).count()
+    // (1) the old cut serves — and the crashed swap WOULD have differed
+    val afterCrash = AnnIndexStore.load(spark, root)
+    val dOld = diff(afterCrash.assigned,
+      components(grown).assigned.select("vec_id", "centroid_id"))
+    val dNewTeeth = diff(afterCrash.assigned,
+      staleComponents(grown).assigned.select("vec_id", "centroid_id"))
+    val genAfterCrash = AnnIndexStore.currentModelVersion(spark, root)
+
+    // (2) appends refuse loudly on the crashed state (bounded budget so
+    // the gate doesn't pay the full production backoff)
+    AnnIndexStore.chainRetryBudget = 3
+    val refused =
+      try {
+        AnnIndexStore.appendVectors(root,
+          emb.filter(col("vec_id") >= retrainN &&
+            col("vec_id") < retrainN + batchVecs), compactAboveDirs = 4)
+        false
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("never published") => true
+      } finally AnnIndexStore.chainRetryBudget = 12
+
+    // (3) re-run to completion repairs
+    val tR = System.nanoTime()
+    AnnIndexStore.refreshIndex(root, staleComponents(grown), staleModel)
+    val dtRepair = (System.nanoTime() - tR) / 1e9
+    // (4) remaining waves on the repaired store, then the rebuild bar
+    ((preWaves + 1) to waves).foreach { w =>
+      val lo = seedN + (w - 1).toLong * batchVecs
+      AnnIndexStore.appendVectors(root,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < lo + batchVecs),
+        compactAboveDirs = 4)
+    }
+    val loaded = AnnIndexStore.load(spark, root)
+    val rebuilt = staleComponents(emb)
+    val dAsg = diff(loaded.assigned,
+      rebuilt.assigned.select("vec_id", "centroid_id"))
+    val dCodes = diff(loaded.codes, rebuilt.codes)
+    val dSigs = diff(loaded.sigs, rebuilt.sigs)
+    val servedN = loaded.assigned.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    val ok = crashed && dOld == 0 && dNewTeeth > 0 &&
+      genAfterCrash == 1L && refused && dAsg == 0 && dCodes == 0 &&
+      dSigs == 0 && servedN == nVecs
+    println(f"ANNCRASH waves=$waves batch=$batchVecs " +
+      f"latency_ms=$opLatencyMs crash_wall=$dtCrash%.2fs " +
+      f"repair_wall=$dtRepair%.2fs total_wall=$wall%.2fs " +
+      f"crashed=$crashed old_cut_diff=$dOld swap_would_differ=$dNewTeeth " +
+      f"gen_after_crash=$genAfterCrash append_refused=$refused " +
+      f"served=$servedN/$nVecs diff_asg=$dAsg diff_codes=$dCodes " +
+      f"diff_sigs=$dSigs " + (if (ok) "PASS" else "FAIL"))
+    SlowFs.opLatencyMs = 0L
     Fs.deleteRec(root)
     if (!ok) { spark.stop(); sys.exit(1) }
   }

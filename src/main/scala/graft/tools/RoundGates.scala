@@ -59,6 +59,13 @@ object RoundGates {
       // gate bounded while every protocol op still pays the full rung
       Gate("ann_refresh_race_200ms", "graft.tools.AnnStoreScale",
         Seq(sfDir, "4", "150", "1", "200", "race")),
+      // mid-swap CRASH under latency (round 17, the store-cut gate): a
+      // refresh killed after all eight table commits but before its
+      // single cut publish — the old cut must serve bit-identically,
+      // appends must refuse the orphan snapshots, and the re-run must
+      // repair to the clean rebuild (see AnnStoreScale.crashRegime)
+      Gate("ann_swap_crash", "graft.tools.AnnStoreScale",
+        Seq(sfDir, "4", "150", "1", "50", "crash")),
       // lease-protocol edges isolated under SlowFs: the two-breaker
       // barrier and a contention soak, where the list→create→verify
       // windows widen ~3 orders of magnitude over the instant local FS

@@ -460,7 +460,8 @@ class DocIndexStoreSpec extends SparkSpec {
       try intercept[IllegalStateException] {
         DocIndexStore.appendSimhash(root, sim(Seq(11L)), sigSpec = "specA")
       } finally DocIndexStore.chainRetryBudget = 12
-    assert(e.getMessage.contains("Re-run"), e.getMessage)
+    assert(e.getMessage.contains("re-run the interrupted operation"),
+      e.getMessage)
 
     // remedy: re-run the rebuild to completion — its cut adopts its own
     // commits, and the store serves the NEW definition exclusively
