@@ -858,4 +858,160 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(setOf(AnnIndexStore.loadAt(spark, root, cutNow).assigned) ===
       setOf(AnnIndexStore.load(spark, root).assigned))
   }
+
+  test("a time-travel read past the retention window fails LOUDLY; the live load keeps serving") {
+    // loadAt's contract: an aged-out cut must never silently serve the
+    // table's current files under the pinned-cut label — a recall eval
+    // would report current-index numbers as the pinned cut's with no
+    // error. The strict read names the failure; the live (non-strict)
+    // load keeps its benign current fallback.
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_ttold")
+      .toString
+    AnnIndexStore.write(root, sComponents(sEmb(Seq(0L, 1L))))
+    AnnIndexStore.writeModel(root, sModel)
+    AnnIndexStore.appendVectors(root, sEmb(Seq(2L, 3L)))
+    val cut1 = AnnIndexStore.currentCutVersion(spark, root).get
+    AnnIndexStore.appendVectors(root, sEmb(Seq(4L, 5L)))
+    // age cut1's pinned assigned version out of retention
+    graft.sources.AtomicStore.vacuum(spark, s"$root/assigned",
+      keepVersions = 1, graceMs = 0L)
+    val e = intercept[IllegalStateException] {
+      AnnIndexStore.loadAt(spark, root, cut1).assigned.collect()
+    }
+    assert(e.getMessage.contains("aged out"), e.getMessage)
+    // the live cut still serves everything
+    assert(AnnIndexStore.load(spark, root).assigned
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+      === (0L until 6L).toSet)
+  }
+
+  test("stacked crashed writeModels cannot get the SERVED model version vacuumed (pin-aware retention)") {
+    // two writeModels crash before their cut publish: the model tables
+    // sit two versions ahead of the cut. A keep-2 maintenance vacuum
+    // would reclaim the PINNED (served!) codebook version — and the
+    // current-fallback read would then silently serve an orphaned
+    // codebook. compact's retention reaches back to the cut's pin.
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_stack")
+      .toString
+    AnnIndexStore.write(root, sComponents(sEmb(Seq(0L, 1L))))
+    AnnIndexStore.writeModel(root, sModel)                 // generation 1
+    val orphanModel = AnnIndexStore.Model(
+      sEmb(Seq(8L, 9L)).select(col("vec_id").as("code_id"),
+        col("vec").as("cvec")),
+      sHyperplanes, nprobe = 3, numSub = 2)
+    AnnIndexStore.writeModelVersions(root, orphanModel)    // crash #1
+    AnnIndexStore.writeModelVersions(root, orphanModel)    // crash #2
+    AnnIndexStore.compact(spark, root, graceMs = 0L)       // aggressive vacuum
+    val m = AnnIndexStore.loadModel(spark, root)
+    assert(m.version === 1L)
+    assert(m.nprobe === 2, "served params must stay the published cut's")
+    assert(setOf(m.codebook) === setOf(sCodebookDf),
+      "the pinned codebook must survive maintenance under stacked " +
+        "crashed writeModels — serving the orphan is silent corruption")
+  }
+
+  test("fence invariant holds under random interleavings INCLUDING crashed refreshes (property)") {
+    // the round-17 generalization of the fuzz above: the op mix gains a
+    // refresh that CRASHES at a random stage (before its cut publish).
+    // Invariants after every crash: the served store is bit-identical to
+    // the pre-crash expectation; appends REFUSE until the swap is
+    // re-run; the re-run repairs; and the final store equals a clean
+    // rebuild of the expected served set under the current model.
+    val rnd = new scala.util.Random(23L)
+    def modelOf(centIds: Seq[Long]) = (
+      sEmb(centIds).select(col("vec_id").as("centroid_id"),
+        col("vec").as("cvec")),
+      sEmb(centIds).select(col("vec_id").as("code_id"),
+        col("vec").as("cvec")))
+    def componentsUnder(emb: DataFrame, centIds: Seq[Long]) = {
+      val (cents, cbDf) = modelOf(centIds)
+      val cb = cbDf.orderBy("code_id").select("cvec")
+        .collect().map(_.getSeq[Double](0).toArray).toSeq
+      AnnIndexStore.Components(
+        cents,
+        Similarity.ivfAssign(emb, cents).select("vec_id", "centroid_id"),
+        Similarity.ivfAssignMulti(emb, cents, nprobe = 2),
+        Similarity.pqEncode(emb, cb, numSub = 2),
+        Similarity.hyperplaneSignatures(emb, sHyperplanes))
+    }
+    (0 until 2).foreach { trial =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_annidx_crashfuzz$trial").toString
+      val centChoices = Seq(Seq(0L, 1L), Seq(8L, 9L))
+      var centIdx = 0
+      var nextId = 500L
+      def fresh(k: Int): Seq[Long] = {
+        val ids = (nextId until nextId + k); nextId += k; ids
+      }
+      var served = (0L until 8L).toSet
+      AnnIndexStore.write(root,
+        componentsUnder(sEmb(served.toSeq), centChoices(centIdx)))
+      val (_, cb0) = modelOf(centChoices(centIdx))
+      AnnIndexStore.writeModel(root, AnnIndexStore.Model(
+        cb0, sHyperplanes, nprobe = 2, numSub = 2))
+      var crashPending = false
+      def repair(): Unit = {
+        val (_, cbDf) = modelOf(centChoices(centIdx))
+        AnnIndexStore.refreshIndex(root,
+          componentsUnder(sEmb(served.toSeq), centChoices(centIdx)),
+          AnnIndexStore.Model(cbDf, sHyperplanes, nprobe = 2, numSub = 2))
+        crashPending = false
+      }
+      (0 until 7).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => // ingest wave — refused while a crashed swap stands
+            val ids = fresh(1 + rnd.nextInt(3))
+            if (crashPending) {
+              AnnIndexStore.chainRetryBudget = 1
+              try intercept[IllegalStateException] {
+                AnnIndexStore.appendVectors(root, sEmb(ids))
+              } finally AnnIndexStore.chainRetryBudget = 12
+              repair()
+            }
+            AnnIndexStore.appendVectors(root, sEmb(ids))
+            served ++= ids
+          case 1 => // completed refresh (repairs a crashed one by design)
+            centIdx = 1 - centIdx
+            repair()
+          case 2 => // CRASHED refresh at a random stage
+            val stage =
+              if (rnd.nextBoolean()) "components" else "model"
+            val before = setOf(AnnIndexStore.load(spark, root).assigned)
+            val genBefore = AnnIndexStore.currentModelVersion(spark, root)
+            AnnIndexStore.testMidSwapHook = s =>
+              if (s == stage) throw new RuntimeException("fuzz crash")
+            try {
+              val got = intercept[RuntimeException] {
+                AnnIndexStore.refreshIndex(root,
+                  componentsUnder(sEmb(served.toSeq),
+                    centChoices(1 - centIdx)),
+                  { val (_, cbDf) = modelOf(centChoices(1 - centIdx))
+                    AnnIndexStore.Model(cbDf, sHyperplanes,
+                      nprobe = 2, numSub = 2) })
+              }
+              assert(got.getMessage == "fuzz crash", got)
+            } finally AnnIndexStore.testMidSwapHook = _ => ()
+            crashPending = true
+            // the served cut is bit-identical to pre-crash
+            assert(setOf(AnnIndexStore.load(spark, root).assigned)
+              === before, s"crash at $stage changed the served store")
+            assert(AnnIndexStore.currentModelVersion(spark, root)
+              === genBefore, s"crash at $stage moved the generation")
+          case 3 => // maintenance: must not adopt a crashed swap
+            val before = setOf(AnnIndexStore.load(spark, root).assigned)
+            AnnIndexStore.compact(spark, root, graceMs = 0L)
+            assert(setOf(AnnIndexStore.load(spark, root).assigned)
+              === before, "compact changed the served store")
+        }
+      }
+      if (crashPending) repair()
+      val loaded = AnnIndexStore.load(spark, root)
+      val rebuilt = componentsUnder(sEmb(served.toSeq), centChoices(centIdx))
+      assert(setOf(loaded.assigned) ===
+        setOf(rebuilt.assigned.select("vec_id", "centroid_id")),
+        s"trial $trial")
+      assert(setOf(loaded.codes) === setOf(rebuilt.codes), s"trial $trial")
+      assert(setOf(loaded.sigs) === setOf(rebuilt.sigs), s"trial $trial")
+    }
+  }
 }

@@ -820,6 +820,28 @@ class AtomicStoreSpec extends SparkSpec {
       Some((0 until 4).map(t => s"k$t" -> 5L).toMap))
   }
 
+  test("kv cut: a malformed cut line fails loudly — never parses to 'key absent'") {
+    // a dropped key would make pinned readers silently fall back to the
+    // table's current version: exactly the mixed-cut read the manifest
+    // exists to make unrepresentable. Corrupt line → loud, named error.
+    val r = s"${root()}/manifest_corrupt"
+    AtomicStore.advanceKv(spark, r, Map("a" -> 1L))
+    val fs = new org.apache.hadoop.fs.Path(r).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // a torn write / bit rot lands a half-line in the NEXT cut version
+    val bad = new org.apache.hadoop.fs.Path(s"$r/_commits",
+      "v" + "0" * 19 + "1")
+    val out = fs.create(bad, false)
+    try out.write("a=2\nb=notanumber\n".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException] {
+      AtomicStore.readKvAt(spark, r, 1L)
+    }
+    assert(e.getMessage.contains("malformed cut line"), e.getMessage)
+    // the intact older cut stays readable
+    assert(AtomicStore.readKvAt(spark, r, 0L) === Map("a" -> 1L))
+  }
+
   test("vacuum sweeps aged publish tmps even on a store with ZERO committed versions") {
     // a store whose publishes all crashed before their CAS is tmp
     // residue with no committed version — exactly the store that needs
