@@ -506,5 +506,16 @@ class DocIndexStoreSpec extends SparkSpec {
       === Set(0L, 1L, 2L))
     assert(pinned.minhashSigs.select("doc_id").as[Long].collect().toSet
       === Set(0L, 1L, 2L))
+
+    // and past retention the pinned read fails LOUDLY (strict) while
+    // the live load keeps serving — the ANN store's contract, d-side
+    graft.sources.AtomicStore.vacuum(spark, s"$root/simhash",
+      keepVersions = 1, graceMs = 0L)
+    val e = intercept[IllegalStateException] {
+      DocIndexStore.loadAt(spark, root, cut1).simhash.collect()
+    }
+    assert(e.getMessage.contains("aged out"), e.getMessage)
+    assert(DocIndexStore.load(spark, root).simhash
+      .select("doc_id").as[Long].collect().toSet === Set(50L))
   }
 }
