@@ -573,6 +573,38 @@ object DataQueries5 {
       |           AS rank, vec_id, approx_d2
       |  FROM ad) WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  /** s12's IVFPQ search served ENTIRELY from the persisted store
+    * ([[graft.operators.AnnIndexStore]]): codes, coarse assignment, and
+    * centroids from the loaded component tables; PQ codebook and build
+    * params (numSub, nprobe) from the loaded MODEL — no session
+    * artifact crosses into the serve path except the query vector. With
+    * s16 (IVF probe), s17 (incremental growth), s18 (staleness), and
+    * s19 (time travel) this completes the claim that every ANN serving
+    * path runs off the lake tables: the PQ code scan is the
+    * memory-bound path a 100 TB deployment actually serves (codes are
+    * bytes per vector; full-precision vectors never leave the corpus).
+    * Same oracle as s12: persistence must be result-invisible.
+    */
+  def s20AnnPersistedIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndexStore
+    val ix = AnnEval.index(spark, dir)
+    CoreQueries.withTempDir(spark, "graft_s20") { rootPath =>
+      val root = rootPath.toString
+      AnnIndexStore.write(root, AnnIndexStore.Components(
+        ix.centroids, ix.assigned, ix.assignedMulti2, ix.codes, ix.sigs))
+      AnnIndexStore.writeModel(root, AnnIndexStore.Model(
+        ix.codebookDf, ix.hyperplanesDf, nprobe = 2, numSub = 8))
+      val loaded = AnnIndexStore.load(spark, root)
+      val m = AnnIndexStore.loadModel(spark, root)
+      val codebook = m.codebook.orderBy("code_id").select("cvec")
+        .collect().map(_.getSeq[Double](0).toArray).toSeq
+      Similarity.ivfPqTopKFromCodes(loaded.codes, loaded.assigned,
+          loaded.centroids, codebook, numSub = m.numSub, ix.query,
+          k = 10, nprobe = m.nprobe, excludeId = Some(0L))
+        .orderBy("rank")
+    }
+  }
+
   // ------------------------------- IVFPQ + exact refine (s14)
 
   /** The coarse-to-fine production composition (FAISS `IndexRefineFlat`
@@ -793,6 +825,7 @@ object DataQueries5 {
     ("s10_pq_encode", s10PqEncode _, Some(s10Oracle)),
     ("s11_pq_adc", s11PqAdc _, Some(s11Oracle)),
     ("s12_ivf_pq", s12IvfPq _, Some(s12Oracle)),
+    ("s20_ann_persisted_ivfpq", s20AnnPersistedIvfPq _, Some(s12Oracle)),
     ("s13_pq_recall", s13PqRecall _, Some(s13Oracle)),
     ("s14_ivfpq_refine", s14IvfPqRefine _, Some(s14Oracle)),
     ("t16_boilerplate", t16Boilerplate _, Some(t16Oracle)),
