@@ -705,15 +705,14 @@ object AnnIndexStore {
       p -> StoreCut.foldAndAdvance(spark, root, p, graceMs)).toMap
     // model tables are snapshot-only (never >1 data dir), so the fold is
     // structurally None — run plain compact for its vacuum only, with
-    // retention reaching back to the CUT's pin: stacked crashed
+    // the CUT's pin as an absolute retention floor: stacked crashed
     // writeModels leave the table versions ahead of the cut, and a
     // keep-2 vacuum could reclaim the pinned (served!) model version
     // out from under the live cut
     val pins = cut(spark, root).getOrElse(Map.empty)
     val modelFolded = modelParts.map { p =>
-      val keep = StoreCut.pinAwareKeep(spark, s"$root/$p", pins.get(p))
-      p -> AtomicStore.compact(spark, s"$root/$p", keepVersions = keep,
-        graceMs = graceMs)
+      p -> AtomicStore.compact(spark, s"$root/$p", graceMs = graceMs,
+        keepFloor = pins.get(p))
     }.toMap
     purgeFenced(spark, root)
     StoreCut.vacuumCuts(spark, root, graceMs = graceMs)

@@ -298,14 +298,13 @@ object DocIndexStore {
       p -> StoreCut.foldAndAdvance(spark, root, p, graceMs)).toMap
     // the spec table is snapshot-only when present — plain compact for
     // its vacuum (returns None harmlessly for a store without one), with
-    // retention reaching back to the cut's pin (stacked crashed rebuilds
-    // leave the table ahead of the cut; the pinned declaration must
-    // survive their vacuum)
+    // the cut's pin as an absolute retention floor (stacked crashed
+    // rebuilds leave the table ahead of the cut; the pinned declaration
+    // must survive their vacuum)
     val specFolded = Map(
-      "spec" -> AtomicStore.compact(spark, s"$root/spec",
-        keepVersions = StoreCut.pinAwareKeep(spark, s"$root/spec",
-          StoreCut.cut(spark, root).getOrElse(Map.empty).get("spec")),
-        graceMs = graceMs))
+      "spec" -> AtomicStore.compact(spark, s"$root/spec", graceMs = graceMs,
+        keepFloor = StoreCut.cut(spark, root)
+          .getOrElse(Map.empty).get("spec")))
     StoreCut.vacuumCuts(spark, root, graceMs = graceMs)
     folded ++ specFolded
   }

@@ -252,6 +252,7 @@ object AtomicStore {
     val rel = writeData(df, root)
     var done = false
     var v = 0L
+    var races = 0
     while (!done) {
       // resolve + publish under the vacuum-race go-around: a concurrent
       // [[compact]]'s vacuum can remove the manifest resolved by
@@ -268,6 +269,14 @@ object AtomicStore {
               .map(p => new Path(p).getName) :+ rel
           else Seq(rel)
         done = publish(spark, root, dirs, v)
+      }
+      if (!done) {
+        // backoff between lost publish races (every other retry loop
+        // here has one): two sustained writers otherwise hot-loop the
+        // list/open/create/claim sequence in lockstep against the
+        // metadata service, maximizing re-collision
+        races += 1
+        Thread.sleep(math.min(20L * races, 200L))
       }
     }
     v
@@ -388,7 +397,12 @@ object AtomicStore {
     */
   private[graft] def isVacuumRace(e: Throwable): Boolean = {
     var c: Throwable = e
-    while (c != null) {
+    var depth = 0
+    // depth-capped: a self-referential cause is handled by the eq check,
+    // but a LONGER cause cycle (constructible via initCause, and remote/
+    // deserialized exceptions don't guarantee acyclic chains) would spin
+    // this walk forever inside a catch guard
+    while (c != null && depth < 32) {
       c match {
         case _: java.io.FileNotFoundException => return true
         case a: org.apache.spark.sql.AnalysisException
@@ -398,6 +412,7 @@ object AtomicStore {
         case _ => ()
       }
       c = if (c.getCause eq c) null else c.getCause
+      depth += 1
     }
     false
   }
@@ -435,14 +450,19 @@ object AtomicStore {
     */
   def compact(spark: SparkSession, root: String, keepVersions: Int = 2,
               graceMs: Long = 15 * 60 * 1000L,
-              maxAttempts: Int = 8): Option[Long] = {
+              maxAttempts: Int = 8,
+              keepFloor: Option[Long] = None): Option[Long] = {
     // vacuum is best-effort on EVERY exit: a fold that committed must
     // never be reported as a failure because reclamation hiccuped (an
     // objstore throttle on one delete), and the give-up path still owes
     // the manifest cleanup — so swallow any non-fatal vacuum error, not
-    // just the concurrent-compactor race
+    // just the concurrent-compactor race. keepFloor rides through to the
+    // vacuum: the fold may land HIGHER than the version the caller
+    // resolved (its CAS retries past racing appenders), so a
+    // keepVersions window counted from the fold is not enough to protect
+    // an absolute pin — only the floor is.
     def vacuumBestEffort(): Unit =
-      try vacuum(spark, root, keepVersions, graceMs)
+      try vacuum(spark, root, keepVersions, graceMs, keepFloor)
       catch { case scala.util.control.NonFatal(_) => () }
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -491,20 +511,26 @@ object AtomicStore {
   }
 
   /** The shared write-path maintenance policy (Ingest.ingestBatchCommit,
-    * DocIndexStore.append*): opportunistically fold the store to one
-    * snapshot when version `v`'s manifest lists more than `aboveDirs`
-    * data dirs. Never throws — compaction is maintenance, and a commit
-    * that LANDED must not be reported failed because its best-effort
-    * fold lost a race or hit an IO hiccup. `aboveDirs <= 0` disables.
-    * Returns the fold's committed version when one fired (manifest-cut
-    * callers pin the fold rather than the just-superseded append).
+    * the index stores via StoreCut.publishAppend): opportunistically
+    * fold the store to one snapshot when version `v`'s manifest lists
+    * more than `aboveDirs` data dirs. Never throws — compaction is
+    * maintenance, and a commit that LANDED must not be reported failed
+    * because its best-effort fold lost a race or hit an IO hiccup.
+    * `aboveDirs <= 0` disables. `fold` is the actual fold step (defaults
+    * to plain [[compact]]; cut-governed stores pass their
+    * fold-and-advance so the one threshold-and-swallow policy serves
+    * both). Returns the fold's committed version when one fired
+    * (manifest-cut callers pin the fold rather than the just-superseded
+    * append).
     */
   private[graft] def compactIfAbove(spark: SparkSession, root: String,
-                                    v: Long, aboveDirs: Int): Option[Long] =
+                                    v: Long, aboveDirs: Int,
+                                    fold: () => Option[Long] = null): Option[Long] =
     if (aboveDirs > 0) {
       try {
         if (filesAt(spark, root, v).size > aboveDirs)
-          compact(spark, root)
+          Option(fold).map(_.apply())
+            .getOrElse(compact(spark, root))
         else None
       } catch { case scala.util.control.NonFatal(_) => None }
     } else None
@@ -605,30 +631,28 @@ object AtomicStore {
     * WRITERS because an unreferenced dir is only deleted once older than
     * `graceMs` (Delta's retention-window rule) — a freshly written,
     * not-yet-published commit is never swept out from under its publish.
+    *
+    * `keepFloor` is an ABSOLUTE retention floor: version `keepFloor` and
+    * everything above it stay readable regardless of `keepVersions` —
+    * the store-cut callers pass the cut's pinned version, so a fold that
+    * lands higher than expected (its CAS retried past racing appenders)
+    * can never count the still-served pin out of its retention window.
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
-             graceMs: Long = 15 * 60 * 1000L): Unit = {
+             graceMs: Long = 15 * 60 * 1000L,
+             keepFloor: Option[Long] = None): Unit = {
     require(keepVersions >= 1, "vacuum: must keep at least the latest version")
     val fs = commitsDir(root).getFileSystem(hconf(spark))
     val cutoff = System.currentTimeMillis() - graceMs
     currentVersion(spark, root).foreach { latest =>
-      val keepFrom = latest - keepVersions + 1
+      val keepFrom = math.min(latest - keepVersions + 1,
+        keepFloor.getOrElse(Long.MaxValue))
       val stats = fs.listStatus(commitsDir(root))
         .flatMap(s => versionOf(s.getPath.getName)
           .map(v => v -> s.getModificationTime)).toMap
       val versions = stats.keys.toSeq.sorted
       val live = versions.filter(_ >= keepFrom)
         .flatMap(filesAt(spark, root, _)).map(p => new Path(p).getName).toSet
-      if (fs.exists(dataDir(root)))
-        fs.listStatus(dataDir(root))
-          .filterNot(s => live.contains(s.getPath.getName))
-          // inclusive boundary ("at least graceMs old", not "strictly
-          // older"): immaterial against a real grace window, but with
-          // graceMs=0 a strict compare leaves anything stamped in the
-          // same millisecond as the vacuum unreclaimed — a fold whose
-          // cleanup runs immediately after it flakes on mtime ties
-          .filter(_.getModificationTime <= cutoff)
-          .foreach(s => fs.delete(s.getPath, true))
       // A superseded manifest's NAME is still the CAS claim publish()
       // checks: deleting it immediately would let a writer that resolved
       // its base BEFORE this vacuum re-publish the freed version name,
@@ -641,11 +665,45 @@ object AtomicStore {
       // old by the time a fold supersedes it). A writer stalled longer
       // than the grace window between resolve and publish is outside the
       // store's staleness contract, exactly like a reader.
+      //
+      // Manifests go FIRST, and deleting one TOUCHES the now-unreferenced
+      // dirs it lists: a dir's own mtime is its WRITE time, which may be
+      // hours old by the time the last manifest referencing it dies — an
+      // mtime-gated delete would then reclaim it in the same pass, under
+      // a reader that legally resolved that manifest moments before its
+      // deletion. The touch restarts the dir's grace clock at the moment
+      // its last reference disappeared, so any reader that resolved a
+      // then-existing manifest gets the full window to finish its scan
+      // (the manifest-supersede grace plus the dir grace, sequentially).
       versions.filter(_ < keepFrom).foreach { v =>
         val supersededAt = versions.filter(_ > v).map(stats).min
-        if (supersededAt <= cutoff) // inclusive — same rule as data dirs
+        if (supersededAt <= cutoff) { // inclusive — same rule as data dirs
+          // graceMs == 0 is the explicit quiesced/immediate-reclaim mode
+          // (tests, post-race cleanup): restarting the clock there would
+          // defeat the caller's stated intent
+          if (graceMs > 0)
+            try filesAt(spark, root, v)
+              .map(p => new Path(p).getName)
+              .filterNot(live.contains)
+              .foreach { rel =>
+                try fs.setTimes(new Path(dataDir(root), rel),
+                  System.currentTimeMillis(), -1L)
+                catch { case scala.util.control.NonFatal(_) => () }
+              }
+            catch { case scala.util.control.NonFatal(_) => () }
           fs.delete(new Path(commitsDir(root), manifestName(v)), false)
+        }
       }
+      if (fs.exists(dataDir(root)))
+        fs.listStatus(dataDir(root))
+          .filterNot(s => live.contains(s.getPath.getName))
+          // inclusive boundary ("at least graceMs old", not "strictly
+          // older"): immaterial against a real grace window, but with
+          // graceMs=0 a strict compare leaves anything stamped in the
+          // same millisecond as the vacuum unreclaimed — a fold whose
+          // cleanup runs immediately after it flakes on mtime ties
+          .filter(_.getModificationTime <= cutoff)
+          .foreach(s => fs.delete(s.getPath, true))
     }
     // sweep aged `.tmp_` manifest orphans: a publisher crashing
     // between its tmp create and the rename/link leaves the tmp in

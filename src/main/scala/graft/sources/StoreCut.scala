@@ -76,21 +76,24 @@ object StoreCut {
                  strict: Boolean = false): DataFrame =
     pins.get(part) match {
       case Some(v) =>
-        if (strict)
-          try AtomicStore.readAt(spark, s"$root/$part", v)
-          catch { case e: Throwable if AtomicStore.isVacuumRace(e) =>
+        // this guard covers the EAGER resolution (the version manifest's
+        // open); the returned frame is lazy, so a vacuum racing the
+        // caller's ACTION surfaces as a task-level failure instead —
+        // bounded by the vacuum grace window (dir reclamation is
+        // anchored at the moment the last referencing manifest died, so
+        // a reader that resolved an existing manifest has the full
+        // window to finish its scan)
+        try AtomicStore.readAt(spark, s"$root/$part", v)
+        catch { case e: Throwable if AtomicStore.isVacuumRace(e) =>
+          if (strict)
             throw new IllegalStateException(
               s"pinned read of $root/$part at v$v failed — the cut aged " +
                 "out of the vacuum retention window (its table version " +
                 "was reclaimed). Pin a newer cut, or retain more history " +
                 "(compact keepVersions / grace) if time-travel reads this " +
                 "old are needed", e)
-          }
-        else
-          try AtomicStore.readAt(spark, s"$root/$part", v)
-          catch { case e: Throwable if AtomicStore.isVacuumRace(e) =>
-            AtomicStore.read(spark, s"$root/$part")
-          }
+          else AtomicStore.read(spark, s"$root/$part")
+        }
       case None => AtomicStore.read(spark, s"$root/$part")
     }
 
@@ -135,36 +138,24 @@ object StoreCut {
     * served cut — re-run the crashed swap instead) or when there was
     * nothing to fold.
     *
-    * The fold's vacuum retains at least back to the table's PINNED
-    * version (`keepVersions = current − pin + 1`, min 2): a pin that
-    * lags the table — stacked crashed advances, a cut held by a
-    * concurrent reader — must never have its file set reclaimed from
-    * under the live cut by the fold that supersedes it.
+    * The fold's vacuum retains back to the table's PINNED version as an
+    * ABSOLUTE floor ([[AtomicStore.vacuum]] `keepFloor` — not a
+    * keep-N-versions window counted from the fold, which would undercount
+    * whenever the fold's CAS retried past racing appenders and landed
+    * higher than the version this method resolved): a pin that lags the
+    * table — stacked crashed advances, a cut held by a concurrent
+    * reader — must never have its file set reclaimed from under the
+    * live cut by the fold that supersedes it.
     */
   def foldAndAdvance(spark: SparkSession, root: String, part: String,
                      graceMs: Long = 15 * 60 * 1000L): Option[Long] = {
     val pins = cut(spark, root).getOrElse(Map.empty)
     if (!chainExtendsCut(spark, root, part, pins)) None
-    else {
-      val keep = pinAwareKeep(spark, s"$root/$part", pins.get(part))
-      AtomicStore.compact(spark, s"$root/$part", keepVersions = keep,
-          graceMs = graceMs)
+    else
+      AtomicStore.compact(spark, s"$root/$part", graceMs = graceMs,
+          keepFloor = pins.get(part))
         .map { fv => advance(spark, root, Map(part -> fv)); fv }
-    }
   }
-
-  /** Vacuum retention that never reclaims the cut-pinned version: the
-    * distance from the table's current version back to its pin, plus
-    * one slot for the commit the caller is about to land on top
-    * (a fold bumps current by one before its vacuum counts back from
-    * it), floored at the protocol default of 2.
-    */
-  def pinAwareKeep(spark: SparkSession, table: String,
-                   pin: Option[Long]): Int =
-    (for {
-      p <- pin
-      cur <- AtomicStore.currentVersion(spark, table)
-    } yield math.max(2L, cur - p + 2L).toInt).getOrElse(2)
 
   /** Post-commit publication (+ self-fold past `aboveDirs`) for an
     * append path — EVERY step best-effort: the batch is already durably
@@ -179,13 +170,8 @@ object StoreCut {
     */
   def publishAppend(spark: SparkSession, root: String, part: String,
                     v: Long, aboveDirs: Int): Long = {
-    val folded =
-      try {
-        if (aboveDirs > 0 &&
-            AtomicStore.filesAt(spark, s"$root/$part", v).size > aboveDirs)
-          foldAndAdvance(spark, root, part)
-        else None
-      } catch { case scala.util.control.NonFatal(_) => None }
+    val folded = AtomicStore.compactIfAbove(spark, s"$root/$part", v,
+      aboveDirs, fold = () => foldAndAdvance(spark, root, part))
     if (folded.isEmpty) advanceBestEffort(spark, root, Map(part -> v))
     folded.getOrElse(v)
   }
@@ -208,11 +194,13 @@ object StoreCut {
 
   /** Housekeeping for the cut store itself: every advance is one tiny
     * manifest file; keep a window of recent cuts readable for
-    * time-travel pins.
+    * time-travel pins. Unconditional (no committed-version gate) so the
+    * vacuum's aged-tmp sweep also reaches a cut store whose every
+    * publish crashed before its CAS — the exact residue the sweep
+    * exists for, and the vacuum handles the no-version case itself.
     */
   def vacuumCuts(spark: SparkSession, root: String, keepVersions: Int = 8,
                  graceMs: Long = 15 * 60 * 1000L): Unit =
-    if (AtomicStore.currentVersion(spark, manifestRoot(root)).isDefined)
-      try AtomicStore.vacuum(spark, manifestRoot(root), keepVersions, graceMs)
-      catch { case scala.util.control.NonFatal(_) => () }
+    try AtomicStore.vacuum(spark, manifestRoot(root), keepVersions, graceMs)
+    catch { case scala.util.control.NonFatal(_) => () }
 }

@@ -842,6 +842,61 @@ class AtomicStoreSpec extends SparkSpec {
     assert(AtomicStore.readKvAt(spark, r, 0L) === Map("a" -> 1L))
   }
 
+  test("vacuum keepFloor is an ABSOLUTE retention floor, immune to where the window lands") {
+    // the fold-retention race: a cut-governed fold computes its keep
+    // budget from the version it resolved, but its CAS can retry past
+    // racing appenders and land higher — a keep-N window counted from
+    // the fold then excludes the still-pinned version. The floor is
+    // absolute: version >= floor stays readable no matter what
+    // keepVersions says.
+    val r = root()
+    (0 to 5).foreach(i => AtomicStore.commitAppend(tags(s"a$i" -> "1"), r))
+    AtomicStore.vacuum(spark, r, keepVersions = 1, graceMs = 0L,
+      keepFloor = Some(2L))
+    // v2..v5 stay readable; v0/v1 are reclaimed
+    assert(AtomicStore.readAt(spark, r, 2L).count() === 3L)
+    assert(AtomicStore.readAt(spark, r, 5L).count() === 6L)
+    val fs = new org.apache.hadoop.fs.Path(r).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val manifests = fs.listStatus(new org.apache.hadoop.fs.Path(r, "_commits"))
+      .map(_.getPath.getName).filter(_.startsWith("v")).sorted
+    assert(manifests.length === 4, manifests.toSeq)
+  }
+
+  test("vacuum anchors a dir's grace at the death of its LAST reference, not its write time") {
+    // a dir written hours ago whose last referencing manifest dies NOW
+    // must get a fresh grace window — a reader that resolved that
+    // manifest moments before its deletion is still mid-scan. The
+    // manifest pass touches newly-unreferenced dirs before deleting the
+    // manifest; the dir pass then sees a fresh mtime. (graceMs == 0
+    // remains the explicit immediate-reclaim mode.)
+    val r = root()
+    AtomicStore.commitSnapshot(tags("a" -> "1"), r)   // v0 → dir A
+    AtomicStore.commitSnapshot(tags("b" -> "2"), r)   // v1 → dir B
+    val fs = new org.apache.hadoop.fs.Path(r).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def dataDirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(r, "data")).map(_.getPath)
+    // age EVERYTHING (dirs + manifests) far past any grace window —
+    // the write-time-anchored rule would now reclaim dir A instantly
+    dataDirs.foreach(p => fs.setTimes(p, 1000L, -1L))
+    fs.listStatus(new org.apache.hadoop.fs.Path(r, "_commits"))
+      .foreach(s => fs.setTimes(s.getPath, 1000L, -1L))
+    AtomicStore.vacuum(spark, r, keepVersions = 1, graceMs = 60000L)
+    // v0's manifest died (superseded long ago), but dir A survives on a
+    // FRESH grace clock
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(r,
+      "_commits/v" + "0" * 20)), "v0 manifest should be reclaimed")
+    assert(dataDirs.length === 2,
+      "the just-unreferenced dir must get a fresh grace window")
+    // once that window passes (simulated), the next vacuum reclaims it
+    dataDirs.foreach(p => fs.setTimes(p, 1000L, -1L))
+    AtomicStore.vacuum(spark, r, keepVersions = 1, graceMs = 60000L)
+    assert(dataDirs.length === 1, "aged-out unreferenced dir reclaimed")
+    assert(AtomicStore.read(spark, r)
+      .select("field_value").as[String].collect().toSeq === Seq("2"))
+  }
+
   test("vacuum sweeps aged publish tmps even on a store with ZERO committed versions") {
     // a store whose publishes all crashed before their CAS is tmp
     // residue with no committed version — exactly the store that needs
