@@ -1,14 +1,15 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, CoreQueries2, CoreQueries3, CoreQueries4, CoreQueries5, DataQueries, DataQueries2, DataQueries3, DataQueries4, DataQueries5, DataQueries6}
+import graft.queries.{CoreQueries, CoreQueries2, CoreQueries3, CoreQueries4, CoreQueries5, CoreQueries6, DataQueries, DataQueries2, DataQueries3, DataQueries4, DataQueries5, DataQueries6}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   private def allDefs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     CoreQueries.defs ++ CoreQueries2.defs ++ CoreQueries3.defs ++
-      CoreQueries4.defs ++ CoreQueries5.defs ++ DataQueries.defs ++
+      CoreQueries4.defs ++ CoreQueries5.defs ++ CoreQueries6.defs ++
+      DataQueries.defs ++
       DataQueries2.defs ++ DataQueries3.defs ++ DataQueries4.defs ++
       DataQueries5.defs ++ DataQueries6.defs
 

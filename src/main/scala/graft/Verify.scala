@@ -30,7 +30,34 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     gatesFreshnessCheck(outDir)
+    storeCutHealth(outDir)
     spark.stop()
+  }
+
+  /** Surface the store-cut layer's silent-swallow ops signal (see
+    * `StoreCut.swallowedAdvances`): a best-effort cut advance abandoned
+    * after a durable commit is correct but previously invisible — a
+    * store whose EVERY advance fails (IAM break, throttle storm) would
+    * silently lag its cut forever. The verify run is the round's one
+    * always-executed porcelain, so the totals land here, loud when
+    * non-zero, machine-readable either way.
+    */
+  private def storeCutHealth(outDir: String): Unit = try {
+    val n = graft.sources.StoreCut.swallowedAdvances.get()
+    val last = graft.sources.StoreCut.lastSwallow.getOrElse("")
+    if (n > 0)
+      println(s"[verify] storecut: $n swallowed best-effort cut " +
+        s"advance(s) this run — committed batches were left unpublished " +
+        s"(adopted by the next append/fold); last: $last")
+    else println("[verify] storecut: 0 swallowed cut advances")
+    Files.writeString(Paths.get(s"$outDir/storecut_health.json"),
+      s"""{
+         |  "swallowed_advances": $n,
+         |  "last": ${q(last.take(400))}
+         |}
+         |""".stripMargin)
+  } catch { case scala.util.control.NonFatal(e) =>
+    println(s"[verify] storecut: health dump errored: $e")
   }
 
   /** Failure-injection gate freshness (runs every Verify, i.e. every
@@ -146,7 +173,12 @@ object Verify {
                       val status =
                         if (trimmedFirst) " " + f.take(1) else f.take(2)
                       val path = if (trimmedFirst) f.drop(2) else f.drop(3)
-                      if ((status.startsWith("R") || status.startsWith("C"))
+                      // renames/copies on EITHER side of the XY token
+                      // carry an origin-path field: staged is "R "/"C ",
+                      // worktree-side is " R"/" C" — a startsWith check
+                      // missed the latter and mis-parsed the origin path
+                      // as a fresh entry with 3 chars eaten
+                      if ((status.contains("R") || status.contains("C"))
                           && i + 1 < fields.length) {
                         paths += s"${fields(i + 1)} -> $path"
                         i += 2

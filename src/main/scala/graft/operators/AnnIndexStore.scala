@@ -94,9 +94,21 @@ object AnnIndexStore {
           "at replaced centroids, which the load fence cannot catch. Use " +
           "refreshIndex(root, components, model) to swap components and " +
           "model together under the refresh lease")
-    val versions = writeComponents(root, c)
-    val cutV = StoreCut.advance(spark, root, versions)
-    versions + ("manifest" -> cutV)
+    // model-less rebuilds take the SAME lease refreshIndex holds: two
+    // un-serialized concurrent write()s can interleave so the cut's
+    // per-key max-merge publishes some tables from one rebuild and the
+    // rest from the other — a consistent-LOOKING cut that was never any
+    // writer's intent (and while the lease is held, appendVectors'
+    // refusal keeps appends from landing mid-rebuild, which is the same
+    // protection the refresh path gets)
+    val lease = AtomicStore.claimLease(spark, refreshLeasePath(root),
+      AtomicStore.DefaultLeaseTtlMs,
+      "AnnIndexStore.write (exclusive multi-table rebuild)")
+    try {
+      val versions = writeComponents(root, c)
+      val cutV = StoreCut.advance(spark, root, versions)
+      versions + ("manifest" -> cutV)
+    } finally AtomicStore.releaseLease(spark, lease)
   }
 
   private def writeComponents(root: String, c: Components): Map[String, Long] = {
@@ -210,10 +222,12 @@ object AnnIndexStore {
     * assignments, codes, sigs and the fence all resolved as of that
     * cut, so a recall eval can re-read an index cut bit-identically
     * after later appends/refreshes. Readable while the cut stays within
-    * the vacuum retention window ([[compact]] keeps the last 8 cuts and
-    * every table fold keeps `keepVersions` of data past the grace
-    * window); an aged-out cut fails loudly rather than silently serving
-    * newer files.
+    * the vacuum retention window: [[compact]] keeps the last 8 cut
+    * manifests AND every table fold's vacuum floors at the OLDEST
+    * retained cut's pin ([[StoreCut.retentionFloor]]), so the whole
+    * retained cut window is actually loadable — not just its manifests
+    * while the pinned table versions age out underneath. An aged-out
+    * cut fails loudly rather than silently serving newer files.
     */
   def loadAt(spark: SparkSession, root: String, cutVersion: Long): Components =
     loadPinned(spark, root, StoreCut.cutAt(spark, root, cutVersion),
@@ -701,18 +715,29 @@ object AnnIndexStore {
     */
   def compact(spark: SparkSession, root: String,
               graceMs: Long = 15 * 60 * 1000L): Map[String, Option[Long]] = {
+    // skip whole-store maintenance while a refresh holds the lease: the
+    // per-attempt chain check below already refuses to fold a mid-swap
+    // orphan (the round-17 TOCTOU is closed inside AtomicStore.compact),
+    // so this is avoidance, not the safety argument — a fold raced by a
+    // live swap just wastes its materialization to a lost CAS
+    if (AtomicStore.leaseHeld(spark, refreshLeasePath(root)))
+      return (parts ++ modelParts).map(_ -> (None: Option[Long])).toMap
     val folded = parts.map(p =>
       p -> StoreCut.foldAndAdvance(spark, root, p, graceMs)).toMap
     // model tables are snapshot-only (never >1 data dir), so the fold is
-    // structurally None — run plain compact for its vacuum only, with
-    // the CUT's pin as an absolute retention floor: stacked crashed
-    // writeModels leave the table versions ahead of the cut, and a
-    // keep-2 vacuum could reclaim the pinned (served!) model version
-    // out from under the live cut
+    // structurally None — run compact for its vacuum only, with the
+    // RETAINED cuts' pins as an absolute retention floor: stacked
+    // crashed writeModels leave the table versions ahead of the cut, and
+    // a keep-2 vacuum could reclaim a pinned (served, or time-travel
+    // readable) model version out from under a retained cut. The chain
+    // check doubles as the cut-governance authorization compact now
+    // requires.
     val pins = cut(spark, root).getOrElse(Map.empty)
     val modelFolded = modelParts.map { p =>
       p -> AtomicStore.compact(spark, s"$root/$p", graceMs = graceMs,
-        keepFloor = pins.get(p))
+        keepFloor = StoreCut.retentionFloor(spark, root, p, pins),
+        chainCheck = Some(v => pins.get(p).forall(pin =>
+          StoreCut.extendsPin(spark, s"$root/$p", pin, v))))
     }.toMap
     purgeFenced(spark, root)
     StoreCut.vacuumCuts(spark, root, graceMs = graceMs)

@@ -60,8 +60,28 @@ object DocIndexStore {
     * rebuilt table with a stale declaration, and none of a rebuild is
     * visible until its single cut publish.
     */
+  /** The rebuild lease: [[write]] is a multi-table swap, and two
+    * UN-serialized concurrent rebuilds can interleave so the cut's
+    * per-key max-merge publishes simhash from one rebuild and
+    * minhash/spec from the other — a consistent-LOOKING cut that was
+    * never any writer's intent (each table internally coherent, the
+    * pair mixed). The lease serializes whole rebuilds, the same
+    * single-writer contract refreshIndex enforces on the ANN side.
+    */
+  private def writeLeasePath(root: String) = s"$root/_write_lease"
+
   def write(root: String, c: Components,
-            sigSpec: String = ""): Map[String, Long] = {
+            sigSpec: String = "",
+            leaseTtlMs: Long = AtomicStore.DefaultLeaseTtlMs): Map[String, Long] = {
+    val spark = c.simhash.sparkSession
+    val lease = AtomicStore.claimLease(spark, writeLeasePath(root),
+      leaseTtlMs, "DocIndexStore.write (exclusive multi-table rebuild)")
+    try writeLocked(root, c, sigSpec)
+    finally AtomicStore.releaseLease(spark, lease)
+  }
+
+  private def writeLocked(root: String, c: Components,
+                          sigSpec: String): Map[String, Long] = {
     val spark = c.simhash.sparkSession
     import spark.implicits._
     val spec: Map[String, Long] =
@@ -167,7 +187,10 @@ object DocIndexStore {
 
   /** TIME TRAVEL: both signature tables as pinned by manifest cut
     * `cutVersion` — readable while the cut stays within the vacuum
-    * retention window ([[compact]] keeps the last 8 cuts); an aged-out
+    * retention window: [[compact]] keeps the last 8 cut manifests AND
+    * the table folds' vacuum floor ([[StoreCut.retentionFloor]]) keeps
+    * every retained cut's pinned table versions, so the whole retained
+    * window is actually loadable, not just the manifests. An aged-out
     * pin fails loudly (strict) rather than silently serving newer files
     * under the pinned-cut label.
     */
@@ -296,15 +319,19 @@ object DocIndexStore {
               graceMs: Long = 15 * 60 * 1000L): Map[String, Option[Long]] = {
     val folded = Seq("simhash", "minhash").map(p =>
       p -> StoreCut.foldAndAdvance(spark, root, p, graceMs)).toMap
-    // the spec table is snapshot-only when present — plain compact for
-    // its vacuum (returns None harmlessly for a store without one), with
-    // the cut's pin as an absolute retention floor (stacked crashed
-    // rebuilds leave the table ahead of the cut; the pinned declaration
-    // must survive their vacuum)
+    // the spec table is snapshot-only when present — compact for its
+    // vacuum (returns None harmlessly for a store without one), with
+    // the RETAINED cuts' pins as an absolute retention floor (stacked
+    // crashed rebuilds leave the table ahead of the cut; the pinned
+    // declarations — the live cut's AND every time-travel cut's — must
+    // survive their vacuum). The chain check doubles as the
+    // cut-governance authorization compact now requires.
+    val pins = StoreCut.cut(spark, root).getOrElse(Map.empty)
     val specFolded = Map(
       "spec" -> AtomicStore.compact(spark, s"$root/spec", graceMs = graceMs,
-        keepFloor = StoreCut.cut(spark, root)
-          .getOrElse(Map.empty).get("spec")))
+        keepFloor = StoreCut.retentionFloor(spark, root, "spec", pins),
+        chainCheck = Some(v => pins.get("spec").forall(pin =>
+          StoreCut.extendsPin(spark, s"$root/spec", pin, v)))))
     StoreCut.vacuumCuts(spark, root, graceMs = graceMs)
     folded ++ specFolded
   }

@@ -79,11 +79,19 @@ object Sinks {
       exportTime.as("export_time"))
   }
 
+  /** The report sibling of [[withHistoryPartition]]: the `export_date`
+    * UTC day column derived from `export_time` — one definition shared
+    * by [[writeReport]] and the tag-family store's atomic report append
+    * ([[TagFamilyStore]]), so the day rule cannot drift between sinks.
+    */
+  def withReportPartition(rows: DataFrame): DataFrame =
+    rows.withColumn("export_date", utcDay(col("export_time")))
+
   /** Report write: `write_option` truncate vs append
     * (BigQueryUtils.py:35–50) → overwrite vs append mode, day-partitioned.
     */
   def writeReport(rows: DataFrame, path: String, truncate: Boolean): Unit =
-    rows.withColumn("export_date", utcDay(col("export_time")))
+    withReportPartition(rows)
       .write.mode(if (truncate) "overwrite" else "append")
       // BigQuery WRITE_TRUNCATE replaces the WHOLE table: pin static
       // overwrite on this writer, or a session configured with dynamic

@@ -395,8 +395,8 @@ object TagEngine {
     * between the single-job path and the batch tick whose equivalence
     * TagEngineSpec pins.
     */
-  private def incomingFor(config: TagConfig, computed: DataFrame,
-                          existingTags: DataFrame): DataFrame =
+  private[operators] def incomingFor(config: TagConfig, computed: DataFrame,
+                                     existingTags: DataFrame): DataFrame =
     if (config.overwrite) computed
     else Expander.minusExisting(computed,
       existingTags.filter(col("template_id") === config.templateId)

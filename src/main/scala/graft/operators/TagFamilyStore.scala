@@ -1,0 +1,370 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.TagConfig
+import graft.sources.{AtomicStore, StoreCut}
+
+/** The CONSISTENT-CUT form of the tag-engine write family — tags,
+  * history and (optionally) reports for one job published under ONE
+  * store-level manifest ([[StoreCut]]), the same shape that closed the
+  * index stores' torn-swap class in round 17.
+  *
+  * What it fixes: `TagEngine.runJob` + the standalone ACID sinks commit
+  * the job's history append ([[Sinks.writeHistoryAtomic]]) and its tag
+  * merge ([[TagStore.mergeCommit]]/[[TagStore.appendMergeCommit]]) as
+  * SEPARATE AtomicStore commits — each internally atomic, but a crash
+  * between them leaves history recording a write that never landed in
+  * the tag store (or vice versa). The reference is equally non-atomic
+  * there (the catalog RPC then the BQ history insert,
+  * DataCatalogController.py:1608–1652 → BigQueryUtils.py:391–440 — a
+  * crashed task simply leaves the pair torn), so this store is
+  * beyond-parity hardening: the engine's own bar after round 17.
+  *
+  * Layout under a family root:
+  * {{{
+  *   <root>/tags       # TagStore delta-log batches (__op/__batch rows)
+  *   <root>/history    # day-partitioned history appends
+  *   <root>/reports    # export appends (only when jobs pass reports)
+  *   <root>/manifest   # the StoreCut — ONE cut pins all parts per job
+  *   <root>/_job_lease # single-writer job commits
+  * }}}
+  *
+  * Protocol per job ([[commitJob]], under the job lease): commit the tag
+  * delta batch, commit the history batch, commit the report batch, then
+  * publish ONE cut pinning all of them. Readers ([[readTags]]/
+  * [[readHistory]]/[[readReports]]) resolve every part through the cut,
+  * so a crash at ANY inter-commit point leaves the previous cut fully
+  * serving — none of the crashed job's commits visible in ANY table.
+  *
+  * Recovery is TRUNCATION, not adoption — the one place this store must
+  * differ from the index stores' append semantics: an index append is a
+  * self-contained batch ("delayed, not lost" — the next fold adopts it),
+  * but a tag-family batch is HALF A JOB. Adopting a crashed job's
+  * history batch without its tag merge is exactly the phantom-history
+  * state the cut exists to kill. So every commit here resolves its
+  * parent file set from the CUT PIN, never from the table's current
+  * version: a crashed predecessor's orphan suffix is simply not listed
+  * by the next job's manifest (its dirs age out under vacuum), and the
+  * re-run of a crashed job lands its rows exactly once. For the same
+  * reason the maintenance folds ([[compact]]) materialize from the pin,
+  * not from current — never through [[StoreCut.foldAndAdvance]], whose
+  * adopt-the-chain contract is right for index stores and wrong here.
+  *
+  * Scale notes (the 100 TB write family): tags take the delta-log form —
+  * bytes per job scale with the BATCH (upserts + tombstones), never the
+  * tag lake ([[TagStore.appendMergeCommit]]'s contract) — history and
+  * reports are plain appends, and the cut publish is one metadata file
+  * (one LIST + one create + one atomic claim). The job lease serializes
+  * only the COMMIT section (metadata ops + batch-sized writes), not
+  * evaluation; config evaluation runs before the lease in
+  * [[commitJob]]'s callers and the whole-tick batch path stays on
+  * `TagEngine.runJobs`.
+  */
+object TagFamilyStore {
+
+  val TagsPart = "tags"
+  val HistoryPart = "history"
+  val ReportsPart = "reports"
+
+  private def leasePath(root: String) = s"$root/_job_lease"
+
+  /** TEST-ONLY crash seam, the family sibling of
+    * `AnnIndexStore.testMidSwapHook`: invoked with the stage name after
+    * each table commit inside [[commitJob]] ("tags", "history",
+    * "reports"), before the single cut publish. Lets the crash-injection
+    * spec (and the `tag_family_crash` gate) kill the job at every
+    * inter-commit point deterministically. Production never sets it.
+    */
+  @volatile private[graft] var testMidJobHook: String => Unit = _ => ()
+
+  private def withJobLease[T](spark: SparkSession, root: String,
+                              ttlMs: Long)(body: => T): T = {
+    val lease = AtomicStore.claimLease(spark, leasePath(root), ttlMs,
+      "TagFamilyStore job commit (exclusive multi-table publish)")
+    try body
+    finally AtomicStore.releaseLease(spark, lease)
+  }
+
+  // ------------------------------------------------------------ writes
+
+  /** Atomically commit one job's write family: the tag MERGE change set
+    * (`incoming` in the unified tag-row shape — upserts plus the
+    * delete-when-all-empty trigger, exactly [[TagStore.mergeDelta]]'s
+    * encoding), its history rows (must carry `event_time`; the
+    * `event_date` day column is derived here, same rule as the
+    * standalone sinks) and optionally its report rows (must carry
+    * `export_time`). All parts land as separate table commits and become
+    * visible together via ONE cut publish — or not at all.
+    *
+    * `incoming` is consumed more than once (the delta build and the
+    * tombstone split) — callers producing it from an expensive
+    * evaluation should localCheckpoint first ([[runJob]] does).
+    */
+  def commitJob(spark: SparkSession, root: String, incoming: DataFrame,
+                history: DataFrame, reports: Option[DataFrame] = None,
+                leaseTtlMs: Long = AtomicStore.DefaultLeaseTtlMs,
+                compactAboveBatches: Int = 64): Map[String, Long] =
+    withJobLease(spark, root, leaseTtlMs) {
+      commitJobLocked(spark, root, incoming, history, reports,
+        compactAboveBatches)
+    }
+
+  private def commitJobLocked(spark: SparkSession, root: String,
+                              incoming: DataFrame, history: DataFrame,
+                              reports: Option[DataFrame],
+                              compactAboveBatches: Int): Map[String, Long] = {
+    val pins = StoreCut.cut(spark, root).getOrElse(Map.empty)
+    val tv = commitOntoPin(spark, root, TagsPart, pins,
+      v => TagStore.mergeDelta(incoming).withColumn("__batch", lit(v)))
+    testMidJobHook(TagsPart)
+    val hv = commitOntoPin(spark, root, HistoryPart, pins,
+      _ => Sinks.withHistoryPartition(history))
+    testMidJobHook(HistoryPart)
+    val rv = reports.map(r => commitOntoPin(spark, root, ReportsPart, pins,
+      _ => Sinks.withReportPartition(r)))
+    testMidJobHook(ReportsPart)
+    val versions = Map(TagsPart -> tv, HistoryPart -> hv) ++
+      rv.map(ReportsPart -> _)
+    // THE atomicity point: one cut pinning every part. Mandatory (not
+    // best-effort): before it, the job never happened; a failure here is
+    // a crashed job whose re-run truncates these commits and re-lands.
+    val cutV = StoreCut.advance(spark, root, versions)
+    // post-publish maintenance, best-effort (the job is committed AND
+    // published — a maintenance hiccup must not fail it): fold any part
+    // whose pinned chain outgrew the dir threshold, so a long-lived
+    // store's read cost stays flat in JOB count instead of decaying one
+    // manifest + one small batch dir per job (the appendMergeCommit
+    // policy, family-cut flavored)
+    if (compactAboveBatches > 0)
+      try versions.foreach { case (part, v) =>
+        if (AtomicStore.filesAt(spark, s"$root/$part", v)
+            .lengthCompare(compactAboveBatches) > 0)
+          foldPartLocked(spark, root, part)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    versions + ("manifest" -> cutV)
+  }
+
+  /** Commit `mk(v)` as a batch whose manifest lists the CUT-PINNED file
+    * set plus this batch — the truncating append: a crashed
+    * predecessor's committed-but-never-published suffix is deliberately
+    * NOT adopted as a parent (see the object doc — a family batch is
+    * half a job, and adopting half a job is the torn state). Publishes
+    * at the table's next version so the CAS name is always free; under
+    * the job lease nothing else publishes, so the bounded retry exists
+    * only to fail loudly on a lease-bypassing writer.
+    */
+  private def commitOntoPin(spark: SparkSession, root: String, part: String,
+                            pins: Map[String, Long],
+                            mk: Long => DataFrame): Long = {
+    val table = s"$root/$part"
+    val parents = pins.get(part).toSeq
+      .flatMap(pv => AtomicStore.filesAt(spark, table, pv))
+      .map(p => new org.apache.hadoop.fs.Path(p).getName)
+    var attempt = 0
+    while (attempt < 8) {
+      val v = AtomicStore.currentVersion(spark, table).getOrElse(-1L) + 1
+      val rel = AtomicStore.writeData(mk(v), table)
+      if (AtomicStore.publish(spark, table, parents :+ rel, v)) return v
+      AtomicStore.reclaimData(spark, table, rel)
+      attempt += 1
+      Thread.sleep(20L * attempt)
+    }
+    throw new IllegalStateException(
+      s"TagFamilyStore: lost 8 straight publishes at $table while holding " +
+        "the job lease — another writer is committing to this table " +
+        "outside the family protocol")
+  }
+
+  // ------------------------------------------------------------- reads
+
+  /** Resolve one part at the CURRENT cut. No pin for the part means no
+    * job ever published it — an existing table underneath is crash
+    * residue, and falling back to its current version (readPinned's
+    * legacy contract, right for pre-manifest index stores) would serve
+    * exactly the orphans this store exists to hide. So: pinned read or
+    * None, never current.
+    */
+  private def pinnedPart(spark: SparkSession, root: String,
+                         part: String): Option[DataFrame] = {
+    def attempt(pins: Map[String, Long]): Option[DataFrame] =
+      pins.get(part).map(_ => StoreCut.readPinned(spark, root, part, pins))
+    StoreCut.cut(spark, root).flatMap { pins =>
+      try attempt(pins)
+      catch { case e: Throwable if AtomicStore.isVacuumRace(e) =>
+        // the pinned version aged out between cut read and resolve —
+        // the store moved on; one re-resolve at the freshest cut
+        attempt(StoreCut.cut(spark, root).getOrElse(Map.empty))
+      }
+    }
+  }
+
+  private def noCut(root: String, part: String): Nothing =
+    throw new IllegalStateException(
+      s"TagFamilyStore: no published cut pins '$part' at $root — no job " +
+        "ever committed it (crash residue under the table, if any, is " +
+        "deliberately unreadable)")
+
+  /** The current tag state: latest-wins replay of the cut-pinned tag
+    * log ([[TagStore.latestStateOf]] — exactly `applyWithDeletes` in
+    * batch order).
+    */
+  def readTags(spark: SparkSession, root: String): DataFrame =
+    pinnedPart(spark, root, TagsPart).map(TagStore.latestStateOf)
+      .getOrElse(noCut(root, TagsPart))
+
+  /** [[readTags]], or an empty frame in `schemaLike`'s schema for a
+    * store no job ever committed to (the fresh-store read every first
+    * job's overwrite filter needs).
+    */
+  def readTagsOr(spark: SparkSession, root: String,
+                 schemaLike: DataFrame): DataFrame =
+    pinnedPart(spark, root, TagsPart).map(TagStore.latestStateOf)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schemaLike.schema))
+
+  /** The cut-pinned history table (every committed job's rows, none of
+    * any crashed job's).
+    */
+  def readHistory(spark: SparkSession, root: String): DataFrame =
+    pinnedPart(spark, root, HistoryPart).getOrElse(noCut(root, HistoryPart))
+
+  /** The cut-pinned report table, empty-on-absent like [[readTagsOr]]
+    * (reports are optional per job, so "no job ever passed reports" is
+    * an ordinary state, not an error).
+    */
+  def readReports(spark: SparkSession, root: String,
+                  schemaLike: DataFrame): DataFrame =
+    pinnedPart(spark, root, ReportsPart)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schemaLike.schema))
+
+  // ------------------------------------------------------- time travel
+
+  /** The current cut version — the [[readTagsAt]]/[[readHistoryAt]]
+    * handle: capture it at a job boundary and re-read that boundary's
+    * state bit-identically later (within the retention window —
+    * [[compact]] keeps the last 8 cuts and floors every part's vacuum
+    * at the oldest retained cut's pin, [[StoreCut.retentionFloor]]).
+    */
+  def currentCutVersion(spark: SparkSession, root: String): Option[Long] =
+    StoreCut.cutVersion(spark, root)
+
+  private def strictPartAt(spark: SparkSession, root: String, part: String,
+                           cutVersion: Long): DataFrame = {
+    val pins = StoreCut.cutAt(spark, root, cutVersion)
+    if (!pins.contains(part))
+      throw new IllegalStateException(
+        s"TagFamilyStore: cut v$cutVersion at $root pins no '$part'")
+    StoreCut.readPinned(spark, root, part, pins, strict = true)
+  }
+
+  /** TIME TRAVEL: the tag state exactly as cut `cutVersion` served it —
+    * the audit/repro read history could only approximate by replay. An
+    * aged-out pin fails loudly (strict), never silently serves newer
+    * files under the pinned label.
+    */
+  def readTagsAt(spark: SparkSession, root: String,
+                 cutVersion: Long): DataFrame =
+    TagStore.latestStateOf(strictPartAt(spark, root, TagsPart, cutVersion))
+
+  /** TIME TRAVEL: the history table as cut `cutVersion` pinned it. */
+  def readHistoryAt(spark: SparkSession, root: String,
+                    cutVersion: Long): DataFrame =
+    strictPartAt(spark, root, HistoryPart, cutVersion)
+
+  // ------------------------------------------------------ maintenance
+
+  /** Fold one part's PINNED chain back to a single snapshot and adopt
+    * the fold into the cut. Materializes from the PIN (see the object
+    * doc: folding from current would adopt a crashed job's orphan
+    * batches — the family inversion of the index stores' fold), reduces
+    * tags to their latest-wins state (the log-semantics fold,
+    * `TagStore.compactLog`'s analogue) and squashes history/reports
+    * row-preserving. Publishes fold-marked at the table's next version,
+    * advances the cut, and vacuums with the retained-cuts floor so
+    * time-travel pins stay readable.
+    */
+  private def foldPartLocked(spark: SparkSession, root: String, part: String,
+                             graceMs: Long = 15 * 60 * 1000L): Option[Long] = {
+    val table = s"$root/$part"
+    val pins = StoreCut.cut(spark, root).getOrElse(Map.empty)
+    val pin = pins.get(part) match {
+      case None    => return None // never published — nothing to fold
+      case Some(p) => p
+    }
+    if (AtomicStore.filesAt(spark, table, pin).lengthCompare(1) <= 0)
+      return None // already compact (quiet-store ticks stay metadata-sized)
+    val pinned = AtomicStore.readAt(spark, table, pin)
+    var attempt = 0
+    while (attempt < 8) {
+      val v = AtomicStore.currentVersion(spark, table).getOrElse(-1L) + 1
+      val state =
+        if (part == TagsPart)
+          TagStore.latestStateOf(pinned)
+            .withColumn("__op", lit("upsert")).withColumn("__batch", lit(v))
+        else pinned
+      val rel = AtomicStore.writeData(state, table, AtomicStore.FoldPrefix)
+      if (AtomicStore.publish(spark, table, Seq(rel), v)) {
+        StoreCut.advance(spark, root, Map(part -> v))
+        try AtomicStore.vacuum(spark, table, keepVersions = 2, graceMs,
+          keepFloor = StoreCut.retentionFloor(spark, root, part,
+            pins + (part -> v)))
+        catch { case scala.util.control.NonFatal(_) => () }
+        return Some(v)
+      }
+      AtomicStore.reclaimData(spark, table, rel)
+      attempt += 1
+      Thread.sleep(20L * attempt)
+    }
+    None
+  }
+
+  /** Periodic maintenance (claims the job lease — folds must not race a
+    * live job commit's version arithmetic): fold every published part,
+    * then vacuum old cuts (the last 8 stay readable for time travel).
+    */
+  def compact(spark: SparkSession, root: String,
+              graceMs: Long = 15 * 60 * 1000L,
+              leaseTtlMs: Long = AtomicStore.DefaultLeaseTtlMs)
+      : Map[String, Option[Long]] =
+    withJobLease(spark, root, leaseTtlMs) {
+      val folded = Seq(TagsPart, HistoryPart, ReportsPart)
+        .map(p => p -> foldPartLocked(spark, root, p, graceMs)).toMap
+      StoreCut.vacuumCuts(spark, root, graceMs = graceMs)
+      folded
+    }
+
+  // ------------------------------------------------------ the full job
+
+  /** `TagEngine.runJob` with the family-cut terminal: evaluate the
+    * config over the catalog, apply the `overwrite=false` restriction
+    * against the CUT-PINNED tag state, derive the history rows
+    * (`TagEngine.historyRows` — the written instances only, the
+    * reference's create/update rule) and commit tags + history as ONE
+    * atomic family publish. Runs entirely under the job lease so the
+    * overwrite filter's read and the commit see one serialization
+    * point; evaluation cost under the lease is the incoming batch's
+    * own evaluation, exactly the work the job must do anyway.
+    */
+  def runJob(spark: SparkSession, config: TagConfig, catalog: DataFrame,
+             root: String,
+             eventTime: Column = current_timestamp(),
+             jobUuid: Column = lit(""),
+             leaseTtlMs: Long = AtomicStore.DefaultLeaseTtlMs): Map[String, Long] =
+    withJobLease(spark, root, leaseTtlMs) {
+      val existing = readTagsOr(spark, root, TagEngine.emptyTagRows(spark))
+      val computed = TagEngine.applyDynamicTableConfig(spark, config, catalog)
+      // one materialization: the incoming set feeds the delta build, the
+      // tombstone split AND the history pivot — and history must never
+      // record values that differ from the batch actually merged
+      val incoming = TagEngine.incomingFor(config, computed, existing)
+        .localCheckpoint()
+      val written = TagStore.dropAllEmptyTags(incoming)
+      val history = TagEngine.historyRows(written, config, eventTime, jobUuid)
+      commitJobLocked(spark, root, incoming, history, reports = None,
+        compactAboveBatches = 64)
+    }
+}

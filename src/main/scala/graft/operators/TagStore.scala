@@ -208,15 +208,7 @@ object TagStore {
   def appendMergeCommit(spark: SparkSession, path: String,
                         incoming: DataFrame,
                         compactAboveBatches: Int = 64): Long = {
-    val emptyKeys = allEmptyTagKeys(incoming)
-    val upserts = incoming.join(emptyKeys, TagInstanceKey, "left_anti")
-      .withColumn("__op", lit("upsert"))
-    val deletes = emptyKeys
-      .withColumn("field_id", lit("")).withColumn("field_type", lit(""))
-      .withColumn("field_value", lit(""))
-      .select(upserts.columns.filterNot(_ == "__op").toIndexedSeq.map(col): _*)
-      .withColumn("__op", lit("delete_tag"))
-    val delta = upserts.unionByName(deletes)
+    val delta = mergeDelta(incoming)
     var races = 0
     while (true) {
       // hoisted so BOTH failure paths (lost publish, vacuum race) can
@@ -266,15 +258,53 @@ object TagStore {
     -1L // unreachable
   }
 
+  /** The CHANGE SET one merge appends to the delta log: upsert rows
+    * plus one tombstone per all-empty incoming tag instance — the
+    * delete-when-all-empty trigger as log rows. ONE definition shared
+    * by [[appendMergeCommit]] and the tag-family store's atomic job
+    * commit ([[TagFamilyStore]]), so the log encoding cannot drift
+    * between the standalone and family write paths.
+    */
+  private[operators] def mergeDelta(incoming: DataFrame): DataFrame = {
+    val emptyKeys = allEmptyTagKeys(incoming)
+    val upserts = incoming.join(emptyKeys, TagInstanceKey, "left_anti")
+      .withColumn("__op", lit("upsert"))
+    val deletes = emptyKeys
+      .withColumn("field_id", lit("")).withColumn("field_type", lit(""))
+      .withColumn("field_value", lit(""))
+      .select(upserts.columns.filterNot(_ == "__op").toIndexedSeq.map(col): _*)
+      .withColumn("__op", lit("delete_tag"))
+    upserts.unionByName(deletes)
+  }
+
   /** Latest-wins state over the [[appendMergeCommit]] log: per field key
     * the newest upsert wins; a tag instance's newest tombstone hides
     * every field row at or before it (later upserts resurrect the tag —
     * exactly [[applyWithDeletes]] replayed in batch order, which
     * TagStoreSpec pins by equivalence).
     */
-  def readLatestState(spark: SparkSession, path: String): DataFrame = {
+  def readLatestState(spark: SparkSession, path: String): DataFrame =
+    latestStateOf(AtomicStore.read(spark, path))
+
+  /** TIME TRAVEL on the delta log: the latest-wins state AT a committed
+    * log version — the tag-store symmetric of the index stores' loadAt.
+    * A version's manifest lists exactly the batches at or below it, so
+    * pinning the version pins the replay: a state captured at a job
+    * boundary re-reads bit-identically after later merges (within the
+    * vacuum retention window; an aged-out version fails loudly via
+    * [[AtomicStore.readAt]], the same staleness contract as every
+    * pinned read).
+    */
+  def readLatestStateAt(spark: SparkSession, path: String,
+                        version: Long): DataFrame =
+    latestStateOf(AtomicStore.readAt(spark, path, version))
+
+  /** The latest-wins replay itself, over whichever resolved view of the
+    * log the caller pinned (shared by the current-state and time-travel
+    * reads and the family store's cut-pinned read).
+    */
+  private[operators] def latestStateOf(log: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val log = AtomicStore.read(spark, path)
     val dataCols = log.columns.filterNot(c => c == "__op" || c == "__batch")
     val delB = log.filter(col("__op") === "delete_tag")
       .groupBy(TagInstanceKey.map(col): _*)

@@ -445,13 +445,30 @@ object AtomicStore {
     * reclaims superseded batch dirs past the grace window.
     *
     * Returns the fold's committed version, or None when there was
-    * nothing to fold (0 or 1 visible data dirs — already compact) or the
-    * CAS budget ran out. Old manifests are vacuumed either way.
+    * nothing to fold (0 or 1 visible data dirs — already compact), the
+    * CAS budget ran out, or `chainCheck` refused. Old manifests are
+    * vacuumed either way (except on a chainCheck refusal — an orphan's
+    * table must be left exactly as found for the crashed swap's re-run).
+    *
+    * `chainCheck` closes the fold-of-orphan TOCTOU for cut-governed
+    * tables: it runs on EVERY attempt against the exact version the fold
+    * materializes from and CASes at, so a crashed swap's orphan snapshot
+    * landing between a caller-side pre-check and the fold's internal
+    * resolve can no longer be folded into the served cut — the orphan
+    * bumps the version, the CAS loses, and the re-check on the new base
+    * refuses (returns None). Passing a check is also the AUTHORIZATION
+    * token for cut-governed tables: a bare compact on a table whose
+    * sibling `manifest` store pins it REFUSES loudly — without the chain
+    * check the fold could adopt an orphaned writer snapshot, and without
+    * the paired cut advance ([[graft.sources.StoreCut.foldAndAdvance]])
+    * the fold-marked replacement never reaches the served cut.
     */
   def compact(spark: SparkSession, root: String, keepVersions: Int = 2,
               graceMs: Long = 15 * 60 * 1000L,
               maxAttempts: Int = 8,
-              keepFloor: Option[Long] = None): Option[Long] = {
+              keepFloor: Option[Long] = None,
+              chainCheck: Option[Long => Boolean] = None): Option[Long] = {
+    if (chainCheck.isEmpty) requireNotCutGoverned(spark, root)
     // vacuum is best-effort on EVERY exit: a fold that committed must
     // never be reported as a failure because reclamation hiccuped (an
     // objstore throttle on one delete), and the give-up path still owes
@@ -471,6 +488,12 @@ object AtomicStore {
         try {
           val base = currentVersion(spark, root)
           if (base.isEmpty) return None // nothing ever committed
+          // the chain check runs against the SAME resolved version the
+          // fold materializes from and CASes at — one resolve, no gap
+          // for an orphan to slip into (a refusal also skips the vacuum:
+          // the orphaned table must stay exactly as the crashed swap
+          // left it for that swap's re-run)
+          if (chainCheck.exists(ck => !ck(base.get))) return None
           val files = filesAt(spark, root, base.get)
           if (files.lengthCompare(1) <= 0) Some(None) // already one dir
           else {
@@ -534,6 +557,35 @@ object AtomicStore {
         else None
       } catch { case scala.util.control.NonFatal(_) => None }
     } else None
+
+  /** Refuse a bare [[compact]] on a table governed by a store-level
+    * manifest cut — the documented-misuse seam closed structurally
+    * (round 18): component tables live directly under their store root,
+    * so governance is detectable as a sibling `manifest` KV store whose
+    * current cut pins this table's directory name. A probe failure of
+    * any kind means "not provably governed" and the compact proceeds
+    * (a table named like a component but outside any cut store must not
+    * be bricked by a stray sibling file); the manifest store itself is
+    * trivially not governed (it pins no key named "manifest"). Cost:
+    * one LIST (+ one tiny open when a manifest exists) per compact call
+    * — maintenance-path metadata noise.
+    */
+  private def requireNotCutGoverned(spark: SparkSession, root: String): Unit = {
+    val p = new Path(root)
+    val parent = p.getParent
+    if (parent == null) return
+    val governed =
+      try readKv(spark, new Path(parent, "manifest").toString)
+        .exists(_._2.contains(p.getName))
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (governed)
+      throw new IllegalStateException(
+        s"AtomicStore.compact: $root is governed by the store cut at " +
+          s"$parent/manifest — a bare compact could fold a crashed swap's " +
+          "orphan snapshot into the served cut and never publishes the " +
+          "fold. Use StoreCut.foldAndAdvance (or the owning store's " +
+          "compact) instead")
+  }
 
   // ------------------------------------------------- KV-cut store flavor
 
@@ -600,9 +652,21 @@ object AtomicStore {
     * uncommitted progress and publish a cut that was never any writer's
     * intent (the straggler-manifest caution recorded in SCALING.md
     * Round-16).
+    *
+    * `maxAttempts` bounds the retry-until-landed loop for BEST-EFFORT
+    * callers (post-commit publication steps that must degrade to
+    * "delayed, adopted later" rather than hang): under the documented
+    * [[atomicClaim]] caveat — the manifest directory deleted out-of-band
+    * makes every publish return false permanently — an unbounded loop
+    * here would spin forever, so a capped caller gets a loud
+    * IllegalStateException its swallow path can absorb. Mandatory
+    * publication (a swap's single cut advance) keeps the unbounded
+    * default: it MUST eventually land, and its failure mode should block
+    * loudly, not silently lag the cut.
     */
   def advanceKv(spark: SparkSession, root: String,
-                pins: Map[String, Long]): Long = {
+                pins: Map[String, Long],
+                maxAttempts: Int = Int.MaxValue): Long = {
     require(pins.nonEmpty, "advanceKv: empty pin set")
     require(pins.keys.forall(k => k.nonEmpty && !k.contains('=') &&
         !k.contains('\n') && !k.contains('\r')),
@@ -620,6 +684,12 @@ object AtomicStore {
       testPreKvPublishHook()
       if (publish(spark, root, lines, v)) return v
       attempt += 1
+      if (attempt >= maxAttempts)
+        throw new IllegalStateException(
+          s"advanceKv: gave up after $maxAttempts lost publishes at $root " +
+            "— every CAS lost to a concurrent advancer (or the manifest " +
+            "directory was deleted out-of-band, which makes publish fail " +
+            "permanently)")
       Thread.sleep(math.min(20L * attempt, 200L))
     }
     throw new IllegalStateException("unreachable")

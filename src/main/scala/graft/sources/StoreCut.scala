@@ -53,11 +53,14 @@ object StoreCut {
     AtomicStore.readKvAt(spark, manifestRoot(root), version)
 
   /** Merge `pins` into the cut monotonically (see
-    * [[AtomicStore.advanceKv]]).
+    * [[AtomicStore.advanceKv]]). `maxAttempts` bounds the CAS loop for
+    * best-effort callers; the default is unbounded (mandatory
+    * publication must land or block loudly).
     */
   def advance(spark: SparkSession, root: String,
-              pins: Map[String, Long]): Long =
-    AtomicStore.advanceKv(spark, manifestRoot(root), pins)
+              pins: Map[String, Long],
+              maxAttempts: Int = Int.MaxValue): Long =
+    AtomicStore.advanceKv(spark, manifestRoot(root), pins, maxAttempts)
 
   /** Read one component at its cut-pinned version; keys the cut does not
     * pin (legacy stores mid-upgrade) read at current.
@@ -128,6 +131,33 @@ object StoreCut {
         .exists(cur => extendsPin(spark, s"$root/$part", pin, cur))
     }
 
+  /** The ABSOLUTE vacuum floor for one component table: the OLDEST
+    * version any RETAINED cut (the last `lastCuts` manifest versions —
+    * [[vacuumCuts]]' keep window) still pins for `part`. Folding with
+    * only the CURRENT cut's pin as floor lets older cuts' table pins age
+    * out at `keepVersions=2` while their cut manifests survive for 8 —
+    * most retained cuts would then fail loudly on `loadAt` (safe but a
+    * hollow retention promise). With this floor every retained cut's
+    * pinned table versions survive the fold's vacuum, so time travel is
+    * readable across the full cut window. Cost: up to `lastCuts` tiny
+    * manifest opens per fold — maintenance-path metadata noise, never
+    * data-sized. Vacuumed/missing old cuts are skipped (their pins are
+    * already unreadable; nothing left to protect).
+    */
+  def retentionFloor(spark: SparkSession, root: String, part: String,
+                     currentPins: Map[String, Long],
+                     lastCuts: Int = 8): Option[Long] = {
+    val man = manifestRoot(root)
+    val pinsAcrossCuts = AtomicStore.currentVersion(spark, man).toSeq
+      .flatMap { latest =>
+        (math.max(0L, latest - lastCuts + 1) to latest).flatMap { v =>
+          try AtomicStore.readKvAt(spark, man, v).get(part)
+          catch { case e: Throwable if AtomicStore.isVacuumRace(e) => None }
+        }
+      }
+    (pinsAcrossCuts ++ currentPins.get(part)).minOption
+  }
+
   /** Fold `part` back to one snapshot and ADOPT the fold into the cut —
     * the only fold path a cut-governed table may use: a fold replaces
     * the table's file set, so it must advance the cut in the same
@@ -138,23 +168,31 @@ object StoreCut {
     * served cut — re-run the crashed swap instead) or when there was
     * nothing to fold.
     *
-    * The fold's vacuum retains back to the table's PINNED version as an
-    * ABSOLUTE floor ([[AtomicStore.vacuum]] `keepFloor` — not a
-    * keep-N-versions window counted from the fold, which would undercount
-    * whenever the fold's CAS retried past racing appenders and landed
-    * higher than the version this method resolved): a pin that lags the
-    * table — stacked crashed advances, a cut held by a concurrent
-    * reader — must never have its file set reclaimed from under the
-    * live cut by the fold that supersedes it.
+    * The orphan check is passed INTO the compact as its per-attempt
+    * `chainCheck`, so it runs against the exact version the fold
+    * materializes from and CASes at — closing the TOCTOU where a crashed
+    * swap's snapshot landed between a caller-side pre-check and the
+    * fold's internal resolve (the round-17 documented ε-window): the
+    * orphan bumps the version, the fold's CAS loses, and the re-check on
+    * the new base refuses.
+    *
+    * The fold's vacuum retains back to [[retentionFloor]] as an ABSOLUTE
+    * floor ([[AtomicStore.vacuum]] `keepFloor` — not a keep-N-versions
+    * window counted from the fold, which would undercount whenever the
+    * fold's CAS retried past racing appenders and landed higher than the
+    * version this method resolved): neither the live cut's pin nor any
+    * retained time-travel cut's pin may have its file set reclaimed by
+    * the fold that supersedes it.
     */
   def foldAndAdvance(spark: SparkSession, root: String, part: String,
                      graceMs: Long = 15 * 60 * 1000L): Option[Long] = {
     val pins = cut(spark, root).getOrElse(Map.empty)
-    if (!chainExtendsCut(spark, root, part, pins)) None
-    else
-      AtomicStore.compact(spark, s"$root/$part", graceMs = graceMs,
-          keepFloor = pins.get(part))
-        .map { fv => advance(spark, root, Map(part -> fv)); fv }
+    val table = s"$root/$part"
+    AtomicStore.compact(spark, table, graceMs = graceMs,
+        keepFloor = retentionFloor(spark, root, part, pins),
+        chainCheck = Some(v =>
+          pins.get(part).forall(pin => extendsPin(spark, table, pin, v))))
+      .map { fv => advance(spark, root, Map(part -> fv)); fv }
   }
 
   /** Post-commit publication (+ self-fold past `aboveDirs`) for an
@@ -176,17 +214,46 @@ object StoreCut {
     folded.getOrElse(v)
   }
 
-  /** [[advance]] with bounded retries, swallowing a persistent failure —
-    * for publication steps that run AFTER a durable commit (see
-    * [[publishAppend]] for why those must not throw).
+  /** OPS SIGNAL for the best-effort publication paths: a swallowed cut
+    * advance is correct (the batch is durably committed and adopted by
+    * the next append/fold) but was previously INVISIBLE — a store whose
+    * every advance fails persistently (an IAM break, a throttle storm,
+    * an out-of-band manifest-dir deletion) would silently lag its cut
+    * forever with nothing to diagnose from. Each abandoned publication
+    * bumps the counter, records the last failure, and logs one stderr
+    * line; `graft.Verify` surfaces the totals as
+    * `storecut_health.json`. JVM-wide by design (the stores are
+    * objects); reset is test-only.
+    */
+  val swallowedAdvances = new java.util.concurrent.atomic.AtomicLong(0L)
+  @volatile var lastSwallow: Option[String] = None
+
+  private def recordSwallow(root: String, e: Throwable): Unit = {
+    swallowedAdvances.incrementAndGet()
+    val what = s"$root: ${e.getClass.getSimpleName}: " +
+      Option(e.getMessage).getOrElse("").take(200)
+    lastSwallow = Some(what)
+    System.err.println(s"[storecut] swallowed best-effort cut advance " +
+      s"(#${swallowedAdvances.get()}) — the committed batch stays " +
+      s"unpublished until the next append/fold adopts it: $what")
+  }
+
+  /** [[advance]] with bounded retries, swallowing (but counting — see
+    * [[swallowedAdvances]]) a persistent failure — for publication steps
+    * that run AFTER a durable commit (see [[publishAppend]] for why
+    * those must not throw). Each inner advance is itself attempt-capped:
+    * an advance whose every CAS loses permanently (out-of-band manifest
+    * deletion) must degrade to "delayed, adopted later", not hang the
+    * append that already landed.
     */
   def advanceBestEffort(spark: SparkSession, root: String,
                         pins: Map[String, Long]): Unit = {
     var attempt = 0
     while (attempt < 3) {
-      try { advance(spark, root, pins); return }
-      catch { case scala.util.control.NonFatal(_) =>
+      try { advance(spark, root, pins, maxAttempts = 8); return }
+      catch { case scala.util.control.NonFatal(e) =>
         attempt += 1
+        if (attempt >= 3) { recordSwallow(root, e); return }
         Thread.sleep(50L * attempt)
       }
     }

@@ -66,6 +66,13 @@ object RoundGates {
       // repair to the clean rebuild (see AnnStoreScale.crashRegime)
       Gate("ann_swap_crash", "graft.tools.AnnStoreScale",
         Seq(sfDir, "4", "150", "1", "50", "crash")),
+      // tag-FAMILY mid-job crash under latency (round 18, the family
+      // cut): jobs killed after the tag commit and after the history
+      // commit — both tables must serve the pre-job state, re-runs land
+      // exactly once, the final store equals a crash-free replay, and a
+      // pinned cut time-travels across the fold (see TagFamilyCrash)
+      Gate("tag_family_crash", "graft.tools.TagFamilyCrash",
+        Seq(sfDir, "6", "50")),
       // lease-protocol edges isolated under SlowFs: the two-breaker
       // barrier and a contention soak, where the list→create→verify
       // windows widen ~3 orders of magnitude over the instant local FS

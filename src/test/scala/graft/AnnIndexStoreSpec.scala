@@ -814,9 +814,12 @@ class AnnIndexStoreSpec extends SparkSpec {
       AnnIndexStore.appendVectors(root, sEmb(Seq(2L * w, 2L * w + 1))))
     // simulate StoreCut.foldAndAdvance dying right after its fold commit:
     // the fold lands (fold-marked) but the cut still pins the pre-fold
-    // chain
+    // chain. The chainCheck is the cut-governance authorization a bare
+    // compact no longer has (round 18) — here it stands in for
+    // foldAndAdvance's own check, with the advance step "crashed"
     assert(graft.sources.AtomicStore
-      .compact(spark, s"$root/assigned").isDefined, "fixture fold must fire")
+      .compact(spark, s"$root/assigned",
+        chainCheck = Some(_ => true)).isDefined, "fixture fold must fire")
     // appends proceed (no refusal) and the store serves every row
     AnnIndexStore.appendVectors(root, sEmb(Seq(20L, 21L)))
     assert(AnnIndexStore.load(spark, root).assigned

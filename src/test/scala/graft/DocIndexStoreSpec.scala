@@ -518,4 +518,25 @@ class DocIndexStoreSpec extends SparkSpec {
     assert(DocIndexStore.load(spark, root).simhash
       .select("doc_id").as[Long].collect().toSet === Set(50L))
   }
+
+  test("write is lease-serialized: concurrent rebuilds cannot interleave into a mixed cut") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_docidx_lease")
+      .toString
+    val sim = Seq((0L, 7L)).toDF("doc_id", "simhash")
+    val mh = Seq((0L, 0L, 1L, 0L, 0L)).toDF(
+      "doc_id", "mh_0", "mh_1", "band_0", "band_1")
+    // a concurrent rebuild holds the write lease — ours must refuse
+    // loudly instead of racing its table commits into the shared cut
+    val lease = graft.sources.AtomicStore.claimLease(spark,
+      s"$root/_write_lease", graft.sources.AtomicStore.DefaultLeaseTtlMs,
+      "spec holder")
+    try intercept[java.util.ConcurrentModificationException](
+      DocIndexStore.write(root, DocIndexStore.Components(sim, mh)))
+    finally graft.sources.AtomicStore.releaseLease(spark, lease)
+    // released → the rebuild proceeds and publishes its cut
+    val v = DocIndexStore.write(root, DocIndexStore.Components(sim, mh))
+    assert(v.contains("manifest"))
+    assert(DocIndexStore.load(spark, root).simhash.count() === 1L)
+  }
 }
