@@ -280,6 +280,13 @@ object TagEngine {
     * (DataCatalogController.py:324–327) — the reference writes history on
     * every create/update, so history rows are the post-overwrite-filter
     * incoming set.
+    *
+    * The history write and the caller's merge terminal are SEPARATE
+    * effects here (reference-parity: the catalog RPC and the BQ insert
+    * are equally independent there, so a crashed task tears the pair).
+    * Deployments that need the pair atomic run the job through
+    * [[TagFamilyStore.runJob]], which publishes tags + history under one
+    * store-level cut.
     */
   def runJob(spark: SparkSession, config: TagConfig, catalog: DataFrame,
              existingTags: DataFrame, historyPath: Option[String] = None,

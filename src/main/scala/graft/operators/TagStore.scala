@@ -119,15 +119,37 @@ object TagStore {
     * publishes — AtomicStoreSpec proves it).
     */
   def mergeCommit(spark: SparkSession, path: String,
-                  incoming: DataFrame): Long =
+                  incoming: DataFrame): Long = {
+    requireNotFamilyGoverned(spark, path, "mergeCommit")
     casCommit(spark, path, incoming, applyWithDeletes)
+  }
+
+  /** Refuse the standalone writers/folds on a table governed by a
+    * [[TagFamilyStore]] cut (the same structural closure as
+    * `AtomicStore.compact`'s): a direct merge would commit tag state the
+    * family's history never records (the exact tear the family cut
+    * exists to kill), a direct log fold would fold a crashed job's
+    * ORPHAN batches into a snapshot and its keep-2 vacuum would reclaim
+    * the cut-pinned manifests out from under every pinned reader.
+    */
+  private def requireNotFamilyGoverned(spark: SparkSession, path: String,
+                                       what: String): Unit =
+    if (AtomicStore.isCutGoverned(spark, path))
+      throw new IllegalStateException(
+        s"TagStore.$what: $path is governed by a store cut (a sibling " +
+          "manifest pins it — a TagFamilyStore tags table). Standalone " +
+          "merges/folds bypass the family's atomic job publish and its " +
+          "pin-aware retention; use TagFamilyStore.commitJob / compact " +
+          "instead")
 
   /** Transactional [[reconcile]]: replace the touched scopes atomically,
     * same CAS-and-recompute discipline as [[mergeCommit]].
     */
   def reconcileCommit(spark: SparkSession, path: String,
-                      incoming: DataFrame): Long =
+                      incoming: DataFrame): Long = {
+    requireNotFamilyGoverned(spark, path, "reconcileCommit")
     casCommit(spark, path, incoming, reconcile)
+  }
 
   /** CONSECUTIVE vacuum-race retries allowed before concluding the
     * missing file is a persistent failure, not a transient race. A real
@@ -208,6 +230,7 @@ object TagStore {
   def appendMergeCommit(spark: SparkSession, path: String,
                         incoming: DataFrame,
                         compactAboveBatches: Int = 64): Long = {
+    requireNotFamilyGoverned(spark, path, "appendMergeCommit")
     val delta = mergeDelta(incoming)
     var races = 0
     while (true) {
@@ -334,6 +357,7 @@ object TagStore {
     */
   def compactLog(spark: SparkSession, path: String,
                  maxAttempts: Int = Int.MaxValue): Unit = {
+    requireNotFamilyGoverned(spark, path, "compactLog")
     var races = 0
     var attempts = 0
     while (true) {

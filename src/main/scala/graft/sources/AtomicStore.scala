@@ -558,34 +558,38 @@ object AtomicStore {
       } catch { case scala.util.control.NonFatal(_) => None }
     } else None
 
-  /** Refuse a bare [[compact]] on a table governed by a store-level
-    * manifest cut — the documented-misuse seam closed structurally
-    * (round 18): component tables live directly under their store root,
-    * so governance is detectable as a sibling `manifest` KV store whose
-    * current cut pins this table's directory name. A probe failure of
-    * any kind means "not provably governed" and the compact proceeds
-    * (a table named like a component but outside any cut store must not
-    * be bricked by a stray sibling file); the manifest store itself is
-    * trivially not governed (it pins no key named "manifest"). Cost:
-    * one LIST (+ one tiny open when a manifest exists) per compact call
-    * — maintenance-path metadata noise.
+  /** Is `root` a component table of a store-level manifest cut — i.e.
+    * does a sibling `manifest` KV store's current cut pin this table's
+    * directory name (component tables live directly under their store
+    * root by construction)? Shared by [[compact]]'s refusal below —
+    * the documented-misuse seam closed structurally in round 18 — and
+    * the tag-store writers' family guard (`TagStore`). A probe failure
+    * of any kind means "not provably governed" (a table named like a
+    * component but outside any cut store must not be bricked by a
+    * stray sibling file); the manifest store itself is trivially not
+    * governed (no cut pins a key named "manifest"). Cost: one LIST
+    * (+ one tiny open when a manifest exists) per guarded call —
+    * maintenance/job-path metadata noise.
     */
-  private def requireNotCutGoverned(spark: SparkSession, root: String): Unit = {
+  private[graft] def isCutGoverned(spark: SparkSession,
+                                   root: String): Boolean = {
     val p = new Path(root)
     val parent = p.getParent
-    if (parent == null) return
-    val governed =
+    parent != null && {
       try readKv(spark, new Path(parent, "manifest").toString)
         .exists(_._2.contains(p.getName))
       catch { case scala.util.control.NonFatal(_) => false }
-    if (governed)
+    }
+  }
+
+  private def requireNotCutGoverned(spark: SparkSession, root: String): Unit =
+    if (isCutGoverned(spark, root))
       throw new IllegalStateException(
         s"AtomicStore.compact: $root is governed by the store cut at " +
-          s"$parent/manifest — a bare compact could fold a crashed swap's " +
-          "orphan snapshot into the served cut and never publishes the " +
-          "fold. Use StoreCut.foldAndAdvance (or the owning store's " +
-          "compact) instead")
-  }
+          s"${new Path(root).getParent}/manifest — a bare compact could " +
+          "fold a crashed swap's orphan snapshot into the served cut and " +
+          "never publishes the fold. Use StoreCut.foldAndAdvance (or the " +
+          "owning store's compact) instead")
 
   // ------------------------------------------------- KV-cut store flavor
 

@@ -114,7 +114,13 @@ object TagFamilyCrash {
           if (histN != expectN)
             println(s"TAGFAM wave=$w rerun history rows $histN != $expectN")
         case None =>
+          // clean-wave commit wall = the family cut's per-job price at
+          // this latency rung (evaluation excluded — inc/hist are
+          // checkpointed): 3 commits + 1 cut publish of metadata ops
+          val tW = System.nanoTime()
           TagFamilyStore.commitJob(spark, root, inc, hist)
+          println(f"TAGFAM wave=$w commit_wall=" +
+            f"${(System.nanoTime() - tW) / 1e9}%.2fs")
       }
       TagFamilyStore.commitJob(spark, cleanRoot, inc, hist)
       if (w == 0) {

@@ -224,6 +224,30 @@ class TagFamilyStoreSpec extends SparkSpec {
       Map("job-1" -> 2L))
   }
 
+  test("standalone TagStore writers refuse a family-governed tags table") {
+    val root = freshRoot()
+    TagFamilyStore.commitJob(spark, root, mkIncoming(j1Tags),
+      mkHistory("job-1", Seq(("a/orders", "100"))))
+    // a direct merge would commit tag state the family's history never
+    // records; a direct log fold's keep-2 vacuum would reclaim pinned
+    // manifests — both refuse with the family remedy
+    for ((what, op) <- Seq[(String, () => Any)](
+        ("mergeCommit", () =>
+          TagStore.mergeCommit(spark, s"$root/tags", mkIncoming(j2Tags))),
+        ("appendMergeCommit", () =>
+          TagStore.appendMergeCommit(spark, s"$root/tags",
+            mkIncoming(j2Tags))),
+        ("compactLog", () => TagStore.compactLog(spark, s"$root/tags")))) {
+      val e = intercept[IllegalStateException](op())
+      assert(e.getMessage.contains("TagFamilyStore"), s"$what must refuse")
+    }
+    // and a standalone store (no manifest sibling) keeps the direct path
+    val lone = s"${freshRoot()}/tags"
+    TagStore.appendMergeCommit(spark, lone, mkIncoming(j1Tags))
+    TagStore.compactLog(spark, lone)
+    assert(TagStore.readLatestState(spark, lone).count() === 3L)
+  }
+
   test("readLatestStateAt: the standalone delta log time-travels symmetrically") {
     val root = s"${freshRoot()}/taglog"
     val v1 = TagStore.appendMergeCommit(spark, root, mkIncoming(j1Tags))
