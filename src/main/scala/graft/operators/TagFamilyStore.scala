@@ -114,7 +114,9 @@ object TagFamilyStore {
                               incoming: DataFrame, history: DataFrame,
                               reports: Option[DataFrame],
                               compactAboveBatches: Int): Map[String, Long] = {
-    val pins = StoreCut.cut(spark, root).getOrElse(Map.empty)
+    val baseCut = StoreCut.cutVersion(spark, root)
+    val pins = baseCut.map(v => StoreCut.cutAt(spark, root, v))
+      .getOrElse(Map.empty)
     val tv = commitOntoPin(spark, root, TagsPart, pins,
       v => TagStore.mergeDelta(incoming).withColumn("__batch", lit(v)))
     testMidJobHook(TagsPart)
@@ -126,10 +128,24 @@ object TagFamilyStore {
     testMidJobHook(ReportsPart)
     val versions = Map(TagsPart -> tv, HistoryPart -> hv) ++
       rv.map(ReportsPart -> _)
-    // THE atomicity point: one cut pinning every part. Mandatory (not
+    // THE atomicity point: one cut pinning every part — CAS'd against
+    // the cut version this job's parents derive from. Mandatory (not
     // best-effort): before it, the job never happened; a failure here is
     // a crashed job whose re-run truncates these commits and re-lands.
-    val cutV = StoreCut.advance(spark, root, versions)
+    // The CAS closes the fenced-zombie hole the lease alone cannot: a
+    // holder stalled past its TTL (GC pause, VM freeze) whose lease a
+    // successor legally broke would otherwise blind-merge table versions
+    // whose chains were parented on the PRE-successor pins — numerically
+    // higher, so max-merge would adopt them and drop the successor's
+    // published batches from the served cut. Losing the CAS instead
+    // orphans this zombie's commits (the next job truncates them) and
+    // fails loudly with the re-run remedy.
+    val cutV = StoreCut.advanceIfBase(spark, root, versions, baseCut)
+      .getOrElse(throw new java.util.ConcurrentModificationException(
+        s"TagFamilyStore: the cut at $root moved while this job was " +
+          "committing — its lease was broken (holder stalled past the " +
+          "TTL?) and another job published. This job's commits are " +
+          "orphaned (the next commit truncates them); re-run the job"))
     // post-publish maintenance, best-effort (the job is committed AND
     // published — a maintenance hiccup must not fail it): fold any part
     // whose pinned chain outgrew the dir threshold, so a long-lived
@@ -290,7 +306,9 @@ object TagFamilyStore {
   private def foldPartLocked(spark: SparkSession, root: String, part: String,
                              graceMs: Long = 15 * 60 * 1000L): Option[Long] = {
     val table = s"$root/$part"
-    val pins = StoreCut.cut(spark, root).getOrElse(Map.empty)
+    val baseCut = StoreCut.cutVersion(spark, root)
+    val pins = baseCut.map(v => StoreCut.cutAt(spark, root, v))
+      .getOrElse(Map.empty)
     val pin = pins.get(part) match {
       case None    => return None // never published — nothing to fold
       case Some(p) => p
@@ -308,7 +326,16 @@ object TagFamilyStore {
         else pinned
       val rel = AtomicStore.writeData(state, table, AtomicStore.FoldPrefix)
       if (AtomicStore.publish(spark, table, Seq(rel), v)) {
-        StoreCut.advance(spark, root, Map(part -> v))
+        // CAS'd adoption, same zombie argument as the job publish: the
+        // fold materialized from the pin read at THIS cut version; if a
+        // lease-breaking job advanced the cut during the (slow)
+        // materialization, adopting the fold would drop that job's
+        // batch from the served chain. A lost CAS orphans the fold
+        // (harmless — the next job truncates it) and skips the vacuum
+        // (whose floor derives from the stale pin set).
+        if (StoreCut.advanceIfBase(spark, root, Map(part -> v),
+            baseCut).isEmpty)
+          return None
         try AtomicStore.vacuum(spark, table, keepVersions = 2, graceMs,
           keepFloor = StoreCut.retentionFloor(spark, root, part,
             pins + (part -> v)))

@@ -699,6 +699,36 @@ object AtomicStore {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Compare-and-swap [[advanceKv]] — publish the max-merged cut at
+    * `expectedBase + 1` and return None when the cut moved since the
+    * caller read `expectedBase` (no retry: the caller's pins derive
+    * from state resolved AT that base). The fenced-zombie closer for
+    * lease-serialized multi-table writers (the tag family): a holder
+    * stalled past its TTL mid-commit publishes table manifests with
+    * STALE pinned parents, and a blind max-merge advance would adopt
+    * them — numerically higher versions whose chains DROP the
+    * lease-breaker's published batch, tearing the served cut. Losing
+    * this CAS instead orphans the zombie's commits (the next job's
+    * pin-parented publish truncates them) and surfaces loudly. A no-op
+    * advance (pins already subsumed) returns the current version.
+    */
+  def advanceKvIfBase(spark: SparkSession, root: String,
+                      pins: Map[String, Long],
+                      expectedBase: Option[Long]): Option[Long] = {
+    require(pins.nonEmpty, "advanceKvIfBase: empty pin set")
+    val base = readKv(spark, root)
+    if (base.map(_._1) != expectedBase) return None
+    val cur = base.map(_._2).getOrElse(Map.empty[String, Long])
+    val merged = cur ++ pins.map { case (k, v) =>
+      k -> math.max(v, cur.getOrElse(k, Long.MinValue))
+    }
+    if (base.isDefined && merged == cur) return Some(base.get._1)
+    val v = expectedBase.getOrElse(-1L) + 1
+    val lines = merged.toSeq.sortBy(_._1).map { case (k, x) => s"$k=$x" }
+    testPreKvPublishHook()
+    if (publish(spark, root, lines, v)) Some(v) else None
+  }
+
   /** Drop data dirs no manifest within `keepVersions` of latest
     * references, and older manifests (Delta's VACUUM). Safe for readers
     * because they resolve a retained manifest first; safe for CONCURRENT

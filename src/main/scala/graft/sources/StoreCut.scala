@@ -62,6 +62,17 @@ object StoreCut {
               maxAttempts: Int = Int.MaxValue): Long =
     AtomicStore.advanceKv(spark, manifestRoot(root), pins, maxAttempts)
 
+  /** CAS advance ([[AtomicStore.advanceKvIfBase]]): publish only if the
+    * cut version still equals `expectedBase` — for writers whose pins
+    * derive from state resolved at that base (the tag family's job
+    * publish), where a lost race means the whole operation must abort
+    * or re-run, never blind-merge.
+    */
+  def advanceIfBase(spark: SparkSession, root: String,
+                    pins: Map[String, Long],
+                    expectedBase: Option[Long]): Option[Long] =
+    AtomicStore.advanceKvIfBase(spark, manifestRoot(root), pins, expectedBase)
+
   /** Read one component at its cut-pinned version; keys the cut does not
     * pin (legacy stores mid-upgrade) read at current.
     *

@@ -224,6 +224,35 @@ class TagFamilyStoreSpec extends SparkSpec {
       Map("job-1" -> 2L))
   }
 
+  test("a zombie job (lease broken mid-commit) aborts on its CAS'd cut publish instead of tearing the cut") {
+    val root = freshRoot()
+    TagFamilyStore.commitJob(spark, root, mkIncoming(j1Tags),
+      mkHistory("job-1", Seq(("a/orders", "100"), ("a/region", "5"))))
+    // the zombie: job-2's tables commit, then — before its single cut
+    // publish — the cut MOVES (a successor legally broke the stalled
+    // lease and published). A blind max-merge would adopt the zombie's
+    // stale-parented table versions; the CAS must abort loudly instead.
+    TagFamilyStore.testMidJobHook = stage =>
+      if (stage == "history")
+        StoreCut.advance(spark, root, Map("zz_breaker" -> 0L))
+    try intercept[java.util.ConcurrentModificationException](
+      TagFamilyStore.commitJob(spark, root, mkIncoming(j2Tags),
+        mkHistory("job-2", Seq(("a/orders", "100")))))
+    finally TagFamilyStore.testMidJobHook = _ => ()
+    // the zombie's commits are invisible — job-1 still serves
+    assert(tagSet(TagFamilyStore.readTags(spark, root)) === Set(
+      "a/orders|env|DEV", "a/orders|n_rows|100", "a/region|n_rows|5"))
+    assert(histUuids(TagFamilyStore.readHistory(spark, root)) ===
+      Map("job-1" -> 2L))
+    // and the re-run truncates the zombie's orphans and lands once
+    TagFamilyStore.commitJob(spark, root, mkIncoming(j2Tags),
+      mkHistory("job-2", Seq(("a/orders", "100"))))
+    assert(tagSet(TagFamilyStore.readTags(spark, root)) === Set(
+      "a/orders|env|PROD", "a/orders|n_rows|100"))
+    assert(histUuids(TagFamilyStore.readHistory(spark, root)) ===
+      Map("job-1" -> 2L, "job-2" -> 1L))
+  }
+
   test("standalone TagStore writers refuse a family-governed tags table") {
     val root = freshRoot()
     TagFamilyStore.commitJob(spark, root, mkIncoming(j1Tags),
