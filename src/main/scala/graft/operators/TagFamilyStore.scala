@@ -199,17 +199,25 @@ object TagFamilyStore {
     * residue, and falling back to its current version (readPinned's
     * legacy contract, right for pre-manifest index stores) would serve
     * exactly the orphans this store exists to hide. So: pinned read or
-    * None, never current.
+    * None, never current — which is also why the read is STRICT:
+    * readPinned's non-strict arm handles an aged-out pin by reading
+    * the table's current version, the one fallback this store must
+    * never take (in-protocol it is unreachable anyway — the retention
+    * floor keeps every retained cut's pins resolvable — so strictness
+    * costs nothing and converts a protocol violation into a loud
+    * error). A pin vacuumed between the cut read and the resolve (the
+    * store moved on mid-read) retries once at the freshest cut; the
+    * strict failure's cause chain carries the race, so the retry guard
+    * sees it.
     */
   private def pinnedPart(spark: SparkSession, root: String,
                          part: String): Option[DataFrame] = {
     def attempt(pins: Map[String, Long]): Option[DataFrame] =
-      pins.get(part).map(_ => StoreCut.readPinned(spark, root, part, pins))
+      pins.get(part).map(_ =>
+        StoreCut.readPinned(spark, root, part, pins, strict = true))
     StoreCut.cut(spark, root).flatMap { pins =>
       try attempt(pins)
       catch { case e: Throwable if AtomicStore.isVacuumRace(e) =>
-        // the pinned version aged out between cut read and resolve —
-        // the store moved on; one re-resolve at the freshest cut
         attempt(StoreCut.cut(spark, root).getOrElse(Map.empty))
       }
     }
