@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.TagFamilyStore
+import graft.sources.StoreCut
+
+/** Crash-aware fuzz for the tag-family cut (the round-17 fuzz pattern
+  * applied to the new store): a seeded random interleaving of committed
+  * jobs, jobs crashed at random inter-commit stages, zombie jobs (cut
+  * moved under a broken lease mid-commit), and maintenance folds —
+  * with a full in-memory model of the COMMITTED-ONLY state asserted
+  * against the served tables after every step, plus retained
+  * time-travel pins re-checked at the end. Any state a crashed or
+  * zombie job leaks, any row a fold loses or resurrects, any
+  * exactly-once violation in a re-run fails the run with the seed in
+  * the message.
+  */
+class TagFamilyFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Assets = Vector("a/orders", "a/region", "a/nation", "a/part")
+  private val Fields = Vector("env", "n_rows", "owner")
+
+  private def mkIncoming(rows: Seq[(String, String, String)]): DataFrame =
+    rows.toDF("asset_uri", "field_id", "field_value")
+      .select(col("asset_uri"), lit("").as("column"),
+        lit("gov").as("template_id"), col("field_id"),
+        lit("string").as("field_type"), col("field_value"))
+
+  private def mkHistory(uuid: String, n: Int): DataFrame =
+    (0 until n).map(i => s"a/h$i").toDF("asset_name")
+      .select(to_timestamp(lit("2026-01-05 00:00:00")).as("event_time"),
+        col("asset_name"), lit(uuid).as("job_uuid"))
+
+  test("seeded crash/zombie/fold fuzz: served state always equals the committed-only replay") {
+    val seed = 181818L
+    val rnd = new scala.util.Random(seed)
+    val root = java.nio.file.Files.createTempDirectory("graft_tagfam_fz")
+      .toString
+    def ctx = s"(seed $seed)"
+
+    // the model: committed-only tag state + history counts
+    val tags = scala.collection.mutable.Map[(String, String), String]()
+    val hist = scala.collection.mutable.Map[String, Long]()
+    var committedJobs = 0
+    val pinsSeen = scala.collection.mutable.ArrayBuffer[
+      (Long, Set[String], Map[String, Long])]() // (cutV, tagSet, hist)
+
+    def randomBatch(): Seq[(String, String, String)] = {
+      val n = 1 + rnd.nextInt(4)
+      // distinct (asset, field) keys per batch: two rows on the same key
+      // in ONE batch share a __batch stamp, so the latest-wins window's
+      // tie-break between them is plan-order — deliberately outside the
+      // store's contract (the reference's per-tag RPC can't express it
+      // either), so the fuzz must not generate it
+      (0 until n).map { _ =>
+        val a = Assets(rnd.nextInt(Assets.length))
+        val f = Fields(rnd.nextInt(Fields.length))
+        // ~20%: an all-empty tag instance — the delete trigger
+        val v = if (rnd.nextInt(5) == 0) "" else s"v${rnd.nextInt(9)}"
+        (a, f, v)
+      }.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq.sortBy(t => (t._1, t._2))
+    }
+    def applyModel(batch: Seq[(String, String, String)], uuid: String,
+                   histN: Int): Unit = {
+      // delete-when-all-empty per (asset, template) instance, then upsert
+      val byAsset = batch.groupBy(_._1)
+      byAsset.foreach { case (a, rows) =>
+        if (rows.forall(_._3.isEmpty))
+          Fields.foreach(f => tags.remove((a, f)))
+        else rows.foreach { case (_, f, v) => tags((a, f)) = v }
+      }
+      hist(uuid) = hist.getOrElse(uuid, 0L) + histN
+    }
+    def servedTags(): Set[String] =
+      TagFamilyStore.readTags(spark, root)
+        .select("asset_uri", "field_id", "field_value")
+        .collect().map(_.mkString("|")).toSet
+    def servedHist(): Map[String, Long] =
+      TagFamilyStore.readHistory(spark, root).groupBy("job_uuid").count()
+        .as[(String, Long)].collect().toMap
+    def modelTags(): Set[String] =
+      tags.map { case ((a, f), v) => s"$a|$f|$v" }.toSet
+    def assertServed(step: Int): Unit = {
+      assert(servedTags() === modelTags(), s"tags diverged at step $step $ctx")
+      assert(servedHist() === hist.toMap, s"history diverged at step $step $ctx")
+    }
+
+    // step 0: one committed job so reads resolve
+    val b0 = Seq(("a/orders", "env", "v1"))
+    TagFamilyStore.commitJob(spark, root, mkIncoming(b0), mkHistory("j0", 2))
+    applyModel(b0, "j0", 2); committedJobs += 1
+
+    (1 to 40).foreach { step =>
+      val batch = randomBatch()
+      val uuid = s"j$step"
+      val histN = 1 + rnd.nextInt(3)
+      rnd.nextInt(10) match {
+        case k if k < 5 => // committed job
+          TagFamilyStore.commitJob(spark, root, mkIncoming(batch),
+            mkHistory(uuid, histN))
+          applyModel(batch, uuid, histN); committedJobs += 1
+        case k if k < 8 => // crash at a random inter-commit stage, re-run
+          val stage = Seq("tags", "history", "reports")(rnd.nextInt(3))
+          TagFamilyStore.testMidJobHook = s =>
+            if (s == stage) throw new RuntimeException("fz crash")
+          try intercept[RuntimeException](
+            TagFamilyStore.commitJob(spark, root, mkIncoming(batch),
+              mkHistory(uuid, histN)))
+          finally TagFamilyStore.testMidJobHook = _ => ()
+          assertServed(step) // crashed job invisible in BOTH tables
+          // ~half the crashes re-run (exactly-once); the rest stay
+          // abandoned orphans for later jobs to truncate
+          if (rnd.nextBoolean()) {
+            TagFamilyStore.commitJob(spark, root, mkIncoming(batch),
+              mkHistory(uuid, histN))
+            applyModel(batch, uuid, histN); committedJobs += 1
+          }
+        case 8 => // zombie: cut moves under a broken lease mid-commit
+          TagFamilyStore.testMidJobHook = s =>
+            if (s == "history")
+              StoreCut.advance(spark, root, Map("zz" -> step.toLong))
+          try intercept[java.util.ConcurrentModificationException](
+            TagFamilyStore.commitJob(spark, root, mkIncoming(batch),
+              mkHistory(uuid, histN)))
+          finally TagFamilyStore.testMidJobHook = _ => ()
+          assertServed(step) // zombie's commits never served
+        case _ => // maintenance fold (grace 0: only the floor protects)
+          TagFamilyStore.compact(spark, root, graceMs = 0L)
+          assertServed(step)
+      }
+      if (rnd.nextInt(4) == 0) assertServed(step)
+      if (rnd.nextInt(6) == 0)
+        pinsSeen += ((TagFamilyStore.currentCutVersion(spark, root).get,
+          modelTags(), hist.toMap))
+    }
+
+    assertServed(41)
+    assert(committedJobs > 5, s"degenerate run $ctx")
+    // retained time-travel pins still serve their captured state
+    // bit-identically (strict reads; pins older than the retained
+    // window may legitimately fail loudly — skip those)
+    val latest = TagFamilyStore.currentCutVersion(spark, root).get
+    val checked = pinsSeen.filter(_._1 > latest - 8).map {
+      case (cv, expTags, expHist) =>
+        val gotTags = TagFamilyStore.readTagsAt(spark, root, cv)
+          .select("asset_uri", "field_id", "field_value")
+          .collect().map(_.mkString("|")).toSet
+        assert(gotTags === expTags, s"pinned tags diverged at cut $cv $ctx")
+        val gotHist = TagFamilyStore.readHistoryAt(spark, root, cv)
+          .groupBy("job_uuid").count().as[(String, Long)].collect().toMap
+        assert(gotHist === expHist, s"pinned history diverged at cut $cv $ctx")
+        cv
+    }
+    assert(checked.nonEmpty, s"no retained pin got checked $ctx")
+  }
+}
