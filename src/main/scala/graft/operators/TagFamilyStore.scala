@@ -237,6 +237,37 @@ object TagFamilyStore {
     pinnedPart(spark, root, TagsPart).map(TagStore.latestStateOf)
       .getOrElse(noCut(root, TagsPart))
 
+  /** One job-consistent view of tags AND history. */
+  final case class Family(tags: DataFrame, history: DataFrame)
+
+  /** BOTH tables resolved through ONE cut — the read a consumer needs
+    * when tags and history must agree about which jobs happened.
+    * [[readTags]] + [[readHistory]] each resolve the CURRENT cut
+    * independently, so a pair of calls racing a job commit can span two
+    * cuts (tags pre-job, history post-job) — each table individually
+    * consistent, the PAIR not (the concurrent-reader soak caught
+    * exactly that). Here the cut resolves once, each part's file list
+    * pins eagerly at construction, and the returned (lazy) frames stay
+    * a consistent pair however late they are collected. Same strict +
+    * one-retry discipline as [[pinnedPart]].
+    */
+  def readFamily(spark: SparkSession, root: String): Family = {
+    def attempt(pins: Map[String, Long]): Family = {
+      if (!pins.contains(TagsPart)) noCut(root, TagsPart)
+      if (!pins.contains(HistoryPart)) noCut(root, HistoryPart)
+      Family(
+        TagStore.latestStateOf(
+          StoreCut.readPinned(spark, root, TagsPart, pins, strict = true)),
+        StoreCut.readPinned(spark, root, HistoryPart, pins, strict = true))
+    }
+    val pins = StoreCut.cut(spark, root)
+      .getOrElse(noCut(root, TagsPart))
+    try attempt(pins)
+    catch { case e: Throwable if AtomicStore.isVacuumRace(e) =>
+      attempt(StoreCut.cut(spark, root).getOrElse(Map.empty))
+    }
+  }
+
   /** [[readTags]], or an empty frame in `schemaLike`'s schema for a
     * store no job ever committed to (the fresh-store read every first
     * job's overwrite filter needs).

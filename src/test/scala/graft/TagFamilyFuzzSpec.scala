@@ -155,4 +155,71 @@ class TagFamilyFuzzSpec extends SparkSpec {
     }
     assert(checked.nonEmpty, s"no retained pin got checked $ctx")
   }
+
+  test("concurrent readers only ever observe committed cut states (torn reads unrepresentable under load)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tagfam_rd")
+      .toString
+    // every state a reader may legally observe, recorded BEFORE its
+    // publishing commit runs (so a reader racing the cut advance finds
+    // either the old or the new state already in the set). Keyed by the
+    // full (tags, history) pair — a torn read (one table old, one new)
+    // matches NO recorded pair.
+    val legal = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Set[String], Map[String, Long])]()
+    val tags = scala.collection.mutable.Map[(String, String), String]()
+    val hist = scala.collection.mutable.Map[String, Long]()
+    def snap(): (Set[String], Map[String, Long]) =
+      (tags.map { case ((a, f), v) => s"$a|$f|$v" }.toSet, hist.toMap)
+    // the consistent-PAIR read: readFamily resolves ONE cut for both
+    // tables (independent readTags + readHistory calls are two separate
+    // snapshots and legitimately span a racing commit — this soak's
+    // first run proved it)
+    def read(): (Set[String], Map[String, Long]) = {
+      val fam = TagFamilyStore.readFamily(spark, root)
+      (fam.tags.select("asset_uri", "field_id", "field_value")
+        .collect().map(_.mkString("|")).toSet,
+        fam.history.groupBy("job_uuid").count()
+          .as[(String, Long)].collect().toMap)
+    }
+
+    val b0 = Seq(("a/orders", "env", "v0"))
+    legal.add(snap()) // the pre-store state is unreadable (no cut) but
+    // record post-j0 BEFORE committing, per the protocol above
+    b0.foreach { case (a, f, v) => tags((a, f)) = v }
+    hist("j0") = 1L
+    legal.add(snap())
+    TagFamilyStore.commitJob(spark, root, mkIncoming(b0), mkHistory("j0", 1))
+
+    val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+    val reader = new Thread(() => {
+      try while (!stop.get()) {
+        val got = read()
+        reads.incrementAndGet()
+        if (!legal.contains(got))
+          torn.compareAndSet(null, s"unrecorded state: $got")
+      } catch { case e: Throwable =>
+        torn.compareAndSet(null, s"reader threw: $e")
+      }
+    })
+    reader.start()
+    try {
+      (1 to 12).foreach { step =>
+        val batch = Seq(("a/orders", "env", s"v$step"),
+          ("a/nation", "n_rows", s"n$step"))
+        batch.foreach { case (a, f, v) => tags((a, f)) = v }
+        hist(s"j$step") = 2L
+        legal.add(snap())
+        TagFamilyStore.commitJob(spark, root, mkIncoming(batch),
+          mkHistory(s"j$step", 2))
+        // default grace: folds rewrite chains while the reader races —
+        // a fold must be result-invisible to every concurrent read
+        if (step % 4 == 0) TagFamilyStore.compact(spark, root)
+        if (torn.get() != null) fail(torn.get())
+      }
+    } finally { stop.set(true); reader.join(30000) }
+    assert(torn.get() == null, String.valueOf(torn.get()))
+    assert(reads.get() > 10, s"degenerate soak: only ${reads.get()} reads")
+  }
 }
