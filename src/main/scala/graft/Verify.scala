@@ -45,14 +45,26 @@ object Verify {
   private def storeCutHealth(outDir: String): Unit = try {
     val n = graft.sources.StoreCut.swallowedAdvances.get()
     val last = graft.sources.StoreCut.lastSwallow.getOrElse("")
+    val byRoot = graft.sources.StoreCut.swallowedByRoot
+    val governFails = graft.sources.AtomicStore.cutGovernProbeFailures.get()
     if (n > 0)
       println(s"[verify] storecut: $n swallowed best-effort cut " +
         s"advance(s) this run — committed batches were left unpublished " +
-        s"(adopted by the next append/fold); last: $last")
+        s"(adopted by the next append/fold); last: $last; by root: " +
+        byRoot.map { case (r, c) => s"$r=$c" }.mkString(", "))
     else println("[verify] storecut: 0 swallowed cut advances")
+    if (governFails > 0)
+      println(s"[verify] storecut: $governFails cut-governance probe " +
+        "failure(s) — the standalone-writer guard was degraded (fails " +
+        "open) for those calls; check store IO health")
+    val byRootJson = byRoot.toSeq.sortBy(_._1)
+      .map { case (r, c) => s"${q(r.take(200))}: $c" }
+      .mkString("{", ", ", "}")
     Files.writeString(Paths.get(s"$outDir/storecut_health.json"),
       s"""{
          |  "swallowed_advances": $n,
+         |  "swallowed_by_root": $byRootJson,
+         |  "govern_probe_failures": $governFails,
          |  "last": ${q(last.take(400))}
          |}
          |""".stripMargin)

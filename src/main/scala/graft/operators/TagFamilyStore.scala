@@ -72,11 +72,26 @@ object TagFamilyStore {
   /** TEST-ONLY crash seam, the family sibling of
     * `AnnIndexStore.testMidSwapHook`: invoked with the stage name after
     * each table commit inside [[commitJob]] ("tags", "history",
-    * "reports"), before the single cut publish. Lets the crash-injection
-    * spec (and the `tag_family_crash` gate) kill the job at every
-    * inter-commit point deterministically. Production never sets it.
+    * "reports") and at the tick path's inter-commit points
+    * ("tags@`i`" / "job@`i`" per config index — [[commitTick]]), before
+    * the single cut publish. SCOPED PER STORE ROOT (round-18 advice): a
+    * JVM-global hook set by one oracle query would crash unrelated
+    * family commits if the driver ever ran queries concurrently — here a
+    * hook only ever fires for the root that installed it. Production
+    * never sets one.
     */
-  @volatile private[graft] var testMidJobHook: String => Unit = _ => ()
+  private val testHooks =
+    new java.util.concurrent.ConcurrentHashMap[String, String => Unit]()
+
+  private[graft] def setTestMidJobHook(root: String,
+                                       h: String => Unit): Unit =
+    testHooks.put(root, h)
+
+  private[graft] def clearTestMidJobHook(root: String): Unit =
+    testHooks.remove(root)
+
+  private def fireHook(root: String, stage: String): Unit =
+    Option(testHooks.get(root)).foreach(_(stage))
 
   private def withJobLease[T](spark: SparkSession, root: String,
                               ttlMs: Long)(body: => T): T = {
@@ -119,13 +134,13 @@ object TagFamilyStore {
       .getOrElse(Map.empty)
     val tv = commitOntoPin(spark, root, TagsPart, pins,
       v => TagStore.mergeDelta(incoming).withColumn("__batch", lit(v)))
-    testMidJobHook(TagsPart)
+    fireHook(root, TagsPart)
     val hv = commitOntoPin(spark, root, HistoryPart, pins,
       _ => Sinks.withHistoryPartition(history))
-    testMidJobHook(HistoryPart)
+    fireHook(root, HistoryPart)
     val rv = reports.map(r => commitOntoPin(spark, root, ReportsPart, pins,
       _ => Sinks.withReportPartition(r)))
-    testMidJobHook(ReportsPart)
+    fireHook(root, ReportsPart)
     val versions = Map(TagsPart -> tv, HistoryPart -> hv) ++
       rv.map(ReportsPart -> _)
     // THE atomicity point: one cut pinning every part — CAS'd against

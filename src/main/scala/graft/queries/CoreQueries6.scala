@@ -74,8 +74,8 @@ object CoreQueries6 {
       val root = rootPath.toString
       def crashJob(stage: String, tags: Seq[(String, String, String)],
                    uuid: String): Unit = {
-        TagFamilyStore.testMidJobHook = s =>
-          if (s == stage) throw new RuntimeException("injected job crash")
+        TagFamilyStore.setTestMidJobHook(root, s =>
+          if (s == stage) throw new RuntimeException("injected job crash"))
         try {
           TagFamilyStore.commitJob(spark, root, mkIncoming(spark, tags),
             mkHistory(spark, uuid, tags.map(_._1)))
@@ -83,7 +83,7 @@ object CoreQueries6 {
         } catch {
           case e: RuntimeException
               if e.getMessage == "injected job crash" => ()
-        } finally TagFamilyStore.testMidJobHook = _ => ()
+        } finally TagFamilyStore.clearTestMidJobHook(root)
       }
       TagFamilyStore.commitJob(spark, root, mkIncoming(spark, Seq(
           ("a/orders", "env", "DEV"), ("a/orders", "n_rows", "100"),

@@ -564,23 +564,74 @@ object AtomicStore {
     * root by construction)? Shared by [[compact]]'s refusal below —
     * the documented-misuse seam closed structurally in round 18 — and
     * the tag-store writers' family guard (`TagStore`). A probe failure
-    * of any kind means "not provably governed" (a table named like a
-    * component but outside any cut store must not be bricked by a
-    * stray sibling file); the manifest store itself is trivially not
-    * governed (no cut pins a key named "manifest"). Cost: one LIST
-    * (+ one tiny open when a manifest exists) per guarded call —
-    * maintenance/job-path metadata noise.
+    * (after one retry) means "not provably governed" (a table named like
+    * a component but outside any cut store must not be bricked by a
+    * stray sibling file) — but it is COUNTED
+    * ([[cutGovernProbeFailures]]) and logged, so a guard that can't see
+    * is distinguishable from one that never fires. Cost: one LIST
+    * (+ one tiny open when a manifest exists) on the first guarded call
+    * per table; positive results are cached (governance is permanent
+    * for a live store), so the steady-state job path pays zero.
     */
   private[graft] def isCutGoverned(spark: SparkSession,
                                    root: String): Boolean = {
+    if (governedCache.contains(root)) return true
     val p = new Path(root)
     val parent = p.getParent
     parent != null && {
-      try readKv(spark, new Path(parent, "manifest").toString)
-        .exists(_._2.contains(p.getName))
-      catch { case scala.util.control.NonFatal(_) => false }
+      // retry-once + count + log on probe failure (round-18 verdict /
+      // advice): a single swallowed IO error here silently disables the
+      // standalone-writer refusal for this call — fine for a
+      // belt-and-braces guard (the family protocol never calls the
+      // guarded writers), but a guard that CAN'T probe must be
+      // distinguishable from one that never fires, so the failure is
+      // counted (surfaced by Verify as storecut_health.json) and one
+      // stderr line lands. Still fails OPEN after the retry: a table
+      // merely NAMED like a component, sitting outside any cut store on
+      // a flaky filesystem, must not be bricked by its name.
+      def probe(): Boolean = {
+        cutGovernProbes.incrementAndGet()
+        readKv(spark, new Path(parent, "manifest").toString)
+          .exists(_._2.contains(p.getName))
+      }
+      val governed =
+        try probe()
+        catch { case scala.util.control.NonFatal(_) =>
+          try probe()
+          catch { case scala.util.control.NonFatal(e2) =>
+            cutGovernProbeFailures.incrementAndGet()
+            System.err.println(s"[atomicstore] cut-governance probe at " +
+              s"$root failed twice (guard degraded to not-governed for " +
+              s"this call): ${e2.getClass.getSimpleName}: " +
+              Option(e2.getMessage).getOrElse("").take(160))
+            false
+          }
+        }
+      // cache POSITIVES only: governance is permanent for a live store
+      // (a cut never un-pins a component), so a warm guard costs zero
+      // metadata ops on the job path — the high-latency-store concern.
+      // A negative is never cached (a table can BECOME governed when its
+      // store publishes its first cut). Out-of-band deletion and
+      // re-creation of a store at the same path is outside the contract;
+      // tests use [[clearCutGovernCache]].
+      if (governed) governedCache.add(root)
+      governed
     }
   }
+
+  /** Ops counters for the governance guard: total probes actually paid
+    * (cache misses) and probes that failed even after the retry. The
+    * failure count is the "guard can't see" signal Verify surfaces.
+    */
+  private[graft] val cutGovernProbes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val cutGovernProbeFailures =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private val governedCache =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Test-only: drop the positive governance markers (temp-dir reuse). */
+  private[graft] def clearCutGovernCache(): Unit = governedCache.clear()
 
   private def requireNotCutGoverned(spark: SparkSession, root: String): Unit =
     if (isCutGoverned(spark, root))
@@ -725,8 +776,35 @@ object AtomicStore {
     if (base.isDefined && merged == cur) return Some(base.get._1)
     val v = expectedBase.getOrElse(-1L) + 1
     val lines = merged.toSeq.sortBy(_._1).map { case (k, x) => s"$k=$x" }
-    testPreKvPublishHook()
-    if (publish(spark, root, lines, v)) Some(v) else None
+    // None must mean exactly ONE thing — "the cut moved past
+    // expectedBase" — because callers word their abort diagnosis off it
+    // (the tag family reports a broken lease / racing publisher). A
+    // failed publish is ambiguous on its own: the claim at `v` may exist
+    // because a racer won (base genuinely moved — the re-read below sees
+    // v), or the claim may have failed for a transient local reason (our
+    // tmp GC-swept mid-stall) with the base UNCHANGED. The latter is not
+    // a lost race, so retry it briefly; if the base still reads
+    // `expectedBase` after the retries, fail LOUDLY as the distinct
+    // condition it is (a wedged claim / out-of-band manifest damage),
+    // instead of sending operators hunting a zombie that never existed.
+    var attempt = 0
+    while (true) {
+      testPreKvPublishHook()
+      if (publish(spark, root, lines, v)) return Some(v)
+      if (readKv(spark, root).map(_._1) != expectedBase) return None
+      attempt += 1
+      if (attempt >= 3)
+        throw new IllegalStateException(
+          s"advanceKvIfBase: the publish at $root v$v failed $attempt " +
+            s"times while the cut base still reads $expectedBase — not a " +
+            "lost CAS (no concurrent publisher advanced the cut) but a " +
+            "wedged claim: a crashed publisher's manifest claim at " +
+            s"v$v, or out-of-band damage to the manifest directory. " +
+            "Repair the manifest store; the caller's commits are intact " +
+            "and unpublished")
+      Thread.sleep(20L * attempt)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Drop data dirs no manifest within `keepVersions` of latest

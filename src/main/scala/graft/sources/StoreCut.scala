@@ -38,6 +38,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StoreCut {
 
+  /** THE retention window, in cuts: how many recent cut manifests
+    * [[vacuumCuts]] keeps readable, and therefore how far back
+    * [[retentionFloor]] must protect every part's pinned table versions.
+    * One constant on purpose: these are the same promise ("the last N
+    * cuts time-travel") expressed at two layers, and two independent
+    * literals drifting apart would silently hollow it — cut manifests
+    * surviving while the table versions they pin get vacuumed (reads
+    * still fail loudly, but the retention promise is gone).
+    */
+  val RetainedCuts = 8
+
   def manifestRoot(root: String): String = s"$root/manifest"
 
   /** The store's current cut (pins by table/key), if it has one. */
@@ -157,7 +168,7 @@ object StoreCut {
     */
   def retentionFloor(spark: SparkSession, root: String, part: String,
                      currentPins: Map[String, Long],
-                     lastCuts: Int = 8): Option[Long] = {
+                     lastCuts: Int = RetainedCuts): Option[Long] = {
     val man = manifestRoot(root)
     val pinsAcrossCuts = AtomicStore.currentVersion(spark, man).toSeq
       .flatMap { latest =>
@@ -239,8 +250,33 @@ object StoreCut {
   val swallowedAdvances = new java.util.concurrent.atomic.AtomicLong(0L)
   @volatile var lastSwallow: Option[String] = None
 
+  /** PER-ROOT swallow attribution (round-18 verdict nit): the JVM-global
+    * counter says "something is lagging" but one flaky store masks WHICH
+    * — with a fleet of family/index stores in one driver, the per-root
+    * split is the difference between a diagnosis and a grep. The global
+    * counter stays (it is the cheap any-problem probe Verify gates on).
+    */
+  private val swallowsPerRoot =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Snapshot of the per-root swallow counts (empty when healthy). */
+  def swallowedByRoot: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    swallowsPerRoot.asScala.map { case (k, v) => k -> v.get() }.toMap
+  }
+
+  /** Test-only reset (the counters are JVM-global ops signals). */
+  private[graft] def resetSwallowCounters(): Unit = {
+    swallowedAdvances.set(0L); lastSwallow = None; swallowsPerRoot.clear()
+  }
+
   private def recordSwallow(root: String, e: Throwable): Unit = {
     swallowedAdvances.incrementAndGet()
+    swallowsPerRoot
+      .computeIfAbsent(root,
+        _ => new java.util.concurrent.atomic.AtomicLong(0L))
+      .incrementAndGet()
     val what = s"$root: ${e.getClass.getSimpleName}: " +
       Option(e.getMessage).getOrElse("").take(200)
     lastSwallow = Some(what)
@@ -277,7 +313,8 @@ object StoreCut {
     * publish crashed before its CAS — the exact residue the sweep
     * exists for, and the vacuum handles the no-version case itself.
     */
-  def vacuumCuts(spark: SparkSession, root: String, keepVersions: Int = 8,
+  def vacuumCuts(spark: SparkSession, root: String,
+                 keepVersions: Int = RetainedCuts,
                  graceMs: Long = 15 * 60 * 1000L): Unit =
     try AtomicStore.vacuum(spark, manifestRoot(root), keepVersions, graceMs)
     catch { case scala.util.control.NonFatal(_) => () }

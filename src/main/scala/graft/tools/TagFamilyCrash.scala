@@ -91,13 +91,13 @@ object TagFamilyCrash {
             .localCheckpoint()
           val histBefore = TagFamilyStore.readHistory(spark, root)
             .localCheckpoint()
-          TagFamilyStore.testMidJobHook = s =>
-            if (s == stage) throw new RuntimeException("injected job crash")
+          TagFamilyStore.setTestMidJobHook(root, s =>
+            if (s == stage) throw new RuntimeException("injected job crash"))
           val crashed =
             try { TagFamilyStore.commitJob(spark, root, inc, hist); false }
             catch { case e: RuntimeException
                 if e.getMessage == "injected job crash" => true }
-            finally TagFamilyStore.testMidJobHook = _ => ()
+            finally TagFamilyStore.clearTestMidJobHook(root)
           val dTags = diff(TagFamilyStore.readTags(spark, root), tagsBefore)
           val dHist = diff(TagFamilyStore.readHistory(spark, root), histBefore)
           val cutSame =

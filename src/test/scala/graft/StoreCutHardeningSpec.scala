@@ -137,4 +137,87 @@ class StoreCutHardeningSpec extends SparkSpec {
     intercept[Exception](
       AtomicStore.readAt(spark, table, 0L).count())
   }
+
+  // ---- round-19 hardening ------------------------------------------
+
+  test("swallowed advances are attributed per root, not just globally") {
+    val rootA = freshRoot("cut_swallow_a")
+    val rootB = freshRoot("cut_swallow_b")
+    val beforeA = StoreCut.swallowedByRoot.getOrElse(rootA, 0L)
+    val beforeB = StoreCut.swallowedByRoot.getOrElse(rootB, 0L)
+    AtomicStore.testPreKvPublishHook =
+      () => throw new RuntimeException("injected IAM break")
+    try {
+      StoreCut.advanceBestEffort(spark, rootA, Map("t" -> 0L))
+      StoreCut.advanceBestEffort(spark, rootA, Map("t" -> 1L))
+      StoreCut.advanceBestEffort(spark, rootB, Map("t" -> 0L))
+    } finally AtomicStore.testPreKvPublishHook = () => ()
+    // one flaky store no longer masks which root is lagging
+    assert(StoreCut.swallowedByRoot(rootA) === beforeA + 2)
+    assert(StoreCut.swallowedByRoot(rootB) === beforeB + 1)
+  }
+
+  test("advanceKvIfBase: None means the cut MOVED (a racing advance), never a transient publish hiccup") {
+    val root = freshRoot("cut_cas_moved")
+    val man = StoreCut.manifestRoot(root)
+    AtomicStore.advanceKv(spark, man, Map("t" -> 3L))
+    val base = AtomicStore.readKv(spark, man).map(_._1)
+    // the race lands BETWEEN the CAS's base read and its publish: the
+    // hook (fired pre-publish) advances the cut, so our publish loses
+    // and the post-failure re-read sees a genuinely moved base → None
+    var fired = false
+    AtomicStore.testPreKvPublishHook = () => if (!fired) {
+      fired = true
+      AtomicStore.advanceKv(spark, man, Map("zz" -> 9L))
+      ()
+    }
+    val r =
+      try AtomicStore.advanceKvIfBase(spark, man, Map("t" -> 4L), base)
+      finally AtomicStore.testPreKvPublishHook = () => ()
+    assert(fired && r.isEmpty,
+      "a lost CAS against a moved base must return None")
+    // and the no-op form: pins already subsumed returns the current
+    // version WITHOUT publishing (no new cut version minted)
+    val cur = AtomicStore.readKv(spark, man).map(_._1)
+    assert(AtomicStore.advanceKvIfBase(spark, man, Map("t" -> 3L), cur)
+      === cur)
+    assert(AtomicStore.readKv(spark, man).map(_._1) === cur)
+  }
+
+  test("cut-governance guard: one probe cold, zero probes warm, probe failures counted not swallowed silently") {
+    val root = freshRoot("cut_guard_cache")
+    val table = s"$root/t"
+    AtomicStore.commitSnapshot(rows(0, 5), table)
+    AtomicStore.commitAppend(rows(5, 10), table)
+    StoreCut.advance(spark, root, Map("t" -> 1L))
+    AtomicStore.clearCutGovernCache()
+    val cold = AtomicStore.cutGovernProbes.get()
+    intercept[IllegalStateException](AtomicStore.compact(spark, table))
+    val afterCold = AtomicStore.cutGovernProbes.get()
+    assert(afterCold === cold + 1, "a cold guard pays exactly one probe")
+    // warm: the positive marker is cached — the refusal still fires but
+    // the high-latency-store LIST is not paid again
+    intercept[IllegalStateException](AtomicStore.compact(spark, table))
+    assert(AtomicStore.cutGovernProbes.get() === afterCold,
+      "a warm guard pays zero probes")
+
+    // a CORRUPT manifest makes the probe throw: the guard degrades to
+    // not-governed (fail-open — a table merely NAMED like a component
+    // must not be bricked) but the failure is COUNTED, so a degraded
+    // guard is distinguishable from one that never fires
+    val root2 = freshRoot("cut_guard_fail")
+    val table2 = s"$root2/t"
+    AtomicStore.commitSnapshot(rows(0, 5), table2)
+    AtomicStore.commitAppend(rows(5, 10), table2)
+    val manCommits = java.nio.file.Paths.get(
+      StoreCut.manifestRoot(root2), "_commits")
+    java.nio.file.Files.createDirectories(manCommits)
+    java.nio.file.Files.writeString(
+      manCommits.resolve("v" + "0" * 20), "garbage-no-equals")
+    val fails = AtomicStore.cutGovernProbeFailures.get()
+    assert(AtomicStore.compact(spark, table2, graceMs = 0L).isDefined,
+      "the degraded guard fails open (compact proceeds)")
+    assert(AtomicStore.cutGovernProbeFailures.get() === fails + 1,
+      "the degraded probe must be counted")
+  }
 }

@@ -103,12 +103,12 @@ class TagFamilyFuzzSpec extends SparkSpec {
           applyModel(batch, uuid, histN); committedJobs += 1
         case k if k < 8 => // crash at a random inter-commit stage, re-run
           val stage = Seq("tags", "history", "reports")(rnd.nextInt(3))
-          TagFamilyStore.testMidJobHook = s =>
-            if (s == stage) throw new RuntimeException("fz crash")
+          TagFamilyStore.setTestMidJobHook(root, s =>
+            if (s == stage) throw new RuntimeException("fz crash"))
           try intercept[RuntimeException](
             TagFamilyStore.commitJob(spark, root, mkIncoming(batch),
               mkHistory(uuid, histN)))
-          finally TagFamilyStore.testMidJobHook = _ => ()
+          finally TagFamilyStore.clearTestMidJobHook(root)
           assertServed(step) // crashed job invisible in BOTH tables
           // ~half the crashes re-run (exactly-once); the rest stay
           // abandoned orphans for later jobs to truncate
@@ -118,13 +118,13 @@ class TagFamilyFuzzSpec extends SparkSpec {
             applyModel(batch, uuid, histN); committedJobs += 1
           }
         case 8 => // zombie: cut moves under a broken lease mid-commit
-          TagFamilyStore.testMidJobHook = s =>
+          TagFamilyStore.setTestMidJobHook(root, s =>
             if (s == "history")
-              StoreCut.advance(spark, root, Map("zz" -> step.toLong))
+              StoreCut.advance(spark, root, Map("zz" -> step.toLong)))
           try intercept[java.util.ConcurrentModificationException](
             TagFamilyStore.commitJob(spark, root, mkIncoming(batch),
               mkHistory(uuid, histN)))
-          finally TagFamilyStore.testMidJobHook = _ => ()
+          finally TagFamilyStore.clearTestMidJobHook(root)
           assertServed(step) // zombie's commits never served
         case _ => // maintenance fold (grace 0: only the floor protects)
           TagFamilyStore.compact(spark, root, graceMs = 0L)

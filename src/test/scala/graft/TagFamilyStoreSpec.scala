@@ -77,8 +77,8 @@ class TagFamilyStoreSpec extends SparkSpec {
       val tagsBefore = tagSet(TagFamilyStore.readTags(spark, root))
       val histBefore = histUuids(TagFamilyStore.readHistory(spark, root))
 
-      TagFamilyStore.testMidJobHook = stage =>
-        if (stage == crashAt) throw new RuntimeException("injected job crash")
+      TagFamilyStore.setTestMidJobHook(root, stage =>
+        if (stage == crashAt) throw new RuntimeException("injected job crash"))
       val crashed =
         try {
           TagFamilyStore.commitJob(spark, root, mkIncoming(j2Tags),
@@ -91,7 +91,7 @@ class TagFamilyStoreSpec extends SparkSpec {
         } catch {
           case e: RuntimeException
               if e.getMessage == "injected job crash" => true
-        } finally TagFamilyStore.testMidJobHook = _ => ()
+        } finally TagFamilyStore.clearTestMidJobHook(root)
       assert(crashed, s"the $crashAt injection must fire")
 
       // the cut never advanced; tags AND history AND reports serve the
@@ -122,12 +122,12 @@ class TagFamilyStoreSpec extends SparkSpec {
 
   test("a crashed FIRST job on a fresh store leaves it unreadable-as-uncommitted, and the re-run repairs") {
     val root = freshRoot()
-    TagFamilyStore.testMidJobHook = stage =>
-      if (stage == "history") throw new RuntimeException("injected job crash")
+    TagFamilyStore.setTestMidJobHook(root, stage =>
+      if (stage == "history") throw new RuntimeException("injected job crash"))
     try intercept[RuntimeException](
       TagFamilyStore.commitJob(spark, root, mkIncoming(j1Tags),
         mkHistory("job-1", Seq(("a/orders", "100")))))
-    finally TagFamilyStore.testMidJobHook = _ => ()
+    finally TagFamilyStore.clearTestMidJobHook(root)
     // no cut: the tag table's crash residue is deliberately unreadable
     assert(TagFamilyStore.currentCutVersion(spark, root).isEmpty)
     intercept[IllegalStateException](TagFamilyStore.readTags(spark, root))
@@ -232,13 +232,13 @@ class TagFamilyStoreSpec extends SparkSpec {
     // publish — the cut MOVES (a successor legally broke the stalled
     // lease and published). A blind max-merge would adopt the zombie's
     // stale-parented table versions; the CAS must abort loudly instead.
-    TagFamilyStore.testMidJobHook = stage =>
+    TagFamilyStore.setTestMidJobHook(root, stage =>
       if (stage == "history")
-        StoreCut.advance(spark, root, Map("zz_breaker" -> 0L))
+        StoreCut.advance(spark, root, Map("zz_breaker" -> 0L)))
     try intercept[java.util.ConcurrentModificationException](
       TagFamilyStore.commitJob(spark, root, mkIncoming(j2Tags),
         mkHistory("job-2", Seq(("a/orders", "100")))))
-    finally TagFamilyStore.testMidJobHook = _ => ()
+    finally TagFamilyStore.clearTestMidJobHook(root)
     // the zombie's commits are invisible — job-1 still serves
     assert(tagSet(TagFamilyStore.readTags(spark, root)) === Set(
       "a/orders|env|DEV", "a/orders|n_rows|100", "a/region|n_rows|5"))
