@@ -373,7 +373,7 @@ object TagEngine {
     * config's incoming MERGE set. Backbone of [[runJobs]] (post-merge
     * states) and [[runJobsProduced]] (the jobs' own rows).
     */
-  private def perConfigIncoming(spark: SparkSession,
+  private[operators] def perConfigIncoming(spark: SparkSession,
                                 configs: Seq[(String, TagConfig)],
                                 catalog: DataFrame,
                                 existingTags: DataFrame)

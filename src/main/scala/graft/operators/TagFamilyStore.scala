@@ -128,40 +128,114 @@ object TagFamilyStore {
   private def commitJobLocked(spark: SparkSession, root: String,
                               incoming: DataFrame, history: DataFrame,
                               reports: Option[DataFrame],
-                              compactAboveBatches: Int): Map[String, Long] = {
+                              compactAboveBatches: Int): Map[String, Long] =
+    commitTickLocked(spark, root,
+      Seq(JobBatch("job", incoming, history, reports)), compactAboveBatches)
+
+  /** One job's write family in batch form — the unit [[commitTick]]
+    * chains: the tag MERGE change set (`incoming`,
+    * [[TagStore.mergeDelta]]'s encoding), the history rows
+    * (`event_time`-bearing) and optional report rows (`export_time`).
+    * `jobId` labels crash-spec hooks and errors only; history identity
+    * stays in the rows (`job_uuid`).
+    */
+  final case class JobBatch(jobId: String, incoming: DataFrame,
+                            history: DataFrame,
+                            reports: Option[DataFrame] = None)
+
+  /** ATOMIC WHOLE-TICK commit — the scheduler-tick grain of
+    * [[commitJob]] (round-18 verdict #1): N due configs' evaluated
+    * batches land as chained per-config table commits and become
+    * visible via ONE cut publish, or not at all. A crash at ANY
+    * inter-commit point — including BETWEEN configs, the tear
+    * [[graft.streaming.Streams.schedulerTick]]'s reference analogue
+    * (`/scheduled_auto_updates` launching N tasks, main.py:3075–3110)
+    * simply lives with — leaves the pre-tick cut serving in every
+    * table: configs that already committed inside the crashed tick are
+    * orphan suffixes the re-run truncates, so the re-run lands every
+    * config exactly once.
+    *
+    * Chaining, not merging: config `i`'s batch manifests list the cut
+    * pin's files plus configs `0..i`'s batches, so per-config batch
+    * identity (history attribution, latest-wins order — a later config
+    * in the tick wins conflicts, the deterministic rendering of
+    * `TagEngine.runJobs`' intra-tick semantics) is preserved while the
+    * tick's visibility stays all-or-nothing. Scale: the tick publish is
+    * ONE metadata file regardless of N; per-config cost is the same
+    * 2–3 batch commits a lone [[commitJob]] pays; the final cut CAS is
+    * the only coordination point.
+    *
+    * Returns the final per-part versions plus the published cut
+    * (`"manifest"`). Crash hooks fire as `"<part>"` and `"<part>@<i>"`
+    * after each table commit and `"job@<i>"` after each config's full
+    * batch set (the inter-config points).
+    */
+  def commitTick(spark: SparkSession, root: String, jobs: Seq[JobBatch],
+                 leaseTtlMs: Long = AtomicStore.DefaultLeaseTtlMs,
+                 compactAboveBatches: Int = 64): Map[String, Long] =
+    if (jobs.isEmpty) Map.empty
+    else withJobLease(spark, root, leaseTtlMs) {
+      commitTickLocked(spark, root, jobs, compactAboveBatches)
+    }
+
+  private def commitTickLocked(spark: SparkSession, root: String,
+                               jobs: Seq[JobBatch],
+                               compactAboveBatches: Int): Map[String, Long] = {
     val baseCut = StoreCut.cutVersion(spark, root)
     val pins = baseCut.map(v => StoreCut.cutAt(spark, root, v))
       .getOrElse(Map.empty)
-    val tv = commitOntoPin(spark, root, TagsPart, pins,
-      v => TagStore.mergeDelta(incoming).withColumn("__batch", lit(v)))
-    fireHook(root, TagsPart)
-    val hv = commitOntoPin(spark, root, HistoryPart, pins,
-      _ => Sinks.withHistoryPartition(history))
-    fireHook(root, HistoryPart)
-    val rv = reports.map(r => commitOntoPin(spark, root, ReportsPart, pins,
-      _ => Sinks.withReportPartition(r)))
-    fireHook(root, ReportsPart)
-    val versions = Map(TagsPart -> tv, HistoryPart -> hv) ++
-      rv.map(ReportsPart -> _)
-    // THE atomicity point: one cut pinning every part — CAS'd against
-    // the cut version this job's parents derive from. Mandatory (not
-    // best-effort): before it, the job never happened; a failure here is
-    // a crashed job whose re-run truncates these commits and re-lands.
-    // The CAS closes the fenced-zombie hole the lease alone cannot: a
-    // holder stalled past its TTL (GC pause, VM freeze) whose lease a
-    // successor legally broke would otherwise blind-merge table versions
-    // whose chains were parented on the PRE-successor pins — numerically
+    // running parent file lists per part: the cut pin's files, extended
+    // by each committed batch of THIS tick — never the table's current
+    // chain (the truncation rule: a crashed predecessor's suffix is not
+    // a parent)
+    var parents: Map[String, Seq[String]] =
+      Seq(TagsPart, HistoryPart, ReportsPart).map { p =>
+        p -> pins.get(p).toSeq
+          .flatMap(pv => AtomicStore.filesAt(spark, s"$root/$p", pv))
+          .map(x => new org.apache.hadoop.fs.Path(x).getName)
+      }.toMap
+    var versions = Map.empty[String, Long]
+    jobs.zipWithIndex.foreach { case (job, i) =>
+      def commitPart(part: String, mk: Long => DataFrame): Unit = {
+        val (v, rel) = commitChained(spark, root, part, parents(part), mk)
+        parents += part -> (parents(part) :+ rel)
+        versions += part -> v
+      }
+      commitPart(TagsPart,
+        v => TagStore.mergeDelta(job.incoming).withColumn("__batch", lit(v)))
+      fireHook(root, TagsPart); fireHook(root, s"$TagsPart@$i")
+      commitPart(HistoryPart, _ => Sinks.withHistoryPartition(job.history))
+      fireHook(root, HistoryPart); fireHook(root, s"$HistoryPart@$i")
+      job.reports.foreach(r =>
+        commitPart(ReportsPart, _ => Sinks.withReportPartition(r)))
+      // the reports hook fires whether or not this job carries reports:
+      // for a report-less job it is the "both tables committed, the cut
+      // publish never reached" point — the widest tear window, and the
+      // stage name the crash specs/gate already key on
+      fireHook(root, ReportsPart); fireHook(root, s"$ReportsPart@$i")
+      fireHook(root, s"job@$i")
+    }
+    // THE atomicity point: one cut pinning every part's LAST committed
+    // version — CAS'd against the cut version the whole tick's parents
+    // derive from. Mandatory (not best-effort): before it, the tick
+    // never happened; a failure here is a crashed tick whose re-run
+    // truncates all of these commits and re-lands them. The CAS closes
+    // the fenced-zombie hole the lease alone cannot: a holder stalled
+    // past its TTL (GC pause, VM freeze) whose lease a successor
+    // legally broke would otherwise blind-merge table versions whose
+    // chains were parented on the PRE-successor pins — numerically
     // higher, so max-merge would adopt them and drop the successor's
     // published batches from the served cut. Losing the CAS instead
-    // orphans this zombie's commits (the next job truncates them) and
+    // orphans this zombie's commits (the next tick truncates them) and
     // fails loudly with the re-run remedy.
     val cutV = StoreCut.advanceIfBase(spark, root, versions, baseCut)
       .getOrElse(throw new java.util.ConcurrentModificationException(
-        s"TagFamilyStore: the cut at $root moved while this job was " +
-          "committing — its lease was broken (holder stalled past the " +
-          "TTL?) and another job published. This job's commits are " +
-          "orphaned (the next commit truncates them); re-run the job"))
-    // post-publish maintenance, best-effort (the job is committed AND
+        s"TagFamilyStore: the cut at $root moved while this " +
+          s"${if (jobs.sizeIs > 1) "tick" else "job"} was committing — " +
+          "its lease was broken (holder stalled past the TTL?) and " +
+          "another publisher advanced. These commits are orphaned (the " +
+          "next commit truncates them); re-run"))
+    // post-publish maintenance, best-effort (the tick is committed AND
     // published — a maintenance hiccup must not fail it): fold any part
     // whose pinned chain outgrew the dir threshold, so a long-lived
     // store's read cost stays flat in JOB count instead of decaying one
@@ -176,27 +250,25 @@ object TagFamilyStore {
     versions + ("manifest" -> cutV)
   }
 
-  /** Commit `mk(v)` as a batch whose manifest lists the CUT-PINNED file
-    * set plus this batch — the truncating append: a crashed
-    * predecessor's committed-but-never-published suffix is deliberately
-    * NOT adopted as a parent (see the object doc — a family batch is
-    * half a job, and adopting half a job is the torn state). Publishes
-    * at the table's next version so the CAS name is always free; under
-    * the job lease nothing else publishes, so the bounded retry exists
+  /** Commit `mk(v)` as a batch whose manifest lists exactly `parents`
+    * plus this batch — the truncating append: a crashed predecessor's
+    * committed-but-never-published suffix is deliberately NOT adopted
+    * as a parent (see the object doc — a family batch is half a job,
+    * and adopting half a job is the torn state). Publishes at the
+    * table's next version so the CAS name is always free; under the
+    * job lease nothing else publishes, so the bounded retry exists
     * only to fail loudly on a lease-bypassing writer.
     */
-  private def commitOntoPin(spark: SparkSession, root: String, part: String,
-                            pins: Map[String, Long],
-                            mk: Long => DataFrame): Long = {
+  private def commitChained(spark: SparkSession, root: String, part: String,
+                            parents: Seq[String],
+                            mk: Long => DataFrame): (Long, String) = {
     val table = s"$root/$part"
-    val parents = pins.get(part).toSeq
-      .flatMap(pv => AtomicStore.filesAt(spark, table, pv))
-      .map(p => new org.apache.hadoop.fs.Path(p).getName)
     var attempt = 0
     while (attempt < 8) {
       val v = AtomicStore.currentVersion(spark, table).getOrElse(-1L) + 1
       val rel = AtomicStore.writeData(mk(v), table)
-      if (AtomicStore.publish(spark, table, parents :+ rel, v)) return v
+      if (AtomicStore.publish(spark, table, parents :+ rel, v))
+        return (v, rel)
       AtomicStore.reclaimData(spark, table, rel)
       attempt += 1
       Thread.sleep(20L * attempt)
@@ -447,5 +519,45 @@ object TagFamilyStore {
       val history = TagEngine.historyRows(written, config, eventTime, jobUuid)
       commitJobLocked(spark, root, incoming, history, reports = None,
         compactAboveBatches = 64)
+    }
+
+  /** The WHOLE scheduler tick with the family-cut terminal —
+    * `TagEngine.runJobs`' evaluation (ONE catalog expansion for every
+    * due config, each config's merge set derived against the SAME
+    * pre-tick cut-pinned tag state: sibling jobs' writes invisible to
+    * each other, `runJobs`' documented intra-tick isolation) committed
+    * through [[commitTick]]'s one-cut-per-tick publish. A crash
+    * anywhere — mid-config or between configs — leaves the pre-tick
+    * state serving everywhere; the re-run lands every config exactly
+    * once. Runs entirely under the job lease, so the overwrite
+    * filters' read and the tick's commits see one serialization point;
+    * evaluation cost under the lease is the due configs' own
+    * evaluation, exactly the work the tick must do anyway.
+    *
+    * `jobUuidOf` names each config's job in its history rows (the
+    * scheduler's convention is `md5(config_uuid|version)` — see
+    * `Streams.schedulerTick`); the default labels by config uuid.
+    */
+  def runTick(spark: SparkSession, configs: Seq[(String, TagConfig)],
+              catalog: DataFrame, root: String,
+              eventTime: Column = current_timestamp(),
+              jobUuidOf: String => Column = id => lit(id),
+              leaseTtlMs: Long = AtomicStore.DefaultLeaseTtlMs): Map[String, Long] =
+    if (configs.isEmpty) Map.empty
+    else withJobLease(spark, root, leaseTtlMs) {
+      val existing = readTagsOr(spark, root, TagEngine.emptyTagRows(spark))
+      val batches = TagEngine
+        .perConfigIncoming(spark, configs, catalog, existing)
+        .zip(configs).map { case ((id, inc0), (_, cfg)) =>
+          // one materialization per config: the incoming set feeds the
+          // delta build, the tombstone split AND the history pivot —
+          // and history must never record values that differ from the
+          // batch actually merged
+          val incoming = inc0.localCheckpoint()
+          val written = TagStore.dropAllEmptyTags(incoming)
+          JobBatch(id, incoming,
+            TagEngine.historyRows(written, cfg, eventTime, jobUuidOf(id)))
+        }
+      commitTickLocked(spark, root, batches, compactAboveBatches = 64)
     }
 }

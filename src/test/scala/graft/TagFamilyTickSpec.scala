@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.{FieldSpec, TagConfig}
+import graft.operators.TagFamilyStore
+import graft.operators.TagFamilyStore.JobBatch
+import graft.sources.StoreCut
+
+/** The ATOMIC WHOLE-TICK family commit (round 19): N configs' batches
+  * chained under ONE cut publish — a crash at any inter-commit point,
+  * including BETWEEN configs, must leave the pre-tick state serving in
+  * every table (configs that already committed inside the crashed tick
+  * included), and the re-run must land every config exactly once.
+  */
+class TagFamilyTickSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_tagtick").toString
+
+  private def mkIncoming(rows: Seq[(String, String, String)]): DataFrame =
+    rows.toDF("asset_uri", "field_id", "field_value")
+      .select(col("asset_uri"), lit("").as("column"),
+        lit("gov").as("template_id"), col("field_id"),
+        lit("string").as("field_type"), col("field_value"))
+
+  private def mkHistory(jobUuid: String, assets: Seq[String]): DataFrame =
+    assets.toDF("asset_name")
+      .select(to_timestamp(lit("2026-01-05 00:00:00")).as("event_time"),
+        col("asset_name"), lit(jobUuid).as("job_uuid"))
+
+  private def tagSet(df: DataFrame): Set[String] =
+    df.select("asset_uri", "field_id", "field_value")
+      .collect().map(_.mkString("|")).toSet
+
+  private def histUuids(df: DataFrame): Map[String, Long] =
+    df.groupBy("job_uuid").count().as[(String, Long)].collect().toMap
+
+  // a 3-config tick: cfg1 and cfg2 both write a/shared (latest-wins
+  // teeth — cfg2, later in the tick, must win), cfg2 deletes a/old
+  private def tick2(suffix: String = ""): Seq[JobBatch] = Seq(
+    JobBatch("cfg0", mkIncoming(Seq(("a/t0", "env", s"T0$suffix"))),
+      mkHistory(s"t2-cfg0", Seq("a/t0"))),
+    JobBatch("cfg1", mkIncoming(Seq(("a/t1", "env", s"T1$suffix"),
+        ("a/shared", "who", "cfg1"))),
+      mkHistory(s"t2-cfg1", Seq("a/t1", "a/shared"))),
+    JobBatch("cfg2", mkIncoming(Seq(("a/shared", "who", "cfg2"),
+        ("a/old", "env", ""))), // all-empty instance → delete trigger
+      mkHistory(s"t2-cfg2", Seq("a/shared"))))
+
+  private def seedTick(root: String): Unit =
+    TagFamilyStore.commitTick(spark, root, Seq(
+      JobBatch("seed0", mkIncoming(Seq(("a/old", "env", "OLD"))),
+        mkHistory("t1-seed0", Seq("a/old"))),
+      JobBatch("seed1", mkIncoming(Seq(("a/base", "env", "BASE"))),
+        mkHistory("t1-seed1", Seq("a/base")))))
+
+  private val afterSeedTags =
+    Set("a/old|env|OLD", "a/base|env|BASE")
+  private val afterSeedHist = Map("t1-seed0" -> 1L, "t1-seed1" -> 1L)
+  private val afterTick2Tags = Set(
+    "a/base|env|BASE", "a/t0|env|T0", "a/t1|env|T1",
+    "a/shared|who|cfg2") // cfg2 (later in tick) wins; a/old deleted
+  private val afterTick2Hist = afterSeedHist ++
+    Map("t2-cfg0" -> 1L, "t2-cfg1" -> 2L, "t2-cfg2" -> 1L)
+
+  test("commitTick: N configs, ONE cut; later configs win intra-tick conflicts; per-config history attribution") {
+    val root = freshRoot()
+    seedTick(root)
+    val c1 = TagFamilyStore.currentCutVersion(spark, root).get
+    val v = TagFamilyStore.commitTick(spark, root, tick2())
+    // one cut publish for the whole tick
+    assert(TagFamilyStore.currentCutVersion(spark, root) === Some(c1 + 1))
+    assert(v.keySet === Set("tags", "history", "manifest"))
+    assert(tagSet(TagFamilyStore.readTags(spark, root)) === afterTick2Tags)
+    assert(histUuids(TagFamilyStore.readHistory(spark, root)) ===
+      afterTick2Hist)
+  }
+
+  test("a crash at EVERY inter-commit point — including BETWEEN configs — hides the WHOLE tick; re-run lands once") {
+    for (crashAt <- Seq("tags@0", "history@0", "job@0", "tags@1",
+        "history@1", "job@1", "tags@2", "history@2")) {
+      val root = freshRoot()
+      seedTick(root)
+      val cutBefore = TagFamilyStore.currentCutVersion(spark, root)
+
+      TagFamilyStore.setTestMidJobHook(root, s =>
+        if (s == crashAt) throw new RuntimeException("injected tick crash"))
+      val crashed =
+        try { TagFamilyStore.commitTick(spark, root, tick2()); false }
+        catch { case e: RuntimeException
+            if e.getMessage == "injected tick crash" => true }
+        finally TagFamilyStore.clearTestMidJobHook(root)
+      assert(crashed, s"the $crashAt injection must fire")
+
+      // tick atomicity: even configs that fully committed inside the
+      // crashed tick (crash at job@1 = cfg0 AND cfg1 landed) are
+      // invisible — the cut never advanced
+      assert(TagFamilyStore.currentCutVersion(spark, root) === cutBefore,
+        s"crash at $crashAt must not advance the cut")
+      assert(tagSet(TagFamilyStore.readTags(spark, root)) === afterSeedTags,
+        s"crash at $crashAt must hide the whole tick's tags")
+      assert(histUuids(TagFamilyStore.readHistory(spark, root)) ===
+        afterSeedHist,
+        s"crash at $crashAt must hide the whole tick's history")
+
+      // recovery: the re-run truncates the orphan suffix and lands the
+      // whole tick exactly once
+      TagFamilyStore.commitTick(spark, root, tick2())
+      assert(tagSet(TagFamilyStore.readTags(spark, root)) === afterTick2Tags,
+        s"re-run after $crashAt must apply the tick once")
+      assert(histUuids(TagFamilyStore.readHistory(spark, root)) ===
+        afterTick2Hist,
+        s"re-run after $crashAt must record every job exactly once")
+    }
+  }
+
+  test("a zombie tick (cut moves under a broken lease mid-tick) aborts on its CAS'd publish") {
+    val root = freshRoot()
+    seedTick(root)
+    TagFamilyStore.setTestMidJobHook(root, s =>
+      if (s == "job@1") StoreCut.advance(spark, root, Map("zz" -> 0L)))
+    try intercept[java.util.ConcurrentModificationException](
+      TagFamilyStore.commitTick(spark, root, tick2()))
+    finally TagFamilyStore.clearTestMidJobHook(root)
+    assert(tagSet(TagFamilyStore.readTags(spark, root)) === afterSeedTags)
+    assert(histUuids(TagFamilyStore.readHistory(spark, root)) ===
+      afterSeedHist)
+  }
+
+  test("an empty tick is a no-op (no lease, no cut mint)") {
+    val root = freshRoot()
+    assert(TagFamilyStore.commitTick(spark, root, Seq.empty) === Map.empty)
+    assert(TagFamilyStore.currentCutVersion(spark, root).isEmpty)
+  }
+
+  test("runTick == the per-config runJobs evaluation, committed under one cut") {
+    Lake.registerAll(spark, sf)
+    val catalog = Lake.tableNames.map(t => ("p", "lake", t))
+      .toDF("project", "dataset", "table")
+    val cfgA = TagConfig(
+      configType = "DYNAMIC_TAG_TABLE", templateId = "gov",
+      fields = Seq(FieldSpec("n_rows", "double",
+        Some("select count(*) from $table"))),
+      includedUris = Seq("bigquery/project/p/dataset/lake/region",
+        "bigquery/project/p/dataset/lake/nation"))
+    val cfgB = cfgA.copy(templateId = "ops",
+      includedUris = Seq("bigquery/project/p/dataset/lake/region"))
+    val root = freshRoot()
+    val v = TagFamilyStore.runTick(spark, Seq("cA" -> cfgA, "cB" -> cfgB),
+      catalog, root,
+      eventTime = to_timestamp(lit("2026-01-05 00:00:00")))
+    assert(v.contains("manifest"))
+    val tags = TagFamilyStore.readTags(spark, root)
+    // both configs' rows landed under one cut, template-separated
+    val byTemplate = tags.groupBy("template_id").count()
+      .as[(String, Long)].collect().toMap
+    assert(byTemplate === Map("gov" -> 2L, "ops" -> 1L))
+    // and the values are the evaluated counts (region=5, nation=25)
+    val vals = tags.select("asset_uri", "template_id", "field_value")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
+      .toMap
+    assert(vals(("bigquery/project/p/dataset/lake/region", "gov")) === "5")
+    assert(vals(("bigquery/project/p/dataset/lake/nation", "gov")) === "25")
+    assert(vals(("bigquery/project/p/dataset/lake/region", "ops")) === "5")
+    // history: one job per config, attributed by the jobUuidOf default
+    assert(histUuids(TagFamilyStore.readHistory(spark, root)) ===
+      Map("cA" -> 2L, "cB" -> 1L))
+    // a second tick with overwrite=false skips the already-tagged
+    // assets READ THROUGH THE CUT (the pre-tick snapshot rule)
+    val v2 = TagFamilyStore.runTick(spark,
+      Seq("cA2" -> cfgA.copy(overwrite = false)), catalog, root,
+      eventTime = to_timestamp(lit("2026-01-06 00:00:00")))
+    assert(v2.contains("manifest"))
+    // both assets were already tagged → the no-op job writes no history
+    assert(!histUuids(TagFamilyStore.readHistory(spark, root))
+      .contains("cA2"))
+    assert(TagFamilyStore.readTags(spark, root).count() === 3L)
+  }
+}
