@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.operators.TagFamilyStore
 import graft.queries.CoreQueries.Q
 
-/** Tag-engine-parity queries, part 6 (round 18): the tag-engine FAMILY
-  * cut — tags + history published under ONE atomic manifest
-  * ([[graft.operators.TagFamilyStore]], the StoreCut shape extended to
-  * the engine's busiest write family) under the oracle gate.
+/** Tag-engine-parity queries, part 6 (rounds 18–19): the tag-engine
+  * FAMILY cut — tags + history (+ reports) published under ONE atomic
+  * manifest ([[graft.operators.TagFamilyStore]], the StoreCut shape
+  * extended to the engine's busiest write family) under the oracle
+  * gate, at both the JOB grain (q53/q54/q56) and the whole-TICK grain
+  * (q55 — N configs, one cut).
   *
   * q53 is q48's shape for the family: committed jobs interleaved with
   * jobs CRASHED at every inter-commit point (via the same injection
@@ -159,7 +161,153 @@ object CoreQueries6 {
       |  t(phase, k, v)
       |ORDER BY phase, k""".stripMargin
 
+  // --------------- whole-tick atomicity (q55, round 19)
+
+  /** The scheduler-tick grain of q53: tick 1 (TWO configs) commits
+    * under ONE cut; tick 2 (two configs) crashes BETWEEN its configs —
+    * config 0's tags AND history fully landed, config 1 never ran —
+    * which is exactly the tear `/scheduled_auto_updates` lives with
+    * (main.py:3075–3110: N independent tasks, no tick boundary). The
+    * served state after the crash must equal tick 1 EXACTLY (the
+    * landed config 0 is invisible: tick atomicity, not job atomicity),
+    * and the re-run must land BOTH configs exactly once.
+    */
+  def q55TickAtomicity(spark: SparkSession, dir: String): DataFrame =
+    CoreQueries.withTempDir(spark, "graft_q55") { rootPath =>
+      import TagFamilyStore.JobBatch
+      val root = rootPath.toString
+      def tick2: Seq[JobBatch] = Seq(
+        JobBatch("c0", mkIncoming(spark, Seq(("a/orders", "env", "PROD"))),
+          mkHistory(spark, "t2-c0", Seq("a/orders"))),
+        JobBatch("c1", mkIncoming(spark, Seq(("a/part", "env", "NEW"),
+            ("a/region", "n_rows", ""))), // all-empty → delete trigger
+          mkHistory(spark, "t2-c1", Seq("a/part"))))
+      TagFamilyStore.commitTick(spark, root, Seq(
+        JobBatch("s0", mkIncoming(spark, Seq(
+            ("a/orders", "env", "DEV"), ("a/orders", "n_rows", "100"))),
+          mkHistory(spark, "t1-s0", Seq("a/orders"))),
+        JobBatch("s1", mkIncoming(spark, Seq(("a/region", "n_rows", "5"))),
+          mkHistory(spark, "t1-s1", Seq("a/region")))))
+      // the crash: after config 0's full batch set, before config 1
+      TagFamilyStore.setTestMidJobHook(root, s =>
+        if (s == "job@0") throw new RuntimeException("injected tick crash"))
+      try {
+        TagFamilyStore.commitTick(spark, root, tick2)
+        throw new IllegalStateException("q55: the injection must fire")
+      } catch {
+        case e: RuntimeException
+            if e.getMessage == "injected tick crash" => ()
+      } finally TagFamilyStore.clearTestMidJobHook(root)
+      val afterCrash =
+        tagRows(TagFamilyStore.readTags(spark, root), "after_crash_tags")
+          .unionByName(histRows(TagFamilyStore.readHistory(spark, root),
+            "after_crash_hist"))
+      TagFamilyStore.commitTick(spark, root, tick2)
+      afterCrash
+        .unionByName(tagRows(TagFamilyStore.readTags(spark, root),
+          "final_tags"))
+        .unionByName(histRows(TagFamilyStore.readHistory(spark, root),
+          "final_hist"))
+        .orderBy("phase", "k")
+    }
+
+  val q55Oracle: String =
+    """SELECT * FROM (VALUES
+      |  ('after_crash_hist', 't1-s0', '1'),
+      |  ('after_crash_hist', 't1-s1', '1'),
+      |  ('after_crash_tags', 'a/orders|env', 'DEV'),
+      |  ('after_crash_tags', 'a/orders|n_rows', '100'),
+      |  ('after_crash_tags', 'a/region|n_rows', '5'),
+      |  ('final_hist', 't1-s0', '1'),
+      |  ('final_hist', 't1-s1', '1'),
+      |  ('final_hist', 't2-c0', '1'),
+      |  ('final_hist', 't2-c1', '1'),
+      |  ('final_tags', 'a/orders|env', 'PROD'),
+      |  ('final_tags', 'a/orders|n_rows', '100'),
+      |  ('final_tags', 'a/part|env', 'NEW'))
+      |  t(phase, k, v)
+      |ORDER BY phase, k""".stripMargin
+
+  // --------------- the reports part under the oracle (q56, round 19)
+
+  private def mkReports(spark: SparkSession, ts: String,
+                        rows: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("asset", "template")
+      .select(col("asset"), col("template"),
+        to_timestamp(lit(ts)).as("export_time"))
+  }
+
+  private def reportRows(reports: DataFrame, phase: String): DataFrame =
+    reports.select(lit(phase).as("phase"), col("asset").as("k"),
+      col("template").as("v"))
+
+  /** q53 extended to the THIRD family part: J1 commits tags + history +
+    * REPORTS under one cut; J2 (also carrying reports) crashes at the
+    * WIDEST window — all three tables committed, the single cut publish
+    * never reached. All three parts must serve J1's state after the
+    * crash, and the re-run must land J2's reports exactly once.
+    */
+  def q56FamilyReports(spark: SparkSession, dir: String): DataFrame =
+    CoreQueries.withTempDir(spark, "graft_q56") { rootPath =>
+      val root = rootPath.toString
+      def j2(): Map[String, Long] = TagFamilyStore.commitJob(spark, root,
+        mkIncoming(spark, Seq(("a/orders", "env", "PROD"))),
+        mkHistory(spark, "job-2", Seq("a/orders")),
+        reports = Some(mkReports(spark, "2026-01-06 00:00:00",
+          Seq(("a/orders", "gov")))))
+      TagFamilyStore.commitJob(spark, root,
+        mkIncoming(spark, Seq(
+          ("a/orders", "env", "DEV"), ("a/region", "n_rows", "5"))),
+        mkHistory(spark, "job-1", Seq("a/orders", "a/region")),
+        reports = Some(mkReports(spark, "2026-01-05 00:00:00",
+          Seq(("a/orders", "gov"), ("a/region", "gov")))))
+      TagFamilyStore.setTestMidJobHook(root, s =>
+        if (s == "reports") throw new RuntimeException("injected job crash"))
+      try {
+        j2()
+        throw new IllegalStateException("q56: the injection must fire")
+      } catch {
+        case e: RuntimeException
+            if e.getMessage == "injected job crash" => ()
+      } finally TagFamilyStore.clearTestMidJobHook(root)
+      def reports() = TagFamilyStore.readReports(spark, root,
+        mkReports(spark, "2026-01-05 00:00:00", Seq.empty))
+      val afterCrash =
+        tagRows(TagFamilyStore.readTags(spark, root), "after_crash_tags")
+          .unionByName(histRows(TagFamilyStore.readHistory(spark, root),
+            "after_crash_hist"))
+          .unionByName(reportRows(reports(), "after_crash_reports"))
+      j2()
+      afterCrash
+        .unionByName(tagRows(TagFamilyStore.readTags(spark, root),
+          "final_tags"))
+        .unionByName(histRows(TagFamilyStore.readHistory(spark, root),
+          "final_hist"))
+        .unionByName(reportRows(reports(), "final_reports"))
+        .orderBy("phase", "k")
+    }
+
+  val q56Oracle: String =
+    """SELECT * FROM (VALUES
+      |  ('after_crash_hist', 'job-1', '2'),
+      |  ('after_crash_reports', 'a/orders', 'gov'),
+      |  ('after_crash_reports', 'a/region', 'gov'),
+      |  ('after_crash_tags', 'a/orders|env', 'DEV'),
+      |  ('after_crash_tags', 'a/region|n_rows', '5'),
+      |  ('final_hist', 'job-1', '2'),
+      |  ('final_hist', 'job-2', '1'),
+      |  ('final_reports', 'a/orders', 'gov'),
+      |  ('final_reports', 'a/orders', 'gov'),
+      |  ('final_reports', 'a/region', 'gov'),
+      |  ('final_tags', 'a/orders|env', 'PROD'),
+      |  ('final_tags', 'a/region|n_rows', '5'))
+      |  t(phase, k, v)
+      |ORDER BY phase, k""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q53_job_atomicity", q53JobAtomicity _, Some(q53Oracle)),
-    ("q54_tag_time_travel", q54TagTimeTravel _, Some(q54Oracle)))
+    ("q54_tag_time_travel", q54TagTimeTravel _, Some(q54Oracle)),
+    ("q55_tick_atomicity", q55TickAtomicity _, Some(q55Oracle)),
+    ("q56_family_reports", q56FamilyReports _, Some(q56Oracle)))
 }
