@@ -180,7 +180,9 @@ object TagFamilyStore {
 
   private def commitTickLocked(spark: SparkSession, root: String,
                                jobs: Seq[JobBatch],
-                               compactAboveBatches: Int): Map[String, Long] = {
+                               compactAboveBatches: Int,
+                               extraPins: Map[String, Long] = Map.empty)
+      : Map[String, Long] = {
     val baseCut = StoreCut.cutVersion(spark, root)
     val pins = baseCut.map(v => StoreCut.cutAt(spark, root, v))
       .getOrElse(Map.empty)
@@ -228,7 +230,8 @@ object TagFamilyStore {
     // published batches from the served cut. Losing the CAS instead
     // orphans this zombie's commits (the next tick truncates them) and
     // fails loudly with the re-run remedy.
-    val cutV = StoreCut.advanceIfBase(spark, root, versions, baseCut)
+    val cutV = StoreCut.advanceIfBase(spark, root, versions ++ extraPins,
+        baseCut)
       .getOrElse(throw new java.util.ConcurrentModificationException(
         s"TagFamilyStore: the cut at $root moved while this " +
           s"${if (jobs.sizeIs > 1) "tick" else "job"} was committing — " +
@@ -507,18 +510,53 @@ object TagFamilyStore {
              eventTime: Column = current_timestamp(),
              jobUuid: Column = lit(""),
              leaseTtlMs: Long = AtomicStore.DefaultLeaseTtlMs): Map[String, Long] =
+    commitComputed(spark, root, config,
+      TagEngine.applyDynamicTableConfig(spark, config, catalog),
+      eventTime, jobUuid, leaseTtlMs)
+
+  /** [[runJob]] for a PRE-EVALUATED tag-row set — the terminal the
+    * event-driven re-tag stream needs (`Streams.retagCommitBatch`):
+    * `computed` is the job's computed rows in the unified shape (lazy —
+    * evaluation runs under the lease at the one materialization point);
+    * the `overwrite=false` restriction, the history pivot and the
+    * atomic family publish are exactly [[runJob]]'s.
+    *
+    * `idempotencyPin` makes a CHECKPOINT-REPLAYED commit exactly-once:
+    * `Some(key -> n)` publishes `key=n` into the job's cut (max-merged,
+    * so a monotonic micro-batch id fits the cut's contract), and a
+    * later call whose cut already carries `key >= n` SKIPS the commit
+    * entirely (returns Map.empty). The check runs under the job lease,
+    * so a replayed `foreachBatch` wave after a crash-after-publish
+    * cannot double its history rows — the family sibling of the ingest
+    * path's content-hash replay idempotence, at O(1) metadata cost
+    * (one cut read the commit pays anyway) instead of a history scan.
+    */
+  def commitComputed(spark: SparkSession, root: String, config: TagConfig,
+                     computed: DataFrame,
+                     eventTime: Column = current_timestamp(),
+                     jobUuid: Column = lit(""),
+                     leaseTtlMs: Long = AtomicStore.DefaultLeaseTtlMs,
+                     idempotencyPin: Option[(String, Long)] = None)
+      : Map[String, Long] =
     withJobLease(spark, root, leaseTtlMs) {
-      val existing = readTagsOr(spark, root, TagEngine.emptyTagRows(spark))
-      val computed = TagEngine.applyDynamicTableConfig(spark, config, catalog)
-      // one materialization: the incoming set feeds the delta build, the
-      // tombstone split AND the history pivot — and history must never
-      // record values that differ from the batch actually merged
-      val incoming = TagEngine.incomingFor(config, computed, existing)
-        .localCheckpoint()
-      val written = TagStore.dropAllEmptyTags(incoming)
-      val history = TagEngine.historyRows(written, config, eventTime, jobUuid)
-      commitJobLocked(spark, root, incoming, history, reports = None,
-        compactAboveBatches = 64)
+      val replayed = idempotencyPin.exists { case (k, n) =>
+        StoreCut.cut(spark, root).exists(_.get(k).exists(_ >= n))
+      }
+      if (replayed) Map.empty
+      else {
+        val existing = readTagsOr(spark, root, TagEngine.emptyTagRows(spark))
+        // one materialization: the incoming set feeds the delta build,
+        // the tombstone split AND the history pivot — and history must
+        // never record values that differ from the batch actually merged
+        val incoming = TagEngine.incomingFor(config, computed, existing)
+          .localCheckpoint()
+        val written = TagStore.dropAllEmptyTags(incoming)
+        val history =
+          TagEngine.historyRows(written, config, eventTime, jobUuid)
+        commitTickLocked(spark, root,
+          Seq(JobBatch("job", incoming, history, None)),
+          compactAboveBatches = 64, extraPins = idempotencyPin.toMap)
+      }
     }
 
   /** The WHOLE scheduler tick with the family-cut terminal —

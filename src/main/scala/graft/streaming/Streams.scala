@@ -266,6 +266,41 @@ object Streams {
         "left_semi"),
       source, shardExpr)
 
+  /** The DURABLE `foreachBatch` terminal for the event-driven re-tag —
+    * [[retagTouched]]'s evaluation landed through
+    * `TagFamilyStore.commitComputed`, so the streaming path can no
+    * longer tear tags/history the way `runJob` no longer can (round-18
+    * verdict #2: the stream previously wrote through the standalone
+    * sinks): the touched shards re-evaluate, and the batch's tag merge
+    * + its history rows become visible via ONE CAS'd cut publish — or,
+    * on a crash anywhere inside the commit, not at all, with the
+    * checkpoint replaying the wave against the pre-batch cut.
+    *
+    * Replay is EXACTLY-ONCE, not merely idempotent-for-tags: the
+    * micro-batch id rides the cut as the `retag_batch` pin (max-merged
+    * — monotonic batch ids fit the cut contract), so a wave whose cut
+    * already carries `retag_batch >= batchId` — the
+    * crash-AFTER-publish-before-checkpoint window, where re-merging
+    * would double the history rows — skips and returns Map.empty.
+    * History identity: `job_uuid = retag-<batchId>`.
+    *
+    * Scale shape: evaluation cost is the TOUCHED shard set
+    * ([[retagTouched]]'s left-semi restriction), the commit is 2 batch
+    * writes + one metadata publish, and the idempotency check is one
+    * cut read the commit pays anyway.
+    */
+  def retagCommitBatch(spark: SparkSession, config: graft.model.TagConfig,
+                       catalog: DataFrame, source: DataFrame,
+                       shardExpr: org.apache.spark.sql.Column,
+                       touched: DataFrame, familyRoot: String,
+                       batchId: Long,
+                       eventTime: org.apache.spark.sql.Column =
+                         current_timestamp()): Map[String, Long] =
+    graft.operators.TagFamilyStore.commitComputed(spark, familyRoot, config,
+      retagTouched(spark, config, catalog, source, shardExpr, touched),
+      eventTime, jobUuid = lit(s"retag-$batchId"),
+      idempotencyPin = Some("retag_batch" -> batchId))
+
   /** The WHOLE `/scheduled_auto_updates` tick as a REUSABLE transform
     * (main.py:3075–3110): H1 selects the due configs from the given
     * config snapshot, ALL due configs compile into ONE batched job pass

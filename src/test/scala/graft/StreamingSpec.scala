@@ -239,6 +239,97 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSet === batchRows)
   }
 
+  test("re-tag family terminal: crash on the batch boundary + restart == crash-free run; replay-after-publish skips") {
+    import org.apache.spark.sql.functions._
+    import graft.model.{FieldSpec, TagConfig}
+    import graft.operators.TagFamilyStore
+    val events = Lake.table(spark, sf, "events")
+    val n = 100
+    val shardExpr = concat(lit("events_"),
+      lpad((col("event_id") % n).cast("string"), 4, "0"))
+    val catalog = spark.range(0, n)
+      .select(lit("p").as("project"), lit("lake").as("dataset"),
+        concat(lit("events_"), lpad(col("id").cast("string"), 4, "0"))
+          .as("table"))
+    val config = TagConfig(
+      configType = "DYNAMIC_TAG_TABLE", templateId = "gov",
+      fields = Seq(
+        FieldSpec("n_rows", "double", Some("select count(*) from $table")),
+        FieldSpec("n_clicks", "double",
+          Some("select count(*) from $table where event_type = 'click'"))),
+      includedUris = Seq("bigquery/project/p/dataset/lake/events_*"))
+    val touched = events
+      .filter(col("event_type") === "purchase" && col("value") >= 100)
+      .select(shardExpr.as("table"))
+    val fixedTime = to_timestamp(lit("2026-01-05 00:00:00"))
+    // two deterministic micro-batches (one file per wave)
+    val stage = Files.createTempDirectory("graft_retag_fam").toString
+    touched.filter(org.apache.spark.sql.functions.xxhash64(col("table"))
+        % 2 === 0).coalesce(1).write.mode("append").parquet(stage)
+    Thread.sleep(150)
+    touched.filter(org.apache.spark.sql.functions.xxhash64(col("table"))
+        % 2 =!= 0).coalesce(1).write.mode("append").parquet(stage)
+
+    def familyState(root: String): (Set[String], Map[String, Long]) = {
+      val fam = TagFamilyStore.readFamily(spark, root)
+      (fam.tags.select("asset_uri", "field_id", "field_value")
+          .collect().map(_.mkString("|")).toSet,
+        fam.history.groupBy("job_uuid").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    }
+    def run(root: String, cp: String,
+            crashOn: Option[Long]): org.apache.spark.sql.streaming.StreamingQuery = {
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      spark.readStream.schema(touched.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (crashOn.contains(id) && crashed.compareAndSet(false, true))
+            // the crash the family cut must absorb: the wave's history
+            // commit landed, the cut publish never reached, the
+            // checkpoint offset is not committed
+            TagFamilyStore.setTestMidJobHook(root, s =>
+              if (s == "history")
+                throw new RuntimeException("injected retag crash"))
+          try Streams.retagCommitBatch(spark, config, catalog, events,
+            shardExpr, batch, root, id, eventTime = fixedTime)
+          finally TagFamilyStore.clearTestMidJobHook(root)
+          ()
+        }
+        .start()
+    }
+
+    // reference: the crash-free run
+    val rootA = Files.createTempDirectory("graft_retag_a").toString
+    val qa = run(rootA, Files.createTempDirectory("graft_cp_a").toString,
+      crashOn = None)
+    qa.awaitTermination(120000)
+    val (tagsA, histA) = familyState(rootA)
+    assert(histA.keySet === Set("retag-0", "retag-1"))
+
+    // the crashed run: batch 1's commit dies between its history commit
+    // and the cut publish; the restart replays it from the checkpoint
+    val rootB = Files.createTempDirectory("graft_retag_b").toString
+    val cpB = Files.createTempDirectory("graft_cp_b").toString
+    val q1 = run(rootB, cpB, crashOn = Some(1L))
+    intercept[Exception] { q1.awaitTermination(120000) }
+    // the torn wave is invisible: only batch 0 is served
+    assert(familyState(rootB)._2.keySet === Set("retag-0"))
+    val q2 = run(rootB, cpB, crashOn = None)
+    q2.awaitTermination(120000)
+    assert(familyState(rootB) === ((tagsA, histA)),
+      "restart must converge to the crash-free run exactly")
+
+    // the crash-AFTER-publish window: a replayed wave whose batch id the
+    // cut already pins skips entirely (no doubled history)
+    val again = Streams.retagCommitBatch(spark, config, catalog, events,
+      shardExpr, spark.read.parquet(stage), rootB, batchId = 1L,
+      eventTime = fixedTime)
+    assert(again === Map.empty)
+    assert(familyState(rootB) === ((tagsA, histA)))
+  }
+
   test("ingestion pipeline (st09 transform): streaming arrivals == batch fold") {
     import org.apache.spark.sql.functions._
     import graft.streaming.Ingest
