@@ -433,50 +433,17 @@ object TagFamilyStore {
     * time-travel pins stay readable.
     */
   private def foldPartLocked(spark: SparkSession, root: String, part: String,
-                             graceMs: Long = 15 * 60 * 1000L): Option[Long] = {
-    val table = s"$root/$part"
-    val baseCut = StoreCut.cutVersion(spark, root)
-    val pins = baseCut.map(v => StoreCut.cutAt(spark, root, v))
-      .getOrElse(Map.empty)
-    val pin = pins.get(part) match {
-      case None    => return None // never published — nothing to fold
-      case Some(p) => p
-    }
-    if (AtomicStore.filesAt(spark, table, pin).lengthCompare(1) <= 0)
-      return None // already compact (quiet-store ticks stay metadata-sized)
-    val pinned = AtomicStore.readAt(spark, table, pin)
-    var attempt = 0
-    while (attempt < 8) {
-      val v = AtomicStore.currentVersion(spark, table).getOrElse(-1L) + 1
-      val state =
+                             graceMs: Long = 15 * 60 * 1000L): Option[Long] =
+    StoreCut.fold(spark, root, part,
+      StoreCut.TruncateToPin((pinned, v) =>
         if (part == TagsPart)
+          // the log-semantics fold (TagStore.compactLog's analogue):
+          // squash the pinned chain to its latest-wins state, re-marked
+          // as one upsert batch at the fold's version
           TagStore.latestStateOf(pinned)
             .withColumn("__op", lit("upsert")).withColumn("__batch", lit(v))
-        else pinned
-      val rel = AtomicStore.writeData(state, table, AtomicStore.FoldPrefix)
-      if (AtomicStore.publish(spark, table, Seq(rel), v)) {
-        // CAS'd adoption, same zombie argument as the job publish: the
-        // fold materialized from the pin read at THIS cut version; if a
-        // lease-breaking job advanced the cut during the (slow)
-        // materialization, adopting the fold would drop that job's
-        // batch from the served chain. A lost CAS orphans the fold
-        // (harmless — the next job truncates it) and skips the vacuum
-        // (whose floor derives from the stale pin set).
-        if (StoreCut.advanceIfBase(spark, root, Map(part -> v),
-            baseCut).isEmpty)
-          return None
-        try AtomicStore.vacuum(spark, table, keepVersions = 2, graceMs,
-          keepFloor = StoreCut.retentionFloor(spark, root, part,
-            pins + (part -> v)))
-        catch { case scala.util.control.NonFatal(_) => () }
-        return Some(v)
-      }
-      AtomicStore.reclaimData(spark, table, rel)
-      attempt += 1
-      Thread.sleep(20L * attempt)
-    }
-    None
-  }
+        else pinned), // history/reports squash row-preserving
+      graceMs)
 
   /** Periodic maintenance (claims the job lease — folds must not race a
     * live job commit's version arithmetic): fold every published part,

@@ -207,14 +207,96 @@ object StoreCut {
     * the fold that supersedes it.
     */
   def foldAndAdvance(spark: SparkSession, root: String, part: String,
-                     graceMs: Long = 15 * 60 * 1000L): Option[Long] = {
-    val pins = cut(spark, root).getOrElse(Map.empty)
-    val table = s"$root/$part"
-    AtomicStore.compact(spark, table, graceMs = graceMs,
-        keepFloor = retentionFloor(spark, root, part, pins),
-        chainCheck = Some(v =>
-          pins.get(part).forall(pin => extendsPin(spark, table, pin, v))))
-      .map { fv => advance(spark, root, Map(part -> fv)); fv }
+                     graceMs: Long = 15 * 60 * 1000L): Option[Long] =
+    fold(spark, root, part, AdoptChain, graceMs)
+
+  /** The PARENTAGE POLICY of a cut-governed fold — the one semantic
+    * axis on which the stores' maintenance differs, extracted (round-18
+    * verdict #6) so the retry/vacuum/floor dance lives ONCE and the
+    * next store can't get it subtly wrong:
+    *
+    *  - [[AdoptChain]] (index stores): an append is a self-contained
+    *    batch — "delayed, not lost" — so the fold materializes the
+    *    table's CURRENT chain (verified to extend the pin; a crashed
+    *    swap's writer orphan refuses) and a committed-but-unpublished
+    *    suffix is adopted. Row-preserving by contract.
+    *  - [[TruncateToPin]] (the tag family): a batch is HALF A JOB, so
+    *    the fold materializes from the CUT PIN only — a crashed job's
+    *    orphan suffix is deliberately NOT folded in — and the adoption
+    *    into the cut is CAS'd against the base the pin was read at
+    *    (the same zombie argument as the job publish). `reduce` maps
+    *    the pinned frame to the fold snapshot (the tag log's
+    *    latest-wins squash; identity for row-preserving parts), given
+    *    the fold's target version for provenance stamping. Callers
+    *    MUST hold the store's writer lease (the version arithmetic
+    *    races live commits otherwise).
+    */
+  sealed trait FoldPolicy
+  case object AdoptChain extends FoldPolicy
+  final case class TruncateToPin(
+      reduce: (DataFrame, Long) => DataFrame = (df, _) => df)
+      extends FoldPolicy
+
+  /** Fold `part` back to one snapshot under `policy` and adopt the fold
+    * into the cut; see [[FoldPolicy]] for the two parentage semantics
+    * and [[foldAndAdvance]]'s scaladoc (above) for the adopt arm's
+    * TOCTOU/floor contract, which both arms share: the orphan check
+    * runs against the exact version the fold CASes at, and the fold's
+    * vacuum retains back to [[retentionFloor]] as an ABSOLUTE floor so
+    * neither the live cut's pin nor any retained time-travel cut's pin
+    * has its file set reclaimed.
+    */
+  def fold(spark: SparkSession, root: String, part: String,
+           policy: FoldPolicy,
+           graceMs: Long = 15 * 60 * 1000L): Option[Long] = policy match {
+    case AdoptChain =>
+      val pins = cut(spark, root).getOrElse(Map.empty)
+      val table = s"$root/$part"
+      AtomicStore.compact(spark, table, graceMs = graceMs,
+          keepFloor = retentionFloor(spark, root, part, pins),
+          chainCheck = Some(v =>
+            pins.get(part).forall(pin => extendsPin(spark, table, pin, v))))
+        .map { fv => advance(spark, root, Map(part -> fv)); fv }
+
+    case TruncateToPin(reduce) =>
+      val table = s"$root/$part"
+      val baseCut = cutVersion(spark, root)
+      val pins = baseCut.map(v => cutAt(spark, root, v))
+        .getOrElse(Map.empty)
+      val pin = pins.get(part) match {
+        case None    => return None // never published — nothing to fold
+        case Some(p) => p
+      }
+      if (AtomicStore.filesAt(spark, table, pin).lengthCompare(1) <= 0)
+        return None // already compact (quiet-store ticks stay metadata-sized)
+      val pinned = AtomicStore.readAt(spark, table, pin)
+      var attempt = 0
+      while (attempt < 8) {
+        val v = AtomicStore.currentVersion(spark, table).getOrElse(-1L) + 1
+        val rel = AtomicStore.writeData(reduce(pinned, v), table,
+          AtomicStore.FoldPrefix)
+        if (AtomicStore.publish(spark, table, Seq(rel), v)) {
+          // CAS'd adoption, same zombie argument as the family job
+          // publish: the fold materialized from the pin read at THIS
+          // cut version; if a lease-breaking job advanced the cut
+          // during the (slow) materialization, adopting the fold would
+          // drop that job's batch from the served chain. A lost CAS
+          // orphans the fold (harmless — the next job truncates it)
+          // and skips the vacuum (whose floor derives from the stale
+          // pin set).
+          if (advanceIfBase(spark, root, Map(part -> v), baseCut).isEmpty)
+            return None
+          try AtomicStore.vacuum(spark, table, keepVersions = 2, graceMs,
+            keepFloor = retentionFloor(spark, root, part,
+              pins + (part -> v)))
+          catch { case scala.util.control.NonFatal(_) => () }
+          return Some(v)
+        }
+        AtomicStore.reclaimData(spark, table, rel)
+        attempt += 1
+        Thread.sleep(20L * attempt)
+      }
+      None
   }
 
   /** Post-commit publication (+ self-fold past `aboveDirs`) for an
