@@ -60,11 +60,21 @@ object Verify {
     val byRootJson = byRoot.toSeq.sortBy(_._1)
       .map { case (r, c) => s"${q(r.take(200))}: $c" }
       .mkString("{", ", ", "}")
+    // the family porcelain: every family store this run committed,
+    // with where its last cut landed (per-part versions + job count)
+    val families = graft.operators.TagFamilyStore.publishedFamilies
+    val familiesJson = families.toSeq.sortBy(_._1)
+      .map { case (r, s) => s"${q(r.take(200))}: ${q(s.take(300))}" }
+      .mkString("{", ", ", "}")
+    if (families.nonEmpty)
+      println(s"[verify] storecut: ${families.size} family store(s) " +
+        "published this run (see storecut_health.json family_cuts)")
     Files.writeString(Paths.get(s"$outDir/storecut_health.json"),
       s"""{
          |  "swallowed_advances": $n,
          |  "swallowed_by_root": $byRootJson,
          |  "govern_probe_failures": $governFails,
+         |  "family_cuts": $familiesJson,
          |  "last": ${q(last.take(400))}
          |}
          |""".stripMargin)

@@ -250,6 +250,9 @@ object TagFamilyStore {
             .lengthCompare(compactAboveBatches) > 0)
           foldPartLocked(spark, root, part)
       } catch { case scala.util.control.NonFatal(_) => () }
+    lastPublish.put(root, s"cut=v$cutV jobs=${jobs.size} " +
+      versions.toSeq.sortBy(_._1)
+        .map { case (p, v) => s"$p=v$v" }.mkString(" "))
     versions + ("manifest" -> cutV)
   }
 
@@ -419,6 +422,66 @@ object TagFamilyStore {
   def readHistoryAt(spark: SparkSession, root: String,
                     cutVersion: Long): DataFrame =
     strictPartAt(spark, root, HistoryPart, cutVersion)
+
+  // -------------------------------------------------------- porcelain
+
+  /** One family store's health at a glance — the exact-listing
+    * porcelain the index stores grew in round 17, family-flavored:
+    * the served cut, each part's pin vs its table's CURRENT version,
+    * and the ORPHAN SUFFIX per part (committed versions above the pin
+    * — in this store every in-protocol publish advances the cut, so a
+    * non-zero suffix is precisely crash residue awaiting truncation by
+    * the next job; bounded at one job's commits by the recovery
+    * contract). `retainedCuts` lists the time-travel window actually
+    * readable ([[readTagsAt]]'s handles).
+    */
+  final case class FamilyHealth(cutVersion: Option[Long],
+                                pins: Map[String, Long],
+                                currentVersions: Map[String, Long],
+                                orphanSuffix: Map[String, Long],
+                                retainedCuts: Seq[Long])
+
+  /** Live health probe — metadata-only (one cut read + one version
+    * LIST per part + the retained manifest listing; nothing
+    * data-sized).
+    */
+  def porcelain(spark: SparkSession, root: String): FamilyHealth = {
+    val cutV = StoreCut.cutVersion(spark, root)
+    val pins = cutV.map(v => StoreCut.cutAt(spark, root, v))
+      .getOrElse(Map.empty)
+      .filter { case (k, _) => Set(TagsPart, HistoryPart, ReportsPart)(k) }
+    val current = Seq(TagsPart, HistoryPart, ReportsPart).flatMap { p =>
+      AtomicStore.currentVersion(spark, s"$root/$p").map(p -> _)
+    }.toMap
+    val orphans = current.map { case (p, cur) =>
+      p -> math.max(0L, cur - pins.getOrElse(p, -1L))
+    }.filter(_._2 > 0)
+    val retained = cutV.toSeq.flatMap { latest =>
+      (math.max(0L, latest - StoreCut.RetainedCuts + 1) to latest)
+        .filter { v =>
+          try { StoreCut.cutAt(spark, root, v); true }
+          catch { case e: Throwable if AtomicStore.isVacuumRace(e) => false }
+        }
+    }
+    FamilyHealth(cutV, pins, current, orphans, retained)
+  }
+
+  /** LAST-PUBLISH registry, the Verify-facing porcelain: every family
+    * publish records a one-line summary per root (JVM-global, zero
+    * extra IO — the versions are in hand at publish time), so a Verify
+    * run's `storecut_health.json` can list which family stores this
+    * process committed and where their cuts landed, without re-probing
+    * stores whose temp dirs are already gone.
+    */
+  private val lastPublish =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def publishedFamilies: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    lastPublish.asScala.toMap
+  }
+
+  private[graft] def resetPublishRegistry(): Unit = lastPublish.clear()
 
   // ------------------------------------------------------ maintenance
 

@@ -129,6 +129,37 @@ class TagFamilyTickSpec extends SparkSpec {
       afterSeedHist)
   }
 
+  test("porcelain: orphan suffixes are counted after a crash, clear after the truncating re-run") {
+    val root = freshRoot()
+    seedTick(root)
+    val healthy = TagFamilyStore.porcelain(spark, root)
+    assert(healthy.orphanSuffix === Map.empty)
+    assert(healthy.pins.keySet === Set("tags", "history"))
+    assert(healthy.cutVersion === Some(0L))
+    assert(healthy.retainedCuts === Seq(0L))
+
+    // crash after BOTH tables of tick-2's first config committed
+    TagFamilyStore.setTestMidJobHook(root, s =>
+      if (s == "job@0") throw new RuntimeException("injected tick crash"))
+    try intercept[RuntimeException](
+      TagFamilyStore.commitTick(spark, root, tick2()))
+    finally TagFamilyStore.clearTestMidJobHook(root)
+    val torn = TagFamilyStore.porcelain(spark, root)
+    // exactly the crashed config's two commits sit above the pins
+    assert(torn.orphanSuffix === Map("tags" -> 1L, "history" -> 1L))
+    assert(torn.cutVersion === healthy.cutVersion, "cut unmoved")
+
+    // the re-run truncates the suffix and the porcelain reads clean
+    TagFamilyStore.commitTick(spark, root, tick2())
+    val healed = TagFamilyStore.porcelain(spark, root)
+    assert(healed.orphanSuffix === Map.empty)
+    assert(healed.cutVersion === Some(1L))
+    assert(healed.retainedCuts === Seq(0L, 1L))
+    // and the publish registry carries the last cut's summary
+    assert(TagFamilyStore.publishedFamilies.get(root)
+      .exists(s => s.contains("cut=v1") && s.contains("jobs=3")))
+  }
+
   test("an empty tick is a no-op (no lease, no cut mint)") {
     val root = freshRoot()
     assert(TagFamilyStore.commitTick(spark, root, Seq.empty) === Map.empty)
