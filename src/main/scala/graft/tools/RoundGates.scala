@@ -73,6 +73,14 @@ object RoundGates {
       // pinned cut time-travels across the fold (see TagFamilyCrash)
       Gate("tag_family_crash", "graft.tools.TagFamilyCrash",
         Seq(sfDir, "6", "50")),
+      // whole-TICK crash at inter-config points under latency (round
+      // 19): a tick of 4 configs killed between configs and after its
+      // last history commit — the WHOLE tick (landed configs included)
+      // must stay invisible, re-runs land every config exactly once,
+      // final == crash-free replay, pinned cut survives the fold (see
+      // TagTickScale)
+      Gate("tag_tick_crash", "graft.tools.TagTickScale",
+        Seq(sfDir, "4", "4", "50", "crash")),
       // lease-protocol edges isolated under SlowFs: the two-breaker
       // barrier and a contention soak, where the list→create→verify
       // windows widen ~3 orders of magnitude over the instant local FS
