@@ -611,7 +611,22 @@ object TagFamilyStore {
               eventTime: Column = current_timestamp(),
               jobUuidOf: String => Column = id => lit(id),
               leaseTtlMs: Long = AtomicStore.DefaultLeaseTtlMs): Map[String, Long] =
-    if (configs.isEmpty) Map.empty
+    runTickDetailed(spark, configs, catalog, root, eventTime, jobUuidOf,
+      leaseTtlMs)._1
+
+  /** [[runTick]] returning the committed [[JobBatch]]es too — each
+    * batch's `incoming` is localCheckpoint'd, so a caller can roll the
+    * tick up (per-job counts over the PRODUCED rows, the
+    * `Streams.schedulerTickCommit` contract) without re-evaluating
+    * anything or mis-counting store rows the jobs never touched.
+    */
+  def runTickDetailed(spark: SparkSession, configs: Seq[(String, TagConfig)],
+                      catalog: DataFrame, root: String,
+                      eventTime: Column = current_timestamp(),
+                      jobUuidOf: String => Column = id => lit(id),
+                      leaseTtlMs: Long = AtomicStore.DefaultLeaseTtlMs)
+      : (Map[String, Long], Seq[JobBatch]) =
+    if (configs.isEmpty) (Map.empty, Seq.empty)
     else withJobLease(spark, root, leaseTtlMs) {
       val existing = readTagsOr(spark, root, TagEngine.emptyTagRows(spark))
       val batches = TagEngine
@@ -626,6 +641,7 @@ object TagFamilyStore {
           JobBatch(id, incoming,
             TagEngine.historyRows(written, cfg, eventTime, jobUuidOf(id)))
         }
-      commitTickLocked(spark, root, batches, compactAboveBatches = 64)
+      (commitTickLocked(spark, root, batches, compactAboveBatches = 64),
+        batches)
     }
 }

@@ -109,9 +109,9 @@ object CoreQueries5 {
     ("cC", "gov", "bigquery/project/p/dataset/lake/orders",
       60L, "2024-03-01 14:00:00", 1L))
 
-  private val tickNow = "2024-03-01 12:00:00"
+  private[queries] val tickNow = "2024-03-01 12:00:00"
 
-  private val tickFields: Map[String, Seq[FieldSpec]] = Map(
+  private[queries] val tickFields: Map[String, Seq[FieldSpec]] = Map(
     "cA" -> Seq(
       FieldSpec("n_rows", "double", Some("select count(*) from $table")),
       FieldSpec("env", "enum", None, Some("PROD"))),
@@ -120,7 +120,7 @@ object CoreQueries5 {
     "cC" -> Seq(
       FieldSpec("n_rows", "double", Some("select count(*) from $table"))))
 
-  private def tickConfigsDf(spark: SparkSession): DataFrame = {
+  private[queries] def tickConfigsDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     tickRows.toDF("config_uuid", "template_id", "included_uris",
         "refresh_frequency_minutes", "next_run_s", "version")

@@ -305,9 +305,54 @@ object CoreQueries6 {
       |  t(phase, k, v)
       |ORDER BY phase, k""".stripMargin
 
+  // --------------- scheduler tick on the family terminal (q57, round 19)
+
+  /** q40's whole `/scheduled_auto_updates` tick — H1 due-config
+    * selection, batched evaluation, per-job rollup, H2 next_run advance
+    * — run through the DURABLE family terminal
+    * ([[graft.streaming.Streams.schedulerTickCommit]]): the rollup must
+    * equal the pure-transform tick's EXACTLY (q40's oracle, verbatim)
+    * while the tags+history land under ONE cut. Adversarial by
+    * construction: the FIRST attempt is crashed between its configs
+    * (the q55 injection through the real scheduler path), so the
+    * emitted rollup comes from the RE-RUN — wrong truncation would
+    * double cA's history/tags and a leaked first attempt would shift
+    * the served state the re-run's overwrite filter reads.
+    */
+  def q57SchedulerTickCommit(spark: SparkSession, dir: String): DataFrame = {
+    graft.Lake.registerAll(spark, dir)
+    val catalog = {
+      import spark.implicits._
+      graft.Lake.tableNames.map(t => ("p", "lake", t))
+        .toDF("project", "dataset", "table")
+    }
+    CoreQueries.withTempDir(spark, "graft_q57") { rootPath =>
+      val root = rootPath.toString
+      def tick(): DataFrame = graft.streaming.Streams.schedulerTickCommit(
+        spark, CoreQueries5.tickConfigsDf(spark),
+        to_timestamp(lit(CoreQueries5.tickNow)), catalog, root,
+        CoreQueries5.tickFields,
+        eventTime = to_timestamp(lit("2026-01-05 00:00:00")))
+      TagFamilyStore.setTestMidJobHook(root, s =>
+        if (s == "job@0") throw new RuntimeException("injected tick crash"))
+      try {
+        tick().collect()
+        throw new IllegalStateException("q57: the injection must fire")
+      } catch {
+        // the commit section is driver-side, so the injection surfaces
+        // as the raw RuntimeException, not a task failure
+        case e: RuntimeException
+            if e.getMessage == "injected tick crash" => ()
+      } finally TagFamilyStore.clearTestMidJobHook(root)
+      tick().orderBy("config_uuid")
+    }
+  }
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q53_job_atomicity", q53JobAtomicity _, Some(q53Oracle)),
     ("q54_tag_time_travel", q54TagTimeTravel _, Some(q54Oracle)),
     ("q55_tick_atomicity", q55TickAtomicity _, Some(q55Oracle)),
-    ("q56_family_reports", q56FamilyReports _, Some(q56Oracle)))
+    ("q56_family_reports", q56FamilyReports _, Some(q56Oracle)),
+    ("q57_scheduler_tick_commit", q57SchedulerTickCommit _,
+      Some(CoreQueries5.q40Oracle)))
 }

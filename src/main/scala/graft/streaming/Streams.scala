@@ -321,23 +321,85 @@ object Streams {
                     now: org.apache.spark.sql.Column, catalog: DataFrame,
                     existingTags: DataFrame,
                     fieldsOf: String => Seq[graft.model.FieldSpec]): DataFrame = {
-    import graft.model.TagConfig
     import graft.operators.TagEngine
-    import graft.sched.Scheduler
-    import spark.implicits._
-    val due = Scheduler.readReadyConfigs(configs, now)
-    val dueRows = due
-      .select("config_uuid", "template_id", "included_uris", "version",
-        "config_type")
-      .collect().sortBy(_.getString(0))
-    val emptyTick = spark.createDataFrame(
+    val due = graft.sched.Scheduler.readReadyConfigs(configs, now)
+    compileDue(spark, due, fieldsOf) match {
+      case None => emptyTick(spark) // idle tick: nothing due
+      case Some((dueRows, cfgs)) =>
+        // runJobsProduced, NOT runJobs: the rollup must count the rows
+        // each job PRODUCED. runJobs returns post-merge store state per
+        // config, so on a nonempty store every untouched pre-existing
+        // tag row would be counted into every due config's
+        // n_tag_rows/sum_n_rows — a no-op job would "report" the whole
+        // store instead of (SUCCEEDED, 0, 0)
+        val tagRows =
+          TagEngine.runJobsProduced(spark, cfgs, catalog, existingTags)
+        tickRollup(spark, dueRows, tagRows)
+          .join(graft.sched.Scheduler.advanceNextRun(configs, due, now)
+            .select("config_uuid", "next_run", "version"), "config_uuid")
+    }
+  }
+
+  /** [[schedulerTick]] with the FAMILY-CUT terminal — the whole
+    * `/scheduled_auto_updates` path made durable AND atomic: the due
+    * configs' evaluations land through `TagFamilyStore.runTickDetailed`
+    * (every config's tags + history under ONE CAS'd cut publish — a
+    * crash mid-tick leaves the pre-tick state serving everywhere and
+    * the re-run lands every config exactly once, where the reference's
+    * N independent tasks simply tear), and the returned rollup is
+    * computed from the SAME checkpointed batches the commit landed, so
+    * it reports exactly what was published. History identity matches
+    * the rollup's `job_uuid = md5(config_uuid|version)`.
+    */
+  def schedulerTickCommit(spark: SparkSession, configs: DataFrame,
+                          now: org.apache.spark.sql.Column,
+                          catalog: DataFrame, familyRoot: String,
+                          fieldsOf: String => Seq[graft.model.FieldSpec],
+                          eventTime: org.apache.spark.sql.Column =
+                            current_timestamp()): DataFrame = {
+    import graft.operators.TagFamilyStore
+    val due = graft.sched.Scheduler.readReadyConfigs(configs, now)
+    compileDue(spark, due, fieldsOf) match {
+      case None => emptyTick(spark)
+      case Some((dueRows, cfgs)) =>
+        val versionOf = dueRows.map(r => r.getString(0) -> r.getLong(3)).toMap
+        val (_, batches) = TagFamilyStore.runTickDetailed(spark, cfgs,
+          catalog, familyRoot, eventTime,
+          jobUuidOf = id => md5(concat_ws("|", lit(id),
+            lit(versionOf(id).toString))))
+        val tagRows = batches
+          .map(b => b.incoming.withColumn("config_uuid", lit(b.jobId)))
+          .reduce(_.unionByName(_))
+        tickRollup(spark, dueRows, tagRows)
+          .join(graft.sched.Scheduler.advanceNextRun(configs, due, now)
+            .select("config_uuid", "next_run", "version"), "config_uuid")
+    }
+  }
+
+  private def emptyTick(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
         "config_uuid string, job_uuid string, job_status string, " +
           "n_assets bigint, n_tag_rows bigint, sum_n_rows double, " +
           "next_run timestamp, version bigint"))
-    if (dueRows.isEmpty) return emptyTick // idle tick: nothing due
-    // the stored config_type is HONORED, not assumed: runJobs batches
+
+  /** Shared H1 compile step: collect + validate the due configs (rows
+    * sorted by uuid) and build their TagConfigs. None = idle tick. Due
+    * configs are catalog METADATA (the reference's own loop bound), so
+    * the collect is bounded.
+    */
+  private def compileDue(spark: SparkSession, due: DataFrame,
+                         fieldsOf: String => Seq[graft.model.FieldSpec])
+      : Option[(Seq[org.apache.spark.sql.Row],
+                Seq[(String, graft.model.TagConfig)])] = {
+    import graft.model.TagConfig
+    val dueRows = due
+      .select("config_uuid", "template_id", "included_uris", "version",
+        "config_type")
+      .collect().sortBy(_.getString(0)).toSeq
+    if (dueRows.isEmpty) return None
+    // the stored config_type is HONORED, not assumed: the tick batches
     // only the dynamic-table evaluation, so a due config of any other
     // type must fail the tick loudly (silently rebuilding it as a table
     // config would produce wrong tag rows or a broken field spec).
@@ -357,7 +419,7 @@ object Streams {
     require(noVersion.isEmpty,
       "schedulerTick: due configs with NULL version (job identity is " +
         s"md5(uuid|version)): ${noVersion.map(_.getString(0)).mkString(", ")}")
-    val cfgs = dueRows.toSeq.map { r =>
+    val cfgs = dueRows.map { r =>
       // NULL included_uris = a config that matches nothing: expansion is
       // empty and the rollup's left join reports the no-op job, instead
       // of an NPE killing the whole tick
@@ -366,18 +428,20 @@ object Streams {
       r.getString(0) -> TagConfig("DYNAMIC_TAG_TABLE", r.getString(1),
         fieldsOf(r.getString(0)), includedUris = uris)
     }
-    // runJobsProduced, NOT runJobs: the rollup must count the rows each
-    // job PRODUCED. runJobs returns post-merge store state per config, so
-    // on a nonempty store every untouched pre-existing tag row would be
-    // counted into every due config's n_tag_rows/sum_n_rows — a no-op job
-    // would "report" the whole store instead of (SUCCEEDED, 0, 0)
-    val tagRows = TagEngine.runJobsProduced(spark, cfgs, catalog, existingTags)
-    val versions = dueRows.toSeq.map(r => (r.getString(0), r.getLong(3)))
+    Some((dueRows, cfgs))
+  }
+
+  /** Shared per-job rollup over the tick's PRODUCED rows (left join
+    * from the due list: a due config whose expansion matched nothing
+    * still reports the reference's (SUCCEEDED, 0, 0) no-op job).
+    */
+  private def tickRollup(spark: SparkSession,
+                         dueRows: Seq[org.apache.spark.sql.Row],
+                         tagRows: DataFrame): DataFrame = {
+    import spark.implicits._
+    val versions = dueRows.map(r => (r.getString(0), r.getLong(3)))
       .toDF("config_uuid", "job_version")
-    // LEFT join from the due list: a due config whose expansion matched
-    // nothing still reports a (SUCCEEDED, 0 assets, 0 rows) job — the
-    // reference's no-op job — instead of vanishing from the tick output
-    val rollup = versions
+    versions
       .join(tagRows.groupBy("config_uuid")
         .agg(count(lit(1)).as("n_tag_rows"),
           countDistinct(col("asset_uri")).as("n_assets"),
@@ -392,9 +456,6 @@ object Streams {
           .as("job_uuid"),
         lit("SUCCEEDED").as("job_status"),
         col("n_assets"), col("n_tag_rows"), col("sum_n_rows"))
-    val advanced = graft.sched.Scheduler.advanceNextRun(configs, due, now)
-      .select("config_uuid", "next_run", "version")
-    rollup.join(advanced, "config_uuid")
   }
 
   /** Batch sessionization: a new session starts after a ≥ `gapMinutes`

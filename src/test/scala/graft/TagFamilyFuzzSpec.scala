@@ -92,15 +92,45 @@ class TagFamilyFuzzSpec extends SparkSpec {
     TagFamilyStore.commitJob(spark, root, mkIncoming(b0), mkHistory("j0", 2))
     applyModel(b0, "j0", 2); committedJobs += 1
 
+    // a random TICK: 2-3 jobs chained under one cut (round 19) —
+    // frames rebuild lazily, so the same structure re-runs after a crash
+    def mkTick(step: Int): Seq[(Seq[(String, String, String)], String, Int)] =
+      (0 until 2 + rnd.nextInt(2)).map(j =>
+        (randomBatch(), s"j$step-t$j", 1 + rnd.nextInt(3)))
+    def tickBatches(t: Seq[(Seq[(String, String, String)], String, Int)]) =
+      t.map { case (b, u, n) =>
+        TagFamilyStore.JobBatch(u, mkIncoming(b), mkHistory(u, n))
+      }
+
     (1 to 40).foreach { step =>
       val batch = randomBatch()
       val uuid = s"j$step"
       val histN = 1 + rnd.nextInt(3)
-      rnd.nextInt(10) match {
-        case k if k < 5 => // committed job
+      rnd.nextInt(12) match {
+        case k if k < 4 => // committed job
           TagFamilyStore.commitJob(spark, root, mkIncoming(batch),
             mkHistory(uuid, histN))
           applyModel(batch, uuid, histN); committedJobs += 1
+        case k if k < 5 => // committed TICK (jobs apply in order)
+          val t = mkTick(step)
+          TagFamilyStore.commitTick(spark, root, tickBatches(t))
+          t.foreach { case (b, u, n) => applyModel(b, u, n) }
+          committedJobs += t.size
+        case 10 => // TICK crashed at a random inter-commit point
+          val t = mkTick(step)
+          val j = rnd.nextInt(t.size)
+          val stage = Seq(s"tags@$j", s"history@$j", s"job@$j")(rnd.nextInt(3))
+          TagFamilyStore.setTestMidJobHook(root, s =>
+            if (s == stage) throw new RuntimeException("fz tick crash"))
+          try intercept[RuntimeException](
+            TagFamilyStore.commitTick(spark, root, tickBatches(t)))
+          finally TagFamilyStore.clearTestMidJobHook(root)
+          assertServed(step) // the WHOLE tick invisible, landed jobs incl.
+          if (rnd.nextBoolean()) { // re-run: every job exactly once
+            TagFamilyStore.commitTick(spark, root, tickBatches(t))
+            t.foreach { case (b, u, n) => applyModel(b, u, n) }
+            committedJobs += t.size
+          }
         case k if k < 8 => // crash at a random inter-commit stage, re-run
           val stage = Seq("tags", "history", "reports")(rnd.nextInt(3))
           TagFamilyStore.setTestMidJobHook(root, s =>
@@ -137,6 +167,10 @@ class TagFamilyFuzzSpec extends SparkSpec {
     }
 
     assertServed(41)
+    // always pin the final state too: random captures can all age past
+    // the retained window on op mixes that mint many cuts
+    pinsSeen += ((TagFamilyStore.currentCutVersion(spark, root).get,
+      modelTags(), hist.toMap))
     assert(committedJobs > 5, s"degenerate run $ctx")
     // retained time-travel pins still serve their captured state
     // bit-identically (strict reads; pins older than the retained

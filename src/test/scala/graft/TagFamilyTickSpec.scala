@@ -166,6 +166,59 @@ class TagFamilyTickSpec extends SparkSpec {
     assert(TagFamilyStore.currentCutVersion(spark, root).isEmpty)
   }
 
+  test("schedulerTickCommit == schedulerTick rollup, with tags+history landed under ONE cut") {
+    import graft.streaming.Streams
+    Lake.registerAll(spark, sf)
+    val catalog = Lake.tableNames.map(t => ("p", "lake", t))
+      .toDF("project", "dataset", "table")
+    val configs = Seq(
+      ("cA", "gov", "bigquery/project/p/dataset/lake/region, " +
+        "bigquery/project/p/dataset/lake/nation", 60L,
+        "2024-03-01 10:00:00", 1L),
+      ("cB", "ops", "bigquery/project/p/dataset/lake/supplier", 30L,
+        "2024-03-01 11:00:00", 3L),
+      ("cC", "gov", "bigquery/project/p/dataset/lake/orders", 60L,
+        "2024-03-01 14:00:00", 1L)) // not due
+      .toDF("config_uuid", "template_id", "included_uris",
+        "refresh_frequency_minutes", "next_run_s", "version")
+      .withColumn("next_run", to_timestamp(col("next_run_s")))
+      .drop("next_run_s")
+      .withColumn("config_type", lit("DYNAMIC_TAG_TABLE"))
+      .withColumn("config_status", lit("ACTIVE"))
+      .withColumn("refresh_mode", lit("AUTO"))
+      .withColumn("scheduling_status", lit("READY"))
+    val fieldsOf = (_: String) => Seq(graft.model.FieldSpec("n_rows",
+      "double", Some("select count(*) from $table")))
+    val now = to_timestamp(lit("2024-03-01 12:00:00"))
+    val emptyTags = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "asset_uri string, column string, template_id string, " +
+          "field_id string, field_value string"))
+    def rows(df: DataFrame): Seq[String] =
+      df.orderBy("config_uuid").collect().map(_.mkString("|")).toSeq
+
+    val pure = Streams.schedulerTick(spark, configs, now, catalog,
+      emptyTags, fieldsOf)
+    val root = freshRoot()
+    val committed = Streams.schedulerTickCommit(spark, configs, now,
+      catalog, root, fieldsOf,
+      eventTime = to_timestamp(lit("2026-01-05 00:00:00")))
+    // the durable terminal reports EXACTLY the pure transform's rollup
+    assert(rows(committed) === rows(pure))
+
+    // ...and the tick landed under ONE cut, history keyed by the same
+    // md5(config_uuid|version) the rollup reports
+    assert(TagFamilyStore.currentCutVersion(spark, root) === Some(0L))
+    val fam = TagFamilyStore.readFamily(spark, root)
+    val histKeys = fam.history.select("job_uuid").distinct()
+      .as[String].collect().toSet
+    val rollupKeys = committed.select("job_uuid").as[String].collect().toSet
+    assert(histKeys === rollupKeys)
+    // cA tagged region+nation, cB supplier — 3 tag rows, cC untouched
+    assert(fam.tags.count() === 3L)
+  }
+
   test("runTick == the per-config runJobs evaluation, committed under one cut") {
     Lake.registerAll(spark, sf)
     val catalog = Lake.tableNames.map(t => ("p", "lake", t))
