@@ -336,7 +336,9 @@ object CoreQueries6 {
       TagFamilyStore.setTestMidJobHook(root, s =>
         if (s == "job@0") throw new RuntimeException("injected tick crash"))
       try {
-        tick().collect()
+        // the commit section runs eagerly inside schedulerTickCommit,
+        // so the injection fires during tick() itself — no action needed
+        tick()
         throw new IllegalStateException("q57: the injection must fire")
       } catch {
         // the commit section is driver-side, so the injection surfaces
