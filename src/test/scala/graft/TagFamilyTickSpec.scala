@@ -160,6 +160,32 @@ class TagFamilyTickSpec extends SparkSpec {
       .exists(s => s.contains("cut=v1") && s.contains("jobs=3")))
   }
 
+  test("commitTick == the same jobs as sequential commitJobs (chained latest-wins == serialized merges)") {
+    val rootTick = freshRoot()
+    val rootSeq = freshRoot()
+    seedTick(rootTick)
+    // the sequential root replays the seed as two separate jobs too
+    TagFamilyStore.commitJob(spark, rootSeq,
+      mkIncoming(Seq(("a/old", "env", "OLD"))),
+      mkHistory("t1-seed0", Seq("a/old")))
+    TagFamilyStore.commitJob(spark, rootSeq,
+      mkIncoming(Seq(("a/base", "env", "BASE"))),
+      mkHistory("t1-seed1", Seq("a/base")))
+    TagFamilyStore.commitTick(spark, rootTick, tick2())
+    tick2().foreach(b =>
+      TagFamilyStore.commitJob(spark, rootSeq, b.incoming, b.history))
+    // same final tags (conflicts resolved identically: later wins) and
+    // identical history — the tick changes VISIBILITY grain, never
+    // merge semantics
+    assert(tagSet(TagFamilyStore.readTags(spark, rootTick)) ===
+      tagSet(TagFamilyStore.readTags(spark, rootSeq)))
+    assert(histUuids(TagFamilyStore.readHistory(spark, rootTick)) ===
+      histUuids(TagFamilyStore.readHistory(spark, rootSeq)))
+    // but the tick minted ONE cut where the sequential form minted three
+    assert(TagFamilyStore.currentCutVersion(spark, rootTick) === Some(1L))
+    assert(TagFamilyStore.currentCutVersion(spark, rootSeq) === Some(4L))
+  }
+
   test("an empty tick is a no-op (no lease, no cut mint)") {
     val root = freshRoot()
     assert(TagFamilyStore.commitTick(spark, root, Seq.empty) === Map.empty)
