@@ -575,5 +575,36 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.mkString("|")).toSet
     assert(batchRows.size === 2) // cA, cB due; cC absent
     assert(out.toSet === batchRows)
+
+    // ...and the DURABLE form: the same config stream driven through
+    // schedulerTickCommit — each micro-batch's due configs land as one
+    // family-cut tick, and the emitted rollups still union to the
+    // one-shot pure tick (the family terminal changes durability, not
+    // the tick's contract)
+    import graft.operators.TagFamilyStore
+    val root = Files.createTempDirectory("graft_tick_fam").toString
+    val out2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q2 = spark.readStream.schema(schema).parquet(stage)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Streams.schedulerTickCommit(spark, batch, now, catalog, root,
+            fields, eventTime = to_timestamp(lit("2026-01-05 00:00:00")))
+          .collect().foreach(r => out2 += r.mkString("|"))
+      }
+      .start()
+    q2.awaitTermination(120000)
+    assert(out2.toSet === batchRows)
+    // one cut per non-empty wave (how the source groups the staged
+    // files into waves is its business — what's invariant is that a
+    // cut exists and the family history carries exactly the rollup's
+    // md5 job identities, exactly once each)
+    assert(TagFamilyStore.currentCutVersion(spark, root).isDefined)
+    val fam = TagFamilyStore.readFamily(spark, root)
+    val histKeys = fam.history.select("job_uuid").distinct()
+      .collect().map(_.getString(0)).toSet
+    val md5Of = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(histKeys === Set(md5Of("cA|1"), md5Of("cB|3")))
+    assert(fam.tags.count() === 3L) // region (cA) + nation, supplier (cB)
   }
 }
