@@ -33,8 +33,9 @@ class TagFamilyFuzzSpec extends SparkSpec {
       .select(to_timestamp(lit("2026-01-05 00:00:00")).as("event_time"),
         col("asset_name"), lit(uuid).as("job_uuid"))
 
-  test("seeded crash/zombie/fold fuzz: served state always equals the committed-only replay") {
-    val seed = 181818L
+  // two seeds: distinct interleavings of jobs/ticks/crashes/zombies/folds
+  for (seed <- Seq(181818L, 271828L))
+  test(s"seeded crash/zombie/fold fuzz (seed $seed): served state always equals the committed-only replay") {
     val rnd = new scala.util.Random(seed)
     val root = java.nio.file.Files.createTempDirectory("graft_tagfam_fz")
       .toString
