@@ -48,4 +48,11 @@ final case class TagConfig(
     overwrite: Boolean = true,
     refreshMode: String = "ON_DEMAND", // ON_DEMAND | AUTO
     refreshFrequencyMinutes: Long = 0L,
-    tagHistory: Boolean = false)
+    tagHistory: Boolean = false,
+    // export the written tag instances to the A12 report table on every
+    // job (the reference runs export as its own config over already-tagged
+    // assets, apply_export_config, DataCatalogController.py:1100–1210;
+    // configs that want the report kept in lockstep with the write set it
+    // here, and the family/tick terminals land the report rows under the
+    // SAME cut as the tags+history they describe)
+    exportTags: Boolean = false)

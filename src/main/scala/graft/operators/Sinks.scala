@@ -64,7 +64,11 @@ object Sinks {
     * `tags` must carry (project, dataset, table, tag_template, tag_field,
     * tag_value); an optional `tag_type` column is consumed here —
     * richtext values leave the catalog in EXPORT form, `<br>` swapped for
-    * `', '` (DataCatalogController.py:1177) — and is not exported.
+    * `', '` (DataCatalogController.py:1177) — and is not exported. An
+    * optional `column` column is PRESERVED (nullable): the reference
+    * routes column-level tags to `catalog_report_column_tags`, whose
+    * records carry the column (DataCatalogController.py:1189–1191); one
+    * table with a nullable column is the Spark rendering of that split.
     */
   def reportRows(tags: DataFrame, exportTime: Column): DataFrame = {
     val value =
@@ -73,10 +77,12 @@ object Sinks {
           Coerce.richtextExport(col("tag_value").cast("string")))
           .otherwise(col("tag_value").cast("string"))
       else col("tag_value").cast("string")
+    val colCol =
+      if (tags.columns.contains("column")) Seq(col("column")) else Seq.empty
     tags.select(
-      col("project"), col("dataset"), col("table"), col("tag_template"),
-      col("tag_field"), value.as("tag_value"),
-      exportTime.as("export_time"))
+      Seq(col("project"), col("dataset"), col("table")) ++ colCol ++ Seq(
+        col("tag_template"), col("tag_field"), value.as("tag_value"),
+        exportTime.as("export_time")): _*)
   }
 
   /** The report sibling of [[withHistoryPartition]]: the `export_date`

@@ -272,6 +272,35 @@ object TagEngine {
         config.fields.map(f => typed(f, col(f.fieldId)).as(f.fieldId)): _*)
   }
 
+  /** The A12 report rows one job's WRITTEN tag instances export
+    * (apply_export_config, DataCatalogController.py:1139–1196 →
+    * BigQueryUtils.py:67): the unified tag-row shape flattened to
+    * (project, dataset, table, column, tag_template, tag_field,
+    * tag_value, export_time) — asset coordinates parsed set-based from
+    * the slashed URI (`bigquery/project/P/dataset/D/T`; dataset-level
+    * tags leave table NULL, column-level tags carry the column, the
+    * reference's three report tables rendered as one nullable-column
+    * table), values stringified with the richtext export rule applied
+    * via [[Sinks.reportRows]]'s `tag_type` channel. This is the
+    * derivation the family/tick terminals use so a config with
+    * [[graft.model.TagConfig.exportTags]] lands its report under the
+    * SAME cut as the tags+history it describes.
+    */
+  def reportRowsFor(written: DataFrame, exportTime: Column): DataFrame = {
+    val parts = split(col("asset_uri"), "/")
+    Sinks.reportRows(
+      written.select(
+        try_element_at(parts, lit(3)).as("project"),
+        try_element_at(parts, lit(5)).as("dataset"),
+        try_element_at(parts, lit(6)).as("table"),
+        when(col("column") =!= "", col("column")).as("column"),
+        col("template_id").as("tag_template"),
+        col("field_id").as("tag_field"),
+        col("field_value").cast("string").as("tag_value"),
+        col("field_type").as("tag_type")),
+      exportTime)
+  }
+
   /** Full job: evaluate + MERGE into the existing tag state, honoring
     * `overwrite=false` (skip assets already tagged with this template,
     * DataCatalogController.py:230–243) and delete-when-all-empty. When the

@@ -67,6 +67,12 @@ object TagFamilyStore {
   val HistoryPart = "history"
   val ReportsPart = "reports"
 
+  /** Cut-pin keys an idempotency pin must not shadow: the three part
+    * names plus the manifest dir itself.
+    */
+  private val ReservedPinKeys =
+    Set(TagsPart, HistoryPart, ReportsPart, "manifest")
+
   private def leasePath(root: String) = s"$root/_job_lease"
 
   /** TEST-ONLY crash seam, the family sibling of
@@ -183,6 +189,15 @@ object TagFamilyStore {
                                compactAboveBatches: Int,
                                extraPins: Map[String, Long] = Map.empty)
       : Map[String, Long] = {
+    // extra pins ride the SAME cut as the part versions, so a key
+    // colliding with a part name (or the manifest dir) would max-merge a
+    // bogus version into the cut and break strict pinned reads with a
+    // vacuum-style failure far from the cause — reject it here, at the
+    // one place every pin passes through (round-19 advice)
+    extraPins.keys.foreach(k => require(!ReservedPinKeys(k),
+      s"TagFamilyStore: idempotency-pin key '$k' collides with a family " +
+        "part / manifest name — pick a key outside " +
+        ReservedPinKeys.mkString("{", ", ", "}")))
     val baseCut = StoreCut.cutVersion(spark, root)
     val pins = baseCut.map(v => StoreCut.cutAt(spark, root, v))
       .getOrElse(Map.empty)
@@ -580,14 +595,36 @@ object TagFamilyStore {
         // never record values that differ from the batch actually merged
         val incoming = TagEngine.incomingFor(config, computed, existing)
           .localCheckpoint()
-        val written = TagStore.dropAllEmptyTags(incoming)
-        val history =
-          TagEngine.historyRows(written, config, eventTime, jobUuid)
         commitTickLocked(spark, root,
-          Seq(JobBatch("job", incoming, history, None)),
+          Seq(evaluatedBatch("job", config, incoming, eventTime, jobUuid)),
           compactAboveBatches = 64, extraPins = idempotencyPin.toMap)
       }
     }
+
+  /** One evaluated config's [[JobBatch]]: the history pivot over the
+    * WRITTEN instances (create/update only — an all-empty instance fires
+    * the delete trigger and must not leave a phantom history row) and,
+    * when the config asks for export ([[graft.model.TagConfig.exportTags]]),
+    * the A12 report rows for the same written set
+    * ([[TagEngine.reportRowsFor]]) — so the report lands as the THIRD
+    * part of the batch, under the same cut as the tags+history it
+    * describes (round-19 verdict #1: previously only a hand-built
+    * JobBatch could carry reports through the tick terminal, leaving the
+    * evaluated scheduler paths' report export OUTSIDE the atomicity
+    * domain). Shared by [[commitComputed]] and [[runTickDetailed]] so
+    * the job and tick grains cannot diverge on what a batch contains.
+    */
+  private def evaluatedBatch(jobId: String, config: TagConfig,
+                             incoming: DataFrame, eventTime: Column,
+                             jobUuid: Column): JobBatch = {
+    val written = TagStore.dropAllEmptyTags(incoming)
+    JobBatch(jobId, incoming,
+      TagEngine.historyRows(written, config, eventTime, jobUuid),
+      reports =
+        if (config.exportTags)
+          Some(TagEngine.reportRowsFor(written, eventTime))
+        else None)
+  }
 
   /** The WHOLE scheduler tick with the family-cut terminal —
     * `TagEngine.runJobs`' evaluation (ONE catalog expansion for every
@@ -610,38 +647,59 @@ object TagFamilyStore {
               catalog: DataFrame, root: String,
               eventTime: Column = current_timestamp(),
               jobUuidOf: String => Column = id => lit(id),
-              leaseTtlMs: Long = AtomicStore.DefaultLeaseTtlMs): Map[String, Long] =
+              leaseTtlMs: Long = AtomicStore.DefaultLeaseTtlMs,
+              idempotencyPin: Option[(String, Long)] = None): Map[String, Long] =
     runTickDetailed(spark, configs, catalog, root, eventTime, jobUuidOf,
-      leaseTtlMs)._1
+      leaseTtlMs, idempotencyPin)._1
 
   /** [[runTick]] returning the committed [[JobBatch]]es too — each
     * batch's `incoming` is localCheckpoint'd, so a caller can roll the
     * tick up (per-job counts over the PRODUCED rows, the
     * `Streams.schedulerTickCommit` contract) without re-evaluating
     * anything or mis-counting store rows the jobs never touched.
+    *
+    * `idempotencyPin` is [[commitComputed]]'s contract at the TICK
+    * grain (round-19 advice): `Some(key -> n)` publishes `key=n` into
+    * the tick's cut (max-merged — a monotonic tick id fits the cut
+    * contract), and a later call whose cut already carries `key >= n`
+    * SKIPS the whole commit (versions Map.empty) — so a replayed tick
+    * (a `foreachBatch` wave re-fired from its checkpoint, or a re-run
+    * after the caller LOST the config-store advance while the family
+    * publish survived) cannot double every config's history under the
+    * same `md5(uuid|version)` job_uuid. The check runs under the job
+    * lease, at O(1) metadata cost. On a skip the batches are still
+    * evaluated and returned (the caller's rollup/advance must re-emit
+    * so the lost config-store merge can complete); with the window
+    * being a crashed tick's immediate re-run, the re-evaluation sees
+    * the same data — and `overwrite=true` configs (the scheduler-batch
+    * shape) re-derive identical rows regardless of the already-landed
+    * commit.
     */
   def runTickDetailed(spark: SparkSession, configs: Seq[(String, TagConfig)],
                       catalog: DataFrame, root: String,
                       eventTime: Column = current_timestamp(),
                       jobUuidOf: String => Column = id => lit(id),
-                      leaseTtlMs: Long = AtomicStore.DefaultLeaseTtlMs)
+                      leaseTtlMs: Long = AtomicStore.DefaultLeaseTtlMs,
+                      idempotencyPin: Option[(String, Long)] = None)
       : (Map[String, Long], Seq[JobBatch]) =
     if (configs.isEmpty) (Map.empty, Seq.empty)
     else withJobLease(spark, root, leaseTtlMs) {
+      val replayed = idempotencyPin.exists { case (k, n) =>
+        StoreCut.cut(spark, root).exists(_.get(k).exists(_ >= n))
+      }
       val existing = readTagsOr(spark, root, TagEngine.emptyTagRows(spark))
       val batches = TagEngine
         .perConfigIncoming(spark, configs, catalog, existing)
         .zip(configs).map { case ((id, inc0), (_, cfg)) =>
           // one materialization per config: the incoming set feeds the
-          // delta build, the tombstone split AND the history pivot —
-          // and history must never record values that differ from the
-          // batch actually merged
-          val incoming = inc0.localCheckpoint()
-          val written = TagStore.dropAllEmptyTags(incoming)
-          JobBatch(id, incoming,
-            TagEngine.historyRows(written, cfg, eventTime, jobUuidOf(id)))
+          // delta build, the tombstone split, the history pivot AND the
+          // report flatten — and history/reports must never record
+          // values that differ from the batch actually merged
+          evaluatedBatch(id, cfg, inc0.localCheckpoint(), eventTime,
+            jobUuidOf(id))
         }
-      (commitTickLocked(spark, root, batches, compactAboveBatches = 64),
-        batches)
+      if (replayed) (Map.empty, batches)
+      else (commitTickLocked(spark, root, batches, compactAboveBatches = 64,
+        extraPins = idempotencyPin.toMap), batches)
     }
 }

@@ -350,11 +350,192 @@ object CoreQueries6 {
     }
   }
 
+  // --------------- reports under the evaluated tick (q58, round 20)
+
+  /** Merge a tick's returned (next_run, version) advance back into the
+    * config snapshot — the config-store side of the tick the oracle
+    * queries must model to make a SECOND tick due (left join: configs
+    * the tick did not launch keep their state).
+    */
+  private def mergeAdvance(configs: DataFrame, tickOut: DataFrame): DataFrame = {
+    val adv = tickOut.select(col("config_uuid"),
+      col("next_run").as("__nr"), col("version").as("__v"))
+    configs.join(adv, Seq("config_uuid"), "left")
+      .withColumn("next_run", coalesce(col("__nr"), col("next_run")))
+      .withColumn("version", coalesce(col("__v"), col("version")))
+      .drop("__nr", "__v")
+  }
+
+  /** Leaf table segment of a slashed bigquery URI — the compact key the
+    * q58 dumps use.
+    */
+  private def uriTable(c: org.apache.spark.sql.Column) =
+    element_at(split(c, "/"), 6)
+
+  /** q56's crash pattern at TICK grain through the EVALUATED scheduler
+    * path (round-19 verdict #1): the q40 fixture configs marked
+    * `export_tags=true` run through
+    * [[graft.streaming.Streams.schedulerTickCommit]], so each due
+    * config's A12 report rows ([[graft.operators.TagEngine.reportRowsFor]],
+    * apply_export_config's shape, DataCatalogController.py:1139–1196)
+    * land as the THIRD part of its batch under the tick's ONE cut. Tick 1
+    * commits; tick 2 (due again after the advance merges back) is
+    * crash-injected TWICE — first at `reports@0` (config 0's tags,
+    * history AND reports all committed, mid-tick) then at `job@1` (every
+    * config committed, the cut publish never reached, the widest window)
+    * — and all THREE tables must serve tick 1's state exactly; the
+    * third attempt lands every config's three parts exactly once.
+    */
+  def q58TickReports(spark: SparkSession, dir: String): DataFrame = {
+    graft.Lake.registerAll(spark, dir)
+    val catalog = {
+      import spark.implicits._
+      graft.Lake.tableNames.map(t => ("p", "lake", t))
+        .toDF("project", "dataset", "table")
+    }
+    CoreQueries.withTempDir(spark, "graft_q58") { rootPath =>
+      val root = rootPath.toString
+      val configs0 = CoreQueries5.tickConfigsDf(spark)
+        .withColumn("export_tags", lit(true))
+      def tick(configs: DataFrame, now: String, ev: String): DataFrame =
+        graft.streaming.Streams.schedulerTickCommit(spark, configs,
+          to_timestamp(lit(now)), catalog, root, CoreQueries5.tickFields,
+          eventTime = to_timestamp(lit(ev)))
+      val t1 = tick(configs0, CoreQueries5.tickNow, "2026-01-05 00:00:00")
+      val configs1 = mergeAdvance(configs0, t1)
+      def crashedTick(stage: String): Unit = {
+        TagFamilyStore.setTestMidJobHook(root, s =>
+          if (s == stage) throw new RuntimeException("injected tick crash"))
+        try {
+          tick(configs1, "2024-03-01 13:30:00", "2026-01-06 00:00:00")
+          throw new IllegalStateException("q58: the injection must fire")
+        } catch {
+          case e: RuntimeException
+              if e.getMessage == "injected tick crash" => ()
+        } finally TagFamilyStore.clearTestMidJobHook(root)
+      }
+      crashedTick("reports@0") // mid-tick: config 0 fully landed
+      crashedTick("job@1")     // all configs landed, cut never published
+      def reports() = TagFamilyStore.readReports(spark, root,
+        graft.operators.TagEngine.reportRowsFor(
+          mkIncoming(spark, Seq.empty),
+          to_timestamp(lit("2026-01-05 00:00:00"))))
+      def tagDump(phase: String) =
+        TagFamilyStore.readTags(spark, root).select(lit(phase).as("phase"),
+          concat(uriTable(col("asset_uri")), lit("|"), col("field_id")).as("k"),
+          col("field_value").as("v"))
+      def reportDump(phase: String) =
+        reports().select(lit(phase).as("phase"),
+          concat(col("table"), lit("|"), col("tag_field")).as("k"),
+          col("tag_value").as("v"))
+      val afterCrash = tagDump("after_crash_tags")
+        .unionByName(histRows(TagFamilyStore.readHistory(spark, root),
+          "after_crash_hist"))
+        .unionByName(reportDump("after_crash_reports"))
+      tick(configs1, "2024-03-01 13:30:00", "2026-01-06 00:00:00")
+      afterCrash
+        .unionByName(tagDump("final_tags"))
+        .unionByName(histRows(TagFamilyStore.readHistory(spark, root),
+          "final_hist"))
+        .unionByName(reportDump("final_reports"))
+        .orderBy("phase", "k", "v")
+    }
+  }
+
+  val q58Oracle: String =
+    """WITH vals(k, v) AS (
+      |  SELECT 'region|n_rows', CAST((SELECT count(*) FROM region) AS VARCHAR)
+      |  UNION ALL SELECT 'region|env', 'PROD'
+      |  UNION ALL SELECT 'nation|n_rows',
+      |    CAST((SELECT count(*) FROM nation) AS VARCHAR)
+      |  UNION ALL SELECT 'nation|env', 'PROD'
+      |  UNION ALL SELECT 'supplier|n_rows',
+      |    CAST((SELECT count(*) FROM supplier) AS VARCHAR)
+      |  UNION ALL SELECT 'part|n_rows',
+      |    CAST((SELECT count(*) FROM part) AS VARCHAR)),
+      |hist1(k, v) AS (
+      |  SELECT md5('cA|1'), '2' UNION ALL SELECT md5('cB|3'), '2'),
+      |hist2(k, v) AS (
+      |  SELECT md5('cA|2'), '2' UNION ALL SELECT md5('cB|4'), '2')
+      |SELECT phase, k, v FROM (
+      |  SELECT 'after_crash_tags' AS phase, k, v FROM vals
+      |  UNION ALL SELECT 'after_crash_reports', k, v FROM vals
+      |  UNION ALL SELECT 'after_crash_hist', k, v FROM hist1
+      |  UNION ALL SELECT 'final_tags', k, v FROM vals
+      |  UNION ALL SELECT 'final_reports', k, v FROM vals
+      |  UNION ALL SELECT 'final_reports', k, v FROM vals
+      |  UNION ALL SELECT 'final_hist', k, v FROM hist1
+      |  UNION ALL SELECT 'final_hist', k, v FROM hist2)
+      |ORDER BY phase, k, v""".stripMargin
+
+  // --------------- sched_tick replay pin (q59, round 20)
+
+  /** The tick ↔ config-store tear closed (round-19 verdict #2): tick 1
+    * commits with `tickId=1` (the `sched_tick` cut pin); the caller's
+    * config-store advance is LOST (we keep the pre-tick snapshot), so
+    * the re-run presents the SAME due configs at the SAME versions —
+    * without the pin it would re-commit every job under the same
+    * `md5(uuid|version)` job_uuid, doubling history. With the pin the
+    * replay skips the family commit (history unchanged — the oracle's
+    * central claim) while still emitting the rollup + advance, so the
+    * lost config-store merge completes from the REPLAY's output; a
+    * genuine tick 2 (`tickId=2`, merged snapshot) then commits
+    * normally, proving the pin gates replays, not progress.
+    */
+  def q59SchedTickReplay(spark: SparkSession, dir: String): DataFrame = {
+    graft.Lake.registerAll(spark, dir)
+    val catalog = {
+      import spark.implicits._
+      graft.Lake.tableNames.map(t => ("p", "lake", t))
+        .toDF("project", "dataset", "table")
+    }
+    CoreQueries.withTempDir(spark, "graft_q59") { rootPath =>
+      val root = rootPath.toString
+      val configs0 = CoreQueries5.tickConfigsDf(spark)
+      def tick(configs: DataFrame, now: String, id: Long): DataFrame =
+        graft.streaming.Streams.schedulerTickCommit(spark, configs,
+          to_timestamp(lit(now)), catalog, root, CoreQueries5.tickFields,
+          eventTime = to_timestamp(lit("2026-01-05 00:00:00")),
+          tickId = Some(id))
+      tick(configs0, CoreQueries5.tickNow, 1L)
+      val h1 = histRows(TagFamilyStore.readHistory(spark, root),
+        "after_tick1_hist")
+      // the lost-advance window: same snapshot, same now, same tick id
+      val replay = tick(configs0, CoreQueries5.tickNow, 1L)
+      val h2 = histRows(TagFamilyStore.readHistory(spark, root),
+        "after_replay_hist")
+      val replayRollup = replay.select(lit("replay_rollup").as("phase"),
+        col("config_uuid").as("k"), col("job_uuid").as("v"))
+      // the lost config-store merge completes from the replay's output
+      tick(mergeAdvance(configs0, replay), "2024-03-01 13:30:00", 2L)
+      h1.unionByName(h2).unionByName(replayRollup)
+        .unionByName(histRows(TagFamilyStore.readHistory(spark, root),
+          "final_hist"))
+        .orderBy("phase", "k")
+    }
+  }
+
+  val q59Oracle: String =
+    """WITH h1(k, v) AS (
+      |  SELECT md5('cA|1'), '2' UNION ALL SELECT md5('cB|3'), '2'),
+      |h2(k, v) AS (
+      |  SELECT md5('cA|2'), '2' UNION ALL SELECT md5('cB|4'), '2')
+      |SELECT phase, k, v FROM (
+      |  SELECT 'after_tick1_hist' AS phase, k, v FROM h1
+      |  UNION ALL SELECT 'after_replay_hist', k, v FROM h1
+      |  UNION ALL SELECT 'replay_rollup', 'cA', md5('cA|1')
+      |  UNION ALL SELECT 'replay_rollup', 'cB', md5('cB|3')
+      |  UNION ALL SELECT 'final_hist', k, v FROM h1
+      |  UNION ALL SELECT 'final_hist', k, v FROM h2)
+      |ORDER BY phase, k""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
     ("q53_job_atomicity", q53JobAtomicity _, Some(q53Oracle)),
     ("q54_tag_time_travel", q54TagTimeTravel _, Some(q54Oracle)),
     ("q55_tick_atomicity", q55TickAtomicity _, Some(q55Oracle)),
     ("q56_family_reports", q56FamilyReports _, Some(q56Oracle)),
     ("q57_scheduler_tick_commit", q57SchedulerTickCommit _,
-      Some(CoreQueries5.q40Oracle)))
+      Some(CoreQueries5.q40Oracle)),
+    ("q58_tick_reports", q58TickReports _, Some(q58Oracle)),
+    ("q59_sched_tick_replay", q59SchedTickReplay _, Some(q59Oracle)))
 }

@@ -350,13 +350,31 @@ object Streams {
     * computed from the SAME checkpointed batches the commit landed, so
     * it reports exactly what was published. History identity matches
     * the rollup's `job_uuid = md5(config_uuid|version)`.
+    *
+    * `tickId` arms the exactly-once replay pin (round-19 verdict #2 /
+    * advice): `Some(n)` publishes `sched_tick=n` into the tick's cut
+    * (max-merged, so a monotonic tick id — a streaming micro-batch id,
+    * or `unix_millis(now)` for a driver loop — fits the cut contract),
+    * and a re-run whose cut already carries `sched_tick >= n` SKIPS the
+    * family commit while still emitting the rollup + advanced scheduler
+    * state. That closes the tick ↔ config-store tear: the family
+    * publish and the caller's config-store merge are two stores with no
+    * shared cut, so a crash between them leaves the configs still due
+    * at the SAME version — without the pin the re-run would re-commit
+    * the whole tick under the same `md5(uuid|version)` job_uuids,
+    * doubling every history row (the reference tears identically:
+    * Firestore next_run updates after job launch,
+    * TagEngineStoreHandler.py:290–309). With it, the re-run's output
+    * lets the caller complete the lost merge, and history stays
+    * exactly-once.
     */
   def schedulerTickCommit(spark: SparkSession, configs: DataFrame,
                           now: org.apache.spark.sql.Column,
                           catalog: DataFrame, familyRoot: String,
                           fieldsOf: String => Seq[graft.model.FieldSpec],
                           eventTime: org.apache.spark.sql.Column =
-                            current_timestamp()): DataFrame = {
+                            current_timestamp(),
+                          tickId: Option[Long] = None): DataFrame = {
     import graft.operators.TagFamilyStore
     val due = graft.sched.Scheduler.readReadyConfigs(configs, now)
     compileDue(spark, due, fieldsOf) match {
@@ -366,7 +384,8 @@ object Streams {
         val (_, batches) = TagFamilyStore.runTickDetailed(spark, cfgs,
           catalog, familyRoot, eventTime,
           jobUuidOf = id => md5(concat_ws("|", lit(id),
-            lit(versionOf(id).toString))))
+            lit(versionOf(id).toString))),
+          idempotencyPin = tickId.map("sched_tick" -> _))
         val tagRows = batches
           .map(b => b.incoming.withColumn("config_uuid", lit(b.jobId)))
           .reduce(_.unionByName(_))
@@ -375,6 +394,42 @@ object Streams {
             .select("config_uuid", "next_run", "version"), "config_uuid")
     }
   }
+
+  /** The STREAMING form of the durable scheduler tick (round-19 verdict
+    * #3): config rows landing as parquet files → `readStream` →
+    * `foreachBatch` driving [[schedulerTickCommit]] per wave under
+    * `Trigger.AvailableNow`, with the micro-batch id as each wave's
+    * `sched_tick` pin — so a wave replayed from the checkpoint after a
+    * crash-after-publish (the window where the family cut landed but the
+    * checkpoint offset did not) skips its family commit instead of
+    * doubling every config's history (the exactly-once shape
+    * [[retagCommitBatch]] proved for the re-tag stream). `onTick`
+    * receives each wave's rollup⨝advance output — the config-store merge
+    * hook; a caller that needs nothing merges nothing. Per-config tick
+    * outputs are independent (rollup and advance both key on
+    * config_uuid), so the streamed waves converge to exactly the
+    * one-shot batch tick — StreamingSpec pins the equivalence and the
+    * crash-replay convergence.
+    */
+  def schedulerTickStream(spark: SparkSession, configStreamDir: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          checkpointDir: String,
+                          now: org.apache.spark.sql.Column,
+                          catalog: DataFrame, familyRoot: String,
+                          fieldsOf: String => Seq[graft.model.FieldSpec],
+                          eventTime: org.apache.spark.sql.Column =
+                            current_timestamp(),
+                          onTick: DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(configStreamDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onTick(schedulerTickCommit(spark, batch, now, catalog, familyRoot,
+          fieldsOf, eventTime, tickId = Some(batchId)))
+      }
+      .start()
 
   private def emptyTick(spark: SparkSession): DataFrame =
     spark.createDataFrame(
@@ -394,9 +449,17 @@ object Streams {
       : Option[(Seq[org.apache.spark.sql.Row],
                 Seq[(String, graft.model.TagConfig)])] = {
     import graft.model.TagConfig
+    // optional export flag: a config snapshot carrying `export_tags=true`
+    // asks the tick to land the A12 report rows as the third part of its
+    // batch (TagFamilyStore.evaluatedBatch) — absent column or NULL cell
+    // both mean "no export", so pre-export snapshots keep working
+    val exportCol =
+      if (due.columns.contains("export_tags"))
+        coalesce(col("export_tags").cast("boolean"), lit(false))
+      else lit(false)
     val dueRows = due
-      .select("config_uuid", "template_id", "included_uris", "version",
-        "config_type")
+      .select(col("config_uuid"), col("template_id"), col("included_uris"),
+        col("version"), col("config_type"), exportCol.as("__export"))
       .collect().sortBy(_.getString(0)).toSeq
     if (dueRows.isEmpty) return None
     // the stored config_type is HONORED, not assumed: the tick batches
@@ -426,7 +489,8 @@ object Streams {
       val uris = Option(r.getString(2)).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       r.getString(0) -> TagConfig("DYNAMIC_TAG_TABLE", r.getString(1),
-        fieldsOf(r.getString(0)), includedUris = uris)
+        fieldsOf(r.getString(0)), includedUris = uris,
+        exportTags = r.getBoolean(5))
     }
     Some((dueRows, cfgs))
   }
