@@ -607,4 +607,99 @@ class StreamingSpec extends SparkSpec {
     assert(histKeys === Set(md5Of("cA|1"), md5Of("cB|3")))
     assert(fam.tags.count() === 3L) // region (cA) + nation, supplier (cB)
   }
+
+  test("durable tick stream: crash-after-publish replays exactly-once (sched_tick pin)") {
+    import org.apache.spark.sql.functions._
+    import graft.model.FieldSpec
+    import graft.operators.TagFamilyStore
+    Lake.registerAll(spark, sf)
+    val catalog = {
+      import spark.implicits._
+      Seq(("p", "lake", "region"), ("p", "lake", "nation"),
+        ("p", "lake", "supplier"))
+        .toDF("project", "dataset", "table")
+    }
+    val fields: Map[String, Seq[FieldSpec]] = Map(
+      "cA" -> Seq(
+        FieldSpec("n_rows", "double", Some("select count(*) from $table"))),
+      "cB" -> Seq(
+        FieldSpec("n_rows", "double", Some("select count(*) from $table"))),
+      "cC" -> Seq(
+        FieldSpec("n_rows", "double", Some("select count(*) from $table"))))
+    def mkConfigs(rows: Seq[(String, String, String, Long, String, Long)]) = {
+      import spark.implicits._
+      rows.toDF("config_uuid", "template_id", "included_uris",
+          "refresh_frequency_minutes", "next_run_s", "version")
+        .withColumn("next_run", to_timestamp(col("next_run_s")))
+        .drop("next_run_s")
+        .withColumn("config_type", lit("DYNAMIC_TAG_TABLE"))
+        .withColumn("config_status", lit("ACTIVE"))
+        .withColumn("refresh_mode", lit("AUTO"))
+        .withColumn("scheduling_status", lit("READY"))
+    }
+    val wave0 = Seq(
+      ("cA", "gov", "bigquery/project/p/dataset/lake/region", 60L,
+        "2024-03-01 10:00:00", 1L),
+      ("cC", "gov", "bigquery/project/p/dataset/lake/region", 60L,
+        "2024-03-01 14:00:00", 1L)) // not due — must not commit
+    val wave1 = Seq(
+      ("cB", "ops",
+        "bigquery/project/p/dataset/lake/nation, bigquery/project/p/dataset/lake/supplier",
+        30L, "2024-03-01 11:00:00", 3L))
+    val now = to_timestamp(lit("2024-03-01 12:00:00"))
+    val fixedTime = to_timestamp(lit("2026-01-05 00:00:00"))
+    val schema = mkConfigs(wave0).schema
+    def familyState(root: String): (Set[String], Map[String, Long]) = {
+      val fam = TagFamilyStore.readFamily(spark, root)
+      (fam.tags.select("asset_uri", "field_id", "field_value")
+          .collect().map(_.mkString("|")).toSet,
+        fam.history.groupBy("job_uuid").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    }
+    val md5Of = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    // crash-free reference: both waves staged, one drain — the durable
+    // form of the pure tick whose per-config independence the previous
+    // test pins
+    val stageA = Files.createTempDirectory("graft_dtick_a").toString
+    mkConfigs(wave0).write.mode("append").parquet(stageA)
+    mkConfigs(wave1).write.mode("append").parquet(stageA)
+    val rootA = Files.createTempDirectory("graft_dtick_fam_a").toString
+    Streams.schedulerTickStream(spark, stageA, schema,
+        Files.createTempDirectory("graft_dtick_cp_a").toString,
+        now, catalog, rootA, fields, eventTime = fixedTime)
+      .awaitTermination(120000)
+    val (tagsA, histA) = familyState(rootA)
+    assert(histA.keySet === Set(md5Of("cA|1"), md5Of("cB|3")))
+
+    // crashed run: wave 0 drains clean; wave 1's foreachBatch throws
+    // AFTER schedulerTickCommit returned — the family cut is published,
+    // the checkpoint offset is NOT, exactly the window the pin closes
+    val stageB = Files.createTempDirectory("graft_dtick_b").toString
+    val cpB = Files.createTempDirectory("graft_dtick_cp_b").toString
+    val rootB = Files.createTempDirectory("graft_dtick_fam_b").toString
+    def drain(onTick: org.apache.spark.sql.DataFrame => Unit): Unit =
+      Streams.schedulerTickStream(spark, stageB, schema, cpB, now, catalog,
+        rootB, fields, eventTime = fixedTime, onTick = onTick)
+        .awaitTermination(120000)
+    mkConfigs(wave0).write.mode("append").parquet(stageB)
+    drain(_ => ())
+    mkConfigs(wave1).write.mode("append").parquet(stageB)
+    intercept[Exception] { drain { _ =>
+      throw new RuntimeException("injected crash after publish")
+    } }
+    // the wave's commit DID land (crash was after the cut publish)
+    assert(familyState(rootB)._2.keySet === histA.keySet)
+    // restart: the checkpoint replays wave 1, the sched_tick pin skips
+    // its family commit, and the rollup still re-emits for the caller's
+    // config-store merge
+    val replayed = scala.collection.mutable.ArrayBuffer.empty[String]
+    drain(df => df.collect().foreach(r => replayed += r.getString(0)))
+    assert(replayed.toSeq === Seq("cB"),
+      "the replayed wave must re-emit its rollup")
+    assert(familyState(rootB) === ((tagsA, histA)),
+      "replay must converge bit-identically to the crash-free run " +
+        "(no doubled history under the same job_uuid)")
+  }
 }

@@ -288,4 +288,47 @@ class TagFamilyTickSpec extends SparkSpec {
       .contains("cA2"))
     assert(TagFamilyStore.readTags(spark, root).count() === 3L)
   }
+
+  test("runTick idempotency pin: a replayed tick skips; a higher pin commits; reserved keys rejected") {
+    Lake.registerAll(spark, sf)
+    val catalog = Lake.tableNames.map(t => ("p", "lake", t))
+      .toDF("project", "dataset", "table")
+    val cfg = TagConfig(
+      configType = "DYNAMIC_TAG_TABLE", templateId = "gov",
+      fields = Seq(FieldSpec("n_rows", "double",
+        Some("select count(*) from $table"))),
+      includedUris = Seq("bigquery/project/p/dataset/lake/region"),
+      exportTags = true)
+    val root = freshRoot()
+    val ev = to_timestamp(lit("2026-01-05 00:00:00"))
+    val v1 = TagFamilyStore.runTick(spark, Seq("cA" -> cfg), catalog, root,
+      eventTime = ev, idempotencyPin = Some("tick" -> 1L))
+    assert(v1.contains("manifest"))
+    // the export config's report rows landed as the batch's third part,
+    // under the same cut (round-19 verdict #1)
+    val reports = TagFamilyStore.readReports(spark, root,
+      graft.operators.TagEngine.reportRowsFor(mkIncoming(Seq.empty), ev))
+    assert(reports.select("table", "tag_field", "tag_value")
+      .collect().map(_.mkString("|")).toSet === Set("region|n_rows|5"))
+    val hist1 = histUuids(TagFamilyStore.readHistory(spark, root))
+    // replay (same pin): nothing lands, batches still evaluated/returned
+    val (v2, b2) = TagFamilyStore.runTickDetailed(spark, Seq("cA" -> cfg),
+      catalog, root, eventTime = ev, idempotencyPin = Some("tick" -> 1L))
+    assert(v2 === Map.empty && b2.nonEmpty)
+    assert(histUuids(TagFamilyStore.readHistory(spark, root)) === hist1)
+    assert(reports.count() === 1L)
+    // a genuinely newer tick commits (the pin gates replays, not progress)
+    val v3 = TagFamilyStore.runTick(spark, Seq("cA" -> cfg), catalog, root,
+      eventTime = ev, jobUuidOf = id => lit(s"$id-2"),
+      idempotencyPin = Some("tick" -> 2L))
+    assert(v3.contains("manifest"))
+    assert(histUuids(TagFamilyStore.readHistory(spark, root)) ===
+      hist1 + ("cA-2" -> 1L))
+    // a pin key shadowing a part/manifest name is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      TagFamilyStore.runTick(spark, Seq("cA" -> cfg), catalog, root,
+        eventTime = ev, idempotencyPin = Some("tags" -> 3L))
+    }
+    assert(e.getMessage.contains("collides"))
+  }
 }
