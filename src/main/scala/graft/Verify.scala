@@ -57,29 +57,54 @@ object Verify {
       println(s"[verify] storecut: $governFails cut-governance probe " +
         "failure(s) — the standalone-writer guard was degraded (fails " +
         "open) for those calls; check store IO health")
+    // truncated JSON keys get a hash suffix: two roots sharing a
+    // 200-char prefix must not collapse into one duplicate key that
+    // silently drops an entry for JSON consumers (round-19 advice)
+    def keyq(s: String): String =
+      if (s.length <= 200) q(s)
+      else q(s.take(200) + f"#${s.hashCode}%08x")
     val byRootJson = byRoot.toSeq.sortBy(_._1)
-      .map { case (r, c) => s"${q(r.take(200))}: $c" }
+      .map { case (r, c) => s"${keyq(r)}: $c" }
       .mkString("{", ", ", "}")
     // the family porcelain: every family store this run committed,
     // with where its last cut landed (per-part versions + job count)
     val families = graft.operators.TagFamilyStore.publishedFamilies
     val familiesJson = families.toSeq.sortBy(_._1)
-      .map { case (r, s) => s"${q(r.take(200))}: ${q(s.take(300))}" }
+      .map { case (r, s) => s"${keyq(r)}: ${q(s.take(300))}" }
       .mkString("{", ", ", "}")
     if (families.nonEmpty)
       println(s"[verify] storecut: ${families.size} family store(s) " +
         "published this run (see storecut_health.json family_cuts)")
+    // the orphan-suffix bound, as an ASSERTION (round-19 verdict #7): a
+    // family suffix larger than what crashed attempts committed means
+    // the truncation contract leaked — fail the run, don't just print
+    val orphanViolations =
+      graft.operators.TagFamilyStore.orphanSuffixViolations
+    val violationsJson = orphanViolations.toSeq.sortBy(_._1)
+      .map { case (r, s) => s"${keyq(r)}: ${q(s.take(300))}" }
+      .mkString("{", ", ", "}")
     Files.writeString(Paths.get(s"$outDir/storecut_health.json"),
       s"""{
          |  "swallowed_advances": $n,
          |  "swallowed_by_root": $byRootJson,
          |  "govern_probe_failures": $governFails,
          |  "family_cuts": $familiesJson,
+         |  "orphan_suffix_violations": $violationsJson,
          |  "last": ${q(last.take(400))}
          |}
          |""".stripMargin)
-  } catch { case scala.util.control.NonFatal(e) =>
-    println(s"[verify] storecut: health dump errored: $e")
+    if (orphanViolations.nonEmpty)
+      throw new IllegalStateException(
+        s"[verify] ORPHAN-SUFFIX BOUND VIOLATED at " +
+          s"${orphanViolations.keys.toSeq.sorted.mkString(", ")} — a " +
+          "family store served more crash residue than its recovery " +
+          "contract allows (see storecut_health.json)")
+  } catch {
+    case e: IllegalStateException
+        if e.getMessage != null && e.getMessage.contains("ORPHAN-SUFFIX") =>
+      throw e // the one storecut condition that must FAIL the run
+    case scala.util.control.NonFatal(e) =>
+      println(s"[verify] storecut: health dump errored: $e")
   }
 
   /** Failure-injection gate freshness (runs every Verify, i.e. every

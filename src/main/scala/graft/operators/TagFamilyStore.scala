@@ -201,6 +201,7 @@ object TagFamilyStore {
     val baseCut = StoreCut.cutVersion(spark, root)
     val pins = baseCut.map(v => StoreCut.cutAt(spark, root, v))
       .getOrElse(Map.empty)
+    checkOrphanBound(spark, root, pins)
     // running parent file lists per part: the cut pin's files, extended
     // by each committed batch of THIS tick — never the table's current
     // chain (the truncation rule: a crashed predecessor's suffix is not
@@ -212,11 +213,17 @@ object TagFamilyStore {
           .map(x => new org.apache.hadoop.fs.Path(x).getName)
       }.toMap
     var versions = Map.empty[String, Long]
+    // per-part commit counts of THIS attempt — on a crash anywhere below
+    // they become the attempt's expected orphan contribution
+    val attemptCommits = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    try {
     jobs.zipWithIndex.foreach { case (job, i) =>
       def commitPart(part: String, mk: Long => DataFrame): Unit = {
         val (v, rel) = commitChained(spark, root, part, parents(part), mk)
         parents += part -> (parents(part) :+ rel)
         versions += part -> v
+        attemptCommits(part) += 1
       }
       commitPart(TagsPart,
         v => TagStore.mergeDelta(job.incoming).withColumn("__batch", lit(v)))
@@ -232,6 +239,17 @@ object TagFamilyStore {
       fireHook(root, ReportsPart); fireHook(root, s"$ReportsPart@$i")
       fireHook(root, s"job@$i")
     }
+    } catch { case t: Throwable =>
+      // this attempt is now a crashed tick: its committed versions are
+      // the orphan suffix the next commit will truncate — record them so
+      // the entry-time bound check above can tell in-protocol residue
+      // from a leak (an out-of-protocol writer, a chain parented on
+      // current instead of the pin)
+      attemptCommits.foreach { case (p, n) =>
+        expectedOrphans.merge(s"$root/$p", n, (a, b) => a + b)
+      }
+      throw t
+    }
     // THE atomicity point: one cut pinning every part's LAST committed
     // version — CAS'd against the cut version the whole tick's parents
     // derive from. Mandatory (not best-effort): before it, the tick
@@ -245,14 +263,29 @@ object TagFamilyStore {
     // published batches from the served cut. Losing the CAS instead
     // orphans this zombie's commits (the next tick truncates them) and
     // fails loudly with the re-run remedy.
-    val cutV = StoreCut.advanceIfBase(spark, root, versions ++ extraPins,
-        baseCut)
-      .getOrElse(throw new java.util.ConcurrentModificationException(
-        s"TagFamilyStore: the cut at $root moved while this " +
-          s"${if (jobs.sizeIs > 1) "tick" else "job"} was committing — " +
-          "its lease was broken (holder stalled past the TTL?) and " +
-          "another publisher advanced. These commits are orphaned (the " +
-          "next commit truncates them); re-run"))
+    val cutV =
+      try StoreCut.advanceIfBase(spark, root, versions ++ extraPins, baseCut)
+        .getOrElse(throw new java.util.ConcurrentModificationException(
+          s"TagFamilyStore: the cut at $root moved while this " +
+            s"${if (jobs.sizeIs > 1) "tick" else "job"} was committing — " +
+            "its lease was broken (holder stalled past the TTL?) and " +
+            "another publisher advanced. These commits are orphaned (the " +
+            "next commit truncates them); re-run"))
+      catch { case t: Throwable =>
+        // a failed/lost publish orphans the whole attempt — same
+        // accounting as a crash inside the commit loop
+        attemptCommits.foreach { case (p, n) =>
+          expectedOrphans.merge(s"$root/$p", n, (a, b) => a + b)
+        }
+        throw t
+      }
+    // published: the pin now covers every version this attempt wrote AND
+    // everything beneath; any crash residue beneath the new pin is no
+    // longer a suffix, so the root's expectation resets — and the root
+    // is now fully accounted in this process, arming the bound check
+    Seq(TagsPart, HistoryPart, ReportsPart)
+      .foreach(p => expectedOrphans.remove(s"$root/$p"))
+    seenRoots.add(root)
     // post-publish maintenance, best-effort (the tick is committed AND
     // published — a maintenance hiccup must not fail it): fold any part
     // whose pinned chain outgrew the dir threshold, so a long-lived
@@ -264,7 +297,12 @@ object TagFamilyStore {
         if (AtomicStore.filesAt(spark, s"$root/$part", v)
             .lengthCompare(compactAboveBatches) > 0)
           foldPartLocked(spark, root, part)
-      } catch { case scala.util.control.NonFatal(_) => () }
+      } catch { case scala.util.control.NonFatal(_) =>
+        // a crashed fold may have published its fold version without
+        // advancing the cut — one more in-protocol orphan per part
+        Seq(TagsPart, HistoryPart, ReportsPart)
+          .foreach(p => expectedOrphans.merge(s"$root/$p", 1L, (a, b) => a + b))
+      }
     lastPublish.put(root, s"cut=v$cutV jobs=${jobs.size} " +
       versions.toSeq.sortBy(_._1)
         .map { case (p, v) => s"$p=v$v" }.mkString(" "))
@@ -497,6 +535,62 @@ object TagFamilyStore {
   }
 
   private[graft] def resetPublishRegistry(): Unit = lastPublish.clear()
+
+  /** ORPHAN-SUFFIX accounting (round-19 verdict #7 — the porcelain's
+    * "bounded by the recovery contract" claim turned into a checked
+    * invariant): within one process, every version above the cut pin
+    * must have been committed by an attempt that then crashed/lost its
+    * publish in THIS process — [[commitTickLocked]] records each failed
+    * attempt's per-part commit counts, clears them on a successful
+    * publish (the new pin subsumes the residue), and at every commit's
+    * entry compares the OBSERVED suffix (current table version − pin)
+    * against that expectation. An over-bound suffix means the store's
+    * truncation contract leaked — an out-of-protocol writer, or a chain
+    * parented on current instead of the pin — and is recorded here
+    * (plus one stderr line); Verify turns a non-empty registry into a
+    * failed run. Recording, not throwing, at the store layer: the
+    * serving cut is still correct (readers resolve through pins), so
+    * the commit itself must not be held hostage by the diagnostic.
+    */
+  private val expectedOrphans =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val suffixViolations =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // the expectation is only complete for roots THIS process has already
+  // published to: a fresh process re-running a KILLED commit (the gate
+  // tools' regime) legitimately finds residue it never recorded, so the
+  // first commit at a root only arms the check for later ones
+  private val seenRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def orphanSuffixViolations: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    suffixViolations.asScala.toMap
+  }
+
+  private[graft] def resetOrphanAccounting(): Unit = {
+    expectedOrphans.clear(); suffixViolations.clear(); seenRoots.clear()
+  }
+
+  private def checkOrphanBound(spark: SparkSession, root: String,
+                               pins: Map[String, Long]): Unit =
+    try if (seenRoots.contains(root))
+      Seq(TagsPart, HistoryPart, ReportsPart).foreach { p =>
+      AtomicStore.currentVersion(spark, s"$root/$p").foreach { cur =>
+        val observed = cur - pins.getOrElse(p, -1L)
+        val allowed = Option(expectedOrphans.get(s"$root/$p"))
+          .map(_.longValue).getOrElse(0L)
+        if (observed > allowed) {
+          val msg = s"observed=$observed allowed=$allowed (pin=" +
+            s"${pins.get(p).map(_.toString).getOrElse("none")} current=$cur)"
+          suffixViolations.put(s"$root/$p", msg)
+          System.err.println(s"[tagfamily] ORPHAN-SUFFIX BOUND VIOLATION " +
+            s"at $root/$p: $msg — versions above the pin exceed what " +
+            "crashed attempts in this process committed; an " +
+            "out-of-protocol writer or a truncation leak")
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () } // diagnostic only
 
   // ------------------------------------------------------ maintenance
 

@@ -140,7 +140,9 @@ object TagStore {
           "manifest pins it — a TagFamilyStore tags table). Standalone " +
           "merges/folds bypass the family's atomic job publish and its " +
           "pin-aware retention; use TagFamilyStore.commitJob / compact " +
-          "instead")
+          "instead. (Governance, once observed, is cached for this JVM's " +
+          "lifetime: a store dismantled at runtime — out-of-contract — " +
+          "keeps refusing until restart)")
 
   /** Transactional [[reconcile]]: replace the touched scopes atomically,
     * same CAS-and-recompute discipline as [[mergeCommit]].

@@ -640,7 +640,10 @@ object AtomicStore {
           s"${new Path(root).getParent}/manifest — a bare compact could " +
           "fold a crashed swap's orphan snapshot into the served cut and " +
           "never publishes the fold. Use StoreCut.foldAndAdvance (or the " +
-          "owning store's compact) instead")
+          "owning store's compact) instead. (Governance, once observed, " +
+          "is cached for this JVM's lifetime: if this store was " +
+          "dismantled at runtime — out-of-contract — the stale marker " +
+          "keeps refusing until restart)")
 
   // ------------------------------------------------- KV-cut store flavor
 
