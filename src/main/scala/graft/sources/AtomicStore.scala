@@ -192,8 +192,19 @@ object AtomicStore {
     val out = fs.create(tmp, false)
     try out.write(dataDirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    testPostTmpWriteHook(tmp)
     atomicClaim(spark, fs, tmp, new Path(commitsDir(root), manifestName(version)))
   }
+
+  /** TEST-ONLY seam between the tmp write and its atomic claim — the
+    * one window where an age-gated GC can sweep a stalled publisher's
+    * tmp out from under it (the claim then maps NoSuchFile → "lost",
+    * with the base UNCHANGED — [[advanceKvIfBase]]'s wedged branch,
+    * otherwise reachable only through a real GC race). Specs install a
+    * path-filtered deleter here to pin the bounded-retry-then-distinct-
+    * error diagnosis deterministically. Production never sets it.
+    */
+  @volatile private[graft] var testPostTmpWriteHook: Path => Unit = _ => ()
 
   /** The scheme-dependent fail-if-exists CAS both claim sites share —
     * publishing a manifest and claiming a lease epoch are the same

@@ -184,6 +184,41 @@ class StoreCutHardeningSpec extends SparkSpec {
     assert(AtomicStore.readKv(spark, man).map(_._1) === cur)
   }
 
+  test("advanceKvIfBase: a WEDGED claim (tmp swept, base unchanged) retries bounded then fails with the distinct diagnosis") {
+    val root = freshRoot("cut_cas_wedged")
+    val man = StoreCut.manifestRoot(root)
+    AtomicStore.advanceKv(spark, man, Map("t" -> 3L))
+    val base = AtomicStore.readKv(spark, man).map(_._1)
+    // the wedge: an age-gated GC sweeps our tmp between its write and
+    // its claim, EVERY attempt — the claim maps NoSuchFile → "lost"
+    // while the base never moves, the one condition that must NOT be
+    // diagnosed as a zombie/racing publisher (round-19 verdict #4:
+    // previously only the real GC race could reach this branch)
+    val swept = new java.util.concurrent.atomic.AtomicInteger(0)
+    AtomicStore.testPostTmpWriteHook = tmp =>
+      if (tmp.toString.contains("cut_cas_wedged")) {
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        swept.incrementAndGet()
+        ()
+      }
+    val e =
+      try intercept[IllegalStateException] {
+        AtomicStore.advanceKvIfBase(spark, man, Map("t" -> 4L), base)
+      } finally AtomicStore.testPostTmpWriteHook = _ => ()
+    assert(e.getMessage.contains("wedged claim"),
+      s"the wedge must surface its own diagnosis, got: ${e.getMessage}")
+    assert(!e.getMessage.toLowerCase.contains("zombie"))
+    assert(swept.get === 3, "bounded retry: exactly 3 swept attempts")
+    // the cut is intact and UNCHANGED (the caller's commits are
+    // unpublished, as the message promises)
+    assert(AtomicStore.readKv(spark, man) === Some((base.get, Map("t" -> 3L))))
+    // once the wedge clears, the same CAS lands normally
+    assert(AtomicStore.advanceKvIfBase(spark, man, Map("t" -> 4L), base)
+      === Some(base.get + 1))
+    assert(AtomicStore.readKv(spark, man).map(_._2) === Some(Map("t" -> 4L)))
+  }
+
   test("cut-governance guard: one probe cold, zero probes warm, probe failures counted not swallowed silently") {
     val root = freshRoot("cut_guard_cache")
     val table = s"$root/t"
