@@ -47,6 +47,25 @@ object Lake {
     }
   }
 
+  /** Scale-adaptive scan spread (optimization guide §2.5 "input skew":
+    * one unsplittable input → repartition immediately after the read).
+    * The bench lake stores each table as a SINGLE-row-group parquet file,
+    * so its scan plans as ONE partition and every row-local projection
+    * above it (shingling, minhash, langid, vector math) runs on one core
+    * of the machine. When the scan yields fewer partitions than the
+    * session's parallelism, hash-repartition by the row key so per-row
+    * work uses every core. At lake scale a table scan already carries
+    * ≥ cores splits and this inserts NO exchange — the branch never
+    * shuffles production payloads; it only widens degenerate tiny scans.
+    * Keyed repartition (not round-robin): deterministic under task retry
+    * (guide §2.5 / SPARK-38388) and skips the sort-before-repartition
+    * pass a keyless repartition pays.
+    */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+  }
+
   /** Register every lake table as a temp view so `spark.sql` config
     * expressions (ConfigEval) can reference them by bare name — the local
     * equivalent of the reference's fully-qualified

@@ -43,7 +43,7 @@ object AnnEval {
     /** (vec_id, vec) corpus projection — a plan, not a materialization. */
     lazy val emb: DataFrame = {
       VectorFns.register(spark)
-      Lake.table(spark, dir, "embeddings")
+      Lake.spread(Lake.table(spark, dir, "embeddings"), col("vec_id"))
         .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("vec"))
     }
     /** (centroid_id, cvec), 8 rows, checkpointed: every un-barriered

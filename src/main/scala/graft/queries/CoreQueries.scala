@@ -137,7 +137,10 @@ object CoreQueries {
     * bit-stable).
     */
   def q04ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
-    val li = Lake.table(spark, dir, "lineitem")
+    // spread: the ×3 melt + map-side distinct is per-row work above a
+    // degenerate single-partition scan (Lake.spread no-ops at lake scale)
+    val li = Lake.spread(Lake.table(spark, dir, "lineitem"),
+      col("l_orderkey"))
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
     // melt → dedup → one plain aggregate. THREE countDistincts in one
     // agg trigger Catalyst's multi-distinct rewrite (Expand ×3 of the

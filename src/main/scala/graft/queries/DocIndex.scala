@@ -33,8 +33,12 @@ object DocIndex {
     "simhash60(words);minhash(numHashes=8,numBands=2,shingle_k=5,affine-builtin)"
 
   final class Index(spark: SparkSession, dir: String) {
-    /** The documents scan — a plan, not a materialization. */
-    lazy val docs: DataFrame = Lake.table(spark, dir, "documents")
+    /** The documents scan (spread when degenerate — Lake.spread) — a
+      * plan, not a materialization.
+      */
+    lazy val docs: DataFrame = Lake.spread(
+      Lake.table(spark, dir, "documents"),
+      org.apache.spark.sql.functions.col("doc_id"))
     /** (doc_id, simhash), checkpointed: the one corpus text pass every
       * simhash consumer would otherwise repeat per run (and the banded
       * pair join consumes it on BOTH sides of a self-join).

@@ -14,12 +14,16 @@ import graft.functions.VectorFns
   */
 private[queries] object Shared {
 
+  /** The documents corpus, spread across the machine when the scan is a
+    * degenerate single partition (Lake.spread) — every consumer runs
+    * per-row text work (shingles, hashes, token stats) above this scan.
+    */
   def docs(spark: SparkSession, dir: String): DataFrame =
-    Lake.table(spark, dir, "documents")
+    Lake.spread(Lake.table(spark, dir, "documents"), col("doc_id"))
 
   def emb(spark: SparkSession, dir: String): DataFrame = {
     VectorFns.register(spark)
-    Lake.table(spark, dir, "embeddings")
+    Lake.spread(Lake.table(spark, dir, "embeddings"), col("vec_id"))
       .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("vec"))
   }
 
