@@ -41,9 +41,18 @@ object AnnEval {
     */
   final class Index(spark: SparkSession, dir: String) {
     /** (vec_id, vec) corpus projection — a plan, not a materialization. */
+    // deliberately NOT Lake.spread: every checkpointed artifact below
+    // inherits this frame's partitioning, and the AnnIndexStore protocol
+    // queries (s16–s20, d28 sibling) write those artifacts as store
+    // components — spreading a 2000-row corpus to 32 partitions turns
+    // each 1-file component write into 32 tiny files and each
+    // model-sized localCheckpoint into a 32-task barrier (measured: s17
+    // component writes 1t→32t, ~270 ms each). The per-row work here
+    // (corpus × 8 centroid cosines) is light; the heavy quadratic emb
+    // consumers (e01) go through Shared.emb, which IS spread.
     lazy val emb: DataFrame = {
       VectorFns.register(spark)
-      Lake.spread(Lake.table(spark, dir, "embeddings"), col("vec_id"))
+      Lake.table(spark, dir, "embeddings")
         .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("vec"))
     }
     /** (centroid_id, cvec), 8 rows, checkpointed: every un-barriered

@@ -26,11 +26,33 @@ object JobProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val verbose = sys.env.get("GRAFT_PROFILE_VERBOSE").contains("1")
     val jobs = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
     val taskTimeMs = new AtomicLong(0L)
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      private val jobStartNs =
+        new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (verbose) {
+          jobStartNs.put(j.jobId, System.nanoTime())
+        }
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        if (verbose) Option(jobStartNs.remove(j.jobId)).foreach { t0 =>
+          jobLog.add(f"JOB ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e6}%8.1f ms")
+        }
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        if (verbose) jobLog.add(
+          s"  STAGE ${s.stageInfo.stageId} ${s.stageInfo.numTasks}t " +
+            s"[${s.stageInfo.name.take(60)}] " +
+            s.stageInfo.details.linesIterator
+              .filter(l => l.contains("graft.") ||
+                l.contains("BroadcastExchange") || l.contains("executeTake") ||
+                l.contains("SchemaMergeUtils") || l.contains("localCheckpoint"))
+              .take(4).mkString(" <- "))
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         if (t.taskInfo != null) taskTimeMs.addAndGet(t.taskInfo.duration)
@@ -44,6 +66,7 @@ object JobProfile {
       val fn = SparkEntry.queries(name)
       val samples = (1 to reps).map { _ =>
         jobs.set(0); tasks.set(0); taskTimeMs.set(0L)
+        if (verbose) { Thread.sleep(200); jobLog.clear() }
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         val wall = (System.nanoTime() - t0) / 1e9
@@ -54,6 +77,10 @@ object JobProfile {
       }
       val best = samples.minBy(_._1)
       println(f"PROF,$name,${best._1}%.3f,${best._2},${best._3},${best._4}%.2f")
+      if (verbose) {
+        jobLog.forEach(l => println(l))
+        jobLog.clear()
+      }
     }
     spark.stop()
   }
