@@ -16,8 +16,16 @@ object Lake {
     "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    // memoized per (session, dir, table): the frame is an immutable plan,
+    // and rebuilding it pays a parquet footer schema inference per call —
+    // protocol queries re-read lake tables dozens of times per run
+    tableCache.get(spark, s"$dir/$name") {
+      if (name == "events") events(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  // weak-ref single-session memoizer — see SessionCache for the discipline
+  private val tableCache = new graft.queries.SessionCache[DataFrame]
 
   /** The lake's `events.ts` physical type has varied across driver data
     * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects
@@ -72,5 +80,10 @@ object Lake {
     * `project.dataset.table` names (DataCatalogController.py:1722–1728).
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
+    // ALWAYS re-register: a caller may legitimately shadow a lake name
+    // with its own temp view (SchedulerSpec does), and registerAll's
+    // contract is "these names point at the lake again". The expensive
+    // half (footer schema inference) is memoized in [[table]]; the view
+    // put itself is a driver-side catalog insert.
     tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
 }

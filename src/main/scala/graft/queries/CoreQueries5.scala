@@ -187,7 +187,7 @@ object CoreQueries5 {
     * noise type exercising the filter).
     */
   private def auditLog(spark: SparkSession, dir: String): DataFrame =
-    Lake.table(spark, dir, "events").select(
+    Lake.spread(Lake.table(spark, dir, "events"), col("event_id")).select(
       col("ts").as("event_time"),
       lit("p").as("project"),
       concat(lit("user_"), col("user_id")).as("user_email"),
@@ -323,7 +323,7 @@ object CoreQueries5 {
     */
   private def jobsLog(spark: SparkSession, dir: String): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("long")
-    Lake.table(spark, dir, "events").select(
+    Lake.spread(Lake.table(spark, dir, "events"), col("event_id")).select(
       concat(lit("lake.t"), col("event_id") % 8).as("asset"),
       concat(lit("user_"), col("user_id")).as("user_email"),
       concat(
@@ -817,7 +817,8 @@ object CoreQueries5 {
         "from finwire_unmatches, finwire_total"))),
       includedUris = Seq("bigquery/project/p/dataset/lake/events_*"))
     GroupedEval.applyDynamicTableConfigSharded(spark, config,
-        eventsShardCatalog(spark, 200), Lake.table(spark, dir, "events"),
+        eventsShardCatalog(spark, 200),
+        Lake.spread(Lake.table(spark, dir, "events"), col("event_id")),
         eventsShardExpr(200))
       .orderBy("asset_uri", "field_id")
   }

@@ -592,8 +592,11 @@ object DataQueries {
 
 
   def t01LangId(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
-        col("doc_id"), TextFns.langId(col("text")).as("pred_lang"),
+    TextFns.langIdFromWords(
+        docs(spark, dir).select(col("doc_id"), col("lang"),
+          TextFns.words(col("text")).as("__ws")),
+        "__ws", "pred_lang")
+      .select(col("doc_id"), col("pred_lang"),
         col("lang").as("labeled_lang"))
       .withColumn("is_match", col("pred_lang") === col("labeled_lang"))
       .orderBy("doc_id")
@@ -617,7 +620,10 @@ object DataQueries {
   }
 
   def t02Quality(spark: SparkSession, dir: String): DataFrame = {
-    val ws = TextFns.words(col("text"))
+    // token array staged once (HOF subtrees are CSE-exempt — see
+    // TextFns.langIdFromWords); every stat below reads the materialized
+    // __ws attribute instead of re-splitting the text
+    val ws = col("__ws")
     val allStop = TextFns.stopwords.values.flatten.toSeq.distinct.sorted
     val nTokens = size(ws)
     val sumLen = aggregate(ws, lit(0), (acc, w) => acc + length(w))
@@ -628,13 +634,15 @@ object DataQueries {
     // divergence), and the composite score is an explicit 0.0 (the
     // qualityScore guard; see TextFns)
     val guard = nTokens === 0
-    docs(spark, dir).select(
+    docs(spark, dir)
+      .select(col("doc_id"), TextFns.words(col("text")).as("__ws"))
+      .select(
         col("doc_id"), nTokens.as("n_tokens"),
         when(guard, lit(null).cast("double"))
           .otherwise(round(sumLen * lit(1.0) / nTokens, 4)).as("avg_token_len"),
         when(guard, lit(null).cast("double"))
           .otherwise(round(stopRatioRaw, 4)).as("stop_ratio"),
-        TextFns.qualityScore(col("text")).as("quality_score"))
+        TextFns.qualityScoreFromWords(ws).as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -866,7 +874,8 @@ object DataQueries {
   // ------------------------------------------------------------ streaming
 
   def st01StreamWindow(spark: SparkSession, dir: String): DataFrame =
-    Streams.windowedEventCounts(Lake.table(spark, dir, "events"))
+    Streams.windowedEventCounts(
+      Lake.spread(Lake.table(spark, dir, "events"), col("event_id")))
       .orderBy("window_start", "event_type")
 
   val st01Oracle: String =
@@ -902,7 +911,7 @@ object DataQueries {
     */
   def st04AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = Lake.table(spark, dir, "events")
+    val ev = Lake.spread(Lake.table(spark, dir, "events"), col("event_id"))
       .filter(col("event_type").isin("view", "purchase"))
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -926,7 +935,9 @@ object DataQueries {
       |ORDER BY event_id""".stripMargin
 
   def st02Sessionize(spark: SparkSession, dir: String): DataFrame =
-    Streams.sessionize(Lake.table(spark, dir, "events"), gapMinutes = 30)
+    Streams.sessionize(
+      Lake.spread(Lake.table(spark, dir, "events"), col("event_id")),
+      gapMinutes = 30)
       .orderBy("user_id", "session_id")
 
   val st02Oracle: String =

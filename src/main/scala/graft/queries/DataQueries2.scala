@@ -258,7 +258,7 @@ object DataQueries2 {
     * with the window count, never a global sort).
     */
   def st05Trending(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Lake.table(spark, dir, "events")
+    val counts = Lake.spread(Lake.table(spark, dir, "events"), col("event_id"))
       .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("win.start").as("window_start"), col("event_type"), col("n"))

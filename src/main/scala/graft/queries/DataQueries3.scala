@@ -281,7 +281,8 @@ object DataQueries3 {
     val dim = Lake.table(spark, dir, "customer")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
     graft.streaming.Streams
-      .enrichedWindowCounts(Lake.table(spark, dir, "events"), dim)
+      .enrichedWindowCounts(
+        Lake.spread(Lake.table(spark, dir, "events"), col("event_id")), dim)
       .orderBy("window_start", "segment")
   }
 
@@ -306,11 +307,17 @@ object DataQueries3 {
     * dedup stage.
     */
   def t14FilterPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val ws = TextFns.words(col("text"))
+    // token array staged once (HOF subtrees are CSE-exempt — see
+    // TextFns.langIdFromWords): the one-Column langId alone re-split the
+    // text ~10× per row, plus once per stat below
+    val ws = col("__ws")
     val en = TextFns.stopwords("en")
-    docs(spark, dir)
+    TextFns.langIdFromWords(
+        docs(spark, dir).select(col("doc_id"),
+          TextFns.words(col("text")).as("__ws")),
+        "__ws", "pred_lang")
       .select(col("doc_id"),
-        TextFns.langId(col("text")).as("pred_lang"),
+        col("pred_lang"),
         size(ws).as("wc"),
         aggregate(transform(ws, w => length(w)), lit(0L), _ + _).as("wchars"),
         size(array_distinct(ws)).as("wdistinct"),

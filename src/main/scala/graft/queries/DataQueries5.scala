@@ -282,8 +282,12 @@ object DataQueries5 {
     val pairs = Dedup.simhashPairs(
       DocIndex.index(spark, dir).simhash, "doc_id", maxHamming = 4)
     val cc = graft.operators.Graph.connectedComponents(pairs, "a_id", "b_id")
-    val scored = d.select(col("doc_id"),
-        TextFns.qualityScore(col("text")).as("quality_score"))
+    // token array staged once (HOF subtrees are CSE-exempt — see
+    // TextFns.langIdFromWords): the one-Column qualityScore re-splits
+    // the text ~5x per row
+    val scored = d.select(col("doc_id"), TextFns.words(col("text")).as("__ws"))
+      .select(col("doc_id"),
+        TextFns.qualityScoreFromWords(col("__ws")).as("quality_score"))
       .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
     val w = Window.partitionBy("cluster_id")

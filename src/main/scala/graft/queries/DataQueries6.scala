@@ -42,7 +42,11 @@ object DataQueries6 {
   def e03EmbedNearDupRecall(spark: SparkSession, dir: String): DataFrame = {
     val ix = AnnEval.index(spark, dir)
     val e = ix.emb
-    val truth = Similarity.cosineNearDupPairs(e, threshold = 0.4,
+    // the truth arm is the deliberate quadratic baseline — spread it so
+    // the n² cosine pass uses every core instead of the scan's single
+    // partition (AnnEval.emb itself stays unspread for the store writers)
+    val truth = Similarity.cosineNearDupPairs(
+        graft.Lake.spread(e, col("vec_id")), threshold = 0.4,
         allowQuadratic = true)
       .select("a_id", "b_id").localCheckpoint()
     val nTruth = truth.agg(count(lit(1)).as("n_truth")).localCheckpoint()
@@ -147,8 +151,10 @@ object DataQueries6 {
     val pairs = Dedup.simhashPairs(
       Dedup.simhash(reps, "doc_id", "text"), "doc_id", maxHamming = 4)
     val cc = graft.operators.Graph.connectedComponents(pairs, "a_id", "b_id")
-    val scored = reps.select(col("doc_id"),
-        TextFns.qualityScore(col("text")).as("quality_score"))
+    val scored = reps
+      .select(col("doc_id"), TextFns.words(col("text")).as("__ws"))
+      .select(col("doc_id"),
+        TextFns.qualityScoreFromWords(col("__ws")).as("quality_score"))
       .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
     // keeper = per-cluster argmax quality (ties → smaller doc_id); the
@@ -337,8 +343,9 @@ object DataQueries6 {
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("q").desc, col("doc_id").asc)
     val survivors = reps
+      .select(col("doc_id"), col("text"), TextFns.words(col("text")).as("__ws"))
       .select(col("doc_id"), col("text"),
-        TextFns.qualityScore(col("text")).as("q"))
+        TextFns.qualityScoreFromWords(col("__ws")).as("q"))
       .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
       .withColumn("__rn", row_number().over(w))
@@ -731,12 +738,19 @@ object DataQueries6 {
     */
   def d26WeightedSample(spark: SparkSession, dir: String): DataFrame = {
     val k = 100
-    val w = greatest(TextFns.qualityScore(col("text")), lit(0.0001))
+    // weight staged as a column: it feeds BOTH the weight output and the
+    // priority, and the one-Column qualityScore re-splits the text ~5×
+    // per reference (HOF subtrees are CSE-exempt — TextFns.langIdFromWords)
     val u = (TextFns.hash60(col("text")) + 1).cast("double") /
       lit(1152921504606846976.0d) // 2^60 → u ∈ (0, 1]
     val keyed = docs(spark, dir)
-      .select(col("doc_id"), col("lang"), w.as("weight"),
-        round(-log(u) / w, 6).as("priority"))
+      .select(col("doc_id"), col("lang"), u.as("__u"),
+        TextFns.words(col("text")).as("__ws"))
+      .select(col("doc_id"), col("lang"), col("__u"),
+        greatest(TextFns.qualityScoreFromWords(col("__ws")), lit(0.0001))
+          .as("weight"))
+      .select(col("doc_id"), col("lang"), col("weight"),
+        round(-log(col("__u")) / col("weight"), 6).as("priority"))
       .orderBy(col("priority").asc, col("doc_id").asc).limit(k)
     keyed
       .agg(sort_array(collect_list(struct(

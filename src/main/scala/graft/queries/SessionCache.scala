@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * bounds residency to the most-recent session, whose artifacts are
   * exactly the thing being served.
   */
-private[queries] final class SessionCache[V] {
+private[graft] final class SessionCache[V] {
 
   private var cached: (java.lang.ref.WeakReference[SparkSession],
     ConcurrentHashMap[String, V]) = _
