@@ -430,7 +430,8 @@ object CoreQueries3 {
         FieldSpec("env", "enum", None, Some("PROD"))),
       includedUris = Seq("bigquery/project/p/dataset/lake/events_*"))
     GroupedEval.applyDynamicTableConfigSharded(spark, config, catalog,
-        Lake.table(spark, dir, "events"), CoreQueries5.eventsShardExpr(1000))
+        Lake.spread(Lake.table(spark, dir, "events"), col("event_id")),
+        CoreQueries5.eventsShardExpr(1000))
       .orderBy("asset_uri", "field_id")
   }
 

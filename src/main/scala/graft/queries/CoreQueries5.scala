@@ -57,7 +57,8 @@ object CoreQueries5 {
     val columns = spark.sql(config.includedColumnsQuery.get)
       .first().toSeq.map(_.toString)
     GroupedEval.applyDynamicColumnConfigSharded(spark, config,
-        eventsShardCatalog(spark, 200), Lake.table(spark, dir, "events"),
+        eventsShardCatalog(spark, 200),
+        Lake.spread(Lake.table(spark, dir, "events"), col("event_id")),
         eventsShardExpr(200), columns)
       .orderBy("asset_uri", "column", "field_id")
   }

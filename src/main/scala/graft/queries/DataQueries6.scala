@@ -228,8 +228,13 @@ object DataQueries6 {
     * arrival files and proves the store comes out identical.
     */
   def st09IngestPipeline(spark: SparkSession, dir: String): DataFrame =
+    // deliberately the UNspread corpus: the ingest fold is a per-wave
+    // store protocol (checkpoint + append per wave), and a spread input
+    // turns every wave barrier and every survivor append into 32-partition
+    // jobs — measured ~+1 s over the 3-wave fold vs the 1-partition scan
     graft.streaming.Ingest
-      .ingestFold(spark, docs(spark, dir), col("doc_id") % 3, nBatches = 3)
+      .ingestFold(spark, graft.Lake.table(spark, dir, "documents"),
+        col("doc_id") % 3, nBatches = 3)
       .orderBy("doc_id")
 
   /** The st09 three-wave ingest fold as oracle CTEs, ending in `acc` (the
@@ -280,7 +285,8 @@ object DataQueries6 {
     * oracle checks the composed semantics, not just the parts.
     */
   def st10LoaderReadyIngest(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    // unspread for the same reason as st09: the fold is wave-latency-bound
+    val d = graft.Lake.table(spark, dir, "documents")
     val store = graft.streaming.Ingest
       .ingestFold(spark, d, col("doc_id") % 3, nBatches = 3)
     val assigned = graft.streaming.Ingest.loaderCoords(
