@@ -18,7 +18,14 @@ object Lake {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     // memoized per (session, dir, table): the frame is an immutable plan,
     // and rebuilding it pays a parquet footer schema inference per call —
-    // protocol queries re-read lake tables dozens of times per run
+    // protocol queries re-read lake tables dozens of times per run.
+    // STATIC-LAKE INVARIANT (round-20 advice): the memo pins the file
+    // listing and inferred schema at first access for the session's
+    // lifetime. That is the lake's contract — the test lake is generated
+    // once and never rewritten mid-session (TESTDATA.md), and a real
+    // deployment swaps storage through a table format whose snapshots
+    // re-resolve per read. Regenerating a lake dir under a live session
+    // is out of contract; tests that need it use a fresh dir.
     tableCache.get(spark, s"$dir/$name") {
       if (name == "events") events(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet")
@@ -71,7 +78,15 @@ object Lake {
     */
   def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+    // structural probe, not df.rdd.getNumPartitions: safe here either way
+    // (spread inputs are exchange-free scans, so forcing the adaptive
+    // plan executes nothing), but the probe skips building the query RDD
+    // per call and cannot silently start executing if a consumer ever
+    // hands spread a shuffle-bearing frame (PlanProbe's contract)
+    graft.sources.PlanProbe.scanPartitions(df) match {
+      case Some(n) if n < target => df.repartition(target, key)
+      case _ => df
+    }
   }
 
   /** Register every lake table as a temp view so `spark.sql` config

@@ -128,13 +128,19 @@ object AnnIndexStore {
     // table order, is what makes the multi-table state atomic), so their
     // snapshot commits run concurrently (guide §2.6) — under the lease
     // nothing else writes them, and the cut advance below still happens
-    // only after every commit returned
-    import scala.concurrent.{Await, Future}
+    // only after every commit returned. blocking{}: each future blocks on
+    // a Spark action, so the shared global pool must be told to grow past
+    // its CPU-count cap instead of deadlocking under nested fan-outs.
+    // Failure note: if one commit throws, Await rethrows while sibling
+    // futures finish committing in the background — table versions can
+    // advance after the reported failure, but the CUT never does, so
+    // readers stay on the old state and the orphans age out under vacuum.
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     Await.result(
-      Future.sequence(parts.map(p => Future(
-        p -> AtomicStore.commitSnapshot(frames(p), s"$root/$p")))),
+      Future.sequence(parts.map(p => Future(blocking(
+        p -> AtomicStore.commitSnapshot(frames(p), s"$root/$p"))))),
       Duration.Inf).toMap
   }
 
@@ -635,26 +641,28 @@ object AnnIndexStore {
       // four independent encode+commit passes over four independent
       // tables — run them concurrently (guide §2.6): the persisted batch
       // is the shared input, each append CASes only its own table, and
-      // the cut advance below still waits for all four
+      // the cut advance below still waits for all four. blocking{} +
+      // failure note: see writeComponents — siblings of a failed commit
+      // finish in the background, the cut never adopts them.
       val versions = {
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.{Await, Future, blocking}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
         Await.result(Future.sequence(Seq(
-          Future("assigned" -> appendCompacting(root,
+          Future(blocking("assigned" -> appendCompacting(root,
             stamped(Similarity.ivfAssign(batch, centroids)
               .select("vec_id", "centroid_id")),
-            "assigned", compactAboveDirs)),
-          Future("assigned_multi" -> appendCompacting(root,
+            "assigned", compactAboveDirs))),
+          Future(blocking("assigned_multi" -> appendCompacting(root,
             stamped(Similarity.ivfAssignMulti(batch, centroids, m.nprobe)
               .select("vec_id", "centroid_id")),
-            "assigned_multi", compactAboveDirs)),
-          Future("codes" -> appendCompacting(root,
+            "assigned_multi", compactAboveDirs))),
+          Future(blocking("codes" -> appendCompacting(root,
             stamped(newCodes),
-            "codes", compactAboveDirs)),
-          Future("sigs" -> appendCompacting(root,
+            "codes", compactAboveDirs))),
+          Future(blocking("sigs" -> appendCompacting(root,
             stamped(newSigs),
-            "sigs", compactAboveDirs)))), Duration.Inf).toMap
+            "sigs", compactAboveDirs))))), Duration.Inf).toMap
       }
       // publish the batch into the served cut: one monotone advance,
       // restricted to tables whose committed version still EXTENDS the

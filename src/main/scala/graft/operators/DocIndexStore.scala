@@ -99,16 +99,19 @@ object DocIndexStore {
           Seq("").toDF("sig_spec"), s"$root/spec"))
       else Map.empty
     // two independent component tables — concurrent commits (guide
-    // §2.6); the cut advance below is still the single atomicity point
+    // §2.6); the cut advance below is still the single atomicity point.
+    // blocking{} + failure note: see AnnIndexStore.writeComponents —
+    // a failed commit's sibling finishes in the background, the cut
+    // never adopts it.
     val versions = spec ++ {
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{Await, Future, blocking}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
       Await.result(Future.sequence(Seq(
-        Future("simhash" ->
-          AtomicStore.commitSnapshot(c.simhash, s"$root/simhash")),
-        Future("minhash" ->
-          AtomicStore.commitSnapshot(c.minhashSigs, s"$root/minhash")))),
+        Future(blocking("simhash" ->
+          AtomicStore.commitSnapshot(c.simhash, s"$root/simhash"))),
+        Future(blocking("minhash" ->
+          AtomicStore.commitSnapshot(c.minhashSigs, s"$root/minhash"))))),
         Duration.Inf).toMap
     }
     val cutV = StoreCut.advance(spark, root, versions)

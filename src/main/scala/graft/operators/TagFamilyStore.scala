@@ -217,21 +217,88 @@ object TagFamilyStore {
     // they become the attempt's expected orphan contribution
     val attemptCommits = scala.collection.mutable.Map.empty[String, Long]
       .withDefaultValue(0L)
+    // ---- §2.6 overlap: pre-write every batch, publish strictly in order.
+    // A data dir is INVISIBLE until its manifest publishes (writeData is
+    // protocol step 1, visibility is step 2) — so the tick's batch writes,
+    // the only data-sized Spark jobs in the commit section, are
+    // independent of each other and of the publish order the crash specs
+    // pin. The round-20 tick path ran them back-to-back: N configs × 2–3
+    // parts of sequential write-job latency per tick. Here they fan out
+    // concurrently at tick entry; the PUBLISHES — the visibility points
+    // the hooks bracket — stay chained in exactly the old order.
+    // Versions are PREDICTED from one entry-time resolve per part (under
+    // the job lease this tick is the only publisher, so part p's j-th
+    // commit lands at base(p)+1+j); the consume step verifies the
+    // prediction before each publish and falls back to the in-line
+    // commitChained write+publish on any mismatch — an out-of-protocol
+    // writer degrades to the old path, never to a wrong __batch stamp.
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    final case class Planned(part: String, predictedV: Long,
+                             mk: Long => DataFrame, fut: Future[String]) {
+      @volatile var consumed = false
+    }
+    val nextV = scala.collection.mutable.Map.empty[String, Long]
+    def plan(part: String, mk: Long => DataFrame): Planned = {
+      val v = nextV.getOrElse(part,
+        AtomicStore.currentVersion(spark, s"$root/$part").getOrElse(-1L) + 1)
+      nextV(part) = v + 1
+      Planned(part, v, mk,
+        Future(blocking(AtomicStore.writeData(mk(v), s"$root/$part"))))
+    }
+    val planned: Seq[Seq[Planned]] = jobs.map { job =>
+      Seq(plan(TagsPart, v =>
+          TagStore.mergeDelta(job.incoming).withColumn("__batch", lit(v))),
+        plan(HistoryPart, _ => Sinks.withHistoryPartition(job.history))) ++
+        job.reports.map(r =>
+          plan(ReportsPart, _ => Sinks.withReportPartition(r)))
+    }
+    // a crashed/aborted tick must not leak background write jobs into
+    // whatever runs next, nor leave known-unpublished dirs for vacuum:
+    // await every unconsumed write and reclaim it before rethrowing —
+    // the post-crash table state is then byte-identical to the old
+    // sequential path's (published versions only)
+    def reclaimUnconsumed(): Unit =
+      planned.flatten.filterNot(_.consumed).foreach { p =>
+        try AtomicStore.reclaimData(spark, s"$root/${p.part}",
+          Await.result(p.fut, Duration.Inf))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     try {
     jobs.zipWithIndex.foreach { case (job, i) =>
-      def commitPart(part: String, mk: Long => DataFrame): Unit = {
-        val (v, rel) = commitChained(spark, root, part, parents(part), mk)
-        parents += part -> (parents(part) :+ rel)
-        versions += part -> v
-        attemptCommits(part) += 1
+      planned(i).foreach { p =>
+        val table = s"$root/${p.part}"
+        val (v, rel) = {
+          val pre =
+            try Some(Await.result(p.fut, Duration.Inf))
+            catch { case t: Throwable => p.consumed = true; throw t }
+          p.consumed = true
+          val actualNext =
+            AtomicStore.currentVersion(spark, table).getOrElse(-1L) + 1
+          if (actualNext == p.predictedV &&
+              AtomicStore.publish(spark, table,
+                parents(p.part) :+ pre.get, p.predictedV))
+            (p.predictedV, pre.get)
+          else {
+            // prediction missed (out-of-protocol writer) — degrade to
+            // the sequential write+publish path with its loud bound
+            pre.foreach(AtomicStore.reclaimData(spark, table, _))
+            commitChained(spark, root, p.part, parents(p.part), p.mk)
+          }
+        }
+        parents += p.part -> (parents(p.part) :+ rel)
+        versions += p.part -> v
+        attemptCommits(p.part) += 1
+        // hooks fire at the same post-publish points as always
+        p.part match {
+          case TagsPart =>
+            fireHook(root, TagsPart); fireHook(root, s"$TagsPart@$i")
+          case HistoryPart =>
+            fireHook(root, HistoryPart); fireHook(root, s"$HistoryPart@$i")
+          case _ => ()
+        }
       }
-      commitPart(TagsPart,
-        v => TagStore.mergeDelta(job.incoming).withColumn("__batch", lit(v)))
-      fireHook(root, TagsPart); fireHook(root, s"$TagsPart@$i")
-      commitPart(HistoryPart, _ => Sinks.withHistoryPartition(job.history))
-      fireHook(root, HistoryPart); fireHook(root, s"$HistoryPart@$i")
-      job.reports.foreach(r =>
-        commitPart(ReportsPart, _ => Sinks.withReportPartition(r)))
       // the reports hook fires whether or not this job carries reports:
       // for a report-less job it is the "both tables committed, the cut
       // publish never reached" point — the widest tear window, and the
@@ -240,6 +307,7 @@ object TagFamilyStore {
       fireHook(root, s"job@$i")
     }
     } catch { case t: Throwable =>
+      reclaimUnconsumed()
       // this attempt is now a crashed tick: its committed versions are
       // the orphan suffix the next commit will truncate — record them so
       // the entry-time bound check above can tell in-protocol residue
@@ -791,14 +859,14 @@ object TagFamilyStore {
       // independent jobs) — the tick's sequential section stays just
       // the chained per-part commits below, which the protocol demands.
       val ckpts = {
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.{Await, Future, blocking}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
         Await.result(
           Future.sequence(
             TagEngine.perConfigIncoming(spark, configs, catalog, existing)
               .map { case (id, inc0) =>
-                Future((id, inc0.localCheckpoint()))
+                Future(blocking((id, inc0.localCheckpoint())))
               }),
           Duration.Inf)
       }

@@ -429,8 +429,16 @@ object CoreQueries3 {
           Some("select concat('$dataset', '.', '$table')")),
         FieldSpec("env", "enum", None, Some("PROD"))),
       includedUris = Seq("bigquery/project/p/dataset/lake/events_*"))
+    // spread keyed on the SHARD expression, not event_id (round-20
+    // verdict #2): the sharded eval's per-shard aggregation requires a
+    // hash distribution on __graft_shard (= this expression), and the
+    // alias-aware partitioning of the projection above the spread
+    // satisfies it — ONE exchange between scan and aggregate, where an
+    // event_id spread inserted a shuffle the aggregation's own exchange
+    // immediately superseded (two full-data shuffles)
     GroupedEval.applyDynamicTableConfigSharded(spark, config, catalog,
-        Lake.spread(Lake.table(spark, dir, "events"), col("event_id")),
+        Lake.spread(Lake.table(spark, dir, "events"),
+          CoreQueries5.eventsShardExpr(1000)),
         CoreQueries5.eventsShardExpr(1000))
       .orderBy("asset_uri", "field_id")
   }

@@ -56,9 +56,11 @@ object CoreQueries5 {
     // exactly the reference's :374–377 contract
     val columns = spark.sql(config.includedColumnsQuery.get)
       .first().toSeq.map(_.toString)
+    // shard-keyed spread (round-20 verdict #2): satisfies the per-shard
+    // aggregation's required distribution — one exchange, not two
     GroupedEval.applyDynamicColumnConfigSharded(spark, config,
         eventsShardCatalog(spark, 200),
-        Lake.spread(Lake.table(spark, dir, "events"), col("event_id")),
+        Lake.spread(Lake.table(spark, dir, "events"), eventsShardExpr(200)),
         eventsShardExpr(200), columns)
       .orderBy("asset_uri", "column", "field_id")
   }
@@ -817,9 +819,10 @@ object CoreQueries5 {
           "nullif(total_counts, 0)) as bigint) as degree " +
         "from finwire_unmatches, finwire_total"))),
       includedUris = Seq("bigquery/project/p/dataset/lake/events_*"))
+    // shard-keyed spread (round-20 verdict #2): one exchange, not two
     GroupedEval.applyDynamicTableConfigSharded(spark, config,
         eventsShardCatalog(spark, 200),
-        Lake.spread(Lake.table(spark, dir, "events"), col("event_id")),
+        Lake.spread(Lake.table(spark, dir, "events"), eventsShardExpr(200)),
         eventsShardExpr(200))
       .orderBy("asset_uri", "field_id")
   }

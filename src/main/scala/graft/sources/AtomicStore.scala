@@ -158,11 +158,20 @@ object AtomicStore {
     // streaming waves) gains nothing from re-sizing — the hint would
     // just bolt an AQE exchange onto every tiny commit (measured: +0.15
     // to +0.3 s per protocol query, +1 s on the ingest pipeline's waves).
-    // Only rebalance when AQE can right-size AND the partition count
-    // says the write would otherwise spray many small files.
+    // Only rebalance when AQE can right-size AND the plan shape says the
+    // write would otherwise spray many small files. The spray probe is
+    // STRUCTURAL ([[PlanProbe.spraysSmallFiles]]) — round 20 probed with
+    // `df.rdd.getNumPartitions`, which under AQE finalizes the adaptive
+    // plan and EXECUTES every upstream shuffle stage; the write then
+    // re-executed them, doubling each join/aggregate-bearing commit's
+    // compute (the round's tag-store-family regression). The structural
+    // probe also skips the hint on frames whose topmost exchange AQE
+    // already right-sizes (ENSURE_REQUIREMENTS), so MERGE/fold commits
+    // pay no second exchange.
     val aqe = df.sparkSession.conf
       .get("spark.sql.adaptive.enabled", "true") == "true"
-    val out = if (aqe && df.rdd.getNumPartitions > 4) df.hint("rebalance")
+    val out = if (aqe && PlanProbe.spraysSmallFiles(df, maxGoodParts = 4))
+                df.hint("rebalance")
               else df
     out.write.mode("errorifexists")
       .parquet(new Path(dataDir(root), rel).toString)

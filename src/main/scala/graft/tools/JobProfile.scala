@@ -53,6 +53,13 @@ object JobProfile {
                 l.contains("BroadcastExchange") || l.contains("executeTake") ||
                 l.contains("SchemaMergeUtils") || l.contains("localCheckpoint"))
               .take(4).mkString(" <- "))
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (verbose) jobLog.add(
+          f"  DONE  ${s.stageInfo.stageId} ${s.stageInfo.numTasks}t " +
+            f"run=${s.stageInfo.taskMetrics.executorRunTime / 1e3}%.2fs " +
+            f"cpu=${s.stageInfo.taskMetrics.executorCpuTime / 1e9}%.2fs " +
+            f"[${s.stageInfo.name.take(60)}]")
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         if (t.taskInfo != null) taskTimeMs.addAndGet(t.taskInfo.duration)
@@ -71,8 +78,17 @@ object JobProfile {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         val wall = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
-        // listener bus is async; give it a beat to drain before reading
-        Thread.sleep(150)
+        // listener bus is async; poll until the counters are stable
+        // across two reads (round-20 advice: a fixed 150 ms nap
+        // undercounts on a loaded box) — bounded so a stuck bus can't
+        // hang the profiler
+        var prev = (-1, -1, -1L)
+        var spins = 0
+        while (prev != ((jobs.get, tasks.get, taskTimeMs.get)) && spins < 40) {
+          prev = (jobs.get, tasks.get, taskTimeMs.get)
+          Thread.sleep(100)
+          spins += 1
+        }
         (wall, jobs.get, tasks.get, taskTimeMs.get / 1e3)
       }
       val best = samples.minBy(_._1)

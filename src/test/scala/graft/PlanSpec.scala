@@ -18,9 +18,17 @@ class PlanSpec extends SparkSpec {
     * exchanges from joins/aggregations/windows) without tripping on the
     * deliberate bench-scan spread.
     */
-  private def sansSpread(p: String): String =
-    p.linesIterator.filterNot(_.contains("REPARTITION_BY_NUM"))
+  private def sansSpread(p: String): String = {
+    // only the spread's own exchange is excused: spread repartitions to
+    // exactly defaultParallelism, so a numbered repartition with any
+    // OTHER count introduced by a future query change still trips the
+    // zero-shuffle pins (round-20 advice — the old filter dropped every
+    // REPARTITION_BY_NUM line)
+    val spreadCount = spark.sparkContext.defaultParallelism
+    p.linesIterator.filterNot(l =>
+      l.contains("REPARTITION_BY_NUM") && l.contains(s", $spreadCount),"))
       .mkString("\n")
+  }
 
   test("q02: wildcard predicates push into the parquet scan") {
     val p = planOf(CoreQueries.q02UriExpand(spark, sf))
