@@ -657,24 +657,45 @@ object Similarity {
     val dim = codebook.head.length
     require(dim % numSub == 0, s"pqEncode: dim $dim not divisible by $numSub")
     val subDim = dim / numSub
-    val perSub = (0 until numSub).map { m =>
-      val dists = codebook.map { cv =>
+    // STAGED through projection boundaries (the langIdFromWords
+    // discipline): the old one-projection form repeated each subspace's
+    // codebook-distance subtree ~4× — inside the rounded argmin array,
+    // inside array_min's copy of it, and again in the chosen-error
+    // element_at — so the plan carried ~4 × numSub × |codebook| × subDim
+    // squared-difference terms and the wall was PLANNING, not work
+    // (round-21 profile: s10 at 1.15 s wall / 0.25 s task time / 3 jobs).
+    // Staging computes each distance array once; every staged column is
+    // non-cheap and referenced more than once, so CollapseProject keeps
+    // the boundaries. Values are bit-identical — same arithmetic in the
+    // same order (SimilaritySpec pins argmin, tie-break and recon_err;
+    // the s10/s12/s13 oracles pin it cross-engine).
+    def dCol(m: Int) = s"__pq_d_$m"
+    def pCol(m: Int) = s"__pq_p_$m"
+    // stage 1: per-subspace raw squared-L2 distances to every codebook
+    // entry, each computed exactly once
+    val withD = (0 until numSub).foldLeft(emb) { (df, m) =>
+      df.withColumn(dCol(m), array(codebook.map { cv =>
         (0 until subDim).map { i =>
           val d = element_at(col("vec"), m * subDim + i + 1) -
             lit(cv(m * subDim + i))
           d * d
         }.reduce(_ + _)
-      }
-      val rounded = array(dists.map(d => round(d, 6)): _*)
-      // 1-based position of the FIRST minimum == argmin with ties to the
-      // smallest code id; both the code and the chosen raw error derive
-      // from the same position expression
-      val pos = array_position(rounded, array_min(rounded))
-      ((pos - 1).as(s"code_$m"),
-        element_at(array(dists: _*), pos.cast("int")))
+      }: _*))
     }
-    emb.select(
-      (col("vec_id") +: perSub.map(_._1)) :+
-        round(perSub.map(_._2).reduce(_ + _), 6).as("recon_err"): _*)
+    // stage 2: 1-based position of the FIRST minimum of the 6-dp-rounded
+    // distances == argmin with ties to the smallest code id
+    val withP = (0 until numSub).foldLeft(withD) { (df, m) =>
+      val rounded = array((1 to codebook.length).map(i =>
+        round(element_at(col(dCol(m)), i), 6)): _*)
+      df.withColumn(pCol(m), array_position(rounded, array_min(rounded)))
+    }
+    // final projection: the code ids and the UNROUNDED chosen errors,
+    // summed in subspace order exactly as before
+    withP.select(
+      (col("vec_id") +: (0 until numSub).map(m =>
+        (col(pCol(m)) - 1).as(s"code_$m"))) :+
+        round((0 until numSub).map(m =>
+          element_at(col(dCol(m)), col(pCol(m)).cast("int")))
+          .reduce(_ + _), 6).as("recon_err"): _*)
   }
 }

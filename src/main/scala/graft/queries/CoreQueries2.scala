@@ -264,9 +264,14 @@ object CoreQueries2 {
     */
   def q13WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
     // spread: the pre-window scan+project of 600k rows is otherwise a
-    // single-partition stage (Lake.spread no-ops at lake scale)
+    // single-partition stage (Lake.spread no-ops at lake scale). Keyed on
+    // the WINDOW's partition key, not the row key: hashpartitioning
+    // (l_suppkey) satisfies the window's required distribution, so the
+    // window reuses the spread's exchange instead of re-shuffling the
+    // full row set a second time (round-20 verdict #2's rule, applied to
+    // the window family: 2 Exchange → 1)
     val li = Lake.spread(Lake.table(spark, dir, "lineitem"),
-      col("l_orderkey"))
+      col("l_suppkey"))
     // null order EXPLICIT on both sides: Spark defaults ASC to NULLS
     // FIRST, DuckDB to NULLS LAST — inside a window this is
     // content-affecting (rn selection + running sums), not mere output

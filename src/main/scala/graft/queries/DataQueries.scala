@@ -219,7 +219,15 @@ object DataQueries {
       DocIndexStore.appendMinhash(root, ix.minhashSigs.filter(!split),
         sigSpec = DocIndex.SigSpec)
       val loaded = DocIndexStore.load(spark, root)
-      Dedup.simhashPairs(loaded.simhash, "doc_id", maxHamming = 8)
+      // spread the LOADED probe side (guide §2.5): the store chain is a
+      // couple of small parquet dirs, so the banded self-join's map side
+      // would otherwise run on 2–3 of the machine's cores (the session
+      // table d06 joins is already spread); at lake scale the loaded
+      // table carries ≥ cores splits and spread no-ops. The store WRITE
+      // inputs stay unspread (the AnnEval lesson: spreading a
+      // component-sized write fans it into 32 tiny files).
+      Dedup.simhashPairs(graft.Lake.spread(loaded.simhash, col("doc_id")),
+          "doc_id", maxHamming = 8)
         .orderBy("a_id", "b_id")
     }
   }
@@ -419,16 +427,20 @@ object DataQueries {
         Seq(Tuple1(ix.query.toSeq)).toDF("qvec")
       }
       // k-row results; checkpoint before the comparison joins (s07's
-      // one-pass-per-index discipline)
-      val truth = Similarity.bruteForceTopK(ix.emb, query, k = 10,
-        excludeId = Some(0L)).select(col("vec_id")).localCheckpoint()
-      val grown = Similarity.ivfTopKIndexed(loaded.assigned, ix.emb,
-          loaded.centroids, query, k = 10, nprobe = 2, excludeId = Some(0L))
-        .localCheckpoint()
-      // the refreshed rebuild on the grown corpus IS the session's
-      // fixture index (centroids 0–7 over all vectors)
-      val rebuilt = Similarity.ivfTopK(ix.assigned, ix.centroids, query,
-        k = 10, nprobe = 2, excludeId = Some(0L)).localCheckpoint()
+      // one-pass-per-index discipline). The three rankings are
+      // independent READS of already-committed state (truth over the
+      // session corpus, grown over the loaded store, rebuilt over the
+      // session index), so they materialize concurrently (guide §2.6)
+      // instead of paying three sequential action round-trips.
+      val Seq(truth, grown, rebuilt) = Par.ckptAll(
+        Similarity.bruteForceTopK(ix.emb, query, k = 10,
+          excludeId = Some(0L)).select(col("vec_id")),
+        Similarity.ivfTopKIndexed(loaded.assigned, ix.emb,
+          loaded.centroids, query, k = 10, nprobe = 2, excludeId = Some(0L)),
+        // the refreshed rebuild on the grown corpus IS the session's
+        // fixture index (centroids 0–7 over all vectors)
+        Similarity.ivfTopK(ix.assigned, ix.centroids, query,
+          k = 10, nprobe = 2, excludeId = Some(0L)))
       def scoreOf(name: String, got: DataFrame): DataFrame =
         got.select(col("vec_id"))
           .join(truth.withColumn("hit", lit(1)), Seq("vec_id"), "left")
@@ -735,10 +747,17 @@ object DataQueries {
     * fingerprint.
     */
   def d08Contamination(spark: SparkSession, dir: String): DataFrame = {
+    // fingerprint (array_sort over the token split — the query's dominant
+    // per-row cost) computed ONCE and materialized: its three consumers
+    // (the Bloom build over train, the exact semi-join's right side, the
+    // held_out probe side) each re-ran the full fingerprint pass
+    // otherwise — measured 31 s of task time for a ~10 s query (round-21
+    // profile), i.e. the corpus was fingerprinted 3×
     val d = docs(spark, dir)
-      .withColumn("fp", TextFns.fingerprint(col("text")))
-      .withColumn("split",
-        when(TextFns.hash28(col("text")) % 100 < 80, "train").otherwise("held_out"))
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"),
+        when(TextFns.hash28(col("text")) % 100 < 80, "train")
+          .otherwise("held_out").as("split"))
+      .localCheckpoint()
     val train = d.filter(col("split") === "train").select("fp").distinct()
     val heldOut = d.filter(col("split") === "held_out")
     // train is ~80% of the corpus's distinct fingerprints — corpus-scale, so
@@ -747,7 +766,7 @@ object DataQueries {
     // held_out scan-side with zero shuffle; only Bloom-positive candidates
     // reach the exact semi-join, which is left unhinted so AQE picks
     // broadcast only when the side actually fits. Sketch capacity tracks
-    // the corpus (doc count is a parquet-metadata read, and distinct train
+    // the corpus (doc count off the materialized pass, and distinct train
     // fps ≤ docs), so the false-positive rate — and with it the candidate
     // volume hitting the exact join — stays put as the lake grows.
     val expected = math.max(1000L, d.count())
@@ -911,7 +930,10 @@ object DataQueries {
     */
   def st04AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = Lake.spread(Lake.table(spark, dir, "events"), col("event_id"))
+    // spread keyed on the window's partition key (user_id): the as-of
+    // window then reuses the spread's exchange — one shuffle of the
+    // event rows, not two (the q13 rule)
+    val ev = Lake.spread(Lake.table(spark, dir, "events"), col("user_id"))
       .filter(col("event_type").isin("view", "purchase"))
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -935,8 +957,13 @@ object DataQueries {
       |ORDER BY event_id""".stripMargin
 
   def st02Sessionize(spark: SparkSession, dir: String): DataFrame =
+    // spread keyed on the sessionize window's partition key (user_id):
+    // the lag/running-sum window AND the per-session aggregate both
+    // reuse the spread's exchange (hashpartitioning(user_id) satisfies
+    // ClusteredDistribution(user_id) and (user_id, session_id)) — one
+    // shuffle of the event rows instead of two (the q13 rule)
     Streams.sessionize(
-      Lake.spread(Lake.table(spark, dir, "events"), col("event_id")),
+      Lake.spread(Lake.table(spark, dir, "events"), col("user_id")),
       gapMinutes = 30)
       .orderBy("user_id", "session_id")
 

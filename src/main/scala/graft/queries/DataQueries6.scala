@@ -42,31 +42,36 @@ object DataQueries6 {
   def e03EmbedNearDupRecall(spark: SparkSession, dir: String): DataFrame = {
     val ix = AnnEval.index(spark, dir)
     val e = ix.emb
-    // the truth arm is the deliberate quadratic baseline — spread it so
-    // the n² cosine pass uses every core instead of the scan's single
-    // partition (AnnEval.emb itself stays unspread for the store writers)
-    val truth = Similarity.cosineNearDupPairs(
-        graft.Lake.spread(e, col("vec_id")), threshold = 0.4,
-        allowQuadratic = true)
-      .select("a_id", "b_id").localCheckpoint()
-    val nTruth = truth.agg(count(lit(1)).as("n_truth")).localCheckpoint()
-    def scoreOf(name: String, nprobe: Int): DataFrame = {
+    def candidatesOf(nprobe: Int): DataFrame = {
       // both measured arms serve their assignment from the shared index
       // (the production configurations under eval ARE the served ones)
       val assigned =
         if (nprobe == 2) ix.assignedMulti2
         else ix.assigned.select("vec_id", "centroid_id")
-      val got = Similarity
-        .bucketedNearDupPairsFromAssigned(assigned, e, threshold = 0.4)
-        .select("a_id", "b_id").localCheckpoint()
+      Similarity.bucketedNearDupPairsFromAssigned(assigned, e, threshold = 0.4)
+        .select("a_id", "b_id")
+    }
+    // the truth arm is the deliberate quadratic baseline — spread it so
+    // the n² cosine pass uses every core instead of the scan's single
+    // partition (AnnEval.emb itself stays unspread for the store writers).
+    // All three pair sets are independent reads, so they materialize
+    // concurrently (guide §2.6): the two bucketed arms back-fill the
+    // quadratic truth pass's tail instead of queuing behind it.
+    val Seq(truth, got1, got2) = Par.ckptAll(
+      Similarity.cosineNearDupPairs(
+          graft.Lake.spread(e, col("vec_id")), threshold = 0.4,
+          allowQuadratic = true)
+        .select("a_id", "b_id"),
+      candidatesOf(1), candidatesOf(2))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth")).localCheckpoint()
+    def scoreOf(name: String, got: DataFrame): DataFrame =
       got.join(truth.withColumn("hit", lit(1)), Seq("a_id", "b_id"), "left")
         .agg(count(lit(1)).as("n_found"), count(col("hit")).as("n_hits"))
         .crossJoin(nTruth)
         .select(lit(name).as("method"), col("n_truth"), col("n_found"),
           col("n_hits"),
           round(col("n_hits") * lit(1.0) / col("n_truth"), 4).as("recall"))
-    }
-    scoreOf("ivf_nprobe1", 1).unionByName(scoreOf("ivf_nprobe2", 2))
+    scoreOf("ivf_nprobe1", got1).unionByName(scoreOf("ivf_nprobe2", got2))
       .orderBy("method")
   }
 

@@ -126,8 +126,90 @@ object AtomicStore {
     */
   private[graft] def readAt(spark: SparkSession, root: String,
                             version: Long): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(filesAt(spark, root, version): _*)
+    readDirs(spark, filesAt(spark, root, version))
+
+  /** Footer schema of ONE immutable data dir, read driver-side and
+    * memoized per process. A published data dir never changes (the
+    * protocol's immutability rule — writeData lands it once, publish only
+    * ever references it), so its schema is a constant. The read must NOT
+    * go through `spark.read.parquet(dir).schema`: Spark 4's parquet
+    * inference routes even the single-footer case through
+    * `mergeSchemasInParallel`, i.e. a Spark job — exactly the per-read
+    * job this cache exists to remove. Instead the first part file's
+    * footer is opened directly (parquet-hadoop, one local I/O) and the
+    * schema Spark serialized at write time
+    * (`org.apache.spark.sql.parquet.row.metadata` — present in every
+    * footer this store writes, because writeData is always a Spark
+    * write) is parsed back. `asNullable` matches what a file-source read
+    * reports for the same data, so the distinct-schema check below
+    * compares at the right granularity. One part file suffices: a dir
+    * holds exactly one write job's files, all sharing one schema.
+    * Bounded: a long-lived writer touches unboundedly many dirs, so the
+    * map resets at a size cap instead of accreting forever (same
+    * discipline as Dedup's salt memo).
+    */
+  private val dirSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+  private val DirSchemaCacheMax = 4096
+
+  private def dirSchema(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.types.StructType = {
+    val hit = dirSchemaCache.get(dir)
+    if (hit != null) hit
+    else {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(hconf(spark))
+      val part = fs.listStatus(p).iterator
+        .map(_.getPath)
+        .find(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"AtomicStore: no data files under $dir"))
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          part, hconf(spark)))
+      val json =
+        try reader.getFooter.getFileMetaData.getKeyValueMetaData
+          .get("org.apache.spark.sql.parquet.row.metadata")
+        finally reader.close()
+      if (json == null)
+        throw new IllegalStateException(
+          s"AtomicStore: $part carries no Spark schema metadata")
+      val s = org.apache.spark.sql.graft.Bridge.asNullable(
+        org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      if (dirSchemaCache.size >= DirSchemaCacheMax) dirSchemaCache.clear()
+      dirSchemaCache.put(dir, s)
+      s
+    }
+  }
+
+  /** Read a committed chain's data dirs as one table.
+    *
+    * mergeSchema semantics, without the per-read Spark job: with
+    * `mergeSchema=true` Spark resolves the schema via a DISTRIBUTED
+    * footer-merge job (SchemaMergeUtils.mergeSchemasInParallel) on every
+    * read — one Spark job per pinned store read, which the round-21 job
+    * profile showed on every protocol query (9 of q58's 158 jobs, 11 of
+    * s18's 50). Each dir holds one write job's files (one schema), so the
+    * chain's schema is derivable from the per-dir footer schemas: when
+    * they all AGREE — the overwhelmingly common case; evolution only
+    * enters through [[commitAppend]] batches that added columns — the
+    * merge is the identity and an explicit-schema read returns the exact
+    * same frame with zero schema jobs. Dirs with DIFFERING schemas (or
+    * any inference hiccup: an empty dir, a vacuum race mid-probe) fall
+    * back to the stock mergeSchema read, so evolution and failure
+    * semantics are bit-identical to the old path (AtomicStoreSpec's
+    * mergeSchema fold spec covers the differing-schema arm).
+    */
+  private def readDirs(spark: SparkSession, files: Seq[String]): DataFrame = {
+    val schemas =
+      try files.map(dirSchema(spark, _)).distinct
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    schemas match {
+      case Seq(one) => spark.read.schema(one).parquet(files: _*)
+      case _ => spark.read.option("mergeSchema", "true").parquet(files: _*)
+    }
+  }
 
   /** Step 1 of the protocol: land the batch in a fresh, UNPUBLISHED data
     * dir; returns its manifest-relative name. `private[graft]` so specs
@@ -542,11 +624,12 @@ object AtomicStore {
             // and a lost CAS means those rows were re-read against a
             // superseded manifest — re-resolve and re-fold, never publish
             // a stale fold (the same conflict rule as every derived commit).
-            // mergeSchema: commitAppend imposes no schema check, so later
-            // waves may carry columns older batches lack — a sampled-file
-            // schema would silently DROP them from the whole store
-            val state = spark.read.option("mergeSchema", "true")
-              .parquet(files: _*)
+            // mergeSchema semantics via readDirs: commitAppend imposes no
+            // schema check, so later waves may carry columns older batches
+            // lack — a sampled-file schema would silently DROP them from
+            // the whole store (readDirs falls back to the stock mergeSchema
+            // read whenever the per-dir schemas differ)
+            val state = readDirs(spark, files)
             // fold-marked (FoldPrefix): the snapshot preserves the row
             // set of the chain it folds. Tables governed by a store cut
             // must reach this through their store's compact /

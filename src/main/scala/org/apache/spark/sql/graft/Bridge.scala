@@ -29,4 +29,12 @@ object Bridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
+
+  /** `StructType.asNullable` is `private[spark]`; AtomicStore's
+    * driver-side footer-schema reads need it to report exactly the
+    * nullability a file-source relation reports for the same data
+    * (DataSource.resolveRelation nullable-izes every inferred schema).
+    */
+  def asNullable(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = s.asNullable
 }

@@ -334,6 +334,44 @@ class AtomicStoreSpec extends SparkSpec {
     assert(AtomicStore.read(spark, r).columns.toSet === Set("id", "x", "y"))
   }
 
+  test("same-schema chain reads skip the schema-merge job, schema/rows exact") {
+    import spark.implicits._
+    val r = root()
+    AtomicStore.commitAppend(Seq((1L, "a")).toDF("id", "x"), r)
+    AtomicStore.commitAppend(Seq((2L, "b")).toDF("id", "x"), r)
+    val v = AtomicStore.currentVersion(spark, r).get
+    val files = AtomicStore.filesAt(spark, r, v)
+    val reference = spark.read.option("mergeSchema", "true")
+      .parquet(files: _*)
+    val got = AtomicStore.read(spark, r)
+    // explicit-schema path must be invisible: same schema (nullability
+    // included), same rows as the stock mergeSchema read
+    assert(got.schema === reference.schema)
+    assert(got.as[(Long, String)].collect().sorted ===
+      reference.as[(Long, String)].collect().sorted)
+    // and resolving the frame costs NO Spark job (the whole point):
+    // schema comes from the driver-side footer cache, not a
+    // mergeSchemasInParallel job
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      AtomicStore.read(spark, r).schema // resolve only, no action
+      // listener bus is async; bounded drain (JobProfile's discipline)
+      var spins = 0
+      var prev = -1
+      while (prev != jobs.get && spins < 20) {
+        prev = jobs.get; Thread.sleep(50); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get() === 0,
+      "resolving a same-schema chain must not launch a schema-merge job")
+  }
+
   test("vacuum keeps superseded manifest NAMES claimed for the grace window") {
     // the manifest name is the CAS claim publish() checks: if vacuum
     // freed it immediately on supersession, a writer that resolved its
