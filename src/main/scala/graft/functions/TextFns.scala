@@ -23,7 +23,16 @@ object TextFns {
     * quality ratios, and fingerprints.
     */
   def words(c: Column): Column =
-    filter(split(c, s"[${graft.plans.Ws.ClassBody}]+"), w => length(w) > 0)
+    // native one-pass tokenizer ([[graft.plans.WsTokens]]): the HOF
+    // composition `filter(split(c, "[Ws]+"), length > 0)` compiled the
+    // regex and materialized a java.lang.String per ROW inside
+    // UTF8String.split, plus an interpreted lambda per element — the
+    // text family's hottest per-row path (round-21 profile: ~15–21 s of
+    // task time on each of t05/t10/t16/t17/t21). Values, order and
+    // element multiplicity identical (WsTokensSpec pins it against the
+    // old composition, multibyte and whitespace-only cases included).
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.WsTokens(org.apache.spark.sql.graft.Bridge.expression(c)))
 
   /** Word n-gram shingles (space-joined) at every token position; fewer
     * than n tokens → empty array. Reference HOF form — same `when` guard

@@ -78,6 +78,55 @@ object ShingleOps {
     new GenericArrayData(out)
   }
 
+  /** hash60 of every k-CHAR window at stride `stride` (char positions
+    * 1, 1+stride, … ≤ n−k+1 — exactly `TextFns.charShingles(text, k,
+    * stride)` → `hash60` per window), in order, with multiplicity; empty
+    * when the text is shorter than k. The HOF composition is quadratic
+    * per document: each `substr(i, k)` call walks the UTF8String from
+    * byte 0 to find char offset i, so a d-sized doc pays O(d²/stride)
+    * byte scans besides the per-window String materialization and
+    * interpreted lambda (round-21 profile: d27 at 24 s task time for a
+    * ~0.8 s-of-md5 workload). Here char-boundary byte offsets are walked
+    * ONCE (ASCII corpora skip even that) and each window hashes in place
+    * via the single-block md5. Values bit-identical to the HOF form
+    * (ShingleExprsSpec).
+    */
+  def stridedWindowHashes(s: UTF8String, k: Int, stride: Int,
+                          nibbles: Int): ArrayData = {
+    val n = s.numChars()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val bytes = s.getBytes
+    val count = (n - k) / stride + 1
+    val out = new Array[Long](count)
+    val ascii = bytes.length == n
+    // char-index → byte-offset map, built in one pass (identity for ASCII)
+    val offs =
+      if (ascii) null
+      else {
+        val o = new Array[Int](n + 1)
+        var ci = 0
+        var bi = 0
+        while (ci < n) {
+          o(ci) = bi
+          bi += UTF8String.numBytesForFirstByte(bytes(bi))
+          ci += 1
+        }
+        o(n) = bytes.length
+        o
+      }
+    var w = 0
+    while (w < count) {
+      val startC = w * stride
+      val off = if (ascii) startC else offs(startC)
+      val len = (if (ascii) startC + k else offs(startC + k)) - off
+      out(w) =
+        if (len <= 55) Md5.singleBlockPrefix(bytes, off, len, nibbles)
+        else Md5.prefixLong(UTF8String.fromBytes(bytes, off, len), nibbles)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All affine minima over an existing hash array (the cached shingle-set
     * path of the LSH pipeline).
     */
@@ -157,6 +206,37 @@ case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.ShingleOps.hashSet($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** text → array<long> of per-window hash60s at (k, stride) — the fused
+  * native of `explode(charShingles(text, k, stride))` → `hash60(win)`.
+  * Empty array below k chars (matching the HOF form's `otherwise` arm,
+  * whose explode consumer emits no rows either way); null only on null
+  * input.
+  */
+case class StridedShingleHashes(child: Expression, k: Int, stride: Int,
+                                nibbles: Int) extends UnaryExpression {
+  // fail at ANALYSIS on a non-string child, never as a per-task
+  // ClassCastException mid-job (the WordNgrams rule)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING input, got ${child.dataType.sql}")
+
+  require(k > 0 && stride > 0 && nibbles > 0 && nibbles <= 15)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "strided_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.stridedWindowHashes(input.asInstanceOf[UTF8String], k, stride,
+      nibbles)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.ShingleOps.stridedWindowHashes($c, $k, $stride, $nibbles)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

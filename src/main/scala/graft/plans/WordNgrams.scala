@@ -101,6 +101,62 @@ object WordNgramOps {
   }
 }
 
+object WsTokenOps {
+  /** The tokens of `s` (maximal runs of non-[[Ws]] bytes, in order, with
+    * multiplicity) — the native form of `TextFns.words`' HOF composition
+    * `filter(split(text, "[Ws]+"), w => length(w) > 0)`. The composition
+    * is the text family's hottest per-row path and pays dearly per call:
+    * Spark's `StringSplit` routes through `UTF8String.split`, which
+    * compiles the regex and materializes a full java.lang.String PER ROW,
+    * then re-wraps every token; the filter adds an interpreted lambda per
+    * element. This is one byte scan with zero-regex, zero-String token
+    * slicing. Every [[Ws]] byte is single-byte ASCII and never part of a
+    * multi-byte UTF-8 sequence, so byte-splitting == char-splitting
+    * (WordNgramOps' rule). Values and element order identical to the HOF
+    * form (WsTokensSpec asserts equality, whitespace-only and multibyte
+    * cases included).
+    */
+  def tokens(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    var out = new Array[AnyRef](16)
+    var nw = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (!Ws.is(bytes(i))) {
+        val st = i
+        while (i < bytes.length && !Ws.is(bytes(i))) i += 1
+        if (nw == out.length) out = java.util.Arrays.copyOf(out, nw * 2)
+        out(nw) = UTF8String.fromBytes(bytes, st, i - st)
+        nw += 1
+      } else i += 1
+    }
+    new GenericArrayData(
+      if (nw == out.length) out else java.util.Arrays.copyOf(out, nw))
+  }
+}
+
+/** text → array<string> of whitespace-separated tokens (empties dropped) —
+  * the native `TextFns.words`. Empty array for an all-whitespace or empty
+  * text; null only on null input.
+  */
+case class WsTokens(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ws_tokens requires a STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ws_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    WsTokenOps.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.WsTokenOps.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** text → array<string> of space-joined word n-grams (optionally distinct,
   * first-occurrence order). Empty array when the text has fewer than n
   * tokens — never null beyond a null input, so default nullability holds.

@@ -873,9 +873,17 @@ object DataQueries6 {
   def d27SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
     val w = 40
     val stride = 20
+    // fused native window hashing (graft.plans.StridedShingleHashes):
+    // the HOF form (explode(charShingles) → hash60 per window) paid a
+    // from-byte-0 UTF8String.substring walk PER WINDOW — O(len²/stride)
+    // byte scans per doc — plus a per-window String materialization
+    // (round-21 profile: 24 s task time for ~1 s of md5 work). Values
+    // and multiplicity identical (ShingleExprsSpec).
     val wins = docs(spark, dir).select(col("doc_id"),
-        explode(TextFns.charShingles(col("text"), w, stride)).as("win"))
-      .select(col("doc_id"), TextFns.hash60(col("win")).as("h"))
+        explode(org.apache.spark.sql.graft.Bridge.column(
+          graft.plans.StridedShingleHashes(
+            org.apache.spark.sql.graft.Bridge.expression(col("text")),
+            w, stride, nibbles = 15))).as("h"))
       .localCheckpoint()
     val dup = wins.groupBy("h").agg(count(lit(1)).as("__sites"))
       .filter(col("__sites") > 1).select(col("h"), lit(1).as("__dup"))

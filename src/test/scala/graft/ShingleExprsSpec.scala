@@ -87,4 +87,23 @@ class ShingleExprsSpec extends SparkSpec {
       .filter(not(col("a") <=> col("b"))).count()
     assert(diff === 0)
   }
+
+  test("StridedShingleHashes == hash60 over the strided charShingles HOF") {
+    // d27's fused form: per-window hashes in order, with multiplicity;
+    // multibyte text exercises the char-vs-byte offset map, the short
+    // texts the below-k empty arm, repeated windows the multiplicity
+    val all = texts.union(Seq(
+      (9101L, "αβγδε βγδεζ γδεζη δεζηθ εζηθι ζηθικ"), // multibyte > k
+      (9102L, ("na " * 40).trim), (9103L, " \t\n\f\r "))
+      .toDF("doc_id", "text"))
+    for ((k, stride) <- Seq((5, 3), (40, 20), (7, 7), (4, 1))) {
+      val hof = transform(TextFns.charShingles(col("text"), k, stride),
+        w => TextFns.hash60(w))
+      val native = B.column(graft.plans.StridedShingleHashes(
+        B.expression(col("text")), k, stride, nibbles = 15))
+      val diff = all.select(hof.as("a"), native.as("b"))
+        .filter(not(col("a") <=> col("b"))).count()
+      assert(diff === 0, s"(k=$k, stride=$stride)")
+    }
+  }
 }
