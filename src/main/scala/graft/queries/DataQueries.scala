@@ -214,10 +214,23 @@ object DataQueries {
       DocIndexStore.write(root, DocIndexStore.Components(
         ix.simhash.filter(split), ix.minhashSigs.filter(split)),
         sigSpec = DocIndex.SigSpec)
-      DocIndexStore.appendSimhash(root, ix.simhash.filter(!split),
-        sigSpec = DocIndex.SigSpec)
-      DocIndexStore.appendMinhash(root, ix.minhashSigs.filter(!split),
-        sigSpec = DocIndex.SigSpec)
+      // the two incremental waves append to DIFFERENT component tables,
+      // each internally CAS'd and cut-adopted — concurrent appenders are
+      // the store's tested regime (DocIndexStoreSpec's racing-appender
+      // soak; AnnIndexStore.appendVectors fans out 4 the same way), so
+      // overlap them (guide §2.6) instead of paying two sequential
+      // guard+commit+publish round-trips
+      locally {
+        import scala.concurrent.{Await, Future, blocking}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fSim = Future(blocking(DocIndexStore.appendSimhash(root,
+          ix.simhash.filter(!split), sigSpec = DocIndex.SigSpec)))
+        val fMin = Future(blocking(DocIndexStore.appendMinhash(root,
+          ix.minhashSigs.filter(!split), sigSpec = DocIndex.SigSpec)))
+        Await.result(fSim, Duration.Inf)
+        Await.result(fMin, Duration.Inf)
+      }
       val loaded = DocIndexStore.load(spark, root)
       // spread the LOADED probe side (guide §2.5): the store chain is a
       // couple of small parquet dirs, so the banded self-join's map side
