@@ -190,7 +190,15 @@ object CoreQueries5 {
     * noise type exercising the filter).
     */
   private def auditLog(spark: SparkSession, dir: String): DataFrame =
-    Lake.spread(Lake.table(spark, dir, "events"), col("event_id")).select(
+    // spread keyed on the DERIVED user_email (the q13 rule, aggregation
+    // flavor): hashpartitioning(user_email) is a subset of the dedup
+    // DISTINCT's clustering (all five audit columns) AND of the
+    // usage rollup's first aggregate key (bq_resource, user_email), so
+    // both reuse the spread's exchange — one shuffle of the audit rows
+    // instead of three. Users are plentiful (tens of thousands), so the
+    // hash spreads evenly; at lake scale the spread no-ops as always.
+    Lake.spread(Lake.table(spark, dir, "events"),
+        concat(lit("user_"), col("user_id"))).select(
       col("ts").as("event_time"),
       lit("p").as("project"),
       concat(lit("user_"), col("user_id")).as("user_email"),
