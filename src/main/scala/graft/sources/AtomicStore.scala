@@ -255,7 +255,19 @@ object AtomicStore {
     val out = if (aqe && PlanProbe.spraysSmallFiles(df, maxGoodParts = 4))
                 df.hint("rebalance")
               else df
+    // Committer v2 + no _SUCCESS marker: v1's two-phase rename (task →
+    // _temporary/job, then job → destination) exists to make the OUTPUT
+    // DIRECTORY atomic-ish, but this protocol's atomicity point is the
+    // MANIFEST publish — an unpublished data dir is invisible however
+    // partially it was written, crashed v2 task files included — so the
+    // second rename pass (and the _SUCCESS marker nothing reads; every
+    // reader resolves through manifests) is pure per-commit latency,
+    // paid by every writeData across the store family. Same reasoning
+    // as the Delta/Iceberg committers: when a transaction log provides
+    // atomicity, the committer's job-level rename dance is redundant.
     out.write.mode("errorifexists")
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .parquet(new Path(dataDir(root), rel).toString)
     rel
   }
